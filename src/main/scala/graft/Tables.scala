@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical testdata loader. The driver-generated `events.parquet`
+  * stores `ts` as Parquet TIMESTAMP(NANOS), which Spark's vectorized
+  * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (then it surfaces as a LongType of nanoseconds). We normalize it to a
+  * proper TimestampType (microsecond precision — Spark's native unit).
+  */
+object Tables {
+
+  /** Session config every graft entry point applies (nanos handling +
+    * graft function registration). Idempotent. */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    prepare(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType.simpleString == "bigint")
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+}
