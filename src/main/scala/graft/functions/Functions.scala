@@ -50,6 +50,52 @@ case class ReachArrayExpression(left: Expression, right: Expression, objectValue
     copy(left = l, right = r)
 }
 
+/** `doc_content(properties, derivatives, id)` — the reference's
+  * `Document.content` projection (document.py:113-126): `_`-keys
+  * stripped, `_id` injected, flattened derivatives overlaid (first base
+  * wins per key). Null id renders `_id: null` (unsaved doc).
+  */
+case class DocContentExpression(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_doc_content"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val props = first.eval(input)
+    if (props == null) return null
+    val derivs = second.eval(input)
+    val id = third.eval(input)
+    val out = graft.core.DocOps.content(
+      props.toString,
+      if (derivs == null) null else derivs.toString,
+      if (id == null) null else java.lang.Long.valueOf(id.asInstanceOf[Long]))
+    UTF8String.fromString(out)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
+/** `json_merge(parent, child)` — shallow dict merge, child wins
+  * (reference `override_dict`, utils/data.py:79-89 / Python
+  * `dict.update` in `Document.update`, document.py:94). */
+case class JsonMergeExpression(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_json_merge"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null && b == null) return null
+    val out = graft.core.DocOps.mergeShallow(
+      if (a == null) null else a.toString,
+      if (b == null) null else b.toString)
+    UTF8String.fromString(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column-level API + one-time session registration. All graft entry
   * points call [[register]] (idempotent) so the functions are usable both
   * from the Scala DSL (via `call_function`) and in `spark.sql` text.
@@ -64,6 +110,10 @@ object GraftFunctions {
       exprs => ReachArrayExpression(exprs(0), exprs(1), objectValues = false), "built-in")
     reg.createOrReplaceTempFunction("graft_reach_values",
       exprs => ReachArrayExpression(exprs(0), exprs(1), objectValues = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_doc_content",
+      exprs => DocContentExpression(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_json_merge",
+      exprs => JsonMergeExpression(exprs(0), exprs(1)), "built-in")
     // Cache-key canonicalization (cold path — plain UDFs are fine here).
     spark.udf.register("graft_hash_from_data", (json: String) => Hashing.hashFromData(json))
     spark.udf.register("graft_signature_hash",
@@ -78,6 +128,10 @@ object GraftFunctions {
     call_function("graft_reach_array", json, lit(path))
   def reachValues(json: Column, path: String): Column =
     call_function("graft_reach_values", json, lit(path))
+  def docContent(properties: Column, derivatives: Column, id: Column): Column =
+    call_function("graft_doc_content", properties, derivatives, id)
+  def jsonMerge(parent: Column, child: Column): Column =
+    call_function("graft_json_merge", parent, child)
   def hashFromData(json: Column): Column = call_function("graft_hash_from_data", json)
   def signatureHash(uri: Column, data: Column): Column =
     call_function("graft_signature_hash", uri, data)
