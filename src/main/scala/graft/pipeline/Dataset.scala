@@ -1,0 +1,214 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+import graft.core.PyJson
+import graft.functions.GraftFunctions
+import graft.model.{CollectionSpec, Documents}
+import graft.sources.Fetcher
+
+/** A dataset definition — the declarative pipeline (reference:
+  * datagrowth/datatypes/datasets/db/dataset.py:42-54): seeding phases
+  * per collection, growth phases, a growth strategy, and config whose
+  * `$`-prefixed keys are signature-relevant.
+  */
+final case class DatasetSpec(
+    name: String,
+    collection: CollectionSpec,
+    seedingPhases: Seq[PhaseSpec],
+    growthPhases: Seq[GrowthSpec] = Nil,
+    growthStrategy: String = GrowthStrategy.Freeze,
+    config: Map[String, String] = Map.empty) {
+
+  /** `get_signature_from_input` (dataset.py:116-121): args + whitelisted
+    * `key=value` pairs, falsy entries dropped, sorted, `&`-joined. */
+  def signature(args: Seq[String], kwargs: Map[String, String] = Map.empty): String = {
+    val whitelisted = kwargs.filter { case (k, _) => config.contains("$" + k.stripPrefix("$")) }
+    val parts = (args ++ whitelisted.map { case (k, v) => s"$k=$v" }).filter(_.nonEmpty)
+    parts.sorted.mkString("&")
+  }
+}
+
+object GrowthStrategy {
+  val Freeze = "freeze"; val Reset = "reset"; val Revise = "revise"; val Stack = "stack"
+}
+
+object GrowthState {
+  val Pending = "pending"; val Growing = "growing"
+  val Complete = "complete"; val Error = "error"
+}
+
+final case class VersionMeta(version: Int, state: String, isCurrent: Boolean,
+                             growthStrategy: String, errors: String)
+
+/** Versioned dataset storage: Parquet snapshots under
+  * `<root>/<signature>/v<N>/collection=<name>/` plus a small JSON
+  * manifest with an atomically-swapped `is_current` pointer — the Spark
+  * replacement for the reference's DatasetVersion rows + row locking
+  * (version.py:26-78; SURVEY §4 "snapshot isolation").
+  */
+class VersionStore(val root: String, spark: SparkSession) {
+
+  private def sigDir(sig: String) = Paths.get(root, if (sig.isEmpty) "_default" else sig)
+  private def manifestPath(sig: String) = sigDir(sig).resolve("manifest.json")
+  def collectionPath(sig: String, v: Int, name: String): String =
+    sigDir(sig).resolve(s"v$v").resolve(s"collection=$name").toString
+
+  def versions(sig: String): Seq[VersionMeta] = {
+    val p = manifestPath(sig)
+    if (!Files.exists(p)) return Seq.empty
+    val tree = PyJson.parse(Files.readString(p))
+    tree.get("versions").elements.asScala.map { n =>
+      VersionMeta(n.get("version").asInt, n.get("state").asText,
+        n.get("is_current").asBoolean, n.get("growth_strategy").asText,
+        PyJson.canonical(n.get("errors")))
+    }.toSeq
+  }
+
+  /** Atomic manifest write: temp file + ATOMIC_MOVE rename. */
+  private def writeManifest(sig: String, vs: Seq[VersionMeta]): Unit = {
+    val m = PyJson.mapper
+    val rootNode = m.createObjectNode()
+    val arr = m.createArrayNode()
+    vs.foreach { v =>
+      val n = m.createObjectNode()
+      n.put("version", v.version).put("state", v.state)
+        .put("is_current", v.isCurrent).put("growth_strategy", v.growthStrategy)
+      n.set[JsonNode]("errors", PyJson.parse(v.errors))
+      arr.add(n)
+    }
+    rootNode.set[JsonNode]("versions", arr)
+    Files.createDirectories(sigDir(sig))
+    val tmp = sigDir(sig).resolve(".manifest.tmp")
+    Files.writeString(tmp, PyJson.dumps(rootNode, ensureAscii = false))
+    Files.move(tmp, manifestPath(sig), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentVersion(sig: String): Option[VersionMeta] =
+    versions(sig).filter(_.isCurrent).lastOption
+
+  def latestVersion(sig: String): Option[VersionMeta] = versions(sig).lastOption
+
+  def createVersion(sig: String, strategy: String): VersionMeta = {
+    val vs = versions(sig)
+    val next = VersionMeta(vs.map(_.version).maxOption.getOrElse(0) + 1,
+      GrowthState.Pending, isCurrent = false, strategy, """{"seeding":{},"tasks":{}}""")
+    writeManifest(sig, vs :+ next)
+    next
+  }
+
+  def updateVersion(sig: String, v: VersionMeta): Unit =
+    writeManifest(sig, versions(sig).map(old => if (old.version == v.version) v else old))
+
+  /** `finish_processing` promotion (version.py:72-78): non-STACK flips
+    * every other version's is_current off. */
+  def promote(sig: String, version: Int): Unit =
+    writeManifest(sig, versions(sig).map(v => v.copy(isCurrent = v.version == version)))
+
+  def writeCollection(sig: String, v: Int, name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(collectionPath(sig, v, name))
+
+  def readCollection(sig: String, v: Int, name: String): DataFrame = {
+    val p = collectionPath(sig, v, name)
+    if (Files.exists(Paths.get(p))) spark.read.parquet(p) else Documents.empty(spark)
+  }
+}
+
+class DGGrowthFrozen extends RuntimeException("Frozen datasets can not be grown")
+class DGGrowthUnfinished extends RuntimeException("Dataset growth already in progress")
+
+/** The dataset growth driver — `Dataset.grow` (dataset.py:302-332) with
+  * strategy semantics: FREEZE forbids regrow of an existing current
+  * version; RESET/STACK start an empty new version; REVISE copies the
+  * current snapshot then regrows (upserts refresh the copied docs).
+  * Collection pipelines run as ordinary Spark jobs; the manifest swap
+  * replaces Celery orchestration + row locks.
+  */
+class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = false) {
+
+  def grow(spec: DatasetSpec, args: Seq[String] = Nil,
+           kwargs: Map[String, String] = Map.empty,
+           retry: Boolean = false, seeds: Option[Seq[String]] = None,
+           limit: Int = -2): VersionMeta = {
+    val spark = storeSpark
+    val sig = spec.signature(args, kwargs)
+    val strategy = spec.growthStrategy
+    val current =
+      if (strategy == GrowthStrategy.Stack) store.latestVersion(sig)
+      else store.currentVersion(sig)
+
+    if (strategy == GrowthStrategy.Freeze && current.isDefined) throw new DGGrowthFrozen
+    if (current.exists(_.state == GrowthState.Growing)) throw new DGGrowthUnfinished
+
+    val version: VersionMeta = current match {
+      case None => store.createVersion(sig, strategy)
+      case Some(v) if v.state == GrowthState.Complete && !retry =>
+        strategy match {
+          case GrowthStrategy.Reset | GrowthStrategy.Stack => store.createVersion(sig, strategy)
+          case GrowthStrategy.Revise =>
+            val nv = store.createVersion(sig, strategy)
+            // copy_dataset_version (version.py:99-110): deep snapshot copy
+            val copied = store.readCollection(sig, v.version, spec.collection.name)
+            store.writeCollection(sig, nv.version, spec.collection.name, copied)
+            nv
+          case other => throw new IllegalArgumentException(s"Unknown growth_strategy: $other")
+        }
+      case Some(v) => v // retry / pending / error keeps the version
+    }
+
+    store.updateVersion(sig, version.copy(state = GrowthState.Growing))
+
+    val docs0 = store.readCollection(sig, version.version, spec.collection.name)
+    val seeding = new SeedingProcessor(spec.collection, spec.seedingPhases, fetcher, cacheOnly)
+    var docs = seeding.run(docs0, args, initial = seeds,
+      limit = if (retry && !docs0.isEmpty && limit == -2) -1 else limit)
+    spec.growthPhases.foreach { g =>
+      val (grown, _) = Growth.grow(docs, g, fetcher, graft.sources.Resources.emptyCache(spark),
+        cacheOnly = cacheOnly)
+      docs = grown.localCheckpoint(true)
+    }
+    store.writeCollection(sig, version.version, spec.collection.name, docs)
+
+    val errors = evaluate(store.readCollection(sig, version.version, spec.collection.name),
+      spec.growthPhases.map(_.growthPhase))
+    val finished = version.copy(state = GrowthState.Complete, errors = errors,
+      isCurrent = strategy != GrowthStrategy.Stack)
+    store.updateVersion(sig, finished)
+    if (strategy != GrowthStrategy.Stack) store.promote(sig, version.version)
+    finished
+  }
+
+  private def storeSpark: SparkSession = SparkSession.active
+
+  /** `evaluate_dataset_version` (version.py:42-70): per task, one-pass
+    * conditional counts of success / fail / skipped documents. */
+  def evaluate(docs: DataFrame, tasks: Seq[String]): String = {
+    if (tasks.isEmpty || docs.isEmpty) return """{"seeding":{},"tasks":{}}"""
+    val aggs = tasks.flatMap { t =>
+      val s = GraftFunctions.reach(col("task_results"), s"$$.$t.success")
+      Seq(count(when(s === "true", 1)).as(s"${t}__success"),
+        count(when(s === "false", 1)).as(s"${t}__fail"),
+        count(when(s.isNull, 1)).as(s"${t}__skipped"))
+    }
+    val row = docs.agg(aggs.head, aggs.tail: _*).head
+    val m = PyJson.mapper
+    val rootNode = m.createObjectNode()
+    rootNode.set[JsonNode]("seeding", m.createObjectNode())
+    val tasksNode = m.createObjectNode()
+    tasks.foreach { t =>
+      val n = m.createObjectNode()
+      n.put("success", row.getAs[Long](s"${t}__success"))
+      n.put("fail", row.getAs[Long](s"${t}__fail"))
+      n.put("skipped", row.getAs[Long](s"${t}__skipped"))
+      tasksNode.set[JsonNode](t, n)
+    }
+    rootNode.set[JsonNode]("tasks", tasksNode)
+    PyJson.dumps(rootNode, itemSep = ",", kvSep = ":", ensureAscii = false)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+import graft.core.{DocOps, PyJson, Reach}
+import graft.model.Documents
+
+/** The declarative task-state machine (reference: datagrowth/datatypes/
+  * storage.py:71-128 + documents/tasks). A document's `tasks` config is
+  * `{name: {"checks": [attr...], "depends_on": [task-or-$path...]}}`;
+  * a task is pending when it has not run, its checks pass (attribute
+  * truthiness, `!`-negatable) and its task dependencies succeeded.
+  * Dispatch = a driver loop running registered DataFrame transformations
+  * for each pending task until drained (depth ≤ 10, tasks/document.py:
+  * 235-257) — executors replace Celery workers, snapshots replace locks.
+  */
+object Tasks {
+
+  /** Driver/executor-neutral pure evaluation of `get_pending_tasks`
+    * (storage.py:71-98) over one document's JSON state. Checks evaluate
+    * against the supplied attribute map (e.g. "pending_at" → truthy).
+    */
+  def pendingTasks(tasksJson: String, taskResultsJson: String,
+                   attrs: Map[String, Boolean]): Seq[String] = {
+    val tasks = PyJson.tryParse(if (tasksJson == null) "{}" else tasksJson)
+      .collect { case o: ObjectNode => o }.getOrElse(return Nil)
+    val results = PyJson.tryParse(if (taskResultsJson == null) "{}" else taskResultsJson)
+      .collect { case o: ObjectNode => o }
+    tasks.fields.asScala.flatMap { e =>
+      val name = e.getKey
+      val conditions = e.getValue
+      val hasRun = results.exists(_.has(name))
+      val checksPass = Option(conditions.get("checks")).filter(_.isArray)
+        .forall(_.elements.asScala.forall { c =>
+          val check = c.asText
+          val negate = check.startsWith("!")
+          val attr = attrs.getOrElse(if (negate) check.substring(1) else check, false)
+          if (negate) !attr else attr
+        })
+      val depsMet = Option(conditions.get("depends_on")).filter(_.isArray)
+        .forall(_.elements.asScala.forall { d =>
+          val dep = d.asText
+          dep.startsWith("$") || // content deps skipped at this level (storage.py:89-91)
+            results.exists(r => Option(r.get(dep)).exists(n =>
+              Option(n.get("success")).exists(_.asBoolean(false))))
+        })
+      if (!hasRun && checksPass && depsMet) Some(name) else None
+    }.toSeq
+  }
+
+  /** `pending_tasks` as an array column over the documents frame; checks
+    * supported: pending_at / finished_at (the attributes the reference's
+    * document tasks use). */
+  def pendingTasksCol: Column = {
+    val f = udf { (tasks: String, results: String, pendingAt: java.sql.Timestamp,
+                   finishedAt: java.sql.Timestamp) =>
+      pendingTasks(tasks, results,
+        Map("pending_at" -> (pendingAt != null), "finished_at" -> (finishedAt != null)))
+    }
+    f(col("tasks"), col("task_results"), col("pending_at"), col("finished_at"))
+  }
+
+  /** `cancel_document_tasks` (tasks/document.py:260-277): every pending
+    * task gets `{success: false, canceled: true}` and the doc finishes. */
+  def cancelPending(docs: DataFrame): DataFrame = {
+    val cancelUdf = udf { (tasks: String, results: String, pendingAt: java.sql.Timestamp,
+                           finishedAt: java.sql.Timestamp) =>
+      val pend = pendingTasks(tasks, results,
+        Map("pending_at" -> (pendingAt != null), "finished_at" -> (finishedAt != null)))
+      pend.foldLeft(if (results == null) "{}" else results) { (acc, t) =>
+        DocOps.mergeShallow(acc, s"""{"$t":{"success":false,"canceled":true}}""")
+      }
+    }
+    docs.withColumn("task_results",
+        cancelUdf(col("tasks"), col("task_results"), col("pending_at"), col("finished_at")))
+      .withColumn("pending_at", lit(null).cast(TimestampType))
+      .withColumn("finished_at", current_timestamp())
+  }
+
+  /** `dispatch_document_tasks` (tasks/document.py:235-257): run each
+    * registered task transformation over the docs that have it pending,
+    * recurse until no task is pending or depth 10. A task function
+    * receives its pending subset and returns those rows updated
+    * (task_results[name] written by the function).
+    */
+  def dispatch(docs: DataFrame, registry: Map[String, DataFrame => DataFrame],
+               maxDepth: Int = 10): DataFrame = {
+    var current = docs
+    var depth = 0
+    var drained = false
+    while (!drained && depth < maxDepth) {
+      val withPending = current.withColumn("__pending", pendingTasksCol)
+      val pendingNames = withPending
+        .select(explode(col("__pending")).as("t")).distinct()
+        .collect().map(_.getString(0)).toSeq.filter(registry.contains).sorted
+      if (pendingNames.isEmpty) drained = true
+      else {
+        pendingNames.foreach { name =>
+          val withP = current.withColumn("__pending", pendingTasksCol)
+          val target = withP.filter(array_contains(col("__pending"), name))
+            .select(Documents.columns.map(col): _*)
+          val rest = withP.filter(!array_contains(col("__pending"), name))
+            .select(Documents.columns.map(col): _*)
+          current = rest.unionByName(registry(name)(target))
+            .localCheckpoint(true)
+        }
+        depth += 1
+      }
+    }
+    current
+  }
+}

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.Objective
+import graft.model.CollectionSpec
+import graft.sources.EntityApiFetcher
+
+/** Dataset lifecycle specs mirroring the reference's per-strategy tests
+  * (tests/django_project/datatypes/tests/dataset/test_*_strategy.py).
+  */
+class DatasetLifecycleSpec extends SparkTestBase {
+
+  val paperKeys = Seq("id", "state", "title")
+  def makeSpec(strategy: String) = DatasetSpec(
+    name = "papers",
+    collection = CollectionSpec("paper", identifier = Some("id")),
+    seedingPhases = Seq(PhaseSpec(
+      phase = "papers", strategy = "initial", batchSize = 5,
+      retrieve = RetrieveSpec(
+        urlTemplate = "http://localhost:8000/entities/{}/",
+        parameters = Seq("size" -> "20", "page_size" -> "10"),
+        continuationLimit = 2),
+      contribute = ContributeSpec(objective =
+        Some(Objective("$.results", paperKeys.map(k => k -> s"$$.$k")))))),
+    growthStrategy = strategy,
+    config = Map("$setting1" -> "const"))
+
+  def newStore() = new VersionStore(
+    Files.createTempDirectory("graft-ds").toString, spark)
+
+  test("signature: sorted args + whitelisted config (dataset.py:116-121)") {
+    val spec = makeSpec(GrowthStrategy.Freeze)
+    assert(spec.signature(Seq("test")) === "test")
+    assert(spec.signature(Seq("test"), Map("setting1" -> "const")) === "setting1=const&test")
+    assert(spec.signature(Seq("test"), Map("unknown" -> "x")) === "test")
+    assert(spec.signature(Seq("b", "a")) === "a&b")
+  }
+
+  test("freeze: grows once, second grow raises DGGrowthFrozen (test_freeze_strategy)") {
+    val store = newStore()
+    val runner = new DatasetRunner(store, new EntityApiFetcher())
+    val spec = makeSpec(GrowthStrategy.Freeze)
+    val v = runner.grow(spec, Seq("paper"))
+    assert(v.version === 1 && v.state === GrowthState.Complete && v.isCurrent)
+    assert(store.readCollection("paper", 1, "paper").count() === 20)
+    intercept[DGGrowthFrozen](runner.grow(spec, Seq("paper")))
+  }
+
+  test("reset: new empty version replaces current (test_reset_strategy)") {
+    val store = newStore()
+    val runner = new DatasetRunner(store, new EntityApiFetcher())
+    val spec = makeSpec(GrowthStrategy.Reset)
+    runner.grow(spec, Seq("paper"))
+    val v2 = runner.grow(spec, Seq("paper"))
+    assert(v2.version === 2 && v2.isCurrent)
+    val vs = store.versions("paper")
+    assert(vs.map(_.isCurrent) === Seq(false, true))
+    assert(store.readCollection("paper", 2, "paper").count() === 20)
+  }
+
+  test("revise: copies current snapshot then regrows (test_revise_strategy)") {
+    val store = newStore()
+    val runner = new DatasetRunner(store, new EntityApiFetcher())
+    val spec = makeSpec(GrowthStrategy.Revise)
+    runner.grow(spec, Seq("paper"))
+    val v2 = runner.grow(spec, Seq("paper"))
+    assert(v2.version === 2 && v2.isCurrent)
+    // revised copy upserted in place: still 20 docs, ids preserved from copy
+    assert(store.readCollection("paper", 2, "paper").count() === 20)
+  }
+
+  test("stack: always a new version, no promotion flip (test_stack_strategy)") {
+    val store = newStore()
+    val runner = new DatasetRunner(store, new EntityApiFetcher())
+    val spec = makeSpec(GrowthStrategy.Stack)
+    val v1 = runner.grow(spec, Seq("paper"))
+    val v2 = runner.grow(spec, Seq("paper"))
+    assert(v1.version === 1 && v2.version === 2)
+    assert(!store.versions("paper").exists(_.isCurrent), "stack never promotes")
+  }
+
+  test("growth phase inside grow() writes derivatives and evaluation counts") {
+    val store = newStore()
+    val runner = new DatasetRunner(store, new EntityApiFetcher())
+    val spec = makeSpec(GrowthStrategy.Freeze).copy(
+      growthPhases = Seq(GrowthSpec(
+        growthPhase = "detail",
+        urlTemplate = "http://localhost:8000/entities/paper/{}/?size=20",
+        argTemplates = Seq("$.id"),
+        objective = Objective("$", Seq("abstract" -> "$.abstract")))))
+    val v = runner.grow(spec, Seq("paper"))
+    val docs = store.readCollection("paper", 1, "paper")
+    assert(docs.filter(col("derivatives").contains("abstract")).count() === 20)
+    assert(v.errors.contains("\"detail\":{\"success\":20,\"fail\":0,\"skipped\":0}"))
+  }
+}

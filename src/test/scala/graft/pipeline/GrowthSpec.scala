@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.Objective
+import graft.model.{CollectionOps, CollectionSpec, Documents}
+import graft.sources.{Fetcher, FetchResponse, Resources}
+
+/** Growth processor specs mirroring the reference's HttpGrowthProcessor
+  * tests (tests/django_project/processors/tests/growth/http.py): three
+  * documents, each pointing at a resource; contributions land in
+  * derivatives[phase] (or a property with to_property).
+  */
+/** A per-URL canned source: /mock/<ix> → [{"extra": "test <ix>"}]. */
+class MockSource extends Fetcher {
+  def fetch(method: String, url: String, body: String): FetchResponse = {
+    val ix = url.split('/').last
+    if (ix.forall(_.isDigit))
+      FetchResponse(200, "{}", s"""[{"extra":"test $ix"}]""")
+    else FetchResponse(404, "{}", null)
+  }
+}
+
+/** MockSource that counts live fetches across serialization. */
+class CountingSource extends MockSource {
+  override def fetch(m: String, u: String, b: String): FetchResponse = {
+    CountingHolder.count.incrementAndGet(); super.fetch(m, u, b)
+  }
+}
+
+class GrowthPipelineSpec extends SparkTestBase {
+
+  val spec = CollectionSpec("growth", identifier = Some("id"))
+  val objective = Objective("$.0", Seq("extra" -> "$.extra"))
+
+  def threeDocs() = CollectionOps.add(Documents.empty(spark),
+    Documents.fromJsonSeq(spark, (0 until 3).map(ix =>
+      s"""{"id":$ix,"resource":"http://mock.api/mock/$ix"}""")), spec)
+
+  test("synchronous update writes derivatives[phase] (growth/http.py:47-70)") {
+    val growth = GrowthSpec(growthPhase = "test",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective)
+    val (out, resources) = Growth.grow(threeDocs(), growth, new MockSource,
+      Resources.emptyCache(spark))
+    assert(out.count() === 3)
+    val rows = out.orderBy("id").collect()
+    rows.zipWithIndex.foreach { case (row, ix) =>
+      assert(row.getAs[String]("derivatives") === s"""{"test":{"extra":"test $ix"}}""")
+      val tr = row.getAs[String]("task_results")
+      assert(tr.contains("\"success\":true"))
+      assert(row.getAs[java.sql.Timestamp]("pending_at") == null)
+      assert(row.getAs[java.sql.Timestamp]("finished_at") != null)
+    }
+    assert(resources.count() === 3)
+  }
+
+  test("to_property properties/results writes into properties (http.py:72-95)") {
+    val growth = GrowthSpec(growthPhase = "test",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective,
+      toProperty = Some("properties/results"))
+    val (out, _) = Growth.grow(threeDocs(), growth, new MockSource,
+      Resources.emptyCache(spark))
+    val row = out.filter(col("identity") === "1").head
+    assert(row.getAs[String]("properties").contains(""""results":{"extra":"test 1"}"""))
+    assert(row.getAs[String]("derivatives") === "{}")
+  }
+
+  test("to_property key writes under derivatives[phase][key]") {
+    val growth = GrowthSpec(growthPhase = "test",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective,
+      toProperty = Some("boxed"))
+    val (out, _) = Growth.grow(threeDocs(), growth, new MockSource,
+      Resources.emptyCache(spark))
+    val row = out.filter(col("identity") === "2").head
+    assert(row.getAs[String]("derivatives") === """{"test":{"boxed":{"extra":"test 2"}}}""")
+  }
+
+  test("already-successful documents are skipped; depends_on gates (resources/growth.py:40-47)") {
+    val docs = threeDocs()
+    val growth = GrowthSpec(growthPhase = "test",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective)
+    val (once, _) = Growth.grow(docs, growth, new MockSource, Resources.emptyCache(spark))
+    // Counting fetcher proves no requests on the second run.
+    CountingHolder.count.set(0)
+    val (twice, _) = Growth.grow(once.localCheckpoint(true), growth,
+      new CountingSource, Resources.emptyCache(spark))
+    assert(twice.count() === 3)
+    assert(CountingHolder.count.get() === 0, "no refetch for successful tasks")
+
+    // depends_on unmet → nothing pending
+    val gated = GrowthSpec(growthPhase = "second",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective,
+      dependsOn = Some("missing_task"))
+    assert(once.filter(Growth.pendingFilter(gated)).count() === 0)
+    val met = gated.copy(dependsOn = Some("test"))
+    assert(once.filter(Growth.pendingFilter(met)).count() === 3)
+  }
+
+  test("fetch kernel: cache hits skip live fetches; cache_only blocks them (generic.py:117-124)") {
+    import spark.implicits._
+    val requests = Seq(("get", "http://mock.api/mock/0", null: String),
+      ("get", "http://mock.api/mock/1", null: String))
+      .toDF("method", "url", "request_body")
+    val first = Resources.fetchWithCache(requests, Resources.emptyCache(spark), new MockSource)
+    assert(first.count() === 2 && first.filter(col("from_cache")).count() === 0)
+    // Feed results back as the cache: all hits now.
+    val cache = first.select(Resources.schema.fieldNames.map(col): _*)
+    val second = Resources.fetchWithCache(requests, cache, new MockSource)
+    assert(second.filter(col("from_cache")).count() === 2)
+    // cache_only with empty cache → status 0 rows, no fetch
+    val blocked = Resources.fetchWithCache(requests, Resources.emptyCache(spark),
+      new MockSource, cacheOnly = true)
+    assert(blocked.filter(col("status") === 0).count() === 2)
+  }
+}
+
+object CountingHolder {
+  val count = new java.util.concurrent.atomic.AtomicInteger(0)
+}
