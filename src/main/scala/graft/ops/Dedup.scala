@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is shuffle-minimal —
+  *  - exact dedup is one hash aggregation;
+  *  - MinHash+LSH shuffles only (band, bucket) keys, then joins candidate
+  *    PAIRS (a tiny fraction of n²) for exact verification;
+  *  - SimHash reduces each doc to 64 bits; near-dup search joins on
+  *    rotated prefix blocks, never all-pairs;
+  *  - n-gram Jaccard runs only on LSH/blocking candidates.
+  *
+  * MinHash functions are md5-based (lexicographic min over per-function
+  * salted hashes) so the identical signature is computable in any engine
+  * with md5 — which keeps these operators DuckDB-oracle-checkable.
+  */
+object Dedup {
+
+  /** Exact dedup groups: hash the normalized text, keep the minimum id
+    * per group (SURVEY §2.4 "dedup by hash on add" scaled up). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("member_ids"))
+
+  /** k lexicographic-min salted-md5 minhashes over the distinct shingle
+    * set. minhash_i = min(md5(i || '|' || shingle)). */
+  def minhashSignature(text: Column, k: Int, shingleSize: Int = 3): Column = {
+    val sh = TextOps.distinctShingles(text, shingleSize)
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
+    }: _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
+    * each band hashed to one bucket key. Docs sharing ANY band bucket are
+    * candidates. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), "|")).as("bucket"))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via MinHash+LSH: shingle → minhash →
+    * band → bucket-join. Output: (id_a, id_b) with id_a < id_b, distinct
+    * across bands. The only shuffle keys are band buckets. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, shingleSize).as("sig"))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for given pairs: verification stage after LSH
+    * (or any blocking). `docs` must expose (id, text). */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      TextOps.distinctShingles(col(textCol), shingleSize).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup detection end-to-end: candidates → exact
+    * Jaccard → threshold. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+                     shingleSize: Int = 3): DataFrame = {
+    val candidates = lshCandidatePairs(df, idCol, textCol, k, bands, shingleSize)
+    ngramJaccard(candidates, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the token stream: per-token 64-bit hash
+    * (xxhash64), per-bit ±1 votes, sign → bit. Composed from built-ins:
+    * the bit loop unrolls into codegen'd arithmetic. */
+  def simhash(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << bit)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two simhashes (bit_count of xor). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 16-bit prefix rotations (4 blocks
+    * of 16 bits — any pair within Hamming distance 3 shares at least one
+    * identical block), verify with exact Hamming distance. Never n². */
+  def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                            maxDistance: Int = 3): DataFrame = {
+    val sims = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val blocked = sims.select(col("id"), col("sim"),
+        explode(array((0 until 4).map { blk =>
+          struct(lit(blk).as("blk"),
+            shiftright(col("sim"), blk * 16).bitwiseAND(0xFFFFL).as("key"))
+        }: _*)).as("b"))
+      .select(col("id"), col("sim"), col("b.blk").as("blk"), col("b.key").as("key"))
+    val a = blocked.as("a"); val b = blocked.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

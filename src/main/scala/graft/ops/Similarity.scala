@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the brute-force path broadcasts the (small) probe set
+  * against the corpus — one pass, no corpus shuffle; the LSH path
+  * buckets by random-hyperplane signs so only same-bucket candidates
+  * join (IVF-style), trading recall for a corpus-size-independent
+  * candidate list. Dot products run through `zip_with`+`aggregate` in
+  * doubles — sequential, deterministic, engine-portable.
+  */
+object Similarity {
+
+  /** Deterministic double-precision cosine similarity. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force exact top-k cosine neighbors of each probe vector.
+    * `probes` and `corpus` expose (id, embedding); the probe side is
+    * broadcast (keep it small — that is the point of a probe set). */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val scored = p.join(c, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("p_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes: plane p's
+    * component d = crc32("p|d") mapped into [-0.5, 0.5). Reproducible in
+    * any engine (and across runs) without RNG state. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (crc32(concat(lit(s"$p|"), d.cast("string"))) % 1000000L).cast("double") / 1000000.0 - 0.5
+
+  /** Sign-random-projection bucket key: `planes` hyperplane sign bits
+    * packed into a long. Vectors in the same bucket are ANN candidates. */
+  def srpBucket(emb: Column, planes: Int): Column = {
+    val dims = size(emb)
+    val bits = (0 until planes).map { p =>
+      val dotVal = aggregate(
+        zip_with(emb, sequence(lit(0), dims - 1),
+          (v, d) => v.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotVal > 0, lit(1L << p)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate top-k: probes join only their own SRP
+    * bucket (IVF-style candidate list), then exact cosine rank within
+    * candidates. Recall < 1.0 by construction; corpus side shuffles on
+    * the bucket key only. */
+  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+      srpBucket(col(embCol), planes).as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+      srpBucket(col(embCol), planes).as("bucket"))
+    val scored = p.join(c, Seq("bucket")).filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("p_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. All-pairs
+    * within SRP buckets (set `planes = 0` for exact all-pairs — only
+    * sane for probe-scale inputs). */
+  def nearDuplicates(df: DataFrame, threshold: Double, planes: Int = 8,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val keyed =
+      if (planes <= 0) df.select(col(idCol).as("id"), col(embCol).as("emb"), lit(0L).as("bucket"))
+      else df.select(col(idCol).as("id"), col(embCol).as("emb"),
+        srpBucket(col(embCol), planes).as("bucket"))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", round(cosine(col("a.emb"), col("b.emb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

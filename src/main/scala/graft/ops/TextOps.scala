@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language identification and fingerprinting — all
+  * composed from codegen'd built-ins (no UDFs on the hot path), so they
+  * stay inside whole-stage codegen at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count upper bound: whitespace tokens plus extra
+    * units for long tokens (every 4 chars beyond the first 4 starts a
+    * new unit — a cheap, deterministic proxy for subword tokenizers). */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + lit(1) + greatest(ceil((length(t) - 4) / 4.0).cast("int"), lit(0)))
+
+  /** Word n-gram shingles of size n (ordered, with duplicates). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          array_join(slice(toks, i + 1, lit(n)), " "))),
+      s => s.isNotNull)
+  }
+
+  def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Quality metrics (length / punctuation / stopword ratios — the
+    * standard pre-training quality heuristics). `stopwords` doubles as
+    * the language profile. */
+  def qualityMetrics(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val punct = nChars - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))
+    val stopHits = size(array_intersect(toks, array(stopwords.map(lit): _*)))
+    struct(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(punct.cast("double") / greatest(nChars, lit(1)), 6).as("punct_ratio"),
+      round(stopHits.cast("double") / greatest(size(array_distinct(toks)), lit(1)), 6)
+        .as("stopword_ratio"),
+      round((nChars - size(toks) + 1).cast("double") / greatest(nTokens, lit(1)), 6)
+        .as("avg_token_len"))
+  }
+
+  /** Language profiles: distinctive high-frequency words per language.
+    * The n-gram-heuristic classifier scores each profile by distinct-hit
+    * count; ties break on profile order. */
+  val DefaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "para", "en", "que"))
+
+  /** Profile-scored language ID: the profile with the most distinct
+    * token hits wins; below `minHits` → "und" (undetermined). */
+  def languageId(text: Column, profiles: Seq[(String, Seq[String])] = DefaultProfiles,
+                 minHits: Int = 1): Column = {
+    val toks = array_distinct(tokens(text))
+    val scored = profiles.map { case (lang, words) =>
+      (lang, size(array_intersect(toks, array(words.map(lit): _*))))
+    }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 >= minHits, best._1).otherwise(lit("und"))
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token
+    * set (Broder-style canonicalization — word order and duplication
+    * insensitive). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Polynomial rolling hash over the token stream (order-sensitive):
+    * h = Σ h*31 + crc32(token), in 64-bit arithmetic. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + crc32(t))
+}

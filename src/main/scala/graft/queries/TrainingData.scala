@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators as oracle-checkable queries:
+  * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search, text analysis and multimodal
+  * plumbing over the `documents` and `embeddings` tables.
+  *
+  * Portability conventions (DuckDB must reproduce the values): hashes
+  * are md5 over explicit strings; floating point goes through double
+  * with sequential aggregation and round(…, 6); every result is ordered
+  * on a unique key. SimHash/SRP variants use engine-specific 64-bit
+  * hashes and are registered WITHOUT oracles (rows-only checks).
+  */
+object TrainingData {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text quality scoring: length/punct/stopword heuristics.
+    "q19_text_quality" -> ((s, d) => {
+      val m = TextOps.qualityMetrics(col("text"), TextOps.DefaultProfiles.head._2)
+      t(s, d, "documents")
+        .select(col("doc_id"), m.getField("n_chars").as("n_chars"),
+          m.getField("n_tokens").as("n_tokens"),
+          m.getField("punct_ratio").as("punct_ratio"),
+          m.getField("stopword_ratio").as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID by stopword-profile scoring.
+    "q20_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.languageId(col("text")).as("lang_id"))
+        .groupBy(col("lang_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_id"))
+    }),
+
+    // Canonical fingerprint + order-sensitive rolling hash.
+    "q21_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dups over shared-shingle candidates.
+    "q22_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(TextOps.distinctShingles(col("text"), 3)).as("s"))
+      val candidates = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+      Dedup.ngramJaccard(candidates, docs, "doc_id", "text", 3)
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH candidate pairs (16 hashes, 4 bands of 4).
+    "q23_minhash_lsh" -> ((s, d) => {
+      Dedup.lshCandidatePairs(t(s, d, "documents"), "doc_id", "text",
+          k = 16, bands = 4, shingleSize = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dups (engine-specific xxhash64 → rows-only check).
+    "q24_simhash" -> ((s, d) => {
+      Dedup.simhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          maxDistance = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force exact cosine top-3 for a 5-vector probe set.
+    "q25_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup pairs (exact all-pairs over buckets=off).
+    "q26_embed_neardup" -> ((s, d) => {
+      Similarity.nearDuplicates(t(s, d, "embeddings"), threshold = 0.45, planes = 0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LSH-bucketed ANN (SRP buckets; engine-specific → rows-only).
+    "q27_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 3, planes = 4)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Multimodal: binary payloads through the mapPartitions decode path;
+    // output restricted to the portable columns (n_bytes, sha256).
+    "q28_media_features" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("sha256"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Multimodal frame sampling (stub durations → rows-only).
+    "q29_frame_sample" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
+      Multimodal.sampleFrames(Multimodal.extractFeatures(media))
+        .orderBy(col("media_id"), col("frame_ix"))
+    }))
+
+  private val tokensSql = "list_filter(string_split(text, ' '), tk -> tk <> '')"
+  private def shinglesSql(alias: String) =
+    s"""(SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(range(len($tokensSql)-2),
+       |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
+       |  FROM documents)) $alias""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q19_text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len($tokensSql) AS n_tokens,
+         |  round((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::DOUBLE
+         |        / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(len(list_intersect($tokensSql,
+         |        ['the','and','of','to','in','is','that','for','with','a']))::DOUBLE
+         |        / greatest(len(list_distinct($tokensSql)), 1), 6) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_langid" ->
+      s"""WITH hits AS (
+         |  SELECT doc_id,
+         |    len(list_intersect($tokensSql, ['the','and','of','to','in','is','that','for','with','a'])) AS en,
+         |    len(list_intersect($tokensSql, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS de,
+         |    len(list_intersect($tokensSql, ['le','la','les','et','est','pas','une','pour','dans','que'])) AS fr,
+         |    len(list_intersect($tokensSql, ['el','la','los','y','es','no','una','para','en','que'])) AS es
+         |  FROM documents),
+         |best AS (
+         |  SELECT doc_id,
+         |    CASE WHEN es > greatest(en, de, fr) THEN 'es'
+         |         WHEN fr > greatest(en, de) THEN 'fr'
+         |         WHEN de > en THEN 'de' ELSE 'en' END AS lang,
+         |    greatest(en, de, fr, es) AS score
+         |  FROM hits)
+         |SELECT CASE WHEN score >= 1 THEN lang ELSE 'und' END AS lang_id, COUNT(*) AS n
+         |FROM best GROUP BY 1 ORDER BY lang_id""".stripMargin,
+    "q21_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(inter::DOUBLE / (s1.n + s2.n - inter), 6) AS jaccard
+         |FROM pairs JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+         |WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q23_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q25_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+        |  FROM e p JOIN e c ON p.vec_id < 5 AND p.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q26_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q28_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  length(text)::BIGINT AS n_bytes, sha256(text) AS sha256
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokens, shingles, counts") {
+    val df = Seq("the quick brown fox jumps").toDF("text")
+    assert(df.select(TextOps.tokenCount($"text")).head.getInt(0) === 5)
+    val sh = df.select(TextOps.shingles($"text", 3)).head.getSeq[String](0)
+    assert(sh === Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
+  test("fingerprint is order- and duplication-insensitive") {
+    val df = Seq(("a b c", "c b a a"), ("x y", "x z")).toDF("t1", "t2")
+    val rows = df.select(TextOps.fingerprint($"t1") === TextOps.fingerprint($"t2")).collect()
+    assert(rows(0).getBoolean(0) === true)
+    assert(rows(1).getBoolean(0) === false)
+  }
+
+  test("rollingHash is order-sensitive") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    assert(!df.select(TextOps.rollingHash($"t1") === TextOps.rollingHash($"t2")).head.getBoolean(0))
+  }
+
+  test("languageId picks the profile with most hits, und below threshold") {
+    val df = Seq("the cat and the dog is here",
+      "der hund und die katze ist da",
+      "zzz qqq www").toDF("text")
+    assert(df.select(TextOps.languageId($"text")).collect().map(_.getString(0)).toSeq ===
+      Seq("en", "de", "und"))
+  }
+}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+    (3L, "one two three four five six seven eight"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (5L, "cat dog bird fish mouse horse cow sheep")
+  ).toDF("doc_id", "text")
+
+  test("exact groups find the exact duplicate") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    val dup = g.filter(col("n_copies") > 1).head
+    assert(dup.getAs[Long]("keep_id") === 1L)
+    assert(dup.getAs[Seq[Long]]("member_ids") === Seq(1L, 4L))
+  }
+
+  test("minhash LSH finds near and exact duplicates, skips unrelated") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near-dup should collide in at least one band")
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b) == Set(5L) })
+  }
+
+  test("ngram jaccard verification: exact=1.0, near<1, threshold filters") {
+    val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(nd((1L, 4L)) === 1.0)
+    nd.get((1L, 2L)).foreach(j => assert(j > 0.3 && j < 1.0))
+  }
+
+  test("simhash: identical texts distance 0, near-dups close, unrelated far") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) === sims(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(3L)))
+    val nd = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 4L)))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.9f, 0.1f, 0f, 0f)), // close to 0
+    (2L, Array(0f, 1f, 0f, 0f)),
+    (3L, Array(0f, 0f, 1f, 0f)),
+    (4L, Array(-1f, 0f, 0f, 0f))     // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal 0, identical-direction 1, opposite -1") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f), Array(2f, 0f), Array(-3f, 0f)))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c")),
+      Similarity.cosine(col("a"), col("d"))).head
+    assert(r.getDouble(0) === 0.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force topK ranks the closest neighbor first") {
+    val top = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") === 1L)
+    assert(top(0).getAs[Long]("rank") === 1L)
+    assert(top.length === 2)
+  }
+
+  test("SRP bucketing groups same-direction vectors (approximate path)") {
+    val buckets = vecs.select(col("vec_id"), Similarity.srpBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) === buckets(1L), "near-identical directions share all sign bits")
+    assert(buckets(0L) !== buckets(4L), "opposite vectors flip every sign bit")
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stub decode through mapPartitions: schema, determinism, per-kind fields") {
+    val docs = Seq((0L, "hello world", "en", "src1"), (1L, "abc", "en", "src1"),
+      (2L, "xyz", "en", "src2")).toDF("doc_id", "text", "lang", "source")
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "kind", "bytes", "meta"))
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats.map(_.getAs[String]("kind")).toSeq === Seq("image", "audio", "video"))
+    assert(feats(0).getAs[Long]("n_bytes") === 11L)
+    assert(feats(0).getAs[Int]("width") > 0)
+    assert(feats(1).getAs[Long]("duration_ms") >= 0L)
+    assert(feats(2).getAs[Seq[Float]]("feature").length === 8)
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(again.map(_.getAs[String]("sha256")).toSeq ===
+      feats.map(_.getAs[String]("sha256")).toSeq)
+  }
+
+  test("frame sampling explodes stride-spaced frame indexes") {
+    val docs = Seq((2L, "some video payload text", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs)))
+    assert(frames.count() > 0)
+    val ixs = frames.select("frame_ix").collect().map(_.getInt(0))
+    assert(ixs.forall(_ % 10 == 0))
+  }
+}
