@@ -96,6 +96,123 @@ case class JsonMergeExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `simhash(text)` — 64-bit SimHash in ONE pass over the token stream:
+  * whitespace-tokenize, 64-bit FNV-1a per token, ±1 votes per bit
+  * position, sign → bit. A native expression because the composed-
+  * built-ins form needs 64 higher-order aggregate passes per row;
+  * engine-specific hash (not oracle-portable by design).
+  */
+case class SimHashExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(text: Any): Any = {
+    val s = text.toString
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i).isWhitespace) i += 1
+      var h = 0xcbf29ce484222325L // FNV-1a 64-bit
+      var seen = false
+      while (i < n && !s.charAt(i).isWhitespace) {
+        h ^= s.charAt(i).toLong
+        h *= 0x100000001b3L
+        seen = true
+        i += 1
+      }
+      if (seen) {
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `shingles(text, n)` — distinct word n-gram shingles in ONE pass
+  * (first-occurrence order). The composed-built-ins form
+  * (`transform`+`slice`+`array_join`+`array_distinct`) allocates an
+  * array per shingle and evaluates interpreted lambdas per token — this
+  * is the hot inner loop of every text-dedup operator, so it gets a
+  * native expression.
+  */
+case class ShinglesExpression(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(text: Any, nAny: Any): Any = {
+    val s = text.toString
+    val n = nAny.asInstanceOf[Int]
+    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i).isWhitespace) i += 1
+      val start = i
+      while (i < len && !s.charAt(i).isWhitespace) i += 1
+      if (i > start) tokens += s.substring(start, i)
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (j + n <= tokens.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens(j + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var ix = 0
+    while (it.hasNext) { out(ix) = UTF8String.fromString(it.next()); ix += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `float_dot(a, b)` — sequential double-precision dot product over two
+  * `array<float>` columns, reading primitives straight from ArrayData
+  * (a Scala UDF boxes every element — ~100× slower on all-pairs
+  * similarity workloads). Operation order matches DuckDB's
+  * `list_dot_product` over a DOUBLE list, so oracle hashes agree.
+  */
+case class FloatDotExpression(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_float_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column-level API + one-time session registration. All graft entry
   * points call [[register]] (idempotent) so the functions are usable both
   * from the Scala DSL (via `call_function`) and in `spark.sql` text.
@@ -114,6 +231,12 @@ object GraftFunctions {
       exprs => DocContentExpression(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_json_merge",
       exprs => JsonMergeExpression(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHashExpression(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_float_dot",
+      exprs => FloatDotExpression(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingles",
+      exprs => ShinglesExpression(exprs(0), exprs(1)), "built-in")
     // Cache-key canonicalization (cold path — plain UDFs are fine here).
     spark.udf.register("graft_hash_from_data", (json: String) => Hashing.hashFromData(json))
     spark.udf.register("graft_signature_hash",

@@ -27,12 +27,29 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("member_ids"))
 
   /** k lexicographic-min salted-md5 minhashes over the distinct shingle
-    * set. minhash_i = min(md5(i || '|' || shingle)). */
+    * set. minhash_i = min(md5(i || '|' || shingle)).
+    *
+    * Column form — only for small frames: the shingle expression is
+    * inlined k times. The scale path is [[minhashSignatures]]. */
   def minhashSignature(text: Column, k: Int, shingleSize: Int = 3): Column = {
     val sh = TextOps.distinctShingles(text, shingleSize)
     array((0 until k).map { i =>
       array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
     }: _*)
+  }
+
+  /** Scale form of the minhash signature: explode the shingle set once,
+    * then ONE hash aggregation computes all k mins per doc (k agg
+    * expressions, single shuffle on the id). Same values as
+    * [[minhashSignature]], linear work instead of k-fold recompute. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleSize: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"m$i"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
@@ -50,8 +67,7 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, shingleSize).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, k, shingleSize)
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val a = sig.as("a"); val b = sig.as("b")
@@ -64,9 +80,13 @@ object Dedup {
   /** Exact n-gram Jaccard for given pairs: verification stage after LSH
     * (or any blocking). `docs` must expose (id, text). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-                   shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      TextOps.distinctShingles(col(textCol), shingleSize).as("sh"))
+                   shingleSize: Int = 3): DataFrame =
+    ngramJaccardFromShingles(pairs, docs.select(col(idCol).as("id"),
+      TextOps.distinctShingles(col(textCol), shingleSize).as("sh")))
+
+  /** Jaccard verification against a precomputed (id, sh) frame — cache
+    * it when candidates come from the same shingle set. */
+  def ngramJaccardFromShingles(pairs: DataFrame, sh: DataFrame): DataFrame = {
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -74,6 +94,40 @@ object Dedup {
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
+  /** Exact all-candidate n-gram Jaccard via shared-shingle blocking:
+    * the (doc, shingle) self-join yields one row per SHARED shingle per
+    * pair, so `count(*)` per pair IS the intersection size — no array
+    * re-join, no array_intersect. Union size from per-doc shingle
+    * counts. Skew-bounded by dropping shingles shared by more than
+    * `maxShingleFreq` docs (stopword-shingles explode pairs
+    * quadratically and never discriminate near-dups; pass 0 to keep
+    * all, e.g. for oracle-exact runs). */
+  def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, shingleSize: Int = 3,
+                          maxShingleFreq: Int = 0): DataFrame = {
+    val flat = df.select(col(idCol).as("id"),
+      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+    val blocked =
+      if (maxShingleFreq > 0) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+        flat.withColumn("__freq", count(lit(1)).over(w))
+          .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+      } else flat
+    val sizes = flat.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = blocked.as("a").join(blocked.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** MinHash+LSH near-dup detection end-to-end: candidates → exact
@@ -86,19 +140,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over the token stream: per-token 64-bit hash
-    * (xxhash64), per-bit ±1 votes, sign → bit. Composed from built-ins:
-    * the bit loop unrolls into codegen'd arithmetic. */
-  def simhash(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
-    val bits = (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(votes > 0, lit(1L << bit)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** 64-bit SimHash over the token stream: per-token 64-bit FNV-1a,
+    * per-bit ±1 votes, sign → bit — a native one-pass expression
+    * (graft.functions.SimHashExpression). */
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_simhash", text)
 
   /** Hamming distance between two simhashes (bit_count of xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

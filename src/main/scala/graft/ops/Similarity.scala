@@ -15,23 +15,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Sequential double-precision dot product — a native expression over
+    * primitive float arrays (graft.functions.FloatDotExpression).
+    * Identical operation order to DuckDB's `list_dot_product` over a
+    * DOUBLE list, so oracle hashes match bit-for-bit. */
+  def dotUdf(a: Column, b: Column): Column = call_function("graft_float_dot", a, b)
+
   /** Deterministic double-precision cosine similarity. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dotUdf(a, b) / (sqrt(dotUdf(a, a)) * sqrt(dotUdf(b, b)))
 
   /** Brute-force exact top-k cosine neighbors of each probe vector.
     * `probes` and `corpus` expose (id, embedding); the probe side is
     * broadcast (keep it small — that is the point of a probe set). */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+      sqrt(dotUdf(col(embCol), col(embCol))).as("p_norm")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+      sqrt(dotUdf(col(embCol), col(embCol))).as("c_norm"))
     val scored = p.join(c, col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("p_emb"), col("c_emb")), 6))
+      .withColumn("cosine",
+        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -66,11 +71,14 @@ object Similarity {
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+      sqrt(dotUdf(col(embCol), col(embCol))).as("p_norm"),
       srpBucket(col(embCol), planes).as("bucket")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+      sqrt(dotUdf(col(embCol), col(embCol))).as("c_norm"),
       srpBucket(col(embCol), planes).as("bucket"))
     val scored = p.join(c, Seq("bucket")).filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("p_emb"), col("c_emb")), 6))
+      .withColumn("cosine",
+        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -83,13 +91,19 @@ object Similarity {
     * sane for probe-scale inputs). */
   def nearDuplicates(df: DataFrame, threshold: Double, planes: Int = 8,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val keyed =
-      if (planes <= 0) df.select(col(idCol).as("id"), col(embCol).as("emb"), lit(0L).as("bucket"))
-      else df.select(col(idCol).as("id"), col(embCol).as("emb"),
-        srpBucket(col(embCol), planes).as("bucket"))
+    val keyed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      sqrt(dotUdf(col(embCol), col(embCol))).as("norm"),
+      (if (planes <= 0) lit(0L) else srpBucket(col(embCol), planes)).as("bucket"))
     val a = keyed.as("a"); val b = keyed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", round(cosine(col("a.emb"), col("b.emb")), 6))
+    // planes=0 exact mode: a constant equi-key would hash EVERY row into
+    // one partition (single-task all-pairs); broadcast-nested-loop keeps
+    // the left side's parallelism instead.
+    val pairs =
+      if (planes <= 0) a.join(broadcast(b), col("a.id") < col("b.id"))
+      else a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    pairs
+      .withColumn("cosine",
+        round(dotUdf(col("a.emb"), col("b.emb")) / (col("a.norm") * col("b.norm")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

@@ -33,7 +33,11 @@ object TextOps {
       s => s.isNotNull)
   }
 
-  def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+  /** Distinct shingles, first-occurrence order — native one-pass
+    * expression (graft.functions.ShinglesExpression): this is the inner
+    * loop of the dedup family. */
+  def distinctShingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
 
   /** Quality metrics (length / punctuation / stopword ratios — the
     * standard pre-training quality heuristics). `stopwords` doubles as

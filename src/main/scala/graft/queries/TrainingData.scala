@@ -51,14 +51,8 @@ object TrainingData {
 
     // Exact n-gram Jaccard near-dups over shared-shingle candidates.
     "q22_ngram_jaccard" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val sh = docs.select(col("doc_id"),
-        explode(TextOps.distinctShingles(col("text"), 3)).as("s"))
-      val candidates = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-      Dedup.ngramJaccard(candidates, docs, "doc_id", "text", 3)
-        .filter(col("jaccard") >= 0.8)
+      Dedup.ngramJaccardBlocked(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8, shingleSize = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
