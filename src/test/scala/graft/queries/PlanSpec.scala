@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.sources.FileResources
+
+/** Plan-hygiene specs: the physical plans the 100 TB design depends on
+  * must actually materialize — filter/column pushdown into the parquet
+  * scan, broadcast joins for small dims, whole-stage codegen spans.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2 filter+projection push into the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), "filters must reach the scan")
+    assert(p.contains("GreaterThan(l_discount") || p.contains("l_discount"), p.take(500))
+    // column pruning: the scan reads only the 4 projected + filter columns
+    val readSchema = "ReadSchema: struct<" + Seq("l_orderkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount").mkString("[^>]*")
+    assert(readSchema.r.findFirstIn(p).isDefined, "scan must prune to needed columns")
+    assert(!p.contains("l_comment"), "unneeded columns must not be read")
+  }
+
+  test("q3 small dims broadcast; no shuffle of the fact side for the dim join") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "nation/customer joins should broadcast")
+  }
+
+  test("q1 aggregation is hash-based with map-side partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), "hash aggregation expected")
+    assert(p.contains("partial_sum"), "map-side combine before the shuffle")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial + final aggregate")
+  }
+
+  test("q23 minhash plan is a single hash aggregation over exploded shingles") {
+    val p = plan("q23_minhash_lsh")
+    assert(p.contains("Generate explode"), "shingles exploded once")
+    assert(p.contains("HashAggregate"), "k mins in one aggregation")
+  }
+
+  test("q26 exact mode uses broadcast nested loop, not a single-partition shuffle") {
+    val p = plan("q26_embed_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SinglePartition"), "no constant-key single partition")
+  }
+}
+
+class FileResourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hash-sharded download paths (files.py:108-119)") {
+    val (dir, name, ext) = FileResources.fileInfo("http://example.com/a/b/report.pdf?x=1")
+    assert(name === "report" && ext === ".pdf")
+    assert(dir.matches("downloads/[0-9a-f]/[0-9a-f]{2}"))
+    val (_, idxName, idxExt) = FileResources.fileInfo("http://example.com/")
+    assert(idxName === "index" && idxExt === ".html")
+  }
+
+  test("concat_args batching joins N args per request (tasks.py:65-97)") {
+    val reqs = (1 to 7).map(_.toString).toDF("arg")
+    val out = FileResources.concatArgs(reqs, size = 3).collect().map(_.getString(0)).sorted
+    assert(out.length === 3)
+    assert(out.contains("1|2|3"))
+    assert(out.map(_.split('\\'+"|").length).sum === 7)
+  }
+}
