@@ -21,21 +21,31 @@ final case class Objective(
     at: String,
     fields: Seq[(String, String)],
     context: Seq[(String, String)] = Nil,
-    extractFromObjectValues: Boolean = false) {
+    extractFromObjectValues: Boolean = false,
+    atFunction: Option[JsonNode => Seq[JsonNode]] = None,
+    fieldFunctions: Seq[(String, JsonNode => JsonNode)] = Nil) {
 
-  require(at != null && at.nonEmpty, "Objective needs '@' to select nodes")
+  require(atFunction.isDefined || (at != null && at.nonEmpty),
+    "Objective needs '@' to select nodes")
 
   /** Extract from a parsed payload; empty output when `@` finds nothing
-    * (the reference raises DGNoContent — callers treat it as no seeds). */
+    * (the reference raises DGNoContent — callers treat it as no seeds).
+    * `atFunction`/`fieldFunctions` are the reference's callable
+    * objectives (extraction.py:140,153 — any objective value may be a
+    * callable): Scala functions evaluated per payload/node. */
   def extract(data: JsonNode): Seq[ObjectNode] = {
     val ctx: Seq[(String, Option[JsonNode])] =
       context.map { case (name, path) => name -> Reach.reach(path, data) }
-    val atNode = Reach.reach(at, data)
-    val nodes: Seq[JsonNode] = atNode match {
-      case None => return Seq.empty
-      case Some(o: ObjectNode) if extractFromObjectValues => o.fields.asScala.map(_.getValue).toSeq
-      case Some(a: ArrayNode) => a.elements.asScala.toSeq
-      case Some(other) => Seq(other)
+    val nodes: Seq[JsonNode] = atFunction match {
+      case Some(f) => f(data)
+      case None =>
+        Reach.reach(at, data) match {
+          case None => return Seq.empty
+          case Some(o: ObjectNode) if extractFromObjectValues =>
+            o.fields.asScala.map(_.getValue).toSeq
+          case Some(a: ArrayNode) => a.elements.asScala.toSeq
+          case Some(other) => Seq(other)
+        }
     }
     nodes.map { node =>
       val out = PyJson.mapper.createObjectNode()
@@ -44,6 +54,9 @@ final case class Objective(
       }
       fields.foreach { case (name, path) =>
         out.set[JsonNode](name, Reach.reach(path, node).getOrElse(out.nullNode))
+      }
+      fieldFunctions.foreach { case (name, f) =>
+        out.set[JsonNode](name, f(node))
       }
       out
     }
@@ -60,6 +73,19 @@ final case class Objective(
 }
 
 object Objective {
+
+  /** Content-type dispatch (`ExtractProcessor.transform`, extraction.py:
+    * 110-135): any `application/...json` mime routes to the JSON
+    * extractor; unknown types raise (the reference's HTML/XML path runs
+    * BeautifulSoup expressions through `eval` — deliberately NOT
+    * reproduced; HTML objectives become Scala `atFunction`s instead). */
+  def extractByContentType(objective: Objective, contentType: String,
+                           body: String): Array[String] = {
+    if (contentType == null) return Array.empty
+    if (TextUtils.isJsonMimetype(contentType)) objective.extractJson(body)
+    else throw new IllegalArgumentException(
+      s"Transform processor does not support content_type $contentType")
+  }
 
   /** Parse the reference's objective dict form, e.g.
     * `{"@": "$.results", "#unit": "$.unit", "id": "$.id"}`

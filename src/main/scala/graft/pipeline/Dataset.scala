@@ -23,7 +23,13 @@ final case class DatasetSpec(
     seedingPhases: Seq[PhaseSpec],
     growthPhases: Seq[GrowthSpec] = Nil,
     growthStrategy: String = GrowthStrategy.Freeze,
-    config: Map[String, String] = Map.empty) {
+    config: Map[String, String] = Map.empty,
+    /** `weed_document` hook (dataset.py:240-247): documents matching
+      * this predicate are deleted before a re-growth. */
+    weedPredicate: Option[org.apache.spark.sql.Column] = None,
+    /** Document task definitions stamped on every doc at prepare
+      * (`tasks` config JSON; version.py:113-116 `influence`). */
+    documentTasks: Option[String] = None) {
 
   /** `get_signature_from_input` (dataset.py:116-121): args + whitelisted
     * `key=value` pairs, falsy entries dropped, sorted, `&`-joined. */
@@ -164,7 +170,9 @@ class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = 
 
     store.updateVersion(sig, version.copy(state = GrowthState.Growing))
 
-    val docs0 = store.readCollection(sig, version.version, spec.collection.name)
+    var docs0 = store.readCollection(sig, version.version, spec.collection.name)
+    if (retry || (current.isDefined && strategy == GrowthStrategy.Revise))
+      docs0 = prepareDatasetVersion(docs0, spec).localCheckpoint(true)
     val seeding = new SeedingProcessor(spec.collection, spec.seedingPhases, fetcher, cacheOnly)
     var docs = seeding.run(docs0, args, initial = seeds,
       limit = if (retry && !docs0.isEmpty && limit == -2) -1 else limit)
@@ -185,6 +193,43 @@ class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = 
   }
 
   private def storeSpark: SparkSession = SparkSession.active
+
+  /** `prepare_dataset_version` (dataset.py:178-217): weed documents,
+    * invalidate every FAILED task (result + derivative dropped, doc back
+    * to pending), stamp task definitions. Distributed: one filter + one
+    * projection over the documents frame. */
+  def prepareDatasetVersion(docs: DataFrame, spec: DatasetSpec): DataFrame = {
+    val weeded = spec.weedPredicate match {
+      // NULL-safe negation: a predicate evaluating NULL (e.g. a reach on
+      // a missing key) must KEEP the document, not drop it.
+      case Some(p) => docs.filter(!coalesce(p, lit(false)))
+      case None => docs
+    }
+    val taskNames = spec.documentTasks
+      .map(t => graft.core.DocOps.keys(t)).getOrElse(Nil)
+    if (taskNames.isEmpty) return weeded
+    val invalidate = org.apache.spark.sql.functions.udf {
+      (results: String, derivs: String) =>
+        val failed = taskNames.filter { t =>
+          graft.core.Reach.reachString(s"$$.$t.success", results) == "false"
+        }
+        (graft.core.DocOps.removeKeys(results, failed),
+          graft.core.DocOps.removeKeys(derivs, failed),
+          failed.nonEmpty)
+    }
+    weeded
+      .withColumn("__inv", invalidate(col("task_results"), col("derivatives")))
+      .withColumn("task_results", col("__inv._1"))
+      .withColumn("derivatives", col("__inv._2"))
+      .withColumn("pending_at",
+        when(col("__inv._3") || col("task_results") === "{}", current_timestamp())
+          .otherwise(col("pending_at")))
+      .withColumn("finished_at",
+        when(col("__inv._3"), lit(null).cast(org.apache.spark.sql.types.TimestampType))
+          .otherwise(col("finished_at")))
+      .withColumn("tasks", lit(spec.documentTasks.get))
+      .select(graft.model.Documents.columns.map(col): _*)
+  }
 
   /** `evaluate_dataset_version` (version.py:42-70): per task, one-pass
     * conditional counts of success / fail / skipped documents. */

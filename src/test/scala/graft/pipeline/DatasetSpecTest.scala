@@ -81,6 +81,33 @@ class DatasetLifecycleSpec extends SparkTestBase {
     assert(!store.versions("paper").exists(_.isCurrent), "stack never promotes")
   }
 
+  test("prepareDatasetVersion: weeds docs, invalidates failed tasks, stamps tasks (dataset.py:178-217)") {
+    import graft.model.{CollectionOps, Documents}
+    val colSpec = CollectionSpec("prep", identifier = Some("id"))
+    val docs = CollectionOps.add(Documents.empty(spark),
+      Documents.fromJsonSeq(spark, Seq(
+        """{"id":1,"junk":true}""", """{"id":2}""", """{"id":3}""")), colSpec)
+      .withColumn("task_results", element_at(
+        array(lit("""{"check":{"success":false}}"""), lit("""{"check":{"success":true}}"""),
+          lit("{}")), col("id").cast("int")))
+      .withColumn("derivatives", element_at(
+        array(lit("""{"check":{"x":1}}"""), lit("""{"check":{"x":2}}"""), lit("{}")),
+        col("id").cast("int")))
+      .withColumn("pending_at", lit(null).cast("timestamp"))
+    val spec = makeSpec(GrowthStrategy.Revise).copy(
+      weedPredicate = Some(graft.functions.GraftFunctions.reach(col("properties"), "$.junk") === "true"),
+      documentTasks = Some("""{"check":{"checks":[],"depends_on":[]}}"""))
+    val runner = new DatasetRunner(newStore(), new EntityApiFetcher())
+    val out = runner.prepareDatasetVersion(docs, spec).orderBy("id").collect()
+    assert(out.length === 2, "weeded doc deleted")
+    val doc2 = out(0) // id=2: successful task untouched
+    assert(doc2.getAs[String]("task_results") === """{"check":{"success":true}}""")
+    assert(doc2.getAs[java.sql.Timestamp]("pending_at") == null)
+    val doc3 = out(1) // id=3: no results → back to pending
+    assert(doc3.getAs[java.sql.Timestamp]("pending_at") != null)
+    out.foreach(r => assert(r.getAs[String]("tasks").contains("check")))
+  }
+
   test("growth phase inside grow() writes derivatives and evaluation counts") {
     val store = newStore()
     val runner = new DatasetRunner(store, new EntityApiFetcher())
