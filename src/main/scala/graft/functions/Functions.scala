@@ -213,30 +213,46 @@ case class FloatDotExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `SparkSessionExtensions` injector — the idiomatic way to get every
+  * graft expression into a session at build time:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.expressions.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions", name),
+          (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
 /** Column-level API + one-time session registration. All graft entry
   * points call [[register]] (idempotent) so the functions are usable both
   * from the Scala DSL (via `call_function`) and in `spark.sql` text.
   */
 object GraftFunctions {
 
+  /** Name → expression builder for every native graft expression. */
+  val expressions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_reach" -> (e => ReachExpression(e(0), e(1))),
+    "graft_reach_array" -> (e => ReachArrayExpression(e(0), e(1), objectValues = false)),
+    "graft_reach_values" -> (e => ReachArrayExpression(e(0), e(1), objectValues = true)),
+    "graft_doc_content" -> (e => DocContentExpression(e(0), e(1), e(2))),
+    "graft_json_merge" -> (e => JsonMergeExpression(e(0), e(1))),
+    "graft_simhash" -> (e => SimHashExpression(e(0))),
+    "graft_float_dot" -> (e => FloatDotExpression(e(0), e(1))),
+    "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_reach",
-      exprs => ReachExpression(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_reach_array",
-      exprs => ReachArrayExpression(exprs(0), exprs(1), objectValues = false), "built-in")
-    reg.createOrReplaceTempFunction("graft_reach_values",
-      exprs => ReachArrayExpression(exprs(0), exprs(1), objectValues = true), "built-in")
-    reg.createOrReplaceTempFunction("graft_doc_content",
-      exprs => DocContentExpression(exprs(0), exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_json_merge",
-      exprs => JsonMergeExpression(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => SimHashExpression(exprs(0)), "built-in")
-    reg.createOrReplaceTempFunction("graft_float_dot",
-      exprs => FloatDotExpression(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      exprs => ShinglesExpression(exprs(0), exprs(1)), "built-in")
+    expressions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
     // Cache-key canonicalization (cold path — plain UDFs are fine here).
     spark.udf.register("graft_hash_from_data", (json: String) => Hashing.hashFromData(json))
     spark.udf.register("graft_signature_hash",
