@@ -22,10 +22,16 @@ object PyJson {
   // ObjectMapper is thread-safe after configuration.
   val mapper = new ObjectMapper()
 
-  def parse(s: String): JsonNode = mapper.readTree(s)
+  /** Observability: total parses (used by plan tests to prove fusion
+    * rules actually reduce per-row parse counts). LongAdder ≈ free. */
+  val parseCount = new java.util.concurrent.atomic.LongAdder
 
-  def tryParse(s: String): Option[JsonNode] =
+  def parse(s: String): JsonNode = { parseCount.increment(); mapper.readTree(s) }
+
+  def tryParse(s: String): Option[JsonNode] = {
+    parseCount.increment()
     try Option(mapper.readTree(s)) catch { case _: Exception => None }
+  }
 
   /** Python-compatible float repr: shortest round-trip, `e+NN`/`e-NN`
     * exponents, always a fractional or exponent part. Java's

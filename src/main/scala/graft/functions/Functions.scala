@@ -213,6 +213,37 @@ case class FloatDotExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `multi_reach(json, path1..pathN)` — N reach walks over ONE parse of
+  * the JSON column, returning a struct of N strings. The fusion target
+  * for [[graft.plans.CollapseReachRule]]: projections that reach into
+  * the same JSON column k times would otherwise parse it k times.
+  */
+case class MultiReachExpression(json: Expression, paths: Seq[String])
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(json)
+  override def dataType: DataType = StructType(
+    paths.zipWithIndex.map { case (_, i) => StructField(s"c$i", StringType, nullable = true) })
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = json.eval(input)
+    if (j == null) return null
+    val tree = graft.core.PyJson.tryParse(j.toString).orNull
+    val out = new Array[Any](paths.length)
+    if (tree != null) {
+      var i = 0
+      while (i < paths.length) {
+        val v = graft.core.Reach.reach(paths(i), tree).map(graft.core.Reach.render).orNull
+        out(i) = if (v == null) null else UTF8String.fromString(v)
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(out.toIndexedSeq)
+  }
+  override def prettyName: String = "graft_multi_reach"
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(json = c(0))
+}
+
 /** `SparkSessionExtensions` injector — the idiomatic way to get every
   * graft expression into a session at build time:
   * {{{
@@ -222,13 +253,15 @@ case class FloatDotExpression(left: Expression, right: Expression)
   * }}}
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.expressions.foreach { case (name, builder) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
           new ExpressionInfo("graft.functions", name),
           (exprs: Seq[Expression]) => builder(exprs)))
     }
+    ext.injectOptimizerRule(_ => graft.plans.CollapseReachRule)
+  }
 }
 
 /** Column-level API + one-time session registration. All graft entry
