@@ -91,20 +91,56 @@ object Similarity {
     * sane for probe-scale inputs). */
   def nearDuplicates(df: DataFrame, threshold: Double, planes: Int = 8,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    if (planes <= 0) return exactNearDuplicates(df, threshold, idCol, embCol)
     val keyed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       sqrt(dotUdf(col(embCol), col(embCol))).as("norm"),
-      (if (planes <= 0) lit(0L) else srpBucket(col(embCol), planes)).as("bucket"))
+      srpBucket(col(embCol), planes).as("bucket"))
     val a = keyed.as("a"); val b = keyed.as("b")
-    // planes=0 exact mode: a constant equi-key would hash EVERY row into
-    // one partition (single-task all-pairs); broadcast-nested-loop keeps
-    // the left side's parallelism instead.
-    val pairs =
-      if (planes <= 0) a.join(broadcast(b), col("a.id") < col("b.id"))
-      else a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-    pairs
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cosine",
         round(dotUdf(col("a.emb"), col("b.emb")) / (col("a.norm") * col("b.norm")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
+  /** Exact all-pairs near-dup: corpus broadcast as primitive arrays, a
+    * tight per-partition loop emits ONLY surviving pairs — a join would
+    * materialize all n²/2 rows to keep 10s of survivors. Exact mode is
+    * for probe-scale corpora (the broadcast holds the vectors, same as
+    * a broadcast join would); at data scale use SRP buckets. Arithmetic
+    * matches the oracle exactly: sequential double dot, dot/(na*nb),
+    * round 6. */
+  private def exactNearDuplicates(df: DataFrame, threshold: Double,
+                                  idCol: String, embCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(idCol).cast("long"), col(embCol))
+      .as[(Long, Array[Float])]
+    val corpus = spark.sparkContext.broadcast(rows.collect().sortBy(_._1))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    rows.mapPartitions { it =>
+      val all = corpus.value
+      val norms = all.map { case (_, v) => math.sqrt(dot(v, v)) }
+      it.flatMap { case (idA, embA) =>
+        val normA = math.sqrt(dot(embA, embA))
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = 0
+        while (j < all.length) {
+          val (idB, embB) = all(j)
+          if (idA < idB) {
+            val cos = dot(embA, embB) / (normA * norms(j))
+            if (cos >= threshold)
+              out += ((idA, idB, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("id_a", "id_b", "cosine")
   }
 }

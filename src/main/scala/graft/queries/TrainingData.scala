@@ -51,8 +51,23 @@ object TrainingData {
 
     // Exact n-gram Jaccard near-dups over shared-shingle candidates.
     "q22_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardBlocked(t(s, d, "documents"), "doc_id", "text",
-          threshold = 0.8, shingleSize = 3)
+      // Cache the exploded shingle rows: sizes, the a-side and the
+      // b-side of the blocking self-join all read them.
+      val docs = t(s, d, "documents")
+      val flat = docs.select(col("doc_id").as("id"),
+        explode(TextOps.distinctShingles(col("text"), 3)).as("s")).cache()
+      val sizes = flat.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      val inter = flat.as("a").join(flat.as("b"),
+          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+        .filter(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")) >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 

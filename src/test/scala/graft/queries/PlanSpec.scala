@@ -43,9 +43,10 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "k mins in one aggregation")
   }
 
-  test("q26 exact mode uses broadcast nested loop, not a single-partition shuffle") {
+  test("q26 exact mode: broadcast-corpus mapPartitions, no join materialization, no single partition") {
     val p = plan("q26_embed_neardup")
-    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("MapPartitions"), "exact all-pairs runs as a tight partition loop")
+    assert(!p.contains("Join"), "no n²/2-row join materialization")
     assert(!p.contains("SinglePartition"), "no constant-key single partition")
   }
 }
