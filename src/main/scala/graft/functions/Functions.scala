@@ -189,6 +189,81 @@ case class ShinglesExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `minhash(text, k, shingleSize)` — the full k-wide MinHash signature
+  * in ONE pass: tokenize, build distinct shingles, and for each shingle
+  * compute k salted md5 digests tracking the lexicographic min per
+  * salt. Values are EXACTLY `min(md5("i|shingle"))` — the portable
+  * definition the DuckDB oracle reproduces — but with no explode, no
+  * shuffle, and one signature array per row.
+  */
+case class MinHashExpression(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+  // One digest per thread: expression instances can be shared across
+  // tasks in local mode; MessageDigest.digest() self-resets.
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+  private def md5Hex(s: String): String = {
+    val d = digest.get()
+    d.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = d.digest()
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = HexChars((bytes(i) >> 4) & 0xF)
+      out(i * 2 + 1) = HexChars(bytes(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+  override protected def nullSafeEval(text: Any, kAny: Any, nAny: Any): Any = {
+    val s = text.toString
+    val k = kAny.asInstanceOf[Int]
+    val n = nAny.asInstanceOf[Int]
+    // tokenize + sliding shingles (distinct, first-occurrence order)
+    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i).isWhitespace) i += 1
+      val start = i
+      while (i < len && !s.charAt(i).isWhitespace) i += 1
+      if (i > start) tokens += s.substring(start, i)
+    }
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill[String](k)(null)
+    var j = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (j + n <= tokens.length) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(tokens(j + t))
+        t += 1
+      }
+      val shingle = sb.toString
+      if (seen.add(shingle)) {
+        var salt = 0
+        while (salt < k) {
+          val h = md5Hex(salt.toString + "|" + shingle)
+          if (mins(salt) == null || h.compareTo(mins(salt)) < 0) mins(salt) = h
+          salt += 1
+        }
+      }
+      j += 1
+    }
+    if (mins(0) == null) null // no shingles (short doc) → null signature
+    else new GenericArrayData(mins.map(m => UTF8String.fromString(m): AnyRef))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
 /** `float_dot(a, b)` — sequential double-precision dot product over two
   * `array<float>` columns, reading primitives straight from ArrayData
   * (a Scala UDF boxes every element — ~100× slower on all-pairs
@@ -279,7 +354,8 @@ object GraftFunctions {
     "graft_json_merge" -> (e => JsonMergeExpression(e(0), e(1))),
     "graft_simhash" -> (e => SimHashExpression(e(0))),
     "graft_float_dot" -> (e => FloatDotExpression(e(0), e(1))),
-    "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))))
+    "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
+    "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

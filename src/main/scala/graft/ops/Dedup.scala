@@ -38,19 +38,17 @@ object Dedup {
     }: _*)
   }
 
-  /** Scale form of the minhash signature: explode the shingle set once,
-    * then ONE hash aggregation computes all k mins per doc (k agg
-    * expressions, single shuffle on the id). Same values as
-    * [[minhashSignature]], linear work instead of k-fold recompute. */
+  /** Scale form of the minhash signature: ONE native pass per row
+    * (graft.functions.MinHashExpression) — no explode, no shuffle, no
+    * k-fold expression recompute. Values identical to
+    * [[minhashSignature]] (min md5("i|shingle") per salt); rows with no
+    * shingles (fewer than `shingleSize` tokens) are dropped, matching
+    * the aggregation form. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, shingleSize: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
-    val mins = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"m$i"))
-    exploded.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+                        k: Int, shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        call_function("graft_minhash", col(textCol), lit(k), lit(shingleSize)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one bucket key. Docs sharing ANY band bucket are
@@ -67,9 +65,12 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
+    // cache: the band-bucket self-join reads this frame twice, and the
+    // signature pass is the expensive part (k salted md5s per shingle).
     val sig = minhashSignatures(df, idCol, textCol, k, shingleSize)
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .cache()
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
         && col("a.id") < col("b.id"))

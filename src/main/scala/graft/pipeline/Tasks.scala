@@ -87,6 +87,31 @@ object Tasks {
     * receives its pending subset and returns those rows updated
     * (task_results[name] written by the function).
     */
+  /** Hierarchical dispatch (tasks/collection.py:40-102 +
+    * tasks/dataset_version.py:307-342): document tasks drain first (the
+    * reference retries while children are pending — here the barrier is
+    * synchronous), then collection-level transformations run over the
+    * WHOLE frame, in order. Returns the frame after both levels.
+    */
+  def dispatchHierarchical(docs: DataFrame,
+                           documentRegistry: Map[String, DataFrame => DataFrame],
+                           collectionTasks: Seq[(String, DataFrame => DataFrame)],
+                           maxDepth: Int = 10): DataFrame = {
+    val drained = dispatch(docs, documentRegistry, maxDepth)
+    val stillPending = drained.withColumn("__pending", pendingTasksCol)
+      .filter(size(col("__pending")) > 0 &&
+        col("__pending").cast("array<string>").isNotNull)
+      .filter(exprPendingRegistered(documentRegistry.keySet))
+      .limit(1).count()
+    require(stillPending == 0,
+      "Pending document tasks remain — collection tasks blocked (DGPendingDocuments)")
+    collectionTasks.foldLeft(drained) { case (df, (_, fn)) => fn(df).localCheckpoint(true) }
+  }
+
+  private def exprPendingRegistered(registered: Set[String]): Column =
+    if (registered.isEmpty) lit(false)
+    else registered.map(n => array_contains(col("__pending"), n): Column).reduce(_ || _)
+
   def dispatch(docs: DataFrame, registry: Map[String, DataFrame => DataFrame],
                maxDepth: Int = 10): DataFrame = {
     var current = docs

@@ -56,6 +56,23 @@ class TasksSpec extends SparkTestBase {
     }
   }
 
+  test("hierarchical dispatch: document tasks drain, then collection tasks run (tasks/collection.py:40-102)") {
+    def mark(name: String)(df: DataFrame): DataFrame =
+      df.withColumn("task_results", call_function("graft_json_merge",
+        col("task_results"), lit(s"""{"$name":{"success":true}}""")))
+    var collectionRan = false
+    val out = Tasks.dispatchHierarchical(docsWithTasks(),
+      Map("first" -> mark("first") _, "second" -> mark("second") _),
+      Seq("collection_level" -> { df =>
+        collectionRan = true
+        // collection task sees the fully drained frame
+        assert(df.filter(!col("task_results").contains("second")).count() === 0)
+        mark("collection_level")(df)
+      }))
+    assert(collectionRan)
+    assert(out.filter(col("task_results").contains("collection_level")).count() === 4)
+  }
+
   test("cancelPending marks pending tasks canceled and finishes docs (tasks/document.py:260-277)") {
     val out = Tasks.cancelPending(docsWithTasks())
     val row = out.head
