@@ -17,11 +17,16 @@ import graft.sources.Fetcher
   * per collection, growth phases, a growth strategy, and config whose
   * `$`-prefixed keys are signature-relevant.
   */
-final case class DatasetSpec(
-    name: String,
+/** One collection pipeline within a dataset — the reference builds one
+  * Collection per seeding factory (dataset.py:148-164). */
+final case class CollectionDef(
     collection: CollectionSpec,
     seedingPhases: Seq[PhaseSpec],
-    growthPhases: Seq[GrowthSpec] = Nil,
+    growthPhases: Seq[GrowthSpec] = Nil)
+
+final case class DatasetSpec(
+    name: String,
+    collections: Seq[CollectionDef],
     growthStrategy: String = GrowthStrategy.Freeze,
     config: Map[String, String] = Map.empty,
     /** `weed_document` hook (dataset.py:240-247): documents matching
@@ -30,6 +35,9 @@ final case class DatasetSpec(
     /** Document task definitions stamped on every doc at prepare
       * (`tasks` config JSON; version.py:113-116 `influence`). */
     documentTasks: Option[String] = None) {
+
+  /** Single-collection convenience (most datasets). */
+  def collection: CollectionSpec = collections.head.collection
 
   /** `get_signature_from_input` (dataset.py:116-121): args + whitelisted
     * `key=value` pairs, falsy entries dropped, sorted, `&`-joined. */
@@ -160,8 +168,10 @@ class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = 
           case GrowthStrategy.Revise =>
             val nv = store.createVersion(sig, strategy)
             // copy_dataset_version (version.py:99-110): deep snapshot copy
-            val copied = store.readCollection(sig, v.version, spec.collection.name)
-            store.writeCollection(sig, nv.version, spec.collection.name, copied)
+            spec.collections.foreach { cd =>
+              val copied = store.readCollection(sig, v.version, cd.collection.name)
+              store.writeCollection(sig, nv.version, cd.collection.name, copied)
+            }
             nv
           case other => throw new IllegalArgumentException(s"Unknown growth_strategy: $other")
         }
@@ -170,21 +180,29 @@ class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = 
 
     store.updateVersion(sig, version.copy(state = GrowthState.Growing))
 
-    var docs0 = store.readCollection(sig, version.version, spec.collection.name)
-    if (retry || (current.isDefined && strategy == GrowthStrategy.Revise))
-      docs0 = prepareDatasetVersion(docs0, spec).localCheckpoint(true)
-    val seeding = new SeedingProcessor(spec.collection, spec.seedingPhases, fetcher, cacheOnly)
-    var docs = seeding.run(docs0, args, initial = seeds,
-      limit = if (retry && !docs0.isEmpty && limit == -2) -1 else limit)
-    spec.growthPhases.foreach { g =>
-      val (grown, _) = Growth.grow(docs, g, fetcher, graft.sources.Resources.emptyCache(spark),
-        cacheOnly = cacheOnly)
-      docs = grown.localCheckpoint(true)
+    // grow_collection per collection pipeline (dispatch_growth,
+    // dataset.py:262-300 — Celery group becomes sequential Spark jobs;
+    // each collection's stages are themselves fully parallel).
+    spec.collections.foreach { cd =>
+      var docs0 = store.readCollection(sig, version.version, cd.collection.name)
+      if (retry || (current.isDefined && strategy == GrowthStrategy.Revise))
+        docs0 = prepareDatasetVersion(docs0, spec).localCheckpoint(true)
+      val seeding = new SeedingProcessor(cd.collection, cd.seedingPhases, fetcher, cacheOnly)
+      var docs = seeding.run(docs0, args, initial = seeds,
+        limit = if (retry && !docs0.isEmpty && limit == -2) -1 else limit)
+      cd.growthPhases.foreach { g =>
+        val (grown, _) = Growth.grow(docs, g, fetcher, graft.sources.Resources.emptyCache(spark),
+          cacheOnly = cacheOnly)
+        docs = grown.localCheckpoint(true)
+      }
+      store.writeCollection(sig, version.version, cd.collection.name, docs)
     }
-    store.writeCollection(sig, version.version, spec.collection.name, docs)
 
-    val errors = evaluate(store.readCollection(sig, version.version, spec.collection.name),
-      spec.growthPhases.map(_.growthPhase))
+    val allDocs = spec.collections.map(cd =>
+        store.readCollection(sig, version.version, cd.collection.name))
+      .reduce(_ unionByName _)
+    val errors = evaluate(allDocs,
+      spec.collections.flatMap(_.growthPhases.map(_.growthPhase)).distinct)
     val finished = version.copy(state = GrowthState.Complete, errors = errors,
       isCurrent = strategy != GrowthStrategy.Stack)
     store.updateVersion(sig, finished)

@@ -19,20 +19,21 @@ class IntegrationSpec extends SparkTestBase {
     val paperKeys = Seq("id", "state", "title", "abstract")
     val spec = DatasetSpec(
       name = "papers",
-      collection = CollectionSpec("paper", identifier = Some("id"), referee = Some("id")),
-      seedingPhases = Seq(PhaseSpec(
-        phase = "papers", strategy = "initial", batchSize = 5,
-        retrieve = RetrieveSpec(
-          urlTemplate = "http://localhost:8000/entities/{}/",
-          parameters = Seq("size" -> "20", "page_size" -> "10"),
-          continuationLimit = 2),
-        contribute = ContributeSpec(objective =
-          Some(Objective("$.results", paperKeys.map(k => k -> s"$$.$k")))))),
-      growthPhases = Seq(GrowthSpec(
-        growthPhase = "detail",
-        urlTemplate = "http://localhost:8000/entities/paper/{}/?size=20",
-        argTemplates = Seq("$.id"),
-        objective = Objective("$", Seq("doi" -> "$.doi")))),
+      collections = Seq(CollectionDef(
+        CollectionSpec("paper", identifier = Some("id"), referee = Some("id")),
+        seedingPhases = Seq(PhaseSpec(
+          phase = "papers", strategy = "initial", batchSize = 5,
+          retrieve = RetrieveSpec(
+            urlTemplate = "http://localhost:8000/entities/{}/",
+            parameters = Seq("size" -> "20", "page_size" -> "10"),
+            continuationLimit = 2),
+          contribute = ContributeSpec(objective =
+            Some(Objective("$.results", paperKeys.map(k => k -> s"$$.$k")))))),
+        growthPhases = Seq(GrowthSpec(
+          growthPhase = "detail",
+          urlTemplate = "http://localhost:8000/entities/paper/{}/?size=20",
+          argTemplates = Seq("$.id"),
+          objective = Objective("$", Seq("doi" -> "$.doi")))))),
       growthStrategy = GrowthStrategy.Revise,
       documentTasks = Some("""{"check_doi":{"checks":["pending_at"],"depends_on":[]}}"""))
 

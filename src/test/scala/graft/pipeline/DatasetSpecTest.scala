@@ -15,15 +15,16 @@ class DatasetLifecycleSpec extends SparkTestBase {
   val paperKeys = Seq("id", "state", "title")
   def makeSpec(strategy: String) = DatasetSpec(
     name = "papers",
-    collection = CollectionSpec("paper", identifier = Some("id")),
-    seedingPhases = Seq(PhaseSpec(
-      phase = "papers", strategy = "initial", batchSize = 5,
-      retrieve = RetrieveSpec(
-        urlTemplate = "http://localhost:8000/entities/{}/",
-        parameters = Seq("size" -> "20", "page_size" -> "10"),
-        continuationLimit = 2),
-      contribute = ContributeSpec(objective =
-        Some(Objective("$.results", paperKeys.map(k => k -> s"$$.$k")))))),
+    collections = Seq(CollectionDef(
+      CollectionSpec("paper", identifier = Some("id")),
+      seedingPhases = Seq(PhaseSpec(
+        phase = "papers", strategy = "initial", batchSize = 5,
+        retrieve = RetrieveSpec(
+          urlTemplate = "http://localhost:8000/entities/{}/",
+          parameters = Seq("size" -> "20", "page_size" -> "10"),
+          continuationLimit = 2),
+        contribute = ContributeSpec(objective =
+          Some(Objective("$.results", paperKeys.map(k => k -> s"$$.$k")))))))),
     growthStrategy = strategy,
     config = Map("$setting1" -> "const"))
 
@@ -81,6 +82,28 @@ class DatasetLifecycleSpec extends SparkTestBase {
     assert(!store.versions("paper").exists(_.isCurrent), "stack never promotes")
   }
 
+  test("multi-collection dataset: one collection per seeding factory (dataset.py:148-164)") {
+    def phase(entity: String) = Seq(PhaseSpec(
+      phase = entity, strategy = "initial", batchSize = 5,
+      retrieve = RetrieveSpec(
+        urlTemplate = s"http://localhost:8000/entities/$entity/",
+        parameters = Seq("size" -> "20", "page_size" -> "10"),
+        continuationLimit = 2),
+      contribute = ContributeSpec(objective =
+        Some(Objective("$.results", Seq("id" -> "$.id", "title" -> "$.title"))))))
+    val spec = DatasetSpec(
+      name = "library",
+      collections = Seq(
+        CollectionDef(CollectionSpec("paper", identifier = Some("id")), phase("paper")),
+        CollectionDef(CollectionSpec("journal", identifier = Some("id")), phase("journal"))),
+      growthStrategy = GrowthStrategy.Freeze)
+    val store = newStore()
+    val v = new DatasetRunner(store, new EntityApiFetcher()).grow(spec)
+    assert(v.state === GrowthState.Complete)
+    assert(store.readCollection("", 1, "paper").count() === 20)
+    assert(store.readCollection("", 1, "journal").count() === 20)
+  }
+
   test("prepareDatasetVersion: weeds docs, invalidates failed tasks, stamps tasks (dataset.py:178-217)") {
     import graft.model.{CollectionOps, Documents}
     val colSpec = CollectionSpec("prep", identifier = Some("id"))
@@ -111,12 +134,13 @@ class DatasetLifecycleSpec extends SparkTestBase {
   test("growth phase inside grow() writes derivatives and evaluation counts") {
     val store = newStore()
     val runner = new DatasetRunner(store, new EntityApiFetcher())
-    val spec = makeSpec(GrowthStrategy.Freeze).copy(
+    val base = makeSpec(GrowthStrategy.Freeze)
+    val spec = base.copy(collections = Seq(base.collections.head.copy(
       growthPhases = Seq(GrowthSpec(
         growthPhase = "detail",
         urlTemplate = "http://localhost:8000/entities/paper/{}/?size=20",
         argTemplates = Seq("$.id"),
-        objective = Objective("$", Seq("abstract" -> "$.abstract")))))
+        objective = Objective("$", Seq("abstract" -> "$.abstract")))))))
     val v = runner.grow(spec, Seq("paper"))
     val docs = store.readCollection("paper", 1, "paper")
     assert(docs.filter(col("derivatives").contains("abstract")).count() === 20)
