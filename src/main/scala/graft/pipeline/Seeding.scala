@@ -23,7 +23,12 @@ final case class RetrieveSpec(
     parameters: Seq[(String, String)] = Nil,
     method: String = "get",
     continuationLimit: Int = 1,
-    nextPath: String = "$.next")
+    nextPath: String = "$.next",
+    /** Request-body JSON template (the reference's retrieve kwargs,
+      * generic.py:225-243): `#`-paths resolve against the call
+      * envelope, `$`-paths against batch content; the resolved payload
+      * joins the cache key as its SHA-1 data hash. */
+    bodyTemplate: Option[String] = None)
 
 /** How phase output contributes to the batch (the reference's
   * `contribute_data`, seeding.py:85-114). */
@@ -81,18 +86,19 @@ class SeedingProcessor(
     * reference tests' Resource.objects assertions. */
   val resources: mutable.Buffer[SeedResource] = mutable.Buffer.empty
 
-  private def fetchOne(method: String, url: String): FetchResponse = {
+  private def fetchOne(method: String, url: String, body: String = null): FetchResponse = {
     val uri = Hashing.uriFromUrl(url)
-    val key = (uri, "")
+    val dataHash = Hashing.hashFromData(body)
+    val key = (uri, dataHash)
     val resp = cache.get(key) match {
       case Some(r) if r.status >= 200 && r.status < 300 => r
       case _ if cacheOnly => FetchResponse(0, null, null)
       case _ =>
-        val r = fetcher.fetch(method, url, null)
+        val r = fetcher.fetch(method, url, body)
         if (r.status >= 200 && r.status < 300) cache(key) = r
         r
     }
-    resources += SeedResource(uri, "", method, url, resp.status, resp.body)
+    resources += SeedResource(uri, dataHash, method, url, resp.status, resp.body)
     resp
   }
 
@@ -123,13 +129,20 @@ class SeedingProcessor(
     * continuation_limit — http/iterators.py:31-53), extract the
     * objective, return content dicts. */
   private def fetchSeries(retrieve: RetrieveSpec, objective: Objective,
-                          args: Seq[String]): Seq[String] = {
+                          args: Seq[String], callEnvelope: JsonNode = null,
+                          content: Option[JsonNode] = None): Seq[String] = {
+    val body: String = retrieve.bodyTemplate.map { tpl =>
+      var node: JsonNode = PyJson.parse(tpl)
+      if (callEnvelope != null) node = Templates.resolve(node, callEnvelope, '#')
+      content.foreach(c => node = Templates.resolve(node, c, '$'))
+      PyJson.dumps(node, itemSep = ",", kvSep = ":", ensureAscii = false)
+    }.orNull
     val out = mutable.Buffer[String]()
     var url: String = buildUrl(retrieve, args)
     var count = 0
     val limit = math.max(1, retrieve.continuationLimit)
     while (url != null && count < limit) {
-      val resp = fetchOne(retrieve.method, url)
+      val resp = fetchOne(retrieve.method, url, body)
       count += 1
       if (resp.body != null) {
         out ++= objective.extractJson(resp.body)
@@ -218,7 +231,7 @@ class SeedingProcessor(
               val resolved = resolveArgs(phase.retrieve.argTemplates, callEnvelope, None) ++
                 (if (phase.retrieve.argTemplates.isEmpty) args else Nil)
               val seeds = fetchSeries(phase.retrieve,
-                phase.contribute.objective.get, resolved)
+                phase.contribute.objective.get, resolved, callEnvelope)
               contents(phaseIndex) = seeds.grouped(math.max(1, phase.batchSize))
             }
             if (contents(phaseIndex).hasNext) {
@@ -240,7 +253,8 @@ class SeedingProcessor(
                 val afterHash = Templates.resolve(t, callEnvelope, '#')
                 Templates.renderArg(Templates.resolve(afterHash, contentTree, '$'))
               }
-              fetchSeries(phase.retrieve, phase.contribute.objective.get, resolved)
+              fetchSeries(phase.retrieve, phase.contribute.objective.get, resolved,
+                callEnvelope, Some(contentTree))
             }
             buffer = merged
             batch = mergeBuffer(batch, buffer, phase.contribute)

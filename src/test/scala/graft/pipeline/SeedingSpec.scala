@@ -135,6 +135,31 @@ class SeedingSpec extends SparkTestBase {
     assert(ignored.getAs[String]("properties") === """{"state":"open"}""")
   }
 
+  test("POST body templates resolve and join the cache key (generic.py:225-243)") {
+    // Fetcher that echoes the posted query back as a single seed.
+    class EchoFetcher extends graft.sources.Fetcher {
+      def fetch(m: String, url: String, body: String): graft.sources.FetchResponse =
+        graft.sources.FetchResponse(200, "{}",
+          s"""{"results":[{"id":1,"posted":$body,"method":"$m"}]}""")
+    }
+    val phases = Seq(PhaseSpec(
+      phase = "search", strategy = "initial", batchSize = 5,
+      retrieve = RetrieveSpec(
+        urlTemplate = "http://localhost:8000/search/",
+        method = "post",
+        bodyTemplate = Some("""{"query":"#.args.0","page":1}""")),
+      contribute = ContributeSpec(objective = Some(
+        Objective("$.results", Seq("id" -> "$.id", "posted" -> "$.posted"))))))
+    val processor = new SeedingProcessor(spec, phases, new EchoFetcher())
+    val out = processor.run(Documents.empty(spark), args = Seq("papers"))
+    assert(out.count() === 1)
+    val props = out.head.getAs[String]("properties")
+    assert(props.contains(""""query":"papers""""), props)
+    // cache key carries the payload hash (not the empty-GET hash)
+    assert(processor.resources.head.dataHash ===
+      graft.core.Hashing.hashFromData("""{"query":"papers","page":1}"""))
+  }
+
   test("exclusive deletes still seed documents with state=deleted (simple.py:62-69)") {
     val phases = Seq(PhaseSpec(
       phase = "papers", strategy = "initial", batchSize = 5,
