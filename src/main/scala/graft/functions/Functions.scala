@@ -97,16 +97,32 @@ case class JsonMergeExpression(left: Expression, right: Expression)
 }
 
 /** `simhash(text)` — 64-bit SimHash in ONE pass over the token stream:
-  * whitespace-tokenize, 64-bit FNV-1a per token, ±1 votes per bit
-  * position, sign → bit. A native expression because the composed-
-  * built-ins form needs 64 higher-order aggregate passes per row;
-  * engine-specific hash (not oracle-portable by design).
+  * whitespace-tokenize, per-token 64-bit hash = the first 8 bytes of
+  * `md5(token)` read big-endian (i.e. the first 16 hex chars of the md5
+  * digest as an unsigned 64-bit value — DuckDB's
+  * `('0x' || substr(md5(tk), 1, 16))::UBIGINT`, bit-for-bit), ±1 votes
+  * per bit position over the token STREAM (multiplicity counts), sign →
+  * bit. A native expression because the composed-built-ins form needs 64
+  * higher-order aggregate passes per row; the md5 bit definition keeps
+  * the operator oracle-portable.
   */
 case class SimHashExpression(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private def tokenHash(s: String, start: Int, end: Int): Long = {
+    val d = digest.get()
+    d.update(s.substring(start, end).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = d.digest()
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (bytes(i) & 0xFFL); i += 1 }
+    h
+  }
   override protected def nullSafeEval(text: Any): Any = {
     val s = text.toString
     val votes = new Array[Int](64)
@@ -114,15 +130,10 @@ case class SimHashExpression(child: Expression)
     val n = s.length
     while (i < n) {
       while (i < n && s.charAt(i).isWhitespace) i += 1
-      var h = 0xcbf29ce484222325L // FNV-1a 64-bit
-      var seen = false
-      while (i < n && !s.charAt(i).isWhitespace) {
-        h ^= s.charAt(i).toLong
-        h *= 0x100000001b3L
-        seen = true
-        i += 1
-      }
-      if (seen) {
+      val start = i
+      while (i < n && !s.charAt(i).isWhitespace) i += 1
+      if (i > start) {
+        val h = tokenHash(s, start, i)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -264,6 +275,67 @@ case class MinHashExpression(first: Expression, second: Expression, third: Expre
     copy(first = f, second = s, third = t)
 }
 
+/** `srp_bucket(emb, planes, planeOffset)` — sign-random-projection LSH
+  * bucket key over an `array<float>` embedding: `planes` hyperplane sign
+  * bits packed into a long, plane `offset+p`'s component d = the first
+  * 8 md5 hex chars of "p|d" as u32, mod 1e6, into [-0.5, 0.5) — the
+  * exact values of the composed-built-ins form in
+  * [[graft.ops.Similarity]] (and of the DuckDB oracle), but with the
+  * plane matrix memoized per (planes, offset, dims) instead of one
+  * interpreted `aggregate(zip_with(...))` pass per plane per row (the
+  * HOF form costs planes × dims lambda evals + md5s PER ROW; this is a
+  * primitive dot loop over a cached table).
+  */
+case class SrpBucketExpression(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_srp_bucket"
+  // Per-thread: expression instances can be shared across local tasks.
+  @transient private lazy val tables =
+    ThreadLocal.withInitial[java.util.HashMap[Long, Array[Array[Double]]]](() =>
+      new java.util.HashMap[Long, Array[Array[Double]]]())
+  private def componentTable(planes: Int, offset: Int, dims: Int): Array[Array[Double]] = {
+    val key = (planes.toLong << 40) ^ (offset.toLong << 20) ^ dims.toLong
+    val cache = tables.get()
+    var t = cache.get(key)
+    if (t == null) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      t = Array.tabulate(planes, dims) { (p, d) =>
+        md.update(s"${offset + p}|$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val bytes = md.digest()
+        // first 8 hex chars = first 4 digest bytes, big-endian u32
+        var h = 0L
+        var i = 0
+        while (i < 4) { h = (h << 8) | (bytes(i) & 0xFFL); i += 1 }
+        (h % 1000000L).toDouble / 1000000.0 - 0.5
+      }
+      cache.put(key, t)
+    }
+    t
+  }
+  override protected def nullSafeEval(emb: Any, planesAny: Any, offsetAny: Any): Any = {
+    val arr = emb.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val planes = planesAny.asInstanceOf[Int]
+    val offset = offsetAny.asInstanceOf[Int]
+    val dims = arr.numElements()
+    val comp = componentTable(planes, offset, dims)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val row = comp(p)
+      var s = 0.0
+      var d = 0
+      while (d < dims) { s += arr.getFloat(d).toDouble * row(d); d += 1 }
+      if (s > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
 /** `float_dot(a, b)` — sequential double-precision dot product over two
   * `array<float>` columns, reading primitives straight from ArrayData
   * (a Scala UDF boxes every element — ~100× slower on all-pairs
@@ -354,20 +426,29 @@ object GraftFunctions {
     "graft_json_merge" -> (e => JsonMergeExpression(e(0), e(1))),
     "graft_simhash" -> (e => SimHashExpression(e(0))),
     "graft_float_dot" -> (e => FloatDotExpression(e(0), e(1))),
+    "graft_srp_bucket" -> (e => SrpBucketExpression(e(0), e(1), e(2))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
     "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Idempotent: re-registering floods logs with "replaced a previously
+    // registered function" warnings (every entry point calls this, and
+    // sessions built with GraftExtensions already carry the native
+    // expressions but not the UDFs).
+    def missing(name: String): Boolean =
+      !reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
     expressions.foreach { case (name, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      if (missing(name)) reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
     // Cache-key canonicalization (cold path — plain UDFs are fine here).
-    spark.udf.register("graft_hash_from_data", (json: String) => Hashing.hashFromData(json))
-    spark.udf.register("graft_signature_hash",
-      (uri: String, data: String) => Hashing.signatureHash(uri, data))
-    spark.udf.register("graft_uri_from_url", (url: String) => Hashing.uriFromUrl(url))
-    spark.udf.register("graft_sha1", (s: String) => Hashing.sha1Hex(s))
+    if (missing("graft_sha1")) {
+      spark.udf.register("graft_hash_from_data", (json: String) => Hashing.hashFromData(json))
+      spark.udf.register("graft_signature_hash",
+        (uri: String, data: String) => Hashing.signatureHash(uri, data))
+      spark.udf.register("graft_uri_from_url", (url: String) => Hashing.uriFromUrl(url))
+      spark.udf.register("graft_sha1", (s: String) => Hashing.sha1Hex(s))
+    }
   }
 
   def reach(json: Column, path: String): Column =

@@ -108,13 +108,19 @@ object Dedup {
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleSize: Int = 3,
                           maxShingleFreq: Int = 0): DataFrame = {
+    // cache: sizes, the a-side and the b-side of the blocking self-join
+    // all read the exploded shingle rows.
     val flat = df.select(col(idCol).as("id"),
-      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s")).cache()
     val blocked =
       if (maxShingleFreq > 0) {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-        flat.withColumn("__freq", count(lit(1)).over(w))
-          .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+        // The hot-shingle list is tiny by construction (≤ totalRows/cap
+        // entries), so it broadcasts and the anti-join stays map-side —
+        // no extra shuffle of the shingle rows, and no window
+        // partitioned BY the skewed key itself.
+        val hot = flat.groupBy(col("s")).agg(count(lit(1)).as("f"))
+          .filter(col("f") > maxShingleFreq).select(col("s"))
+        flat.join(broadcast(hot), Seq("s"), "left_anti")
       } else flat
     val sizes = flat.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = blocked.as("a").join(blocked.as("b"),

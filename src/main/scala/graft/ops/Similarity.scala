@@ -45,19 +45,33 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes: plane p's
-    * component d = crc32("p|d") mapped into [-0.5, 0.5). Reproducible in
-    * any engine (and across runs) without RNG state. */
+    * component d = the first 8 hex chars of md5("p|d") as an unsigned
+    * 32-bit value, mod 1e6, mapped into [-0.5, 0.5). Reproducible in any
+    * engine with md5 (DuckDB:
+    * `('0x' || substr(md5(p || '|' || d), 1, 8))::UBIGINT`) and across
+    * runs, without RNG state. */
   private def planeComponent(p: Int, d: Column): Column =
-    (crc32(concat(lit(s"$p|"), d.cast("string"))) % 1000000L).cast("double") / 1000000.0 - 0.5
+    (conv(substring(md5(concat(lit(s"$p|"), d.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L).cast("double") / 1000000.0 - 0.5
 
   /** Sign-random-projection bucket key: `planes` hyperplane sign bits
-    * packed into a long. Vectors in the same bucket are ANN candidates. */
-  def srpBucket(emb: Column, planes: Int): Column = {
+    * packed into a long (native expression with a memoized plane
+    * matrix — see graft.functions.SrpBucketExpression; values identical
+    * to [[srpBucketComposed]]). Vectors in the same bucket are ANN
+    * candidates. `planeOffset` selects an independent plane family —
+    * multi-table LSH uses table t's buckets at offset `t * planes`. */
+  def srpBucket(emb: Column, planes: Int, planeOffset: Int = 0): Column =
+    call_function("graft_srp_bucket", emb, lit(planes), lit(planeOffset))
+
+  /** Composed-built-ins form of [[srpBucket]] — the portable reference
+    * definition (one interpreted `aggregate(zip_with(...))` per plane;
+    * use the native form in hot paths). */
+  def srpBucketComposed(emb: Column, planes: Int, planeOffset: Int = 0): Column = {
     val dims = size(emb)
     val bits = (0 until planes).map { p =>
       val dotVal = aggregate(
         zip_with(emb, sequence(lit(0), dims - 1),
-          (v, d) => v.cast("double") * planeComponent(p, d)),
+          (v, d) => v.cast("double") * planeComponent(planeOffset + p, d)),
         lit(0.0), (acc, v) => acc + v)
       when(dotVal > 0, lit(1L << p)).otherwise(0L)
     }
@@ -86,21 +100,38 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold. All-pairs
-    * within SRP buckets (set `planes = 0` for exact all-pairs — only
-    * sane for probe-scale inputs). */
+  /** Embedding-cosine near-duplicate pairs above a threshold, via
+    * multi-table SRP LSH: `tables` independent plane families of
+    * `planes` sign bits each; a pair is a candidate when ANY table
+    * buckets it together (recall 1-(1-r)^tables vs a single table's r).
+    * The bucket self-join carries only (table, bucket, id) — embeddings
+    * re-join by id for exact-cosine verification, so vector payloads
+    * never ride the ×tables shuffle. Set `planes = 0` for exact
+    * all-pairs (only sane for probe-scale inputs). */
   def nearDuplicates(df: DataFrame, threshold: Double, planes: Int = 8,
+                     tables: Int = 1,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     if (planes <= 0) return exactNearDuplicates(df, threshold, idCol, embCol)
     val keyed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      sqrt(dotUdf(col(embCol), col(embCol))).as("norm"),
-      srpBucket(col(embCol), planes).as("bucket"))
-    val a = keyed.as("a"); val b = keyed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      sqrt(dotUdf(col(embCol), col(embCol))).as("norm"))
+    val bucketed = keyed.select(col("id"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"),
+            srpBucket(col("emb"), planes, t * planes).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(keyed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a")), Seq("id_a"))
+      .join(keyed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b")), Seq("id_b"))
       .withColumn("cosine",
-        round(dotUdf(col("a.emb"), col("b.emb")) / (col("a.norm") * col("b.norm")), 6))
+        round(dotUdf(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Exact all-pairs near-dup: corpus broadcast as primitive arrays, a

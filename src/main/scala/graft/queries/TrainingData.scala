@@ -11,10 +11,11 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
   * plumbing over the `documents` and `embeddings` tables.
   *
   * Portability conventions (DuckDB must reproduce the values): hashes
-  * are md5 over explicit strings; floating point goes through double
-  * with sequential aggregation and round(…, 6); every result is ordered
-  * on a unique key. SimHash/SRP variants use engine-specific 64-bit
-  * hashes and are registered WITHOUT oracles (rows-only checks).
+  * are md5/sha256 over explicit strings (SimHash token bits and SRP
+  * plane components come from md5 hex prefixes, so DuckDB recomputes
+  * them with `('0x' || substr(md5(s), 1, n))::UBIGINT`); floating point
+  * goes through double with sequential aggregation and round(…, 6);
+  * every result is ordered on a unique key.
   */
 object TrainingData {
 
@@ -50,24 +51,13 @@ object TrainingData {
     }),
 
     // Exact n-gram Jaccard near-dups over shared-shingle candidates.
+    // maxShingleFreq = 1000 bounds the hot-shingle pair blow-up at
+    // scale (f² rows per shingle shared by f docs) and is a no-op at
+    // test SFs (max observed doc-frequency at sf0.1 is 25), so the
+    // exact-Jaccard oracle still matches.
     "q22_ngram_jaccard" -> ((s, d) => {
-      // Cache the exploded shingle rows: sizes, the a-side and the
-      // b-side of the blocking self-join all read them.
-      val docs = t(s, d, "documents")
-      val flat = docs.select(col("doc_id").as("id"),
-        explode(TextOps.distinctShingles(col("text"), 3)).as("s")).cache()
-      val sizes = flat.groupBy(col("id")).agg(count(lit(1)).as("n"))
-      val inter = flat.as("a").join(flat.as("b"),
-          col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
-        .filter(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")) >= 0.8)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+      Dedup.ngramJaccardBlocked(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8, shingleSize = 3, maxShingleFreq = 1000)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -78,7 +68,9 @@ object TrainingData {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dups (engine-specific xxhash64 → rows-only check).
+    // SimHash near-dups (md5-derived token bits → oracle-checkable;
+    // the 4×16-bit block join is exact-recall at maxDistance 3 by
+    // pigeonhole, so the oracle's all-pairs form agrees).
     "q24_simhash" -> ((s, d) => {
       Dedup.simhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
           maxDistance = 3)
@@ -92,13 +84,18 @@ object TrainingData {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // Embedding-cosine near-dup pairs (exact all-pairs over buckets=off).
+    // Embedding-cosine near-dup pairs via multi-table SRP LSH — the
+    // scale path (bucket-key shuffles only, no driver collect, no
+    // all-pairs); md5-derived planes keep the bucketing oracle-
+    // reproducible. 6 tables × 3 planes = full recall on this corpus.
     "q26_embed_neardup" -> ((s, d) => {
-      Similarity.nearDuplicates(t(s, d, "embeddings"), threshold = 0.45, planes = 0)
+      Similarity.nearDuplicates(t(s, d, "embeddings"), threshold = 0.45,
+          planes = 3, tables = 6)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // LSH-bucketed ANN (SRP buckets; engine-specific → rows-only).
+    // LSH-bucketed ANN (SRP buckets from md5-derived planes → oracle-
+    // checkable).
     "q27_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 3, planes = 4)
@@ -122,6 +119,21 @@ object TrainingData {
     }))
 
   private val tokensSql = "list_filter(string_split(text, ' '), tk -> tk <> '')"
+
+  /** SRP plane p as a DOUBLE list over the dims of `v` — component d =
+    * first 8 md5 hex chars of "p|d" as u32, mod 1e6, into [-0.5, 0.5);
+    * identical to Similarity.planeComponent. */
+  private def srpPlaneSql(p: Int): String =
+    s"list_transform(range(len(v)), d -> ((('0x' || substr(md5('$p|' || d::VARCHAR), 1, 8))::UBIGINT % 1000000)::DOUBLE / 1000000 - 0.5))"
+
+  /** Packed SRP bucket key over `planes` hyperplanes (sign bits) at a
+    * plane-family offset — the SQL twin of Similarity.srpBucket.
+    * `list_dot_product` accumulates left-to-right like Spark's
+    * `aggregate(zip_with(...))`. */
+  private def srpBucketSql(planes: Int, planeOffset: Int = 0): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${srpPlaneSql(planeOffset + p)}) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
   private def shinglesSql(alias: String) =
     s"""(SELECT DISTINCT doc_id, s FROM (
        |  SELECT doc_id, unnest(list_transform(range(len($tokensSql)-2),
@@ -197,16 +209,66 @@ object TrainingData {
         |  FROM scored)
         |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
         |ORDER BY probe_id, rank""".stripMargin,
+    "q24_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tk FROM documents),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS h FROM tok),
+         |votes AS (
+         |  -- left join from documents: a zero-token doc keeps all-zero
+         |  -- bits (simhash 0), matching the Spark expression
+         |  SELECT d.doc_id, i, SUM(CASE WHEN (th.h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM documents d CROSS JOIN range(64) t(i)
+         |  LEFT JOIN th ON th.doc_id = d.doc_id
+         |  GROUP BY d.doc_id, i),
+         |packed AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN v > 0 AND i < 32 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS lo,
+         |    SUM(CASE WHEN v > 0 AND i >= 32 THEN (1::BIGINT << (i::INT - 32)) ELSE 0 END)::BIGINT AS hi
+         |  FROM votes GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.lo, b.lo))::INT + bit_count(xor(a.hi, b.hi))::INT AS hamming
+         |  FROM packed a JOIN packed b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q26_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |kb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+         |  ${(0 until 6).map(t => s"${srpBucketSql(3, t * 3)} AS b$t").mkString(",\n  ")}
+         |  FROM e)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+         |FROM kb a JOIN kb b ON a.vec_id < b.vec_id
+         |  AND (${(0 until 6).map(t => s"a.b$t = b.b$t").mkString(" OR ")})
+         |WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q27_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |kb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
+         |       ${srpBucketSql(4)} AS bucket FROM e),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(p.v, c.v) / (p.norm * c.norm), 6) AS cosine
+         |  FROM kb p JOIN kb c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+         |  WHERE p.vec_id < 50),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
+    "q29_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    ('0x' || substr(sha256(text), 1, 12))::UBIGINT % 600000 AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |nf AS (SELECT media_id,
+        |       greatest(floor(duration_ms / 1000 * 1)::INT, 1) AS n_frames FROM f),
+        |frames AS (
+        |  SELECT media_id, unnest(range(0, n_frames::BIGINT, 10)) AS frame_ix FROM nf)
+        |SELECT media_id, frame_ix, frame_ix * 1000 / 1 AS ts_ms
+        |FROM frames ORDER BY media_id, frame_ix""".stripMargin,
     "q28_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -68,6 +68,32 @@ class DedupSpec extends SparkTestBase {
     nd.get((1L, 2L)).foreach(j => assert(j > 0.3 && j < 1.0))
   }
 
+  test("ngramJaccardBlocked cap drops hot shingles; no-op cap keeps exact results") {
+    // 5 docs share one stopword-ish shingle ("aa bb cc") and nothing
+    // else: uncapped blocking joins all C(5,2)=10 pairs through it.
+    val hot = Seq.tabulate(5)(i => (i.toLong, s"aa bb cc u$i v$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardBlocked(hot, "doc_id", "text", threshold = 0.01)
+    assert(uncapped.count() === 10)
+    // cap below the shingle's doc-frequency: the hot shingle is dropped
+    // from blocking, so no candidate pairs survive — the f²/2 blow-up
+    // is bounded.
+    val capped = Dedup.ngramJaccardBlocked(hot, "doc_id", "text",
+      threshold = 0.01, maxShingleFreq = 4)
+    assert(capped.count() === 0)
+    // cap at/above the max doc-frequency is a no-op: exact parity.
+    val noop = Dedup.ngramJaccardBlocked(hot, "doc_id", "text",
+      threshold = 0.01, maxShingleFreq = 5)
+    assert(noop.orderBy("id_a", "id_b").collect().toSeq ===
+      uncapped.orderBy("id_a", "id_b").collect().toSeq)
+  }
+
+  test("simhash bits come from the md5 hex prefix (oracle-portable definition)") {
+    // One token votes every bit once, so simhash("abc") IS the token
+    // hash: first 16 hex chars of md5("abc") = 0x900150983cd24fb0.
+    val one = Seq(Tuple1("abc")).toDF("text")
+    assert(one.select(Dedup.simhash(col("text"))).head.getLong(0) === 0x900150983CD24FB0L)
+  }
+
   test("simhash: identical texts distance 0, near-dups close, unrelated far") {
     val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -109,6 +135,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(top(0).getAs[Long]("neighbor_id") === 1L)
     assert(top(0).getAs[Long]("rank") === 1L)
     assert(top.length === 2)
+  }
+
+  test("multi-table SRP near-dup finds the close pair without any collect") {
+    val nd = Similarity.nearDuplicates(vecs, threshold = 0.9, planes = 2, tables = 3)
+    assert(nd.queryExecution.executedPlan.toString.contains("Join"))
+    val pairs = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)), "only the near-identical direction pair survives")
+  }
+
+  test("native srpBucket equals the composed-built-ins reference definition") {
+    val both = vecs.select(
+      Similarity.srpBucket(col("embedding"), 8, planeOffset = 5).as("native"),
+      Similarity.srpBucketComposed(col("embedding"), 8, planeOffset = 5).as("composed"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("SRP bucketing groups same-direction vectors (approximate path)") {

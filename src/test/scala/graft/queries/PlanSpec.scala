@@ -43,8 +43,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "k mins in one aggregation")
   }
 
-  test("q26 exact mode: broadcast-corpus mapPartitions, no join materialization, no single partition") {
+  test("q26 LSH mode: bucket-key joins only — no collect, no single partition") {
     val p = plan("q26_embed_neardup")
+    assert(p.contains("Join"), "bucket self-join + id re-joins for scoring")
+    assert(!p.contains("CartesianProduct"), "never all-pairs")
+    assert(!p.contains("SinglePartition"), "no constant-key single partition")
+    assert(!p.contains("MapPartitions"), "no driver-collect exact path in the registered query")
+  }
+
+  test("exact near-dup operator (planes=0): broadcast-corpus mapPartitions, no join") {
+    import spark.implicits._
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val p = graft.ops.Similarity.nearDuplicates(vecs, threshold = 0.9, planes = 0)
+      .queryExecution.executedPlan.toString
     assert(p.contains("MapPartitions"), "exact all-pairs runs as a tight partition loop")
     assert(!p.contains("Join"), "no n²/2-row join materialization")
     assert(!p.contains("SinglePartition"), "no constant-key single partition")
