@@ -72,19 +72,124 @@ final case class Objective(
   }
 }
 
+/** Markup (HTML/XML) extraction objective — the reference's
+  * `_extract_soup` contract (extraction.py:156-181) with soup-path
+  * strings (see [[Markup.SoupPath]]) in place of `eval`'d BeautifulSoup
+  * expressions:
+  *  - `"@"`: selects the element list (`soup.find_all('a')`); a
+  *    single-element path is wrapped, like the reference wraps non-list
+  *    `at` results;
+  *  - `"#name"`: context evaluated once against the document;
+  *  - `"name"`: per-element value paths (`el.text`, `el['href']`,
+  *    `el.find('url').text`); EMPTY objectives are skipped (reference
+  *    `if not objective: continue`).
+  * Callable forms mirror the reference's callable objectives:
+  * `atFunction(soup)` and `fieldFunctions(soup, el)`.
+  * Divergence from the reference: a missing attribute/element yields
+  * JSON null instead of raising ValueError — extraction over dirty
+  * markup at scale must not abort the batch on one bad row.
+  */
+final case class MarkupObjective(
+    at: String,
+    fields: Seq[(String, String)],
+    context: Seq[(String, String)] = Nil,
+    atFunction: Option[Markup.Elem => Seq[Markup.Elem]] = None,
+    fieldFunctions: Seq[(String, (Markup.Elem, Markup.Elem) => String)] = Nil) {
+
+  require(atFunction.isDefined || (at != null && at.nonEmpty),
+    "MarkupObjective needs '@' to select elements")
+
+  @transient private lazy val atPath: Markup.SoupPath =
+    if (atFunction.isDefined) null else Markup.SoupPath.parse(at)
+  @transient private lazy val fieldPaths: Seq[(String, Markup.SoupPath)] =
+    fields.filter(_._2 != null).filter(_._2.nonEmpty)
+      .map { case (n, p) => n -> Markup.SoupPath.parse(p) }
+  @transient private lazy val contextPaths: Seq[(String, Markup.SoupPath)] =
+    context.map { case (n, p) => n -> Markup.SoupPath.parse(p) }
+
+  def extract(soup: Markup.Elem): Seq[ObjectNode] = {
+    val ctx: Seq[(String, Option[String])] =
+      contextPaths.map { case (name, p) => name -> p.evalValue(soup, None) }
+    val elements: Seq[Markup.Elem] = atFunction match {
+      case Some(f) => f(soup)
+      case None => atPath.evalNodes(soup, None)
+    }
+    elements.map { el =>
+      val out = PyJson.mapper.createObjectNode()
+      ctx.foreach { case (name, v) =>
+        v match {
+          case Some(s) => out.put(name, s)
+          case None => out.set[JsonNode](name, out.nullNode)
+        }
+      }
+      fieldPaths.foreach { case (name, p) =>
+        p.evalValue(soup, Some(el)) match {
+          case Some(s) => out.put(name, s)
+          case None => out.set[JsonNode](name, out.nullNode)
+        }
+      }
+      fieldFunctions.foreach { case (name, f) => out.put(name, f(soup, el)) }
+      out
+    }
+  }
+
+  /** Extract from raw markup: `text/html` through the tolerant HTML
+    * parser, `text/xml`/`application/xml` XML-first with tolerant
+    * fallback. */
+  def extractMarkup(contentType: String, body: String): Array[String] = {
+    if (body == null) return Array.empty
+    val soup = contentType match {
+      case "text/html" => Markup.parseHtml(body)
+      case "text/xml" | "application/xml" => Markup.parseXml(body)
+      case other => throw new IllegalArgumentException(
+        s"Transform processor does not support content_type $other")
+    }
+    extract(soup)
+      .map(PyJson.dumps(_, itemSep = ",", kvSep = ":", ensureAscii = false)).toArray
+  }
+}
+
+object MarkupObjective {
+
+  /** Parse the reference's objective dict form with soup-path values,
+    * e.g. `{"@": "soup.find_all('a')", "text": "el.text",
+    * "link": "el['href']", "#page": "soup.find('title').text"}`. */
+  def fromJson(objectiveJson: String): MarkupObjective = {
+    val node = PyJson.parse(objectiveJson)
+    require(node.isInstanceOf[ObjectNode], "An objective should be a dict")
+    var at: String = null
+    val fields = Seq.newBuilder[(String, String)]
+    val context = Seq.newBuilder[(String, String)]
+    node.asInstanceOf[ObjectNode].fields.asScala.foreach { e =>
+      val value = e.getValue.asText
+      e.getKey match {
+        case "@" => at = value
+        case k if k.startsWith("#") => context += (k.substring(1) -> value)
+        case k => fields += (k -> value)
+      }
+    }
+    MarkupObjective(at, fields.result(), context.result())
+  }
+}
+
 object Objective {
 
   /** Content-type dispatch (`ExtractProcessor.transform`, extraction.py:
     * 110-135): any `application/...json` mime routes to the JSON
-    * extractor; unknown types raise (the reference's HTML/XML path runs
-    * BeautifulSoup expressions through `eval` — deliberately NOT
-    * reproduced; HTML objectives become Scala `atFunction`s instead). */
+    * extractor; `text/html`, `text/xml` and `application/xml` route to
+    * the markup extractor when one is configured; unknown types raise
+    * (matching the reference's TypeError). */
   def extractByContentType(objective: Objective, contentType: String,
-                           body: String): Array[String] = {
+                           body: String,
+                           markup: Option[MarkupObjective] = None): Array[String] = {
     if (contentType == null) return Array.empty
     if (TextUtils.isJsonMimetype(contentType)) objective.extractJson(body)
-    else throw new IllegalArgumentException(
-      s"Transform processor does not support content_type $contentType")
+    else contentType match {
+      case ct @ ("text/html" | "text/xml" | "application/xml") if markup.isDefined =>
+        markup.get.extractMarkup(ct, body)
+      case other => throw new IllegalArgumentException(
+        s"Transform processor does not support content_type $other")
+    }
   }
 
   /** Parse the reference's objective dict form, e.g.

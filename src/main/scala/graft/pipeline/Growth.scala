@@ -4,10 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.{DocOps, Hashing, Objective, PyJson}
+import graft.core.{DocOps, Hashing, MarkupObjective, Objective, PyJson, TextUtils}
 import graft.functions.GraftFunctions
 import graft.model.Documents
 import graft.sources.{Fetcher, Resources}
+
+/** The slice of a fetched resource passed to the [[GrowthSpec.applyResource]]
+  * hook — the reference hands the full `Resource` model to
+  * `Document.apply_resource` (document.py:171-172); status/uri/head are
+  * what hook implementations actually read. */
+final case class ResourceView(uri: String, status: Int, head: String)
 
 /** Growth (enrichment) configuration — the reference's
   * `ResourceGrowthProcessor` config (reference: datagrowth/processors/
@@ -29,7 +35,19 @@ final case class GrowthSpec(
     dependsOn: Option[String] = None,
     toProperty: Option[String] = None,
     method: String = "get",
-    resourceLabel: String = "graft.httpresource")
+    resourceLabel: String = "graft.httpresource",
+    /** Markup twin of `objective`: resources whose Content-Type is
+      * text/html, text/xml or application/xml extract through this
+      * (extraction.py:182-200); JSON mimetypes keep using `objective`. */
+    markupObjective: Option[MarkupObjective] = None,
+    /** `apply_resource_to` + `Document.apply_resource` (datagrowth.yml:58,
+      * growth.py:118-121, document.py:171-172): when `applyResourceTo`
+      * is non-empty the hook runs once per document with the MAIN
+      * resource, and may update exactly the listed document columns
+      * (`reference`, `identity`, or the JSON fields). The reference's
+      * test model sets `reference = resource.status`. */
+    applyResourceTo: Seq[String] = Nil,
+    applyResource: Option[(String, ResourceView) => Map[String, String]] = None)
 
 /** The growth processor — the engine's distributed fan-out path: every
   * pending document produces a resource request, requests flow through
@@ -88,33 +106,85 @@ object Growth {
     val resources = Resources.fetchWithCache(uniqueRequests, cache, fetcher,
       cacheOnly, maxConcurrency)
 
+    val resourcesForJoin = resources.select(col("url").as("r_url"),
+      col("uri").as("r_uri"), col("data_hash"), col("status"), col("head"), col("body"))
+    val assoc = requests
+      .join(resourcesForJoin, col("url") === col("r_url"), "left_outer")
+      .select(col("doc_id"), col("status"), col("r_uri"), col("data_hash"),
+        col("head"), col("body"))
+
+    (rest.unionByName(mergeBatch(pending, assoc, spec)), resources)
+  }
+
+  /** Merge a (doc_id ↔ fetched resource) association frame into the
+    * pending documents — the reference's `merge_batch`
+    * (resources/growth.py:90-152): group resources per doc, extract
+    * contributions by content type, reduce, write task_results and the
+    * contribution target, run the `apply_resource` hook. Factored from
+    * [[grow]] so multi-resource-per-document merges are testable
+    * directly. `assoc` columns: doc_id, status, r_uri, data_hash, head,
+    * body. */
+  private[pipeline] def mergeBatch(pending: DataFrame, assoc: DataFrame,
+                                   spec: GrowthSpec): DataFrame = {
     val objective = spec.objective
-    val extractUdf = udf { (body: String) =>
-      if (body == null) Array.empty[String] else objective.extractJson(body)
+    val markupObjective = spec.markupObjective
+    // Content-type dispatch per resource (Resource.content,
+    // generic.py:186-198 → ExtractProcessor.transform): mimetype from
+    // the response head; absent head/Content-Type defaults to JSON.
+    val extractUdf = udf { (head: String, body: String) =>
+      if (body == null) Array.empty[String]
+      else {
+        val mime = Option(head).flatMap { h =>
+          PyJson.tryParse(h).flatMap { tree =>
+            import scala.jdk.CollectionConverters._
+            tree.properties().asScala
+              .find(_.getKey.equalsIgnoreCase("content-type"))
+              .map(e => TextUtils.parseContentType(e.getValue.asText)._1)
+          }
+        }.getOrElse("application/json")
+        mime match {
+          case m if TextUtils.isJsonMimetype(m) => objective.extractJson(body)
+          case m @ ("text/html" | "text/xml" | "application/xml")
+              if markupObjective.isDefined =>
+            markupObjective.get.extractMarkup(m, body)
+          case other => throw new IllegalArgumentException(
+            s"Transform processor does not support content_type $other")
+        }
+      }
     }
     val resourceId = udf { (uri: String, hash: String) =>
       BigInt(Hashing.sha1Hex(uri + "|" + hash).take(15), 16).toLong
     }
-    val resourcesForJoin = resources.select(col("url").as("r_url"),
-      col("uri").as("r_uri"), col("data_hash"), col("status"), col("body"))
-    val enriched = requests
-      .join(resourcesForJoin, col("url") === col("r_url"), "left_outer")
-      .select(col("doc_id"), col("status"), col("r_uri"), col("data_hash"), col("body"))
-      .withColumn("contributions", extractUdf(col("body")))
+    // Per-doc resource order: the reference iterates resources in
+    // insertion (request) order (growth.py:103-105); a shuffle has no
+    // such order, so the canonical order here is the sorted resource
+    // uri — stable under any partitioning.
+    val enriched = assoc
+      .withColumn("contributions", extractUdf(col("head"), col("body")))
       .withColumn("rid", resourceId(col("r_uri"), col("data_hash")))
       .groupBy(col("doc_id"))
       .agg(
         min(when(Resources.successCol(col("status")), 1).otherwise(0)).as("all_success"),
-        first(col("rid")).as("main_rid"),
-        collect_list(col("rid")).as("rids"),
-        flatten(collect_list(col("contributions"))).as("contributions"))
+        sort_array(collect_list(struct(col("r_uri").as("uri"), col("rid").as("rid"),
+          col("status").as("status"), col("head").as("head"),
+          col("contributions").as("contributions")))).as("res"))
+      .select(col("doc_id"), col("all_success"),
+        element_at(col("res"), 1).getField("rid").as("main_rid"),
+        element_at(col("res"), 1).getField("uri").as("main_uri"),
+        element_at(col("res"), 1).getField("status").as("main_status"),
+        element_at(col("res"), 1).getField("head").as("main_head"),
+        transform(col("res"), r => r.getField("rid")).as("rids"),
+        flatten(transform(col("res"), r => r.getField("contributions"))).as("contributions"))
 
     val phase = spec.growthPhase
     val toProperty = spec.toProperty
     val resourceLabel = spec.resourceLabel
+    val applyResourceTo = spec.applyResourceTo
+    val applyResource = spec.applyResource
     val mergeResults = udf {
       (properties: String, taskResults: String, derivatives: String,
-       allSuccess: Int, mainRid: Long, rids: Seq[Long], contributions: Seq[String]) =>
+       allSuccess: Int, mainRid: Long, mainUri: String, mainStatus: Int,
+       mainHead: String, rids: Seq[Long], contributions: Seq[String]) =>
         val m = PyJson.mapper
         // task_results[phase] = {success, resource, id, ids} (resources/utils.py:86-101)
         val tr = m.createObjectNode()
@@ -128,6 +198,22 @@ object Growth {
 
         var newProps = properties
         var newDerivs = derivatives
+        var newReference: String = null
+        var newIdentity: String = null
+        // apply_resource hook: main resource only, gated on
+        // applyResourceTo, updates restricted to the listed fields
+        // (growth.py:118-121 + document.py:171-172).
+        if (applyResourceTo.nonEmpty) applyResource.foreach { hook =>
+          val updates = hook(newProps, ResourceView(mainUri, mainStatus, mainHead))
+          updates.filter { case (k, _) => applyResourceTo.contains(k) }.foreach {
+            case ("reference", v) => newReference = v
+            case ("identity", v) => newIdentity = v
+            case ("properties", v) => newProps = v
+            case ("derivatives", v) => newDerivs = v
+            case (other, _) => throw new IllegalArgumentException(
+              s"apply_resource cannot update column: $other")
+          }
+        }
         if (contributions.nonEmpty) {
           val contribution = contributions.head // reduce_contributions default: first
           toProperty match {
@@ -143,21 +229,27 @@ object Growth {
                 else DocOps.mergeShallow(newProps, s"""{"$propName":$contribution}""")
           }
         }
-        (newProps, newTaskResults, newDerivs)
+        (newProps, newTaskResults, newDerivs, newReference, newIdentity)
     }
 
     val grown = pending.join(enriched, pending("id") === enriched("doc_id"), "left_outer")
       .withColumn("__m", when(col("doc_id").isNotNull,
         mergeResults(col("properties"), col("task_results"), col("derivatives"),
-          col("all_success"), col("main_rid"), col("rids"), col("contributions"))))
+          col("all_success"), col("main_rid"), col("main_uri"), col("main_status"),
+          col("main_head"), col("rids"), col("contributions"))))
       .withColumn("properties", when(col("__m").isNotNull, col("__m._1")).otherwise(col("properties")))
       .withColumn("task_results", when(col("__m").isNotNull, col("__m._2")).otherwise(col("task_results")))
       .withColumn("derivatives", when(col("__m").isNotNull, col("__m._3")).otherwise(col("derivatives")))
+      .withColumn("reference",
+        when(col("__m").isNotNull && col("__m._4").isNotNull, col("__m._4"))
+          .otherwise(col("reference")))
+      .withColumn("identity",
+        when(col("__m").isNotNull && col("__m._5").isNotNull, col("__m._5"))
+          .otherwise(col("identity")))
       .withColumn("modified_at", current_timestamp())
       .withColumn("pending_at", when(col("__m").isNotNull, lit(null).cast(TimestampType)).otherwise(col("pending_at")))
       .withColumn("finished_at", when(col("__m").isNotNull, current_timestamp()).otherwise(col("finished_at")))
       .select(Documents.columns.map(col): _*)
-
-    (rest.unionByName(grown), resources)
+    grown
   }
 }

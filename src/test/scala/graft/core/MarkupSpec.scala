@@ -1,0 +1,167 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's markup transform tests
+  * (tests/django_project/processors/tests/transformation.py with the
+  * MOCK_HTML / MOCK_XML / MOCK_SCRAPE_DATA fixtures from
+  * tests/django_project/project/mocks/data.py:39-92). */
+class MarkupSpec extends AnyFunSuite {
+
+  // tests/django_project/project/mocks/data.py:39-64 (not well-formed
+  // XML: lowercase doctype — exercises the tolerant parser)
+  val MockHtml: String =
+    """
+      |<!doctype html>
+      |<html>
+      |
+      |<head>
+      |    <title>Test</title>
+      |</head>
+      |
+      |<body>
+      |
+      |</body>
+      |
+      |<div id="content">
+      |    <p>
+      |        A list with links:
+      |        <ul>
+      |            <li><a href="/test">test</a></li>
+      |            <li><a href="/test2">test 2</a></li>
+      |            <li><a href="/test3">test 3</a></li>
+      |            <li>That's it!</li>
+      |        </ul>
+      |    </p>
+      |</div>
+      |
+      |</html>
+      |""".stripMargin
+
+  // tests/django_project/project/mocks/data.py:65-87 (well-formed —
+  // exercises the strict JDK XML path)
+  val MockXml: String =
+    """
+      |<xml>
+      |    <meta>
+      |        <title>Test</title>
+      |    </meta>
+      |
+      |    <results>
+      |        <result>
+      |            <label>test</label>
+      |            <url>/test</url>
+      |        </result>
+      |        <result>
+      |            <label>test 2</label>
+      |            <url>/test2</url>
+      |        </result>
+      |        <result>
+      |            <label>test 3</label>
+      |            <url>/test3</url>
+      |        </result>
+      |    </results>
+      |
+      |</xml>
+      |""".stripMargin
+
+  // data.py:88-92 MOCK_SCRAPE_DATA — expected output for both fixtures
+  val expected = Seq(
+    ("test", "/test", "Test"),
+    ("test 2", "/test2", "Test"),
+    ("test 3", "/test3", "Test"))
+
+  def htmlObjective: MarkupObjective = MarkupObjective.fromJson(
+    """{"@": "soup.find_all('a')", "text": "el.text", "link": "el['href']",
+      | "#page": "soup.find('title').text"}""".stripMargin)
+
+  def xmlObjective: MarkupObjective = MarkupObjective.fromJson(
+    """{"@": "soup.find_all('result')", "text": "el.find('label').text",
+      | "link": "el.find('url').text", "#page": "soup.find('title').text"}""".stripMargin)
+
+  private def parse(rows: Array[String]): Seq[(String, String, String)] =
+    rows.toSeq.map { json =>
+      val n = PyJson.parse(json)
+      (n.get("text").asText, n.get("link").asText, n.get("page").asText)
+    }
+
+  test("text/html extraction matches MOCK_SCRAPE_DATA (transformation.py text_html)") {
+    assert(parse(htmlObjective.extractMarkup("text/html", MockHtml)) === expected)
+  }
+
+  test("text/xml and application/xml extraction match MOCK_SCRAPE_DATA") {
+    assert(parse(xmlObjective.extractMarkup("text/xml", MockXml)) === expected)
+    assert(parse(xmlObjective.extractMarkup("application/xml", MockXml)) === expected)
+  }
+
+  test("callable objectives (transformation.py callables=True)") {
+    val obj = MarkupObjective(
+      at = null,
+      fields = Seq("text" -> "el.find('label').text"),
+      atFunction = Some((soup: Markup.Elem) => soup.findAll("result")),
+      fieldFunctions = Seq(
+        "link" -> ((_: Markup.Elem, el: Markup.Elem) =>
+          el.find("url").map(_.text).getOrElse(null)),
+        "page" -> ((soup: Markup.Elem, _: Markup.Elem) =>
+          soup.find("title").map(_.text).getOrElse(null))))
+    assert(parse(obj.extractMarkup("text/xml", MockXml)) === expected)
+  }
+
+  test("single-element '@' wraps to a one-element list (extraction.py:170-172)") {
+    val obj = MarkupObjective.fromJson(
+      """{"@": "soup.find('title')", "t": "el.text"}""")
+    val out = obj.extractMarkup("text/xml", MockXml)
+    assert(out.length === 1)
+    assert(PyJson.parse(out(0)).get("t").asText === "Test")
+  }
+
+  test("unknown content type raises; missing values go null; empty objectives skipped") {
+    intercept[IllegalArgumentException] {
+      htmlObjective.extractMarkup("application/pdf", "x")
+    }
+    val obj = MarkupObjective.fromJson(
+      """{"@": "soup.find_all('a')", "missing": "el['nope']", "skipped": "", "t": "el.text"}""")
+    val out = obj.extractMarkup("text/html", "<p><a href='/x'>hi</a></p>")
+    val n = PyJson.parse(out(0))
+    assert(n.get("missing").isNull)
+    assert(!n.has("skipped"))
+    assert(n.get("t").asText === "hi")
+  }
+
+  test("tolerant parser: void elements, unclosed tags, attributes, entities") {
+    val html =
+      """<html><body><img src="a.png"><br>
+        |<ul><li>one<li>two &amp; three</ul>
+        |<a class="btn primary" href=/plain>go</a></body></html>""".stripMargin
+    val root = Markup.parseHtml(html)
+    assert(root.findAll("img").head.attr("src") === Some("a.png"))
+    assert(root.findAll("li").map(_.text.trim.replaceAll("\\s+", " ")) ===
+      Seq("one", "two & three"))
+    assert(root.findAll("a.btn").head.attr("href") === Some("/plain"))
+    assert(root.findAll("a[href=/plain]").length === 1)
+    assert(root.find("script").isEmpty)
+  }
+
+  test("strict XML security: doctype/external entities do not resolve") {
+    // An external-entity payload must not read files; tolerant fallback
+    // keeps the element structure with the entity unresolved.
+    val evil =
+      """<?xml version="1.0"?>
+        |<!DOCTYPE r [<!ENTITY xxe SYSTEM "file:///etc/hostname">]>
+        |<r><v>&xxe;</v></r>""".stripMargin
+    val root = Markup.parseXml(evil)
+    val v = root.find("v").map(_.text).getOrElse("")
+    assert(!v.contains("\n") && (v.isEmpty || v == "&xxe;"),
+      s"external entity must not be resolved, got: '$v'")
+  }
+
+  test("Objective.extractByContentType routes markup when configured, raises otherwise") {
+    val json = Objective("$.items", Seq("id" -> "$.id"))
+    val viaDispatch = Objective.extractByContentType(
+      json, "text/html", MockHtml, markup = Some(htmlObjective))
+    assert(parse(viaDispatch) === expected)
+    intercept[IllegalArgumentException] {
+      Objective.extractByContentType(json, "text/html", MockHtml)
+    }
+  }
+}

@@ -96,6 +96,61 @@ class GrowthPipelineSpec extends SparkTestBase {
     assert(once.filter(Growth.pendingFilter(met)).count() === 3)
   }
 
+  test("apply_resource hook sets reference = resource.status (document.py:171-172, " +
+      "tests/django_project/datatypes/models/document.py:4-7)") {
+    val growth = GrowthSpec(growthPhase = "test",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective,
+      applyResourceTo = Seq("reference"),
+      applyResource = Some((_, resource) => Map("reference" -> resource.status.toString)))
+    val (out, _) = Growth.grow(threeDocs(), growth, new MockSource,
+      Resources.emptyCache(spark))
+    out.orderBy("id").collect().foreach { row =>
+      assert(row.getAs[String]("reference") === "200")
+    }
+    // hook present but applyResourceTo empty → not applied (growth.py:118)
+    val gatedOff = growth.copy(applyResourceTo = Nil)
+    val (out2, _) = Growth.grow(threeDocs(), gatedOff, new MockSource,
+      Resources.emptyCache(spark))
+    out2.collect().foreach(row => assert(row.getAs[String]("reference") !== "200"))
+  }
+
+  test("multi-resource merge is deterministic under repartition (growth.py:103-105)") {
+    import spark.implicits._
+    val pending = threeDocs().limit(1)
+    val docId = pending.head.getAs[Long]("id")
+    val rows = Seq(
+      (docId, 200, "mock.api/a", "h1", """{"Content-Type": "application/json"}""", """[{"extra":"from a"}]"""),
+      (docId, 200, "mock.api/b", "h2", """{"Content-Type": "application/json"}""", """[{"extra":"from b"}]"""))
+      .toDF("doc_id", "status", "r_uri", "data_hash", "head", "body")
+    val growth = GrowthSpec(growthPhase = "test",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective)
+    val results = (1 to 4).map { parts =>
+      Growth.mergeBatch(pending, rows.repartition(parts), growth)
+        .select("derivatives", "task_results").head
+    }
+    // main = first by sorted uri → "mock.api/a"; contributions reduce
+    // to the first in that same order, whatever the partitioning
+    assert(results.map(_.getString(0)).distinct === Seq("""{"test":{"extra":"from a"}}"""))
+    assert(results.map(_.getString(1)).distinct.size === 1)
+    assert(results.head.getString(1).contains(""""ids":["""))
+  }
+
+  test("growth extracts text/html resources through the markup objective") {
+    import spark.implicits._
+    val pending = threeDocs().limit(1)
+    val docId = pending.head.getAs[Long]("id")
+    val html = "<html><head><title>T</title></head><body><a href='/x'>link</a></body></html>"
+    val rows = Seq((docId, 200, "mock.api/page", "h1",
+        """{"Content-Type": "text/html; charset=utf-8"}""", html))
+      .toDF("doc_id", "status", "r_uri", "data_hash", "head", "body")
+    val growth = GrowthSpec(growthPhase = "scrape",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective,
+      markupObjective = Some(graft.core.MarkupObjective.fromJson(
+        """{"@": "soup.find_all('a')", "extra": "el.text"}""")))
+    val out = Growth.mergeBatch(pending, rows, growth).head
+    assert(out.getAs[String]("derivatives") === """{"scrape":{"extra":"link"}}""")
+  }
+
   test("fetch kernel: cache hits skip live fetches; cache_only blocks them (generic.py:117-124)") {
     import spark.implicits._
     val requests = Seq(("get", "http://mock.api/mock/0", null: String),
