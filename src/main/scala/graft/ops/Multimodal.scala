@@ -63,6 +63,47 @@ object Multimodal {
     }
   }
 
+  /** Codec-backed image decode using the JDK's `javax.imageio` — the
+    * real-decoder counterpart of [[StubDecoder]] for the formats the
+    * JDK ships (PNG, JPEG, GIF, BMP; the reference opens images with
+    * Pillow, resources/http/files.py:179-191). Reads ONLY the header
+    * for dimensions (no pixel decode): `ImageReader.getWidth/getHeight`
+    * on a stream-backed reader, so a 50 MB JPEG costs a few KB of I/O.
+    * The byte histogram feature stays payload-based (cheap, codec-free);
+    * audio/video delegate to `fallback` (no JDK codecs for those).
+    * Undecodable image bytes yield null dimensions rather than failing
+    * the batch. */
+  class ImageIoDecoder(fallback: Decoder = new StubDecoder) extends Decoder {
+    def decode(mediaId: Long, kind: String, bytes: Array[Byte]): Row = {
+      if (kind != "image") return fallback.decode(mediaId, kind, bytes)
+      val payload = if (bytes == null) Array.empty[Byte] else bytes
+      val sha = graft.core.Hashing.sha256Hex(payload)
+      val dims: Option[(Int, Int)] = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              Some((reader.getWidth(0), reader.getHeight(0)))
+            } finally reader.dispose()
+          } else None
+        } catch {
+          case _: Exception => None
+        } finally if (iis != null) iis.close()
+      }
+      val hist = new Array[Float](8)
+      payload.foreach(b => hist((b & 0xFF) / 32) += 1f)
+      val norm = math.max(1, payload.length).toFloat
+      Row(mediaId, kind, payload.length.toLong, sha,
+        dims.map(_._1).map(Integer.valueOf).orNull,
+        dims.map(_._2).map(Integer.valueOf).orNull,
+        null, hist.map(_ / norm).toSeq)
+    }
+  }
+
   /** Feature extraction over the media frame: mapPartitions batch
     * decode. Partition count is capped so each decode batch fits decoder
     * memory (the `maxPartitionBytes` knob of the binary path). */

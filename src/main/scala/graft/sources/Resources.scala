@@ -127,14 +127,19 @@ class HttpFetcher(timeoutSeconds: Int = 30,
     val delays = 0 +: backoffDelays
     while (attempt < delays.length - 1) {
       attempt += 1
-      if (delays(attempt) > 0) Thread.sleep(delays(attempt) * 1000L)
+      if (delays(attempt) > 0) sleep(delays(attempt))
       last = fetchOnce(method, url, requestBody)
       if (!retryStatuses.contains(last.status)) return last
     }
     last
   }
 
-  private def fetchOnce(method: String, url: String, requestBody: String): FetchResponse =
+  /** Overridable for tests (clock injection — the retry schedule is
+    * asserted without real waiting). */
+  protected def sleep(seconds: Int): Unit = Thread.sleep(seconds * 1000L)
+
+  /** Overridable for tests (transport injection). */
+  protected def fetchOnce(method: String, url: String, requestBody: String): FetchResponse =
     try {
       val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(timeoutSeconds))

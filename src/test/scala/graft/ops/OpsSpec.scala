@@ -180,6 +180,30 @@ class MultimodalSpec extends SparkTestBase {
       feats.map(_.getAs[String]("sha256")).toSeq)
   }
 
+  test("ImageIoDecoder reads real PNG/JPEG dimensions; junk bytes decode to null dims") {
+    def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8800)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, out)
+      out.toByteArray
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "image", imageBytes(320, 200, "png"), null),
+        org.apache.spark.sql.Row(2L, "image", imageBytes(64, 48, "jpg"), null),
+        org.apache.spark.sql.Row(3L, "image", "not an image".getBytes, null),
+        org.apache.spark.sql.Row(4L, "audio", "payload".getBytes, null))),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media, new Multimodal.ImageIoDecoder)
+      .orderBy("media_id").collect()
+    assert(feats(0).getAs[Int]("width") === 320 && feats(0).getAs[Int]("height") === 200)
+    assert(feats(1).getAs[Int]("width") === 64 && feats(1).getAs[Int]("height") === 48)
+    assert(feats(2).isNullAt(feats(2).fieldIndex("width")), "junk bytes: null dims, no failure")
+    assert(feats(3).getAs[Long]("duration_ms") >= 0L, "audio delegates to the stub")
+  }
+
   test("frame sampling explodes stride-spaced frame indexes") {
     val docs = Seq((2L, "some video payload text", "en", "s")).toDF("doc_id", "text", "lang", "source")
     val frames = Multimodal.sampleFrames(
