@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators for LLM training-data pipelines — the
+  * filters that run between raw crawl and tokenizer at 100 TB:
+  * heuristic quality rules (Gopher §A1.1 / C4-style), PII scrubbing,
+  * benchmark decontamination, per-domain caps and stratified sampling.
+  *
+  * Scale design: every operator is a pure column expression or a
+  * window/semi-join over one shuffle key; the decontamination join
+  * broadcasts the (small) benchmark shingle set. Arithmetic sticks to
+  * integer counts and single divisions with round(…, 6) so DuckDB
+  * oracles reproduce results exactly.
+  */
+object Curation {
+
+  /** Whitespace tokens (empty runs dropped) — the shared tokenizer of
+    * the text-quality family. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Gopher-style repetition/quality metrics (Rae et al. 2021 §A1.1,
+    * simplified to whitespace tokens): word count, mean word length,
+    * fraction of unique tokens — plus the keep decision with
+    * Gopher-like thresholds. All integer-count arithmetic: exact in any
+    * engine. */
+  def gopherMetrics(text: Column): Column = {
+    val toks = tokens(text)
+    val wordCount = size(toks).cast("long")
+    val charSum = aggregate(transform(toks, t => length(t)), lit(0L), (a, v) => a + v)
+    val uniqueCount = size(array_distinct(toks)).cast("long")
+    val meanLen = round(charSum.cast("double") / greatest(wordCount, lit(1L)), 6)
+    val fracUnique = round(uniqueCount.cast("double") / greatest(wordCount, lit(1L)), 6)
+    struct(
+      wordCount.as("word_count"),
+      meanLen.as("mean_word_len"),
+      fracUnique.as("frac_unique"),
+      (wordCount >= 3 && wordCount <= 100000 &&
+        meanLen >= 1.0 && meanLen <= 12.0 &&
+        fracUnique >= 0.2).as("keep"))
+  }
+
+  /** PII patterns — deliberately RE2-compatible (no lookarounds) so the
+    * identical pattern runs in Spark (java.util.regex) and any
+    * RE2-based engine (DuckDB, Go, …). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** Scrub emails/phones: counts + redacted text. One pass of column
+    * expressions, no UDF. */
+  def scrubPii(text: Column): Column = {
+    val nEmails = size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+    val scrubbedEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val nPhones = size(regexp_extract_all(scrubbedEmail, lit(PhonePattern), lit(0))).cast("long")
+    val scrubbed = regexp_replace(scrubbedEmail, PhonePattern, "<PHONE>")
+    struct(nEmails.as("n_emails"), nPhones.as("n_phones"), scrubbed.as("scrubbed"))
+  }
+
+  /** Benchmark decontamination: for every candidate document, the
+    * fraction of its distinct n-gram shingles that appear in the
+    * benchmark corpus (eval-set leakage check). The benchmark shingle
+    * set is small by nature (eval sets are KBs to MBs) — it broadcasts;
+    * candidates shuffle once on doc id for the count aggregation.
+    * Output: (doc_id, n_shingles, n_overlap, overlap_frac,
+    * contaminated). */
+  def decontaminate(candidates: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val candFlat = candidates.select(col(idCol).as("doc_id"),
+      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+    val benchSet = benchmark
+      .select(explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+      .distinct()
+    val sizes = candFlat.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val overlap = candFlat.join(broadcast(benchSet), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlap, Seq("doc_id"), "left_outer")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_frac",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
+  /** Per-domain cap: keep at most `maxPerDomain` documents per domain,
+    * best-first by `qualityCol` (ties broken by id for determinism).
+    * The anti-over-representation filter of web corpora: one shuffle on
+    * the domain key. */
+  def domainCap(docs: DataFrame, domainCol: String, qualityCol: String,
+                idCol: String, maxPerDomain: Int): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    docs.withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
+
+  /** Deterministic hash-based stratified sampling: a document is kept
+    * when u32(first 8 md5 hex chars of its id) mod 100 falls under its
+    * stratum's percentage. No RNG state, no seed coordination across
+    * executors — the sample is a pure function of the id, reproducible
+    * in any engine with md5. `rates`: stratum value → percent (0-100);
+    * `defaultRate` applies to unlisted strata. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket < rate)
+  }
+}

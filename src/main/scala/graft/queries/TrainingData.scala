@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
 
 /** Training-data pipeline operators as oracle-checkable queries:
   * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -111,11 +111,67 @@ object TrainingData {
         .orderBy(col("media_id"))
     }),
 
-    // Multimodal frame sampling (stub durations → rows-only).
+    // Multimodal frame sampling (sha256-derived stub durations →
+    // oracle-checkable).
     "q29_frame_sample" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
       Multimodal.sampleFrames(Multimodal.extractFeatures(media))
         .orderBy(col("media_id"), col("frame_ix"))
+    }),
+
+    // Gopher-style quality rules: word stats + keep decision, pure
+    // integer-count arithmetic.
+    "q30_gopher_quality" -> ((s, d) => {
+      val m = Curation.gopherMetrics(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+          m.getField("word_count").as("word_count"),
+          m.getField("mean_word_len").as("mean_word_len"),
+          m.getField("frac_unique").as("frac_unique"),
+          m.getField("keep").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing over synthesized contact strings (the corpus is
+    // clean word-soup, so a deterministic email+phone is appended per
+    // doc — the point is cross-engine regex parity on the same RE2-safe
+    // patterns).
+    "q31_pii_scrub" -> ((s, d) => {
+      val contact = concat(col("text"), lit(" contact "), col("source"),
+        lit("@example.com call 555-0199"))
+      val p = Curation.scrubPii(contact)
+      t(s, d, "documents").select(col("doc_id"),
+          p.getField("n_emails").as("n_emails"),
+          p.getField("n_phones").as("n_phones"),
+          md5(p.getField("scrubbed")).as("scrub_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: src0 documents stand in for an eval
+    // set; every other doc reports its shingle-overlap fraction.
+    "q32_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.decontaminate(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain cap: top 5 docs per source by length, window-ranked.
+    "q33_domain_cap" -> ((s, d) => {
+      Curation.domainCap(t(s, d, "documents"), "source", "n_chars", "doc_id",
+          maxPerDomain = 5)
+        .select(col("doc_id"), col("source"), col("domain_rank"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic hash-mod stratified sampling: 10% of English, 50%
+    // of everything else — a pure function of doc_id.
+    "q34_stratified_sample" -> ((s, d) => {
+      Curation.stratifiedSample(t(s, d, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 10), defaultRate = 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }))
 
   private val tokensSql = "list_filter(string_split(text, ' '), tk -> tk <> '')"
@@ -269,6 +325,67 @@ object TrainingData {
         |  SELECT media_id, unnest(range(0, n_frames::BIGINT, 10)) AS frame_ix FROM nf)
         |SELECT media_id, frame_ix, frame_ix * 1000 / 1 AS ts_ms
         |FROM frames ORDER BY media_id, frame_ix""".stripMargin,
+    "q30_gopher_quality" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    len($tokensSql)::BIGINT AS word_count,
+         |    round(list_sum(list_transform($tokensSql, x -> length(x)))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS mean_word_len,
+         |    round(len(list_distinct($tokensSql))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS frac_unique
+         |  FROM documents)
+         |SELECT doc_id, word_count, mean_word_len, frac_unique,
+         |  (word_count >= 3 AND word_count <= 100000
+         |   AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
+         |   AND frac_unique >= 0.2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q31_pii_scrub" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text || ' contact ' || source || '@example.com call 555-0199' AS t
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM c)
+        |SELECT doc_id, n_emails,
+        |  len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+        |  md5(regexp_replace(t1, '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_hash
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "q32_decontaminate" ->
+      s"""WITH cand AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(len($tokensSql)-2),
+         |      i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3]))) AS s
+         |    FROM documents WHERE source <> 'src0')),
+         |bench AS (
+         |  SELECT DISTINCT unnest(list_transform(range(len($tokensSql)-2),
+         |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
+         |  FROM documents WHERE source = 'src0'),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
+         |overlap AS (
+         |  SELECT cand.doc_id, COUNT(*) AS n_overlap
+         |  FROM cand JOIN bench ON cand.s = bench.s GROUP BY 1)
+         |SELECT sizes.doc_id, n_shingles,
+         |  COALESCE(n_overlap, 0)::BIGINT AS n_overlap,
+         |  round(COALESCE(n_overlap, 0)::DOUBLE / n_shingles, 6) AS overlap_frac,
+         |  round(COALESCE(n_overlap, 0)::DOUBLE / n_shingles, 6) >= 0.5 AS contaminated
+         |FROM sizes LEFT JOIN overlap ON sizes.doc_id = overlap.doc_id
+         |ORDER BY sizes.doc_id""".stripMargin,
+    "q33_domain_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS domain_rank
+        |  FROM documents)
+        |SELECT doc_id, source, domain_rank FROM ranked
+        |WHERE domain_rank <= 5 ORDER BY doc_id""".stripMargin,
+    "q34_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)
+        |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+        |ORDER BY doc_id""".stripMargin,
     "q28_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

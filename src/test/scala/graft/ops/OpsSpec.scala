@@ -160,6 +160,67 @@ class SimilaritySpec extends SparkTestBase {
   }
 }
 
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gopherMetrics: counts, mean length, unique fraction, keep thresholds") {
+    val df = Seq(
+      "the cat sat on the mat",       // 6 words, keep
+      "a a a a a a a a a a",          // frac_unique 0.1 → drop
+      "hi").toDF("text")              // 1 word → drop
+    val m = df.select(Curation.gopherMetrics($"text").as("m"))
+      .select($"m.word_count", $"m.mean_word_len", $"m.frac_unique", $"m.keep").collect()
+    assert(m(0).getLong(0) === 6L && m(0).getBoolean(3) === true)
+    assert(m(0).getDouble(2) === 0.833333) // 5 unique of 6
+    assert(m(1).getDouble(2) === 0.1 && m(1).getBoolean(3) === false)
+    assert(m(2).getBoolean(3) === false)
+  }
+
+  test("scrubPii redacts emails then phones, counts both") {
+    val df = Seq("mail bob@corp.example.org or call 555-0199 now").toDF("text")
+    val r = df.select(Curation.scrubPii($"text").as("p"))
+      .select($"p.n_emails", $"p.n_phones", $"p.scrubbed").head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 1L)
+    assert(r.getString(2) === "mail <EMAIL> or call <PHONE> now")
+  }
+
+  test("decontaminate: full overlap flagged, disjoint not, broadcast bench") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "alpha beta gamma delta"),   // all shingles in bench
+      (2L, "one two three four five")). // none
+      toDF("doc_id", "text")
+    val out = Curation.decontaminate(cand, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Double]("overlap_frac") === 1.0)
+    assert(out(0).getAs[Boolean]("contaminated"))
+    assert(out(1).getAs[Double]("overlap_frac") === 0.0)
+    assert(!out(1).getAs[Boolean]("contaminated"))
+  }
+
+  test("domainCap keeps best-quality docs per domain with deterministic ties") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 5L)).toDF("doc_id", "source", "n_chars")
+    val kept = Curation.domainCap(docs, "source", "n_chars", "doc_id", maxPerDomain = 2)
+      .select("doc_id", "domain_rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Map(2L -> 1L, 4L -> 2L, 5L -> 1L)) // tie 30/30 → lower id first
+  }
+
+  test("stratifiedSample is a pure function of id: repeatable, rate-gated") {
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val once = Curation.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 10), defaultRate = 50).collect().map(_.getLong(0)).toSet
+    val again = Curation.stratifiedSample(docs.repartition(7), "lang", "doc_id",
+      Map("en" -> 10), defaultRate = 50).collect().map(_.getLong(0)).toSet
+    assert(once === again, "sample independent of partitioning")
+    val en = once.count(_ % 2 == 0); val de = once.count(_ % 2 == 1)
+    assert(en > 20 && en < 90, s"~10% of 500 en docs, got $en")
+    assert(de > 200 && de < 300, s"~50% of 500 de docs, got $de")
+  }
+}
+
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
