@@ -336,6 +336,42 @@ case class SrpBucketExpression(first: Expression, second: Expression, third: Exp
     copy(first = f, second = s, third = t)
 }
 
+/** `pairs(ids)` — all (a, b) pairs with a < b from a SORTED long-id
+  * array, as `array<struct<a,b>>`. The local pair-generation step of
+  * every blocking dedup operator (shared-shingle, LSH band buckets, SRP
+  * buckets): groups emit their pairs in place of a self-join. Native
+  * because the composed form (`flatten(transform(ids, (a,i) =>
+  * transform(slice(...), ...)))`) runs interpreted lambdas + allocates
+  * a slice per element per group — and blocking keys number in the
+  * millions. */
+case class PairsExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pairs"
+  override protected def nullSafeEval(idsAny: Any): Any = {
+    val ids = idsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = ids.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(a, ids.getLong(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `float_dot(a, b)` — sequential double-precision dot product over two
   * `array<float>` columns, reading primitives straight from ArrayData
   * (a Scala UDF boxes every element — ~100× slower on all-pairs
@@ -427,6 +463,7 @@ object GraftFunctions {
     "graft_simhash" -> (e => SimHashExpression(e(0))),
     "graft_float_dot" -> (e => FloatDotExpression(e(0), e(1))),
     "graft_srp_bucket" -> (e => SrpBucketExpression(e(0), e(1), e(2))),
+    "graft_pairs" -> (e => PairsExpression(e(0))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
     "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))))
 

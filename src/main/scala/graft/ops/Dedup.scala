@@ -50,6 +50,17 @@ object Dedup {
         call_function("graft_minhash", col(textCol), lit(k), lit(shingleSize)).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** (a, b) pairs with a < b from a SORTED id array — the local
+    * pair-generation step shared by every blocking dedup operator:
+    * grouping by the blocking key and emitting pairs in place replaces
+    * a self-join (one wide shuffle instead of shuffling the keyed rows
+    * twice and materializing join output). REQUIRES bounded group sizes
+    * — the id list materializes per group, so cap the blocking key's
+    * frequency (ngramJaccardBlocked's `maxShingleFreq`; LSH bucket
+    * sizes are design-bounded by band/plane count). */
+  def pairsFromSortedIds(ids: Column): Column =
+    call_function("graft_pairs", ids)
+
   /** LSH band keys: the signature split into `bands` rows of `rowsPerBand`,
     * each band hashed to one bucket key. Docs sharing ANY band bucket are
     * candidates. */
@@ -60,21 +71,19 @@ object Dedup {
     }: _*)
 
   /** Candidate near-duplicate pairs via MinHash+LSH: shingle → minhash →
-    * band → bucket-join. Output: (id_a, id_b) with id_a < id_b, distinct
-    * across bands. The only shuffle keys are band buckets. */
+    * band → bucket-group → local pair generation. Output: (id_a, id_b)
+    * with id_a < id_b, distinct across bands. ONE shuffle on the
+    * (band, bucket) key — grouping beats a bucket self-join (which
+    * shuffles the keyed rows twice). */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     val rowsPerBand = k / bands
-    // cache: the band-bucket self-join reads this frame twice, and the
-    // signature pass is the expensive part (k salted md5s per shingle).
-    val sig = minhashSignatures(df, idCol, textCol, k, shingleSize)
+    minhashSignatures(df, idCol, textCol, k, shingleSize)
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      .cache()
-    val a = sig.as("a"); val b = sig.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-        && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
 
@@ -97,35 +106,39 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
-  /** Exact all-candidate n-gram Jaccard via shared-shingle blocking:
-    * the (doc, shingle) self-join yields one row per SHARED shingle per
-    * pair, so `count(*)` per pair IS the intersection size — no array
-    * re-join, no array_intersect. Union size from per-doc shingle
-    * counts. Skew-bounded by dropping shingles shared by more than
-    * `maxShingleFreq` docs (stopword-shingles explode pairs
-    * quadratically and never discriminate near-dups; pass 0 to keep
-    * all, e.g. for oracle-exact runs). */
+  /** Exact all-candidate n-gram Jaccard via shared-shingle blocking.
+    * Shape: ONE wide shuffle groups the exploded (doc, shingle) rows by
+    * shingle; each group emits its id-pairs locally (f docs sharing a
+    * shingle → f·(f-1)/2 pairs — exactly the rows a self-join would
+    * produce, without shuffling the shingle rows twice or materializing
+    * a join); `count(*)` per pair IS the intersection size. Union size
+    * from per-doc shingle counts. The `maxShingleFreq` skew cap is FREE
+    * in this shape — the same aggregation that collects a shingle's doc
+    * list knows its frequency, and hot shingles (stopword n-grams that
+    * explode pairs quadratically and never discriminate near-dups) are
+    * dropped before pair generation. Pass 0 to keep all shingles, e.g.
+    * for oracle-exact runs at probe scale. */
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleSize: Int = 3,
                           maxShingleFreq: Int = 0): DataFrame = {
-    // cache: sizes, the a-side and the b-side of the blocking self-join
-    // all read the exploded shingle rows.
+    // per-doc shingle count is a PER-ROW property — no aggregation, no
+    // shuffle, no cache; one extra native-shingles evaluation per doc.
+    val sizes = df.select(col(idCol).as("id"),
+      size(TextOps.distinctShingles(col(textCol), shingleSize)).cast("long").as("n"))
     val flat = df.select(col(idCol).as("id"),
-      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s")).cache()
-    val blocked =
-      if (maxShingleFreq > 0) {
-        // The hot-shingle list is tiny by construction (≤ totalRows/cap
-        // entries), so it broadcasts and the anti-join stays map-side —
-        // no extra shuffle of the shingle rows, and no window
-        // partitioned BY the skewed key itself.
-        val hot = flat.groupBy(col("s")).agg(count(lit(1)).as("f"))
-          .filter(col("f") > maxShingleFreq).select(col("s"))
-        flat.join(broadcast(hot), Seq("s"), "left_anti")
-      } else flat
-    val sizes = flat.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = blocked.as("a").join(blocked.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+    val byShingle = flat.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val capped =
+      if (maxShingleFreq > 0) byShingle.filter(size(col("ids")) <= maxShingleFreq)
+      else byShingle
+    // (a, b) pairs with a < b from each sorted id list
+    val pairExpr = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+        struct(a.as("a"), b.as("b")))))
+    val inter = capped
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))

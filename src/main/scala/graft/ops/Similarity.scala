@@ -114,16 +114,17 @@ object Similarity {
     if (planes <= 0) return exactNearDuplicates(df, threshold, idCol, embCol)
     val keyed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       sqrt(dotUdf(col(embCol), col(embCol))).as("norm"))
-    val bucketed = keyed.select(col("id"),
+    // one shuffle on the (table, bucket) key; pairs generate locally
+    // per bucket group (see Dedup.pairsFromSortedIds)
+    val pairs = keyed.select(col("id"),
         explode(array((0 until tables).map { t =>
           struct(lit(t).as("t"),
             srpBucket(col("emb"), planes, t * planes).as("bucket"))
         }: _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket")
-          && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(Dedup.pairsFromSortedIds(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     pairs
       .join(keyed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a")), Seq("id_a"))
