@@ -192,6 +192,37 @@ object Objective {
     }
   }
 
+  /** Mimetype from a response-head JSON object (case-insensitive
+    * Content-Type lookup, parameters stripped); absent head or header
+    * defaults to JSON — the reference's `Resource.content` contract
+    * (generic.py:186-198). */
+  def mimeFromHead(head: String): String =
+    Option(head).flatMap { h =>
+      PyJson.tryParse(h).flatMap { tree =>
+        tree.properties().asScala
+          .find(_.getKey.equalsIgnoreCase("content-type"))
+          .map(e => TextUtils.parseContentType(e.getValue.asText)._1)
+      }
+    }.getOrElse("application/json")
+
+  /** Extract a fetched response by its content type: JSON mimetypes run
+    * the reach objective, markup mimetypes the markup objective, other
+    * types raise (ExtractProcessor.transform, extraction.py:110-135).
+    * The shared dispatch of the growth and seeding pipelines. */
+  def extractResponse(head: String, body: String, json: Objective,
+                      markup: Option[MarkupObjective]): Array[String] = {
+    if (body == null) return Array.empty
+    mimeFromHead(head) match {
+      case m if TextUtils.isJsonMimetype(m) =>
+        require(json != null, s"No JSON objective configured for content_type $m")
+        json.extractJson(body)
+      case m @ ("text/html" | "text/xml" | "application/xml") if markup.isDefined =>
+        markup.get.extractMarkup(m, body)
+      case other => throw new IllegalArgumentException(
+        s"Transform processor does not support content_type $other")
+    }
+  }
+
   /** Parse the reference's objective dict form, e.g.
     * `{"@": "$.results", "#unit": "$.unit", "id": "$.id"}`
     * (extraction.py:62-72). */

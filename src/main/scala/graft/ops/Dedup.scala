@@ -171,22 +171,35 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 16-bit prefix rotations (4 blocks
     * of 16 bits — any pair within Hamming distance 3 shares at least one
-    * identical block), verify with exact Hamming distance. Never n². */
+    * identical block), verify with exact Hamming distance. One shuffle
+    * on the (block, key) grouping; candidate pairs re-join the (small)
+    * signature frame by id — signatures never ride the ×4 block
+    * explosion. Never n² ACROSS buckets; WITHIN a bucket pairs are
+    * quadratic, so `maxBucketSize` (0 = off) drops degenerate buckets —
+    * at a dup-heavy corpus run exact dedup FIRST, then simhash on the
+    * survivors. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                            maxDistance: Int = 3): DataFrame = {
-    val sims = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
-    val blocked = sims.select(col("id"), col("sim"),
+                            maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    val sims = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")).cache()
+    val buckets = sims.select(col("id"),
         explode(array((0 until 4).map { blk =>
           struct(lit(blk).as("blk"),
             shiftright(col("sim"), blk * 16).bitwiseAND(0xFFFFL).as("key"))
         }: _*)).as("b"))
-      .select(col("id"), col("sim"), col("b.blk").as("blk"), col("b.key").as("key"))
-    val a = blocked.as("a"); val b = blocked.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.key") === col("b.key")
-        && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hammingDistance(col("a.sim"), col("b.sim")).as("hamming"))
+      .groupBy(col("b.blk").as("blk"), col("b.key").as("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val bounded =
+      if (maxBucketSize > 0) buckets.filter(size(col("ids")) <= maxBucketSize)
+      else buckets
+    val pairs = bounded
+      .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
+    pairs
+      .join(sims.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
+      .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
   }
 }

@@ -132,25 +132,7 @@ object Growth {
     // generic.py:186-198 → ExtractProcessor.transform): mimetype from
     // the response head; absent head/Content-Type defaults to JSON.
     val extractUdf = udf { (head: String, body: String) =>
-      if (body == null) Array.empty[String]
-      else {
-        val mime = Option(head).flatMap { h =>
-          PyJson.tryParse(h).flatMap { tree =>
-            import scala.jdk.CollectionConverters._
-            tree.properties().asScala
-              .find(_.getKey.equalsIgnoreCase("content-type"))
-              .map(e => TextUtils.parseContentType(e.getValue.asText)._1)
-          }
-        }.getOrElse("application/json")
-        mime match {
-          case m if TextUtils.isJsonMimetype(m) => objective.extractJson(body)
-          case m @ ("text/html" | "text/xml" | "application/xml")
-              if markupObjective.isDefined =>
-            markupObjective.get.extractMarkup(m, body)
-          case other => throw new IllegalArgumentException(
-            s"Transform processor does not support content_type $other")
-        }
-      }
+      Objective.extractResponse(head, body, objective, markupObjective)
     }
     val resourceId = udf { (uri: String, hash: String) =>
       BigInt(Hashing.sha1Hex(uri + "|" + hash).take(15), 16).toLong

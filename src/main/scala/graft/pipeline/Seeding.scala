@@ -37,7 +37,10 @@ final case class ContributeSpec(
     mergeBase: String = "batch",
     mergeOn: Option[String] = None,
     compositionTo: Option[String] = None,
-    callback: Option[(String, DataFrame) => Seq[String]] = None)
+    callback: Option[(String, DataFrame) => Seq[String]] = None,
+    /** Markup twin of `objective` — responses with an HTML/XML
+      * Content-Type extract through it. */
+    markupObjective: Option[graft.core.MarkupObjective] = None)
 
 /** One seeding phase (seeding.py:124-141): strategy ∈
   * initial | replace | merge | back_fill. */
@@ -128,7 +131,7 @@ class SeedingProcessor(
   /** Fetch one request series (initial request + pagination up to
     * continuation_limit — http/iterators.py:31-53), extract the
     * objective, return content dicts. */
-  private def fetchSeries(retrieve: RetrieveSpec, objective: Objective,
+  private def fetchSeries(retrieve: RetrieveSpec, contribute: ContributeSpec,
                           args: Seq[String], callEnvelope: JsonNode = null,
                           content: Option[JsonNode] = None): Seq[String] = {
     val body: String = retrieve.bodyTemplate.map { tpl =>
@@ -145,7 +148,8 @@ class SeedingProcessor(
       val resp = fetchOne(retrieve.method, url, body)
       count += 1
       if (resp.body != null) {
-        out ++= objective.extractJson(resp.body)
+        out ++= Objective.extractResponse(resp.head, resp.body,
+          contribute.objective.orNull, contribute.markupObjective)
         url = PyJson.tryParse(resp.body)
           .flatMap(tree => Reach.reach(retrieve.nextPath, tree))
           .filter(n => n.isTextual).map(_.textValue).orNull
@@ -231,7 +235,7 @@ class SeedingProcessor(
               val resolved = resolveArgs(phase.retrieve.argTemplates, callEnvelope, None) ++
                 (if (phase.retrieve.argTemplates.isEmpty) args else Nil)
               val seeds = fetchSeries(phase.retrieve,
-                phase.contribute.objective.get, resolved, callEnvelope)
+                phase.contribute, resolved, callEnvelope)
               contents(phaseIndex) = seeds.grouped(math.max(1, phase.batchSize))
             }
             if (contents(phaseIndex).hasNext) {
@@ -253,7 +257,7 @@ class SeedingProcessor(
                 val afterHash = Templates.resolve(t, callEnvelope, '#')
                 Templates.renderArg(Templates.resolve(afterHash, contentTree, '$'))
               }
-              fetchSeries(phase.retrieve, phase.contribute.objective.get, resolved,
+              fetchSeries(phase.retrieve, phase.contribute, resolved,
                 callEnvelope, Some(contentTree))
             }
             buffer = merged

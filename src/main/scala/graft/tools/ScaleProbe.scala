@@ -86,6 +86,66 @@ object ScaleProbe {
         .groupBy("split").count().collect().foreach(r => println(s"[scale]   $r"))
     }
 
+    // --- training-data operators at 600k synthetic text docs ---------
+    val textDocs = timed("build 600k text docs") {
+      // Word text keyed off numeric columns. The shingle space must be
+      // LARGE (distinct words per position) or every 3-gram is shared
+      // by ~n/vocab docs and any blocking scheme degenerates to n² —
+      // which is a data property, not an operator property. Word =
+      // "w<position><value mod prime>"; coprime moduli give ~10^7
+      // distinct shingles over 600k docs with occasional collisions.
+      def word(c: org.apache.spark.sql.Column, pos: Int, mod: Int) =
+        concat(lit(s"w$pos"), pmod(c.cast("long"), lit(mod)))
+      li.select((col("l_orderkey") * 10 + col("l_linenumber")).as("doc_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+            word(col("l_partkey"), 1, 97), word(col("l_suppkey"), 2, 89),
+            word(col("l_orderkey"), 3, 83), word(col("l_quantity"), 4, 47),
+            word(col("l_partkey"), 5, 79), word(col("l_suppkey"), 6, 73),
+            word(col("l_orderkey"), 7, 71), word(col("l_extendedprice"), 8, 67)).as("text"),
+          word(col("l_suppkey"), 0, 20).as("source"),
+          col("l_extendedprice").cast("long").as("n_chars"))
+        .localCheckpoint(true)
+    }
+    println(s"[scale]   text docs = ${textDocs.count()}")
+
+    timed("exact dedup 600k") {
+      println(s"[scale]   groups = ${graft.ops.Dedup.exactGroups(textDocs, "doc_id", "text").count()}")
+    }
+
+    timed("minhash+LSH candidates 600k") {
+      val pairs = graft.ops.Dedup.lshCandidatePairs(textDocs, "doc_id", "text",
+        k = 16, bands = 4, shingleSize = 3)
+      println(s"[scale]   candidate pairs = ${pairs.count()}")
+    }
+
+    timed("ngram jaccard blocked+capped 600k") {
+      val nd = graft.ops.Dedup.ngramJaccardBlocked(textDocs, "doc_id", "text",
+        threshold = 0.9, shingleSize = 3, maxShingleFreq = 200)
+      println(s"[scale]   near-dup pairs = ${nd.count()}")
+    }
+
+    timed("simhash near-dups 600k") {
+      val nd = graft.ops.Dedup.simhashNearDuplicates(textDocs, "doc_id", "text",
+        maxDistance = 2)
+      println(s"[scale]   simhash pairs = ${nd.count()}")
+    }
+
+    timed("gopher quality + langid + stratified 600k") {
+      val m = graft.ops.Curation.gopherMetrics(col("text"))
+      val kept = textDocs
+        .withColumn("keep", m.getField("keep"))
+        .withColumn("lang", graft.ops.TextOps.languageId(col("text")))
+        .filter(col("keep"))
+      val sampled = graft.ops.Curation.stratifiedSample(kept, "lang", "doc_id",
+        Map("en" -> 10), defaultRate = 50)
+      println(s"[scale]   kept+sampled = ${sampled.count()}")
+    }
+
+    timed("domain cap 600k") {
+      println(s"[scale]   capped = ${graft.ops.Curation.domainCap(
+        textDocs, "source", "n_chars", "doc_id", maxPerDomain = 1000).count()}")
+    }
+
     spark.stop()
   }
 }

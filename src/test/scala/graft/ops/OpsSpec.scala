@@ -94,6 +94,33 @@ class DedupSpec extends SparkTestBase {
     assert(one.select(Dedup.simhash(col("text"))).head.getLong(0) === 0x900150983CD24FB0L)
   }
 
+  test("simhashNearDuplicates equals brute-force all-pairs on a 200-doc corpus") {
+    // deterministic word-soup with enough collisions to produce pairs
+    val words = (0 until 30).map(i => s"w$i")
+    val corpus = (0L until 200L).map { i =>
+      val toks = (0 until 12).map(j => words(((i * 7 + j * j + i % 13) % 30).toInt))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fromOp = Dedup.simhashNearDuplicates(corpus, "doc_id", "text", maxDistance = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sims = corpus.select(col("doc_id"), Dedup.simhash(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ia, ib)).toSet
+    // blocking recall is exact up to distance 3 (pigeonhole over 4
+    // blocks); at 6 it is a candidate filter — every reported pair must
+    // be real, and all distance<=3 pairs must be found
+    assert(fromOp.subsetOf(brute), "no false positives")
+    val mustFind = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(mustFind.subsetOf(fromOp), "exact recall at pigeonhole distance")
+    assert(fromOp.nonEmpty, "corpus is collision-rich enough to be a real test")
+  }
+
   test("simhash: identical texts distance 0, near-dups close, unrelated far") {
     val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

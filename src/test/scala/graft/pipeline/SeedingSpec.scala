@@ -46,6 +46,28 @@ class SeedingSpec extends SparkTestBase {
     assert(out.filter(col("task_results") =!= "{}").count() === 0)
   }
 
+  test("HTML seeding: markup objective extracts seeds from a scraped page") {
+    val htmlFetcher = new graft.sources.Fetcher {
+      def fetch(m: String, url: String, b: String) = graft.sources.FetchResponse(200,
+        """{"Content-Type": "text/html; charset=utf-8"}""",
+        """<html><body><ul>
+          |<li><a href="/p/1">alpha</a></li>
+          |<li><a href="/p/2">beta</a></li>
+          |</ul></body></html>""".stripMargin)
+    }
+    val markup = graft.core.MarkupObjective.fromJson(
+      """{"@": "soup.find_all('a')", "id": "el['href']", "title": "el.text"}""")
+    val phases = Seq(PhaseSpec(
+      phase = "pages", strategy = "initial", batchSize = 5,
+      retrieve = RetrieveSpec(urlTemplate = "http://scrape.site/list"),
+      contribute = ContributeSpec(markupObjective = Some(markup))))
+    val processor = new SeedingProcessor(spec, phases, htmlFetcher)
+    val out = processor.run(Documents.empty(spark), args = Seq.empty)
+    assert(out.count() === 2)
+    val row = out.filter(col("identity") === "/p/2").head
+    assert(row.getAs[String]("properties").contains("\"title\":\"beta\""))
+  }
+
   test("continuation_limit 1 stops after the first page") {
     val phases = Seq(PhaseSpec(
       phase = "papers", strategy = "initial", batchSize = 5,
