@@ -217,10 +217,16 @@ case class MinHashExpression(first: Expression, second: Expression, third: Expre
   @transient private lazy val digest =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
+  // "0|".."63|" prefixes precomputed — the hot loop digests
+  // prefix-bytes + shingle-bytes without building a String per salt.
+  @transient private lazy val saltPrefixes: Array[Array[Byte]] =
+    Array.tabulate(64)(i => s"$i|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
   private val HexChars = "0123456789abcdef".toCharArray
-  private def md5Hex(s: String): String = {
+  private def saltedMd5Hex(salt: Int, shingleBytes: Array[Byte]): String = {
     val d = digest.get()
-    d.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.update(if (salt < 64) saltPrefixes(salt)
+      else s"$salt|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    d.update(shingleBytes)
     val bytes = d.digest()
     val out = new Array[Char](32)
     var i = 0
@@ -259,9 +265,10 @@ case class MinHashExpression(first: Expression, second: Expression, third: Expre
       }
       val shingle = sb.toString
       if (seen.add(shingle)) {
+        val shingleBytes = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         var salt = 0
         while (salt < k) {
-          val h = md5Hex(salt.toString + "|" + shingle)
+          val h = saltedMd5Hex(salt, shingleBytes)
           if (mins(salt) == null || h.compareTo(mins(salt)) < 0) mins(salt) = h
           salt += 1
         }

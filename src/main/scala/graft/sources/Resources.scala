@@ -97,6 +97,33 @@ object Resources {
   }
 }
 
+/** MicroServiceResource endpoint resolution (reference:
+  * resources/http/generic.py:291-318): the service name looks up the
+  * `connections` configuration (registered through defaults, like the
+  * reference's `register_defaults`); `protocol`, `host` and `path` are
+  * all required; the URI template is `{protocol}://{host}{path}`. The
+  * resolved URL then flows through the normal cache-aware fetch kernel
+  * like any other HttpResource — same cache keys, same retry envelope.
+  */
+object MicroService {
+
+  def resolveUrl(config: graft.core.Configuration, service: String): String = {
+    require(service != null && service.nonEmpty,
+      "You should specify a micro service name under the MICRO_SERVICE attribute")
+    val connections = config.getOption("connections") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Map[String, String]]]
+      case _ => Map.empty[String, Map[String, String]]
+    }
+    val connection = connections.getOrElse(service, throw new IllegalArgumentException(
+      s""""$service" is an unknown micro service in the "connections" configuration. """ +
+        "Is it added through register_defaults?"))
+    def required(key: String): String = connection.get(key).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"A $key should be specified in the micro service configuration"))
+    s"${required("protocol")}://${required("host")}${required("path")}"
+  }
+}
+
 /** A fetch response; `head` is a JSON object of response headers. */
 final case class FetchResponse(status: Int, head: String, body: String)
 

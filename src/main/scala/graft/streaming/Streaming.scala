@@ -57,4 +57,20 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"),
         max(col("ts")).as("last_seen"))
+
+  /** Streaming exact deduplication for document ingestion: documents
+    * whose normalized-text hash was already seen are dropped,
+    * `dropDuplicatesWithinWatermark` keeps the dedup state BOUNDED (an
+    * unbounded `dropDuplicates` key set is a slow OOM at 100 TB —
+    * within-watermark state is the only shape that survives an infinite
+    * stream; exact global dedup belongs in the batch compaction pass,
+    * Dedup.exactGroups). `tsCol` is the event-time column the watermark
+    * rides on. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
 }

@@ -45,4 +45,17 @@ class ResourcesSpec extends AnyFunSuite {
     assert(f.fetch("get", "http://x/", null).status === 404)
     assert(f.attempts.length === 1 && f.sleeps.isEmpty)
   }
+
+  test("MicroService endpoint resolution (generic.py:291-318)") {
+    val config = graft.core.Configuration(namespace = Seq("http_resource"))
+      .withValues(Map("connections" -> Map(
+        "tokenizer" -> Map("protocol" -> "http", "host" -> "tokenize.local:8080",
+          "path" -> "/v1/tokenize"),
+        "broken" -> Map("protocol" -> "http", "host" -> "x"))))
+    assert(MicroService.resolveUrl(config, "tokenizer") ===
+      "http://tokenize.local:8080/v1/tokenize")
+    // unknown service and missing path raise, mirroring the reference asserts
+    intercept[IllegalArgumentException](MicroService.resolveUrl(config, "nope"))
+    intercept[IllegalArgumentException](MicroService.resolveUrl(config, "broken"))
+  }
 }

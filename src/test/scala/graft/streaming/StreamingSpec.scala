@@ -45,4 +45,27 @@ class StreamingSpec extends SparkTestBase {
       .agg(count(lit(1)).as("cnt"))
     assert(out.agg(sum("cnt")).head.getLong(0) === direct.agg(sum("cnt")).head.getLong(0))
   }
+
+  test("streaming dedup drops same-text docs within the watermark, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+
+    val out = Streaming.dedupStream(stream, "text", "ts", watermark = "10 minutes")
+    val writer = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-dedup").toString)
+      .start()
+
+    input.addData((1L, "same text", ts(0)), (2L, "same text", ts(1)),
+      (3L, "other text", ts(2)))
+    writer.processAllAvailable()
+    input.addData((4L, "same text", ts(3))) // still within watermark → dropped
+    writer.processAllAvailable()
+    writer.stop()
+    val kept = spark.sql("SELECT doc_id FROM dedup_out").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L), s"dup texts dropped, got $kept")
+  }
 }
