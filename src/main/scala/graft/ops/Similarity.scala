@@ -135,6 +135,66 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** IVF coarse quantization: assign every vector to its nearest
+    * centroid by squared euclidean distance (`‖v‖² − 2·v·c + ‖c‖²`,
+    * sequential double dots — deterministic and engine-portable), ties
+    * broken by centroid id. `centroids` is ANY (cid, embedding) frame —
+    * seeds, a trained k-means codebook, a product quantizer's coarse
+    * level — and is broadcast (a codebook is small by construction; the
+    * corpus never shuffles for assignment). */
+  def ivfAssign(df: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", embCol: String = "embedding",
+                cidCol: String = "cid"): DataFrame = {
+    val c = broadcast(centroids.select(col(cidCol).as("__cid"), col(embCol).as("__cemb")))
+    val d2 = dotUdf(col(embCol), col(embCol)) -
+      lit(2.0) * dotUdf(col(embCol), col("__cemb")) +
+      dotUdf(col("__cemb"), col("__cemb"))
+    val w = Window.partitionBy(col(idCol)).orderBy(d2, col("__cid"))
+    df.crossJoin(c)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__cemb", "__rn")
+      .withColumnRenamed("__cid", "cluster")
+  }
+
+  /** IVF search: each probe visits its `nProbe` nearest centroids'
+    * inverted lists only, then exact cosine ranks the candidates —
+    * the real scale path for ANN (SRP buckets partition blindly; IVF
+    * lists follow the data distribution via the codebook). Join keys
+    * are cluster ids: the corpus shuffles once on its assignment, the
+    * probe side explodes ×nProbe. Recall < 1 by construction. */
+  def ivfSearch(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                k: Int, nProbe: Int = 2,
+                idCol: String = "vec_id", embCol: String = "embedding",
+                cidCol: String = "cid"): DataFrame = {
+    val c = broadcast(centroids.select(col(cidCol).as("__cid"), col(embCol).as("__cemb")))
+    val d2 = dotUdf(col(embCol), col(embCol)) -
+      lit(2.0) * dotUdf(col(embCol), col("__cemb")) +
+      dotUdf(col("__cemb"), col("__cemb"))
+    val wProbe = Window.partitionBy(col(idCol)).orderBy(d2, col("__cid"))
+    val probeClusters = probes.crossJoin(c)
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        col("__cid").as("cluster"))
+      .withColumn("p_norm", sqrt(dotUdf(col("p_emb"), col("p_emb"))))
+    val corpusAssigned = ivfAssign(corpus, centroids, idCol, embCol, cidCol)
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("cluster"))
+      .withColumn("c_norm", sqrt(dotUdf(col("c_emb"), col("c_emb"))))
+    val scored = probeClusters.join(corpusAssigned, Seq("cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
+    val wRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // no dedupe needed: a corpus vector lives in exactly ONE inverted
+    // list, so each (probe, neighbor) pair joins at most once
+    scored
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Exact all-pairs near-dup: corpus broadcast as primitive arrays, a
     * tight per-partition loop emits ONLY surviving pairs — a join would
     * materialize all n²/2 rows to keep 10s of survivors. Exact mode is

@@ -165,6 +165,20 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // IVF ANN: 8 seed centroids (deterministic: lowest vec_ids stand in
+    // for a trained codebook — the operator takes ANY centroid frame),
+    // probes visit their 2 nearest inverted lists, exact cosine ranks.
+    "q35_ivf_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfSearch(
+          probes = emb.filter(col("vec_id") < 20),
+          corpus = emb,
+          centroids = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding")),
+          k = 3, nProbe = 2)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // Deterministic hash-mod stratified sampling: 10% of English, 50%
     // of everything else — a pure function of doc_id.
     "q34_stratified_sample" -> ((s, d) => {
@@ -381,6 +395,36 @@ object TrainingData {
         |  FROM documents)
         |SELECT doc_id, source, domain_rank FROM ranked
         |WHERE domain_rank <= 5 ORDER BY doc_id""".stripMargin,
+    "q35_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |        + list_dot_product(c.cv, c.cv), cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |probe_clusters AS (
+        |  SELECT vec_id AS probe_id, cid AS cluster FROM dist
+        |  WHERE rn <= 2 AND vec_id < 20),
+        |corpus AS (
+        |  SELECT d.vec_id AS neighbor_id, cid AS cluster, e.v,
+        |    sqrt(list_dot_product(e.v, e.v)) AS norm
+        |  FROM dist d JOIN e ON d.vec_id = e.vec_id WHERE rn = 1),
+        |scored AS (
+        |  SELECT p.probe_id, corpus.neighbor_id,
+        |    round(list_dot_product(pe.v, corpus.v) /
+        |      (sqrt(list_dot_product(pe.v, pe.v)) * corpus.norm), 6) AS cosine
+        |  FROM probe_clusters p
+        |  JOIN corpus ON p.cluster = corpus.cluster AND p.probe_id <> corpus.neighbor_id
+        |  JOIN e pe ON pe.vec_id = p.probe_id),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
     "q34_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)

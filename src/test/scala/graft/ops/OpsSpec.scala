@@ -164,6 +164,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.length === 2)
   }
 
+  test("IVF: assignment picks the nearest centroid; search stays within probed lists") {
+    // centroids along the axes; vectors cluster around them
+    val centroids = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("cid", "embedding")
+    val assigned = Similarity.ivfAssign(vecs, centroids)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(0L) === 0L && assigned(1L) === 0L, "x-direction vectors → centroid 0")
+    assert(assigned(2L) === 1L, "y-direction vector → centroid 1")
+    val top = Similarity.ivfSearch(vecs.filter(col("vec_id") === 0), vecs, centroids,
+      k = 2, nProbe = 1).orderBy("rank").collect()
+    assert(top.head.getAs[Long]("neighbor_id") === 1L, "nearest neighbor from own list first")
+    // with nProbe=1, only centroid-0's list is visited — vector 2 (list 1) unreachable
+    assert(!top.map(_.getAs[Long]("neighbor_id")).contains(2L))
+  }
+
   test("multi-table SRP near-dup finds the close pair without any collect") {
     val nd = Similarity.nearDuplicates(vecs, threshold = 0.9, planes = 2, tables = 3)
     assert(nd.queryExecution.executedPlan.toString.contains("Join"))
