@@ -13,8 +13,14 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: absorb session/codegen/parquet-footer costs outside timings.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Warmup: absorb session/codegen/JIT/parquet-footer costs outside
+    // timings by running every query shape once at the smallest SF —
+    // the measured numbers then reflect the workload, not Janino
+    // compilation of each query's generated code.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -19,11 +19,20 @@ object Tables {
     spark
   }
 
+  // Base-frame memo per (session, path): schema inference and file
+  // listing run once per table per session instead of once per query
+  // (the catalog-metadata cache any warehouse keeps). Data is still
+  // scanned per query — only the resolved plan is reused.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     prepare(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType.simpleString == "bigint")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    else df
+    loaded.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, path) =>
+      val df = s.read.parquet(path)
+      if (name == "events" && df.schema("ts").dataType.simpleString == "bigint")
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      else df
+    })
   }
 }
