@@ -132,12 +132,8 @@ object Dedup {
     val capped =
       if (maxShingleFreq > 0) byShingle.filter(size(col("ids")) <= maxShingleFreq)
       else byShingle
-    // (a, b) pairs with a < b from each sorted id list
-    val pairExpr = flatten(transform(col("ids"), (a, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-        struct(a.as("a"), b.as("b")))))
     val inter = capped
-      .select(explode(pairExpr).as("p"))
+      .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
       .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
