@@ -165,6 +165,33 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // The full curation pipeline composed end-to-end — what a corpus
+    // run actually executes: Gopher quality gate → exact dedup (min id
+    // per text hash) → benchmark decontamination (drop overlap ≥ 0.5
+    // vs the src0 eval set) → stratified sample. Every stage is one of
+    // the oracled operators above; the composition itself is the test.
+    "q36_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = Curation.gopherMetrics(col("text"))
+      val quality = docs
+        .withColumn("word_count", m.getField("word_count"))
+        .filter(m.getField("keep"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = quality.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val candidates = deduped.filter(col("source") =!= "src0")
+      val decon = Curation.decontaminate(candidates,
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      val clean = candidates
+        .join(decon.select(col("doc_id"), col("contaminated")), Seq("doc_id"))
+        .filter(!col("contaminated"))
+      Curation.stratifiedSample(clean, "lang", "doc_id",
+          rates = Map("en" -> 10), defaultRate = 50)
+        .select(col("doc_id"), col("lang"), col("word_count"))
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF ANN: 8 seed centroids (deterministic: lowest vec_ids stand in
     // for a trained codebook — the operator takes ANY centroid frame),
     // probes visit their 2 nearest inverted lists, exact cosine ranks.
@@ -395,6 +422,47 @@ object TrainingData {
         |  FROM documents)
         |SELECT doc_id, source, domain_rank FROM ranked
         |WHERE domain_rank <= 5 ORDER BY doc_id""".stripMargin,
+    "q36_curation_pipeline" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text, lang, source,
+         |    len($tokensSql)::BIGINT AS word_count,
+         |    round(list_sum(list_transform($tokensSql, x -> length(x)))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS mean_word_len,
+         |    round(len(list_distinct($tokensSql))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS frac_unique
+         |  FROM documents),
+         |quality AS (
+         |  SELECT * FROM m
+         |  WHERE word_count >= 3 AND word_count <= 100000
+         |    AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
+         |    AND frac_unique >= 0.2),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+         |                                 ORDER BY doc_id) AS rn
+         |    FROM quality) WHERE rn = 1),
+         |cand AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(len($tokensSql)-2),
+         |      i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3]))) AS s
+         |    FROM deduped WHERE source <> 'src0')),
+         |bench AS (
+         |  SELECT DISTINCT unnest(list_transform(range(len($tokensSql)-2),
+         |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
+         |  FROM documents WHERE source = 'src0'),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
+         |overlap AS (
+         |  SELECT cand.doc_id, COUNT(*) AS n_overlap
+         |  FROM cand JOIN bench ON cand.s = bench.s GROUP BY 1),
+         |clean AS (
+         |  SELECT d.doc_id, d.lang, d.word_count
+         |  FROM deduped d JOIN sizes ON d.doc_id = sizes.doc_id
+         |  LEFT JOIN overlap ON d.doc_id = overlap.doc_id
+         |  WHERE round(COALESCE(n_overlap, 0)::DOUBLE / n_shingles, 6) < 0.5)
+         |SELECT doc_id, lang, word_count FROM clean
+         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)
+         |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+         |ORDER BY doc_id""".stripMargin,
     "q35_ivf_ann" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
