@@ -43,6 +43,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "k mins in one aggregation")
   }
 
+  test("q22 blocking runs group-and-pair: native pairs, no self-join of shingle rows") {
+    val p = plan("q22_ngram_jaccard")
+    assert(p.contains("graft_pairs"), "pair generation must be the native expression")
+    assert(!p.contains("lambdafunction"), "no interpreted HOF lambdas in the hot path")
+    assert("SortMergeJoin".r.findAllIn(p).isEmpty, "size joins broadcast; no SMJ of shingles")
+    assert(p.contains("collect_list"), "one grouping by shingle replaces the self-join")
+  }
+
+  test("q35 IVF: centroid codebook broadcasts; corpus joins inverted lists by cluster") {
+    val p = plan("q35_ivf_ann")
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+    assert(p.contains("WindowGroupLimit"), "argmin rank is limit-pushed, not full sort")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
+  test("q36 pipeline composes without any collect or cartesian stage") {
+    val p = plan("q36_curation_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("MapPartitions"), "pure declarative plan end-to-end")
+    assert(p.contains("BroadcastHashJoin"), "the benchmark shingle set broadcasts")
+  }
+
   test("q26 LSH mode: bucket-key joins only — no collect, no single partition") {
     val p = plan("q26_embed_neardup")
     assert(p.contains("Join"), "bucket self-join + id re-joins for scoring")
