@@ -79,18 +79,31 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: probes join only their own SRP
-    * bucket (IVF-style candidate list), then exact cosine rank within
-    * candidates. Recall < 1.0 by construction; corpus side shuffles on
-    * the bucket key only. */
+    * bucket per hash table (IVF-style candidate lists), then exact
+    * cosine ranks the deduplicated candidates. `tables` independent
+    * plane families trade compute for recall (1-(1-r)^tables). Recall
+    * < 1.0 by construction; the corpus shuffles on bucket keys only and
+    * never rides the ×tables explosion — candidates re-join embeddings
+    * by id. */
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int = 8,
+              tables: Int = 1,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId),
+          explode(array((0 until tables).map { t =>
+            struct(lit(t).as("t"), srpBucket(col(embCol), planes, t * planes).as("bucket"))
+          }: _*)).as("tb"))
+        .select(col(outId), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val candidates = bucketed(corpus, "neighbor_id")
+      .join(broadcast(bucketed(probes, "probe_id")), Seq("t", "bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+      .distinct()
     val p = broadcast(probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
-      sqrt(dotUdf(col(embCol), col(embCol))).as("p_norm"),
-      srpBucket(col(embCol), planes).as("bucket")))
+      sqrt(dotUdf(col(embCol), col(embCol))).as("p_norm")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
-      sqrt(dotUdf(col(embCol), col(embCol))).as("c_norm"),
-      srpBucket(col(embCol), planes).as("bucket"))
-    val scored = p.join(c, Seq("bucket")).filter(col("probe_id") =!= col("neighbor_id"))
+      sqrt(dotUdf(col(embCol), col(embCol))).as("c_norm"))
+    val scored = candidates.join(p, Seq("probe_id")).join(c, Seq("neighbor_id"))
       .withColumn("cosine",
         round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
     val w = Window.partitionBy(col("probe_id"))

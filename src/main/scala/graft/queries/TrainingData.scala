@@ -95,10 +95,11 @@ object TrainingData {
     }),
 
     // LSH-bucketed ANN (SRP buckets from md5-derived planes → oracle-
-    // checkable).
+    // checkable); 2 hash tables double the candidate recall.
     "q27_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 3, planes = 4)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 3, planes = 4,
+          tables = 2)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -343,11 +344,11 @@ object TrainingData {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings),
          |kb AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm,
-         |       ${srpBucketSql(4)} AS bucket FROM e),
+         |       ${srpBucketSql(4, 0)} AS b0, ${srpBucketSql(4, 4)} AS b1 FROM e),
          |scored AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
          |    round(list_dot_product(p.v, c.v) / (p.norm * c.norm), 6) AS cosine
-         |  FROM kb p JOIN kb c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+         |  FROM kb p JOIN kb c ON (p.b0 = c.b0 OR p.b1 = c.b1) AND p.vec_id <> c.vec_id
          |  WHERE p.vec_id < 50),
          |ranked AS (
          |  SELECT probe_id, neighbor_id, cosine,
