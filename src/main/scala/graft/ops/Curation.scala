@@ -96,6 +96,48 @@ object Curation {
       .filter(col("domain_rank") <= maxPerDomain)
   }
 
+  /** Fixed-size token chunking with overlap — context-window prep:
+    * document i yields chunks starting every `size - overlap` tokens,
+    * each `size` tokens long (the tail chunk may be shorter). One
+    * explode per document, no shuffle; pure integer arithmetic, so any
+    * engine reproduces the chunk boundaries. Output columns: chunk_ix,
+    * chunk_tokens (count) and the chunk itself. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int, overlap: Int = 0): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val step = size - overlap
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(org.apache.spark.sql.functions.size(col("__toks")) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("__toks")) - 1,
+          lit(step))).as("__start"), col("__toks"))
+      .select(col(idCol),
+        (col("__start") / step).cast("long").as("chunk_ix"),
+        slice(col("__toks"), col("__start") + 1, lit(size)).as("__chunk"))
+      .select(col(idCol), col("chunk_ix"),
+        org.apache.spark.sql.functions.size(col("__chunk")).cast("long").as("chunk_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic greedy sequence packing: within each shard
+    * (`shardCol` — packing is embarrassingly parallel per shard, which
+    * is what makes it scale; a GLOBAL running sum would serialize), docs
+    * in id order accumulate token counts and bin = cumulative-before /
+    * window. Integer arithmetic end-to-end: any engine reproduces the
+    * same bins. Output adds `bin` and `bin_offset` (token offset of the
+    * doc inside its running total). */
+  def packSequences(docs: DataFrame, shardCol: String, idCol: String,
+                    textCol: String, window: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("bin_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("bin_offset") / window).cast("long"))
+  }
+
   /** Deterministic hash-based stratified sampling: a document is kept
     * when u32(first 8 md5 hex chars of its id) mod 100 falls under its
     * stratum's percentage. No RNG state, no seed coordination across

@@ -207,6 +207,25 @@ object TrainingData {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // Context-window chunking: 32-token chunks, 8-token overlap —
+    // per-doc explode, no shuffle, integer boundaries.
+    "q37_chunking" -> ((s, d) => {
+      Curation.chunk(t(s, d, "documents"), "doc_id", "text", size = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_ix"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_ix"))
+    }),
+
+    // Greedy sequence packing into 512-token windows, parallel per
+    // language shard — integer running totals.
+    "q38_seq_packing" -> ((s, d) => {
+      Curation.packSequences(t(s, d, "documents"), "lang", "doc_id", "text",
+          window = 512)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("bin_offset"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic hash-mod stratified sampling: 10% of English, 50%
     // of everything else — a pure function of doc_id.
     "q34_stratified_sample" -> ((s, d) => {
@@ -494,6 +513,24 @@ object TrainingData {
         |  FROM scored)
         |SELECT probe_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
         |ORDER BY probe_id, rank""".stripMargin,
+    "q37_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |nz AS (SELECT * FROM t WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s FROM nz)
+         |SELECT doc_id, s // 24 AS chunk_ix,
+         |  len(list_slice(toks, s + 1, s + 32))::BIGINT AS chunk_tokens,
+         |  md5(array_to_string(list_slice(toks, s + 1, s + 32), ' ')) AS chunk_hash
+         |FROM st ORDER BY doc_id, chunk_ix""".stripMargin,
+    "q38_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($tokensSql)::BIGINT AS n_tokens
+         |           FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_offset
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, bin_offset, bin_offset // 512 AS bin
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q34_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)

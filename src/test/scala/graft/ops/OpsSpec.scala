@@ -249,6 +249,37 @@ class CurationSpec extends SparkTestBase {
     assert(kept === Map(2L -> 1L, 4L -> 2L, 5L -> 1L)) // tie 30/30 → lower id first
   }
 
+  test("chunk: overlapping windows, short tail, empty docs dropped") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, " "), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunk(docs, "doc_id", "text", size = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_ix").collect()
+    val doc1 = chunks.filter(_.getLong(0) == 1L)
+    // starts 0,2,4,6,8 → 5 chunks; last is the 2-token tail
+    assert(doc1.map(_.getAs[String]("chunk_text")).toSeq === Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10", "t9 t10"))
+    assert(doc1.map(_.getAs[Long]("chunk_tokens")).toSeq === Seq(4L, 4L, 4L, 4L, 2L))
+    assert(!chunks.exists(_.getLong(0) == 2L), "whitespace-only doc yields no chunks")
+    assert(chunks.filter(_.getLong(0) == 3L).map(_.getAs[String]("chunk_text")).toSeq
+      === Seq("solo"))
+  }
+
+  test("packSequences: per-shard integer running totals, repeatable under repartition") {
+    val docs = Seq(
+      (1L, "a", "w " * 300), (2L, "a", "w " * 300), (3L, "a", "w " * 300),
+      (4L, "b", "w " * 600)).toDF("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.packSequences(df, "lang", "doc_id", "text", window = 512)
+        .select("doc_id", "bin", "bin_offset").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bins = run(docs)
+    assert(bins(1L) === (0L, 0L))
+    assert(bins(2L) === (0L, 300L))   // 300 < 512 → still bin 0
+    assert(bins(3L) === (1L, 600L))   // 600 / 512 → bin 1
+    assert(bins(4L) === (0L, 0L), "shard b packs independently")
+    assert(run(docs.repartition(5)) === bins, "partitioning-independent")
+  }
+
   test("stratifiedSample is a pure function of id: repeatable, rate-gated") {
     val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
