@@ -80,4 +80,66 @@ class IntegrationSpec extends SparkTestBase {
     DumpIO.dumpDocuments(docs2, dumpDir)
     assert(DumpIO.loadDocuments(spark, dumpDir).count() === 20)
   }
+
+  test("scrape-to-corpus pipeline: HTML seeding → markup growth → curation → chunks") {
+    // An HTML site: a listing page and per-item pages, served canned.
+    val pages = Map(
+      "http://site/list" ->
+        """<html><body><ul>
+          |<li><a href="/item/1">one</a></li>
+          |<li><a href="/item/2">two</a></li>
+          |<li><a href="/item/3">three</a></li>
+          |</ul></body></html>""".stripMargin,
+      "http://site/item/1" ->
+        "<html><head><title>One</title></head><body><p>alpha beta gamma delta epsilon zeta</p></body></html>",
+      "http://site/item/2" ->
+        "<html><head><title>Two</title></head><body><p>alpha beta gamma delta epsilon zeta</p></body></html>",
+      "http://site/item/3" ->
+        "<html><head><title>Three</title></head><body><p>completely different words here now</p></body></html>")
+    val htmlFetcher = new graft.sources.Fetcher {
+      def fetch(m: String, url: String, b: String) = pages.get(url) match {
+        case Some(body) => graft.sources.FetchResponse(200,
+          """{"Content-Type": "text/html; charset=utf-8"}""", body)
+        case None => graft.sources.FetchResponse(404, "{}", null)
+      }
+    }
+
+    // Seed identities from the listing's anchors.
+    val colSpec = CollectionSpec("scrape", identifier = Some("path"))
+    val seeding = new SeedingProcessor(colSpec, Seq(PhaseSpec(
+      phase = "listing", strategy = "initial", batchSize = 10,
+      retrieve = RetrieveSpec(urlTemplate = "http://site/list"),
+      contribute = ContributeSpec(markupObjective = Some(
+        graft.core.MarkupObjective.fromJson(
+          """{"@": "soup.find_all('a')", "path": "el['href']", "name": "el.text"}"""))))),
+      htmlFetcher)
+    val seeded = seeding.run(Documents.empty(spark), args = Seq.empty)
+    assert(seeded.count() === 3)
+
+    // Grow each doc by scraping its page body through a markup objective.
+    val growth = GrowthSpec(growthPhase = "scrape",
+      urlTemplate = "http://site{}", argTemplates = Seq("$.path"),
+      objective = Objective("$", Seq("body" -> "$.body")),
+      markupObjective = Some(graft.core.MarkupObjective.fromJson(
+        """{"@": "soup.find('body')", "body": "el.text",
+          | "#page": "soup.find('title').text"}""".stripMargin)),
+      toProperty = Some("properties/"))
+    val (grown, _) = Growth.grow(seeded, growth, htmlFetcher,
+      graft.sources.Resources.emptyCache(spark))
+    val scraped = grown
+      .withColumn("doc_id", col("id"))
+      .withColumn("text", trim(call_function("graft_reach", col("properties"), lit("$.body"))))
+      .filter(col("text").isNotNull)
+    assert(scraped.count() === 3)
+    assert(scraped.filter(col("properties").contains("\"page\"")).count() === 3)
+
+    // Curate: exact-dedup the two identical bodies, then chunk.
+    val groups = graft.ops.Dedup.exactGroups(scraped, "doc_id", "text")
+    assert(groups.count() === 2, "items 1 and 2 share a body")
+    val keep = scraped.join(
+      groups.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    assert(keep.count() === 2)
+    val chunks = graft.ops.Curation.chunk(keep, "doc_id", "text", size = 4, overlap = 1)
+    assert(chunks.count() === 4, "6 tokens → chunks at 0 and 3, per kept doc")
+  }
 }
