@@ -155,6 +155,28 @@ class MarkupSpec extends AnyFunSuite {
       s"external entity must not be resolved, got: '$v'")
   }
 
+  test("tolerant parser is total: never throws on arbitrary input") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "<>/=\"' abc&;!-#".toCharArray
+    (1 to 500).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(200))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val root = Markup.parseHtml(s) // must not throw
+      root.text // traversal must not throw either
+    }
+    // pathological-but-real shapes
+    Seq("", "<", "</", "<a", "<a href", "<a href=", "<a href='x", "<!--", "<!-- -->x",
+      "<!doctype", "<?xml", "</unopened>", "<b><i></b></i>", "<script>if (a<b) x();</script>",
+      "&unknown; &#xZZ; &#99999999999;", "<p>" * 50).foreach { s =>
+      Markup.parseHtml(s).text
+    }
+  }
+
+  test("mismatched-nesting recovery keeps content reachable") {
+    val root = Markup.parseHtml("<div><b>bold <i>both</b> italic</i></div>")
+    assert(root.text === "bold both italic")
+    assert(root.find("b").isDefined && root.find("i").isDefined)
+  }
+
   test("Objective.extractByContentType routes markup when configured, raises otherwise") {
     val json = Objective("$.items", Seq("id" -> "$.id"))
     val viaDispatch = Objective.extractByContentType(

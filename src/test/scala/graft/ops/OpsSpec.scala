@@ -264,6 +264,32 @@ class CurationSpec extends SparkTestBase {
       === Seq("solo"))
   }
 
+  test("chunk property: concatenating chunk starts reconstructs every token") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 20L).map { i =>
+      (i, (0 until rnd.nextInt(40)).map(j => s"w${rnd.nextInt(9)}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val size = 7; val overlap = 3; val step = size - overlap
+    val chunks = Curation.chunk(docs, "doc_id", "text", size, overlap)
+      .orderBy("doc_id", "chunk_ix").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[String]("chunk_text")).toSeq)
+    docs.collect().foreach { r =>
+      val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+      val got = chunks.getOrElse(r.getLong(0), Seq.empty)
+      if (toks.isEmpty) assert(got.isEmpty)
+      else {
+        // every chunk is the exact token slice starting at its window,
+        // and the last chunk runs through the final token
+        val starts = got.indices.map(_ * step)
+        assert(starts.zip(got).forall { case (s, c) =>
+          c.split(" ").toSeq == toks.slice(s, s + size).toSeq
+        }, s"chunk contents must be exact slices for doc ${r.getLong(0)}")
+        assert(starts.last + got.last.split(" ").length == toks.length,
+          "chunks must cover through the final token")
+      }
+    }
+  }
+
   test("packSequences: per-shard integer running totals, repeatable under repartition") {
     val docs = Seq(
       (1L, "a", "w " * 300), (2L, "a", "w " * 300), (3L, "a", "w " * 300),
