@@ -187,6 +187,9 @@ object Markup {
     var stack = List(root)
     var i = 0
     val n = input.length
+    // lowered once: raw-text close-tag scans would otherwise lowercase
+    // the whole input per script/style element (O(n²) on script-heavy pages)
+    lazy val lowered = input.toLowerCase
     val text = new java.lang.StringBuilder
 
     def flushText(): Unit = {
@@ -246,7 +249,7 @@ object Markup {
             stack.head.children += Left(Elem(elem.tag, elem.attrs, Nil))
           } else if (RawTextElements.contains(elem.tag)) {
             val closeTag = s"</${elem.tag}"
-            val end = input.toLowerCase.indexOf(closeTag, i)
+            val end = lowered.indexOf(closeTag, i)
             val raw = if (end < 0) input.substring(i) else input.substring(i, end)
             stack.head.children += Left(Elem(elem.tag, elem.attrs, Seq(Right(raw))))
             if (end < 0) i = n
