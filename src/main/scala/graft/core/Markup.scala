@@ -1,5 +1,7 @@
 package graft.core
 
+import java.util.Locale
+
 import scala.collection.mutable.ArrayBuffer
 
 /** Markup (HTML/XML) extraction support — the engine behind the
@@ -83,7 +85,7 @@ object Markup {
         s.substring(start, i)
       }
       if (i < n && s.charAt(i) != '#' && s.charAt(i) != '.' && s.charAt(i) != '[')
-        tag = Some(readName().toLowerCase)
+        tag = Some(readName().toLowerCase(Locale.ROOT))
       while (i < n) {
         s.charAt(i) match {
           case '#' => i += 1; id = Some(readName())
@@ -124,7 +126,11 @@ object Markup {
   private def parseStrictXml(input: String): Elem = {
     val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     factory.setNamespaceAware(false)
-    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", false)
+    // Doctype declarations rejected outright: an inline DTD with internal
+    // entity definitions enables entity-expansion amplification from
+    // untrusted scraped XML. Doctyped-but-well-formed input falls through
+    // to the tolerant parser, which leaves entity references unexpanded.
+    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
     factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
     factory.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
@@ -141,7 +147,7 @@ object Markup {
     val nm = node.getAttributes
     (0 until nm.getLength).foreach { i =>
       val a = nm.item(i)
-      attrs += (a.getNodeName.toLowerCase -> a.getNodeValue)
+      attrs += (a.getNodeName.toLowerCase(Locale.ROOT) -> a.getNodeValue)
     }
     val children = Seq.newBuilder[Either[Elem, String]]
     val kids = node.getChildNodes
@@ -153,7 +159,7 @@ object Markup {
         case _ => ()
       }
     }
-    Elem(node.getTagName.toLowerCase, attrs.result(), children.result())
+    Elem(node.getTagName.toLowerCase(Locale.ROOT), attrs.result(), children.result())
   }
 
   /** HTML void elements — never have children, `<br>` needs no close. */
@@ -187,9 +193,6 @@ object Markup {
     var stack = List(root)
     var i = 0
     val n = input.length
-    // lowered once: raw-text close-tag scans would otherwise lowercase
-    // the whole input per script/style element (O(n²) on script-heavy pages)
-    lazy val lowered = input.toLowerCase
     val text = new java.lang.StringBuilder
 
     def flushText(): Unit = {
@@ -220,7 +223,7 @@ object Markup {
           flushText()
           val end = input.indexOf('>', i)
           val name = (if (end < 0) input.substring(i + 2)
-                      else input.substring(i + 2, end)).trim.toLowerCase
+                      else input.substring(i + 2, end)).trim.toLowerCase(Locale.ROOT)
           i = if (end < 0) n else end + 1
           if (stack.exists(_.tag == name)) {
             while (stack.head.tag != name) {
@@ -249,7 +252,7 @@ object Markup {
             stack.head.children += Left(Elem(elem.tag, elem.attrs, Nil))
           } else if (RawTextElements.contains(elem.tag)) {
             val closeTag = s"</${elem.tag}"
-            val end = lowered.indexOf(closeTag, i)
+            val end = indexOfIgnoreCase(input, closeTag, i)
             val raw = if (end < 0) input.substring(i) else input.substring(i, end)
             stack.head.children += Left(Elem(elem.tag, elem.attrs, Seq(Right(raw))))
             if (end < 0) i = n
@@ -281,13 +284,29 @@ object Markup {
     }
   }
 
+  /** First index of `needle` in `haystack` at/after `from`, compared
+    * case-insensitively WITHOUT materializing a case-mapped copy. Unicode
+    * case mapping can change string length (U+0130 'İ' lowercases to two
+    * chars), so offsets computed on a lowercased copy do not line up
+    * with `input` — never index one string with offsets from the other.
+    */
+  private def indexOfIgnoreCase(haystack: String, needle: String, from: Int): Int = {
+    val max = haystack.length - needle.length
+    var i = math.max(from, 0)
+    while (i <= max) {
+      if (haystack.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   private def parseStartTag(input: String, start: Int): (OpenElem, Boolean, Int) = {
     var i = start + 1
     val n = input.length
     val nameStart = i
     while (i < n && (input.charAt(i).isLetterOrDigit || input.charAt(i) == '-'
       || input.charAt(i) == ':' || input.charAt(i) == '_')) i += 1
-    val tag = input.substring(nameStart, i).toLowerCase
+    val tag = input.substring(nameStart, i).toLowerCase(Locale.ROOT)
     val attrs = Seq.newBuilder[(String, String)]
     var selfClosed = false
     var done = false
@@ -301,7 +320,7 @@ object Markup {
         val aStart = i
         while (i < n && !input.charAt(i).isWhitespace && input.charAt(i) != '='
           && input.charAt(i) != '>' && input.charAt(i) != '/') i += 1
-        val name = input.substring(aStart, i).toLowerCase
+        val name = input.substring(aStart, i).toLowerCase(Locale.ROOT)
         while (i < n && input.charAt(i).isWhitespace) i += 1
         var value = ""
         if (i < n && input.charAt(i) == '=') {

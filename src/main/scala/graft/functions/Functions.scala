@@ -361,7 +361,16 @@ case class PairsExpression(child: Expression)
   override protected def nullSafeEval(idsAny: Any): Any = {
     val ids = idsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = ids.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // n*(n-1)/2 in Int overflows past ~65k ids (NegativeArraySizeException
+    // with no hint of the cause). Degenerate buckets deserve a nameable
+    // error instead: the fix is always more bands/planes or a bucket cap.
+    val pairCount = n.toLong * (n - 1) / 2
+    if (pairCount > PairsExpression.MaxPairs)
+      throw new IllegalStateException(
+        s"graft_pairs: bucket of $n ids would emit $pairCount pairs " +
+          s"(max ${PairsExpression.MaxPairs}) — raise bands/planes or cap " +
+          "bucket size (maxBucketSize)")
+    val out = new Array[Any](pairCount.toInt)
     var k = 0
     var i = 0
     while (i < n) {
@@ -377,6 +386,12 @@ case class PairsExpression(child: Expression)
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object PairsExpression {
+  /** Hard ceiling on pairs emitted per bucket (64M structs ≈ 1 GiB row
+    * data — already far past any sane blocking-key design). */
+  val MaxPairs: Long = 64L * 1024 * 1024
 }
 
 /** `float_dot(a, b)` — sequential double-precision dot product over two

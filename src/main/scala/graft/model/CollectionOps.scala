@@ -18,6 +18,14 @@ final case class CollectionSpec(
     identifier: Option[String] = None,
     referee: Option[String] = None)
 
+/** Result struct of the upsert's merged-update application. Top-level
+  * (not nested/private) so Janino-generated code can reach its
+  * accessors — a `private` nested case class forces every evaluation
+  * into interpreted mode ("Expr codegen error" fallback).
+  */
+final case class UpdateResult(properties: String, task_results: String,
+                              derivatives: String, invalidated: Boolean)
+
 /** Collection operators as distributed DataFrame transformations
   * (reference: collection.py). Scale notes: update/seed batches are
   * small (reference batch_size 100) and always broadcast; the target
@@ -63,9 +71,6 @@ object CollectionOps {
     batch = Documents.assignIds(batch, maxId)
     base.unionByName(batch)
   }
-
-  private case class UpdateResult(properties: String, task_results: String,
-                                  derivatives: String, invalidated: Boolean)
 
   /** `Collection.update_batches` (collection.py:211-269) — upsert by a
     * property value. Semantics preserved from the reference:

@@ -76,12 +76,19 @@ object Dedup {
     * (band, bucket) key — grouping beats a bucket self-join (which
     * shuffles the keyed rows twice). */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+                        k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+                        maxBucketSize: Int = 0): DataFrame = {
     val rowsPerBand = k / bands
-    minhashSignatures(df, idCol, textCol, k, shingleSize)
+    val buckets = minhashSignatures(df, idCol, textCol, k, shingleSize)
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // degenerate buckets (boilerplate-heavy corpora) are quadratic in
+    // pair count; maxBucketSize (0 = off) drops them, as simhash does
+    val capped =
+      if (maxBucketSize > 0) buckets.filter(size(col("ids")) <= maxBucketSize)
+      else buckets
+    capped
       .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()

@@ -123,19 +123,27 @@ object Similarity {
     * all-pairs (only sane for probe-scale inputs). */
   def nearDuplicates(df: DataFrame, threshold: Double, planes: Int = 8,
                      tables: Int = 1,
-                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     maxBucketSize: Int = 0): DataFrame = {
     if (planes <= 0) return exactNearDuplicates(df, threshold, idCol, embCol)
     val keyed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       sqrt(dotUdf(col(embCol), col(embCol))).as("norm"))
     // one shuffle on the (table, bucket) key; pairs generate locally
     // per bucket group (see Dedup.pairsFromSortedIds)
-    val pairs = keyed.select(col("id"),
+    val buckets = keyed.select(col("id"),
         explode(array((0 until tables).map { t =>
           struct(lit(t).as("t"),
             srpBucket(col("emb"), planes, t * planes).as("bucket"))
         }: _*)).as("tb"))
       .groupBy(col("tb.t").as("t"), col("tb.bucket").as("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // maxBucketSize (0 = off) drops degenerate buckets — pair count per
+    // bucket is quadratic, and a clustered embedding space can land a
+    // large corpus fraction in one bucket
+    val capped =
+      if (maxBucketSize > 0) buckets.filter(size(col("ids")) <= maxBucketSize)
+      else buckets
+    val pairs = capped
       .select(explode(Dedup.pairsFromSortedIds(col("ids"))).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()

@@ -529,7 +529,8 @@ object TrainingData {
          |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_offset
          |  FROM t)
-         |SELECT doc_id, lang, n_tokens, bin_offset, bin_offset // 512 AS bin
+         |SELECT doc_id, lang, n_tokens, bin_offset::BIGINT AS bin_offset,
+         |  (bin_offset // 512)::BIGINT AS bin
          |FROM p ORDER BY doc_id""".stripMargin,
     "q34_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -171,6 +171,56 @@ class MarkupSpec extends AnyFunSuite {
     }
   }
 
+  test("raw-text close-tag scan survives length-changing case mappings") {
+    // U+0130 'İ' lowercases to TWO chars — offsets computed on a
+    // lowercased copy would overshoot the original and throw (or
+    // silently corrupt the script slice and swallow following content).
+    val html = "İİİİİİİİİİ<p>önce</p><SCRIPT>var x = 1;</SCRIPT><p>sonra</p>"
+    val root = Markup.parseHtml(html)
+    assert(root.find("script").map(_.text) === Some("var x = 1;"))
+    assert(root.findAll("p").map(_.text) === Seq("önce", "sonra"))
+  }
+
+  test("uppercase and mixed-case raw-text close tags match") {
+    val root = Markup.parseHtml("<script>a<b</ScRiPt><i>x</i>")
+    assert(root.find("script").map(_.text) === Some("a<b"))
+    assert(root.find("i").map(_.text) === Some("x"))
+  }
+
+  test("inline DTD entity definitions are not expanded") {
+    // disallow-doctype-decl rejects the strict parse; the tolerant
+    // fallback keeps structure with entity references unexpanded — no
+    // entity-expansion amplification from scraped XML.
+    val xml = """<?xml version="1.0"?>
+      |<!DOCTYPE r [<!ENTITY a "aaaa"><!ENTITY b "&a;&a;&a;&a;">]>
+      |<r><v>&b;</v></r>""".stripMargin
+    val root = Markup.parseXml(xml)
+    assert(root.find("v").map(_.text) === Some("&b;"))
+  }
+
+  test("tag case-folding is locale-independent") {
+    val saved = java.util.Locale.getDefault
+    try {
+      // Turkish locale: default-locale lowercase maps 'I' to dotless 'ı',
+      // so <DIV>/<SCRIPT> would stop matching without Locale.ROOT.
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val root = Markup.parseHtml("<DIV id=x>t</DIV><SCRIPT>s()</SCRIPT>")
+      assert(root.find("div").map(_.text) === Some("t"))
+      assert(root.find("script").map(_.text) === Some("s()"))
+      val strict = Markup.parseXml("<ROOT><ITEM>v</ITEM></ROOT>")
+      assert(strict.find("item").map(_.text) === Some("v"))
+    } finally java.util.Locale.setDefault(saved)
+  }
+
+  test("tolerant parser is total on non-ASCII input too") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "<>/=\"' abc&;!-#İıŞğÜßİı".toCharArray
+    (1 to 300).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(200))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      Markup.parseHtml(s).text // must not throw
+    }
+  }
+
   test("mismatched-nesting recovery keeps content reachable") {
     val root = Markup.parseHtml("<div><b>bold <i>both</b> italic</i></div>")
     assert(root.text === "bold both italic")

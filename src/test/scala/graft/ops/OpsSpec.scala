@@ -61,6 +61,28 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b) == Set(5L) })
   }
 
+  test("graft_pairs refuses buckets past the pair ceiling with a nameable error") {
+    // 12k ids → ~72M pairs > the 64M cap; the guard must fire BEFORE
+    // allocation (Int math would overflow to NegativeArraySizeException
+    // past ~65k ids with no hint of the cause).
+    val big = Seq(Seq.range(0L, 12000L)).toDF("ids")
+    val e = intercept[Exception] {
+      big.select(explode(Dedup.pairsFromSortedIds(col("ids")))).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(m => m.contains("graft_pairs") && m.contains("maxBucketSize"))),
+      s"expected the graft_pairs bucket-size error, got: $e")
+  }
+
+  test("lshCandidatePairs maxBucketSize drops degenerate buckets") {
+    // every doc identical → one bucket of 5 per band; cap of 4 drops it
+    val same = Seq.tabulate(5)(i => (i.toLong, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(Dedup.lshCandidatePairs(same, "doc_id", "text").count() === 10)
+    assert(Dedup.lshCandidatePairs(same, "doc_id", "text", maxBucketSize = 4).count() === 0)
+  }
+
   test("ngram jaccard verification: exact=1.0, near<1, threshold filters") {
     val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
