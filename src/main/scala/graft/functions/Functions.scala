@@ -343,6 +343,92 @@ case class SrpBucketExpression(first: Expression, second: Expression, third: Exp
     copy(first = f, second = s, third = t)
 }
 
+/** `graft_ivf_nearest(emb, n, cids, cembs)` — ids of the `n` nearest
+  * codebook centroids for one embedding, ordered by squared euclidean
+  * distance (`‖v‖² − 2·v·c + ‖c‖²`, sequential double dots — the exact
+  * arithmetic of the joined form it replaces), ties by centroid id.
+  * The codebook rides the plan as foldable literals (task binaries are
+  * themselves torrent-broadcast, so the table ships once per executor)
+  * and is decoded into primitive arrays once per expression instance —
+  * one row in, one row out, no corpus×codebook join, no shuffle, no
+  * window. This is the IVF coarse-assignment kernel: the joined form
+  * materializes |corpus|×|codebook| rows to compute what is a pure
+  * per-row function of a broadcast table (×4096 at a real codebook).
+  */
+case class IvfNearestExpression(first: Expression, second: Expression,
+                                third: Expression, fourth: Expression)
+    extends QuaternaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ivf_nearest"
+
+  /** (cid, centroid components, ‖c‖²) sorted by cid — decoded once from
+    * the foldable literal children. */
+  @transient private lazy val codebook: (Array[Long], Array[Array[Float]], Array[Double]) = {
+    val cidData = third.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cembData = fourth.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val k = cidData.numElements()
+    val order = Array.range(0, k).sortBy(cidData.getLong)
+    val cids = new Array[Long](k)
+    val cembs = new Array[Array[Float]](k)
+    val norms2 = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val src = order(i)
+      cids(i) = cidData.getLong(src)
+      cembs(i) = cembData.getArray(src).toFloatArray()
+      var s = 0.0
+      val c = cembs(i)
+      var d = 0
+      while (d < c.length) { s += c(d).toDouble * c(d).toDouble; d += 1 }
+      norms2(i) = s
+      i += 1
+    }
+    (cids, cembs, norms2)
+  }
+
+  override protected def nullSafeEval(embAny: Any, nAny: Any, c3: Any, c4: Any): Any = {
+    val arr = embAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val (cids, cembs, norms2) = codebook
+    val n = math.min(nAny.asInstanceOf[Int], cids.length)
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val dims = arr.numElements()
+    var vv = 0.0
+    var d = 0
+    while (d < dims) { val v = arr.getFloat(d).toDouble; vv += v * v; d += 1 }
+    // top-n by (d2 asc, cid asc): centroids iterate cid-ascending, and
+    // insertion is strict-less, so equal distances keep cid order
+    val bestD = new Array[Double](n)
+    val bestC = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < cids.length) {
+      val c = cembs(i)
+      var vc = 0.0
+      d = 0
+      val len = math.min(dims, c.length)
+      while (d < len) { vc += arr.getFloat(d).toDouble * c(d).toDouble; d += 1 }
+      val d2 = vv - 2.0 * vc + norms2(i)
+      if (m < n || d2 < bestD(m - 1)) {
+        var j = if (m < n) m else m - 1
+        while (j > 0 && d2 < bestD(j - 1)) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestD(j) = d2; bestC(j) = cids(i)
+        if (m < n) m += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) { out(i) = bestC(i); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression, q: Expression) =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** `pairs(ids)` — all (a, b) pairs with a < b from a SORTED long-id
   * array, as `array<struct<a,b>>`. The local pair-generation step of
   * every blocking dedup operator (shared-shingle, LSH band buckets, SRP
@@ -486,6 +572,7 @@ object GraftFunctions {
     "graft_float_dot" -> (e => FloatDotExpression(e(0), e(1))),
     "graft_srp_bucket" -> (e => SrpBucketExpression(e(0), e(1), e(2))),
     "graft_pairs" -> (e => PairsExpression(e(0))),
+    "graft_ivf_nearest" -> (e => IvfNearestExpression(e(0), e(1), e(2), e(3))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
     "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))))
 

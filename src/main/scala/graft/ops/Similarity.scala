@@ -156,16 +156,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** A codebook frame materialized to driver arrays, cid-ascending.
+    * Collecting the CODEBOOK is the broadcast: a codebook is small by
+    * construction (seeds, a k-means coarse level), and embedding it in
+    * the plan ships it once per executor via the task-binary broadcast —
+    * the corpus never joins, shuffles, or windows for assignment. */
+  private def codebookArrays(centroids: DataFrame, cidCol: String,
+                             embCol: String): (Array[Long], Array[Array[Float]]) = {
+    val rows = centroids.select(col(cidCol).cast("long"), col(embCol)).collect()
+    val sorted = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
+  /** `n` nearest centroid ids for an embedding column — the native
+    * argmin kernel (graft.functions.IvfNearestExpression): one row in,
+    * one row out, distance arithmetic identical to [[ivfAssignJoined]].
+    */
+  def ivfNearest(emb: Column, n: Int, cids: Array[Long],
+                 cembs: Array[Array[Float]]): Column =
+    call_function("graft_ivf_nearest", emb, lit(n), lit(cids),
+      typedlit[Seq[Seq[Float]]](cembs.map(_.toSeq).toSeq))
+
   /** IVF coarse quantization: assign every vector to its nearest
     * centroid by squared euclidean distance (`‖v‖² − 2·v·c + ‖c‖²`,
     * sequential double dots — deterministic and engine-portable), ties
     * broken by centroid id. `centroids` is ANY (cid, embedding) frame —
     * seeds, a trained k-means codebook, a product quantizer's coarse
-    * level — and is broadcast (a codebook is small by construction; the
-    * corpus never shuffles for assignment). */
+    * level. Assignment is a per-row expression over the collected
+    * codebook — no corpus×codebook row materialization (the joined form
+    * is a ×|codebook| blowup plus a corpus-wide window at scale). */
   def ivfAssign(df: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", embCol: String = "embedding",
                 cidCol: String = "cid"): DataFrame = {
+    val (cids, cembs) = codebookArrays(centroids, cidCol, embCol)
+    df.withColumn("cluster", element_at(ivfNearest(col(embCol), 1, cids, cembs), 1))
+  }
+
+  /** The crossJoin+window form of [[ivfAssign]] — kept as the
+    * independent reference implementation the native kernel is
+    * equivalence-tested against (SimilaritySpec); not used by any
+    * registered query. */
+  private[ops] def ivfAssignJoined(df: DataFrame, centroids: DataFrame,
+                                   idCol: String = "vec_id", embCol: String = "embedding",
+                                   cidCol: String = "cid"): DataFrame = {
     val c = broadcast(centroids.select(col(cidCol).as("__cid"), col(embCol).as("__cemb")))
     val d2 = dotUdf(col(embCol), col(embCol)) -
       lit(2.0) * dotUdf(col(embCol), col("__cemb")) +
@@ -188,19 +221,17 @@ object Similarity {
                 k: Int, nProbe: Int = 2,
                 idCol: String = "vec_id", embCol: String = "embedding",
                 cidCol: String = "cid"): DataFrame = {
-    val c = broadcast(centroids.select(col(cidCol).as("__cid"), col(embCol).as("__cemb")))
-    val d2 = dotUdf(col(embCol), col(embCol)) -
-      lit(2.0) * dotUdf(col(embCol), col("__cemb")) +
-      dotUdf(col("__cemb"), col("__cemb"))
-    val wProbe = Window.partitionBy(col(idCol)).orderBy(d2, col("__cid"))
-    val probeClusters = probes.crossJoin(c)
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nProbe)
+    val (cids, cembs) = codebookArrays(centroids, cidCol, embCol)
+    // both sides quantize with the per-row kernel: probes explode their
+    // nProbe nearest lists, the corpus maps to its single list — the
+    // only join left is the candidate join on cluster ids
+    val probeClusters = probes
       .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
-        col("__cid").as("cluster"))
+        explode(ivfNearest(col(embCol), nProbe, cids, cembs)).as("cluster"))
       .withColumn("p_norm", sqrt(dotUdf(col("p_emb"), col("p_emb"))))
-    val corpusAssigned = ivfAssign(corpus, centroids, idCol, embCol, cidCol)
-      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("cluster"))
+    val corpusAssigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        element_at(ivfNearest(col(embCol), 1, cids, cembs), 1).as("cluster"))
       .withColumn("c_norm", sqrt(dotUdf(col("c_emb"), col("c_emb"))))
     val scored = probeClusters.join(corpusAssigned, Seq("cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -214,6 +245,41 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Lloyd's k-means codebook trainer for IVF: `iterations` rounds of
+    * per-row nearest-centroid assignment (the native kernel) followed by
+    * per-cluster dimension means. The mean aggregates map-side, so the
+    * shuffle carries at most k×dims partial rows regardless of corpus
+    * size; only codebook-sized frames (k rows per round) ever reach the
+    * driver — that collect IS the broadcast of the next round's
+    * codebook. Seeds: the k lowest-id vectors (deterministic). Empty
+    * clusters keep their previous centroid. Returns a (cid, embCol)
+    * frame ready for [[ivfAssign]]/[[ivfSearch]]. */
+  def trainCodebook(df: DataFrame, k: Int, iterations: Int = 4,
+                    idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val seeds = df.orderBy(col(idCol)).limit(k).select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cids = Array.tabulate(seeds.length)(_.toLong)
+    var cembs = seeds
+    (1 to iterations).foreach { _ =>
+      val means = df
+        .select(element_at(ivfNearest(col(embCol), 1, cids, cembs), 1).as("cluster"),
+          posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"),
+          transform(col("pm"), x => x.getField("m").cast("float")).as("emb"))
+        .collect()
+      means.foreach { r =>
+        cembs = cembs.updated(r.getLong(0).toInt, r.getSeq[Float](1).toArray)
+      }
+    }
+    cids.zip(cembs).toSeq.toDF("cid", embCol)
   }
 
   /** Exact all-pairs near-dup: corpus broadcast as primitive arrays, a

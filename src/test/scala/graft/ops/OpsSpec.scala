@@ -201,6 +201,55 @@ class SimilaritySpec extends SparkTestBase {
     assert(!top.map(_.getAs[Long]("neighbor_id")).contains(2L))
   }
 
+  test("native IVF assignment ≡ the crossJoin+window reference form") {
+    // 40 pseudo-random 8-dim vectors, 5 centroids — argmin and
+    // tie-breaks must agree with the joined form bit-for-bit
+    def vec(seed: Int) = Array.tabulate(8)(d => (((seed * 31 + d) % 17) - 8) / 8f)
+    val corpus = Seq.tabulate(40)(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val cents = Seq.tabulate(5)(i => (i.toLong, vec(100 + i))).toDF("cid", "embedding")
+    val native = Similarity.ivfAssign(corpus, cents)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = Similarity.ivfAssignJoined(corpus, cents)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === joined)
+    // exact ties (duplicate centroids) resolve to the smaller cid
+    val dupCents = Seq((7L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))).toDF("cid", "embedding")
+    val tied = Similarity.ivfAssign(corpus.limit(3), dupCents)
+      .select("cluster").collect().map(_.getLong(0))
+    assert(tied.forall(_ === 3L))
+  }
+
+  test("trained IVF codebook beats seed centroids on recall@k") {
+    // two tight clusters far apart, ids 0-29 in A and 30-59 in B: the
+    // lowest-id seed codebook puts BOTH centroids inside cluster A, so
+    // B's vectors scatter across the two inverted lists and nProbe=1
+    // misses neighbors; Lloyd's rounds must pull one centroid over to B
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]) = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val a = Array(10f, 0f, 0f, 0f)
+    val b = Array(0f, 10f, 0f, 0f)
+    val corpus = Seq.tabulate(60)(i => (i.toLong, jitter(if (i < 30) a else b)))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 0 || col("vec_id") === 1 ||
+      col("vec_id") === 30 || col("vec_id") === 31)
+    def recall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val truth = Similarity.bruteForceTopK(probes, corpus, k = 5)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity.ivfSearch(probes, corpus, centroids, k = 5, nProbe = 1)
+        .select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val seedCents = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val trained = Similarity.trainCodebook(corpus, k = 2, iterations = 4)
+    val (rSeed, rTrained) = (recall(seedCents), recall(trained))
+    assert(rTrained > rSeed, s"trained $rTrained must beat seed $rSeed")
+    assert(rTrained > 0.9, s"trained codebook should separate the clusters, got $rTrained")
+  }
+
   test("multi-table SRP near-dup finds the close pair without any collect") {
     val nd = Similarity.nearDuplicates(vecs, threshold = 0.9, planes = 2, tables = 3)
     assert(nd.queryExecution.executedPlan.toString.contains("Join"))

@@ -51,11 +51,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("collect_list"), "one grouping by shingle replaces the self-join")
   }
 
-  test("q35 IVF: centroid codebook broadcasts; corpus joins inverted lists by cluster") {
+  test("q35 IVF: per-row native assignment — no codebook join, no assignment window") {
     val p = plan("q35_ivf_ann")
-    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
-    assert(p.contains("WindowGroupLimit"), "argmin rank is limit-pushed, not full sort")
+    assert(p.contains("graft_ivf_nearest"), "assignment must be the native argmin kernel")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "no corpus×codebook row materialization (×|codebook| blowup at a real codebook)")
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+    assert(p.contains("WindowGroupLimit"), "final top-k rank is limit-pushed, not full sort")
+    // exactly ONE window (the top-k rank): the probe/corpus assignment
+    // windows of the joined form are gone
+    assert("Window\\b".r.findAllIn(p).size <= 2, // logical+physical mention
+      "assignment must not reintroduce per-row windows")
   }
 
   test("q36 pipeline composes without any collect or cartesian stage") {
