@@ -48,9 +48,19 @@ object Resources {
     *      the caller can append them to the cache table.
     * `cacheOnly` forbids live fetches (reference generic.py:119-124) —
     * misses come back with status 0.
+    *
+    * `auth` carries credentials applied at SEND time only (headers
+    * merged into the request, parameters merged into the query string —
+    * reference `request_with_auth`, generic.py:433-447 applied at
+    * `:136`). Cache keys and every stored column (`uri`, `url`,
+    * `request_body`) are computed from the credential-free request, so
+    * authentication data never reaches the cache table — the
+    * `request_without_auth` strip guarantee (generic.py:39-43, 449-463)
+    * holds structurally: credentials exist only inside the send call.
     */
   def fetchWithCache(requests: DataFrame, cache: DataFrame, fetcher: Fetcher,
-                     cacheOnly: Boolean = false, maxConcurrency: Int = 32): DataFrame = {
+                     cacheOnly: Boolean = false, maxConcurrency: Int = 32,
+                     auth: AuthConfig = AuthConfig.none): DataFrame = {
     val spark = requests.sparkSession
     val keyed = requests
       .withColumn("uri", call_function("graft_uri_from_url", col("url")))
@@ -85,7 +95,10 @@ object Resources {
             val method = row.getAs[String]("method")
             val url = row.getAs[String]("url")
             val body = row.getAs[String]("request_body")
-            val resp = fetcher.fetch(method, url, body)
+            // credentials enter here and go nowhere else: the stored row
+            // keeps the credential-free url/body the keys were cut from
+            val resp = fetcher.fetch(method, AuthConfig.withParameters(url, auth.parameters),
+              body, auth.headers)
             Row(row.getAs[String]("uri"), row.getAs[String]("data_hash"), method, url, body,
               resp.status, resp.head, resp.body, false,
               new java.sql.Timestamp(System.currentTimeMillis()))
@@ -127,6 +140,43 @@ object MicroService {
 /** A fetch response; `head` is a JSON object of response headers. */
 final case class FetchResponse(status: Int, head: String, body: String)
 
+/** Send-time credentials (reference `auth_headers`/`auth_parameters`,
+  * generic.py:410-431): `headers` merge into the request headers,
+  * `parameters` into the URL query string — at send time only. The
+  * cache pipeline never stores either (generic.py:39-43).
+  */
+final case class AuthConfig(headers: Map[String, String] = Map.empty,
+                            parameters: Map[String, String] = Map.empty) extends Serializable
+
+object AuthConfig {
+  val none: AuthConfig = AuthConfig()
+
+  /** `request_with_auth`'s query merge (generic.py:437-442): auth
+    * parameters replace same-named keys and append otherwise; the
+    * fragment survives. Values are taken verbatim (callers encode). */
+  def withParameters(url: String, params: Map[String, String]): String = {
+    if (params.isEmpty) return url
+    val (base, fragment) = url.indexOf('#') match {
+      case -1 => (url, "")
+      case i => (url.substring(0, i), url.substring(i))
+    }
+    val (path, query) = base.indexOf('?') match {
+      case -1 => (base, "")
+      case i => (base.substring(0, i), base.substring(i + 1))
+    }
+    val existing = query.split("&").filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> ""
+      }
+    }
+    val merged = scala.collection.mutable.LinkedHashMap(existing: _*)
+    params.foreach { case (k, v) => merged(k) = v }
+    val qs = merged.map { case (k, v) => s"$k=$v" }.mkString("&")
+    s"$path?$qs$fragment"
+  }
+}
+
 /** Injectable transport. Implementations MUST be serializable — the
   * growth path ships the fetcher to executors inside mapPartitions.
   * (The reference's analogue of swapping this out is `TestClientResource`
@@ -134,42 +184,75 @@ final case class FetchResponse(status: Int, head: String, body: String)
   */
 trait Fetcher extends Serializable {
   def fetch(method: String, url: String, requestBody: String): FetchResponse
+
+  /** Send with extra request headers (auth injection). The default
+    * ignores them so minimal test transports keep working; real
+    * transports must apply them. */
+  def fetch(method: String, url: String, requestBody: String,
+            headers: Map[String, String]): FetchResponse =
+    fetch(method, url, requestBody)
 }
 
 /** Live HTTP transport with the reference's robustness envelope:
   * 30 s timeout (datagrowth.yml:23), backoff 0/2/4/8/16 s on statuses
-  * 420/429/502/503/504 (generic.py:541-563, datagrowth.yml:32).
+  * 420/429/502/503/504 (generic.py:541-563, datagrowth.yml:32),
+  * `interval_duration`-style pacing after every send (generic.py:
+  * 139-140 — per transport instance, so total politeness against one
+  * host is interval × concurrent partitions), and a configured
+  * User-Agent prefixed to the transport's own (generic.py:229).
   */
 class HttpFetcher(timeoutSeconds: Int = 30,
                   backoffDelays: Seq[Int] = Seq(2, 4, 8, 16),
-                  retryStatuses: Set[Int] = Set(420, 429, 502, 503, 504))
+                  retryStatuses: Set[Int] = Set(420, 429, 502, 503, 504),
+                  userAgent: String = "",
+                  intervalMillis: Long = 0L)
     extends Fetcher {
 
   @transient private lazy val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
 
-  def fetch(method: String, url: String, requestBody: String): FetchResponse = {
-    var attempt = -1
-    var last: FetchResponse = null
-    val delays = 0 +: backoffDelays
-    while (attempt < delays.length - 1) {
-      attempt += 1
-      if (delays(attempt) > 0) sleep(delays(attempt))
-      last = fetchOnce(method, url, requestBody)
-      if (!retryStatuses.contains(last.status)) return last
+  def fetch(method: String, url: String, requestBody: String): FetchResponse =
+    fetch(method, url, requestBody, Map.empty)
+
+  override def fetch(method: String, url: String, requestBody: String,
+                     headers: Map[String, String]): FetchResponse = {
+    val ua =
+      if (userAgent.nonEmpty) Map("User-Agent" -> s"$userAgent; ${HttpFetcher.BaseAgent}")
+      else Map.empty[String, String]
+    val effective = ua ++ headers
+    try {
+      var attempt = -1
+      var last: FetchResponse = null
+      val delays = 0 +: backoffDelays
+      while (attempt < delays.length - 1) {
+        attempt += 1
+        if (delays(attempt) > 0) sleep(delays(attempt))
+        last = fetchOnce(method, url, requestBody, effective)
+        if (!retryStatuses.contains(last.status)) return last
+      }
+      last
+    } finally {
+      // one pacing interval per send (not per retry attempt), after the
+      // response — the reference's interval_duration sleep placement
+      if (intervalMillis > 0) sleepMillis(intervalMillis)
     }
-    last
   }
 
   /** Overridable for tests (clock injection — the retry schedule is
     * asserted without real waiting). */
-  protected def sleep(seconds: Int): Unit = Thread.sleep(seconds * 1000L)
+  protected def sleep(seconds: Int): Unit = sleepMillis(seconds * 1000L)
+
+  /** Pacing clock — separate hook so tests can assert the politeness
+    * schedule independently of backoff. */
+  protected def sleepMillis(ms: Long): Unit = Thread.sleep(ms)
 
   /** Overridable for tests (transport injection). */
-  protected def fetchOnce(method: String, url: String, requestBody: String): FetchResponse =
+  protected def fetchOnce(method: String, url: String, requestBody: String,
+                          headers: Map[String, String]): FetchResponse =
     try {
       val builder = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      headers.foreach { case (k, v) => builder.header(k, v) }
       val withMethod = (Option(method).getOrElse("get").toUpperCase, Option(requestBody)) match {
         case ("GET", _) => builder.GET()
         case (m, Some(b)) => builder
@@ -192,4 +275,10 @@ class HttpFetcher(timeoutSeconds: Int = 30,
       case e: Exception =>
         FetchResponse(502, s"""{"error":"${e.getClass.getSimpleName}"}""", null)
     }
+}
+
+object HttpFetcher {
+  /** The transport's own agent string, suffixed after any configured
+    * user agent, like the reference suffixes python-requests'. */
+  val BaseAgent = "graft-http/1.0"
 }
