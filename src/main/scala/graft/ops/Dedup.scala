@@ -205,4 +205,66 @@ object Dedup {
         hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
   }
+
+  /** Connected components over an undirected candidate-pair graph —
+    * the closure step that turns near-dup PAIRS (q22/q23/q24/q26) into
+    * dedup CLUSTERS. Iterative min-label propagation: each round every
+    * node takes the minimum label among itself and its neighbors, until
+    * a fixpoint (converges in graph-diameter rounds; near-dup components
+    * are shallow, and `maxIterations` bounds pathological chains).
+    *
+    * Scale shape: the pair graph is a small fraction of the corpus
+    * (it is the LSH survivors), each round is one shuffle of the label
+    * frame on id, and `localCheckpoint` truncates the iterative lineage
+    * so plans do not grow exponentially. Convergence is detected by the
+    * label-sum invariant: labels only ever decrease, so the sum is
+    * strictly monotone until the fixpoint — one cheap aggregate per
+    * round instead of a change-count join.
+    *
+    * Returns (id, cluster) where cluster = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                          maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("ncluster")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncluster")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val newSum = updated.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** Resolve a corpus against its candidate pairs: every doc gets its
+    * component's min id as `cluster_id` and `keep` marks the one
+    * survivor per cluster (unpaired docs survive as their own cluster).
+    * This is the operator that actually PRODUCES a deduplicated corpus:
+    * `docs.filter(col("keep"))` after any pair-generating detector. */
+  def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      maxIterations: Int = 20): DataFrame = {
+    val labels = connectedComponents(pairs, maxIterations = maxIterations)
+      .select(col("id").as("__cc_id"), col("cluster").as("__cc_cluster"))
+    docs.join(labels, docs(idCol) === labels("__cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cc_cluster"), col(idCol)))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+      .drop("__cc_id", "__cc_cluster")
+  }
 }

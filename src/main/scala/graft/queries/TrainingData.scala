@@ -233,6 +233,18 @@ object TrainingData {
           rates = Map("en" -> 10), defaultRate = 50)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup cluster resolution: q23's LSH candidate pairs closed
+    // into connected components (iterative min-label propagation) —
+    // the step that turns pair DETECTION into an actually deduplicated
+    // corpus: one survivor (`keep`) per transitive near-dup cluster.
+    "q39_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleSize = 3)
+      Dedup.resolveClusters(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy(col("doc_id"))
     }))
 
   private val tokensSql = "list_filter(string_split(text, ' '), tk -> tk <> '')"
@@ -312,6 +324,32 @@ object TrainingData {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    // q39: q23's pair derivation + a recursive reachability closure;
+    // min(m) over everything reachable from n = the component min label.
+    "q39_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n)
+         |SELECT d.doc_id, COALESCE(l.cluster, d.doc_id)::BIGINT AS cluster_id,
+         |  d.doc_id = COALESCE(l.cluster, d.doc_id) AS keep
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q25_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -83,6 +83,26 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.lshCandidatePairs(same, "doc_id", "text", maxBucketSize = 4).count() === 0)
   }
 
+  test("connected components: transitive chain collapses, unpaired docs survive alone") {
+    // A~B, B~C but NOT A~C: one cluster {1,2,3}; {10,11} a second;
+    // 99 never paired — its own cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val allDocs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val r = Dedup.resolveClusters(allDocs, "doc_id", pairs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) === (1L, true) && r(2L) === (1L, false) && r(3L) === (1L, false))
+    assert(r(10L) === (10L, true) && r(11L) === (10L, false))
+    assert(r(99L) === (99L, true))
+  }
+
+  test("connected components reach fixpoint on a long chain (propagation over diameter)") {
+    // path 0-1-2-...-9: min label must travel 9 hops
+    val chain = Seq.tabulate(9)(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet === Set(0L), s"all chain nodes label 0, got $cc")
+  }
+
   test("ngram jaccard verification: exact=1.0, near<1, threshold filters") {
     val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
