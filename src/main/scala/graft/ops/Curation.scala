@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Corpus-curation operators for LLM training-data pipelines — the
   * filters that run between raw crawl and tokenizer at 100 TB:
@@ -136,6 +137,61 @@ object Curation {
       .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
       .withColumn("bin_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", (col("bin_offset") / window).cast("long"))
+  }
+
+  /** Boundary-respecting greedy packing (first-fit in id order). Unlike
+    * [[packSequences]] — concat-and-split, where a document's tokens can
+    * straddle a bin boundary — a document that would overflow the
+    * window STARTS A NEW BIN, so no bin exceeds `window` unless a
+    * single oversized document does (that document sits alone).
+    *
+    * The fill level is a non-linear recurrence
+    * (`fill' = if (fill + n > w) n else fill + n`), which no window
+    * function expresses — so each shard runs a sequential pass:
+    * shards hash-partition across executors (packing is embarrassingly
+    * parallel per shard; that is what makes it scale) and rows stream
+    * through constant per-shard state. The RDD drop is confined to this
+    * one segment Catalyst cannot express — documented per the
+    * repo-wide "no RDD unless justified" rule.
+    *
+    * Output: (shardCol string, idCol long, n_tokens, bin, bin_offset) —
+    * bins and offsets count per shard from 0.
+    */
+  def packSequencesGreedy(docs: DataFrame, shardCol: String, idCol: String,
+                          textCol: String, window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val spark = docs.sparkSession
+    val prepared = docs
+      .select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"),
+        size(tokens(col(textCol))).cast("long").as("n"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+    val schema = StructType(Seq(
+      StructField(shardCol, StringType),
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType),
+      StructField("bin", LongType, nullable = false),
+      StructField("bin_offset", LongType, nullable = false)))
+    val packed = prepared.rdd.mapPartitions { it =>
+      // a partition holds whole shards (hash-partitioned on shard) in
+      // (shard, id) order; state resets at every shard change
+      var shard: String = null
+      var started = false
+      var fill = 0L
+      var bin = 0L
+      it.map { r =>
+        val s = r.getString(0)
+        val id = r.getLong(1)
+        val n = r.getLong(2)
+        if (!started || s != shard) { shard = s; fill = 0L; bin = 0L; started = true }
+        if (fill > 0 && fill + n > window) { bin += 1; fill = 0L }
+        val off = fill
+        fill += n
+        Row(s, id, n, bin, off)
+      }
+    }
+    spark.createDataFrame(packed, schema)
   }
 
   /** Deterministic hash-based stratified sampling: a document is kept

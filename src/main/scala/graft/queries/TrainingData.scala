@@ -235,6 +235,16 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Boundary-respecting greedy packing: first-fit per lang shard at a
+    // 512-token window — a doc that would overflow starts a new bin
+    // (q38 is the concat-and-split variant where docs straddle bins).
+    "q40_greedy_packing" -> ((s, d) => {
+      Curation.packSequencesGreedy(t(s, d, "documents"), "lang", "doc_id", "text",
+          window = 512)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"), col("bin_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup cluster resolution: q23's LSH candidate pairs closed
     // into connected components (iterative min-label propagation) —
     // the step that turns pair DETECTION into an actually deduplicated
@@ -324,6 +334,27 @@ object TrainingData {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    // q40: the first-fit fill recurrence replayed as a per-shard
+    // recursive CTE stepping one row_number at a time (all shards
+    // advance together per iteration).
+    "q40_greedy_packing" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang, len($tokensSql)::BIGINT AS n,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |pack AS (
+         |  SELECT lang, rn, doc_id, n, 0::BIGINT AS bin, 0::BIGINT AS bin_offset,
+         |    n AS fill
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.lang, t.rn, t.doc_id, t.n,
+         |    CASE WHEN p.fill > 0 AND p.fill + t.n > 512 THEN p.bin + 1 ELSE p.bin END,
+         |    CASE WHEN p.fill > 0 AND p.fill + t.n > 512 THEN 0::BIGINT ELSE p.fill END,
+         |    CASE WHEN p.fill > 0 AND p.fill + t.n > 512 THEN t.n ELSE p.fill + t.n END
+         |  FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+         |SELECT doc_id, lang, n AS n_tokens, bin::BIGINT AS bin,
+         |  bin_offset::BIGINT AS bin_offset
+         |FROM pack ORDER BY doc_id""".stripMargin,
     // q39: q23's pair derivation + a recursive reachability closure;
     // min(m) over everything reachable from n = the component min label.
     "q39_dedup_clusters" ->

@@ -397,6 +397,47 @@ class CurationSpec extends SparkTestBase {
     assert(run(docs.repartition(5)) === bins, "partitioning-independent")
   }
 
+  test("packSequencesGreedy: overflowing docs start a new bin; oversized docs sit alone") {
+    val docs = Seq(
+      (1L, "a", "w " * 300), (2L, "a", "w " * 300), (3L, "a", "w " * 100),
+      (4L, "a", "w " * 700), (5L, "a", "w " * 10),
+      (6L, "b", "w " * 600)).toDF("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.packSequencesGreedy(df, "lang", "doc_id", "text", window = 512)
+        .select("doc_id", "bin", "bin_offset").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bins = run(docs)
+    assert(bins(1L) === (0L, 0L))
+    assert(bins(2L) === (1L, 0L), "300+300 > 512 → doc 2 starts bin 1 whole")
+    assert(bins(3L) === (1L, 300L), "100 still fits bin 1")
+    assert(bins(4L) === (2L, 0L), "oversized 700 starts its own bin")
+    assert(bins(5L) === (3L, 0L), "bin 2 is already past the window → new bin")
+    assert(bins(6L) === (0L, 0L), "shard b packs independently")
+    assert(run(docs.repartition(5)) === bins, "partitioning-independent")
+  }
+
+  test("packSequencesGreedy property: no bin exceeds the window unless a single doc does") {
+    val rnd = new scala.util.Random(5)
+    val docs = Seq.tabulate(200) { i =>
+      (i.toLong, s"s${i % 3}", "w " * (1 + rnd.nextInt(700)))
+    }.toDF("doc_id", "lang", "text")
+    val packed = Curation.packSequencesGreedy(docs, "lang", "doc_id", "text", window = 512)
+    val perBin = packed.groupBy("lang", "bin")
+      .agg(sum("n_tokens").as("total"), count(lit(1)).as("n_docs"))
+      .collect()
+    perBin.foreach { r =>
+      val (total, nDocs) = (r.getLong(2), r.getLong(3))
+      assert(total <= 512 || nDocs === 1L,
+        s"bin ${r.get(0)}/${r.get(1)} holds $total tokens across $nDocs docs")
+    }
+    // every doc is whole: its offset + tokens never exceeds the window
+    // unless it is alone at offset 0
+    packed.collect().foreach { r =>
+      val (n, off) = (r.getLong(2), r.getLong(4))
+      assert(off + n <= 512 || off === 0L, s"doc ${r.getLong(1)} straddles: off=$off n=$n")
+    }
+  }
+
   test("stratifiedSample is a pure function of id: repeatable, rate-gated") {
     val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
