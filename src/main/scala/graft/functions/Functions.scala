@@ -298,6 +298,10 @@ case class SrpBucketExpression(first: Expression, second: Expression, third: Exp
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_srp_bucket"
+  // Reject non-float embeddings at analysis: reading doubles through
+  // ArrayData.getFloat returns garbage SILENTLY, not an error.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftFunctions.requireFloatArray(prettyName, first.dataType)
   // Per-thread: expression instances can be shared across local tasks.
   @transient private lazy val tables =
     ThreadLocal.withInitial[java.util.HashMap[Long, Array[Array[Double]]]](() =>
@@ -361,6 +365,8 @@ case class IvfNearestExpression(first: Expression, second: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_ivf_nearest"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftFunctions.requireFloatArray(prettyName, first.dataType)
 
   /** (cid, centroid components, ‖c‖²) sorted by cid — decoded once from
     * the foldable literal children. */
@@ -491,6 +497,12 @@ case class FloatDotExpression(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_float_dot"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftFunctions.requireFloatArray(prettyName, left.dataType) match {
+      case org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess =>
+        GraftFunctions.requireFloatArray(prettyName, right.dataType)
+      case fail => fail
+    }
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -560,6 +572,20 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   * from the Scala DSL (via `call_function`) and in `spark.sql` text.
   */
 object GraftFunctions {
+
+  /** Shared analysis-time gate for the float-embedding expressions:
+    * `ArrayData.getFloat` over an `array<double>` column reads garbage
+    * without erroring, so the type mistake must die at analysis. */
+  private[functions] def requireFloatArray(name: String, dt: DataType)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects array<float> embeddings, got ${other.simpleString} — " +
+            "cast each component to float upstream")
+    }
 
   /** Name → expression builder for every native graft expression. */
   val expressions: Seq[(String, Seq[Expression] => Expression)] = Seq(

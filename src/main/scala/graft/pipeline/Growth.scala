@@ -85,11 +85,16 @@ object Growth {
   }
 
   /** Run one growth phase over the documents frame. Returns the updated
-    * frame plus the resources frame (for cache write-back).
+    * frame plus the resources frame (for cache write-back). `auth`
+    * carries per-resource credentials applied at send time only — the
+    * resources frame (and thus the cache) stays credential-free
+    * (reference auth_headers/auth_parameters per resource class,
+    * generic.py:410-447).
     */
   def grow(docs: DataFrame, spec: GrowthSpec, fetcher: Fetcher,
            cache: DataFrame, cacheOnly: Boolean = false,
-           maxConcurrency: Int = 32): (DataFrame, DataFrame) = {
+           maxConcurrency: Int = 32,
+           auth: graft.sources.AuthConfig = graft.sources.AuthConfig.none): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val pending = docs.filter(pendingFilter(spec))
     val rest = docs.filter(!pendingFilter(spec))
@@ -104,7 +109,7 @@ object Growth {
     val uniqueRequests = requests.select("method", "url", "request_body")
       .dropDuplicates("url")
     val resources = Resources.fetchWithCache(uniqueRequests, cache, fetcher,
-      cacheOnly, maxConcurrency)
+      cacheOnly, maxConcurrency, auth)
 
     val resourcesForJoin = resources.select(col("url").as("r_url"),
       col("uri").as("r_uri"), col("data_hash"), col("status"), col("head"), col("body"))

@@ -15,7 +15,11 @@ import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
   * plane components come from md5 hex prefixes, so DuckDB recomputes
   * them with `('0x' || substr(md5(s), 1, n))::UBIGINT`); floating point
   * goes through double with sequential aggregation and round(…, 6);
-  * every result is ordered on a unique key.
+  * every result is ordered on a unique key. Integer aggregates in
+  * oracle SQL must be cast `::BIGINT`: DuckDB widens SUM over BIGINT
+  * (window sums included) to HUGEINT, and the driver's type-sensitive
+  * result hash tolerates INTEGER-vs-BIGINT but NOT the int128 boundary
+  * (the q38 lesson).
   */
 object TrainingData {
 

@@ -146,6 +146,84 @@ object ScaleProbe {
         textDocs, "source", "n_chars", "doc_id", maxPerDomain = 1000).count()}")
     }
 
+    timed("pii scrub 600k") {
+      val p = graft.ops.Curation.scrubPii(col("text"))
+      println(s"[scale]   redactions = ${textDocs
+        .select((p.getField("n_emails") + p.getField("n_phones")).as("n"))
+        .agg(sum(col("n"))).head.get(0)}")
+    }
+
+    timed("decontaminate 600k vs 1k bench") {
+      val bench = textDocs.filter(col("doc_id") % 600 === 0).select(col("text"))
+      val d = graft.ops.Curation.decontaminate(textDocs, bench, "doc_id", "text")
+      println(s"[scale]   contaminated = ${d.filter(col("contaminated")).count()}")
+    }
+
+    timed("chunk 600k (32/8)") {
+      println(s"[scale]   chunks = ${graft.ops.Curation.chunk(
+        textDocs, "doc_id", "text", size = 32, overlap = 8).count()}")
+    }
+
+    timed("greedy packing 600k (20 shards)") {
+      println(s"[scale]   packed = ${graft.ops.Curation.packSequencesGreedy(
+        textDocs, "source", "doc_id", "text", window = 512).count()}")
+    }
+
+    timed("cluster resolution over LSH pairs 600k") {
+      val pairs = graft.ops.Dedup.lshCandidatePairs(textDocs, "doc_id", "text",
+        k = 16, bands = 4, shingleSize = 3)
+      val resolved = graft.ops.Dedup.resolveClusters(
+        textDocs.select(col("doc_id")), "doc_id", pairs)
+      println(s"[scale]   survivors = ${resolved.filter(col("keep")).count()}")
+    }
+
+    // --- embedding family at 600k × 16 dims --------------------------
+    val embs = timed("build 600k embeddings (16d)") {
+      // md5-hash components (same recipe as the SRP planes): linear
+      // combinations of the integer keys put every vector on a 3-dim
+      // lattice — pairwise cosines cluster near ±1 and "near-dup"
+      // counts explode into the hundreds of millions (a data property,
+      // not an operator property). Hash-derived components are
+      // high-entropy in all 16 dims. Cast the COMPONENT to float —
+      // Spark promotes `/` to double, the contract is array<float>.
+      def comp(d: Int) = ((conv(substring(md5(concat(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("string"), lit(s"|$d"))),
+        1, 8), 16, 10).cast("long") % 1000000L).cast("double") / 1000000.0 - 0.5)
+        .cast("float")
+      li.select((col("l_orderkey") * 10 + col("l_linenumber")).as("vec_id"),
+          array((0 until 16).map(comp): _*).as("embedding"))
+        .localCheckpoint(true)
+    }
+    println(s"[scale]   embeddings = ${embs.count()}")
+
+    timed("SRP near-dup 600k (16 planes × 2 tables, capped)") {
+      // 16 planes → ~65k buckets/table → ~9 vectors per bucket: pair
+      // counts stay linear-ish in n. 12 planes at this n means ~150 per
+      // bucket = ~10k pairs per bucket — quadratic blow-up territory.
+      val nd = graft.ops.Similarity.nearDuplicates(embs, threshold = 0.95,
+        planes = 16, tables = 2, maxBucketSize = 2000)
+      println(s"[scale]   embedding near-dups = ${nd.count()}")
+    }
+
+    timed("LSH topK: ~100 probes vs 600k") {
+      val t = graft.ops.Similarity.lshTopK(embs.filter(col("vec_id") < 320),
+        embs, k = 5, planes = 10, tables = 2)
+      println(s"[scale]   topk rows = ${t.count()}")
+    }
+
+    // k ≈ sqrt(n)/3: 600k vectors / 256 lists ≈ 2.3k per inverted list —
+    // a codebook-sized coarse level, not a toy 8-centroid fixture
+    val codebook = timed("IVF codebook train 600k (k=256, 2 rounds)") {
+      graft.ops.Similarity.trainCodebook(embs, k = 256, iterations = 2)
+        .localCheckpoint(true)
+    }
+
+    timed("IVF assign + search 600k (256 lists)") {
+      val hits = graft.ops.Similarity.ivfSearch(embs.filter(col("vec_id") < 320),
+        embs, codebook, k = 5, nProbe = 2)
+      println(s"[scale]   ivf rows = ${hits.count()}")
+    }
+
     spark.stop()
   }
 }

@@ -221,6 +221,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(!top.map(_.getAs[Long]("neighbor_id")).contains(2L))
   }
 
+  test("float-array expressions reject array<double> at analysis instead of reading garbage") {
+    val doubles = Seq((0L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      doubles.select(Similarity.cosine(col("embedding"), col("embedding"))).collect()
+    }
+    assert(e.getMessage.contains("array<float>"), s"wrong error: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      doubles.select(Similarity.srpBucket(col("embedding"), 4)).collect()
+    }
+    assert(e2.getMessage.contains("array<float>"), s"wrong error: ${e2.getMessage}")
+  }
+
   test("native IVF assignment ≡ the crossJoin+window reference form") {
     // 40 pseudo-random 8-dim vectors, 5 centroids — argmin and
     // tie-breaks must agree with the joined form bit-for-bit

@@ -54,6 +54,19 @@ class GrowthPipelineSpec extends SparkTestBase {
     assert(resources.count() === 3)
   }
 
+  test("growth auth: credential reaches the transport, never the resources frame") {
+    graft.sources.AuthSeenHolder.reset()
+    val growth = GrowthSpec(growthPhase = "test",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective)
+    val auth = graft.sources.AuthConfig(parameters = Map("token" -> "tok-SECRET"))
+    val (_, resources) = Growth.grow(threeDocs(), growth, new graft.sources.AuthSeeingFetcher,
+      Resources.emptyCache(spark), auth = auth)
+    val dumped = resources.collect().map(_.toSeq.map(String.valueOf).mkString("|")).mkString
+    assert(!dumped.contains("SECRET"), s"credential leaked into resources: $dumped")
+    import scala.jdk.CollectionConverters._
+    assert(graft.sources.AuthSeenHolder.urls.asScala.forall(_.contains("token=tok-SECRET")))
+  }
+
   test("to_property properties/results writes into properties (http.py:72-95)") {
     val growth = GrowthSpec(growthPhase = "test",
       urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective,
