@@ -157,8 +157,9 @@ object Dedup {
     * Jaccard → threshold. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
-                     shingleSize: Int = 3): DataFrame = {
-    val candidates = lshCandidatePairs(df, idCol, textCol, k, bands, shingleSize)
+                     shingleSize: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    val candidates = lshCandidatePairs(df, idCol, textCol, k, bands, shingleSize,
+      maxBucketSize)
     ngramJaccard(candidates, df, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
   }
@@ -251,6 +252,20 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** End-to-end near-duplicate removal — what a pipeline actually calls:
+    * MinHash+LSH candidates → exact-Jaccard verification → connected
+    * components → one survivor per cluster. Returns the deduplicated
+    * corpus (original columns, survivors only). */
+  def deduplicate(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+                  shingleSize: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, threshold, k, bands, shingleSize,
+        maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    resolveClusters(df, idCol, pairs).filter(col("keep"))
+      .drop("cluster_id", "keep")
   }
 
   /** Resolve a corpus against its candidate pairs: every doc gets its

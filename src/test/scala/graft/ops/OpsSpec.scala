@@ -83,6 +83,15 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.lshCandidatePairs(same, "doc_id", "text", maxBucketSize = 4).count() === 0)
   }
 
+  test("deduplicate keeps one survivor per near-dup cluster and all unique docs") {
+    val out = Dedup.deduplicate(docs, "doc_id", "text", threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1,2,4 are one near-dup cluster (survivor 1); 3 and 5 are unique
+    assert(out === Set(1L, 3L, 5L))
+    assert(Dedup.deduplicate(docs, "doc_id", "text", threshold = 0.3).columns.toSeq
+      === docs.columns.toSeq, "original columns, no bookkeeping residue")
+  }
+
   test("connected components: transitive chain collapses, unpaired docs survive alone") {
     // A~B, B~C but NOT A~C: one cluster {1,2,3}; {10,11} a second;
     // 99 never paired — its own cluster
