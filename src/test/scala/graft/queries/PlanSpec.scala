@@ -64,6 +64,24 @@ class PlanSpec extends SparkTestBase {
       "assignment must not reintroduce per-row windows")
   }
 
+  test("q40 greedy packing: no window, no global serialization") {
+    // the shard hash-shuffle lives in the RDD lineage feeding the
+    // ExistingRDD scan (the sequential pass), upstream of the SQL plan
+    val p = plan("q40_greedy_packing")
+    assert(!p.contains("Window"), "the fill recurrence must not fall back to a window")
+    assert(p.contains("ExistingRDD"), "the per-shard sequential pass feeds the plan")
+    assert(!p.contains("SinglePartition"), "shards pack in parallel, never one partition")
+  }
+
+  test("q39 cluster resolution: label join only — no cartesian, no window") {
+    // connectedComponents runs eagerly (checkpointed label frame); the
+    // remaining plan must be the docs↔labels join
+    val p = plan("q39_dedup_clusters")
+    assert(p.contains("Join"), "docs join their component labels")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+  }
+
   test("q36 pipeline composes without any collect or cartesian stage") {
     val p = plan("q36_curation_pipeline")
     assert(!p.contains("CartesianProduct"))
