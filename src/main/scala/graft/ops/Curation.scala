@@ -85,6 +85,34 @@ object Curation {
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
 
+  /** Corpus-level boilerplate detection (the C4-style "site template"
+    * filter): a shingle appearing in at least `minDocFreq` distinct
+    * documents is boilerplate; each document is scored by the fraction
+    * of its distinct shingles that are boilerplate and kept while the
+    * fraction stays under `threshold`.
+    *
+    * Scale shape: one shuffle keys the exploded shingles (map-side
+    * combined document-frequency count); the hot-shingle set is tiny by
+    * construction (high-df survivors of a heavy-tailed distribution) so
+    * the overlap join stays cheap — AQE broadcasts it at runtime.
+    * Output: (doc_id, n_shingles, n_boiler, boiler_frac, keep). */
+  def boilerplateMetrics(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, minDocFreq: Int = 100,
+                         threshold: Double = 0.5): DataFrame = {
+    val flat = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+    val hot = flat.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq).select(col("s"))
+    val sizes = flat.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val overlap = flat.join(hot, Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    sizes.join(overlap, Seq("doc_id"), "left_outer")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6))
+      .withColumn("keep", col("boiler_frac") < threshold)
+  }
+
   /** Per-domain cap: keep at most `maxPerDomain` documents per domain,
     * best-first by `qualityCol` (ties broken by id for determinism).
     * The anti-over-representation filter of web corpora: one shuffle on

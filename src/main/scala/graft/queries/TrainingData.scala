@@ -249,6 +249,14 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-level boilerplate scoring: shingles in ≥5 distinct docs
+    // are template junk; docs are scored by their boilerplate fraction.
+    "q41_boilerplate" -> ((s, d) => {
+      Curation.boilerplateMetrics(t(s, d, "documents"), "doc_id", "text",
+          shingleSize = 3, minDocFreq = 5, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup cluster resolution: q23's LSH candidate pairs closed
     // into connected components (iterative min-label propagation) —
     // the step that turns pair DETECTION into an actually deduplicated
@@ -338,6 +346,18 @@ object TrainingData {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "q41_boilerplate" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 5),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |ov AS (SELECT doc_id, count(*) AS n_boiler FROM sh JOIN hot USING (s)
+         |       GROUP BY doc_id)
+         |SELECT sizes.doc_id, n_shingles::BIGINT AS n_shingles,
+         |  COALESCE(n_boiler, 0)::BIGINT AS n_boiler,
+         |  round(COALESCE(n_boiler, 0)::DOUBLE / n_shingles, 6) AS boiler_frac,
+         |  round(COALESCE(n_boiler, 0)::DOUBLE / n_shingles, 6) < 0.2 AS keep
+         |FROM sizes LEFT JOIN ov ON sizes.doc_id = ov.doc_id
+         |ORDER BY sizes.doc_id""".stripMargin,
     // q40: the first-fit fill recurrence replayed as a per-shard
     // recursive CTE stepping one row_number at a time (all shards
     // advance together per iteration).

@@ -459,6 +459,26 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("boilerplateMetrics flags corpus-frequent shingles, keeps clean docs") {
+    // "aa bb cc" appears in 4/6 docs → boilerplate at minDocFreq=3;
+    // each doc's unique tail shingles are not
+    val docs = (Seq.tabulate(4)(i => (i.toLong, s"aa bb cc u$i v$i w$i")) ++
+      Seq((10L, "xx yy zz p q r"), (11L, "mm nn oo s t u"))).toDF("doc_id", "text")
+    val m = Curation.boilerplateMetrics(docs, "doc_id", "text",
+        shingleSize = 3, minDocFreq = 3, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // templated docs: 4 shingles, 1 boilerplate ("aa bb cc") → frac 0.25 < 0.3 → keep
+    (0L to 3L).foreach { id => assert(m(id) === (4L, 1L, true), s"doc $id: ${m(id)}") }
+    // clean docs: zero boilerplate
+    assert(m(10L) === (4L, 0L, true) && m(11L) === (4L, 0L, true))
+    // tighter threshold drops the templated docs
+    val strict = Curation.boilerplateMetrics(docs, "doc_id", "text",
+        shingleSize = 3, minDocFreq = 3, threshold = 0.25)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict === Set(10L, 11L))
+  }
+
   test("stratifiedSample is a pure function of id: repeatable, rate-gated") {
     val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
