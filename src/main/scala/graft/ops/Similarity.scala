@@ -247,6 +247,28 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 100 TB
+    * storage lever (4× smaller than float32 at ~1% cosine error).
+    * Per-vector scale = max|v| / 127; codes are `floor(v / scale)`
+    * (floor, not round: floor is bit-identical across engines, round
+    * ties are not). Returns `struct(scale float, codes array<tinyint>)`.
+    * Composed column expressions, not a native kernel: quantization is
+    * a storage-prep pass, not a per-query hot loop. */
+  def quantize(emb: Column): Column = {
+    val maxAbs = array_max(transform(emb, v => abs(v)))
+    val scale = (maxAbs.cast("double") / 127.0).cast("float")
+    val codes = when(maxAbs === 0f,
+        transform(emb, _ => lit(0).cast("byte")))
+      .otherwise(transform(emb,
+        v => floor(v.cast("double") * 127.0 / maxAbs.cast("double")).cast("byte")))
+    struct(scale.as("scale"), codes.as("codes"))
+  }
+
+  /** Inverse of [[quantize]]: `code × scale` back to float. */
+  def dequantize(q: Column): Column =
+    transform(q.getField("codes"),
+      c => (c.cast("double") * q.getField("scale").cast("double")).cast("float"))
+
   /** Lloyd's k-means codebook trainer for IVF: `iterations` rounds of
     * per-row nearest-centroid assignment (the native kernel) followed by
     * per-cluster dimension means. The mean aggregates map-side, so the

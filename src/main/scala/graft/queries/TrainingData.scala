@@ -249,6 +249,20 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Symmetric int8 embedding quantization (4× storage at ~1% cosine
+    // error): per-vector scale + floor codes, summarized per vector.
+    "q42_quantize" -> ((s, d) => {
+      val q = Similarity.quantize(col("embedding"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), q.as("q"))
+        .select(col("vec_id"),
+          round(col("q.scale").cast("double"), 6).as("scale"),
+          aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c.cast("long")).as("qsum"),
+          array_min(col("q.codes")).cast("long").as("qmin"),
+          array_max(col("q.codes")).cast("long").as("qmax"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Corpus-level boilerplate scoring: shingles in ≥5 distinct docs
     // are template junk; docs are scored by their boilerplate fraction.
     "q41_boilerplate" -> ((s, d) => {
@@ -346,6 +360,21 @@ object TrainingData {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    // q42: floor (not round) codes — floor is bit-identical across
+    // engines; the scale replays Spark's float truncation via ::REAL.
+    "q42_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |  round(CAST(CAST(maxabs / 127.0 AS REAL) AS DOUBLE), 6) AS scale,
+        |  CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+        |       ELSE list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)) END AS codes
+        |  FROM s)
+        |SELECT vec_id, scale, list_sum(codes)::BIGINT AS qsum,
+        |  list_min(codes)::BIGINT AS qmin, list_max(codes)::BIGINT AS qmax
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q41_boilerplate" ->
       s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
          |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 5),

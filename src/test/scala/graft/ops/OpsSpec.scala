@@ -104,6 +104,35 @@ class DedupSpec extends SparkTestBase {
     assert(r(99L) === (99L, true))
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min id per component
+      val minOf = (0 until n).groupBy(find).map { case (r, m) => r -> m.min.toLong }
+      (0 until n).map(i => i.toLong -> minOf(find(i))).toMap
+    }
+    val rnd = new scala.util.Random(3)
+    (1 to 3).foreach { _ =>
+      val n = 16
+      val edges = Seq.fill(10)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(n, edges).filter { case (id, c) =>
+        // CC only labels nodes that appear in an edge
+        edges.exists(e => e._1 == id || e._2 == id) || c != id
+      }
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      expected.foreach { case (id, c) =>
+        assert(got.get(id).contains(c), s"node $id: expected $c got ${got.get(id)} edges=$edges")
+      }
+    }
+  }
+
   test("connected components reach fixpoint on a long chain (propagation over diameter)") {
     // path 0-1-2-...-9: min label must travel 9 hops
     val chain = Seq.tabulate(9)(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
@@ -289,6 +318,26 @@ class SimilaritySpec extends SparkTestBase {
     val (rSeed, rTrained) = (recall(seedCents), recall(trained))
     assert(rTrained > rSeed, s"trained $rTrained must beat seed $rSeed")
     assert(rTrained > 0.9, s"trained codebook should separate the clusters, got $rTrained")
+  }
+
+  test("int8 quantization roundtrip: small error, cosine preserved, zero-vector safe") {
+    val rnd = new scala.util.Random(9)
+    val vecs2 = (Seq.tabulate(20)(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))) :+
+      (99L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val rt = vecs2.select(col("vec_id"), col("embedding"),
+      Similarity.dequantize(Similarity.quantize(col("embedding"))).as("back"))
+    rt.collect().foreach { r =>
+      val orig = r.getSeq[Float](1)
+      val back = r.getSeq[Float](2)
+      val maxAbs = orig.map(math.abs).max
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= maxAbs / 127f + 1e-6, s"vec ${r.getLong(0)}: $o vs $b")
+      }
+    }
+    // cosine between original and dequantized stays ~1 for non-zero vectors
+    val cos = rt.filter(col("vec_id") =!= 99L)
+      .select(Similarity.cosine(col("embedding"), col("back"))).collect()
+    cos.foreach(r => assert(r.getDouble(0) > 0.995, s"cosine degraded: ${r.getDouble(0)}"))
   }
 
   test("multi-table SRP near-dup finds the close pair without any collect") {
