@@ -233,9 +233,14 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0)
+    // SUM over zero rows is null — an empty pair frame (clean corpus)
+    // must mean "already converged", not an NPE
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && iter < maxIterations) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("ncluster")), Seq("dst"))
@@ -245,7 +250,7 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      val newSum = updated.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0)
+      val newSum = labelSum(updated)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       labels = updated

@@ -83,6 +83,16 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.lshCandidatePairs(same, "doc_id", "text", maxBucketSize = 4).count() === 0)
   }
 
+  test("cluster resolution of a clean corpus (zero pairs) is the identity") {
+    val clean = Seq((7L, "x"), (8L, "y")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r = Dedup.resolveClusters(clean.select(col("doc_id")), "doc_id", noPairs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r === Map(7L -> (7L, true), 8L -> (8L, true)))
+    // and end-to-end: a corpus with no near-dups passes through whole
+    assert(Dedup.deduplicate(clean, "doc_id", "text").count() === 2)
+  }
+
   test("deduplicate keeps one survivor per near-dup cluster and all unique docs") {
     val out = Dedup.deduplicate(docs, "doc_id", "text", threshold = 0.3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
