@@ -192,7 +192,9 @@ object Curation {
     val prepared = docs
       .select(col(shardCol).cast("string").as("shard"),
         col(idCol).cast("long").as("id"),
-        size(tokens(col(textCol))).cast("long").as("n"))
+        // null text counts 0 tokens — the sequential pass reads the
+        // count as a primitive long and must never see a null
+        coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("n"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
     val schema = StructType(Seq(

@@ -496,6 +496,14 @@ class CurationSpec extends SparkTestBase {
     assert(run(docs.repartition(5)) === bins, "partitioning-independent")
   }
 
+  test("packSequencesGreedy tolerates null text (counts zero tokens)") {
+    val docs = Seq((1L, "a", "w " * 10), (2L, "a", null: String), (3L, "a", "w " * 5))
+      .toDF("doc_id", "lang", "text")
+    val m = Curation.packSequencesGreedy(docs, "lang", "doc_id", "text", window = 512)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m === Map(1L -> 10L, 2L -> 0L, 3L -> 5L))
+  }
+
   test("packSequencesGreedy property: no bin exceeds the window unless a single doc does") {
     val rnd = new scala.util.Random(5)
     val docs = Seq.tabulate(200) { i =>
