@@ -85,6 +85,59 @@ object Curation {
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
 
+  /** Canonical text normalization for duplicate detection: lowercase,
+    * non-alphanumerics to spaces, whitespace collapsed, trimmed —
+    * `"Hello,  World!"` and `"hello world"` hash identically. Pure
+    * column expression (regex classes shared by Java regex and RE2, so
+    * DuckDB reproduces it). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+
+  /** Within-document repetition metrics — the remaining Gopher §A1.1
+    * signals: `top_token_frac` (share of the most frequent token) and
+    * `dup_ngram_frac` (1 − distinct/total n-grams). One shuffle on
+    * (doc, token) with map-side combine; the n-gram part is per-row
+    * size arithmetic. Output: (doc_id, n_tokens, top_token_frac,
+    * dup_ngram_frac). */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val totalGrams = greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
+    val perDoc = df.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      size(TextOps.distinctShingles(col(textCol), n)).cast("long").as("distinct_grams"),
+      totalGrams.cast("long").as("total_grams"),
+      tokens(col(textCol)).as("__toks"))
+    val topCounts = perDoc
+      .select(col("doc_id"), explode(col("__toks")).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_count"))
+    perDoc.drop("__toks")
+      .join(topCounts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        round(coalesce(col("top_count"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("top_token_frac"),
+        when(col("total_grams") === 0L, lit(0.0))
+          .otherwise(round(lit(1.0) - col("distinct_grams").cast("double") /
+            col("total_grams"), 6)).as("dup_ngram_frac"))
+  }
+
+  /** Exact-count deterministic per-stratum sampling: exactly
+    * `perStratum` docs from every stratum (fewer when the stratum is
+    * smaller), chosen by a pseudo-random-but-stable md5 order of the id
+    * (ties by id). Unlike [[stratifiedSample]]'s rate gate this
+    * guarantees COUNTS — the balanced-mix primitive. One shuffle on the
+    * stratum key (window top-k → WindowGroupLimit prunes per
+    * partition). */
+  def stratifiedTake(docs: DataFrame, stratumCol: String, idCol: String,
+                     perStratum: Int): DataFrame = {
+    val orderKey = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(orderKey, col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
   /** Corpus-level boilerplate detection (the C4-style "site template"
     * filter): a shingle appearing in at least `minDocFreq` distinct
     * documents is boilerplate; each document is scored by the fraction

@@ -249,6 +249,31 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher §A1.1 repetition signals: top-token share + duplicate
+    // 3-gram fraction per doc.
+    "q43_repetition" -> ((s, d) => {
+      Curation.repetitionMetrics(t(s, d, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact-count per-stratum sampling: exactly 20 docs per lang,
+    // chosen by stable md5 order — the balanced-mix primitive.
+    "q44_stratified_take" -> ((s, d) => {
+      Curation.stratifiedTake(t(s, d, "documents"), "lang", "doc_id", perStratum = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup on NORMALIZED text (lowercase, punctuation stripped,
+    // whitespace collapsed) — what real near-exact dedup hashes.
+    "q45_normalized_dedup" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), Curation.normalizeText(col("text")).as("norm"))
+        .groupBy(md5(col("norm")).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
     // Symmetric int8 embedding quantization (4× storage at ~1% cosine
     // error): per-vector scale + floor codes, summarized per vector.
     "q42_quantize" -> ((s, d) => {
@@ -360,6 +385,35 @@ object TrainingData {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "q43_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  greatest(len(toks) - 2, 0)::BIGINT AS total_grams,
+         |  len(list_distinct(list_transform(range(len(toks)-2),
+         |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))::BIGINT AS distinct_grams,
+         |  toks FROM t),
+         |top AS (SELECT doc_id, max(c) AS top_count FROM (
+         |  SELECT doc_id, tk, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(toks) AS tk FROM t) GROUP BY doc_id, tk)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, n_tokens,
+         |  round(COALESCE(top_count, 0)::DOUBLE / greatest(n_tokens, 1), 6) AS top_token_frac,
+         |  CASE WHEN total_grams = 0 THEN 0.0
+         |    ELSE round(1.0 - distinct_grams::DOUBLE / total_grams, 6) END AS dup_ngram_frac
+         |FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    "q44_stratified_take" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    "q45_normalized_dedup" ->
+      """SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id,
+        |  count(*)::BIGINT AS n_copies
+        |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents)
+        |GROUP BY 1 ORDER BY keep_id""".stripMargin,
     // q42: floor (not round) codes — floor is bit-identical across
     // engines; the scale replays Spark's float truncation via ::REAL.
     "q42_quantize" ->

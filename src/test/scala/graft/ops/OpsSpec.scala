@@ -526,6 +526,40 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("normalizeText: case, punctuation and whitespace collapse to one canonical form") {
+    val r = Seq(("Hello,  World!", "hello world", "a\tb\nc"))
+      .toDF("a", "b", "c")
+      .select(Curation.normalizeText(col("a")), Curation.normalizeText(col("b")),
+        Curation.normalizeText(col("c"))).head
+    assert(r.getString(0) === "hello world")
+    assert(r.getString(0) === r.getString(1), "punctuation variants hash identically")
+    assert(r.getString(2) === "a b c")
+  }
+
+  test("repetitionMetrics: top-token share and duplicate n-gram fraction") {
+    val docs = Seq(
+      (1L, "a a a b"),            // top 3/4; 2-grams: aa,aa,ab → 2 distinct of 3
+      (2L, "x y z w"),            // no repetition
+      (3L, "q")                   // too short for grams → dup frac 0
+    ).toDF("doc_id", "text")
+    val m = Curation.repetitionMetrics(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L) === (0.75, 0.333333))
+    assert(m(2L) === (0.25, 0.0))
+    assert(m(3L) === (1.0, 0.0))
+  }
+
+  test("stratifiedTake: exact counts per stratum, deterministic, short strata kept whole") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, if (i < 45) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val take = Curation.stratifiedTake(docs, "lang", "doc_id", perStratum = 10)
+    val byLang = take.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("en" -> 10L, "de" -> 5L), "exactly n, or the whole short stratum")
+    val again = Curation.stratifiedTake(docs, "lang", "doc_id", perStratum = 10)
+    assert(take.collect().toSet === again.collect().toSet, "deterministic")
+  }
+
   test("boilerplateMetrics flags corpus-frequent shingles, keeps clean docs") {
     // "aa bb cc" appears in 4/6 docs → boilerplate at minDocFreq=3;
     // each doc's unique tail shingles are not
