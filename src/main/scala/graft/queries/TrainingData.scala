@@ -249,6 +249,26 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Round-3 end-to-end composition: gopher quality → corpus
+    // boilerplate filter → normalized dedup → exact-count balanced
+    // take. Every stage is one of the oracled operators above.
+    "q46_full_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quality = docs.filter(Curation.gopherMetrics(col("text")).getField("keep"))
+      val clean = quality.join(
+        Curation.boilerplateMetrics(quality, "doc_id", "text", shingleSize = 3,
+            minDocFreq = 5, threshold = 0.5)
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"))
+      val reps = clean
+        .select(col("doc_id"), Curation.normalizeText(col("text")).as("norm"))
+        .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
+      val deduped = clean.join(reps.select("doc_id"), Seq("doc_id"))
+      Curation.stratifiedTake(deduped, "lang", "doc_id", perStratum = 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher §A1.1 repetition signals: top-token share + duplicate
     // 3-gram fraction per doc.
     "q43_repetition" -> ((s, d) => {
@@ -385,6 +405,40 @@ object TrainingData {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "q46_full_curation" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text, lang,
+         |    len($tokensSql)::BIGINT AS word_count,
+         |    round(list_sum(list_transform($tokensSql, x -> length(x)))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS mean_word_len,
+         |    round(len(list_distinct($tokensSql))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS frac_unique
+         |  FROM documents),
+         |quality AS (
+         |  SELECT doc_id, text, lang FROM m
+         |  WHERE word_count >= 3 AND word_count <= 100000
+         |    AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
+         |    AND frac_unique >= 0.2),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len($tokensSql)-2),
+         |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
+         |  FROM quality)),
+         |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 5),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ov AS (SELECT doc_id, count(*) AS nb FROM sh JOIN hot USING (s) GROUP BY doc_id),
+         |clean AS (
+         |  SELECT q.doc_id, q.lang, q.text FROM quality q
+         |  JOIN sizes ON q.doc_id = sizes.doc_id
+         |  LEFT JOIN ov ON q.doc_id = ov.doc_id
+         |  WHERE round(COALESCE(nb, 0)::DOUBLE / sizes.n, 6) < 0.5),
+         |normd AS (SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
+         |  '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM clean),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM normd GROUP BY norm),
+         |ded AS (SELECT n.doc_id, n.lang FROM normd n JOIN reps ON n.doc_id = reps.doc_id),
+         |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+         |  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT, doc_id) AS rn
+         |  FROM ded)
+         |SELECT doc_id, lang FROM r WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
     "q43_repetition" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
