@@ -97,7 +97,8 @@ case class JsonMergeExpression(left: Expression, right: Expression)
 }
 
 /** `simhash(text)` — 64-bit SimHash in ONE pass over the token stream:
-  * whitespace-tokenize, per-token 64-bit hash = the first 8 bytes of
+  * tokenize (shared CJK-aware definition, [[Tokenize]]), per-token
+  * 64-bit hash = the first 8 bytes of
   * `md5(token)` read big-endian (i.e. the first 16 hex chars of the md5
   * digest as an unsigned 64-bit value — DuckDB's
   * `('0x' || substr(md5(tk), 1, 16))::UBIGINT`, bit-for-bit), ±1 votes
@@ -114,9 +115,9 @@ case class SimHashExpression(child: Expression)
   @transient private lazy val digest =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
-  private def tokenHash(s: String, start: Int, end: Int): Long = {
+  private def tokenHash(tok: String): Long = {
     val d = digest.get()
-    d.update(s.substring(start, end).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.update(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val bytes = d.digest()
     var h = 0L
     var i = 0
@@ -124,22 +125,17 @@ case class SimHashExpression(child: Expression)
     h
   }
   override protected def nullSafeEval(text: Any): Any = {
-    val s = text.toString
+    val tokens = Tokenize.split(text.toString)
     val votes = new Array[Int](64)
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      while (i < n && s.charAt(i).isWhitespace) i += 1
-      val start = i
-      while (i < n && !s.charAt(i).isWhitespace) i += 1
-      if (i > start) {
-        val h = tokenHash(s, start, i)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+    var t = 0
+    while (t < tokens.length) {
+      val h = tokenHash(tokens(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
+      t += 1
     }
     var out = 0L
     var b = 0
@@ -165,17 +161,8 @@ case class ShinglesExpression(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_shingles"
   override protected def nullSafeEval(text: Any, nAny: Any): Any = {
-    val s = text.toString
     val n = nAny.asInstanceOf[Int]
-    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && s.charAt(i).isWhitespace) i += 1
-      val start = i
-      while (i < len && !s.charAt(i).isWhitespace) i += 1
-      if (i > start) tokens += s.substring(start, i)
-    }
+    val tokens = Tokenize.split(text.toString)
     val seen = new java.util.LinkedHashSet[String]()
     var j = 0
     val sb = new java.lang.StringBuilder(64)
@@ -238,19 +225,10 @@ case class MinHashExpression(first: Expression, second: Expression, third: Expre
     new String(out)
   }
   override protected def nullSafeEval(text: Any, kAny: Any, nAny: Any): Any = {
-    val s = text.toString
     val k = kAny.asInstanceOf[Int]
     val n = nAny.asInstanceOf[Int]
-    // tokenize + sliding shingles (distinct, first-occurrence order)
-    val tokens = new scala.collection.mutable.ArrayBuffer[String](64)
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      while (i < len && s.charAt(i).isWhitespace) i += 1
-      val start = i
-      while (i < len && !s.charAt(i).isWhitespace) i += 1
-      if (i > start) tokens += s.substring(start, i)
-    }
+    // tokenize (shared CJK-aware definition) + sliding distinct shingles
+    val tokens = Tokenize.split(text.toString)
     val seen = new java.util.HashSet[String]()
     val mins = Array.fill[String](k)(null)
     var j = 0

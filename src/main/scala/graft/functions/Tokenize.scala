@@ -1,0 +1,84 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** THE tokenizer of the text family — one definition shared by the
+  * native expressions (shingles / minhash / simhash) and, via
+  * [[graft.ops.TextOps.tokens]]'s column form, every composed operator
+  * and DuckDB oracle:
+  *
+  *   - a Han / Hiragana / Katakana / Thai code point is a standalone
+  *     token (those scripts write without word delimiters — character
+  *     tokens are the standard dedup/quality granularity for them, cf.
+  *     CCNet-style pipelines; Hangul is NOT split: Korean delimits
+  *     words with spaces);
+  *   - everything else splits on ASCII whitespace (Java regex `\s`,
+  *     which RE2 — the DuckDB oracle engine — matches exactly) plus
+  *     U+3000 IDEOGRAPHIC SPACE, the common CJK space character.
+  *
+  * Column-form equivalence: `tokens(text)` space-pads CJK code points
+  * with a single regexp_replace, then splits on `[\s　]+` — the
+  * same token stream this one-pass scanner produces.
+  */
+object Tokenize {
+
+  /** Regex char class of the per-character scripts — Java syntax for
+    * Spark columns. The DuckDB twin is [[CjkCharClassRe2]]. */
+  val CjkCharClass = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}]"
+
+  /** RE2 spelling of [[CjkCharClass]] for oracle SQL. */
+  val CjkCharClassRe2 = "[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}]"
+
+  /** Separator class shared by the column split and the oracle:
+    * ASCII `\s` plus U+3000. */
+  val SeparatorClass = "[\\s　]"
+
+  def isSeparator(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+      c == 0x0B || c == '　'
+
+  def isCjk(cp: Int): Boolean = {
+    // Fast path: the overwhelmingly common case is ASCII / Latin text,
+    // which never reaches UnicodeScript.of.
+    if (cp < 0x0E00) false
+    else {
+      val sc = Character.UnicodeScript.of(cp)
+      sc == Character.UnicodeScript.HAN ||
+        sc == Character.UnicodeScript.HIRAGANA ||
+        sc == Character.UnicodeScript.KATAKANA ||
+        sc == Character.UnicodeScript.THAI
+    }
+  }
+
+  /** One-pass tokenization (code-point aware: supplementary-plane Han
+    * rides surrogate pairs). */
+  def split(s: String): ArrayBuffer[String] = {
+    val out = new ArrayBuffer[String](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isSeparator(s.charAt(i))) i += 1
+      if (i < n) {
+        val cp = s.codePointAt(i)
+        if (isCjk(cp)) {
+          val w = Character.charCount(cp)
+          out += s.substring(i, i + w)
+          i += w
+        } else {
+          val start = i
+          var stop = false
+          while (i < n && !stop) {
+            val c = s.charAt(i)
+            if (isSeparator(c)) stop = true
+            else {
+              val p = s.codePointAt(i)
+              if (isCjk(p)) stop = true else i += Character.charCount(p)
+            }
+          }
+          out += s.substring(start, i)
+        }
+      }
+    }
+    out
+  }
+}

@@ -18,13 +18,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Curation {
 
-  /** Whitespace tokens (empty runs dropped) — the shared tokenizer of
-    * the text-quality family. */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+  /** The family tokenizer — ONE definition repo-wide (CJK-aware: see
+    * [[graft.functions.Tokenize]]); forwarding alias so Curation call
+    * sites read unqualified. */
+  @inline private def tokens(text: Column): Column = TextOps.tokens(text)
 
   /** Gopher-style repetition/quality metrics (Rae et al. 2021 §A1.1,
-    * simplified to whitespace tokens): word count, mean word length,
+    * over the shared CJK-aware tokenizer — a Chinese/Japanese/Thai
+    * document counts CHARACTERS as words, so `keep`'s word-count gate no
+    * longer silently discards non-space-delimited languages): word
+    * count, mean word length,
     * fraction of unique tokens — plus the keep decision with
     * Gopher-like thresholds. All integer-count arithmetic: exact in any
     * engine. */

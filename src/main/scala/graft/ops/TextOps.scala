@@ -10,9 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, empties dropped. */
+  import graft.functions.Tokenize
+
+  /** Space-pad Han/Hiragana/Katakana/Thai code points so the whitespace
+    * split below yields one token per CJK character — the column twin of
+    * the native scanner in [[graft.functions.Tokenize]]. Identity on
+    * ASCII/Latin text. */
+  def segmentCjk(text: Column): Column =
+    regexp_replace(text, s"(${Tokenize.CjkCharClass})", " $1 ")
+
+  /** THE tokenizer (empties dropped): CJK-segmented, then split on ASCII
+    * whitespace + U+3000. One definition for the whole text family —
+    * [[graft.ops.Curation]] and the native shingle/minhash/simhash
+    * expressions share it (see [[graft.functions.Tokenize]]). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    filter(split(segmentCjk(text), s"${Tokenize.SeparatorClass}+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

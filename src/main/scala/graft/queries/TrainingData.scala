@@ -26,6 +26,26 @@ object TrainingData {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Planted CJK documents for q47 — the regression fixture for the
+    * CJK-aware tokenizer: a whitespace-only tokenizer sees each of these
+    * as word_count ≈ 1 and `gopherMetrics.keep` silently discards whole
+    * languages. Ids sit far above the parquet id range.
+    *  - 1000001/1000002: Chinese near-dup pair (Thousand Character
+    *    Classic opening — 40 DISTINCT Han chars; 1000002 appends one
+    *    char, so trigram Jaccard = 38/39 ≈ 0.974);
+    *  - 1000003: Japanese (iroha — all-distinct hiragana);
+    *  - 1000004: Thai consonants (no word delimiters in Thai script);
+    *  - 1000005: mixed Latin + Han tokenization. */
+  private val CjkIdBase = 1000000L
+  private val CjkDocs: Seq[(Long, String)] = Seq(
+    1000001L -> "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳云腾致雨露结为霜",
+    1000002L -> "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳云腾致雨露结为霜金",
+    1000003L -> "いろはにほへとちりぬるをわかよたれそつねならむ",
+    1000004L -> "กขคงจฉชซญดตถทธนบปผฝพฟภมยรลวสหอ",
+    1000005L -> "mixed script doc 机器学习 data 模型")
+  private def cjkValuesSql: String =
+    CjkDocs.map { case (id, text) => s"($id::BIGINT, '$text')" }.mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Text quality scoring: length/punct/stopword heuristics.
@@ -326,9 +346,46 @@ object TrainingData {
         k = 16, bands = 4, shingleSize = 3)
       Dedup.resolveClusters(docs.select(col("doc_id")), "doc_id", pairs)
         .orderBy(col("doc_id"))
+    }),
+
+    // CJK curation end-to-end: the ASCII corpus + planted CJK docs run
+    // the quality gate and near-dup detection TOGETHER — the planted
+    // docs must survive gopher filtering (character tokens, not
+    // word_count ≈ 1) and the Chinese near-dup pair must be found by
+    // trigram Jaccard over character shingles. Output: one row per
+    // planted doc with its word_count and its detected partner (-1 =
+    // none).
+    "q47_cjk_curation" -> ((s, d) => {
+      import s.implicits._
+      val planted = CjkDocs.toDF("doc_id", "text")
+      val corpus = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(planted)
+      val m = Curation.gopherMetrics(col("text"))
+      val quality = corpus
+        .withColumn("word_count", m.getField("word_count"))
+        .filter(m.getField("keep"))
+      val pairs = Dedup.ngramJaccardBlocked(quality, "doc_id", "text",
+        threshold = 0.8, shingleSize = 3, maxShingleFreq = 1000)
+      val partners = pairs
+        .select(col("id_a").as("doc_id"), col("id_b").as("partner_id"), col("jaccard"))
+        .unionByName(pairs
+          .select(col("id_b").as("doc_id"), col("id_a").as("partner_id"), col("jaccard")))
+      quality.filter(col("doc_id") >= CjkIdBase)
+        .join(partners, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("word_count"),
+          coalesce(col("partner_id"), lit(-1L)).as("partner_id"),
+          coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+        .orderBy(col("doc_id"))
     }))
 
-  private val tokensSql = "list_filter(string_split(text, ' '), tk -> tk <> '')"
+  // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
+  // Han/Hiragana/Katakana/Thai code points, split on ASCII \s + U+3000.
+  // Identity on the ASCII test corpus — q19-q46 hashes are unchanged.
+  private val tokensSql =
+    """list_filter(regexp_split_to_array(regexp_replace(text,
+      | '([\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}])', ' \1 ', 'g'),
+      | '[\s　]+'), tk -> tk <> '')""".stripMargin.replace("\n", "")
 
   /** SRP plane p as a DOUBLE list over the dims of `v` — component d =
     * first 8 md5 hex chars of "p|d" as u32, mod 1e6, into [-0.5, 0.5);
@@ -767,6 +824,45 @@ object TrainingData {
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)
         |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
         |ORDER BY doc_id""".stripMargin,
+    "q47_cjk_curation" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $cjkValuesSql) v(doc_id, text)),
+         |m AS (
+         |  SELECT doc_id, text,
+         |    len($tokensSql)::BIGINT AS word_count,
+         |    round(list_sum(list_transform($tokensSql, x -> length(x)))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS mean_word_len,
+         |    round(len(list_distinct($tokensSql))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS frac_unique
+         |  FROM corpus),
+         |quality AS (
+         |  SELECT doc_id, text, word_count FROM m
+         |  WHERE word_count >= 3 AND word_count <= 100000
+         |    AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
+         |    AND frac_unique >= 0.2),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len($tokensSql)-2),
+         |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
+         |  FROM quality)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b, round(inter::DOUBLE / (s1.n + s2.n - inter), 6) AS jaccard
+         |  FROM pr JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+         |  WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.8),
+         |partners AS (
+         |  SELECT id_a AS doc_id, id_b AS partner_id, jaccard FROM pairs
+         |  UNION ALL SELECT id_b, id_a, jaccard FROM pairs)
+         |SELECT q.doc_id, q.word_count,
+         |  COALESCE(partner_id, -1)::BIGINT AS partner_id,
+         |  COALESCE(jaccard, 0.0) AS jaccard
+         |FROM quality q LEFT JOIN partners p ON q.doc_id = p.doc_id
+         |WHERE q.doc_id >= $CjkIdBase
+         |ORDER BY q.doc_id""".stripMargin,
     "q28_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

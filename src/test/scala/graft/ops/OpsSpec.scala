@@ -32,6 +32,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(df.select(TextOps.languageId($"text")).collect().map(_.getString(0)).toSeq ===
       Seq("en", "de", "und"))
   }
+
+  test("CJK tokenization: Han/Kana/Thai split per character, Hangul and Latin by space") {
+    val cases = Seq(
+      "abc中文def" -> Seq("abc", "中", "文", "def"),
+      "日本語のテキスト" -> Seq("日", "本", "語", "の", "テ", "キ", "ス", "ト"),
+      "ภาษาไทย" -> Seq("ภ", "า", "ษ", "า", "ไ", "ท", "ย"),
+      "한국어 텍스트" -> Seq("한국어", "텍스트"), // Korean IS space-delimited
+      "中文　テスト" -> Seq("中", "文", "テ", "ス", "ト"), // U+3000 is whitespace
+      "plain ascii text" -> Seq("plain", "ascii", "text"))
+    val df = cases.map(_._1).toDF("text")
+    val got = df.select(TextOps.tokens($"text")).collect().map(_.getSeq[String](0).toSeq)
+    assert(got.toSeq === cases.map(_._2))
+    // native one-pass scanner (shingles/minhash/simhash) ≡ the column form
+    for ((s, expected) <- cases)
+      assert(graft.functions.Tokenize.split(s).toSeq === expected, s"native split of '$s'")
+  }
+
+  test("CJK docs survive the gopher quality gate and near-dup detection finds CJK pairs") {
+    val docs = Seq(
+      (1L, "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏"),
+      (2L, "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏金"),
+      (3L, "いろはにほへとちりぬるをわかよたれそつねならむ")).toDF("doc_id", "text")
+    val m = Curation.gopherMetrics($"text")
+    val kept = docs.filter(m.getField("keep")).count()
+    assert(kept === 3, "CJK docs must pass the word-count gate (character tokens)")
+    val pairs = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", threshold = 0.8)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
 }
 
 class DedupSpec extends SparkTestBase {
