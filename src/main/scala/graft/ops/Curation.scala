@@ -73,16 +73,21 @@ object Curation {
   def decontaminate(candidates: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,
                     shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Single-pass shape: the candidate shingle frame is consumed ONCE —
+    // a broadcast left-outer flag-join marks benchmark hits, and one
+    // map-side-combinable groupBy(doc_id) counts total and hit shingles
+    // together (count(col) skips the nulls of unmatched rows). The
+    // candidate corpus is scanned and shingled exactly once; only
+    // per-doc count partials ride the shuffle.
     val candFlat = candidates.select(col(idCol).as("doc_id"),
       explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
     val benchSet = benchmark
       .select(explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
       .distinct()
-    val sizes = candFlat.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val overlap = candFlat.join(broadcast(benchSet), Seq("s"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    sizes.join(overlap, Seq("doc_id"), "left_outer")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("__hit", lit(1))
+    candFlat.join(broadcast(benchSet), Seq("s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_overlap"))
       .withColumn("overlap_frac",
         round(col("n_overlap").cast("double") / col("n_shingles"), 6))
       .withColumn("contaminated", col("overlap_frac") >= threshold)
@@ -104,17 +109,22 @@ object Curation {
     * dup_ngram_frac). */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
-    val totalGrams = greatest(size(tokens(col(textCol))) - (n - 1), lit(0))
-    val perDoc = df.select(col(idCol).as("doc_id"),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"),
-      size(TextOps.distinctShingles(col(textCol), n)).cast("long").as("distinct_grams"),
-      totalGrams.cast("long").as("total_grams"),
-      tokens(col(textCol)).as("__toks"))
-    val topCounts = perDoc
-      .select(col("doc_id"), explode(col("__toks")).as("tk"))
+    // The tokenizer (a regexp split) runs ONCE per row per scan: the
+    // per-row frame computes sizes only (total_grams derives from
+    // n_tokens in a later projection — CollapseProject keeps the
+    // non-cheap twice-referenced size() in its own Project, and the
+    // interpreted HOF chain gets no codegen subexpression elimination,
+    // so inlining it would re-split per reference), and the top-token
+    // scan tokenizes once into its explode.
+    val gram = df.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        size(TextOps.distinctShingles(col(textCol), n)).cast("long").as("distinct_grams"))
+      .withColumn("total_grams", greatest(col("n_tokens") - (n - 1), lit(0L)))
+    val topCounts = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tk"))
       .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_count"))
-    perDoc.drop("__toks")
+    gram
       .join(topCounts, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_tokens"),
         round(coalesce(col("top_count"), lit(0L)).cast("double") /
@@ -155,15 +165,28 @@ object Curation {
   def boilerplateMetrics(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3, minDocFreq: Int = 100,
                          threshold: Double = 0.5): DataFrame = {
+    // Two corpus scans, minimal shuffle: scan 1 derives the hot set via
+    // a map-side-combined groupBy(s) (per-task partials — Zipf-heavy
+    // shingle counts collapse before the network); scan 2 flag-joins
+    // the (AQE-broadcast, tiny-by-construction) hot set and computes
+    // n_shingles AND n_boiler in ONE map-side-combinable
+    // groupBy(doc_id), so only per-doc count partials shuffle.
+    //
+    // Deliberately NOT one scan: de-duplicating the scan needs either a
+    // persist of the exploded shingle frame (corpus × tokens rows —
+    // multi-PB at the 100 TB target, not cacheable) or a count() window
+    // over s (ships EVERY shingle row through one un-combined Exchange
+    // and buffers per-key frames — strictly more network than two
+    // combined scans). Recompute is CPU; the shuffle is the scarce
+    // resource at scale.
     val flat = df.select(col(idCol).as("doc_id"),
       explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
     val hot = flat.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq).select(col("s"))
-    val sizes = flat.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val overlap = flat.join(hot, Seq("s"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-    sizes.join(overlap, Seq("doc_id"), "left_outer")
-      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("__hot", lit(1))
+    flat.join(hot, Seq("s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hot")).as("n_boiler"))
       .withColumn("boiler_frac",
         round(col("n_boiler").cast("double") / col("n_shingles"), 6))
       .withColumn("keep", col("boiler_frac") < threshold)

@@ -82,6 +82,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"))
   }
 
+  test("q41 boilerplate: flag-join shape — shingles exploded twice, ONE doc-keyed agg") {
+    val p = plan("q41_boilerplate")
+    // scan 1 derives the hot set (map-side combined), scan 2 flag-joins
+    // it; n_shingles and n_boiler come from a single conditional-count
+    // aggregation — no sizes↔overlap join of per-doc frames
+    assert("Generate explode".r.findAllIn(p).size === 2, "hot-set scan + flag-join scan only")
+    assert("keys=\\[doc_id".r.findAllIn(p).size === 2, "one per-doc agg (partial+final)")
+    assert(p.contains("BroadcastHashJoin"), "the hot set broadcasts")
+    assert(!p.contains("SortMergeJoin"), "no wide join of shingle rows")
+  }
+
+  test("q32 decontaminate: candidate shingles exploded once, counted in one agg") {
+    val p = plan("q32_decontaminate")
+    assert("Generate explode".r.findAllIn(p).size === 2, "one candidate + one benchmark explode")
+    assert("keys=\\[doc_id".r.findAllIn(p).size === 2, "one per-doc agg (partial+final)")
+    assert(p.contains("BroadcastHashJoin"), "the benchmark shingle set broadcasts")
+  }
+
+  test("q43 repetition: tokenizer feeds one explode; gram metrics stay per-row") {
+    val p = plan("q43_repetition")
+    assert("Generate explode".r.findAllIn(p).size === 1, "tokens exploded once for top-token")
+    assert(!p.contains("Window"), "no window in the repetition path")
+    assert(p.contains("BroadcastHashJoin"), "top-count frame broadcasts back to the gram side")
+  }
+
   test("q36 pipeline composes without any collect or cartesian stage") {
     val p = plan("q36_curation_pipeline")
     assert(!p.contains("CartesianProduct"))
