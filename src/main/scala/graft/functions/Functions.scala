@@ -494,6 +494,37 @@ case class FloatDotExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `int8_dot(a, b)` — integer dot product over two `array<tinyint>`
+  * code columns (the quantized-search kernel): products and the sum
+  * stay in Long arithmetic, so the value is EXACT and any engine
+  * reproduces it bit-for-bit (|Σ| ≤ 127²·dims ≪ 2⁶³). Per-vector
+  * quantization scales cancel in cosine, so ranking quantized vectors
+  * needs ONLY this integer kernel — no float dequantization on the
+  * search path, 4× less data through the join. */
+case class Int8DotExpression(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_int8_dot"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftFunctions.requireByteArray(prettyName, left.dataType) match {
+      case org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess =>
+        GraftFunctions.requireByteArray(prettyName, right.dataType)
+      case fail => fail
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var s = 0L
+    var i = 0
+    val n = math.min(x.numElements(), y.numElements())
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** `multi_reach(json, path1..pathN)` — N reach walks over ONE parse of
   * the JSON column, returning a struct of N strings. The fusion target
   * for [[graft.plans.CollapseReachRule]]: projections that reach into
@@ -565,6 +596,20 @@ object GraftFunctions {
             "cast each component to float upstream")
     }
 
+  /** Analysis-time gate for the int8-code expressions — same rationale
+    * as [[requireFloatArray]]: ArrayData.getByte over a wider element
+    * type reads garbage silently. */
+  private[functions] def requireByteArray(name: String, dt: DataType)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    dt match {
+      case ArrayType(ByteType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name expects array<tinyint> codes (quantize's output), got " +
+            s"${other.simpleString}")
+    }
+
   /** Name → expression builder for every native graft expression. */
   val expressions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_reach" -> (e => ReachExpression(e(0), e(1))),
@@ -574,6 +619,7 @@ object GraftFunctions {
     "graft_json_merge" -> (e => JsonMergeExpression(e(0), e(1))),
     "graft_simhash" -> (e => SimHashExpression(e(0))),
     "graft_float_dot" -> (e => FloatDotExpression(e(0), e(1))),
+    "graft_int8_dot" -> (e => Int8DotExpression(e(0), e(1))),
     "graft_srp_bucket" -> (e => SrpBucketExpression(e(0), e(1), e(2))),
     "graft_pairs" -> (e => PairsExpression(e(0))),
     "graft_ivf_nearest" -> (e => IvfNearestExpression(e(0), e(1), e(2), e(3))),

@@ -269,6 +269,57 @@ object Similarity {
     transform(q.getField("codes"),
       c => (c.cast("double") * q.getField("scale").cast("double")).cast("float"))
 
+  /** Integer dot product over int8 code arrays — native kernel
+    * (graft.functions.Int8DotExpression), exact in Long arithmetic. */
+  def int8Dot(a: Column, b: Column): Column = call_function("graft_int8_dot", a, b)
+
+  /** Cosine similarity straight from int8 codes: per-vector
+    * quantization scales CANCEL in the cosine ratio, so ranking needs
+    * only integer dots — `dot(ca,cb) / (√dot(ca,ca)·√dot(cb,cb))` —
+    * never the scales or a dequantized float vector. Zero vectors
+    * (all-zero codes) score 0. */
+  def int8Cosine(codesA: Column, codesB: Column, normA: Column, normB: Column): Column =
+    when(normA === 0.0 || normB === 0.0, lit(0.0))
+      .otherwise(round(int8Dot(codesA, codesB).cast("double") / (normA * normB), 6))
+
+  /** IVF search over int8-quantized vectors — the 100 TB search path:
+    * the corpus rides the candidate join as `array<tinyint>` codes (4×
+    * smaller than float32), scoring is the exact integer kernel, and
+    * the float embeddings are touched ONLY by the per-row coarse
+    * assignment (index-build side). Same join shape as [[ivfSearch]];
+    * `qcosine` is the cosine of the QUANTIZED vectors (within ~1% of
+    * the float cosine — SimilaritySpec asserts the bound). */
+  def ivfSearchQuantized(probes: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                         k: Int, nProbe: Int = 2,
+                         idCol: String = "vec_id", embCol: String = "embedding",
+                         cidCol: String = "cid"): DataFrame = {
+    val (cids, cembs) = codebookArrays(centroids, cidCol, embCol)
+    // quantize in its own projection BELOW the explode: a generator
+    // re-evaluates companion expressions in its own Project per OUTPUT
+    // row (×nProbe here — the r3 posexplode lesson)
+    val probeClusters = probes
+      .select(col(idCol).as("probe_id"), col(embCol).as("__p_emb"),
+        quantize(col(embCol)).getField("codes").as("p_codes"))
+      .select(col("probe_id"), col("p_codes"),
+        explode(ivfNearest(col("__p_emb"), nProbe, cids, cembs)).as("cluster"))
+      .withColumn("p_norm", sqrt(int8Dot(col("p_codes"), col("p_codes")).cast("double")))
+    val corpusAssigned = corpus
+      .select(col(idCol).as("neighbor_id"),
+        quantize(col(embCol)).getField("codes").as("c_codes"),
+        element_at(ivfNearest(col(embCol), 1, cids, cembs), 1).as("cluster"))
+      .withColumn("c_norm", sqrt(int8Dot(col("c_codes"), col("c_codes")).cast("double")))
+    val scored = probeClusters.join(corpusAssigned, Seq("cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("qcosine",
+        int8Cosine(col("p_codes"), col("c_codes"), col("p_norm"), col("c_norm")))
+    val wRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("qcosine"), col("rank"))
+  }
+
   /** Lloyd's k-means codebook trainer for IVF: `iterations` rounds of
     * per-row nearest-centroid assignment (the native kernel) followed by
     * per-cluster dimension means. The mean aggregates map-side, so the

@@ -348,6 +348,21 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Quantized IVF ANN: q35's index shape, but candidates ride the
+    // join as int8 codes and scoring is the exact integer kernel —
+    // per-vector scales cancel in cosine, so the search path never
+    // touches float32 (4× less data at the 100 TB target).
+    "q48_ivf_quantized" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfSearchQuantized(
+          probes = emb.filter(col("vec_id") < 20),
+          corpus = emb,
+          centroids = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding")),
+          k = 3, nProbe = 2)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // CJK curation end-to-end: the ASCII corpus + planted CJK docs run
     // the quality gate and near-dup detection TOGETHER — the planted
     // docs must survive gopher filtering (character tokens, not
@@ -824,6 +839,47 @@ object TrainingData {
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)
         |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
         |ORDER BY doc_id""".stripMargin,
+    // q48: assignment replays q35's float argmin; scoring replays q42's
+    // floor codes and ranks by integer-dot cosine (exact below 2^53 in
+    // DOUBLE, so both engines agree bit-for-bit).
+    "q48_ivf_quantized" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN maxabs = 0 THEN list_transform(v, x -> 0::BIGINT)
+        |       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT)) END AS codes
+        |  FROM s),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |        + list_dot_product(c.cv, c.cv), cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |probe_clusters AS (
+        |  SELECT vec_id AS probe_id, cid AS cluster FROM dist
+        |  WHERE rn <= 2 AND vec_id < 20),
+        |corpus AS (
+        |  SELECT d.vec_id AS neighbor_id, cid AS cluster, q.codes,
+        |    sqrt(list_dot_product(q.codes, q.codes)) AS qnorm
+        |  FROM dist d JOIN q ON d.vec_id = q.vec_id WHERE rn = 1),
+        |scored AS (
+        |  SELECT p.probe_id, corpus.neighbor_id,
+        |    CASE WHEN sqrt(list_dot_product(pq.codes, pq.codes)) = 0 OR corpus.qnorm = 0
+        |         THEN 0.0
+        |         ELSE round(list_dot_product(pq.codes, corpus.codes) /
+        |           (sqrt(list_dot_product(pq.codes, pq.codes)) * corpus.qnorm), 6)
+        |    END AS qcosine
+        |  FROM probe_clusters p
+        |  JOIN corpus ON p.cluster = corpus.cluster AND p.probe_id <> corpus.neighbor_id
+        |  JOIN q pq ON pq.vec_id = p.probe_id),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id, qcosine,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qcosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT probe_id, neighbor_id, qcosine, rank FROM ranked WHERE rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
     "q47_cjk_curation" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

@@ -164,10 +164,14 @@ class DedupSpec extends SparkTestBase {
         // CC only labels nodes that appear in an edge
         edges.exists(e => e._1 == id || e._2 == id) || c != id
       }
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      expected.foreach { case (id, c) =>
-        assert(got.get(id).contains(c), s"node $id: expected $c got ${got.get(id)} edges=$edges")
+      for (algo <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+          df => Dedup.connectedComponents(df),
+          df => Dedup.connectedComponentsStar(df))) {
+        val got = algo(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        expected.foreach { case (id, c) =>
+          assert(got.get(id).contains(c), s"node $id: expected $c got ${got.get(id)} edges=$edges")
+        }
       }
     }
   }
@@ -178,6 +182,15 @@ class DedupSpec extends SparkTestBase {
     val cc = Dedup.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet === Set(0L), s"all chain nodes label 0, got $cc")
+  }
+
+  test("star alternation collapses a long chain in O(log n) rounds") {
+    // path 0-1-...-30: diameter 30, but large-star/small-star must
+    // finish well inside 8 rounds (propagation would need 30)
+    val chain = Seq.tabulate(30)(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(chain, maxIterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 31 && cc.values.toSet === Set(0L), s"chain must collapse to 0, got $cc")
   }
 
   test("ngram jaccard verification: exact=1.0, near<1, threshold filters") {
@@ -377,6 +390,39 @@ class SimilaritySpec extends SparkTestBase {
     val cos = rt.filter(col("vec_id") =!= 99L)
       .select(Similarity.cosine(col("embedding"), col("back"))).collect()
     cos.foreach(r => assert(r.getDouble(0) > 0.995, s"cosine degraded: ${r.getDouble(0)}"))
+  }
+
+  test("quantized IVF search: int8 cosine within quantization error, same top-k shape") {
+    val rnd = new scala.util.Random(21)
+    def jitter(base: Array[Float]) = base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f)
+    val a = Array(5f, 1f, 0f, 0f)
+    val b = Array(0f, 1f, 5f, 0f)
+    val corpus = Seq.tabulate(40)(i => (i.toLong, jitter(if (i < 20) a else b)))
+      .toDF("vec_id", "embedding")
+    val cents = corpus.filter(col("vec_id") === 0 || col("vec_id") === 20)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val probes = corpus.filter(col("vec_id") < 4)
+    val f = Similarity.ivfSearch(probes, corpus, cents, k = 5, nProbe = 1)
+      .select("probe_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val q = Similarity.ivfSearchQuantized(probes, corpus, cents, k = 5, nProbe = 1)
+      .select("probe_id", "neighbor_id", "qcosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // same candidate lists → every scored pair exists in both; the int8
+    // cosine stays within the quantization error bound of the float one
+    val common = f.keySet & q.keySet
+    assert(common.size >= probes.count() * 3, "quantized search must retrieve real candidates")
+    common.foreach { k =>
+      assert(math.abs(f(k) - q(k)) < 0.02, s"pair $k: float ${f(k)} vs int8 ${q(k)}")
+    }
+    // integer kernel ≡ the composed aggregate form on the codes
+    val codes = corpus.select(Similarity.quantize(col("embedding")).getField("codes").as("c"))
+    val both = codes.crossJoin(codes.select(col("c").as("c2")))
+      .select(Similarity.int8Dot(col("c"), col("c2")).as("native"),
+        aggregate(zip_with(col("c"), col("c2"),
+          (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, v) => acc + v).as("composed"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("multi-table SRP near-dup finds the close pair without any collect") {
