@@ -128,6 +128,20 @@ class VersionStore(val root: String, spark: SparkSession) {
   def writeCollection(sig: String, v: Int, name: String, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(collectionPath(sig, v, name))
 
+  /** Collection names materialized for a version (directory listing —
+    * the manifest tracks versions, not collections). */
+  def collectionNames(sig: String, v: Int): Seq[String] = {
+    val dir = sigDir(sig).resolve(s"v$v")
+    if (!Files.exists(dir)) return Seq.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("collection="))
+      .map(_.stripPrefix("collection="))
+      .toSeq.sorted
+    finally stream.close()
+  }
+
   def readCollection(sig: String, v: Int, name: String): DataFrame = {
     val p = collectionPath(sig, v, name)
     if (Files.exists(Paths.get(p))) spark.read.parquet(p) else Documents.empty(spark)

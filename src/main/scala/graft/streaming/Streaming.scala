@@ -73,4 +73,60 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
+
+  /** Empty band-table frame — the initial state for [[nearDupSink]]. */
+  def emptyBandTable(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("id", LongType),
+        StructField("band", IntegerType), StructField("bucket", StringType))))
+  }
+
+  /** Streaming NEAR-duplicate detection: each micro-batch computes the
+    * SAME MinHash+LSH band keys as the batch operator
+    * ([[graft.ops.Dedup.lshCandidatePairs]] — one definition, two
+    * execution modes) and joins them against the persisted band table
+    * of everything seen so far; docs sharing any (band, bucket) with a
+    * prior document — or an earlier doc in the same batch — are emitted
+    * as `(id, partner_id)` candidates, and the batch's bands upsert
+    * into the table.
+    *
+    * State scale: the band table holds `bands` rows per document ever
+    * seen — at 100 TB it lives as a parquet/Delta table BUCKETED BY
+    * (band, bucket), so the per-batch probe join co-locates and touches
+    * only matching buckets; `load`/`save` abstract that store (tests
+    * pass an in-memory frame). This is candidate DETECTION (q23
+    * semantics); exact-Jaccard verification of flagged pairs belongs to
+    * the batch path, where both texts are at hand. */
+  def nearDupSink(idCol: String, textCol: String,
+                  loadBands: SparkSession => DataFrame,
+                  saveBands: DataFrame => Unit,
+                  emit: DataFrame => Unit,
+                  k: Int = 16, bands: Int = 4, shingleSize: Int = 3)
+                 (stream: DataFrame): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        val batchBands = graft.ops.Dedup
+          .minhashSignatures(batch, idCol, textCol, k, shingleSize)
+          .select(col("id"),
+            explode(graft.ops.Dedup.lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+          .localCheckpoint(true)
+        val prior = loadBands(spark)
+        val fromPrior = batchBands
+          .join(prior.select(col("id").as("partner_id"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .filter(col("partner_id") =!= col("id"))
+        val withinBatch = batchBands
+          .join(batchBands.select(col("id").as("partner_id"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .filter(col("partner_id") < col("id"))
+        emit(fromPrior.unionByName(withinBatch)
+          .groupBy(col("id")).agg(min(col("partner_id")).as("partner_id"))
+          .localCheckpoint(true))
+        saveBands(prior.unionByName(batchBands).distinct().localCheckpoint(true))
+      }
 }

@@ -68,4 +68,38 @@ class StreamingSpec extends SparkTestBase {
     val kept = spark.sql("SELECT doc_id FROM dedup_out").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L), s"dup texts dropped, got $kept")
   }
+
+  test("streaming near-dup: a later-batch near-duplicate is flagged against the band table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    var bandTable = Streaming.emptyBandTable(spark)
+    var flagged = Map.empty[Long, Long]
+    val writer = Streaming.nearDupSink("doc_id", "text",
+        _ => bandTable, bt => bandTable = bt,
+        f => flagged ++= f.collect().map(r => r.getLong(0) -> r.getLong(1)))(stream)
+      .option("checkpointLocation", Files.createTempDirectory("graft-neardup").toString)
+      .start()
+
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    input.addData((1L, base), (2L, "completely different words about spark streaming state"))
+    writer.processAllAvailable()
+    assert(flagged.isEmpty, s"first batch has no near-dups, got $flagged")
+
+    // batch 2: near-dup of doc 1 (NOT byte-identical), one unrelated doc,
+    // and a within-batch near-dup pair (10, 11)
+    val inBatch = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    input.addData(
+      (42L, base.replace("today", "tonight")),
+      (43L, "nothing in common with anything seen before at all whatsoever"),
+      (10L, inBatch), (11L, inBatch + " xi"))
+    writer.processAllAvailable()
+    writer.stop()
+    assert(flagged.get(42L).contains(1L), s"later-batch near-dup must flag, got $flagged")
+    assert(flagged.get(11L).contains(10L), s"within-batch near-dup must flag, got $flagged")
+    assert(!flagged.contains(43L) && !flagged.contains(2L), s"unrelated docs stay clean: $flagged")
+    // the band table accumulated both batches' keys (4 bands per doc)
+    assert(bandTable.count() === 6 * 4)
+  }
 }
