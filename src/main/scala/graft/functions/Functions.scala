@@ -148,6 +148,29 @@ case class SimHashExpression(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `tokens(text)` — THE tokenizer as a native expression: one pass of
+  * [[Tokenize.split]] (CJK-aware, ASCII-whitespace + U+3000
+  * separators), no regex. The composed column form
+  * (regexp_replace-segment + regexp-split + filter) costs two full
+  * regex passes per row with a Unicode script class — measured 2-5× on
+  * the token-counting family at 600 k docs. Empty input yields an
+  * empty array (never null elements), matching the filtered split.
+  */
+case class TokensExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_tokens"
+  override protected def nullSafeEval(text: Any): Any = {
+    val toks = Tokenize.split(text.toString)
+    val out = new Array[AnyRef](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `shingles(text, n)` — distinct word n-gram shingles in ONE pass
   * (first-occurrence order). The composed-built-ins form
   * (`transform`+`slice`+`array_join`+`array_distinct`) allocates an
@@ -623,6 +646,7 @@ object GraftFunctions {
     "graft_srp_bucket" -> (e => SrpBucketExpression(e(0), e(1), e(2))),
     "graft_pairs" -> (e => PairsExpression(e(0))),
     "graft_ivf_nearest" -> (e => IvfNearestExpression(e(0), e(1), e(2), e(3))),
+    "graft_tokens" -> (e => TokensExpression(e(0))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
     "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))))
 

@@ -51,7 +51,9 @@ object Tokenize {
   }
 
   /** One-pass tokenization (code-point aware: supplementary-plane Han
-    * rides surrogate pairs). */
+    * rides surrogate pairs). The `c < 0x0E00` fast path keeps
+    * ASCII/Latin text on plain char compares — no codePointAt, no
+    * script lookup (Thai U+0E00 is the lowest per-character script). */
   def split(s: String): ArrayBuffer[String] = {
     val out = new ArrayBuffer[String](64)
     var i = 0
@@ -59,9 +61,9 @@ object Tokenize {
     while (i < n) {
       while (i < n && isSeparator(s.charAt(i))) i += 1
       if (i < n) {
-        val cp = s.codePointAt(i)
-        if (isCjk(cp)) {
-          val w = Character.charCount(cp)
+        val c0 = s.charAt(i)
+        if (c0 >= 0x0E00 && isCjk(s.codePointAt(i))) {
+          val w = Character.charCount(s.codePointAt(i))
           out += s.substring(i, i + w)
           i += w
         } else {
@@ -70,6 +72,7 @@ object Tokenize {
           while (i < n && !stop) {
             val c = s.charAt(i)
             if (isSeparator(c)) stop = true
+            else if (c < 0x0E00) i += 1
             else {
               val p = s.codePointAt(i)
               if (isCjk(p)) stop = true else i += Character.charCount(p)

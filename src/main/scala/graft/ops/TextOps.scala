@@ -12,19 +12,27 @@ object TextOps {
 
   import graft.functions.Tokenize
 
-  /** Space-pad Han/Hiragana/Katakana/Thai code points so the whitespace
-    * split below yields one token per CJK character — the column twin of
-    * the native scanner in [[graft.functions.Tokenize]]. Identity on
-    * ASCII/Latin text. */
+  /** Space-pad Han/Hiragana/Katakana/Thai code points so a whitespace
+    * split yields one token per CJK character — the composed-regex
+    * reference form of the native scanner (kept as the
+    * [[TextOpsSpec]]-pinned equivalence twin and the shape the DuckDB
+    * oracle replays). Identity on ASCII/Latin text. */
   def segmentCjk(text: Column): Column =
     regexp_replace(text, s"(${Tokenize.CjkCharClass})", " $1 ")
 
-  /** THE tokenizer (empties dropped): CJK-segmented, then split on ASCII
-    * whitespace + U+3000. One definition for the whole text family —
-    * [[graft.ops.Curation]] and the native shingle/minhash/simhash
-    * expressions share it (see [[graft.functions.Tokenize]]). */
-  def tokens(text: Column): Column =
+  /** [[tokens]] as composed built-ins — two regex passes per row; the
+    * native expression below is 2-5× faster on the token-counting
+    * family, so this exists only as the independent reference
+    * implementation. */
+  private[ops] def tokensComposed(text: Column): Column =
     filter(split(segmentCjk(text), s"${Tokenize.SeparatorClass}+"), t => t =!= "")
+
+  /** THE tokenizer (empties dropped): one native pass of
+    * [[graft.functions.Tokenize.split]] — CJK per-character, ASCII
+    * whitespace + U+3000 separators, no regex. One definition for the
+    * whole text family: [[graft.ops.Curation]] and the native
+    * shingle/minhash/simhash kernels share the same scanner. */
+  def tokens(text: Column): Column = call_function("graft_tokens", text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

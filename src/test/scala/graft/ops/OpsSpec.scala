@@ -44,7 +44,11 @@ class TextOpsSpec extends SparkTestBase {
     val df = cases.map(_._1).toDF("text")
     val got = df.select(TextOps.tokens($"text")).collect().map(_.getSeq[String](0).toSeq)
     assert(got.toSeq === cases.map(_._2))
-    // native one-pass scanner (shingles/minhash/simhash) ≡ the column form
+    // the composed regex form (= the DuckDB oracle's shape) ≡ the native
+    val composed = df.select(TextOps.tokensComposed($"text"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(composed.toSeq === cases.map(_._2))
+    // JVM-side scanner (shingles/minhash/simhash) agrees too
     for ((s, expected) <- cases)
       assert(graft.functions.Tokenize.split(s).toSeq === expected, s"native split of '$s'")
   }
