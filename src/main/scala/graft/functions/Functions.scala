@@ -232,12 +232,21 @@ case class MinHashExpression(first: Expression, second: Expression, third: Expre
   @transient private lazy val saltPrefixes: Array[Array[Byte]] =
     Array.tabulate(64)(i => s"$i|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
   private val HexChars = "0123456789abcdef".toCharArray
-  private def saltedMd5Hex(salt: Int, shingleBytes: Array[Byte]): String = {
-    val d = digest.get()
-    d.update(if (salt < 64) saltPrefixes(salt)
-      else s"$salt|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    d.update(shingleBytes)
-    val bytes = d.digest()
+  // Minima track RAW digest bytes: lowercase-hex lexicographic order IS
+  // unsigned byte order, so the k winners hex-encode once at the end —
+  // the hex-per-candidate form allocated a 32-char String per
+  // (shingle, salt), ~10⁹ allocations per 600 k-doc pass.
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xFF
+      val y = b(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+  private def toHex(bytes: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -253,7 +262,9 @@ case class MinHashExpression(first: Expression, second: Expression, third: Expre
     // tokenize (shared CJK-aware definition) + sliding distinct shingles
     val tokens = Tokenize.split(text.toString)
     val seen = new java.util.HashSet[String]()
-    val mins = Array.fill[String](k)(null)
+    val mins = Array.fill[Array[Byte]](k)(null)
+    val d = digest.get()
+    val scratch = new Array[Byte](16)
     var j = 0
     val sb = new java.lang.StringBuilder(64)
     while (j + n <= tokens.length) {
@@ -269,15 +280,21 @@ case class MinHashExpression(first: Expression, second: Expression, third: Expre
         val shingleBytes = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         var salt = 0
         while (salt < k) {
-          val h = saltedMd5Hex(salt, shingleBytes)
-          if (mins(salt) == null || h.compareTo(mins(salt)) < 0) mins(salt) = h
+          d.update(if (salt < 64) saltPrefixes(salt)
+            else s"$salt|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          d.update(shingleBytes)
+          // digest into the scratch buffer; copy only when it wins the
+          // running min (O(log m) wins per salt over m shingles)
+          d.digest(scratch, 0, 16)
+          if (mins(salt) == null || unsignedLess(scratch, mins(salt)))
+            mins(salt) = scratch.clone()
           salt += 1
         }
       }
       j += 1
     }
     if (mins(0) == null) null // no shingles (short doc) → null signature
-    else new GenericArrayData(mins.map(m => UTF8String.fromString(m): AnyRef))
+    else new GenericArrayData(mins.map(m => UTF8String.fromString(toHex(m)): AnyRef))
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
     copy(first = f, second = s, third = t)

@@ -102,6 +102,34 @@ object TextOps {
     when(best._2 >= minHits, best._1).otherwise(lit("und"))
   }
 
+  /** Characters of `text` matching a regex character class — the
+    * removal-length trick (`len(text) − len(text without the class)`),
+    * identical in any engine whose `length` counts code points (Spark
+    * and DuckDB both do). */
+  def scriptCharCount(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, charClass, ""))
+
+  /** Script-aware language ID: non-space-delimited scripts identify by
+    * CHARACTER evidence (stopword profiles need word boundaries, so CJK
+    * text scores "und" under [[languageId]]): ≥ `minScriptChars` kana →
+    * ja (Japanese always carries kana; Chinese never does), hangul →
+    * ko, thai → th, han → zh — in that precedence order (kanji-bearing
+    * Japanese must check kana before han). Latin-script text falls back
+    * to the stopword profiles. */
+  def languageIdScripted(text: Column,
+                         profiles: Seq[(String, Seq[String])] = DefaultProfiles,
+                         minHits: Int = 1, minScriptChars: Int = 3): Column = {
+    val kana = scriptCharCount(text, "[\\p{IsHiragana}\\p{IsKatakana}]")
+    val hangul = scriptCharCount(text, "\\p{IsHangul}")
+    val thai = scriptCharCount(text, "\\p{IsThai}")
+    val han = scriptCharCount(text, "\\p{IsHan}")
+    when(kana >= minScriptChars, lit("ja"))
+      .when(hangul >= minScriptChars, lit("ko"))
+      .when(thai >= minScriptChars, lit("th"))
+      .when(han >= minScriptChars, lit("zh"))
+      .otherwise(languageId(text, profiles, minHits))
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct token
     * set (Broder-style canonicalization — word order and duplication
     * insensitive). */

@@ -35,14 +35,17 @@ object TrainingData {
     *    char, so trigram Jaccard = 38/39 ≈ 0.974);
     *  - 1000003: Japanese (iroha — all-distinct hiragana);
     *  - 1000004: Thai consonants (no word delimiters in Thai script);
-    *  - 1000005: mixed Latin + Han tokenization. */
+    *  - 1000005: mixed Latin + Han tokenization;
+    *  - 1000006: Korean (space-delimited Hangul — tokenizes by word,
+    *    identifies by script). */
   private val CjkIdBase = 1000000L
   private val CjkDocs: Seq[(Long, String)] = Seq(
     1000001L -> "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳云腾致雨露结为霜",
     1000002L -> "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳云腾致雨露结为霜金",
     1000003L -> "いろはにほへとちりぬるをわかよたれそつねならむ",
     1000004L -> "กขคงจฉชซญดตถทธนบปผฝพฟภมยรลวสหอ",
-    1000005L -> "mixed script doc 机器学习 data 模型")
+    1000005L -> "mixed script doc 机器学习 data 模型",
+    1000006L -> "한국어 텍스트 처리 시스템 테스트 문서 예제 데이터")
   private def cjkValuesSql: String =
     CjkDocs.map { case (id, text) => s"($id::BIGINT, '$text')" }.mkString(", ")
 
@@ -346,6 +349,21 @@ object TrainingData {
         k = 16, bands = 4, shingleSize = 3)
       Dedup.resolveClusters(docs.select(col("doc_id")), "doc_id", pairs)
         .orderBy(col("doc_id"))
+    }),
+
+    // Script-aware language ID over the mixed corpus: CJK documents
+    // identify by character-script evidence (stopword profiles need
+    // word boundaries and score CJK "und"); Latin text falls back to
+    // the q20 profiles — their counts must be unchanged.
+    "q49_script_langid" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(CjkDocs.toDF("doc_id", "text"))
+      corpus
+        .select(col("doc_id"), TextOps.languageIdScripted(col("text")).as("lang_id"))
+        .groupBy(col("lang_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_id"))
     }),
 
     // Quantized IVF ANN: q35's index shape, but candidates ride the
@@ -839,6 +857,42 @@ object TrainingData {
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)
         |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
         |ORDER BY doc_id""".stripMargin,
+    "q49_script_langid" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $cjkValuesSql) v(doc_id, text)),
+         |scripts AS (
+         |  SELECT doc_id, text,
+         |    length(text) - length(regexp_replace(text, '[\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS kana,
+         |    length(text) - length(regexp_replace(text, '\\p{Hangul}', '', 'g')) AS hangul,
+         |    length(text) - length(regexp_replace(text, '\\p{Thai}', '', 'g')) AS thai,
+         |    length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')) AS han
+         |  FROM corpus),
+         |hits AS (
+         |  SELECT doc_id, kana, hangul, thai, han,
+         |    len(list_intersect($tokensSql, ['the','and','of','to','in','is','that','for','with','a'])) AS en,
+         |    len(list_intersect($tokensSql, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS de,
+         |    len(list_intersect($tokensSql, ['le','la','les','et','est','pas','une','pour','dans','que'])) AS fr,
+         |    len(list_intersect($tokensSql, ['el','la','los','y','es','no','una','para','en','que'])) AS es
+         |  FROM scripts),
+         |best AS (
+         |  SELECT doc_id, kana, hangul, thai, han,
+         |    CASE WHEN es > greatest(en, de, fr) THEN 'es'
+         |         WHEN fr > greatest(en, de) THEN 'fr'
+         |         WHEN de > en THEN 'de' ELSE 'en' END AS plang,
+         |    greatest(en, de, fr, es) AS score
+         |  FROM hits),
+         |labeled AS (
+         |  SELECT doc_id,
+         |    CASE WHEN kana >= 3 THEN 'ja'
+         |         WHEN hangul >= 3 THEN 'ko'
+         |         WHEN thai >= 3 THEN 'th'
+         |         WHEN han >= 3 THEN 'zh'
+         |         WHEN score >= 1 THEN plang ELSE 'und' END AS lang_id
+         |  FROM best)
+         |SELECT lang_id, COUNT(*) AS n FROM labeled
+         |GROUP BY 1 ORDER BY lang_id""".stripMargin,
     // q48: assignment replays q35's float argmin; scoring replays q42's
     // floor codes and ranks by integer-dot cosine (exact below 2^53 in
     // DOUBLE, so both engines agree bit-for-bit).

@@ -53,6 +53,21 @@ class TextOpsSpec extends SparkTestBase {
       assert(graft.functions.Tokenize.split(s).toSeq === expected, s"native split of '$s'")
   }
 
+  test("script-aware language ID: CJK by character evidence, Latin by profiles") {
+    val cases = Seq(
+      "机器学习模型训练数据" -> "zh",
+      "これはテストです" -> "ja",
+      "日本語の文書です" -> "ja", // kanji + kana → kana wins precedence
+      "한국어 문서 예제" -> "ko",
+      "ภาษาไทยทดสอบ" -> "th",
+      "the cat and the dog is here" -> "en",
+      "der hund und die katze ist da" -> "de",
+      "zzz qqq www" -> "und")
+    val got = cases.map(_._1).toDF("text")
+      .select(TextOps.languageIdScripted($"text")).collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+  }
+
   test("CJK docs survive the gopher quality gate and near-dup detection finds CJK pairs") {
     val docs = Seq(
       (1L, "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏"),
