@@ -480,20 +480,23 @@ case class PairsExpression(child: Expression)
         s"graft_pairs: bucket of $n ids would emit $pairCount pairs " +
           s"(max ${PairsExpression.MaxPairs}) — raise bands/planes or cap " +
           "bucket size (maxBucketSize)")
-    val out = new Array[Any](pairCount.toInt)
-    var k = 0
+    // a == b pairs are skipped: DUPLICATE ids in a bucket (a caller
+    // with a non-unique id column) must not emit self-pairs — a
+    // self-pair survives any downstream verification (jaccard 1.0,
+    // hamming 0) and poisons dedup clusters
+    val out = new scala.collection.mutable.ArrayBuffer[Any](pairCount.toInt)
     var i = 0
     while (i < n) {
       val a = ids.getLong(i)
       var j = i + 1
       while (j < n) {
-        out(k) = org.apache.spark.sql.catalyst.InternalRow(a, ids.getLong(j))
-        k += 1
+        val b = ids.getLong(j)
+        if (a != b) out += org.apache.spark.sql.catalyst.InternalRow(a, b)
         j += 1
       }
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -502,6 +505,59 @@ object PairsExpression {
   /** Hard ceiling on pairs emitted per bucket (64M structs ≈ 1 GiB row
     * data — already far past any sane blocking-key design). */
   val MaxPairs: Long = 64L * 1024 * 1024
+}
+
+/** `hamming_pairs(members, maxDistance)` — verified SimHash pairs
+  * emitted IN the bucket: `members` is a (id-sorted) array of
+  * `struct<id long, sim long>`; output is `(a, b, hamming)` for every
+  * a < b pair whose XOR popcount ≤ maxDistance. The f²/2 hamming
+  * checks are two machine instructions each, so running them where the
+  * bucket lives beats materializing the candidate pairs: at corpus ≫
+  * 2¹⁶ the 16-bit blocks collide structurally (n²/2¹⁶ pairs per
+  * block — 11 M rows at 600 k docs) and the emit-then-join form
+  * shuffles all of them through a distinct plus two signature joins to
+  * keep a few thousand survivors. Only survivors leave the bucket. */
+case class HammingPairsExpression(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_hamming_pairs"
+  override protected def nullSafeEval(membersAny: Any, maxDistAny: Any): Any = {
+    val members = membersAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val maxDist = maxDistAny.asInstanceOf[Int]
+    val n = members.numElements()
+    val ids = new Array[Long](n)
+    val sims = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      sims(i) = row.getLong(1)
+      i += 1
+    }
+    // ids(i) == ids(j) skipped — see PairsExpression: duplicate ids
+    // must not emit hamming-0 self-pairs
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (ids(i) != ids(j)) {
+          val h = java.lang.Long.bitCount(sims(i) ^ sims(j))
+          if (h <= maxDist)
+            out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), h)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** `float_dot(a, b)` — sequential double-precision dot product over two
@@ -662,6 +718,7 @@ object GraftFunctions {
     "graft_int8_dot" -> (e => Int8DotExpression(e(0), e(1))),
     "graft_srp_bucket" -> (e => SrpBucketExpression(e(0), e(1), e(2))),
     "graft_pairs" -> (e => PairsExpression(e(0))),
+    "graft_hamming_pairs" -> (e => HammingPairsExpression(e(0), e(1))),
     "graft_ivf_nearest" -> (e => IvfNearestExpression(e(0), e(1), e(2), e(3))),
     "graft_tokens" -> (e => TokensExpression(e(0))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),

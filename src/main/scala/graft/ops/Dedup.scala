@@ -175,36 +175,35 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 16-bit prefix rotations (4 blocks
     * of 16 bits — any pair within Hamming distance 3 shares at least one
-    * identical block), verify with exact Hamming distance. One shuffle
-    * on the (block, key) grouping; candidate pairs re-join the (small)
-    * signature frame by id — signatures never ride the ×4 block
-    * explosion. Never n² ACROSS buckets; WITHIN a bucket pairs are
-    * quadratic, so `maxBucketSize` (0 = off) drops degenerate buckets —
-    * at a dup-heavy corpus run exact dedup FIRST, then simhash on the
-    * survivors. */
+    * identical block), verify with exact Hamming distance IN the bucket
+    * (native `graft_hamming_pairs`): each bucket carries (id, sim)
+    * members and emits only pairs that PASS the distance check — two
+    * instructions per candidate where the bucket lives, so at corpus ≫
+    * 2¹⁶ (where the 16-bit keys collide structurally, n²/2¹⁶ pairs per
+    * block) the survivors-only frame replaces an 11 M-row
+    * distinct-plus-two-joins shuffle. One shuffle on the (block, key)
+    * grouping, one distinct over survivors across blocks. WITHIN a
+    * bucket candidates are quadratic CPU, so `maxBucketSize` (0 = off)
+    * drops degenerate buckets — at a dup-heavy corpus run exact dedup
+    * FIRST, then simhash on the survivors. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                             maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
-    val sims = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")).cache()
-    val buckets = sims.select(col("id"),
+    val sims = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val buckets = sims.select(col("id"), col("sim"),
         explode(array((0 until 4).map { blk =>
           struct(lit(blk).as("blk"),
             shiftright(col("sim"), blk * 16).bitwiseAND(0xFFFFL).as("key"))
         }: _*)).as("b"))
       .groupBy(col("b.blk").as("blk"), col("b.key").as("key"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sim")))).as("members"))
     val bounded =
-      if (maxBucketSize > 0) buckets.filter(size(col("ids")) <= maxBucketSize)
+      if (maxBucketSize > 0) buckets.filter(size(col("members")) <= maxBucketSize)
       else buckets
-    val pairs = bounded
-      .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    bounded
+      .select(explode(call_function("graft_hamming_pairs",
+        col("members"), lit(maxDistance))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"), col("p.hamming").as("hamming"))
       .distinct()
-    pairs
-      .join(sims.select(col("id").as("id_a"), col("sim").as("sim_a")), Seq("id_a"))
-      .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
-      .filter(col("hamming") <= maxDistance)
   }
 
   /** Connected components over an undirected candidate-pair graph —

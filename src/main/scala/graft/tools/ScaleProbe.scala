@@ -96,7 +96,16 @@ object ScaleProbe {
       // distinct shingles over 600k docs with occasional collisions.
       def word(c: org.apache.spark.sql.Column, pos: Int, mod: Int) =
         concat(lit(s"w$pos"), pmod(c.cast("long"), lit(mod)))
-      li.select((col("l_orderkey") * 10 + col("l_linenumber")).as("doc_id"),
+      // doc_id must be UNIQUE: the synthetic lineitem's (orderkey,
+      // linenumber) collides, and duplicate doc ids manufacture
+      // hamming-0 / jaccard-1.0 self-pairs in the dedup family (found
+      // in r4: the old probe's "1181 simhash pairs" were exactly that
+      // artifact, amplified by the verify join's many-to-many re-attach)
+      li.withColumn("doc_id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_extendedprice"))).cast("long"))
+        .select(col("doc_id"),
           concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
             word(col("l_partkey"), 1, 97), word(col("l_suppkey"), 2, 89),
             word(col("l_orderkey"), 3, 83), word(col("l_quantity"), 4, 47),

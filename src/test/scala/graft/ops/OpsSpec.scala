@@ -109,6 +109,21 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b) == Set(5L) })
   }
 
+  test("duplicate doc ids never emit self-pairs (jaccard-1.0 / hamming-0 poison)") {
+    // two DISTINCT docs sharing one id: no (a, a) pair may surface from
+    // any blocking detector — a self-pair survives every verification
+    val dupDocs = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (7L, "one two three four five six seven eight"),
+      (9L, "unrelated words that collide with nothing at all here")).toDF("doc_id", "text")
+    val sh = Dedup.simhashNearDuplicates(dupDocs, "doc_id", "text", maxDistance = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.forall { case (a, b) => a != b }, s"self-pair leaked: ${sh.mkString(",")}")
+    val nj = Dedup.ngramJaccardBlocked(dupDocs, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nj.forall { case (a, b) => a != b }, s"self-pair leaked: ${nj.mkString(",")}")
+  }
+
   test("graft_pairs refuses buckets past the pair ceiling with a nameable error") {
     // 12k ids → ~72M pairs > the 64M cap; the guard must fire BEFORE
     // allocation (Int math would overflow to NegativeArraySizeException
