@@ -108,6 +108,48 @@ object Tasks {
     collectionTasks.foldLeft(drained) { case (df, (_, fn)) => fn(df).localCheckpoint(true) }
   }
 
+  /** The reference's retry-with-countdown orchestration
+    * (tasks/collection.py:40-46 — `autoretry_for=(DGPendingDocuments,)`,
+    * `max_retries: 5, countdown: 5*60`, and the `on_retry` handler that
+    * CANCELS still-pending document tasks once retries are exhausted,
+    * collection.py:25-37): document tasks drain, and while any document
+    * stays pending the dispatcher sleeps `countdownMillis` and drains
+    * again, up to `maxRetries` times; documents still pending after the
+    * last attempt get their tasks canceled (`{success:false,
+    * canceled:true}`) so collection-level tasks can proceed — the
+    * reference's behavior when a flaky child never lands. `sleep` is
+    * injectable (tests pass a recorder; production defaults to
+    * Thread.sleep — the Spark driver IS the Celery worker here).
+    * Returns the frame after both levels. */
+  def dispatchWithRetry(docs: DataFrame,
+                        documentRegistry: Map[String, DataFrame => DataFrame],
+                        collectionTasks: Seq[(String, DataFrame => DataFrame)],
+                        maxRetries: Int = 5,
+                        countdownMillis: Long = 5 * 60 * 1000L,
+                        sleep: Long => Unit = Thread.sleep,
+                        maxDepth: Int = 10): DataFrame = {
+    def hasPending(df: DataFrame): Boolean =
+      df.withColumn("__pending", pendingTasksCol)
+        .filter(size(col("__pending")) > 0).limit(1).count() > 0
+    var current = dispatch(docs, documentRegistry, maxDepth)
+    var retries = 0
+    while (hasPending(current) && retries < maxRetries) {
+      sleep(countdownMillis)
+      current = dispatch(current, documentRegistry, maxDepth)
+      retries += 1
+    }
+    if (hasPending(current)) {
+      // retries exhausted: cancel the stragglers, keep the rest
+      val withPending = current.withColumn("__pending", pendingTasksCol)
+      val stuck = withPending.filter(size(col("__pending")) > 0)
+        .select(Documents.columns.map(col): _*)
+      val fine = withPending.filter(size(col("__pending")) === 0)
+        .select(Documents.columns.map(col): _*)
+      current = fine.unionByName(cancelPending(stuck)).localCheckpoint(true)
+    }
+    collectionTasks.foldLeft(current) { case (df, (_, fn)) => fn(df).localCheckpoint(true) }
+  }
+
   private def exprPendingRegistered(registered: Set[String]): Column =
     if (registered.isEmpty) lit(false)
     else registered.map(n => array_contains(col("__pending"), n): Column).reduce(_ || _)
@@ -124,6 +166,11 @@ object Tasks {
         .collect().map(_.getString(0)).toSeq.filter(registry.contains).sorted
       if (pendingNames.isEmpty) drained = true
       else {
+        // coalesce before the checkpoint: unionByName CONCATENATES
+        // partitions, so an un-capped loop doubles the partition count
+        // per round — a task that never drains turns 10 depths × 5
+        // retries into 2⁴⁰ empty partitions (found by the retry tests)
+        val parts = docs.sparkSession.sparkContext.defaultParallelism.max(1)
         pendingNames.foreach { name =>
           val withP = current.withColumn("__pending", pendingTasksCol)
           val target = withP.filter(array_contains(col("__pending"), name))
@@ -131,6 +178,7 @@ object Tasks {
           val rest = withP.filter(!array_contains(col("__pending"), name))
             .select(Documents.columns.map(col): _*)
           current = rest.unionByName(registry(name)(target))
+            .coalesce(parts)
             .localCheckpoint(true)
         }
         depth += 1

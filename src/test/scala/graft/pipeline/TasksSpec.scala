@@ -73,6 +73,47 @@ class TasksSpec extends SparkTestBase {
     assert(out.filter(col("task_results").contains("collection_level")).count() === 4)
   }
 
+  test("retry-with-countdown: a straggler task lands on a later attempt (collection.py:40-46)") {
+    def mark(name: String)(df: DataFrame): DataFrame =
+      df.withColumn("task_results", call_function("graft_json_merge",
+        col("task_results"), lit(s"""{"$name":{"success":true}}""")))
+    // "first" outlasts the whole first dispatch (10 depth rounds = 10
+    // calls) and lands on the retry — the async-child shape where a
+    // dependency is not ready until a later dispatch attempt
+    var firstCalls = 0
+    def flakyFirst(df: DataFrame): DataFrame = {
+      firstCalls += 1
+      if (firstCalls <= 10) df else mark("first")(df)
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Tasks.dispatchWithRetry(docsWithTasks(),
+      Map("first" -> flakyFirst _, "second" -> mark("second") _),
+      Seq("collection_level" -> mark("collection_level") _),
+      maxRetries = 5, countdownMillis = 300000L, sleep = sleeps += _)
+    assert(sleeps.toSeq === Seq(300000L), "exactly one countdown before the task landed")
+    assert(out.filter(!col("task_results").contains("\"second\":{\"success\":true}")).count() === 0)
+    assert(out.filter(col("task_results").contains("collection_level")).count() === 4)
+  }
+
+  test("retry exhaustion cancels stragglers and still runs collection tasks (collection.py:25-37)") {
+    def mark(name: String)(df: DataFrame): DataFrame =
+      df.withColumn("task_results", call_function("graft_json_merge",
+        col("task_results"), lit(s"""{"$name":{"success":true}}""")))
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Tasks.dispatchWithRetry(docsWithTasks(),
+      Map("first" -> identity[DataFrame] _), // never completes
+      Seq("collection_level" -> mark("collection_level") _),
+      maxRetries = 3, countdownMillis = 1000L, sleep = sleeps += _)
+    assert(sleeps.toSeq === Seq(1000L, 1000L, 1000L), "one countdown per retry")
+    val rows = out.select("task_results", "finished_at").collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getString(0).contains("\"first\":{\"success\":false,\"canceled\":true}"))
+      assert(r.getString(0).contains("\"collection_level\":{\"success\":true}"))
+      assert(r.get(1) != null, "canceled docs finish")
+    }
+  }
+
   test("cancelPending marks pending tasks canceled and finishes docs (tasks/document.py:260-277)") {
     val out = Tasks.cancelPending(docsWithTasks())
     val row = out.head
