@@ -63,7 +63,7 @@ object CollectionOps {
   def add(existing: DataFrame, additions: DataFrame, spec: CollectionSpec,
           reset: Boolean = false, dedupe: Boolean = true): DataFrame = {
     val base = if (reset) existing.limit(0) else existing
-    val maxId: Long = Option(base.agg(max(col("id"))).head.get(0))
+    val maxId: Long = Option(base.agg(max(col("id"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     var batch = Documents.fromProperties(additions)
     if (dedupe) batch = batch.dropDuplicates("properties")

@@ -119,6 +119,69 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Image resize — the standard multimodal preprocessing pass before
+    * feature extraction: decode with `javax.imageio` (PNG/JPEG/GIF/BMP
+    * — the JDK's codecs; a REAL pixel decode, unlike the header-only
+    * dimension read in [[ImageIoDecoder]]), scale to fit
+    * (maxWidth, maxHeight) preserving aspect ratio — never upscales —
+    * with bilinear interpolation, re-encode PNG. Non-image rows and
+    * already-fitting or undecodable images pass through unchanged with
+    * `resized = false`. Same mapPartitions batch shape as
+    * [[extractFeatures]]: partitions stream row-at-a-time, so executor
+    * memory holds one decoded frame per core, not a batch of them.
+    * Output: (media_id, kind, bytes, width, height, resized). */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("resized", BooleanType, nullable = false)))
+
+  def resizeImages(media: DataFrame, maxWidth: Int, maxHeight: Int,
+                   partitions: Int = 0): DataFrame = {
+    require(maxWidth > 0 && maxHeight > 0, "bounds must be positive")
+    val spark = media.sparkSession
+    val src = if (partitions > 0) media.repartition(partitions) else media
+    val rdd = src.select("media_id", "kind", "bytes").rdd.mapPartitions { it =>
+      it.map { row =>
+        val (id, kind) = (row.getLong(0), row.getString(1))
+        val bytes = row.getAs[Array[Byte]](2)
+        def passthrough(w: Integer, h: Integer) = Row(id, kind, bytes, w, h, false)
+        if (kind != "image" || bytes == null) passthrough(null, null)
+        else {
+          val decoded =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          decoded match {
+            case None => passthrough(null, null) // undecodable: keep the bytes
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val scale = math.min(1.0,
+                math.min(maxWidth.toDouble / w, maxHeight.toDouble / h))
+              if (scale >= 1.0) passthrough(w, h)
+              else {
+                val nw = math.max(1, math.round(w * scale).toInt)
+                val nh = math.max(1, math.round(h * scale).toInt)
+                val out = new java.awt.image.BufferedImage(nw, nh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, nw, nh, null)
+                } finally g.dispose()
+                val buf = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", buf)
+                Row(id, kind, buf.toByteArray, Integer.valueOf(nw), Integer.valueOf(nh), true)
+              }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
   /** Synthesize a media frame from the documents table (test/bench
     * harness: text bytes stand in for binary payloads). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =

@@ -747,6 +747,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(3).getAs[Long]("duration_ms") >= 0L, "audio delegates to the stub")
   }
 
+  test("resizeImages: aspect-preserving downscale, never upscales, passthrough for non-images") {
+    def imageBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8800)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "image", imageBytes(100, 60), null),
+        org.apache.spark.sql.Row(2L, "image", imageBytes(30, 20), null), // already fits
+        org.apache.spark.sql.Row(3L, "image", "junk".getBytes, null),
+        org.apache.spark.sql.Row(4L, "audio", "payload".getBytes, null))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resizeImages(media, maxWidth = 50, maxHeight = 50)
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("width") === 50 && out(0).getAs[Int]("height") === 30,
+      "100x60 fits 50x50 at scale 0.5 → 50x30")
+    assert(out(0).getBoolean(5), "resized flag set")
+    // the emitted bytes ARE a decodable 50x30 PNG
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]]("bytes")))
+    assert(back.getWidth === 50 && back.getHeight === 30)
+    assert(out(1).getAs[Int]("width") === 30 && !out(1).getBoolean(5), "no upscale")
+    assert(!out(2).getBoolean(5) &&
+      out(2).getAs[Array[Byte]]("bytes").sameElements("junk".getBytes),
+      "undecodable passthrough keeps bytes")
+    assert(!out(3).getBoolean(5), "non-image passthrough")
+  }
+
   test("frame sampling explodes stride-spaced frame indexes") {
     val docs = Seq((2L, "some video payload text", "en", "s")).toDF("doc_id", "text", "lang", "source")
     val frames = Multimodal.sampleFrames(
