@@ -150,6 +150,50 @@ object Tasks {
     collectionTasks.foldLeft(current) { case (df, (_, fn)) => fn(df).localCheckpoint(true) }
   }
 
+  /** Escape hatch of [[withSoftTimeLimit]]: the body exceeded its
+    * wall-clock budget on every attempt. */
+  class DGSoftTimeLimitExceeded(timeoutMillis: Long, attempts: Int)
+    extends RuntimeException(
+      s"soft time limit ${timeoutMillis} ms exceeded on all $attempts attempts")
+
+  /** The reference's growth-task soft time limit (processors/growth.py:
+    * 23-29 — `soft_time_limit=60*30`, `autoretry_for=
+    * (SoftTimeLimitExceeded,)`, `max_retries: 3`): run `body` (a
+    * driver-side Spark action sequence) under a wall-clock budget; on
+    * timeout the attempt's job GROUP is cancelled (tasks interrupt) and
+    * the body re-runs, up to `maxRetries` more times. Celery kills the
+    * worker process; the Spark twin cancels the job group — same
+    * contract, the retry sees a clean slate. Throws
+    * [[DGSoftTimeLimitExceeded]] when every attempt times out. `body`
+    * must be idempotent (it re-executes whole), which Spark
+    * transformations + snapshot writes are by construction here. */
+  def withSoftTimeLimit[T](spark: org.apache.spark.sql.SparkSession,
+                           timeoutMillis: Long, maxRetries: Int = 3)
+                          (body: => T): T = {
+    val sc = spark.sparkContext
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val groupId = s"graft-soft-limit-${java.util.UUID.randomUUID()}"
+      @volatile var timedOut = false
+      val timer = new java.util.Timer("graft-soft-time-limit", true)
+      timer.schedule(new java.util.TimerTask {
+        override def run(): Unit = { timedOut = true; sc.cancelJobGroup(groupId) }
+      }, timeoutMillis)
+      sc.setJobGroup(groupId, "graft soft-time-limited section", interruptOnCancel = true)
+      try {
+        val result = body
+        return result
+      } catch {
+        case e: Throwable if timedOut => // cancelled attempt → retry
+      } finally {
+        timer.cancel()
+        sc.clearJobGroup()
+      }
+      attempt += 1
+    }
+    throw new DGSoftTimeLimitExceeded(timeoutMillis, maxRetries + 1)
+  }
+
   private def exprPendingRegistered(registered: Set[String]): Column =
     if (registered.isEmpty) lit(false)
     else registered.map(n => array_contains(col("__pending"), n): Column).reduce(_ || _)

@@ -114,6 +114,31 @@ class TasksSpec extends SparkTestBase {
     }
   }
 
+  test("soft time limit cancels the slow attempt and the retry succeeds (growth.py:23-29)") {
+    // attempt 1 sleeps past the budget inside its tasks; attempt 2 is
+    // instant — the reference's SoftTimeLimitExceeded autoretry shape
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = Tasks.withSoftTimeLimit(spark, timeoutMillis = 3000, maxRetries = 2) {
+      val slow = attempts.incrementAndGet() == 1
+      spark.sparkContext.parallelize(1 to 8, 8).map { i =>
+        if (slow) Thread.sleep(60000)
+        i
+      }.sum()
+    }
+    assert(out === 36.0 && attempts.get() === 2, s"retry must succeed, attempts=${attempts.get()}")
+  }
+
+  test("soft time limit throws after exhausting retries") {
+    val e = intercept[Tasks.DGSoftTimeLimitExceeded] {
+      Tasks.withSoftTimeLimit(spark, timeoutMillis = 1500, maxRetries = 1) {
+        spark.sparkContext.parallelize(1 to 4, 4).map { i =>
+          Thread.sleep(60000); i
+        }.sum()
+      }
+    }
+    assert(e.getMessage.contains("all 2 attempts"))
+  }
+
   test("cancelPending marks pending tasks canceled and finishes docs (tasks/document.py:260-277)") {
     val out = Tasks.cancelPending(docsWithTasks())
     val row = out.head
