@@ -351,6 +351,17 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // The flagship dedup operator end-to-end: MinHash+LSH candidates →
+    // exact-Jaccard verification → connected-components closure → ONE
+    // survivor per cluster; output is the deduplicated corpus itself
+    // (what a pipeline actually keeps).
+    "q50_deduplicate" -> ((s, d) => {
+      Dedup.deduplicate(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8, k = 16, bands = 4, shingleSize = 3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Script-aware language ID over the mixed corpus: CJK documents
     // identify by character-script evidence (stopword profiles need
     // word boundaries and score CJK "und"); Latin text falls back to
@@ -857,6 +868,42 @@ object TrainingData {
         |WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)
         |      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
         |ORDER BY doc_id""".stripMargin,
+    // q50: q39's candidate derivation + a jaccard gate on the pairs
+    // before the reachability closure; survivors are docs that ARE
+    // their component's min label.
+    "q50_deduplicate" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+         |  JOIN sizes s1 ON c.id_a = s1.doc_id JOIN sizes s2 ON c.id_b = s2.doc_id
+         |  WHERE inter.i::DOUBLE / (s1.n + s2.n - inter.i) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE d.doc_id = COALESCE(l.cluster, d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q49_script_langid" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
