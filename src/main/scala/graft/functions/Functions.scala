@@ -547,8 +547,18 @@ case class HammingPairsExpression(left: Expression, right: Expression)
       while (j < n) {
         if (ids(i) != ids(j)) {
           val h = java.lang.Long.bitCount(sims(i) ^ sims(j))
-          if (h <= maxDist)
+          if (h <= maxDist) {
+            // guard SURVIVOR growth, not the candidate count: a large
+            // sparse bucket is cheap CPU, but a dup-heavy bucket where
+            // most pairs pass would materialize n²/2 rows — same
+            // ceiling + remedy message as graft_pairs
+            if (out.length >= PairsExpression.MaxPairs)
+              throw new IllegalStateException(
+                s"graft_hamming_pairs: bucket of $n members emits more than " +
+                  s"${PairsExpression.MaxPairs} surviving pairs — run exact " +
+                  "dedup first or cap bucket size (maxBucketSize)")
             out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), h)
+          }
         }
         j += 1
       }

@@ -12,9 +12,10 @@ import scala.collection.mutable.ArrayBuffer
   *     tokens are the standard dedup/quality granularity for them, cf.
   *     CCNet-style pipelines; Hangul is NOT split: Korean delimits
   *     words with spaces);
-  *   - everything else splits on ASCII whitespace (Java regex `\s`,
-  *     which RE2 — the DuckDB oracle engine — matches exactly) plus
-  *     U+3000 IDEOGRAPHIC SPACE, the common CJK space character.
+  *   - everything else splits on the RE2 `\s` whitespace set
+  *     ([\t\n\f\r ] — NOT Java's `\s`, which also matches vertical
+  *     tab) plus U+3000 IDEOGRAPHIC SPACE, the common CJK space
+  *     character, so the DuckDB oracle reproduces tokenization exactly.
   *
   * Column-form equivalence: `tokens(text)` space-pads CJK code points
   * with a single regexp_replace, then splits on `[\s　]+` — the
@@ -29,13 +30,15 @@ object Tokenize {
   /** RE2 spelling of [[CjkCharClass]] for oracle SQL. */
   val CjkCharClassRe2 = "[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}]"
 
-  /** Separator class shared by the column split and the oracle:
-    * ASCII `\s` plus U+3000. */
-  val SeparatorClass = "[\\s　]"
+  /** Separator class shared by the column split and the oracle —
+    * spelled EXPLICITLY as RE2's `\s` set ([\t\n\f\r ]) plus U+3000:
+    * Java's `\s` additionally matches vertical tab (U+000B), which RE2
+    * does not, so using `\s` on the Spark side would diverge from the
+    * DuckDB oracle on any corpus containing a VT. */
+  val SeparatorClass = "[\\t\\n\\f\\r 　]"
 
   def isSeparator(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
-      c == 0x0B || c == '　'
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '　'
 
   def isCjk(cp: Int): Boolean = {
     // Fast path: the overwhelmingly common case is ASCII / Latin text,

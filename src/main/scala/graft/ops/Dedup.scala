@@ -333,9 +333,18 @@ object Dedup {
       iter += 1
     }
     // at the star fixpoint every non-root points straight at its
-    // component min; groupBy-min also tolerates a maxIterations cutoff
+    // component min; groupBy-min also tolerates a maxIterations cutoff.
+    // Union the ORIGINAL endpoint set as self-labels: a node whose only
+    // pair was a self-loop has no surviving edge (the normalization
+    // filters src == dst) but must still be labeled, exactly as the
+    // propagation algorithm labels it — the two algorithms return the
+    // same node set for any input.
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id")))
+      .distinct()
     e.select(col("src").as("id"), col("dst").as("cluster"))
       .union(e.select(col("dst").as("id"), col("dst").as("cluster")))
+      .union(nodes.withColumn("cluster", col("id")))
       .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
   }
 

@@ -163,8 +163,12 @@ object Multimodal {
               else {
                 val nw = math.max(1, math.round(w * scale).toInt)
                 val nh = math.max(1, math.round(h * scale).toInt)
+                // ARGB target: transparent regions of RGBA/palette
+                // sources survive the PNG re-encode (an RGB target
+                // composites them over black — silent corruption for
+                // web-crawled media)
                 val out = new java.awt.image.BufferedImage(nw, nh,
-                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  java.awt.image.BufferedImage.TYPE_INT_ARGB)
                 val g = out.createGraphics()
                 try {
                   g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

@@ -128,9 +128,16 @@ object Tasks {
                         countdownMillis: Long = 5 * 60 * 1000L,
                         sleep: Long => Unit = Thread.sleep,
                         maxDepth: Int = 10): DataFrame = {
-    def hasPending(df: DataFrame): Boolean =
+    // only tasks THIS dispatcher owns (the registry) gate the retry
+    // loop and the exhaustion cancel — a pending task registered with
+    // some other dispatcher must neither burn countdowns here nor be
+    // destructively canceled out from under its owner (the same guard
+    // dispatchHierarchical applies)
+    def pendingHere(df: DataFrame): DataFrame =
       df.withColumn("__pending", pendingTasksCol)
-        .filter(size(col("__pending")) > 0).limit(1).count() > 0
+        .filter(size(col("__pending")) > 0)
+        .filter(exprPendingRegistered(documentRegistry.keySet))
+    def hasPending(df: DataFrame): Boolean = pendingHere(df).limit(1).count() > 0
     var current = dispatch(docs, documentRegistry, maxDepth)
     var retries = 0
     while (hasPending(current) && retries < maxRetries) {
@@ -139,11 +146,11 @@ object Tasks {
       retries += 1
     }
     if (hasPending(current)) {
-      // retries exhausted: cancel the stragglers, keep the rest
-      val withPending = current.withColumn("__pending", pendingTasksCol)
-      val stuck = withPending.filter(size(col("__pending")) > 0)
+      // retries exhausted: cancel the stragglers WE own, keep the rest
+      val stuckIds = pendingHere(current).select(col("id"))
+      val stuck = current.join(stuckIds, Seq("id"), "left_semi")
         .select(Documents.columns.map(col): _*)
-      val fine = withPending.filter(size(col("__pending")) === 0)
+      val fine = current.join(stuckIds, Seq("id"), "left_anti")
         .select(Documents.columns.map(col): _*)
       current = fine.unionByName(cancelPending(stuck)).localCheckpoint(true)
     }
@@ -166,11 +173,29 @@ object Tasks {
     * contract, the retry sees a clean slate. Throws
     * [[DGSoftTimeLimitExceeded]] when every attempt times out. `body`
     * must be idempotent (it re-executes whole), which Spark
-    * transformations + snapshot writes are by construction here. */
+    * transformations + snapshot writes are by construction here.
+    *
+    * Contract boundary: the budget binds while Spark JOBS run (that is
+    * where pipeline wall-clock lives — the cancel interrupts running
+    * tasks and fails the triggering action, which aborts the body);
+    * pure driver-side computation between jobs is not interruptible,
+    * so a body that exceeds its budget outside any job only notices at
+    * its next action. An exception that is NOT the cancellation (e.g.
+    * an OOM racing the timer) propagates — only the cancelled attempt
+    * retries. */
   def withSoftTimeLimit[T](spark: org.apache.spark.sql.SparkSession,
                            timeoutMillis: Long, maxRetries: Int = 3)
                           (body: => T): T = {
     val sc = spark.sparkContext
+    def isCancellation(e: Throwable): Boolean = {
+      var cur = e
+      while (cur != null) {
+        val m = cur.getMessage
+        if (m != null && m.toLowerCase(java.util.Locale.ROOT).contains("cancel")) return true
+        cur = cur.getCause
+      }
+      false
+    }
     var attempt = 0
     while (attempt <= maxRetries) {
       val groupId = s"graft-soft-limit-${java.util.UUID.randomUUID()}"
@@ -184,7 +209,7 @@ object Tasks {
         val result = body
         return result
       } catch {
-        case e: Throwable if timedOut => // cancelled attempt → retry
+        case e: Exception if timedOut && isCancellation(e) => // cancelled attempt → retry
       } finally {
         timer.cancel()
         sc.clearJobGroup()

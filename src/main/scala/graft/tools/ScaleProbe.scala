@@ -100,11 +100,17 @@ object ScaleProbe {
       // linenumber) collides, and duplicate doc ids manufacture
       // hamming-0 / jaccard-1.0 self-pairs in the dedup family (found
       // in r4: the old probe's "1181 simhash pairs" were exactly that
-      // artifact, amplified by the verify join's many-to-many re-attach)
-      li.withColumn("doc_id", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(
-            col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-            col("l_suppkey"), col("l_extendedprice"))).cast("long"))
+      // artifact, amplified by the verify join's many-to-many
+      // re-attach). The row_number window partitions BY ORDER — a
+      // global unpartitioned window would serialize the whole frame
+      // through one task — and orders per order ≤ ~100, so
+      // orderkey*100 + rn is unique and deterministic.
+      li.withColumn("doc_id",
+          (col("l_orderkey") * 100 + row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_orderkey"))
+              .orderBy(col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), col("l_extendedprice")))).cast("long"))
         .select(col("doc_id"),
           concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
             word(col("l_partkey"), 1, 97), word(col("l_suppkey"), 2, 89),

@@ -40,6 +40,9 @@ class TextOpsSpec extends SparkTestBase {
       "ภาษาไทย" -> Seq("ภ", "า", "ษ", "า", "ไ", "ท", "ย"),
       "한국어 텍스트" -> Seq("한국어", "텍스트"), // Korean IS space-delimited
       "中文　テスト" -> Seq("中", "文", "テ", "ス", "ト"), // U+3000 is whitespace
+      // vertical tab is NOT a separator: RE2's \s (the oracle engine)
+      // excludes it, so the JVM side must too
+      "foo\u000bbar" -> Seq("foo\u000bbar"),
       "plain ascii text" -> Seq("plain", "ascii", "text"))
     val df = cases.map(_._1).toDF("text")
     val got = df.select(TextOps.tokens($"text")).collect().map(_.getSeq[String](0).toSeq)
@@ -216,6 +219,16 @@ class DedupSpec extends SparkTestBase {
     val cc = Dedup.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet === Set(0L), s"all chain nodes label 0, got $cc")
+  }
+
+  test("both CC algorithms label self-loop-only nodes identically") {
+    val pairs = Seq((7L, 7L), (3L, 1L)).toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop === Map(1L -> 1L, 3L -> 1L, 7L -> 7L))
+    assert(star === prop, "star must label the self-loop node like propagation does")
   }
 
   test("star alternation collapses a long chain in O(log n) rounds") {
@@ -772,6 +785,24 @@ class MultimodalSpec extends SparkTestBase {
     val back = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]]("bytes")))
     assert(back.getWidth === 50 && back.getHeight === 30)
+    // transparency survives the resize (ARGB target, not RGB-over-black)
+    val argbSrc = {
+      val img = new java.awt.image.BufferedImage(80, 80,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      img.setRGB(0, 0, 0xFFFF8800) // one opaque pixel, rest transparent
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", o)
+      o.toByteArray
+    }
+    val alphaOut = Multimodal.resizeImages(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(9L, "image", argbSrc, null))), Multimodal.mediaSchema),
+      maxWidth = 40, maxHeight = 40).collect()(0)
+    val alphaBack = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(alphaOut.getAs[Array[Byte]]("bytes")))
+    assert((alphaBack.getRGB(39, 39) >>> 24) === 0,
+      "transparent region must stay transparent, not composite to black")
     assert(out(1).getAs[Int]("width") === 30 && !out(1).getBoolean(5), "no upscale")
     assert(!out(2).getBoolean(5) &&
       out(2).getAs[Array[Byte]]("bytes").sameElements("junk".getBytes),

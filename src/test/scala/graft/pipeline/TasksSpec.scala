@@ -114,6 +114,28 @@ class TasksSpec extends SparkTestBase {
     }
   }
 
+  test("retry loop ignores pending tasks owned by OTHER dispatchers: no sleep, no cancel") {
+    def mark(name: String)(df: DataFrame): DataFrame =
+      df.withColumn("task_results", call_function("graft_json_merge",
+        col("task_results"), lit(s"""{"$name":{"success":true}}""")))
+    // docs carry a pending task "foreign" that this dispatcher does not
+    // own — it must neither burn countdowns nor be destructively
+    // canceled out from under its real owner
+    val docs = docsWithTasks().withColumn("tasks",
+      lit("""{"first":{"checks":["pending_at"],"depends_on":[]},"foreign":{"checks":["pending_at"],"depends_on":[]}}"""))
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Tasks.dispatchWithRetry(docs,
+      Map("first" -> mark("first") _),
+      Seq("collection_level" -> mark("collection_level") _),
+      maxRetries = 5, countdownMillis = 1000L, sleep = sleeps += _)
+    assert(sleeps.isEmpty, s"foreign pending task must not trigger retries, slept $sleeps")
+    val rows = out.select("task_results").collect().map(_.getString(0))
+    rows.foreach { r =>
+      assert(r.contains("\"first\":{\"success\":true}"))
+      assert(!r.contains("\"foreign\""), s"foreign task must stay untouched: $r")
+    }
+  }
+
   test("soft time limit cancels the slow attempt and the retry succeeds (growth.py:23-29)") {
     // attempt 1 sleeps past the budget inside its tasks; attempt 2 is
     // instant — the reference's SoftTimeLimitExceeded autoretry shape
