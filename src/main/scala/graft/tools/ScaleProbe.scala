@@ -121,33 +121,49 @@ object ScaleProbe {
           col("l_extendedprice").cast("long").as("n_chars"))
         .localCheckpoint(true)
     }
-    println(s"[scale]   text docs = ${textDocs.count()}")
+    // SPARK_GRAFT_PROBE_SCALE=k replicates the corpus k× with per-copy
+    // salt words: distinct ids, texts below the 0.9 jaccard threshold
+    // but still LSH-candidate-similar across copies — so the scaled
+    // probe is BOTH a volume check and a dup-heavy stress (the
+    // candidate graph densifies ~50× at k=4: 3.3 M pairs from 69 k).
+    val probeScale = sys.env.getOrElse("SPARK_GRAFT_PROBE_SCALE", "1").toInt
+    val scaledDocs =
+      if (probeScale <= 1) textDocs
+      else (0 until probeScale).map { k =>
+        if (k == 0) textDocs
+        else textDocs
+          .withColumn("doc_id", col("doc_id") + lit(k * 1000000000L))
+          .withColumn("text", concat(col("text"),
+            lit(s" c$k"), lit("x"), pmod(col("doc_id"), lit(101)),
+            lit(s" d$k"), lit("y"), pmod(col("doc_id"), lit(103))))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+    println(s"[scale]   text docs = ${scaledDocs.count()}")
 
     timed("exact dedup 600k") {
-      println(s"[scale]   groups = ${graft.ops.Dedup.exactGroups(textDocs, "doc_id", "text").count()}")
+      println(s"[scale]   groups = ${graft.ops.Dedup.exactGroups(scaledDocs, "doc_id", "text").count()}")
     }
 
     timed("minhash+LSH candidates 600k") {
-      val pairs = graft.ops.Dedup.lshCandidatePairs(textDocs, "doc_id", "text",
+      val pairs = graft.ops.Dedup.lshCandidatePairs(scaledDocs, "doc_id", "text",
         k = 16, bands = 4, shingleSize = 3)
       println(s"[scale]   candidate pairs = ${pairs.count()}")
     }
 
     timed("ngram jaccard blocked+capped 600k") {
-      val nd = graft.ops.Dedup.ngramJaccardBlocked(textDocs, "doc_id", "text",
+      val nd = graft.ops.Dedup.ngramJaccardBlocked(scaledDocs, "doc_id", "text",
         threshold = 0.9, shingleSize = 3, maxShingleFreq = 200)
       println(s"[scale]   near-dup pairs = ${nd.count()}")
     }
 
     timed("simhash near-dups 600k") {
-      val nd = graft.ops.Dedup.simhashNearDuplicates(textDocs, "doc_id", "text",
+      val nd = graft.ops.Dedup.simhashNearDuplicates(scaledDocs, "doc_id", "text",
         maxDistance = 2)
       println(s"[scale]   simhash pairs = ${nd.count()}")
     }
 
     timed("gopher quality + langid + stratified 600k") {
       val m = graft.ops.Curation.gopherMetrics(col("text"))
-      val kept = textDocs
+      val kept = scaledDocs
         .withColumn("keep", m.getField("keep"))
         .withColumn("lang", graft.ops.TextOps.languageId(col("text")))
         .filter(col("keep"))
@@ -158,37 +174,37 @@ object ScaleProbe {
 
     timed("domain cap 600k") {
       println(s"[scale]   capped = ${graft.ops.Curation.domainCap(
-        textDocs, "source", "n_chars", "doc_id", maxPerDomain = 1000).count()}")
+        scaledDocs, "source", "n_chars", "doc_id", maxPerDomain = 1000).count()}")
     }
 
     timed("pii scrub 600k") {
       val p = graft.ops.Curation.scrubPii(col("text"))
-      println(s"[scale]   redactions = ${textDocs
+      println(s"[scale]   redactions = ${scaledDocs
         .select((p.getField("n_emails") + p.getField("n_phones")).as("n"))
         .agg(sum(col("n"))).head.get(0)}")
     }
 
     timed("decontaminate 600k vs 1k bench") {
-      val bench = textDocs.filter(col("doc_id") % 600 === 0).select(col("text"))
-      val d = graft.ops.Curation.decontaminate(textDocs, bench, "doc_id", "text")
+      val bench = scaledDocs.filter(col("doc_id") % 600 === 0).select(col("text"))
+      val d = graft.ops.Curation.decontaminate(scaledDocs, bench, "doc_id", "text")
       println(s"[scale]   contaminated = ${d.filter(col("contaminated")).count()}")
     }
 
     timed("chunk 600k (32/8)") {
       println(s"[scale]   chunks = ${graft.ops.Curation.chunk(
-        textDocs, "doc_id", "text", size = 32, overlap = 8).count()}")
+        scaledDocs, "doc_id", "text", size = 32, overlap = 8).count()}")
     }
 
     timed("greedy packing 600k (20 shards)") {
       println(s"[scale]   packed = ${graft.ops.Curation.packSequencesGreedy(
-        textDocs, "source", "doc_id", "text", window = 512).count()}")
+        scaledDocs, "source", "doc_id", "text", window = 512).count()}")
     }
 
     timed("cluster resolution over LSH pairs 600k") {
-      val pairs = graft.ops.Dedup.lshCandidatePairs(textDocs, "doc_id", "text",
+      val pairs = graft.ops.Dedup.lshCandidatePairs(scaledDocs, "doc_id", "text",
         k = 16, bands = 4, shingleSize = 3)
       val resolved = graft.ops.Dedup.resolveClusters(
-        textDocs.select(col("doc_id")), "doc_id", pairs)
+        scaledDocs.select(col("doc_id")), "doc_id", pairs)
       println(s"[scale]   survivors = ${resolved.filter(col("keep")).count()}")
     }
 
