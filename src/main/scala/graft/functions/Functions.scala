@@ -575,9 +575,12 @@ case class HammingPairsExpression(left: Expression, right: Expression)
   * (a Scala UDF boxes every element — ~100× slower on all-pairs
   * similarity workloads). Operation order matches DuckDB's
   * `list_dot_product` over a DOUBLE list, so oracle hashes agree.
+  * Implements `doGenCode` (a real generated loop, not CodegenFallback):
+  * the dot is the inner loop of every scoring join, and a fallback
+  * expression would sever the surrounding whole-stage codegen span.
   */
 case class FloatDotExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_float_dot"
@@ -596,6 +599,23 @@ case class FloatDotExpression(left: Expression, right: Expression)
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     s
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -608,7 +628,7 @@ case class FloatDotExpression(left: Expression, right: Expression)
   * needs ONLY this integer kernel — no float dequantization on the
   * search path, 4× less data through the join. */
 case class Int8DotExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_int8_dot"
@@ -627,6 +647,24 @@ case class Int8DotExpression(left: Expression, right: Expression)
     while (i < n) { s += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
     s
   }
+  // generated loop, same rationale as FloatDotExpression
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
