@@ -108,10 +108,18 @@ case class JsonMergeExpression(left: Expression, right: Expression)
   * the operator oracle-portable.
   */
 case class SimHashExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_simhash"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  def compute(text: UTF8String): Long = nullSafeEval(text).asInstanceOf[Long]
   @transient private lazy val digest =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
@@ -157,16 +165,29 @@ case class SimHashExpression(child: Expression)
   * empty array (never null elements), matching the filtered split.
   */
 case class TokensExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_tokens"
-  override protected def nullSafeEval(text: Any): Any = {
+  def compute(text: UTF8String): GenericArrayData = {
     val toks = Tokenize.split(text.toString)
     val out = new Array[AnyRef](toks.length)
     var i = 0
     while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
     new GenericArrayData(out)
+  }
+  override protected def nullSafeEval(text: Any): Any =
+    compute(text.asInstanceOf[UTF8String])
+  // reference call, not CodegenFallback: the fallback path materializes
+  // the whole input row per evaluation and severs the surrounding
+  // whole-stage codegen span; a reference call keeps child columns as
+  // generated variables (same pattern for the other string kernels)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("tokensExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -179,10 +200,19 @@ case class TokensExpression(child: Expression)
   * native expression.
   */
 case class ShinglesExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_shingles"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("shinglesExpr", this)
+    nullSafeCodeGen(ctx, ev, (t, n) => s"${ev.value} = $ref.compute($t, $n);")
+  }
+  def compute(text: UTF8String, n: Int): GenericArrayData =
+    nullSafeEval(text, n).asInstanceOf[GenericArrayData]
   override protected def nullSafeEval(text: Any, nAny: Any): Any = {
     val n = nAny.asInstanceOf[Int]
     val tokens = Tokenize.split(text.toString)
@@ -218,10 +248,28 @@ case class ShinglesExpression(left: Expression, right: Expression)
   * shuffle, and one signature array per row.
   */
 case class MinHashExpression(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this)
+    // a short doc (no shingles) yields a NULL signature — the generated
+    // code must propagate it, not just child nulls
+    nullSafeCodeGen(ctx, ev, (t, k, n) => {
+      val r = ctx.freshName("mh")
+      s"""
+         |Object $r = $ref.compute($t, $k, $n);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) $r; }
+       """.stripMargin
+    })
+  }
+  def compute(text: UTF8String, k: Int, n: Int): AnyRef =
+    nullSafeEval(text, k, n).asInstanceOf[AnyRef]
   // One digest per thread: expression instances can be shared across
   // tasks in local mode; MessageDigest.digest() self-resets.
   @transient private lazy val digest =
