@@ -18,10 +18,27 @@ import graft.core.{Hashing, Reach}
   * standard paths).
   */
 case class ReachExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_reach"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("reachExpr", this)
+    // a missing path yields NULL — propagate it, not just child nulls
+    nullSafeCodeGen(ctx, ev, (j, p) => {
+      val r = ctx.freshName("reach")
+      s"""
+         |Object $r = $ref.compute($j, $p);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $r; }
+       """.stripMargin
+    })
+  }
+  def compute(json: UTF8String, path: UTF8String): AnyRef =
+    nullSafeEval(json, path).asInstanceOf[AnyRef]
   override protected def nullSafeEval(json: Any, path: Any): Any = {
     val out = Reach.reachString(path.toString, json.toString)
     if (out == null) null else UTF8String.fromString(out)
@@ -37,10 +54,26 @@ case class ReachExpression(left: Expression, right: Expression)
   * step of the extraction objective (`"@"`).
   */
 case class ReachArrayExpression(left: Expression, right: Expression, objectValues: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_reach_array"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("reachArrExpr", this)
+    nullSafeCodeGen(ctx, ev, (j, p) => {
+      val r = ctx.freshName("reachArr")
+      s"""
+         |Object $r = $ref.compute($j, $p);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData) $r; }
+       """.stripMargin
+    })
+  }
+  def compute(json: UTF8String, path: UTF8String): AnyRef =
+    nullSafeEval(json, path).asInstanceOf[AnyRef]
   override protected def nullSafeEval(json: Any, path: Any): Any = {
     val out = Reach.reachArray(path.toString, json.toString, objectValues)
     if (out == null) null
@@ -360,10 +393,20 @@ case class MinHashExpression(first: Expression, second: Expression, third: Expre
   * primitive dot loop over a cached table).
   */
 case class SrpBucketExpression(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_srp_bucket"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("srpExpr", this)
+    nullSafeCodeGen(ctx, ev, (e, p, o) => s"${ev.value} = $ref.compute($e, $p, $o);")
+  }
+  def compute(emb: org.apache.spark.sql.catalyst.util.ArrayData,
+              planes: Int, offset: Int): Long =
+    nullSafeEval(emb, planes, offset).asInstanceOf[Long]
   // Reject non-float embeddings at analysis: reading doubles through
   // ArrayData.getFloat returns garbage SILENTLY, not an error.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -427,10 +470,22 @@ case class SrpBucketExpression(first: Expression, second: Expression, third: Exp
   */
 case class IvfNearestExpression(first: Expression, second: Expression,
                                 third: Expression, fourth: Expression)
-    extends QuaternaryExpression with CodegenFallback {
+    extends QuaternaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_ivf_nearest"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("ivfExpr", this)
+    nullSafeCodeGen(ctx, ev,
+      (e, n, c3, c4) => s"${ev.value} = $ref.compute($e, $n, $c3, $c4);")
+  }
+  def compute(emb: org.apache.spark.sql.catalyst.util.ArrayData, n: Int,
+              c3: org.apache.spark.sql.catalyst.util.ArrayData,
+              c4: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData =
+    nullSafeEval(emb, n, c3, c4).asInstanceOf[GenericArrayData]
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     GraftFunctions.requireFloatArray(prettyName, first.dataType)
 
@@ -510,12 +565,21 @@ case class IvfNearestExpression(first: Expression, second: Expression,
   * a slice per element per group — and blocking keys number in the
   * millions. */
 case class PairsExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("a", LongType, nullable = false),
       StructField("b", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_pairs"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pairsExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  def compute(ids: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData =
+    nullSafeEval(ids).asInstanceOf[GenericArrayData]
   override protected def nullSafeEval(idsAny: Any): Any = {
     val ids = idsAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = ids.numElements()
@@ -566,13 +630,23 @@ object PairsExpression {
   * shuffles all of them through a distinct plus two signature joins to
   * keep a few thousand survivors. Only survivors leave the bucket. */
 case class HammingPairsExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("a", LongType, nullable = false),
       StructField("b", LongType, nullable = false),
       StructField("hamming", IntegerType, nullable = false))), containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_hamming_pairs"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("hammingPairsExpr", this)
+    nullSafeCodeGen(ctx, ev, (m, d) => s"${ev.value} = $ref.compute($m, $d);")
+  }
+  def compute(members: org.apache.spark.sql.catalyst.util.ArrayData,
+              maxDist: Int): GenericArrayData =
+    nullSafeEval(members, maxDist).asInstanceOf[GenericArrayData]
   override protected def nullSafeEval(membersAny: Any, maxDistAny: Any): Any = {
     val members = membersAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val maxDist = maxDistAny.asInstanceOf[Int]
