@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -89,20 +88,46 @@ case class ReachArrayExpression(left: Expression, right: Expression, objectValue
   * wins per key). Null id renders `_id: null` (unsaved doc).
   */
 case class DocContentExpression(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_doc_content"
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val props = first.eval(input)
+  def computeNullable(props: AnyRef, derivs: AnyRef, id: AnyRef): AnyRef = {
     if (props == null) return null
-    val derivs = second.eval(input)
-    val id = third.eval(input)
-    val out = graft.core.DocOps.content(
+    UTF8String.fromString(graft.core.DocOps.content(
       props.toString,
       if (derivs == null) null else derivs.toString,
-      if (id == null) null else java.lang.Long.valueOf(id.asInstanceOf[Long]))
-    UTF8String.fromString(out)
+      if (id == null) null else java.lang.Long.valueOf(id.asInstanceOf[java.lang.Number].longValue())))
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    computeNullable(first.eval(input).asInstanceOf[AnyRef],
+      second.eval(input).asInstanceOf[AnyRef],
+      third.eval(input).asInstanceOf[AnyRef])
+  // manual codegen — derivatives and id are independently nullable
+  // (null id renders `_id: null`), see JsonMergeExpression
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("docContentExpr", this)
+    val p = first.genCode(ctx)
+    val d = second.genCode(ctx)
+    val i = third.genCode(ctx)
+    val res = ctx.freshName("content")
+    ev.copy(code =
+      code"""
+        ${p.code}
+        ${d.code}
+        ${i.code}
+        Object $res = $ref.computeNullable(
+          ${p.isNull} ? null : ((Object) ${p.value}),
+          ${d.isNull} ? null : ((Object) ${d.value}),
+          ${i.isNull} ? null : ((Object) ${i.value}));
+        boolean ${ev.isNull} = ($res == null);
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} = ${ev.isNull}
+          ? null : (org.apache.spark.unsafe.types.UTF8String) $res;
+      """)
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
     copy(first = f, second = s, third = t)
@@ -112,18 +137,42 @@ case class DocContentExpression(first: Expression, second: Expression, third: Ex
   * (reference `override_dict`, utils/data.py:79-89 / Python
   * `dict.update` in `Document.update`, document.py:94). */
 case class JsonMergeExpression(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_json_merge"
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val a = left.eval(input)
-    val b = right.eval(input)
+  def computeNullable(a: AnyRef, b: AnyRef): AnyRef = {
     if (a == null && b == null) return null
-    val out = graft.core.DocOps.mergeShallow(
+    UTF8String.fromString(graft.core.DocOps.mergeShallow(
       if (a == null) null else a.toString,
-      if (b == null) null else b.toString)
-    UTF8String.fromString(out)
+      if (b == null) null else b.toString))
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    computeNullable(left.eval(input).asInstanceOf[AnyRef],
+      right.eval(input).asInstanceOf[AnyRef])
+  // manual codegen: the children are INDEPENDENTLY nullable (one null
+  // side still merges), so nullSafeCodeGen's all-or-nothing null check
+  // does not fit — boxed values pass through a reference call instead
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("jsonMergeExpr", this)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val res = ctx.freshName("merged")
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        Object $res = $ref.computeNullable(
+          ${l.isNull} ? null : ((Object) ${l.value}),
+          ${r.isNull} ? null : ((Object) ${r.value}));
+        boolean ${ev.isNull} = ($res == null);
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} = ${ev.isNull}
+          ? null : (org.apache.spark.unsafe.types.UTF8String) $res;
+      """)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -797,14 +846,12 @@ case class Int8DotExpression(left: Expression, right: Expression)
   * the same JSON column k times would otherwise parse it k times.
   */
 case class MultiReachExpression(json: Expression, paths: Seq[String])
-    extends Expression with CodegenFallback {
+    extends Expression {
   override def children: Seq[Expression] = Seq(json)
   override def dataType: DataType = StructType(
     paths.zipWithIndex.map { case (_, i) => StructField(s"c$i", StringType, nullable = true) })
   override def nullable: Boolean = true
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val j = json.eval(input)
-    if (j == null) return null
+  def compute(j: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val tree = graft.core.PyJson.tryParse(j.toString).orNull
     val out = new Array[Any](paths.length)
     if (tree != null) {
@@ -816,6 +863,25 @@ case class MultiReachExpression(json: Expression, paths: Seq[String])
       }
     }
     org.apache.spark.sql.catalyst.InternalRow.fromSeq(out.toIndexedSeq)
+  }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = json.eval(input)
+    if (j == null) null else compute(j.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("multiReachExpr", this)
+    val j = json.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${j.code}
+        boolean ${ev.isNull} = ${j.isNull};
+        InternalRow ${ev.value} = ${ev.isNull}
+          ? null : $ref.compute(${j.value});
+      """)
   }
   override def prettyName: String = "graft_multi_reach"
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
