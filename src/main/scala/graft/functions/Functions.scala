@@ -123,7 +123,7 @@ case class DocContentExpression(first: Expression, second: Expression, third: Ex
         Object $res = $ref.computeNullable(
           ${p.isNull} ? null : ((Object) ${p.value}),
           ${d.isNull} ? null : ((Object) ${d.value}),
-          ${i.isNull} ? null : ((Object) ${i.value}));
+          ${i.isNull} ? null : ((Object) java.lang.Long.valueOf(${i.value})));
         boolean ${ev.isNull} = ($res == null);
         org.apache.spark.unsafe.types.UTF8String ${ev.value} = ${ev.isNull}
           ? null : (org.apache.spark.unsafe.types.UTF8String) $res;
