@@ -81,6 +81,35 @@ object Tasks {
       .withColumn("finished_at", current_timestamp())
   }
 
+  /** Scoped cancel: only pending tasks in `owned` (a dispatcher's
+    * registry) are marked canceled — a pending task registered with some
+    * OTHER dispatcher is left untouched, and the document only finishes
+    * when nothing at all remains pending after the cancel (a doc with a
+    * live foreign task is not done). This is the exhaustion-path
+    * counterpart of the ownership guard the retry loop applies: the
+    * unscoped [[cancelPending]] is the reference's document-level
+    * `cancel_document_tasks`; this one is "cancel what *I* own". */
+  def cancelPending(docs: DataFrame, owned: Set[String]): DataFrame = {
+    val cancelUdf = udf { (tasks: String, results: String, pendingAt: java.sql.Timestamp,
+                           finishedAt: java.sql.Timestamp) =>
+      val attrs = Map("pending_at" -> (pendingAt != null), "finished_at" -> (finishedAt != null))
+      val pend = pendingTasks(tasks, results, attrs)
+      val merged = pend.filter(owned.contains).foldLeft(
+        if (results == null) "{}" else results) { (acc, t) =>
+        DocOps.mergeShallow(acc, s"""{"$t":{"success":false,"canceled":true}}""")
+      }
+      (merged, pendingTasks(tasks, merged, attrs).nonEmpty)
+    }
+    docs.withColumn("__cancel",
+        cancelUdf(col("tasks"), col("task_results"), col("pending_at"), col("finished_at")))
+      .withColumn("task_results", col("__cancel._1"))
+      .withColumn("pending_at",
+        when(col("__cancel._2"), col("pending_at")).otherwise(lit(null).cast(TimestampType)))
+      .withColumn("finished_at",
+        when(col("__cancel._2"), col("finished_at")).otherwise(current_timestamp()))
+      .drop("__cancel")
+  }
+
   /** `dispatch_document_tasks` (tasks/document.py:235-257): run each
     * registered task transformation over the docs that have it pending,
     * recurse until no task is pending or depth 10. A task function
@@ -152,7 +181,8 @@ object Tasks {
         .select(Documents.columns.map(col): _*)
       val fine = current.join(stuckIds, Seq("id"), "left_anti")
         .select(Documents.columns.map(col): _*)
-      current = fine.unionByName(cancelPending(stuck)).localCheckpoint(true)
+      current = fine.unionByName(cancelPending(stuck, documentRegistry.keySet))
+        .localCheckpoint(true)
     }
     collectionTasks.foldLeft(current) { case (df, (_, fn)) => fn(df).localCheckpoint(true) }
   }
@@ -187,11 +217,20 @@ object Tasks {
                            timeoutMillis: Long, maxRetries: Int = 3)
                           (body: => T): T = {
     val sc = spark.sparkContext
-    def isCancellation(e: Throwable): Boolean = {
+    // THIS attempt's cancellation, identified structurally: Spark fails
+    // job-group-cancelled jobs with a SparkException whose message names
+    // the cancelled group ("Job N cancelled part of cancelled job group
+    // <groupId>"), so the attempt's unique groupId in the cause chain IS
+    // the cancellation signature. A bare "cancel" substring match would
+    // also swallow a genuine failure that merely *mentions* cancellation
+    // (e.g. a user-cancelled downstream wrapped in a task failure) when
+    // it races the timer — that one must propagate, not retry.
+    def isGroupCancellation(e: Throwable, groupId: String): Boolean = {
       var cur = e
       while (cur != null) {
         val m = cur.getMessage
-        if (m != null && m.toLowerCase(java.util.Locale.ROOT).contains("cancel")) return true
+        if (cur.isInstanceOf[org.apache.spark.SparkException] &&
+          m != null && m.contains(groupId)) return true
         cur = cur.getCause
       }
       false
@@ -209,7 +248,7 @@ object Tasks {
         val result = body
         return result
       } catch {
-        case e: Exception if timedOut && isCancellation(e) => // cancelled attempt → retry
+        case e: Exception if timedOut && isGroupCancellation(e, groupId) => // cancelled → retry
       } finally {
         timer.cancel()
         sc.clearJobGroup()

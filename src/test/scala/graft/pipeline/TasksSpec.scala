@@ -161,6 +161,45 @@ class TasksSpec extends SparkTestBase {
     assert(e.getMessage.contains("all 2 attempts"))
   }
 
+  test("a non-cancellation failure that merely SAYS 'cancel' propagates even after the timer fires") {
+    // a genuine error racing the timer must not be mistaken for the
+    // job-group cancellation and silently retried — detection is by the
+    // attempt's groupId in a SparkException chain, not message words
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[RuntimeException] {
+      Tasks.withSoftTimeLimit(spark, timeoutMillis = 100, maxRetries = 3) {
+        attempts.incrementAndGet()
+        Thread.sleep(500) // driver-side: the timer fires but nothing is cancellable
+        throw new RuntimeException("upstream request was cancelled by the user")
+      }
+    }
+    assert(e.getMessage.contains("cancelled by the user"), s"wrong error surfaced: $e")
+    assert(attempts.get() === 1, "a real failure must not burn retries")
+  }
+
+  test("retry exhaustion cancels only OWNED tasks; docs with live foreign tasks stay unfinished") {
+    def mark(name: String)(df: DataFrame): DataFrame =
+      df.withColumn("task_results", call_function("graft_json_merge",
+        col("task_results"), lit(s"""{"$name":{"success":true}}""")))
+    // "first" is owned here and never completes; "foreign" belongs to
+    // another dispatcher — exhaustion must cancel first WITHOUT touching
+    // foreign, and the doc must NOT finish while foreign is still live
+    val docs = docsWithTasks().withColumn("tasks",
+      lit("""{"first":{"checks":["pending_at"],"depends_on":[]},"foreign":{"checks":["pending_at"],"depends_on":[]}}"""))
+    val out = Tasks.dispatchWithRetry(docs,
+      Map("first" -> identity[DataFrame] _),
+      Seq("collection_level" -> mark("collection_level") _),
+      maxRetries = 1, countdownMillis = 1L, sleep = _ => ())
+    val rows = out.select("task_results", "pending_at", "finished_at").collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getString(0).contains("\"first\":{\"success\":false,\"canceled\":true}"))
+      assert(!r.getString(0).contains("\"foreign\""), s"foreign task canceled: ${r.getString(0)}")
+      assert(r.get(1) != null, "doc with a live foreign task must stay pending")
+      assert(r.get(2) == null, "doc with a live foreign task must not finish")
+    }
+  }
+
   test("cancelPending marks pending tasks canceled and finishes docs (tasks/document.py:260-277)") {
     val out = Tasks.cancelPending(docsWithTasks())
     val row = out.head
