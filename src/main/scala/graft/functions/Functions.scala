@@ -274,6 +274,54 @@ case class TokensExpression(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `script_counts(text)` — code points per script class in ONE walk:
+  * `[kana, hangul, thai, han]` (kana = Hiragana + Katakana). The
+  * composed form spends four full `regexp_replace` passes per row
+  * (removal-length trick, one per script class); this is the same
+  * per-code-point `Character.UnicodeScript` classification in a single
+  * scan, with [[Tokenize.isCjk]]'s `< 0x0E00` ASCII/Latin fast path
+  * (Thai is the lowest per-character script, Hangul Jamo sits above
+  * it). Counts are CODE POINTS, matching Spark's and DuckDB's
+  * code-point `length` so the removal-length oracle reproduces them.
+  */
+case class ScriptCountsExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_script_counts"
+  def compute(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    var kana = 0; var hangul = 0; var thai = 0; var han = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 0x0E00) i += 1 // below every counted script
+      else {
+        val cp = s.codePointAt(i)
+        val sc = Character.UnicodeScript.of(cp)
+        if (sc == Character.UnicodeScript.HIRAGANA ||
+          sc == Character.UnicodeScript.KATAKANA) kana += 1
+        else if (sc == Character.UnicodeScript.HANGUL) hangul += 1
+        else if (sc == Character.UnicodeScript.THAI) thai += 1
+        else if (sc == Character.UnicodeScript.HAN) han += 1
+        i += Character.charCount(cp)
+      }
+    }
+    new GenericArrayData(Array(kana, hangul, thai, han))
+  }
+  override protected def nullSafeEval(text: Any): Any =
+    compute(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("scriptCountsExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `shingles(text, n)` — distinct word n-gram shingles in ONE pass
   * (first-occurrence order). The composed-built-ins form
   * (`transform`+`slice`+`array_join`+`array_distinct`) allocates an
@@ -957,6 +1005,7 @@ object GraftFunctions {
     "graft_hamming_pairs" -> (e => HammingPairsExpression(e(0), e(1))),
     "graft_ivf_nearest" -> (e => IvfNearestExpression(e(0), e(1), e(2), e(3))),
     "graft_tokens" -> (e => TokensExpression(e(0))),
+    "graft_script_counts" -> (e => ScriptCountsExpression(e(0))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
     "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))))
 

@@ -115,10 +115,27 @@ object TextOps {
     * ja (Japanese always carries kana; Chinese never does), hangul →
     * ko, thai → th, han → zh — in that precedence order (kanji-bearing
     * Japanese must check kana before han). Latin-script text falls back
-    * to the stopword profiles. */
+    * to the stopword profiles. Script evidence comes from ONE native
+    * pass (`graft_script_counts`); [[languageIdScriptedComposed]] is the
+    * four-regex removal-length twin the DuckDB oracle replays. */
   def languageIdScripted(text: Column,
                          profiles: Seq[(String, Seq[String])] = DefaultProfiles,
                          minHits: Int = 1, minScriptChars: Int = 3): Column = {
+    val counts = call_function("graft_script_counts", text)
+    when(counts.getItem(0) >= minScriptChars, lit("ja"))
+      .when(counts.getItem(1) >= minScriptChars, lit("ko"))
+      .when(counts.getItem(2) >= minScriptChars, lit("th"))
+      .when(counts.getItem(3) >= minScriptChars, lit("zh"))
+      .otherwise(languageId(text, profiles, minHits))
+  }
+
+  /** [[languageIdScripted]] as composed built-ins — four regexp_replace
+    * passes via [[scriptCharCount]]; kept as the independent reference
+    * implementation (TextOpsSpec pins equivalence) and the shape the
+    * DuckDB oracle reproduces. */
+  private[ops] def languageIdScriptedComposed(
+      text: Column, profiles: Seq[(String, Seq[String])] = DefaultProfiles,
+      minHits: Int = 1, minScriptChars: Int = 3): Column = {
     val kana = scriptCharCount(text, "[\\p{IsHiragana}\\p{IsKatakana}]")
     val hangul = scriptCharCount(text, "\\p{IsHangul}")
     val thai = scriptCharCount(text, "\\p{IsThai}")

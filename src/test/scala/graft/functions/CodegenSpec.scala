@@ -50,6 +50,12 @@ class CodegenSpec extends SparkTestBase {
       textFrame.select(call_function("graft_shingles", $"text", lit(3))), "graft_shingles")
     assert(sh(0).getSeq[String](0).head === "alpha beta gamma")
     spanRows(textFrame.select(call_function("graft_simhash", $"text")), "graft_simhash")
+    // script counts: column-dependent CJK text through the generated path
+    val cjk = spark.range(2).select($"id",
+      concat(lit("mixed 机器 ひらが ไทย 한글 x"), $"id".cast("string")).as("text"))
+    val sc = spanRows(
+      cjk.select(call_function("graft_script_counts", $"text")), "graft_script_counts")
+    assert(sc(0).getSeq[Int](0) === Seq(3, 2, 3, 2), "kana/hangul/thai/han counts")
     val mh = spanRows(
       textFrame.select(call_function("graft_minhash", $"text", lit(4), lit(2))), "graft_minhash")
     assert(mh(0).getSeq[String](0).length === 4)

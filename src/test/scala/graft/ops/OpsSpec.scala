@@ -71,6 +71,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(got.toSeq === cases.map(_._2))
   }
 
+  test("native graft_script_counts ≡ the four-regex removal-length twin") {
+    val texts = Seq(
+      "机器学习模型训练数据", "これはテストです", "日本語の文書です",
+      "한국어 문서 예제", "ภาษาไทยทดสอบ", "the cat and the dog",
+      "mixed 机器 latin ひらがな ไทย 한글 text", "", "𠀋𪛖 supplementary han",
+      "カタカナとひらがな混在", "zzz qqq www")
+    val df = texts.toDF("text")
+    val native = df.select(
+      call_function("graft_script_counts", $"text").as("c"),
+      TextOps.languageIdScripted($"text").as("lang")).collect()
+    val composed = df.select(
+      array(
+        TextOps.scriptCharCount($"text", "[\\p{IsHiragana}\\p{IsKatakana}]"),
+        TextOps.scriptCharCount($"text", "\\p{IsHangul}"),
+        TextOps.scriptCharCount($"text", "\\p{IsThai}"),
+        TextOps.scriptCharCount($"text", "\\p{IsHan}")).as("c"),
+      TextOps.languageIdScriptedComposed($"text").as("lang")).collect()
+    native.zip(composed).zip(texts).foreach { case ((n, c), t) =>
+      assert(n.getSeq[Int](0) === c.getSeq[Int](0), s"counts diverge on '$t'")
+      assert(n.getString(1) === c.getString(1), s"lang diverges on '$t'")
+    }
+  }
+
   test("CJK docs survive the gopher quality gate and near-dup detection finds CJK pairs") {
     val docs = Seq(
       (1L, "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏"),
