@@ -20,9 +20,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketed {
 
   def write(df: DataFrame, table: String, key: String, buckets: Int,
-            sortCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+            sortCols: Seq[String] = Nil, mode: String = "overwrite"): Unit =
+    writeKeys(df, table, Seq(key), buckets, sortCols, mode)
+
+  /** Multi-column bucketing — e.g. the streaming band table by
+    * (band, bucket). `mode = "append"` adds files into the existing
+    * buckets (the bucketing spec must match the table's); each appended
+    * file is bucket-tagged, so co-location survives appends. */
+  def writeKeys(df: DataFrame, table: String, keys: Seq[String], buckets: Int,
+                sortCols: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
     require(buckets > 0, "bucket count must be positive")
-    val w = df.write.mode(mode).format("parquet").bucketBy(buckets, key)
+    require(keys.nonEmpty, "at least one bucket key")
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

@@ -94,10 +94,21 @@ object Streaming {
     * State scale: the band table holds `bands` rows per document ever
     * seen — at 100 TB it lives as a parquet/Delta table BUCKETED BY
     * (band, bucket), so the per-batch probe join co-locates and touches
-    * only matching buckets; `load`/`save` abstract that store (tests
-    * pass an in-memory frame). This is candidate DETECTION (q23
-    * semantics); exact-Jaccard verification of flagged pairs belongs to
-    * the batch path, where both texts are at hand. */
+    * only matching buckets; `load`/`save` abstract that store
+    * ([[BandStore]] is the bucketed implementation; tests pass an
+    * in-memory frame).
+    *
+    * Save contract is APPEND-ONLY: `saveBands` receives ONLY the
+    * current batch's bands — O(batch) work per micro-batch. The store
+    * appends and dedupes on read or in a periodic `compact()` (the same
+    * append + latest-wins design as [[graft.sources.CacheStore]]);
+    * handing the callback the merged history would make every
+    * micro-batch an O(corpus-so-far) full-table rewrite. A re-ingested
+    * id duplicating its band rows in the log is harmless: the emitted
+    * candidates collapse through the per-id `min(partner_id)` agg.
+    * This is candidate DETECTION (q23 semantics); exact-Jaccard
+    * verification of flagged pairs belongs to the batch path, where
+    * both texts are at hand. */
   def nearDupSink(idCol: String, textCol: String,
                   loadBands: SparkSession => DataFrame,
                   saveBands: DataFrame => Unit,
@@ -127,6 +138,30 @@ object Streaming {
         emit(fromPrior.unionByName(withinBatch)
           .groupBy(col("id")).agg(min(col("partner_id")).as("partner_id"))
           .localCheckpoint(true))
-        saveBands(prior.unionByName(batchBands).distinct().localCheckpoint(true))
+        saveBands(batchBands)
       }
+
+  /** The production band-table store for [[nearDupSink]]: a parquet
+    * table bucketed by (band, bucket) ([[graft.sources.Bucketed]]), so
+    * the per-batch probe join co-locates — the store side of the join
+    * runs WITHOUT an Exchange (the batch side shuffles into the
+    * table's bucket count), and only matching buckets are touched.
+    * `save` APPENDS the batch's bands (bucket-tagged files — O(batch)
+    * per micro-batch); `compact()` rewrites the append log distinct
+    * when re-ingestion duplicates grow it. Pass `load`/`save` straight
+    * as the sink's callbacks. */
+  class BandStore(spark: SparkSession, table: String = "graft_band_table",
+                  buckets: Int = 32) {
+    import graft.sources.Bucketed
+    private def exists: Boolean = spark.catalog.tableExists(table)
+    def load(s: SparkSession): DataFrame =
+      if (exists) s.table(table) else emptyBandTable(s)
+    def save(batchBands: DataFrame): Unit =
+      Bucketed.writeKeys(batchBands, table, Seq("band", "bucket"), buckets,
+        mode = "append")
+    def compact(): Unit = if (exists) {
+      val compacted = spark.table(table).distinct().localCheckpoint(true)
+      Bucketed.writeKeys(compacted, table, Seq("band", "bucket"), buckets)
+    }
+  }
 }

@@ -75,9 +75,15 @@ class StreamingSpec extends SparkTestBase {
     val stream = input.toDF().toDF("doc_id", "text")
 
     var bandTable = Streaming.emptyBandTable(spark)
+    val saveSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
     var flagged = Map.empty[Long, Long]
     val writer = Streaming.nearDupSink("doc_id", "text",
-        _ => bandTable, bt => bandTable = bt,
+        _ => bandTable,
+        bt => { // append-only contract: the store merges, the sink doesn't
+          val b = bt.localCheckpoint(true)
+          saveSizes += b.count()
+          bandTable = bandTable.unionByName(b)
+        },
         f => flagged ++= f.collect().map(r => r.getLong(0) -> r.getLong(1)))(stream)
       .option("checkpointLocation", Files.createTempDirectory("graft-neardup").toString)
       .start()
@@ -101,5 +107,56 @@ class StreamingSpec extends SparkTestBase {
     assert(!flagged.contains(43L) && !flagged.contains(2L), s"unrelated docs stay clean: $flagged")
     // the band table accumulated both batches' keys (4 bands per doc)
     assert(bandTable.count() === 6 * 4)
+    // append-only save contract: each save carries ONLY its batch's
+    // bands (2 docs × 4, then 4 docs × 4) — never the merged history
+    // (a history-sized save is an O(corpus) rewrite per micro-batch)
+    assert(saveSizes.toSeq === Seq(2 * 4, 4 * 4), s"saves must be batch-sized: $saveSizes")
+  }
+
+  test("BandStore: bucketed band table, append-only saves, Exchange-free probe side") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS graft_band_test")
+    val store = new Streaming.BandStore(spark, "graft_band_test", buckets = 4)
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    var flagged = Map.empty[Long, Long]
+    val writer = Streaming.nearDupSink("doc_id", "text", store.load, store.save,
+        f => flagged ++= f.collect().map(r => r.getLong(0) -> r.getLong(1)))(stream)
+      .option("checkpointLocation", Files.createTempDirectory("graft-bandstore").toString)
+      .start()
+
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    input.addData((1L, base), (2L, "completely different words about spark streaming state"))
+    writer.processAllAvailable()
+    input.addData((42L, base.replace("today", "tonight")))
+    writer.processAllAvailable()
+    writer.stop()
+    assert(flagged.get(42L).contains(1L), s"near-dup must flag through the store, got $flagged")
+    assert(store.load(spark).count() === 3 * 4, "both batches' bands persisted")
+
+    // the probe join's store side must co-locate: with broadcast off,
+    // the ONLY Exchange in the plan is the batch side shuffling into
+    // the table's buckets — the band table itself never reshuffles
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batchBands = (10L until 20L).map(i => (i, i.toInt % 4, s"b$i"))
+        .toDF("id", "band", "bucket")
+      val joined = batchBands.join(
+        store.load(spark).select(col("id").as("partner_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+      assert(exchanges === 1, s"band-table side must not reshuffle (1 probe-side Exchange):\n$plan")
+      // compact() dedupes re-appended rows and keeps the bucketing
+      store.save(store.load(spark)) // simulate a full re-ingestion
+      assert(store.load(spark).count() === 6 * 4)
+      store.compact()
+      assert(store.load(spark).count() === 3 * 4, "compact restores one row per key")
+      val agg = store.load(spark).groupBy("band", "bucket").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        "post-compact table keeps Exchange-free bucket-keyed aggregation")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 }
