@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * runs as `mapPartitions` over the media frame (the Scala analogue of
   * `mapInPandas` batch UDFs — same schema/batching/partitioning shape).
   *
-  * DECODE IS STUBBED: real image/audio codecs are not available in this
-  * environment, so [[StubDecoder]] derives deterministic fake features
-  * from the bytes (length, hash-derived dimensions). The Spark-side
-  * plumbing — schema, partition sizing, batch iteration, UDF signature —
-  * is real and tested; swap [[Decoder]] for a codec-backed one in
-  * production.
+  * Decode is HEADER-ONLY but real: [[HeaderDecoder]] (the default) reads
+  * image dimensions via `javax.imageio`, audio duration from the
+  * RIFF/WAV header (data length ÷ byte rate) and video duration plus
+  * dimensions from the ISO-BMFF (MP4) box tree — no codec library
+  * needed, which is exactly the scan cost profile wanted at 100 TB
+  * (metadata without pixel/sample decode). Full-codec work (pixel
+  * features, audio frames) is where a production [[Decoder]] plugs in;
+  * [[StubDecoder]] remains only as the deterministic test fake.
   */
 object Multimodal {
 
@@ -63,37 +65,191 @@ object Multimodal {
     }
   }
 
-  /** Codec-backed image decode using the JDK's `javax.imageio` — the
-    * real-decoder counterpart of [[StubDecoder]] for the formats the
-    * JDK ships (PNG, JPEG, GIF, BMP; the reference opens images with
-    * Pillow, resources/http/files.py:179-191). Reads ONLY the header
-    * for dimensions (no pixel decode): `ImageReader.getWidth/getHeight`
-    * on a stream-backed reader, so a 50 MB JPEG costs a few KB of I/O.
-    * The byte histogram feature stays payload-based (cheap, codec-free);
-    * audio/video delegate to `fallback` (no JDK codecs for those).
-    * Undecodable image bytes yield null dimensions rather than failing
-    * the batch. */
+  /** Image dimensions from the header only (no pixel decode):
+    * `ImageReader.getWidth/getHeight` on a stream-backed reader, so a
+    * 50 MB JPEG costs a few KB of I/O. Formats: what the JDK ships
+    * (PNG, JPEG, GIF, BMP; the reference opens images with Pillow,
+    * resources/http/files.py:179-191). Undecodable bytes → None. */
+  def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          Some((reader.getWidth(0), reader.getHeight(0)))
+        } finally reader.dispose()
+      } else None
+    } catch {
+      case _: Exception => None
+    } finally if (iis != null) iis.close()
+  }
+
+  // ---- WAV/RIFF + ISO-BMFF (MP4) header parse & synthesis ----------
+  // Pure header arithmetic — duration, sample rate and dimensions
+  // without any codec. The writers produce minimal canonical containers
+  // (used by the test-data synthesizer below and the specs); the
+  // parsers accept any spec-conforming file: chunk/box WALKS, not
+  // fixed offsets.
+
+  val WavSampleRate = 16000
+  val WavChannels = 1
+  val WavBitsPerSample = 16
+  /** Bytes per second of the default synth format (sr × ch × bits/8). */
+  def wavByteRate(sampleRate: Int = WavSampleRate, channels: Int = WavChannels,
+                  bits: Int = WavBitsPerSample): Int = sampleRate * channels * bits / 8
+
+  /** Minimal canonical PCM WAV container around `pcm` (44-byte header:
+    * RIFF + fmt + data). */
+  def wavBytes(pcm: Array[Byte], sampleRate: Int = WavSampleRate,
+               channels: Int = WavChannels, bits: Int = WavBitsPerSample): Array[Byte] = {
+    val byteRate = wavByteRate(sampleRate, channels, bits)
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+    bb.array()
+  }
+
+  /** RIFF/WAVE chunk walk: duration = data-chunk length ÷ fmt byte
+    * rate. Tolerates extra chunks and either chunk order; None on
+    * anything that is not a WAV. */
+  def parseWavDurationMs(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 36) return None
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var byteRate = 0L
+    var dataLen = -1L
+    while (pos + 8 <= bytes.length && (byteRate == 0L || dataLen < 0L)) {
+      val id = ascii(pos)
+      val size = bb.getInt(pos + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt " && pos + 20 <= bytes.length)
+        byteRate = bb.getInt(pos + 16).toLong & 0xFFFFFFFFL
+      else if (id == "data") dataLen = size
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      if (size > bytes.length) return None     // corrupt size field
+    }
+    if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
+  }
+
+  /** Minimal ISO-BMFF container: ftyp + moov(mvhd + trak(tkhd)) + mdat
+    * around `data`. Fixed 244-byte box overhead (so the synthesized
+    * payload size is arithmetically predictable), version-0 boxes,
+    * mvhd timescale 1000 (duration units ARE milliseconds). */
+  def mp4Bytes(data: Array[Byte], durationMs: Long, width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(244 + data.length) // big-endian
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size); bb.put(typ.getBytes("US-ASCII")); ()
+    }
+    val unityMatrix = Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    box(20, "ftyp"); bb.put("isom".getBytes("US-ASCII")); bb.putInt(0)
+    bb.put("isom".getBytes("US-ASCII"))
+    box(216, "moov")
+    box(108, "mvhd"); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1000); bb.putInt(durationMs.toInt)
+    bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0); bb.putLong(0L)
+    unityMatrix.foreach(bb.putInt)
+    (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(2) // next_track_ID
+    box(100, "trak")
+    box(92, "tkhd"); bb.putInt(7) // v0, flags: enabled | in-movie | in-preview
+    bb.putInt(0); bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(durationMs.toInt)
+    bb.putLong(0L); bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+    unityMatrix.foreach(bb.putInt)
+    bb.putInt(width << 16); bb.putInt(height << 16) // 16.16 fixed point
+    box(8 + data.length, "mdat"); bb.put(data)
+    bb.array()
+  }
+
+  /** ISO-BMFF box walk: (duration_ms, width, height) from
+    * moov/mvhd + moov/trak/tkhd. Handles version 0 and 1 boxes; width
+    * and height are 0 when no video track is present; None when no
+    * parseable moov/mvhd exists (not an MP4). */
+  def parseMp4(bytes: Array[Byte]): Option[(Long, Int, Int)] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    def boxType(pos: Int) = new String(bytes, pos + 4, 4, "US-ASCII")
+    def findBox(start: Int, end: Int, name: String): Option[(Int, Int)] = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val size = bb.getInt(pos)
+        if (size < 8 || pos + size > end) return None
+        if (boxType(pos) == name) return Some((pos + 8, pos + size))
+        pos += size
+      }
+      None
+    }
+    for {
+      moov <- findBox(0, bytes.length, "moov")
+      mvhd <- findBox(moov._1, moov._2, "mvhd")
+    } yield {
+      val s = mvhd._1
+      val (timescale, duration) =
+        if ((bytes(s) & 0xFF) == 1) (bb.getInt(s + 20).toLong, bb.getLong(s + 24))
+        else (bb.getInt(s + 12).toLong, bb.getInt(s + 16).toLong & 0xFFFFFFFFL)
+      val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+      val dims = for {
+        trak <- findBox(moov._1, moov._2, "trak")
+        tkhd <- findBox(trak._1, trak._2, "tkhd")
+      } yield {
+        val off = if ((bytes(tkhd._1) & 0xFF) == 1) tkhd._1 + 88 else tkhd._1 + 76
+        (bb.getInt(off) >> 16, bb.getInt(off + 4) >> 16)
+      }
+      (durMs, dims.fold(0)(_._1), dims.fold(0)(_._2))
+    }
+  }
+
+  /** THE default decoder: real header-only parses for all three kinds —
+    * image dimensions via [[imageDims]], audio duration via
+    * [[parseWavDurationMs]], video duration + dimensions via
+    * [[parseMp4]]. Bytes-proportional work is limited to sha256 and the
+    * byte-histogram feature; undecodable payloads yield null
+    * dimensions/duration rather than failing the batch. */
+  class HeaderDecoder extends Decoder {
+    def decode(mediaId: Long, kind: String, bytes: Array[Byte]): Row = {
+      val payload = if (bytes == null) Array.empty[Byte] else bytes
+      val sha = graft.core.Hashing.sha256Hex(payload)
+      val hist = new Array[Float](8)
+      payload.foreach(b => hist((b & 0xFF) / 32) += 1f)
+      val norm = math.max(1, payload.length).toFloat
+      def row(w: Integer, h: Integer, dur: java.lang.Long) =
+        Row(mediaId, kind, payload.length.toLong, sha, w, h, dur, hist.map(_ / norm).toSeq)
+      kind match {
+        case "image" =>
+          val dims = imageDims(payload)
+          row(dims.map(d => Integer.valueOf(d._1)).orNull,
+            dims.map(d => Integer.valueOf(d._2)).orNull, null)
+        case "audio" =>
+          row(null, null, parseWavDurationMs(payload).map(java.lang.Long.valueOf).orNull)
+        case "video" =>
+          parseMp4(payload) match {
+            case Some((dur, w, h)) =>
+              row(if (w > 0) Integer.valueOf(w) else null,
+                if (h > 0) Integer.valueOf(h) else null, java.lang.Long.valueOf(dur))
+            case None => row(null, null, null)
+          }
+        case _ => row(null, null, null)
+      }
+    }
+  }
+
+  /** Image-only real decode with a pluggable fallback for other kinds —
+    * kept for callers that want stub audio/video features; the default
+    * path is [[HeaderDecoder]]. */
   class ImageIoDecoder(fallback: Decoder = new StubDecoder) extends Decoder {
     def decode(mediaId: Long, kind: String, bytes: Array[Byte]): Row = {
       if (kind != "image") return fallback.decode(mediaId, kind, bytes)
       val payload = if (bytes == null) Array.empty[Byte] else bytes
       val sha = graft.core.Hashing.sha256Hex(payload)
-      val dims: Option[(Int, Int)] = {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (readers.hasNext) {
-            val reader = readers.next()
-            try {
-              reader.setInput(iis, true, true)
-              Some((reader.getWidth(0), reader.getHeight(0)))
-            } finally reader.dispose()
-          } else None
-        } catch {
-          case _: Exception => None
-        } finally if (iis != null) iis.close()
-      }
+      val dims = imageDims(payload)
       val hist = new Array[Float](8)
       payload.foreach(b => hist((b & 0xFF) / 32) += 1f)
       val norm = math.max(1, payload.length).toFloat
@@ -107,7 +263,7 @@ object Multimodal {
   /** Feature extraction over the media frame: mapPartitions batch
     * decode. Partition count is capped so each decode batch fits decoder
     * memory (the `maxPartitionBytes` knob of the binary path). */
-  def extractFeatures(media: DataFrame, decoder: Decoder = new StubDecoder,
+  def extractFeatures(media: DataFrame, decoder: Decoder = new HeaderDecoder,
                       partitions: Int = 0): DataFrame = {
     val spark = media.sparkSession
     val src = if (partitions > 0) media.repartition(partitions) else media
@@ -187,13 +343,32 @@ object Multimodal {
   }
 
   /** Synthesize a media frame from the documents table (test/bench
-    * harness: text bytes stand in for binary payloads). */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("bytes"),
+    * harness). Audio and video payloads are REAL containers — a PCM WAV
+    * and an ISO-BMFF MP4 wrapped around the text bytes — so the header
+    * decoders exercise against spec-conforming files; image rows keep
+    * raw text bytes (deliberately undecodable → null dimensions). All
+    * container parameters are arithmetic in (byte length, doc_id), so
+    * the DuckDB oracle reproduces every decoded feature without
+    * touching binary: audio duration = len·1000/32000 ms (16 kHz mono
+    * 16-bit), video duration = len·40 ms, video dims =
+    * (id%1280+16, id%720+16), n_bytes = len + {0, 44, 244}. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val synth = udf { (kind: String, text: String, id: Long) =>
+      val data = Option(text).getOrElse("")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      kind match {
+        case "audio" => wavBytes(data)
+        case "video" => mp4Bytes(data, data.length.toLong * 40L,
+          (id % 1280 + 16).toInt, (id % 720 + 16).toInt)
+        case _ => data
+      }
+    }
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    docs.select(col("doc_id").as("media_id"), kind.as("kind"),
+      synth(kind, col("text"), col("doc_id")).as("bytes"),
       to_json(struct(col("lang"), col("source"))).as("meta"))
+  }
 
   /** Deterministic frame sampling for video: every `stride`-th frame
     * index up to the (stub-decoded) duration at `fps`. Shows the

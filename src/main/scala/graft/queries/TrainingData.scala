@@ -130,17 +130,21 @@ object TrainingData {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // Multimodal: binary payloads through the mapPartitions decode path;
-    // output restricted to the portable columns (n_bytes, sha256).
+    // Multimodal: REAL header decode through the mapPartitions path —
+    // WAV duration (data len ÷ byte rate), MP4 duration + dimensions
+    // (mvhd/tkhd box walk); image rows carry undecodable raw bytes →
+    // null dims. The synth containers' parameters are arithmetic in
+    // (byte length, doc_id), so the oracle reproduces every decoded
+    // value without parsing binary.
     "q28_media_features" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
       Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("sha256"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("duration_ms"))
         .orderBy(col("media_id"))
     }),
 
-    // Multimodal frame sampling (sha256-derived stub durations →
-    // oracle-checkable).
+    // Multimodal frame sampling over the real decoded MP4 durations.
     "q29_frame_sample" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
       Multimodal.sampleFrames(Multimodal.extractFeatures(media))
@@ -708,8 +712,7 @@ object TrainingData {
          |ORDER BY probe_id, rank""".stripMargin,
     "q29_frame_sample" ->
       """WITH f AS (
-        |  SELECT doc_id AS media_id,
-        |    ('0x' || substr(sha256(text), 1, 12))::UBIGINT % 600000 AS duration_ms
+        |  SELECT doc_id AS media_id, strlen(text)::BIGINT * 40 AS duration_ms
         |  FROM documents WHERE doc_id % 3 = 2),
         |nf AS (SELECT media_id,
         |       greatest(floor(duration_ms / 1000 * 1)::INT, 1) AS n_frames FROM f),
@@ -1020,9 +1023,17 @@ object TrainingData {
          |FROM quality q LEFT JOIN partners p ON q.doc_id = p.doc_id
          |WHERE q.doc_id >= $CjkIdBase
          |ORDER BY q.doc_id""".stripMargin,
+    // q28 decoded-value arithmetic (mediaFromDocuments synth params):
+    // audio = 16 kHz mono 16-bit WAV (44-byte header, byte rate 32000),
+    // video = MP4 with 244 bytes of boxes, duration len·40 ms, dims
+    // (id%1280+16, id%720+16); image = raw bytes (no container).
     "q28_media_features" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  length(text)::BIGINT AS n_bytes, sha256(text) AS sha256
+        |  (strlen(text) + CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 44 ELSE 244 END)::BIGINT AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 2 THEN (doc_id % 1280 + 16)::INT END AS width,
+        |  CASE WHEN doc_id % 3 = 2 THEN (doc_id % 720 + 16)::INT END AS height,
+        |  CASE doc_id % 3 WHEN 1 THEN strlen(text)::BIGINT * 1000 // 32000
+        |       WHEN 2 THEN strlen(text)::BIGINT * 40 END AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin)
 }

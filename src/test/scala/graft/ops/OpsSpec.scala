@@ -742,21 +742,51 @@ class CurationSpec extends SparkTestBase {
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("stub decode through mapPartitions: schema, determinism, per-kind fields") {
+  test("real header decode through mapPartitions: schema, determinism, per-kind fields") {
     val docs = Seq((0L, "hello world", "en", "src1"), (1L, "abc", "en", "src1"),
       (2L, "xyz", "en", "src2")).toDF("doc_id", "text", "lang", "source")
     val media = Multimodal.mediaFromDocuments(docs)
     assert(media.schema.fieldNames.toSeq === Seq("media_id", "kind", "bytes", "meta"))
     val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     assert(feats.map(_.getAs[String]("kind")).toSeq === Seq("image", "audio", "video"))
+    // image rows carry raw text bytes — deliberately undecodable
     assert(feats(0).getAs[Long]("n_bytes") === 11L)
-    assert(feats(0).getAs[Int]("width") > 0)
-    assert(feats(1).getAs[Long]("duration_ms") >= 0L)
+    assert(feats(0).isNullAt(feats(0).fieldIndex("width")))
+    // audio: real 44-byte WAV around 3 PCM bytes at byte rate 32000
+    assert(feats(1).getAs[Long]("n_bytes") === 47L)
+    assert(feats(1).getAs[Long]("duration_ms") === 3L * 1000 / 32000)
+    // video: real MP4, 244 bytes of boxes; duration len·40, dims from id
+    assert(feats(2).getAs[Long]("n_bytes") === 247L)
+    assert(feats(2).getAs[Long]("duration_ms") === 120L)
+    assert(feats(2).getAs[Int]("width") === 18 && feats(2).getAs[Int]("height") === 18)
     assert(feats(2).getAs[Seq[Float]]("feature").length === 8)
     // deterministic across runs
     val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     assert(again.map(_.getAs[String]("sha256")).toSeq ===
       feats.map(_.getAs[String]("sha256")).toSeq)
+  }
+
+  test("WAV/MP4 header parsers: round-trip, non-default rates, junk and truncation safety") {
+    // WAV round-trip across sample rates/widths (duration = len·1000/byteRate)
+    val pcm = Array.fill[Byte](48000)(7)
+    assert(Multimodal.parseWavDurationMs(Multimodal.wavBytes(pcm)).contains(1500L))
+    assert(Multimodal.parseWavDurationMs(
+      Multimodal.wavBytes(pcm, sampleRate = 8000, channels = 2, bits = 8)).contains(3000L))
+    assert(Multimodal.parseWavDurationMs(
+      Multimodal.wavBytes(Array.empty[Byte])).contains(0L))
+    // MP4 round-trip: mvhd duration, tkhd 16.16 dims
+    val mp4 = Multimodal.mp4Bytes("data".getBytes, durationMs = 90210L, 640, 360)
+    assert(Multimodal.parseMp4(mp4).contains((90210L, 640, 360)))
+    // junk, truncation, and cross-format bytes must parse to None
+    assert(Multimodal.parseWavDurationMs("definitely not a riff file".getBytes).isEmpty)
+    assert(Multimodal.parseWavDurationMs(mp4).isEmpty)
+    assert(Multimodal.parseMp4("not an iso bmff container at all".getBytes).isEmpty)
+    assert(Multimodal.parseMp4(Multimodal.wavBytes(pcm)).isEmpty)
+    assert(Multimodal.parseMp4(java.util.Arrays.copyOf(mp4, 40)).isEmpty,
+      "moov truncated away must not parse")
+    assert(Multimodal.parseWavDurationMs(
+      java.util.Arrays.copyOf(Multimodal.wavBytes(pcm), 40)).isEmpty,
+      "header shorter than fmt+data walk must not parse")
   }
 
   test("ImageIoDecoder reads real PNG/JPEG dimensions; junk bytes decode to null dims") {
