@@ -320,15 +320,60 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("qcosine"), col("rank"))
   }
 
+  /** Per-cluster embedding means for one Lloyd's round: nearest-centroid
+    * assignment (the native kernel, evaluated ONCE per row in its own
+    * projection — a posexplode would re-evaluate the argmin per output
+    * dim, measured 16× on a 600k probe) followed by ONE array-buffer
+    * aggregate. A per-dimension scalar-avg aggregate would put `dims`
+    * columns in the plan — at 1024-dim embeddings that is a
+    * 1024-column aggregate (plan bloat + codegen-split territory); the
+    * typed Aggregator instead carries a single (sum[dims], count)
+    * buffer per cluster, width O(1) in dims, and still combines
+    * map-side, so the shuffle holds ≤ k buffers per upstream partition.
+    */
+  private[ops] def clusterMeans(df: DataFrame, cids: Array[Long],
+                                cembs: Array[Array[Float]], embCol: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Float])] = {
+    val session = df.sparkSession
+    import session.implicits._
+    val dims = cembs.headOption.map(_.length).getOrElse(0)
+    val meanAgg = new org.apache.spark.sql.expressions.Aggregator[
+        (Long, Array[Float]), (Array[Double], Long), Array[Float]] {
+      def zero: (Array[Double], Long) = (new Array[Double](dims), 0L)
+      def reduce(b: (Array[Double], Long), a: (Long, Array[Float])): (Array[Double], Long) = {
+        val s = b._1; val v = a._2
+        var i = 0; val n = math.min(dims, v.length)
+        while (i < n) { s(i) += v(i); i += 1 }
+        (s, b._2 + 1)
+      }
+      def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+        val s = x._1; val t = y._1
+        var i = 0
+        while (i < dims) { s(i) += t(i); i += 1 }
+        (s, x._2 + y._2)
+      }
+      def finish(b: (Array[Double], Long)): Array[Float] =
+        Array.tabulate(dims)(i => (b._1(i) / math.max(1L, b._2)).toFloat)
+      def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+        implicitly[org.apache.spark.sql.Encoder[(Array[Double], Long)]]
+      def outputEncoder: org.apache.spark.sql.Encoder[Array[Float]] =
+        implicitly[org.apache.spark.sql.Encoder[Array[Float]]]
+    }
+    df.select(element_at(ivfNearest(col(embCol), 1, cids, cembs), 1).as("cluster"),
+        col(embCol).as("emb"))
+      .as[(Long, Array[Float])]
+      .groupByKey(_._1)
+      .agg(meanAgg.toColumn.name("mean"))
+  }
+
   /** Lloyd's k-means codebook trainer for IVF: `iterations` rounds of
-    * per-row nearest-centroid assignment (the native kernel) followed by
-    * per-cluster dimension means. The mean aggregates map-side, so the
-    * shuffle carries at most k×dims partial rows regardless of corpus
-    * size; only codebook-sized frames (k rows per round) ever reach the
-    * driver — that collect IS the broadcast of the next round's
-    * codebook. Seeds: the k lowest-id vectors (deterministic). Empty
-    * clusters keep their previous centroid. Returns a (cid, embCol)
-    * frame ready for [[ivfAssign]]/[[ivfSearch]]. */
+    * [[clusterMeans]] (one argmin projection + one array-buffer
+    * aggregate, O(1) plan width in dims). Only codebook-sized frames
+    * (≤ k rows per round) ever reach the driver — that collect IS the
+    * broadcast of the next round's codebook. Seeds: the k lowest-id
+    * vectors (deterministic). Empty clusters keep their previous
+    * centroid. Returns a (cid, embCol) frame ready for
+    * [[ivfAssign]]/[[ivfSearch]]. */
   def trainCodebook(df: DataFrame, k: Int, iterations: Int = 4,
                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val session = df.sparkSession
@@ -339,21 +384,8 @@ object Similarity {
     var cembs = seeds
     val dims = seeds.headOption.map(_.length).getOrElse(0)
     (1 to (if (dims > 0) iterations else 0)).foreach { _ =>
-      // per-dim scalar aggregates, NOT posexplode: a generator
-      // re-evaluates its companion projections per OUTPUT row, which
-      // turns one argmin per vector into `dims` argmins per vector
-      // (measured 16× on a 600k probe). One projection evaluates the
-      // assignment once; the hash agg combines map-side, so the shuffle
-      // carries ≤ k×dims partials.
-      val means = df
-        .select(element_at(ivfNearest(col(embCol), 1, cids, cembs), 1).as("cluster") +:
-          (0 until dims).map(d => col(embCol)(d).as(s"d$d")): _*)
-        .groupBy(col("cluster"))
-        .agg(avg(col("d0")).as("m0"), (1 until dims).map(d => avg(col(s"d$d")).as(s"m$d")): _*)
-        .collect()
-      means.foreach { r =>
-        val cid = r.getLong(0).toInt
-        cembs = cembs.updated(cid, Array.tabulate(dims)(d => r.getDouble(d + 1).toFloat))
+      clusterMeans(df, cids, cembs, embCol).collect().foreach { case (cid, mean) =>
+        cembs = cembs.updated(cid.toInt, mean)
       }
     }
     cids.zip(cembs).toSeq.toDF("cid", embCol)

@@ -442,6 +442,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(rTrained > 0.9, s"trained codebook should separate the clusters, got $rTrained")
   }
 
+  test("codebook training at 256 dims: O(1)-in-dims agg plan, recall property holds") {
+    // two far-apart clusters in 256-dim space, both seeds inside A —
+    // the same shape as the 4-dim recall test, at realistic dims
+    val dims = 256
+    val rnd = new scala.util.Random(17)
+    def mk(hot: Int) = Array.tabulate(dims)(d =>
+      (if (d == hot) 10f else 0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+    val corpus = Seq.tabulate(40)(i => (i.toLong, mk(if (i < 20) 0 else 1)))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.trainCodebook(corpus, k = 2, iterations = 3)
+    val cents = trained.orderBy("cid").collect().map(_.getSeq[Float](1))
+    assert(cents.forall(_.length === dims))
+    // Lloyd's must have pulled one centroid to each cluster
+    val hotAxes = cents.map(_.zipWithIndex.maxBy(x => math.abs(x._1))._2).toSet
+    assert(hotAxes === Set(0, 1), s"one centroid per cluster axis, got $hotAxes")
+    // the per-round aggregate carries ONE buffer, not `dims` avg columns
+    val cids = Array(0L, 1L)
+    val cembs = Array(mk(0), mk(1))
+    val plan = Similarity.clusterMeans(corpus, cids, cembs, "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("avg("), s"per-dim scalar avgs back in the plan:\n$plan")
+    assert(plan.contains("Aggregate"), s"no aggregate in plan:\n$plan")
+    assert("partial_".r.findAllIn(plan).nonEmpty, s"map-side combine missing:\n$plan")
+  }
+
   test("int8 quantization roundtrip: small error, cosine preserved, zero-vector safe") {
     val rnd = new scala.util.Random(9)
     val vecs2 = (Seq.tabulate(20)(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))) :+
