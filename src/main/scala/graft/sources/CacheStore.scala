@@ -56,3 +56,57 @@ class CacheStore(val path: String, spark: SparkSession) {
     compacted.write.mode("overwrite").parquet(path)
   }
 }
+
+/** [[CacheStore]] with the append log in a (uri, data_hash)-BUCKETED
+  * table: both per-round cache operations lose their shuffle. The
+  * latest-wins read window and the fetch join both cluster on exactly
+  * the bucket keys, so they consume the on-disk bucketing directly —
+  * the cache side of every fetch runs WITHOUT an Exchange (the
+  * requests side shuffles into the table's bucket count), and no
+  * broadcast of the cache is needed. That is the shape the reference's
+  * memoization (the engine's core optimization, SURVEY §4) wants once
+  * the cache outgrows broadcast size: plain [[CacheStore]] reshuffles
+  * the whole log per fetch round. Same append + latest-wins write
+  * model: appends add bucket-tagged files, `compact()` rewrites the
+  * log one-row-per-key and keeps the bucketing. */
+class BucketedCacheStore(spark: SparkSession, val table: String = "graft_resource_cache",
+                         buckets: Int = 32) {
+
+  private def exists: Boolean = spark.catalog.tableExists(table)
+
+  /** Current cache contents, newest row per key. The window's required
+    * clustering IS the bucketing — no Exchange. */
+  def read(): DataFrame =
+    if (!exists) Resources.emptyCache(spark)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("uri"), col("data_hash"))
+        .orderBy(col("created_at").desc)
+      spark.table(table).withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
+  /** Append newly fetched rows (from_cache=false) from a fetch round. */
+  def append(resources: DataFrame): Unit = {
+    val fresh = resources.filter(!col("from_cache"))
+      .select(Resources.schema.fieldNames.map(col): _*)
+    if (!fresh.isEmpty)
+      Bucketed.writeKeys(fresh, table, Seq("uri", "data_hash"), buckets, mode = "append")
+  }
+
+  /** Fetch through this store — co-located join, no cache broadcast. */
+  def fetch(requests: DataFrame, fetcher: Fetcher,
+            cacheOnly: Boolean = false, maxConcurrency: Int = 32): DataFrame = {
+    val out = Resources.fetchWithCache(requests, read(), fetcher, cacheOnly,
+        maxConcurrency, broadcastCache = false)
+      .localCheckpoint(true) // fetch exactly once, before the append re-reads
+    append(out)
+    out
+  }
+
+  /** Rewrite the append log into one row per key, keeping the bucketing. */
+  def compact(): Unit = if (exists) {
+    val compacted = read().localCheckpoint(true)
+    Bucketed.writeKeys(compacted, table, Seq("uri", "data_hash"), buckets)
+  }
+}

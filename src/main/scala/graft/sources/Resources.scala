@@ -57,23 +57,28 @@ object Resources {
     * authentication data never reaches the cache table — the
     * `request_without_auth` strip guarantee (generic.py:39-43, 449-463)
     * holds structurally: credentials exist only inside the send call.
+    *
+    * `broadcastCache = false` drops the broadcast hint: when the cache
+    * is a (uri, data_hash)-bucketed table ([[BucketedCacheStore]]) the
+    * planner then co-locates on the bucketing — the cache side of the
+    * join runs WITHOUT an Exchange and only the requests side shuffles
+    * (a broadcast would instead materialize the whole cache per
+    * executor, wrong once the cache outgrows memory).
     */
   def fetchWithCache(requests: DataFrame, cache: DataFrame, fetcher: Fetcher,
                      cacheOnly: Boolean = false, maxConcurrency: Int = 32,
-                     auth: AuthConfig = AuthConfig.none): DataFrame = {
+                     auth: AuthConfig = AuthConfig.none,
+                     broadcastCache: Boolean = true): DataFrame = {
     val spark = requests.sparkSession
     val keyed = requests
       .withColumn("uri", call_function("graft_uri_from_url", col("url")))
       .withColumn("data_hash", call_function("graft_hash_from_data",
         coalesce(col("request_body"), lit(""))))
 
-    val liveCache = cache.filter(col("status") >= 200 && col("status") < 300)
-      .select(col("uri"), col("data_hash"), col("status").as("c_status"),
-        col("head").as("c_head"), col("body").as("c_body"), col("created_at").as("c_created"))
-      // one row per key — latest wins, matching the reference's get()
-      .dropDuplicates("uri", "data_hash")
-
-    val joined = keyed.join(broadcast(liveCache), Seq("uri", "data_hash"), "left_outer")
+    val liveCache = liveCacheView(cache)
+    val joined = keyed.join(
+      if (broadcastCache) broadcast(liveCache) else liveCache,
+      Seq("uri", "data_hash"), "left_outer")
     val hits = joined.filter(col("c_status").isNotNull)
       .select(col("uri"), col("data_hash"), col("method"), col("url"), col("request_body"),
         col("c_status").as("status"), col("c_head").as("head"), col("c_body").as("body"),
@@ -108,6 +113,15 @@ object Resources {
       }
     hits.unionByName(fetched)
   }
+
+  /** The cache side of the fetch join: successful rows only, one row
+    * per key (latest wins, matching the reference's get()). Factored so
+    * the spec pins the EXACT plan shape the fetch path runs. */
+  private[sources] def liveCacheView(cache: DataFrame): DataFrame =
+    cache.filter(col("status") >= 200 && col("status") < 300)
+      .select(col("uri"), col("data_hash"), col("status").as("c_status"),
+        col("head").as("c_head"), col("body").as("c_body"), col("created_at").as("c_created"))
+      .dropDuplicates("uri", "data_hash")
 }
 
 /** MicroServiceResource endpoint resolution (reference:

@@ -44,4 +44,47 @@ class CacheStoreSpec extends SparkTestBase {
     assert(out.filter(col("status") === 0).count() === 2)
     assert(CountingHolder.count.get() === 0)
   }
+
+  test("BucketedCacheStore: hits across rounds, Exchange-free cache side, compact keeps bucketing") {
+    spark.sql("DROP TABLE IF EXISTS graft_cache_test")
+    val store = new BucketedCacheStore(spark, "graft_cache_test", buckets = 4)
+    CountingHolder.count.set(0)
+    assert(store.fetch(requests(), new CountingSource).count() === 2)
+    assert(CountingHolder.count.get() === 2, "two live fetches")
+    val second = store.fetch(requests(), new CountingSource)
+    assert(second.filter(col("from_cache")).count() === 2)
+    assert(CountingHolder.count.get() === 2, "round 2 must be all cache hits")
+
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // latest-wins read rides the bucketing: window with NO Exchange
+      val readPlan = store.read().queryExecution.executedPlan.toString
+      assert(!readPlan.contains("Exchange"),
+        s"latest-wins window must consume the bucketing:\n$readPlan")
+      // the EXACT cache-side shape fetchWithCache(broadcastCache=false)
+      // joins (liveCacheView): only the requests side may shuffle
+      val keyed = requests()
+        .withColumn("uri", call_function("graft_uri_from_url", col("url")))
+        .withColumn("data_hash", call_function("graft_hash_from_data",
+          coalesce(col("request_body"), lit(""))))
+      val joined = keyed.join(Resources.liveCacheView(store.read()),
+        Seq("uri", "data_hash"), "left_outer")
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+      assert(exchanges === 1,
+        s"cache side must not reshuffle (1 requests-side Exchange expected):\n$plan")
+      assert(joined.filter(col("c_status").isNotNull).count() === 2)
+
+      // append a duplicate round, compact → one row per key, still bucketed
+      store.append(second.withColumn("from_cache", lit(false)))
+      assert(spark.table("graft_cache_test").count() === 4)
+      store.compact()
+      assert(spark.table("graft_cache_test").count() === 2)
+      val postPlan = store.read().queryExecution.executedPlan.toString
+      assert(!postPlan.contains("Exchange"), s"compact must keep the bucketing:\n$postPlan")
+      assert(store.fetch(requests(), new CountingSource).filter(col("from_cache")).count() === 2)
+      assert(CountingHolder.count.get() === 2, "post-compact fetch still all hits")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }
