@@ -79,9 +79,10 @@ object TrainingData {
 
     // Exact n-gram Jaccard near-dups over shared-shingle candidates.
     // maxShingleFreq = 1000 bounds the hot-shingle pair blow-up at
-    // scale (f² rows per shingle shared by f docs) and is a no-op at
-    // test SFs (max observed doc-frequency at sf0.1 is 25), so the
-    // exact-Jaccard oracle still matches.
+    // scale (f² rows per shingle shared by f docs); the oracle mirrors
+    // the cap (HAVING COUNT(*) <= 1000 on the shingle block), so parity
+    // is cap-exact at ANY SF — not just while no trigram's
+    // doc-frequency exceeds the cap (max observed at sf0.1 is 25).
     "q22_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardBlocked(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.8, shingleSize = 3, maxShingleFreq = 1000)
@@ -490,9 +491,13 @@ object TrainingData {
     "q22_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |-- mirror of the Spark side's maxShingleFreq = 1000 blocking
+         |-- cap (no-op at test SFs, cap-exact at any SF)
+         |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.s = ok.s GROUP BY 1, 2)
          |SELECT id_a, id_b,
          |  round(inter::DOUBLE / (s1.n + s2.n - inter), 6) AS jaccard
          |FROM pairs JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
@@ -1007,9 +1012,16 @@ object TrainingData {
          |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
          |  FROM quality)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |-- the Spark side caps blocking at maxShingleFreq = 1000: a
+         |-- shingle shared by more docs joins no pairs and adds no
+         |-- intersection counts (per-doc sizes stay FULL) — mirrored
+         |-- here so parity is cap-exact at any SF, not just while no
+         |-- trigram exceeds the cap
+         |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
          |pr AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.s = ok.s GROUP BY 1, 2),
          |pairs AS (
          |  SELECT id_a, id_b, round(inter::DOUBLE / (s1.n + s2.n - inter), 6) AS jaccard
          |  FROM pr JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id

@@ -217,12 +217,22 @@ object ScaleProbe {
       // not an operator property). Hash-derived components are
       // high-entropy in all 16 dims. Cast the COMPONENT to float —
       // Spark promotes `/` to double, the contract is array<float>.
+      // vec_id must be UNIQUE for the same reason doc_id is above:
+      // orderkey*10+linenumber collides on ~143k of 600k rows at
+      // sf0.1, and colliding ids share their hash-derived embedding —
+      // the SRP/IVF/topK baselines would be measured on a ~457k-
+      // distinct corpus with duplicated ids. Same row_number recipe.
       def comp(d: Int) = ((conv(substring(md5(concat(
-        (col("l_orderkey") * 10 + col("l_linenumber")).cast("string"), lit(s"|$d"))),
+        col("vec_id").cast("string"), lit(s"|$d"))),
         1, 8), 16, 10).cast("long") % 1000000L).cast("double") / 1000000.0 - 0.5)
         .cast("float")
-      li.select((col("l_orderkey") * 10 + col("l_linenumber")).as("vec_id"),
-          array((0 until 16).map(comp): _*).as("embedding"))
+      li.withColumn("vec_id",
+          (col("l_orderkey") * 100 + row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_orderkey"))
+              .orderBy(col("l_linenumber"), col("l_partkey"),
+                col("l_suppkey"), col("l_extendedprice")))).cast("long"))
+        .select(col("vec_id"), array((0 until 16).map(comp): _*).as("embedding"))
         .localCheckpoint(true)
     }
     println(s"[scale]   embeddings = ${embs.count()}")
@@ -237,7 +247,7 @@ object ScaleProbe {
     }
 
     timed("LSH topK: ~100 probes vs 600k") {
-      val t = graft.ops.Similarity.lshTopK(embs.filter(col("vec_id") < 320),
+      val t = graft.ops.Similarity.lshTopK(embs.filter(col("vec_id") < 3200),
         embs, k = 5, planes = 10, tables = 2)
       println(s"[scale]   topk rows = ${t.count()}")
     }
@@ -250,7 +260,7 @@ object ScaleProbe {
     }
 
     timed("IVF assign + search 600k (256 lists)") {
-      val hits = graft.ops.Similarity.ivfSearch(embs.filter(col("vec_id") < 320),
+      val hits = graft.ops.Similarity.ivfSearch(embs.filter(col("vec_id") < 3200),
         embs, codebook, k = 5, nProbe = 2)
       println(s"[scale]   ivf rows = ${hits.count()}")
     }
