@@ -284,13 +284,10 @@ case class TokensExpression(child: Expression)
   * it). Counts are CODE POINTS, matching Spark's and DuckDB's
   * code-point `length` so the removal-length oracle reproduces them.
   */
-case class ScriptCountsExpression(child: Expression)
-    extends UnaryExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = "graft_script_counts"
-  def compute(text: UTF8String): GenericArrayData = {
-    val s = text.toString
+object ScriptCounts {
+  /** The one-pass [kana, hangul, thai, han] counting walk shared by
+    * [[ScriptCountsExpression]] and [[ScriptLangExpression]]. */
+  def count(s: String): Array[Int] = {
     var kana = 0; var hangul = 0; var thai = 0; var han = 0
     var i = 0
     val n = s.length
@@ -308,8 +305,17 @@ case class ScriptCountsExpression(child: Expression)
         i += Character.charCount(cp)
       }
     }
-    new GenericArrayData(Array(kana, hangul, thai, han))
+    Array(kana, hangul, thai, han)
   }
+}
+
+case class ScriptCountsExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_script_counts"
+  def compute(text: UTF8String): GenericArrayData =
+    new GenericArrayData(ScriptCounts.count(text.toString))
   override protected def nullSafeEval(text: Any): Any =
     compute(text.asInstanceOf[UTF8String])
   override protected def doGenCode(
@@ -320,6 +326,43 @@ case class ScriptCountsExpression(child: Expression)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `script_lang(text, minChars)` — the script-precedence decision of
+  * scripted language ID fused into the counting walk: ja if ≥ minChars
+  * kana, else ko (hangul) / th (thai) / zh (han), else NULL (caller
+  * falls back to stopword profiles via coalesce). Exists because a
+  * CaseWhen over `graft_script_counts` elements re-evaluates the
+  * counting scan per condition — codegen subexpression elimination
+  * only hoists a conditional expression's FIRST condition, so Latin
+  * text (which falls through all four) would pay four walks. One
+  * expression, one walk, by construction. */
+case class ScriptLangExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_script_lang"
+  def compute(text: UTF8String, minChars: Int): UTF8String = {
+    val a = ScriptCounts.count(text.toString)
+    if (a(0) >= minChars) UTF8String.fromString("ja")
+    else if (a(1) >= minChars) UTF8String.fromString("ko")
+    else if (a(2) >= minChars) UTF8String.fromString("th")
+    else if (a(3) >= minChars) UTF8String.fromString("zh")
+    else null
+  }
+  override protected def nullSafeEval(text: Any, minChars: Any): Any =
+    compute(text.asInstanceOf[UTF8String], minChars.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("scriptLangExpr", this)
+    nullSafeCodeGen(ctx, ev, (t, m) => s"""
+      ${ev.value} = $ref.compute($t, $m);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** `shingles(text, n)` — distinct word n-gram shingles in ONE pass
@@ -1006,6 +1049,7 @@ object GraftFunctions {
     "graft_ivf_nearest" -> (e => IvfNearestExpression(e(0), e(1), e(2), e(3))),
     "graft_tokens" -> (e => TokensExpression(e(0))),
     "graft_script_counts" -> (e => ScriptCountsExpression(e(0))),
+    "graft_script_lang" -> (e => ScriptLangExpression(e(0), e(1))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
     "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))))
 

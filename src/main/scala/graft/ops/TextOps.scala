@@ -88,18 +88,29 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "para", "en", "que"))
 
   /** Profile-scored language ID: the profile with the most distinct
-    * token hits wins; below `minHits` → "und" (undetermined). */
+    * token hits wins (ties → earliest profile); below `minHits` →
+    * "und" (undetermined).
+    *
+    * Expression SHAPE matters here: each profile's score subtree
+    * appears exactly ONCE, with the winner picked by `array_max` over
+    * (score, -index) structs. A when/otherwise fold would nest each
+    * comparison inside the previous one — the first score's subtree
+    * gets textually duplicated ~2^profiles times, and whenever this
+    * column sits in a CONDITIONAL context (e.g. the fallback branch of
+    * [[languageIdScripted]]'s coalesce) codegen subexpression
+    * elimination is off, so every duplicate re-tokenizes the row
+    * (measured 3.6× on q49 before this shape). */
   def languageId(text: Column, profiles: Seq[(String, Seq[String])] = DefaultProfiles,
                  minHits: Int = 1): Column = {
     val toks = array_distinct(tokens(text))
-    val scored = profiles.map { case (lang, words) =>
-      (lang, size(array_intersect(toks, array(words.map(lit): _*))))
+    val scored = profiles.zipWithIndex.map { case ((_, words), i) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("s"),
+        lit(-i).as("ni"))
     }
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    when(best._2 >= minHits, best._1).otherwise(lit("und"))
+    val best = array_max(array(scored: _*))
+    val langs = array(profiles.map(p => lit(p._1)): _*)
+    when(best.getField("s") >= minHits,
+      element_at(langs, -best.getField("ni") + 1)).otherwise(lit("und"))
   }
 
   /** Characters of `text` matching a regex character class — the
@@ -115,19 +126,17 @@ object TextOps {
     * ja (Japanese always carries kana; Chinese never does), hangul →
     * ko, thai → th, han → zh — in that precedence order (kanji-bearing
     * Japanese must check kana before han). Latin-script text falls back
-    * to the stopword profiles. Script evidence comes from ONE native
-    * pass (`graft_script_counts`); [[languageIdScriptedComposed]] is the
-    * four-regex removal-length twin the DuckDB oracle replays. */
+    * to the stopword profiles. Script evidence + precedence run as ONE
+    * native pass (`graft_script_lang` — a CaseWhen over
+    * `graft_script_counts` elements would re-run the counting scan per
+    * condition, since codegen subexpression elimination hoists only a
+    * conditional's first condition); [[languageIdScriptedComposed]] is
+    * the four-regex removal-length twin the DuckDB oracle replays. */
   def languageIdScripted(text: Column,
                          profiles: Seq[(String, Seq[String])] = DefaultProfiles,
-                         minHits: Int = 1, minScriptChars: Int = 3): Column = {
-    val counts = call_function("graft_script_counts", text)
-    when(counts.getItem(0) >= minScriptChars, lit("ja"))
-      .when(counts.getItem(1) >= minScriptChars, lit("ko"))
-      .when(counts.getItem(2) >= minScriptChars, lit("th"))
-      .when(counts.getItem(3) >= minScriptChars, lit("zh"))
-      .otherwise(languageId(text, profiles, minHits))
-  }
+                         minHits: Int = 1, minScriptChars: Int = 3): Column =
+    coalesce(call_function("graft_script_lang", text, lit(minScriptChars)),
+      languageId(text, profiles, minHits))
 
   /** [[languageIdScripted]] as composed built-ins — four regexp_replace
     * passes via [[scriptCharCount]]; kept as the independent reference

@@ -56,6 +56,15 @@ class CodegenSpec extends SparkTestBase {
     val sc = spanRows(
       cjk.select(call_function("graft_script_counts", $"text")), "graft_script_counts")
     assert(sc(0).getSeq[Int](0) === Seq(3, 2, 3, 2), "kana/hangul/thai/han counts")
+    // script_lang: non-null (kana precedence) and NULL (Latin) both
+    // propagate through the generated path
+    val langFrame = spark.range(2).select($"id",
+      when($"id" === 0, lit("ひらがな混じり 汉字 text")).otherwise(lit("plain latin text")).as("text"))
+    val sl = spanRows(langFrame.select($"id",
+      call_function("graft_script_lang", $"text", lit(3)).as("l")), "graft_script_lang")
+      .sortBy(_.getLong(0))
+    assert(sl(0).getString(1) === "ja")
+    assert(sl(1).isNullAt(1), "below-threshold text must be NULL for the profile fallback")
     val mh = spanRows(
       textFrame.select(call_function("graft_minhash", $"text", lit(4), lit(2))), "graft_minhash")
     assert(mh(0).getSeq[String](0).length === 4)
