@@ -303,6 +303,78 @@ object Curation {
     spark.createDataFrame(packed, schema)
   }
 
+  /** Bit positions of shingle `s` in a `nBits`-bit bloom filter:
+    * hash i = u60(first 15 md5 hex chars of "i|s") mod nBits — no RNG,
+    * no seed state, reproducible in any engine with md5 (DuckDB:
+    * `('0x' || substr(md5(i || '|' || s), 1, 15))::UBIGINT % nBits`). */
+  def bloomPositions(s: Column, nBits: Int, nHashes: Int): Column =
+    array((0 until nHashes).map { i =>
+      conv(substring(md5(concat(lit(s"$i|"), s)), 1, 15), 16, 10)
+        .cast("long") % nBits
+    }: _*)
+
+  /** Build the benchmark bloom bitmap as packed longs. The aggregation
+    * is distributed (map-side-combined bit_or per 64-bit word); only
+    * the FILTER reaches the driver — ≤ nBits/64 rows no matter how
+    * large the benchmark corpus is. That bound is the point: the
+    * membership structure stays O(nBits) while the benchmark grows. */
+  def bloomBuild(benchmark: DataFrame, textCol: String, shingleSize: Int,
+                 nBits: Int, nHashes: Int): Array[Long] = {
+    require(nBits % 64 == 0 && nBits > 0, "nBits must be a positive multiple of 64")
+    val words = benchmark
+      .select(explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+      .select(explode(bloomPositions(col("s"), nBits, nHashes)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("mask"))
+      .collect()
+    val bitmap = new Array[Long](nBits / 64)
+    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    bitmap
+  }
+
+  /** True when every hash position of `s` is set in `bitmap` — the
+    * standard bloom maybe-contains check as a pure column expression
+    * over the plan-embedded bitmap literal (ships once per executor
+    * with the task binary, like a broadcast). */
+  def bloomMightContain(bitmap: Array[Long], s: Column, nBits: Int,
+                        nHashes: Int): Column = {
+    val bm = typedlit[Seq[Long]](bitmap.toSeq)
+    (0 until nHashes).map { i =>
+      val pos = conv(substring(md5(concat(lit(s"$i|"), s)), 1, 15), 16, 10)
+        .cast("long") % nBits
+      element_at(bm, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-filter benchmark decontamination — [[decontaminate]]'s
+    * 100 TB form: the candidate side never joins, shuffles, or sees the
+    * benchmark rows; each candidate shingle tests `nHashes` md5 probes
+    * against an O(nBits) bitmap and ONE map-side-combined
+    * groupBy(doc_id) counts totals and maybe-hits together. False
+    * positives are inherent bloom semantics (rate ≈ (1−e^(−kn/m))^k)
+    * and are DETERMINISTIC here — md5-derived positions make the same
+    * shingles collide in every engine, so results stay exactly
+    * reproducible. Output: (doc_id, n_shingles, n_maybe, maybe_frac,
+    * contaminated). */
+  def decontaminateBloom(candidates: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleSize: Int = 3, threshold: Double = 0.5,
+                         nBits: Int = 1 << 14, nHashes: Int = 3): DataFrame = {
+    val bitmap = bloomBuild(benchmark, textCol, shingleSize, nBits, nHashes)
+    candidates
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(bloomMightContain(bitmap, col("s"), nBits, nHashes), lit(1)))
+          .as("n_maybe"))
+      .withColumn("maybe_frac",
+        round(col("n_maybe").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("maybe_frac") >= threshold)
+  }
+
   /** Deterministic hash-based stratified sampling: a document is kept
     * when u32(first 8 md5 hex chars of its id) mod 100 falls under its
     * stratum's percentage. No RNG state, no seed coordination across

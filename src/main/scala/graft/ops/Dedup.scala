@@ -362,6 +362,52 @@ object Dedup {
       .drop("cluster_id", "keep")
   }
 
+  /** Paragraph-level exact dedup (the CCNet/RefinedWeb pass that runs
+    * BEFORE document-level near-dup): documents split into paragraphs
+    * on `splitPattern`; a paragraph whose md5 appears in at least
+    * `minDocFreq` DISTINCT documents is corpus-duplicate boilerplate
+    * and is dropped from every document; survivors reassemble in
+    * original paragraph order. Kept separate from
+    * [[Curation.boilerplateMetrics]] deliberately: that op SCORES docs
+    * by hot-shingle fraction, this one REWRITES them — removing the
+    * repeated header/footer/nav paragraphs while keeping the document.
+    *
+    * Scale shape: one explode per corpus scan; the hot-hash set is a
+    * map-side-combined two-level aggregate (hash → distinct-doc count)
+    * and is tiny by construction (high-df survivors), so the flag join
+    * broadcasts under AQE; reassembly is ONE groupBy(doc) whose
+    * collect_list holds a single document's paragraphs — bounded by doc
+    * size, same invariant every per-doc op here relies on. Docs whose
+    * every paragraph is dropped stay in the output with empty text (the
+    * caller's quality gate, not silent row loss, decides their fate).
+    * Output: (doc_id, n_paras, n_kept, text_clean). */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     splitPattern: String = "\\n+", minDocFreq: Int = 2,
+                     joinSep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), splitPattern)).as(Seq("ix", "para")))
+      .filter(col("para") =!= "")
+    val hot = paras.groupBy(md5(col("para")).as("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocFreq)
+      .select(col("h")).withColumn("__hot", lit(1))
+    val flagged = paras.join(hot, md5(col("para")) === hot("h"), "left_outer")
+    val rebuilt = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        count(when(col("__hot").isNull, lit(1))).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("ix"), col("para"))))),
+          p => p.getField("para")), joinSep).as("text_clean"))
+    df.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Resolve a corpus against its candidate pairs: every doc gets its
     * component's min id as `cluster_id` and `keep` marks the one
     * survivor per cluster (unpaired docs survive as their own cluster).

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Term-relevance scoring over the shared tokenizer: TF-IDF keyword
+  * extraction and BM25 retrieval scoring — the ranking/selection
+  * primitives of a data-curation pipeline (keyword-based filtering,
+  * query-targeted corpus slicing, per-document topic signatures).
+  *
+  * Scale design: one explode per corpus scan feeding a
+  * map-side-combined (doc, term) count; the document-frequency table is
+  * a term-keyed aggregate of that same frame (no second corpus scan)
+  * and joins back by term — vocabulary-sized, so AQE broadcasts it when
+  * small and shuffle-joins otherwise; corpus-level scalars (N, avgdl)
+  * ride a broadcast 1-row cross join, never a driver collect.
+  * Arithmetic portability: `ln` + one division + round(…, 6); per-doc
+  * sums over query terms are pivoted into fixed per-term columns summed
+  * in a fixed order, because a floating-point SUM over a GROUP is
+  * order-nondeterministic in any engine.
+  */
+object Relevance {
+
+  @inline private def tokens(text: Column): Column = TextOps.tokens(text)
+
+  /** Raw (doc, term) term frequencies: one explode, one
+    * map-side-combined count. The building block both scorers share. */
+  def termCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`topK` TF-IDF terms per document (smoothed idf, sklearn
+    * convention: `idf = ln((1+N)/(1+df)) + 1`, score = tf · idf).
+    * Ties rank by term for determinism. Output:
+    * (doc_id, term, tf, score, rank). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String,
+            topK: Int = 5): DataFrame = {
+    val tc = termCounts(df, idCol, textCol)
+    val docFreq = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tc.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf").cast("double") *
+        (log((lit(1L) + col("n_docs")).cast("double") /
+          (lit(1L) + col("df")).cast("double")) + lit(1.0)), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rank"))
+  }
+
+  /** Per-(doc, query-term) BM25 contribution scores (Robertson/Okapi;
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, tf saturation `k1`,
+    * length normalization `b` against the corpus mean document length).
+    * Returns one row per document per matched query term —
+    * (doc_id, term, tf, dl, score) — deliberately UN-summed: the
+    * cross-term total is a float sum whose order a GROUP BY does not
+    * fix, so callers pivot fixed term columns (see [[bm25]]) or rank on
+    * the contribution rows directly. */
+  def bm25TermScores(df: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val docLens = df.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    // avgdl via exact integer sum ÷ count (not avg(): a float-buffer
+    // average is partial-order-dependent once sums pass 2^53)
+    val stats = broadcast(docLens.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("__dlsum"))
+      .withColumn("avgdl", col("__dlsum").cast("double") / col("n_docs"))
+      .drop("__dlsum"))
+    val tc = termCounts(df, idCol, textCol)
+      .filter(col("term").isin(queryTerms: _*))
+    val docFreq = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tc.join(docFreq, Seq("term"))
+      .join(docLens, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", round(col("idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("score"))
+  }
+
+  /** Top-`topK` documents by total BM25 score for a fixed query-term
+    * list. The per-term contributions pivot into one column per query
+    * term (each a max over ≤1 non-null value — no float-order hazard)
+    * and total in the fixed `queryTerms` order, so the sum is
+    * bit-reproducible in any engine. Output:
+    * (doc_id, score, rank). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], topK: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val contrib = bm25TermScores(df, idCol, textCol, queryTerms, k1, b)
+    val aggs = queryTerms.map(t =>
+      max(when(col("term") === t, col("score"))).as(s"__s_$t"))
+    val pivoted = contrib.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val total = queryTerms.map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+      .reduce(_ + _)
+    // global top-k runs as TakeOrderedAndProject (per-partition heaps,
+    // driver merge of k·partitions rows) — the rank window then touches
+    // only the k survivors, never the corpus
+    val top = pivoted.withColumn("score", round(total, 6))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("score"), col("rank"))
+  }
+}

@@ -391,6 +391,145 @@ object Similarity {
     cids.zip(cembs).toSeq.toDF("cid", embCol)
   }
 
+  /** Cluster-balanced corpus sampling: IVF-assign every vector to its
+    * nearest codebook centroid (per-row kernel, no corpus×codebook
+    * join), then take exactly `perCluster` vectors per cluster by the
+    * stable md5-of-id order — the "diverse subset" primitive (semantic
+    * dedup / coverage sampling à la SemDeDup): one shuffle total, on
+    * the cluster key. */
+  def clusterBalancedSample(df: DataFrame, centroids: DataFrame, perCluster: Int,
+                            idCol: String = "vec_id", embCol: String = "embedding",
+                            cidCol: String = "cid"): DataFrame =
+    Curation.stratifiedTake(ivfAssign(df, centroids, idCol, embCol, cidCol),
+      "cluster", idCol, perCluster)
+
+  // ---- Product quantization (Jégou et al. 2011) ----------------------
+  // The 100 TB vector-storage lever beyond int8: m sub-codebooks of k
+  // centroids quantize each vector to m small codes (64-dim float32 →
+  // 8 bytes at m=8 — 32×), and search scans CODES against a per-probe
+  // lookup table (ADC) without ever touching float vectors.
+
+  /** Per-subspace codebook rows collected into driver arrays:
+    * sub → (cids ascending, centroid subvectors). The collect is
+    * codebook-sized (m·k rows) by construction — it IS the broadcast,
+    * same contract as [[codebookArrays]]. */
+  private def pqBooks(codebook: DataFrame, m: Int, subCol: String,
+                      cidCol: String, embCol: String): Array[(Array[Long], Array[Array[Float]])] = {
+    val rows = codebook.select(col(subCol).cast("int"), col(cidCol).cast("long"), col(embCol))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, "empty PQ codebook")
+    Array.tabulate(m) { j =>
+      val sub = rows.filter(_._1 == j).sortBy(_._2)
+      require(sub.nonEmpty, s"PQ codebook has no centroids for subspace $j")
+      (sub.map(_._2), sub.map(_._3))
+    }
+  }
+
+  /** Deterministic seed codebook for an `m`-subspace product quantizer:
+    * sub-codebook j's centroids are the j-th subvector slices of the
+    * `k` lowest-id vectors (same seeding convention as
+    * [[trainCodebook]]). Output: (sub, cid, `embCol` = the dsub-dim
+    * centroid). Refine with [[pqTrainCodebook]] when recall matters
+    * more than reproducibility-by-inspection. */
+  def pqSeedCodebook(df: DataFrame, m: Int, k: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val dims = df.select(size(col(embCol))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val w = Window.orderBy(col(idCol))
+    val seeds = df.orderBy(col(idCol)).limit(k)
+      .select(col(embCol).as("__emb"),
+        (row_number().over(w) - 1).cast("long").as("cid"))
+    seeds.select(col("cid"),
+        explode(array((0 until m).map { j =>
+          struct(lit(j).as("sub"), slice(col("__emb"), j * dsub + 1, dsub).as("c"))
+        }: _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("cid"), col("sc.c").as(embCol))
+  }
+
+  /** Lloyd's-trained product-quantizer codebook: each subspace trains
+    * independently via [[trainCodebook]] on its slice projection — m
+    * small codebook-sized collect loops on the driver, never a corpus
+    * materialization. Output schema matches [[pqSeedCodebook]]. */
+  def pqTrainCodebook(df: DataFrame, m: Int, k: Int, iterations: Int = 4,
+                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val dims = df.select(size(col(embCol))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    (0 until m).map { j =>
+      trainCodebook(df.select(col(idCol), slice(col(embCol), j * dsub + 1, dsub).as(embCol)),
+          k, iterations, idCol, embCol)
+        .withColumn("sub", lit(j))
+        .select(col("sub"), col("cid"), col(embCol))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** PQ encoding: vector → `m` codes, code j = argmin over sub-codebook
+    * j of squared euclidean distance to the j-th subvector (same
+    * `‖v‖²−2v·c+‖c‖²` sequential-double arithmetic as [[ivfAssign]],
+    * ties by cid). Pure per-row expressions — the corpus never joins or
+    * shuffles to encode. Output: (`idCol`, codes array<int> length m). */
+  def pqEncode(df: DataFrame, codebook: DataFrame, m: Int,
+               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val books = pqBooks(codebook, m, "sub", "cid", embCol)
+    val dsub = books(0)._2(0).length
+    val codes = array((0 until m).map { j =>
+      element_at(ivfNearest(slice(col(embCol), j * dsub + 1, dsub), 1,
+        books(j)._1, books(j)._2), 1).cast("int")
+    }: _*)
+    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /** PQ search by asymmetric distance computation: each probe
+    * precomputes lut[j][c] = probe-subvector-j · centroid-(j,c) ONCE,
+    * then every corpus vector scores as a sequential j-ascending sum of
+    * m table lookups over its codes — no corpus shuffle, no float
+    * vectors in the scan, probe side broadcast. Approximate cosine uses
+    * the PQ-reconstructed corpus norm (Σⱼ‖cⱼ‖², also a lookup).
+    * `codes` is [[pqEncode]]'s output; at the 100 TB target it is the
+    * stored table and floats exist only at codebook build time. */
+  def pqSearchADC(probes: DataFrame, codes: DataFrame, codebook: DataFrame,
+                  k: Int, m: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val books = pqBooks(codebook, m, "sub", "cid", embCol)
+    val dsub = books(0)._2(0).length
+    val bookLit = typedlit[Seq[Seq[Seq[Float]]]](
+      books.map(_._2.map(_.toSeq).toSeq).toSeq)
+    def seqDot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    // ‖cⱼ‖² lookup table — driver-computed with the same sequential
+    // double arithmetic as the kernels, codebook-sized literal
+    val n2Lit = typedlit[Seq[Seq[Double]]](
+      books.map(_._2.map(c => seqDot(c, c)).toSeq).toSeq)
+    val probeSide = broadcast(probes
+      .select(col(idCol).as("probe_id"), col(embCol).as("__p_emb"))
+      .withColumn("p_norm", sqrt(dotUdf(col("__p_emb"), col("__p_emb"))))
+      .withColumn("lut", transform(bookLit, (subBook, j) =>
+        transform(subBook, cv =>
+          dotUdf(slice(col("__p_emb"), j * dsub + lit(1), lit(dsub)), cv))))
+      .drop("__p_emb"))
+    val corpus = codes.select(col(idCol).as("neighbor_id"), col("codes"),
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+        acc + element_at(element_at(n2Lit, j + 1),
+          element_at(col("codes"), j + 1) + 1)).as("n2"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(col("lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+    val scored = corpus.join(probeSide, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc_cosine",
+        when(col("p_norm") === 0.0 || col("n2") === 0.0, lit(0.0))
+          .otherwise(round(adc / (col("p_norm") * sqrt(col("n2"))), 6)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("adc_cosine"), col("rank"))
+  }
+
   /** Exact all-pairs near-dup: corpus broadcast as primitive arrays, a
     * tight per-partition loop emits ONLY surviving pairs — a join would
     * materialize all n²/2 rows to keep 10s of survivors. Exact mode is

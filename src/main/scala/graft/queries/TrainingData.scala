@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Multimodal, Relevance, Similarity, TextOps}
 
 /** Training-data pipeline operators as oracle-checkable queries:
   * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -425,6 +425,92 @@ object TrainingData {
         .select(col("doc_id"), col("word_count"),
           coalesce(col("partner_id"), lit(-1L)).as("partner_id"),
           coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Top-3 TF-IDF terms per document (smoothed idf, ranked on the
+    // ROUNDED score so cross-engine ln ulp noise cannot flip order).
+    "q51_tfidf" -> ((s, d) => {
+      Relevance.tfIdf(t(s, d, "documents"), "doc_id", "text", topK = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // BM25 retrieval: top-20 documents for a fixed 3-term query; the
+    // cross-term sum pivots into fixed columns (float-order-safe).
+    "q52_bm25" -> ((s, d) => {
+      Relevance.bm25(t(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "join", "window"), topK = 20)
+        .orderBy(col("rank"))
+    }),
+
+    // Paragraph-level exact dedup (CCNet-style): the corpus gets
+    // deterministic paragraph boundaries (every 3 tokens — the
+    // newline-free synthetic corpus needs synthesized structure; real
+    // corpora pass the default \n split), then cross-doc repeated
+    // paragraphs are dropped from every document.
+    "q53_paragraph_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ptext",
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
+      Dedup.paragraphDedup(docs, "doc_id", "ptext",
+          splitPattern = "\n", minDocFreq = 2)
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("text_clean")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cluster-balanced sampling (SemDeDup-style diverse subset):
+    // IVF-assign to the 8 lowest-id seed centroids, then exactly 10
+    // vectors per cluster by the stable md5-of-id order.
+    "q54_cluster_sample" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.clusterBalancedSample(emb,
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding")),
+          perCluster = 10)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Product-quantization encoding: 64-dim float32 → 8 codes (one per
+    // 8-dim subspace, argmin over the 4 lowest-id seed subvectors) —
+    // 32× storage compression; one (vec, sub, code) row per code.
+    "q55_pq_encode" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val book = Similarity.pqSeedCodebook(emb, m = 8, k = 4)
+      // posexplode_outer: codes is a fixed-length literal array (never
+      // empty), and the outer variant skips the size>0 Filter that
+      // plain posexplode plans — which would re-evaluate all 8 argmin
+      // kernels per row a second time
+      Similarity.pqEncode(emb, book, m = 8)
+        .select(col("vec_id"), posexplode_outer(col("codes")).as(Seq("sub", "code")))
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
+    // PQ ADC search: probes precompute per-subspace lookup tables and
+    // every corpus vector scores from its 8 codes alone — the float-free
+    // scan path over q55's codes.
+    "q56_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val book = Similarity.pqSeedCodebook(emb, m = 8, k = 4)
+      val codes = Similarity.pqEncode(emb, book, m = 8)
+      Similarity.pqSearchADC(emb.filter(col("vec_id") < 10), codes, book,
+          k = 3, m = 8)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Bloom-filter decontamination: q32's benchmark membership replayed
+    // through a 16384-bit md5-derived bloom — the candidate side never
+    // joins; deterministic false positives are part of the contract.
+    "q57_bloom_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.decontaminateBloom(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", shingleSize = 3, threshold = 0.5,
+          nBits = 1 << 14, nHashes = 3)
         .orderBy(col("doc_id"))
     }))
 
@@ -1047,5 +1133,184 @@ object TrainingData {
         |  CASE WHEN doc_id % 3 = 2 THEN (doc_id % 720 + 16)::INT END AS height,
         |  CASE doc_id % 3 WHEN 1 THEN strlen(text)::BIGINT * 1000 // 32000
         |       WHEN 2 THEN strlen(text)::BIGINT * 40 END AS duration_ms
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // q51: smoothed idf (sklearn convention); rank on the ROUNDED score
+    // so a sub-ulp ln() difference between engines cannot reorder.
+    "q51_tfidf" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |df_t AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tc.term, tf,
+         |    round(tf::DOUBLE * (ln((1 + n_docs)::DOUBLE / (1 + df)::DOUBLE) + 1.0), 6) AS score
+         |  FROM tc JOIN df_t ON tc.term = df_t.term, n),
+         |r AS (
+         |  SELECT doc_id, term, tf, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, tf::BIGINT AS tf, score, rank::BIGINT AS rank
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // q52: BM25 with k1=1.2, b=0.75. Literal arithmetic mirrors the
+    // Spark expression tree exactly — (1.2 + 1.0) not 2.2, because the
+    // Scala side computes k1+1 in doubles and 2.2 parses to a different
+    // double; avgdl = exact integer sum / count; the cross-term total
+    // sums fixed pivoted columns in query-term order.
+    "q52_bm25" ->
+      s"""WITH dl AS (SELECT doc_id, len($tokensSql)::BIGINT AS dl FROM documents),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS dlsum FROM dl),
+         |tc AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS term FROM documents) u
+         |  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+         |df_t AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term),
+         |sc AS (
+         |  SELECT tc.doc_id, tc.term,
+         |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl.dl / (dlsum::DOUBLE / n_docs))), 6) AS score
+         |  FROM tc JOIN df_t ON tc.term = df_t.term
+         |  JOIN dl ON tc.doc_id = dl.doc_id, st),
+         |pv AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN term = 'spark' THEN score END) AS s1,
+         |    max(CASE WHEN term = 'join' THEN score END) AS s2,
+         |    max(CASE WHEN term = 'window' THEN score END) AS s3
+         |  FROM sc GROUP BY doc_id),
+         |tot AS (SELECT doc_id,
+         |  round(COALESCE(s1, 0.0) + COALESCE(s2, 0.0) + COALESCE(s3, 0.0), 6) AS score
+         |  FROM pv),
+         |r AS (SELECT doc_id, score,
+         |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM tot)
+         |SELECT doc_id, score, rank::BIGINT AS rank FROM r WHERE rank <= 20
+         |ORDER BY rank""".stripMargin,
+    // q53: paragraph boundaries synthesized every 3 tokens (RE2 and
+    // java.util.regex segment this pattern identically), then cross-doc
+    // repeated paragraphs (md5 groups, distinct-doc count >= 2) drop
+    // from every doc; survivors re-join in original order.
+    "q53_paragraph_dedup" ->
+      """WITH p0 AS (SELECT doc_id,
+        |  string_split(regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+        |    chr(10)) AS l FROM documents),
+        |paras AS (SELECT doc_id, unnest(l) AS para,
+        |  generate_subscripts(l, 1) AS ix FROM p0),
+        |pp AS (SELECT * FROM paras WHERE para <> ''),
+        |hot AS (SELECT md5(para) AS h FROM pp GROUP BY md5(para)
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT pp.doc_id, pp.para, pp.ix FROM pp
+        |  LEFT JOIN hot ON md5(pp.para) = hot.h WHERE hot.h IS NULL),
+        |np AS (SELECT doc_id, COUNT(*) AS n_paras FROM pp GROUP BY doc_id),
+        |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(para, chr(10) ORDER BY ix) AS txt FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(np.n_paras, 0)::BIGINT AS n_paras,
+        |  COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+        |  md5(COALESCE(k.txt, '')) AS clean_hash
+        |FROM documents d
+        |LEFT JOIN np ON d.doc_id = np.doc_id
+        |LEFT JOIN k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q54: q35's argmin assignment + q44's stable md5-order take.
+    "q54_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |        + list_dot_product(c.cv, c.cv), cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, cid AS cluster FROM dist WHERE rn = 1),
+        |r AS (SELECT vec_id, cluster,
+        |  ROW_NUMBER() OVER (PARTITION BY cluster
+        |    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT, vec_id) AS rn
+        |  FROM a)
+        |SELECT vec_id, cluster FROM r WHERE rn <= 10 ORDER BY vec_id""".stripMargin,
+    // q55: per-subspace argmin over the 4 lowest-id vectors' subvector
+    // slices — q35's distance arithmetic on 8-dim slices.
+    "q55_pq_encode" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |sv AS (SELECT vec_id, sub, list_slice(v, sub * 8 + 1, sub * 8 + 8) AS vs
+        |       FROM e, range(8) s(sub)),
+        |c AS (SELECT sub, vec_id AS cid, vs AS cs FROM sv WHERE vec_id < 4),
+        |dist AS (
+        |  SELECT sv.vec_id, sv.sub, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+        |      list_dot_product(sv.vs, sv.vs) - 2 * list_dot_product(sv.vs, c.cs)
+        |        + list_dot_product(c.cs, c.cs), c.cid) AS rn
+        |  FROM sv JOIN c ON sv.sub = c.sub)
+        |SELECT vec_id, sub::BIGINT AS sub, cid::BIGINT AS code
+        |FROM dist WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin,
+    // q56: ADC — lut[j][c] dots replayed with sequential
+    // list_dot_product; the j-sum rides list_dot_product(parts, ones)
+    // (left-to-right, matching Spark's aggregate over sequence(0,7)).
+    "q56_pq_adc" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |sv AS (SELECT vec_id, sub, list_slice(v, sub * 8 + 1, sub * 8 + 8) AS vs
+        |       FROM e, range(8) s(sub)),
+        |c AS (SELECT sub, vec_id AS cid, vs AS cs FROM sv WHERE vec_id < 4),
+        |dist AS (
+        |  SELECT sv.vec_id, sv.sub, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+        |      list_dot_product(sv.vs, sv.vs) - 2 * list_dot_product(sv.vs, c.cs)
+        |        + list_dot_product(c.cs, c.cs), c.cid) AS rn
+        |  FROM sv JOIN c ON sv.sub = c.sub),
+        |codes AS (SELECT vec_id, list(cid ORDER BY sub) AS cl
+        |          FROM dist WHERE rn = 1 GROUP BY vec_id),
+        |cents AS (SELECT sub, list(cs ORDER BY cid) AS cvs FROM c GROUP BY sub),
+        |book AS (SELECT list(cvs ORDER BY sub) AS bk FROM cents),
+        |n2 AS (SELECT vec_id, cl,
+        |  list_dot_product(list_transform(range(8),
+        |    j -> list_dot_product(bk[j + 1][cl[j + 1] + 1], bk[j + 1][cl[j + 1] + 1])),
+        |    list_transform(range(8), x -> 1.0)) AS nn
+        |  FROM codes, book),
+        |probes AS (SELECT vec_id AS probe_id, v,
+        |  sqrt(list_dot_product(v, v)) AS p_norm FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT p.probe_id, n2.vec_id AS neighbor_id,
+        |    CASE WHEN p.p_norm = 0 OR n2.nn = 0 THEN 0.0
+        |      ELSE round(list_dot_product(list_transform(range(8), j ->
+        |        list_dot_product(list_slice(p.v, j * 8 + 1, j * 8 + 8),
+        |          bk[j + 1][n2.cl[j + 1] + 1])),
+        |        list_transform(range(8), x -> 1.0)) / (p.p_norm * sqrt(n2.nn)), 6)
+        |    END AS adc_cosine
+        |  FROM probes p, n2, book WHERE p.probe_id <> n2.vec_id),
+        |r AS (SELECT probe_id, neighbor_id, adc_cosine,
+        |  ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY adc_cosine DESC, neighbor_id) AS rank FROM scored)
+        |SELECT probe_id, neighbor_id, adc_cosine, rank::BIGINT AS rank
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // q57: the bloom membership relationally — candidate shingle is a
+    // maybe-hit iff ALL 3 md5-derived bit positions land in the bench
+    // position set (identical positions → identical false positives).
+    "q57_bloom_decontam" ->
+      s"""WITH cand AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_distinct(list_transform(range(len($tokensSql)-2),
+         |      i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3]))) AS s
+         |    FROM documents WHERE source <> 'src0')),
+         |bench AS (
+         |  SELECT DISTINCT unnest(list_transform(range(len($tokensSql)-2),
+         |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
+         |  FROM documents WHERE source = 'src0'),
+         |bpos AS (SELECT DISTINCT
+         |    (('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 15))::UBIGINT % 16384) AS pos
+         |  FROM bench, range(3) t(i)),
+         |cpos AS (SELECT doc_id, s, i,
+         |    (('0x' || substr(md5(i::VARCHAR || '|' || s), 1, 15))::UBIGINT % 16384) AS pos
+         |  FROM cand, range(3) t(i)),
+         |maybe AS (
+         |  SELECT doc_id, s FROM cpos JOIN bpos USING (pos)
+         |  GROUP BY doc_id, s HAVING COUNT(DISTINCT i) = 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
+         |mb AS (SELECT doc_id, COUNT(*) AS n_maybe FROM maybe GROUP BY 1)
+         |SELECT sizes.doc_id, n_shingles::BIGINT AS n_shingles,
+         |  COALESCE(n_maybe, 0)::BIGINT AS n_maybe,
+         |  round(COALESCE(n_maybe, 0)::DOUBLE / n_shingles, 6) AS maybe_frac,
+         |  round(COALESCE(n_maybe, 0)::DOUBLE / n_shingles, 6) >= 0.5 AS contaminated
+         |FROM sizes LEFT JOIN mb ON sizes.doc_id = mb.doc_id
+         |ORDER BY sizes.doc_id""".stripMargin)
 }

@@ -333,6 +333,41 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(nd.contains((1L, 4L)))
   }
+
+  test("paragraphDedup drops cross-doc repeated paragraphs, keeps order, retains empty docs") {
+    val corpus = Seq(
+      (1L, "shared header\nunique one\nshared footer"),
+      (2L, "shared header\nunique two\nshared footer"),
+      (3L, "only original text here"),
+      (4L, "shared header\nshared footer"),
+      (5L, "solo para\nsolo para")) // repeated WITHIN one doc only — kept
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "doc_id", "text", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 1L, "unique one")))
+    assert(out(2L) === ((3L, 1L, "unique two")))
+    assert(out(3L) === ((1L, 1L, "only original text here")))
+    assert(out(4L) === ((2L, 0L, "")), "fully-boilerplate doc stays as a row, empty")
+    assert(out(5L) === ((2L, 2L, "solo para\nsolo para")),
+      "within-doc repetition in a single doc is NOT corpus boilerplate")
+  }
+
+  test("paragraphDedup is partitioning-invariant and respects minDocFreq") {
+    val corpus = (0L until 60L).map { i =>
+      val boiler = if (i % 2 == 0) "even boiler" else "odd boiler"
+      (i, s"$boiler\nbody text number $i")
+    }.toDF("doc_id", "text")
+    val a = Dedup.paragraphDedup(corpus, "doc_id", "text", minDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).sortBy(_._1)
+    val b = Dedup.paragraphDedup(corpus.repartition(7), "doc_id", "text", minDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "result independent of input partitioning")
+    assert(a.forall { case (i, kept, txt) => kept === 1L && txt === s"body text number $i" })
+    val high = Dedup.paragraphDedup(corpus, "doc_id", "text", minDocFreq = 31)
+      .collect().map(r => r.getLong(2))
+    assert(high.forall(_ === 2L), "df=30 boiler stays under a 31-doc threshold")
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
@@ -540,6 +575,96 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(buckets(0L) === buckets(1L), "near-identical directions share all sign bits")
     assert(buckets(0L) !== buckets(4L), "opposite vectors flip every sign bit")
+  }
+
+  // deterministic 16-dim corpus for the PQ specs: 4 subspaces of 4 dims
+  private def pqCorpus(n: Int): org.apache.spark.sql.DataFrame =
+    (0L until n.toLong).map { i =>
+      (i, Array.tabulate(16)(d => (math.sin(i * 31 + d * 7) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  test("pqSeedCodebook: m×k rows, dsub-dim centroids = lowest-id subvector slices") {
+    val df = pqCorpus(20)
+    val book = Similarity.pqSeedCodebook(df, m = 4, k = 3).collect()
+    assert(book.length === 12)
+    val byKey = book.map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
+    assert(byKey.values.forall(_.length === 4))
+    val v1 = df.filter(col("vec_id") === 1L).head.getSeq[Float](1)
+    assert(byKey((2, 1L)) === v1.slice(8, 12), "cid 1, sub 2 = vec 1 dims 8-11")
+  }
+
+  test("pqEncode: seed vectors encode to their own cid; codes bounded by k") {
+    val df = pqCorpus(50)
+    val book = Similarity.pqSeedCodebook(df, m = 4, k = 4)
+    val codes = Similarity.pqEncode(df, book, m = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0 until 4).foreach { i =>
+      assert(codes(i.toLong) === Seq.fill(4)(i),
+        s"seed vector $i is distance-0 from its own centroids")
+    }
+    assert(codes.values.flatten.forall(c => c >= 0 && c < 4))
+  }
+
+  test("pqSearchADC equals brute-force cosine against the PQ-reconstructed corpus") {
+    val df = pqCorpus(40)
+    val m = 4; val dsub = 4
+    val book = Similarity.pqSeedCodebook(df, m = m, k = 4)
+    val codes = Similarity.pqEncode(df, book, m = m)
+    val probes = df.filter(col("vec_id") < 3)
+    val got = Similarity.pqSearchADC(probes, codes, book, k = 2, m = m)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference: reconstruct each vector from its codes, score exact cosine
+    val bookMap = book.collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getSeq[Float](2).toArray).toMap
+    val codeMap = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecMap = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def recon(id: Long): Array[Float] =
+      (0 until m).flatMap(j => bookMap((j.toLong, codeMap(id)(j).toLong))).toArray
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    for (p <- 0L until 3L) {
+      val expect = vecMap.keys.filter(_ != p).map { n =>
+        val r = recon(n)
+        n -> dot(vecMap(p), r) / (math.sqrt(dot(vecMap(p), vecMap(p))) * math.sqrt(dot(r, r)))
+      }.toSeq.sortBy { case (n, c) => (-c, n) }.take(2)
+      expect.zipWithIndex.foreach { case ((n, c), ix) =>
+        val (gotN, gotC) = got((p, ix + 1L))
+        assert(gotN === n, s"probe $p rank ${ix + 1}")
+        assert(math.abs(gotC - c) < 1e-6, s"ADC cosine ≈ reconstructed cosine for $p→$n")
+      }
+    }
+  }
+
+  test("pqTrainCodebook cuts mean quantization error vs the seed codebook") {
+    val df = pqCorpus(120)
+    val m = 4
+    def mse(book: org.apache.spark.sql.DataFrame): Double = {
+      val bookMap = book.collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getSeq[Float](2).toArray).toMap
+      val codeMap = Similarity.pqEncode(df, book, m = m).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val vecMap = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      vecMap.map { case (id, v) =>
+        val r = (0 until m).flatMap(j => bookMap((j.toLong, codeMap(id)(j).toLong)))
+        v.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble
+      }.sum / vecMap.size
+    }
+    val seed = Similarity.pqSeedCodebook(df, m = m, k = 4)
+    val trained = Similarity.pqTrainCodebook(df, m = m, k = 4, iterations = 3)
+    assert(mse(trained) < mse(seed), "Lloyd's rounds must reduce reconstruction error")
+  }
+
+  test("clusterBalancedSample: exact per-cluster counts, stable under repartition") {
+    val df = pqCorpus(80)
+    val cents = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val a = Similarity.clusterBalancedSample(df, cents, perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val b = Similarity.clusterBalancedSample(df.repartition(7), cents, perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    val perCluster = a.groupBy(_._2).view.mapValues(_.length)
+    assert(perCluster.values.forall(_ <= 5), "hard per-cluster cap")
   }
 }
 
@@ -762,6 +887,46 @@ class CurationSpec extends SparkTestBase {
     assert(en > 20 && en < 90, s"~10% of 500 en docs, got $en")
     assert(de > 200 && de < 300, s"~50% of 500 de docs, got $de")
   }
+
+  test("bloom decontamination: zero false negatives vs the exact join, few false positives") {
+    val cand = (0L until 120L).map { i =>
+      (i, if (i % 4 == 0) s"leaked eval question number ${i / 4} here"
+          else s"clean document body text sample $i okay fine")
+    }.toDF("doc_id", "text")
+    val bench = (0L until 30L)
+      .map(i => (i, s"leaked eval question number $i here")).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(cand, bench, "doc_id", "text", shingleSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // n_overlap
+    val bloom = Curation.decontaminateBloom(cand, bench, "doc_id", "text",
+        shingleSize = 3, nBits = 1 << 14, nHashes = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    exact.foreach { case (id, nOverlap) =>
+      assert(bloom(id)._2 >= nOverlap, s"doc $id: bloom can only over-report")
+    }
+    val contaminatedIds = bloom.filter(_._2._3).keySet
+    assert((0L until 120L by 4).toSet.subsetOf(contaminatedIds),
+      "every truly leaked doc is flagged")
+    val fp = bloom.collect { case (id, (n, maybe, _)) if id % 4 != 0 => (maybe, n) }
+    val fpShingles = fp.map(_._1).sum.toDouble / fp.map(_._2).sum
+    assert(fpShingles < 0.2, s"clean-doc maybe rate should be small, got $fpShingles")
+  }
+
+  test("bloomMightContain is exact-positive on inserted shingles and plan-local (no join)") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val bitmap = Curation.bloomBuild(bench, "text", shingleSize = 3,
+      nBits = 1 << 14, nHashes = 3)
+    assert(bitmap.exists(_ != 0L))
+    val probes = Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")
+      .toDF("s")
+    val hits = probes.select(Curation.bloomMightContain(bitmap, col("s"),
+      1 << 14, 3).as("hit")).collect().map(_.getBoolean(0))
+    assert(hits.forall(identity), "no false negatives by construction")
+    val out = Curation.decontaminateBloom(
+      Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text"), bench,
+      "doc_id", "text", shingleSize = 3)
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"),
+      "the candidate side must test the bitmap literal, never join the benchmark")
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
@@ -895,5 +1060,69 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.count() > 0)
     val ixs = frames.select("frame_ix").collect().map(_.getInt(0))
     assert(ixs.forall(_ % 10 == 0))
+  }
+}
+
+class RelevanceSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ops.Relevance
+
+  private val corpus = Seq(
+    (1L, "spark join window spark spark"),
+    (2L, "spark table scan filter sort"),
+    (3L, "join join window merge batch"),
+    (4L, "data column value row table"),
+    (5L, "window window window window group")).toDF("doc_id", "text")
+
+  test("termCounts: raw frequencies, partitioning-invariant") {
+    val tc = Relevance.termCounts(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tc((1L, "spark")) === 3L)
+    assert(tc((3L, "join")) === 2L)
+    val again = Relevance.termCounts(corpus.repartition(7), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tc === again)
+  }
+
+  test("tfIdf: rare terms outscore common ones; topK capped; ranks contiguous") {
+    val out = Relevance.tfIdf(corpus, "doc_id", "text", topK = 2).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 2))
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to rows.length))
+    }
+    // doc 2: "table" appears in 2 docs, "scan"/"filter"/"sort" in 1 —
+    // equal-tf rarer terms must outrank it
+    val doc2 = out.filter(_.getLong(0) == 2L).map(_.getString(1)).toSet
+    assert(!doc2.contains("table"), s"df=2 'table' cannot beat df=1 terms: $doc2")
+    assert(!doc2.contains("spark"), "df=2 'spark' with tf=1 cannot rank top-2")
+  }
+
+  test("bm25: query-term frequency and doc length drive the ranking") {
+    val ranked = Relevance.bm25(corpus, "doc_id", "text",
+        Seq("spark", "join", "window"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val ranks = ranked.map(t => t._1 -> t._3).toMap
+    // docs 1 (spark×3 + join + window) and 5 (window×4) carry the most
+    // query mass; doc 4 has none and must be absent
+    assert(!ranks.contains(4L))
+    assert(ranks(1L) === 1L, s"doc 1 matches all three query terms: $ranked")
+    assert(ranked.map(_._2).toSeq === ranked.map(_._2).sorted.reverse.toSeq)
+    val again = Relevance.bm25(corpus.repartition(5), "doc_id", "text",
+        Seq("spark", "join", "window"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(ranked.toSeq === again.toSeq, "scores independent of partitioning")
+  }
+
+  test("bm25TermScores: saturation — tf doubling less than doubles the score") {
+    val docs = Seq(
+      (1L, "term filler filler filler filler filler filler filler"),
+      (2L, "term term filler filler filler filler filler filler"),
+      (3L, "term term term term filler filler filler filler")).toDF("doc_id", "text")
+    val sc = Relevance.bm25TermScores(docs, "doc_id", "text", Seq("term"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(sc(2L) > sc(1L) && sc(3L) > sc(2L), "more hits, higher score")
+    assert(sc(2L) - sc(1L) > sc(3L) - sc(2L), "diminishing returns (k1 saturation)")
   }
 }

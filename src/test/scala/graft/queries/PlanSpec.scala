@@ -132,6 +132,51 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), "no n²/2-row join materialization")
     assert(!p.contains("SinglePartition"), "no constant-key single partition")
   }
+
+  test("q51 tf-idf: one explode into a map-side-combined count; window prunes per partition") {
+    val p = plan("q51_tfidf")
+    assert(p.contains("Generate explode"), "tokens explode once")
+    assert(p.contains("partial_count"), "tf counts combine map-side")
+    assert(p.contains("WindowGroupLimit"), "top-k prunes before the final window sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q52 bm25: global top-k is a TakeOrdered, never a corpus-wide window sort") {
+    val p = plan("q52_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "per-partition heaps + driver merge of k")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q55 PQ encode is join-free: codes are per-row expressions over the codebook literal") {
+    val p = plan("q55_pq_encode")
+    assert(!p.contains("Join"), "no corpus×codebook materialization")
+    // the only Exchange is the output-presentation orderBy (range); the
+    // encode itself must not hash-shuffle anything
+    assert(!p.contains("Exchange hashpartitioning"), "encoding shuffles nothing")
+    assert(p.contains("graft_ivf_nearest"), "the native argmin kernel runs per subspace")
+    assert(!p.contains("+- Filter"), "posexplode_outer: no size>0 re-evaluation of the kernels")
+  }
+
+  test("q56 PQ ADC: broadcast probe scan of the codes table — no SMJ, no cartesian") {
+    val p = plan("q56_pq_adc")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the ADC scan broadcasts probes+LUTs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "the corpus never shuffles to be scored")
+  }
+
+  test("q57 bloom decontamination never joins: bitmap literal + one doc-keyed agg") {
+    val p = plan("q57_bloom_decontam")
+    assert(!p.contains("Join"), "membership is an expression, not a join")
+    assert(p.contains("partial_count"), "totals and maybe-hits combine map-side")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial + final aggregate")
+  }
+
+  test("q53 paragraph dedup: flag-join shape, no cartesian, bounded per-doc rebuild") {
+    val p = plan("q53_paragraph_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate posexplode"), "paragraphs explode with their index")
+    assert(p.contains("collect_list"), "reassembly is one per-doc aggregation")
+  }
 }
 
 class FileResourcesSpec extends SparkTestBase {
