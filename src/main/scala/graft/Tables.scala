@@ -30,8 +30,12 @@ object Tables {
     prepare(spark)
     loaded.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, path) =>
       val df = s.read.parquet(path)
+      // `ts div 1000`, NOT `ts / 1000`: `/` is double division, and
+      // epoch NANOseconds (~1.7e18) are far above 2^53 — the double
+      // round-trip drifts ±1 µs on about half the rows (caught by the
+      // q58 as-of oracle, where the matched timestamp is an output).
       if (name == "events" && df.schema("ts").dataType.simpleString == "bigint")
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
   }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Point-in-time (as-of) join — the temporal primitive Spark lacks as a
+  * built-in: for every left row, attach the LATEST right row whose
+  * timestamp is ≤ the left row's, per key (backward-looking,
+  * inclusive). The feature-store / event-attribution join ("state of X
+  * when Y happened").
+  *
+  * Scale design: NOT a range join (`l.ts >= r.ts` as a join condition
+  * explodes to O(|l|·|r|) per key before filtering). Both sides union
+  * into one frame, shuffle ONCE on the key, and a single
+  * sort-within-key window carries each right value forward with
+  * `last(…, ignoreNulls)` — O((|l|+|r|) log) per key, the same shape a
+  * native as-of merge would run, expressed declaratively so Catalyst
+  * plans the shuffle/sort and AQE handles skewed keys. */
+object AsOfJoin {
+
+  /** Backward as-of join. `rightCols` are the right-side columns to
+    * carry (each lands as `<prefix><name>`); the matched right
+    * timestamp lands as `<prefix>ts` (null when no right row precedes).
+    * Right rows must be unique per (key, ts) — pre-aggregate ties, or
+    * the carried value among equal timestamps is unspecified.
+    * Inclusive: a right row AT the left timestamp matches (right sorts
+    * before left on ties via the side tag). */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String,
+                   rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(rightCols.nonEmpty, "need at least one right column to carry")
+    val carried = rightCols.map(c => s"$prefix$c") :+ s"${prefix}ts"
+    val lSide = carried.foldLeft(left.withColumn("__side", lit(1))) {
+      case (df, c) =>
+        val src = if (c == s"${prefix}ts") tsCol else c.stripPrefix(prefix)
+        df.withColumn(c, lit(null).cast(right.schema(src).dataType))
+    }
+    val rSide = {
+      val base = right.select(
+        Seq(col(keyCol), col(tsCol), lit(0).as("__side"), col(tsCol).as(s"${prefix}ts")) ++
+          rightCols.map(c => col(c).as(s"$prefix$c")): _*)
+      // null columns for the left-only attributes so the union aligns
+      lSide.columns.foldLeft(base) { case (df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(lSide.schema(c).dataType))
+      }
+    }
+    val unioned = lSide.unionByName(rSide.select(lSide.columns.map(col): _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCarry = carried.foldLeft(unioned) { case (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    withCarry.filter(col("__side") === 1).drop("__side")
+  }
+}

@@ -403,6 +403,46 @@ object Similarity {
     Curation.stratifiedTake(ivfAssign(df, centroids, idCol, embCol, cidCol),
       "cluster", idCol, perCluster)
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space coarsely (IVF codebook), find cosine-near
+    * duplicates WITHIN each cluster only, close them into components
+    * and keep one representative (min id) per group. Returns the
+    * surviving corpus rows.
+    *
+    * Scale shape — three existing primitives composed: per-row
+    * assignment (no corpus×codebook join), cluster-scoped ids-only
+    * group-and-pair (embeddings re-join by id for exact-cosine
+    * verification — vector payloads never ride the pair blow-up), and
+    * the checkpointed connected-components closure. `maxClusterSize`
+    * (0 = off) skips pair generation for degenerate clusters — pair
+    * count is quadratic in cluster size; a capped-out cluster keeps all
+    * its members. */
+  def semanticDedup(df: DataFrame, centroids: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    cidCol: String = "cid", maxClusterSize: Int = 0): DataFrame = {
+    val keyed = ivfAssign(df, centroids, idCol, embCol, cidCol)
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        sqrt(dotUdf(col(embCol), col(embCol))).as("norm"), col("cluster"))
+    val clusters = keyed.groupBy(col("cluster"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val capped =
+      if (maxClusterSize > 0) clusters.filter(size(col("ids")) <= maxClusterSize)
+      else clusters
+    val pairs = capped
+      .select(explode(Dedup.pairsFromSortedIds(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .join(keyed.select(col("id").as("id_a"), col("emb").as("emb_a"),
+        col("norm").as("norm_a")), Seq("id_a"))
+      .join(keyed.select(col("id").as("id_b"), col("emb").as("emb_b"),
+        col("norm").as("norm_b")), Seq("id_b"))
+      .withColumn("cosine",
+        round(dotUdf(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    Dedup.resolveClusters(df, idCol, pairs).filter(col("keep"))
+      .drop("cluster_id", "keep")
+  }
+
   // ---- Product quantization (Jégou et al. 2011) ----------------------
   // The 100 TB vector-storage lever beyond int8: m sub-codebooks of k
   // centroids quantize each vector to m small codes (64-dim float32 →

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Curation, Dedup, Multimodal, Relevance, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Curation, Dedup, Multimodal, Relevance, Similarity, TextOps}
 
 /** Training-data pipeline operators as oracle-checkable queries:
   * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -499,6 +499,32 @@ object TrainingData {
       Similarity.pqSearchADC(emb.filter(col("vec_id") < 10), codes, book,
           k = 3, m = 8)
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // As-of (point-in-time) join: every click event attaches the latest
+    // prior-or-equal purchase of the same user — one union + one
+    // keyed window, never a range join. (user_id, ts) is unique in the
+    // events table, so the backward match is deterministic.
+    "q58_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      AsOfJoin.asofBackward(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          keyCol = "user_id", tsCol = "ts", rightCols = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"), col("asof_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Semantic dedup (SemDeDup): coarse IVF clusters scope the cosine
+    // near-dup search; components collapse to one min-id survivor.
+    "q59_semantic_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.semanticDedup(emb,
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding")),
+          threshold = 0.4, maxClusterSize = 2000)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
     }),
 
     // Bloom-filter decontamination: q32's benchmark membership replayed
@@ -1283,6 +1309,50 @@ object TrainingData {
         |    ORDER BY adc_cosine DESC, neighbor_id) AS rank FROM scored)
         |SELECT probe_id, neighbor_id, adc_cosine, rank::BIGINT AS rank
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    // q58: DuckDB's native ASOF JOIN is the oracle for the union+window
+    // Spark form — inclusive backward match per (user_id, ts).
+    "q58_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS asof_value, r.ts AS asof_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    // q59: q35's argmin assignment scopes an in-cluster all-pairs cosine
+    // gate (mirroring the maxClusterSize=2000 cap), then q50's
+    // reachability closure keeps the min-id survivor per component.
+    "q59_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |        + list_dot_product(c.cv, c.cv), cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT d.vec_id, d.cid AS cluster, e.v
+        |      FROM dist d JOIN e ON d.vec_id = e.vec_id WHERE rn = 1),
+        |ok AS (SELECT cluster FROM a GROUP BY cluster HAVING COUNT(*) <= 2000),
+        |verified AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN ok ON x.cluster = ok.cluster
+        |  WHERE round(list_dot_product(x.v, y.v) /
+        |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6)
+        |    >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM verified
+        |  UNION SELECT id_b, id_a FROM verified),
+        |reach(n, m) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT r.n, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.m),
+        |labels AS (SELECT n AS vec_id, min(m) AS cluster FROM reach GROUP BY n)
+        |SELECT emb.vec_id, emb.label
+        |FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.vec_id
+        |WHERE emb.vec_id = COALESCE(l.cluster, emb.vec_id)
+        |ORDER BY emb.vec_id""".stripMargin,
     // q57: the bloom membership relationally — candidate shingle is a
     // maybe-hit iff ALL 3 md5-derived bit positions land in the bench
     // position set (identical positions → identical false positives).

@@ -1,0 +1,58 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private val left = Seq(
+    (1L, 10L, ts(100)), // after r@50 → matches 50
+    (2L, 10L, ts(200)), // after r@150 → matches 150
+    (3L, 10L, ts(150)), // AT r@150 → inclusive match
+    (4L, 20L, ts(100)), // key 20 has no right rows at all
+    (5L, 30L, ts(10))   // before key 30's only right row → null
+  ).toDF("event_id", "user_id", "ts")
+
+  private val right = Seq(
+    (10L, ts(50), 1.5),
+    (10L, ts(150), 2.5),
+    (10L, ts(300), 9.9), // in the future of every left row — never matches
+    (30L, ts(500), 7.0)
+  ).toDF("user_id", "ts", "value")
+
+  test("backward as-of: latest prior-or-equal right row per key, null when none") {
+    val out = AsOfJoin.asofBackward(left, right, "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("asof_value"), col("asof_ts"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) === ((Some(1.5), Some(ts(50)))))
+    assert(out(2L) === ((Some(2.5), Some(ts(150)))))
+    assert(out(3L) === ((Some(2.5), Some(ts(150)))), "equal timestamps match (inclusive)")
+    assert(out(4L) === ((None, None)), "key with no right rows")
+    assert(out(5L) === ((None, None)), "right row exists but only in the future")
+  }
+
+  test("as-of keeps every left row and is partitioning-invariant") {
+    val a = AsOfJoin.asofBackward(left, right, "user_id", "ts", Seq("value"))
+    assert(a.count() === left.count())
+    val b = AsOfJoin.asofBackward(left.repartition(7), right.repartition(3),
+      "user_id", "ts", Seq("value"))
+    assert(a.orderBy("event_id").collect().toSeq ===
+      b.orderBy("event_id").collect().toSeq)
+  }
+
+  test("as-of plan: one keyed window — no range join, no cartesian") {
+    val p = AsOfJoin.asofBackward(left, right, "user_id", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "the carry is a window, not a join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no O(l·r) range-join explosion")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "both sides shuffle once on the key (union is partition-local)")
+  }
+}

@@ -654,6 +654,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(mse(trained) < mse(seed), "Lloyd's rounds must reduce reconstruction error")
   }
 
+  test("semanticDedup: in-cluster near-dups collapse to the min id; distinct vectors survive") {
+    // pairs of near-identical directions plus singletons
+    val base = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.01f, 0f, 0f)),  // ≈ vec 0 → drop
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0.99f, 0.01f, 0f)),  // ≈ vec 2 → drop
+      (4L, Array(0f, 0f, 1f, 0f)),
+      (5L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val cents = base.filter(col("vec_id").isin(0L, 2L, 4L))
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val kept = Similarity.semanticDedup(base, cents, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L, 4L, 5L))
+    val capped = Similarity.semanticDedup(base, cents, threshold = 0.95,
+      maxClusterSize = 1).collect().map(_.getLong(0)).toSet
+    assert(capped === Set(0L, 1L, 2L, 3L, 4L, 5L),
+      "capped-out clusters generate no pairs — every member survives")
+  }
+
   test("clusterBalancedSample: exact per-cluster counts, stable under repartition") {
     val df = pqCorpus(80)
     val cents = df.filter(col("vec_id") < 4)

@@ -177,6 +177,44 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate posexplode"), "paragraphs explode with their index")
     assert(p.contains("collect_list"), "reassembly is one per-doc aggregation")
   }
+
+  test("q58 as-of join is a keyed window carry, never a range join") {
+    val p = plan("q58_asof_join")
+    assert(p.contains("Window"), "last-value carry within the key")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no O(l·r) range explosion")
+    assert(!p.contains("SortMergeJoin"), "the sides union; they never join")
+  }
+
+  test("q59 semantic dedup: label join only in the final plan — no cartesian, no window") {
+    // the CC closure runs eagerly (checkpointed rounds), so the final
+    // plan is the survivor filter: corpus ⋈ labels — same shape as q39
+    val p = plan("q59_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "pairs are in-cluster only")
+    assert(!p.contains("Window"), "no corpus-wide window anywhere")
+    assert(p.contains("Join"), "survivors = corpus left-joined to component labels")
+  }
+
+  test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // repartition keeps the frame out of ConvertToLocalRelation, which
+    // would otherwise evaluate the kernels at optimization time
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 13 + d) * 5).toFloat)))
+      .toDF("vec_id", "embedding").repartition(2)
+    val cents = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val assigned = graft.ops.Similarity.ivfAssign(vecs, cents)
+    val pairs = assigned.select(col("cluster"), col("vec_id"))
+      .groupBy(col("cluster"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .select(explode(graft.ops.Dedup.pairsFromSortedIds(col("ids"))).as("p"))
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivf_nearest"), "coarse assignment is the per-row kernel")
+    assert(p.contains("graft_pairs"), "ids-only group-and-pair inside each cluster")
+    assert(!p.contains("Join"), "pair generation never joins the corpus to itself")
+  }
 }
 
 class FileResourcesSpec extends SparkTestBase {
