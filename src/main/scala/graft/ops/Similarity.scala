@@ -570,6 +570,87 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("adc_cosine"), col("rank"))
   }
 
+  /** Float residuals against each vector's nearest coarse centroid —
+    * the IVF-PQ preprocessing step. `embCol` is REPLACED by the
+    * residual (float subtraction, bit-reproducible in any engine whose
+    * FLOAT arithmetic is IEEE — DuckDB's is); `cluster` records the
+    * coarse assignment. */
+  def coarseResiduals(df: DataFrame, coarse: DataFrame,
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      cidCol: String = "cid"): DataFrame = {
+    val (cids, cembs) = codebookArrays(coarse, cidCol, embCol)
+    val centMap = map(cids.zip(cembs).flatMap { case (cid, c) =>
+      Seq(lit(cid), typedlit[Seq[Float]](c.toSeq))
+    }: _*)
+    df.withColumn("cluster", element_at(ivfNearest(col(embCol), 1, cids, cembs), 1))
+      .withColumn(embCol,
+        zip_with(col(embCol), element_at(centMap, col("cluster")), (a, b) => a - b))
+  }
+
+  /** IVF-PQ encoding (FAISS IndexIVFPQ layout): coarse-assign, subtract
+    * the centroid, PQ-encode the RESIDUAL — residual magnitudes are a
+    * fraction of vector magnitudes, so the same code budget quantizes
+    * much finer than raw-vector PQ. All per-row expressions; the corpus
+    * never joins or shuffles to encode. Output: (id, cluster, codes). */
+  def ivfPqEncode(df: DataFrame, coarse: DataFrame, pqBook: DataFrame, m: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  cidCol: String = "cid"): DataFrame = {
+    val books = pqBooks(pqBook, m, "sub", "cid", embCol)
+    val dsub = books(0)._2(0).length
+    val res = coarseResiduals(df, coarse, idCol, embCol, cidCol)
+    val codes = array((0 until m).map { j =>
+      element_at(ivfNearest(slice(col(embCol), j * dsub + 1, dsub), 1,
+        books(j)._1, books(j)._2), 1).cast("int")
+    }: _*)
+    res.select(col(idCol), col("cluster"), codes.as("codes"))
+  }
+
+  /** IVF-PQ search: each probe visits its `nProbe` nearest inverted
+    * lists; within a list, the probe's residual builds a per-subspace
+    * L2² lookup table (`lut[j][c] = ‖pres_j − cent_{j,c}‖²`, float
+    * difference → sequential double dot) and every member scores as the
+    * j-ascending sum of `m` lookups over its stored codes — approximate
+    * squared distance, ranked ascending. The scan touches codes only;
+    * floats exist in the (broadcast) probe side and the codebook
+    * literals. */
+  def ivfPqSearch(probes: DataFrame, encoded: DataFrame, coarse: DataFrame,
+                  pqBook: DataFrame, k: Int, nProbe: Int = 2, m: Int = 8,
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  cidCol: String = "cid"): DataFrame = {
+    val (cids, cembs) = codebookArrays(coarse, cidCol, embCol)
+    val centMap = map(cids.zip(cembs).flatMap { case (cid, c) =>
+      Seq(lit(cid), typedlit[Seq[Float]](c.toSeq))
+    }: _*)
+    val books = pqBooks(pqBook, m, "sub", "cid", embCol)
+    val dsub = books(0)._2(0).length
+    val bookLit = typedlit[Seq[Seq[Seq[Float]]]](
+      books.map(_._2.map(_.toSeq).toSeq).toSeq)
+    val probeSide = broadcast(probes
+      .select(col(idCol).as("probe_id"), col(embCol).as("__p_emb"),
+        explode(ivfNearest(col(embCol), nProbe, cids, cembs)).as("cluster"))
+      .withColumn("__pres",
+        zip_with(col("__p_emb"), element_at(centMap, col("cluster")), (a, b) => a - b))
+      .withColumn("lut", transform(bookLit, (subBook, j) =>
+        transform(subBook, cv => {
+          val diff = zip_with(
+            slice(col("__pres"), j * dsub + lit(1), lit(dsub)), cv, (a, b) => a - b)
+          dotUdf(diff, diff)
+        })))
+      .select(col("probe_id"), col("cluster"), col("lut")))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(col("lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+    val scored = encoded.join(probeSide, Seq("cluster"))
+      .filter(col("probe_id") =!= col(idCol))
+      .withColumn("adc_dist", round(adc, 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        col("adc_dist"), col("rank"))
+  }
+
   /** Exact all-pairs near-dup: corpus broadcast as primitive arrays, a
     * tight per-partition loop emits ONLY surviving pairs — a join would
     * materialize all n²/2 rows to keep 10s of survivors. Exact mode is

@@ -527,6 +527,25 @@ object TrainingData {
         .orderBy(col("vec_id"))
     }),
 
+    // IVF-PQ: coarse inverted lists + PQ codes over float RESIDUALS
+    // (FAISS IndexIVFPQ layout); search is per-list L2² ADC over the
+    // stored codes, ranked ascending.
+    "q60_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val coarse = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      // seed the residual book OUTSIDE the coarse set: vecs 0-7 are the
+      // coarse centroids, so their residuals are zero vectors — a book
+      // seeded from them scores everything 0 and discriminates nothing
+      val resBook = Similarity.pqSeedCodebook(
+        Similarity.coarseResiduals(emb, coarse).filter(col("vec_id") >= 8),
+        m = 8, k = 4)
+      val encoded = Similarity.ivfPqEncode(emb, coarse, resBook, m = 8)
+      Similarity.ivfPqSearch(emb.filter(col("vec_id") < 10), encoded, coarse,
+          resBook, k = 3, nProbe = 2, m = 8)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // Bloom-filter decontamination: q32's benchmark membership replayed
     // through a 16384-bit md5-derived bloom — the candidate side never
     // joins; deterministic false positives are part of the contract.
@@ -1353,6 +1372,74 @@ object TrainingData {
         |FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.vec_id
         |WHERE emb.vec_id = COALESCE(l.cluster, emb.vec_id)
         |ORDER BY emb.vec_id""".stripMargin,
+    // q60: residuals are FLOAT subtractions (DuckDB FLOAT−FLOAT is
+    // IEEE float32, bit-equal to the JVM); every dot casts the float
+    // values to DOUBLE lists first so accumulation matches the kernels;
+    // code assignment replays the argmin kernel's ‖v‖²−2v·c+‖c‖² form,
+    // ADC scoring the ‖diff‖² form; ranks compare ROUNDED distances.
+    "q60_ivfpq" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    embedding AS vf FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, vf AS cvf FROM e WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |        + list_dot_product(c.cv, c.cv), cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |resf AS (
+        |  SELECT e.vec_id, d.cid AS cluster,
+        |    list_transform(range(64), i -> e.vf[i + 1] - c.cvf[i + 1]) AS rf
+        |  FROM e JOIN dist d ON e.vec_id = d.vec_id AND d.rn = 1
+        |  JOIN c ON d.cid = c.cid),
+        |-- book seeds are the 4 lowest ids OUTSIDE the coarse set (8-11):
+        |-- coarse members' residuals are zero vectors
+        |bookf AS (SELECT s.sub, r.vec_id - 8 AS cid,
+        |    list_slice(r.rf, s.sub * 8 + 1, s.sub * 8 + 8) AS csf
+        |  FROM resf r, range(8) s(sub) WHERE r.vec_id >= 8 AND r.vec_id < 12),
+        |rsub AS (SELECT r.vec_id, s.sub,
+        |    list_transform(list_slice(r.rf, s.sub * 8 + 1, s.sub * 8 + 8),
+        |      x -> CAST(x AS DOUBLE)) AS rs
+        |  FROM resf r, range(8) s(sub)),
+        |bsub AS (SELECT sub, cid,
+        |    list_transform(csf, x -> CAST(x AS DOUBLE)) AS cs FROM bookf),
+        |cdist AS (
+        |  SELECT rsub.vec_id, rsub.sub, bsub.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.sub ORDER BY
+        |      list_dot_product(rs, rs) - 2 * list_dot_product(rs, cs)
+        |        + list_dot_product(cs, cs), bsub.cid) AS rn
+        |  FROM rsub JOIN bsub ON rsub.sub = bsub.sub),
+        |codes AS (SELECT vec_id, list(cid ORDER BY sub) AS cl
+        |          FROM cdist WHERE rn = 1 GROUP BY vec_id),
+        |corpus AS (SELECT r.vec_id AS neighbor_id, r.cluster, codes.cl
+        |           FROM resf r JOIN codes ON r.vec_id = codes.vec_id),
+        |pres AS (
+        |  SELECT e.vec_id AS probe_id, d.cid AS cluster,
+        |    list_transform(range(64), i -> e.vf[i + 1] - c.cvf[i + 1]) AS pf
+        |  FROM e JOIN dist d ON e.vec_id = d.vec_id AND d.rn <= 2
+        |  JOIN c ON d.cid = c.cid
+        |  WHERE e.vec_id < 10),
+        |bnest AS (SELECT list(cl ORDER BY sub) AS bk FROM (
+        |    SELECT sub, list(csf ORDER BY cid) AS cl FROM bookf GROUP BY sub)),
+        |scored AS (
+        |  SELECT p.probe_id, corpus.neighbor_id,
+        |    round(list_dot_product(list_transform(range(8), j ->
+        |      list_dot_product(
+        |        list_transform(list_transform(range(8), i ->
+        |          p.pf[j * 8 + i + 1] - bk[j + 1][corpus.cl[j + 1] + 1][i + 1]),
+        |          x -> CAST(x AS DOUBLE)),
+        |        list_transform(list_transform(range(8), i ->
+        |          p.pf[j * 8 + i + 1] - bk[j + 1][corpus.cl[j + 1] + 1][i + 1]),
+        |          x -> CAST(x AS DOUBLE)))),
+        |      list_transform(range(8), x -> 1.0)), 6) AS adc_dist
+        |  FROM pres p JOIN corpus ON p.cluster = corpus.cluster
+        |    AND p.probe_id <> corpus.neighbor_id, bnest),
+        |r AS (SELECT probe_id, neighbor_id, adc_dist,
+        |  ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY adc_dist ASC, neighbor_id) AS rank FROM scored)
+        |SELECT probe_id, neighbor_id, adc_dist, rank::BIGINT AS rank
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     // q57: the bloom membership relationally — candidate shingle is a
     // maybe-hit iff ALL 3 md5-derived bit positions land in the bench
     // position set (identical positions → identical false positives).

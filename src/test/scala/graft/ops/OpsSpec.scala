@@ -674,6 +674,54 @@ class SimilaritySpec extends SparkTestBase {
       "capped-out clusters generate no pairs — every member survives")
   }
 
+  test("coarseResiduals: coarse members residual to zero; clusters recorded") {
+    val df = pqCorpus(20)
+    val cents = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val res = Similarity.coarseResiduals(df, cents)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Float](1), r.getLong(2)))).toMap
+    (0L until 3L).foreach { i =>
+      assert(res(i)._2 === i, s"coarse member $i is its own nearest centroid")
+      assert(res(i)._1.forall(_ === 0f), "own-centroid residual is the zero vector")
+    }
+    assert(res.values.exists(_._1.exists(_ != 0f)), "non-members have real residuals")
+  }
+
+  test("ivfPqSearch equals the hand-computed residual ADC reference") {
+    val df = pqCorpus(40)
+    val m = 4
+    val coarse = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("cid"), col("embedding"))
+    val resBook = Similarity.pqSeedCodebook(
+      Similarity.coarseResiduals(df, coarse).filter(col("vec_id") >= 3), m = m, k = 4)
+    val encoded = Similarity.ivfPqEncode(df, coarse, resBook, m = m)
+    val got = Similarity.ivfPqSearch(df.filter(col("vec_id") < 2), encoded, coarse,
+        resBook, k = 2, nProbe = 2, m = m)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // reference: float residuals + per-sub L2² lookups, all in plain Scala
+    val vecMap = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = (0 until 3).map(i => i.toLong -> vecMap(i.toLong)).toMap
+    val bookMap = resBook.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Float](2).toArray).toMap
+    val enc = encoded.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2)))).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d.toDouble * d.toDouble; i += 1 }
+      s
+    }
+    def resid(v: Array[Float], cid: Long): Array[Float] =
+      v.zip(cents(cid)).map { case (a, b) => a - b }
+    got.foreach { case ((p, _), (n, adc)) =>
+      val (nCluster, codes) = enc(n)
+      val pres = resid(vecMap(p), nCluster)
+      val expect = (0 until m).map { j =>
+        d2(pres.slice(j * 4, j * 4 + 4), bookMap((j, codes(j).toLong)))
+      }.sum
+      assert(math.abs(adc - expect) < 1e-6, s"probe $p vs $n: $adc vs $expect")
+    }
+  }
+
   test("clusterBalancedSample: exact per-cluster counts, stable under repartition") {
     val df = pqCorpus(80)
     val cents = df.filter(col("vec_id") < 4)

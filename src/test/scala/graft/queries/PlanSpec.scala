@@ -195,6 +195,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Join"), "survivors = corpus left-joined to component labels")
   }
 
+  test("q60 IVF-PQ: probe side broadcasts on the cluster key; codes never shuffle wide") {
+    val p = plan("q60_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), "probe LUTs broadcast; the join key is the cluster id")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "IVF lists prune the scan — no full ADC sweep")
+  }
+
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
