@@ -38,9 +38,15 @@ object Relevance {
   def tfIdf(df: DataFrame, idCol: String, textCol: String,
             topK: Int = 5): DataFrame = {
     val tc = termCounts(df, idCol, textCol)
-    val docFreq = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency as a term-partitioned window over the ALREADY
+    // aggregated (doc, term) frame — NOT a groupBy(term) + join back:
+    // Catalyst prunes the tf count out of that branch's aggregate,
+    // which kills exchange reuse and re-scans + re-explodes the whole
+    // corpus a second time (measured 2× on the sf0.1 bench). The
+    // window shuffles only the vocabulary-×-docs counts frame.
+    val wTerm = Window.partitionBy(col("term"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tc.join(docFreq, Seq("term"))
+    val scored = tc.withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf").cast("double") *
         (log((lit(1L) + col("n_docs")).cast("double") /
@@ -74,8 +80,8 @@ object Relevance {
       .drop("__dlsum"))
     val tc = termCounts(df, idCol, textCol)
       .filter(col("term").isin(queryTerms: _*))
-    val docFreq = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tc.join(docFreq, Seq("term"))
+    // same term-window df as tfIdf — avoids a second corpus scan
+    tc.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(docLens, Seq("doc_id"))
       .crossJoin(stats)
       .withColumn("idf",
