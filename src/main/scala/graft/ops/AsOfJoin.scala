@@ -55,4 +55,23 @@ object AsOfJoin {
     }
     withCarry.filter(col("__side") === 1).drop("__side")
   }
+
+  /** Gap-based sessionization — the other temporal primitive (web-log /
+    * telemetry curation): events of one key belong to the same session
+    * while consecutive gaps stay ≤ `gapMillis`. One shuffle + one sort
+    * per key; the session index is a running sum over new-session
+    * flags (lag + cumulative sum share the partition/sort, so Catalyst
+    * plans a single Exchange). Timestamp arithmetic runs on epoch
+    * MICROSECONDS as longs — exact, and any engine reproduces it.
+    * Adds `session_ix` (0-based per key). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gapMillis: Long): DataFrame = {
+    require(gapMillis > 0, "gap must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
+    val micros = unix_micros(col(tsCol))
+    val isNew = when(lag(micros, 1).over(w).isNull, lit(0L))
+      .otherwise((micros - lag(micros, 1).over(w) > gapMillis * 1000L).cast("long"))
+    events.withColumn("session_ix",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -527,6 +527,21 @@ object TrainingData {
         .orderBy(col("vec_id"))
     }),
 
+    // Gap-based sessionization: per-user sessions split on >30-min
+    // silences; per-session event counts and integer-exact durations.
+    "q61_sessionize" -> ((s, d) => {
+      AsOfJoin.sessionize(t(s, d, "events"), "user_id", "ts",
+          gapMillis = 30L * 60L * 1000L)
+        .groupBy(col("user_id"), col("session_ix"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          // `div`, not `/` — the Tables.load ns lesson (long `/` is
+          // double division)
+          expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000")
+            .as("duration_ms"))
+        .orderBy(col("user_id"), col("session_ix"))
+    }),
+
     // IVF-PQ: coarse inverted lists + PQ codes over float RESIDUALS
     // (FAISS IndexIVFPQ layout); search is per-list L2² ADC over the
     // stored codes, ranked ascending.
@@ -1372,6 +1387,26 @@ object TrainingData {
         |FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.vec_id
         |WHERE emb.vec_id = COALESCE(l.cluster, emb.vec_id)
         |ORDER BY emb.vec_id""".stripMargin,
+    // q61: same lag + running-sum session derivation over epoch-µs
+    // longs; (user_id, ts) is unique so ordering is total.
+    "q61_sessionize" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |x AS (
+        |  SELECT user_id, ts, us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_ix
+        |  FROM s)
+        |SELECT user_id, session_ix::BIGINT AS session_ix,
+        |  COUNT(*) AS n_events, min(ts) AS session_start,
+        |  ((max(us) - min(us)) // 1000)::BIGINT AS duration_ms
+        |FROM x GROUP BY user_id, session_ix
+        |ORDER BY user_id, session_ix""".stripMargin,
     // q60: residuals are FLOAT subtractions (DuckDB FLOAT−FLOAT is
     // IEEE float32, bit-equal to the JVM); every dot casts the float
     // values to DOUBLE lists first so accumulation matches the kernels;

@@ -46,6 +46,25 @@ class AsOfJoinSpec extends SparkTestBase {
       b.orderBy("event_id").collect().toSeq)
   }
 
+  test("sessionize: gaps over the threshold split sessions; exact boundaries") {
+    val ev = Seq(
+      (1L, 10L, ts(0)),
+      (2L, 10L, ts(100)),   // gap 100s ≤ 120s → same session
+      (3L, 10L, ts(221)),   // gap 121s > 120s → new session
+      (4L, 10L, ts(341)),   // gap 120s = threshold → SAME session (inclusive)
+      (5L, 20L, ts(0))      // other key starts at 0
+    ).toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.sessionize(ev, "user_id", "ts", gapMillis = 120000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 0L && out(2L) === 0L)
+    assert(out(3L) === 1L, "121s gap opens session 1")
+    assert(out(4L) === 1L, "exactly-at-threshold gap does NOT split")
+    assert(out(5L) === 0L, "sessions are per key")
+    val repart = AsOfJoin.sessionize(ev.repartition(5), "user_id", "ts", 120000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === repart)
+  }
+
   test("as-of plan: one keyed window — no range join, no cartesian") {
     val p = AsOfJoin.asofBackward(left, right, "user_id", "ts", Seq("value"))
       .queryExecution.executedPlan.toString
