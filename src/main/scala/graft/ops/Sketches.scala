@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sketch/sampling primitives whose randomness is md5-derived — no RNG
+  * state, no seed coordination, and (unlike HLL implementations, whose
+  * register layouts differ by engine) EXACTLY reproducible anywhere
+  * md5 exists, so every estimate is oracle-checkable.
+  */
+object Sketches {
+
+  /** 60-bit uniform hash of a value: u60(first 15 md5 hex chars). */
+  def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** KMV (k-minimum-values) distinct-count estimate: with u_k = the
+    * k-th smallest distinct hash mapped into (0, 1], the estimator is
+    * `(k−1) / u_k` (Bar-Yossef et al. 2002). Scale shape: the distinct
+    * hash set map-side combines, then the k minimums ride a
+    * TakeOrdered (per-partition heaps + driver merge of k) — no global
+    * sort, state O(k). Returns one row:
+    * (k, kth_hash, estimate). */
+  def kmvDistinct(df: DataFrame, colName: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    df.select(hash60(col(colName)).as("h")).distinct()
+      .orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth_hash"))
+      .select(lit(k.toLong).as("k"), col("kth_hash"),
+        // when fewer than k distinct values exist the count is exact
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            ((col("kth_hash").cast("double") + 1.0) / lit(math.pow(2.0, 60))), 6))
+          .as("estimate"))
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, A-ES form): item i ranks by `ln(u_i) / w_i` with
+    * u_i md5-uniform in (0,1]; the top-`n` keys are the sample. Heavier
+    * weights pull the key toward 0 (ranked descending). Pure function
+    * of (id, weight): repeatable across runs, partitionings and
+    * engines; ranking uses the ROUNDED key so cross-engine `ln` ulp
+    * noise cannot reorder. Scale: TakeOrdered, no global sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    val u = (hash60(col(idCol)).cast("double") + 1.0) / math.pow(2.0, 60)
+    val key = round(log(u) / col(weightCol).cast("double"), 6)
+    df.withColumn("sample_key", key)
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** Contiguous 0-based row ids in `orderCol` order — the "give every
+    * training example a stable index" primitive. A `row_number()` over
+    * a global ORDER BY collapses to ONE partition (the classic
+    * scale-killer); this runs range-partitioned sort + per-partition
+    * counts (a numPartitions-sized driver collect — that array IS the
+    * offset table) + a partition-local zip. `orderCol` must be a
+    * unique key, or ids within ties follow partition order. */
+  def contiguousIds(df: DataFrame, orderCol: String,
+                    partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, col(orderCol).asc)
+      .sortWithinPartitions(col(orderCol).asc)
+    val rdd = sorted.rdd
+    // pass 1: per-partition counts (numPartitions longs to the driver)
+    val counts = rdd.mapPartitionsWithIndex { case (ix, it) =>
+      Iterator((ix, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    // pass 2: attach offset + local position
+    val withIx = rdd.mapPartitionsWithIndex { case (ix, it) =>
+      var i = offsets(ix)
+      it.map { row => val r = Row.fromSeq(i +: row.toSeq); i += 1; r }
+    }
+    spark.createDataFrame(withIx,
+      StructType(StructField("row_ix", LongType, nullable = false) +: sorted.schema.fields))
+  }
+}

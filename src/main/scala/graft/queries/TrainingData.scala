@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, Curation, Dedup, Multimodal, Relevance, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Curation, Dedup, Multimodal, Relevance, Similarity, Sketches, TextOps}
 
 /** Training-data pipeline operators as oracle-checkable queries:
   * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -540,6 +540,36 @@ object TrainingData {
           expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000")
             .as("duration_ms"))
         .orderBy(col("user_id"), col("session_ix"))
+    }),
+
+    // KMV distinct-count sketch over part keys: md5-derived hashes make
+    // the ESTIMATE itself oracle-checkable (engine HLLs are not).
+    "q62_kmv_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Sketches.kmvDistinct(li, "l_partkey", k = 64)
+        .crossJoin(broadcast(li.agg(
+          countDistinct(col("l_partkey")).as("true_distinct"))))
+    }),
+
+    // Deterministic weighted sampling (Efraimidis-Spirakis keys from
+    // md5 uniforms): 25 documents, length-weighted.
+    "q63_weighted_sample" -> ((s, d) => {
+      Sketches.weightedSample(t(s, d, "documents"), "doc_id", "n_chars", n = 25)
+        .select(col("doc_id"), col("sample_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Contiguous 0-based ids in a nontrivial deterministic order
+    // (md5-of-text, doc_id-suffixed for uniqueness) — assigned by
+    // range-partitioned two-pass zip, never a single-partition window.
+    "q64_contiguous_ids" -> ((s, d) => {
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(md5(col("text")), lit("|"),
+            lpad(col("doc_id").cast("string"), 10, "0")).as("ord_key"))
+      Sketches.contiguousIds(keyed, "ord_key")
+        .select(col("row_ix"), col("doc_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // IVF-PQ: coarse inverted lists + PQ codes over float RESIDUALS
@@ -1387,6 +1417,34 @@ object TrainingData {
         |FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.vec_id
         |WHERE emb.vec_id = COALESCE(l.cluster, emb.vec_id)
         |ORDER BY emb.vec_id""".stripMargin,
+    // q62: kth-smallest distinct 60-bit md5 hash → (k−1)/u_k estimate.
+    "q62_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::UBIGINT AS h
+        |  FROM lineitem),
+        |mins AS (SELECT h::BIGINT AS h FROM h ORDER BY h ASC LIMIT 64),
+        |agg AS (SELECT COUNT(*) AS n_mins, max(h) AS kth_hash FROM mins)
+        |SELECT 64::BIGINT AS k, kth_hash,
+        |  CASE WHEN n_mins < 64 THEN n_mins::DOUBLE
+        |       ELSE round(63.0 / ((kth_hash::DOUBLE + 1.0) / 1152921504606846976.0), 6)
+        |  END AS estimate,
+        |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)::BIGINT AS true_distinct
+        |FROM agg""".stripMargin,
+    // q63: rank key = round(ln(u)/w, 6) with u = (h60+1)/2^60 — ln ulp
+    // noise cannot reorder the ROUNDED keys.
+    "q63_weighted_sample" ->
+      """WITH k AS (SELECT doc_id,
+        |    round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::DOUBLE + 1.0)
+        |          / 1152921504606846976.0) / n_chars::DOUBLE, 6) AS sample_key
+        |  FROM documents),
+        |top AS (SELECT doc_id, sample_key FROM k
+        |        ORDER BY sample_key DESC, doc_id LIMIT 25)
+        |SELECT doc_id, sample_key FROM top ORDER BY doc_id""".stripMargin,
+    // q64: ROW_NUMBER over the same md5-keyed total order.
+    "q64_contiguous_ids" ->
+      """SELECT (ROW_NUMBER() OVER (ORDER BY md5(text) || '|' || lpad(doc_id::VARCHAR, 10, '0'))
+        |        - 1)::BIGINT AS row_ix, doc_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q61: same lag + running-sum session derivation over epoch-µs
     // longs; (user_id, ts) is unique so ordering is total.
     "q61_sessionize" ->

@@ -48,6 +48,25 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** Streaming gap-based sessionization — the streaming twin of
+    * q61/`AsOfJoin.sessionize`: Spark's native `session_window` merges
+    * events within `gap` of each other into one growing window per key,
+    * and the watermark closes sessions (emits + drops state) once event
+    * time passes the gap — bounded state on an infinite stream, where
+    * the batch form's global sort-per-key cannot run. Same output
+    * grain as q61: one row per (key, session) with count and span. */
+  def sessionizeStream(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "ts", gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+      .select(col(keyCol), col("session_window.start").as("window_start"),
+        col("n_events"), col("session_start"), col("session_end"))
+
   /** Sessionized per-key state via flatMapGroupsWithState-style
     * aggregation: running per-entity counters maintained across
     * micro-batches (the custom-state extension point). Batch-testable

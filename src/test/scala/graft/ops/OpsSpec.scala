@@ -353,6 +353,22 @@ class DedupSpec extends SparkTestBase {
       "within-doc repetition in a single doc is NOT corpus boilerplate")
   }
 
+  test("paragraphDedup and relevance scorers tolerate null/empty text") {
+    val corpus = Seq[(Long, String)]((1L, null), (2L, ""), (3L, "real body text"))
+      .toDF("doc_id", "text")
+    val pd = Dedup.paragraphDedup(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(pd(1L) === ((0L, "")) && pd(2L) === ((0L, "")),
+      "null/empty docs stay as rows with empty output")
+    assert(pd(3L) === ((1L, "real body text")))
+    val tf = Relevance.tfIdf(corpus, "doc_id", "text", topK = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(tf === Set(3L), "token-less docs simply have no terms")
+    val bm = Relevance.bm25(corpus, "doc_id", "text", Seq("real"))
+      .collect().map(_.getLong(0)).toSet
+    assert(bm === Set(3L))
+  }
+
   test("paragraphDedup is partitioning-invariant and respects minDocFreq") {
     val corpus = (0L until 60L).map { i =>
       val boiler = if (i % 2 == 0) "even boiler" else "odd boiler"

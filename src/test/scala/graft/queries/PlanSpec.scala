@@ -202,6 +202,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "IVF lists prune the scan — no full ADC sweep")
   }
 
+  test("q62/q63 sketches run as TakeOrdered heaps — no global sort of the corpus") {
+    val kmv = plan("q62_kmv_distinct")
+    assert(kmv.contains("TakeOrderedAndProject"), "k minimums via per-partition heaps")
+    val ws = plan("q63_weighted_sample")
+    assert(ws.contains("TakeOrderedAndProject"), "top-n keys via per-partition heaps")
+    assert(!ws.contains("Window"), "no rank window anywhere")
+  }
+
+  test("q64 contiguous ids never collapse to a single partition") {
+    val p = plan("q64_contiguous_ids")
+    assert(!p.contains("Window"), "no row_number window — two-pass range zip instead")
+    assert(!p.contains("SinglePartition"), "the classic global-row_number scale-killer")
+  }
+
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

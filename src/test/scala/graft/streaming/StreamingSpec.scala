@@ -46,6 +46,40 @@ class StreamingSpec extends SparkTestBase {
     assert(out.agg(sum("cnt")).head.getLong(0) === direct.agg(sum("cnt")).head.getLong(0))
   }
 
+  test("streaming sessionization closes sessions at the gap and matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val input = MemoryStream[(Long, Timestamp)]
+    val stream = input.toDF().toDF("user_id", "ts")
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (user, n_events)
+    val writer = Streaming.sessionizeStream(stream, gap = "2 minutes",
+        watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => rows += ((r.getLong(0), r.getLong(2))))
+      }.start()
+    // user 10: events at 0s, 60s (same session), then 600s (gap > 2min)
+    input.addData((10L, ts(0)), (10L, ts(60)), (10L, ts(600)))
+    writer.processAllAvailable()
+    // advancing the watermark past 600s + gap closes everything
+    input.addData((10L, ts(1200)))
+    writer.processAllAvailable()
+    input.addData((10L, ts(2400)))
+    writer.processAllAvailable()
+    writer.stop()
+    assert(rows.contains((10L, 2L)), s"first session has its two events: $rows")
+    assert(rows.contains((10L, 1L)), s"the 600s event sits alone: $rows")
+    // batch equivalence on the same static data (2-minute gap = 120000 ms)
+    val static = Seq((10L, ts(0)), (10L, ts(60)), (10L, ts(600)))
+      .toDF("user_id", "ts")
+    val batch = graft.ops.AsOfJoin.sessionize(static, "user_id", "ts", 120000L)
+      .groupBy("user_id", "session_ix").count()
+      .collect().map(_.getLong(2)).sorted
+    assert(batch.toSeq === Seq(1L, 2L), "batch twin groups identically")
+  }
+
   test("streaming dedup drops same-text docs within the watermark, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
