@@ -832,6 +832,86 @@ case class HammingPairsExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `cosine_pairs(members, threshold)` — verified cosine near-dup pairs
+  * emitted IN the cluster group: `members` is an (id-sorted) array of
+  * `struct<id long, emb array<float>>`; output is `(a, b, cosine)` for
+  * every a < b pair whose round(cosine, 6) ≥ threshold. The
+  * emit-then-join form materializes every candidate pair TWICE through
+  * embedding re-joins (f²/2 rows each carrying two float vectors); this
+  * kernel computes norms once per member and dots where the group
+  * lives, so only survivors leave. Callers MUST cap the group size
+  * (maxClusterSize) — group payload is members × dims floats. */
+case class CosinePairsExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine_pairs"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cosinePairsExpr", this)
+    nullSafeCodeGen(ctx, ev, (m, t) => s"${ev.value} = $ref.compute($m, $t);")
+  }
+  def compute(members: org.apache.spark.sql.catalyst.util.ArrayData,
+              threshold: Double): GenericArrayData =
+    nullSafeEval(members, threshold).asInstanceOf[GenericArrayData]
+  override protected def nullSafeEval(membersAny: Any, thresholdAny: Any): Any = {
+    val members = membersAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val threshold = thresholdAny.asInstanceOf[Double]
+    val n = members.numElements()
+    val ids = new Array[Long](n)
+    val embs = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = members.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      embs(i) = row.getArray(1).toFloatArray()
+      norms(i) = math.sqrt(dot(embs(i), embs(i)))
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        // duplicate ids must not emit cosine-1 self-pairs (see
+        // graft_pairs)
+        if (ids(i) != ids(j) && norms(i) > 0.0 && norms(j) > 0.0) {
+          // same arithmetic as the composed form the oracle replays:
+          // sequential double dot, one division, HALF_UP round 6
+          val cos = BigDecimal(dot(embs(i), embs(j)) / (norms(i) * norms(j)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos >= threshold) {
+            if (out.length >= PairsExpression.MaxPairs)
+              throw new IllegalStateException(
+                s"graft_cosine_pairs: cluster of $n members emits more than " +
+                  s"${PairsExpression.MaxPairs} surviving pairs — run exact " +
+                  "dedup first or cap cluster size (maxClusterSize)")
+            out += org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), cos)
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** `float_dot(a, b)` — sequential double-precision dot product over two
   * `array<float>` columns, reading primitives straight from ArrayData
   * (a Scala UDF boxes every element — ~100× slower on all-pairs
@@ -1046,6 +1126,7 @@ object GraftFunctions {
     "graft_srp_bucket" -> (e => SrpBucketExpression(e(0), e(1), e(2))),
     "graft_pairs" -> (e => PairsExpression(e(0))),
     "graft_hamming_pairs" -> (e => HammingPairsExpression(e(0), e(1))),
+    "graft_cosine_pairs" -> (e => CosinePairsExpression(e(0), e(1))),
     "graft_ivf_nearest" -> (e => IvfNearestExpression(e(0), e(1), e(2), e(3))),
     "graft_tokens" -> (e => TokensExpression(e(0))),
     "graft_script_counts" -> (e => ScriptCountsExpression(e(0))),

@@ -96,6 +96,18 @@ class CodegenSpec extends SparkTestBase {
       .select(array($"id", lit(5L), lit(9L)).as("ids"))
       .select(call_function("graft_pairs", $"ids").as("p")), "graft_pairs")
     assert(pairs(0).getSeq[org.apache.spark.sql.Row](0).length === 3)
+    // in-group cosine verification through the generated path: members
+    // 0 and 5 are parallel (cosine 1), 9 is orthogonal
+    val cp = spanRows(spark.range(1)
+      .select(array(
+        struct($"id".as("id"), array(lit(1f), lit(0f)).as("emb")),
+        struct(lit(5L).as("id"), array(lit(2f), lit(0f)).as("emb")),
+        struct(lit(9L).as("id"), array(lit(0f), lit(3f)).as("emb"))).as("members"))
+      .select(call_function("graft_cosine_pairs", $"members", lit(0.9)).as("p")),
+      "graft_cosine_pairs")
+    val survivors = cp(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(survivors.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ===
+      Seq((0L, 5L, 1.0)), "only the parallel pair survives, scored 1.0")
   }
 
   test("reach family compiles, runs, and null-propagates through generated code") {

@@ -225,7 +225,8 @@ class DedupSpec extends SparkTestBase {
         edges.exists(e => e._1 == id || e._2 == id) || c != id
       }
       for (algo <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
-          df => Dedup.connectedComponents(df),
+          df => Dedup.connectedComponents(df), // driver union-find fast path
+          df => Dedup.connectedComponents(df, driverEdgeLimit = 0), // distributed rounds
           df => Dedup.connectedComponentsStar(df))) {
         val got = algo(edges.toDF("id_a", "id_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -237,20 +238,24 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("connected components reach fixpoint on a long chain (propagation over diameter)") {
-    // path 0-1-2-...-9: min label must travel 9 hops
+    // path 0-1-2-...-9: min label must travel 9 hops; driverEdgeLimit=0
+    // forces the DISTRIBUTED rounds (the thing this test pins)
     val chain = Seq.tabulate(9)(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain)
+    val cc = Dedup.connectedComponents(chain, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet === Set(0L), s"all chain nodes label 0, got $cc")
   }
 
   test("both CC algorithms label self-loop-only nodes identically") {
     val pairs = Seq((7L, 7L), (3L, 1L)).toDF("id_a", "id_b")
-    val prop = Dedup.connectedComponents(pairs)
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(pairs, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val star = Dedup.connectedComponentsStar(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(prop === Map(1L -> 1L, 3L -> 1L, 7L -> 7L))
+    assert(local === prop, "driver fast path must label self-loop nodes identically")
     assert(star === prop, "star must label the self-loop node like propagation does")
   }
 
