@@ -265,6 +265,34 @@ object ScaleProbe {
       println(s"[scale]   ivf rows = ${hits.count()}")
     }
 
+    // m=4 subspaces over the 16-dim probe vectors (4× compression);
+    // residual book trained per subspace off the coarse assignment
+    val pqBook = timed("IVF-PQ residual book (m=4, k=16)") {
+      graft.ops.Similarity.pqTrainCodebook(
+        graft.ops.Similarity.coarseResiduals(embs, codebook), m = 4, k = 16,
+        iterations = 1).localCheckpoint(true)
+    }
+
+    timed("IVF-PQ encode 600k") {
+      val enc = graft.ops.Similarity.ivfPqEncode(embs, codebook, pqBook, m = 4)
+      println(s"[scale]   encoded = ${enc.count()}")
+    }
+
+    timed("IVF-PQ ADC search: ~100 probes vs 600k codes") {
+      val enc = graft.ops.Similarity.ivfPqEncode(embs, codebook, pqBook, m = 4)
+        .localCheckpoint(true)
+      val hits = graft.ops.Similarity.ivfPqSearch(
+        embs.filter(col("vec_id") < 3200), enc, codebook, pqBook,
+        k = 5, nProbe = 2, m = 4)
+      println(s"[scale]   adc rows = ${hits.count()}")
+    }
+
+    timed("semantic dedup 600k (256 clusters, capped)") {
+      val kept = graft.ops.Similarity.semanticDedup(embs, codebook,
+        threshold = 0.95, maxClusterSize = 20000)
+      println(s"[scale]   survivors = ${kept.count()}")
+    }
+
     spark.stop()
   }
 }

@@ -65,6 +65,45 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out === repart)
   }
 
+  test("as-of property: equals the brute-force latest-prior match on random data") {
+    val rnd = new scala.util.Random(11)
+    val lrows = Seq.tabulate(120)(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(1000).toLong)))
+    // unique (key, ts) on the right — the operator's documented contract
+    val rrows = rnd.shuffle(
+      (for (k <- 1L to 5L; t <- 0 until 1000 by 7) yield (k, t)).toSeq)
+      .take(150).map { case (k, t) => (k, ts(t.toLong), t.toDouble) }
+    val out = AsOfJoin.asofBackward(lrows.toDF("event_id", "user_id", "ts"),
+        rrows.toDF("user_id", "ts", "value"), "user_id", "ts", Seq("value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    lrows.foreach { case (id, k, t) =>
+      val expect = rrows.filter(r => r._1 == k && !r._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(out(id) === expect, s"left $id key $k ts $t")
+    }
+  }
+
+  test("sessionize property: matches a sequential per-key fold on random event times") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong, ts(rnd.nextInt(5000).toLong)))
+      .distinctBy(r => (r._2, r._3)) // unique (key, ts)
+    val gap = 60000L
+    val got = AsOfJoin.sessionize(rows.toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", gap)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.groupBy(_._2).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(_._3.getTime)
+      var six = 0L; var prev = Long.MinValue
+      ordered.foreach { case (id, _, t) =>
+        if (prev != Long.MinValue && t.getTime - prev > gap) six += 1
+        assert(got(id) === six, s"event $id")
+        prev = t.getTime
+      }
+    }
+  }
+
   test("as-of plan: one keyed window — no range join, no cartesian") {
     val p = AsOfJoin.asofBackward(left, right, "user_id", "ts", Seq("value"))
       .queryExecution.executedPlan.toString
