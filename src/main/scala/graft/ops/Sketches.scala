@@ -24,7 +24,10 @@ object Sketches {
     * (k, kth_hash, estimate). */
   def kmvDistinct(df: DataFrame, colName: String, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    df.select(hash60(col(colName)).as("h")).distinct()
+    // nulls drop (SQL COUNT DISTINCT semantics); their null hash would
+    // otherwise sort first and poison the k-th minimum
+    df.filter(col(colName).isNotNull)
+      .select(hash60(col(colName)).as("h")).distinct()
       .orderBy(col("h").asc).limit(k)
       .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth_hash"))
       .select(lit(k.toLong).as("k"), col("kth_hash"),

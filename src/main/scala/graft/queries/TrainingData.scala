@@ -542,6 +542,30 @@ object TrainingData {
         .orderBy(col("user_id"), col("session_ix"))
     }),
 
+    // End-to-end corpus prep — the round's operators composed the way a
+    // pipeline runs them: paragraph-dedup the (3-token-paragraph)
+    // corpus, quality-gate the CLEANED text, weighted-sample 100 docs
+    // by kept-paragraph count, assign contiguous training indices.
+    "q65_corpus_prep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ptext",
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
+      val cleaned = Dedup.paragraphDedup(docs, "doc_id", "ptext",
+          splitPattern = "\n", minDocFreq = 2)
+      val m = Curation.gopherMetrics(col("text_clean"))
+      val quality = cleaned
+        .withColumn("keep", m.getField("keep"))
+        .filter(col("keep") && col("n_kept") > 0)
+      val sampled = Sketches.weightedSample(quality, "doc_id", "n_kept", n = 100)
+      Sketches.contiguousIds(
+          sampled.select(col("doc_id"), col("n_kept"),
+            concat(md5(col("text_clean")), lit("|"),
+              lpad(col("doc_id").cast("string"), 10, "0")).as("ord_key")),
+          "ord_key")
+        .select(col("row_ix"), col("doc_id"), col("n_kept"))
+        .orderBy(col("row_ix"))
+    }),
+
     // KMV distinct-count sketch over part keys: md5-derived hashes make
     // the ESTIMATE itself oracle-checkable (engine HLLs are not).
     "q62_kmv_distinct" -> ((s, d) => {
@@ -1417,6 +1441,43 @@ object TrainingData {
         |FROM embeddings emb LEFT JOIN labels l ON emb.vec_id = l.vec_id
         |WHERE emb.vec_id = COALESCE(l.cluster, emb.vec_id)
         |ORDER BY emb.vec_id""".stripMargin,
+    // q65: q53's paragraph CTEs → gopher gate on the cleaned text →
+    // A-ES top-100 by kept-paragraph weight → row_number indices.
+    "q65_corpus_prep" ->
+      s"""WITH p0 AS (SELECT doc_id,
+         |  string_split(regexp_replace(text, '(\\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g'),
+         |    chr(10)) AS l FROM documents),
+         |paras AS (SELECT doc_id, unnest(l) AS para,
+         |  generate_subscripts(l, 1) AS ix FROM p0),
+         |pp AS (SELECT * FROM paras WHERE para <> ''),
+         |hot AS (SELECT md5(para) AS h FROM pp GROUP BY md5(para)
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT pp.doc_id, pp.para, pp.ix FROM pp
+         |  LEFT JOIN hot ON md5(pp.para) = hot.h WHERE hot.h IS NULL),
+         |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |  string_agg(para, chr(10) ORDER BY ix) AS txt FROM kept GROUP BY doc_id),
+         |toks AS (SELECT doc_id, n_kept, txt,
+         |  list_filter(regexp_split_to_array(regexp_replace(txt,
+         |    '([\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Thai}])', ' \\1 ', 'g'),
+         |    '[\\s　]+'), tk -> tk <> '') AS tk FROM k),
+         |m AS (SELECT doc_id, n_kept, txt,
+         |  len(tk)::BIGINT AS wc,
+         |  round(list_sum(list_transform(tk, x -> length(x)))::DOUBLE
+         |        / greatest(len(tk), 1), 6) AS mwl,
+         |  round(len(list_distinct(tk))::DOUBLE / greatest(len(tk), 1), 6) AS fu
+         |  FROM toks),
+         |quality AS (SELECT doc_id, n_kept, txt FROM m
+         |  WHERE wc >= 3 AND wc <= 100000 AND mwl >= 1.0 AND mwl <= 12.0
+         |    AND fu >= 0.2 AND n_kept > 0),
+         |sk AS (SELECT doc_id, n_kept, txt,
+         |  round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::DOUBLE + 1.0)
+         |        / 1152921504606846976.0) / n_kept::DOUBLE, 6) AS sample_key
+         |  FROM quality),
+         |top AS (SELECT doc_id, n_kept, txt FROM sk
+         |        ORDER BY sample_key DESC, doc_id LIMIT 100)
+         |SELECT (ROW_NUMBER() OVER (ORDER BY md5(txt) || '|' || lpad(doc_id::VARCHAR, 10, '0'))
+         |        - 1)::BIGINT AS row_ix, doc_id, n_kept
+         |FROM top ORDER BY row_ix""".stripMargin,
     // q62: kth-smallest distinct 60-bit md5 hash → (k−1)/u_k estimate.
     "q62_kmv_distinct" ->
       """WITH h AS (SELECT DISTINCT
