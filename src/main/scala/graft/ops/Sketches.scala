@@ -49,7 +49,10 @@ object Sketches {
                      n: Int): DataFrame = {
     val u = (hash60(col(idCol)).cast("double") + 1.0) / math.pow(2.0, 60)
     val key = round(log(u) / col(weightCol).cast("double"), 6)
-    df.withColumn("sample_key", key)
+    // non-positive weights are undefined under A-ES (a negative weight
+    // would FLIP the key sign and sample first) — excluded, not scored
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_key", key)
       .orderBy(col("sample_key").desc, col(idCol))
       .limit(n)
   }
@@ -60,7 +63,10 @@ object Sketches {
     * scale-killer); this runs range-partitioned sort + per-partition
     * counts (a numPartitions-sized driver collect — that array IS the
     * offset table) + a partition-local zip. `orderCol` must be a
-    * unique key, or ids within ties follow partition order. */
+    * unique key, or ids within ties follow partition order. The two
+    * passes recompute the sorted lineage (the `zipWithIndex` contract):
+    * inputs must be deterministic sources — checkpoint any
+    * rand/sample upstream first. */
   def contiguousIds(df: DataFrame, orderCol: String,
                     partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
