@@ -31,8 +31,15 @@ object Bench {
     // timings by running every query shape once at the smallest SF —
     // the measured numbers then reflect the workload, not Janino
     // compilation of each query's generated code.
+    // Dev knob: SPARK_GRAFT_ONLY="q65_corpus_prep,q26_embed_neardup"
+    // restricts the run to the named queries (A/B iteration); unset =
+    // the full registered suite (what the driver measures).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val picked = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    picked.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
     // Drop warmup residue before timing: operator-internal caches (e.g.
@@ -41,7 +48,7 @@ object Bench {
     // exists" warnings while double-counting memory.
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.valuesIterator.foreach(_.unpersist(blocking = true))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -63,23 +63,47 @@ object Sketches {
     * scale-killer); this runs range-partitioned sort + per-partition
     * counts (a numPartitions-sized driver collect — that array IS the
     * offset table) + a partition-local zip. `orderCol` must be a
-    * unique key, or ids within ties follow partition order. The two
-    * passes recompute the sorted lineage (the `zipWithIndex` contract):
-    * inputs must be deterministic sources — checkpoint any
-    * rand/sample upstream first. */
+    * unique key, or ids within ties follow partition order.
+    *
+    * The INPUT is persisted (MEMORY_AND_DISK) because the plan walks
+    * it three times — `repartitionByRange`'s range-boundary sampling
+    * job, then the two id passes (those two share the exchange's
+    * shuffle files; the sampling job runs on the exchange's CHILD and
+    * shares nothing). Unpersisted, an expensive upstream pipeline
+    * recomputes per walk (the classic `zipWithIndex` trap) and a
+    * nondeterministic source (rand/sample) would hand pass 2 DIFFERENT
+    * rows than pass 1 counted. The cache is released by Spark's
+    * ContextCleaner once the returned frame is unreferenced; pass
+    * `persist = false` only when the input is a cheap deterministic
+    * scan. */
   def contiguousIds(df: DataFrame, orderCol: String,
-                    partitions: Int = 0): DataFrame = {
+                    partitions: Int = 0, persist: Boolean = true): DataFrame = {
     val spark = df.sparkSession
+    // A bounded plan (global limit upstream — e.g. a top-k sample)
+    // announces its row count at plan time via maxRows: size the id
+    // partitions from the bound instead of the session default. When
+    // ONE partition suffices, the range exchange has no boundaries to
+    // sample and both id passes share its shuffle files — the lineage
+    // computes once and the cache below is pure overhead, so skip it.
+    val bound = df.queryExecution.optimizedPlan.maxRows
     val n = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(n, col(orderCol).asc)
+      else bound.fold(spark.sessionState.conf.numShufflePartitions)(b =>
+        math.min(spark.sessionState.conf.numShufflePartitions.toLong,
+          b / 4000000L + 1L).toInt)
+    val input = if (persist && n > 1)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    val sorted = input.repartitionByRange(n, col(orderCol).asc)
       .sortWithinPartitions(col(orderCol).asc)
     val rdd = sorted.rdd
-    // pass 1: per-partition counts (numPartitions longs to the driver)
-    val counts = rdd.mapPartitionsWithIndex { case (ix, it) =>
-      Iterator((ix, it.size.toLong))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+    // pass 1: per-partition counts (numPartitions longs to the driver).
+    // One partition has one offset — 0 — so the counting job is skipped.
+    val offsets = if (n == 1) Array(0L) else {
+      val counts = rdd.mapPartitionsWithIndex { case (ix, it) =>
+        Iterator((ix, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2)
+      counts.scanLeft(0L)(_ + _)
+    }
     // pass 2: attach offset + local position
     val withIx = rdd.mapPartitionsWithIndex { case (ix, it) =>
       var i = offsets(ix)
