@@ -390,4 +390,53 @@ object Curation {
     }
     docs.filter(bucket < rate)
   }
+
+  /** Temperature-scaled domain mixture sampling — the "rebalance the
+    * corpus toward rare domains" step of a training-data mix: domain d
+    * with n_d rows gets sampling weight n_d^alpha / Σ n^alpha, so
+    * alpha = 1 preserves the natural mix, alpha = 0 flattens to uniform
+    * across domains, and intermediate alpha up-weights rare domains
+    * (the multilingual-balance trick). Each row then keeps
+    * independently with its domain's rate `target·w_d / n_d`, decided
+    * by the same md5-uniform gate as [[stratifiedSample]] — a pure
+    * function of the id, so the realized sample (not just its expected
+    * size) is reproducible in any engine with md5.
+    *
+    * Scale shape: one domain-count aggregation (map-side combined,
+    * domain-cardinality rows), the weight normalizer reuses that
+    * aggregation's exchange, and the per-domain rates BROADCAST back
+    * onto the corpus — the corpus itself shuffles zero times. Rates
+    * round to 9 decimals so `pow` ulp differences between engines
+    * cannot flip a row across the gate. */
+  def mixtureSample(docs: DataFrame, domainCol: String, idCol: String,
+                    alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must lie in [0, 1]")
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val wsum = counts.agg(sum(pow(col("__n"), alpha)).as("__wsum"))
+    val rates = counts.crossJoin(broadcast(wsum))
+      .select(col(domainCol),
+        least(lit(1.0), round(lit(targetRows.toDouble) * pow(col("__n"), alpha)
+          / col("__wsum") / col("__n"), 9)).as("__rate"))
+    val u = (graft.ops.Sketches.hash60(col(idCol)).cast("double") + 1.0) /
+      math.pow(2.0, 60)
+    docs.join(broadcast(rates), Seq(domainCol))
+      .filter(u < col("__rate"))
+      .drop("__rate")
+  }
+
+  /** k-anonymity suppression: keep only rows whose quasi-identifier
+    * combination is shared by at least `k` rows — groups smaller than k
+    * are re-identification risks and drop entirely (suppression, the
+    * conservative form; generalization hierarchies are a policy layer
+    * above the engine). Two shuffles: the quasi-group counts (map-side
+    * combined) and a LEFT SEMI join back on the quasi columns — the
+    * payload columns never ride the counting shuffle. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val ok = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__gn"))
+      .filter(col("__gn") >= k)
+      .select(quasiCols.map(col): _*)
+    df.join(ok, quasiCols, "left_semi")
+  }
 }

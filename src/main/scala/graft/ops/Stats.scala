@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over a corpus — the "where do I cut?"
+  * primitives a curation pipeline runs before it filters: exact
+  * quantiles of a length/quality score (to pick gate thresholds) and
+  * exact heavy hitters (to find vocabulary/domain concentration).
+  * Everything is EXACT and deterministic, so every result is
+  * oracle-checkable; the scale shapes avoid the two classic killers
+  * (a global single-partition window for ranks, a driver-side
+  * count-then-filter round trip).
+  */
+object Stats {
+
+  /** Exact discrete quantiles of `valueCol`: for each q in `qs` the
+    * element at 0-based rank `ceil(q·n) − 1` of the sorted column —
+    * `quantile_disc` semantics (SQL PERCENTILE_DISC). `approx_percentile`
+    * answers the same question with error bars; this is the exact form
+    * for when the quantile IS the product (a published length cut, a
+    * reproducible gate threshold).
+    *
+    * Scale shape: ranks come from [[Sketches.contiguousIds]]'s
+    * range-partitioned two-pass zip — sorting never collapses to one
+    * partition — and the q→rank targets ride a broadcast of one count
+    * row, so the corpus is walked once for the sort and once for the
+    * count with no driver round trip. The rank arithmetic subtracts
+    * 1e-9 before ceil: q·n computed in doubles can land an ulp ABOVE
+    * the exact-rational integer it means (0.1·500 → 50.000000000000004)
+    * and a naive ceil would shift the rank by one.
+    *
+    * Ties are safe: contiguousIds breaks rank ties arbitrarily, but
+    * every rank within a tie holds the same VALUE, which is all the
+    * quantile reads. Nulls drop (SQL aggregate semantics). Output:
+    * (q, value) — value keeps `valueCol`'s type. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val values = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("value"))
+    val ranked = Sketches.contiguousIds(values, "value")
+    val targets = values.agg(count(lit(1)).as("__n"))
+      .select(explode(typedlit(qs.sorted)).as("q"), col("__n"))
+      .withColumn("__ix",
+        (ceil(col("q") * col("__n") - lit(1e-9)) - 1).cast("long"))
+      .select(col("q"), col("__ix"))
+    ranked.join(broadcast(targets), col("row_ix") === col("__ix"))
+      .select(col("q"), col("value"))
+  }
+
+  /** Exact heavy hitters: the distinct values of `colName` whose share
+    * of non-null rows is at least `minShare`, with their exact counts.
+    * One corpus walk: the per-value counts map-side combine into one
+    * shuffle, and the total is the SUM of those counts — the total's
+    * aggregation reuses the counts exchange (same canonical subtree →
+    * ReuseExchange) instead of rescanning the corpus, and its one-row
+    * result broadcasts. Output: (value, cnt, share) with share rounded
+    * to 6 for cross-engine float parity. */
+  def heavyHitters(df: DataFrame, colName: String,
+                   minShare: Double): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0, "minShare must lie in (0, 1]")
+    val counts = df.filter(col(colName).isNotNull)
+      .groupBy(col(colName).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") >= col("__total") * minShare)
+      .select(col("value"), col("cnt"),
+        round(col("cnt").cast("double") / col("__total"), 6).as("share"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, Curation, Dedup, Multimodal, Relevance, Similarity, Sketches, TextOps}
+import graft.ops.{AsOfJoin, Contrastive, Curation, Dedup, Multimodal, Relevance, Similarity, Sketches, Stats, TextOps}
 
 /** Training-data pipeline operators as oracle-checkable queries:
   * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -626,6 +626,57 @@ object TrainingData {
           "doc_id", "text", shingleSize = 3, threshold = 0.5,
           nBits = 1 << 14, nHashes = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact length deciles (PERCENTILE_DISC semantics) — the "where do
+    // I cut?" pass before a length gate; ranks via the range-partitioned
+    // two-pass zip, never a single-partition window.
+    "q66_exact_quantiles" -> ((s, d) => {
+      Stats.exactQuantiles(t(s, d, "documents"), "n_chars",
+          Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0))
+        .orderBy(col("q"))
+    }),
+
+    // Exact heavy-hitter tokens at >= 2% corpus share: one corpus walk,
+    // map-side-combined counts; the total reuses the counts exchange.
+    "q67_heavy_hitters" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      Stats.heavyHitters(toks, "tok", minShare = 0.02)
+        .orderBy(col("value"))
+    }),
+
+    // Temperature-scaled language mixture (alpha = 0.5 up-weights rare
+    // languages): per-domain rates broadcast onto the corpus — zero
+    // corpus shuffles; the realized sample is md5-deterministic.
+    "q68_mixture_sample" -> ((s, d) => {
+      Curation.mixtureSample(t(s, d, "documents"), "lang", "doc_id",
+          alpha = 0.5, targetRows = 200)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    // k-anonymity suppression over (user, event_type) quasi-groups:
+    // groups thinner than k=12 drop; payload rows never ride the
+    // counting shuffle (left-semi join back).
+    "q69_k_anonymity" -> ((s, d) => {
+      Curation.kAnonymize(t(s, d, "events"), Seq("user_id", "event_type"),
+          k = 12)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Contrastive (anchor, positive, negative) triplets: positives are
+    // the q23 MinHash-LSH near-dup pairs, negatives draw md5-
+    // deterministically from the rank-addressed corpus.
+    "q70_contrastive_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleSize = 3)
+      Contrastive.contrastivePairs(docs, "doc_id", pairs)
+        .orderBy(col("anchor"), col("positive"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -1623,5 +1674,77 @@ object TrainingData {
          |  round(COALESCE(n_maybe, 0)::DOUBLE / n_shingles, 6) AS maybe_frac,
          |  round(COALESCE(n_maybe, 0)::DOUBLE / n_shingles, 6) >= 0.5 AS contaminated
          |FROM sizes LEFT JOIN mb ON sizes.doc_id = mb.doc_id
-         |ORDER BY sizes.doc_id""".stripMargin)
+         |ORDER BY sizes.doc_id""".stripMargin,
+
+    // Exact PERCENTILE_DISC: both engines compute the SAME epsilon-
+    // corrected rank (ceil(q·n − 1e-9) − 1) — q·n in doubles can land
+    // an ulp above the exact-rational integer it means, and relying on
+    // each engine's internal quantile rounding would tie parity to
+    // implementation details.
+    "q66_exact_quantiles" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL),
+        |qs AS (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]::DOUBLE[]) AS q),
+        |tgt AS (SELECT q, CAST(ceil(q * n.n - 1e-9) AS BIGINT) - 1 AS ix FROM qs, n),
+        |r AS (SELECT n_chars AS value, row_number() OVER (ORDER BY n_chars) - 1 AS ix
+        |      FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT q, value FROM tgt JOIN r USING (ix) ORDER BY q""".stripMargin,
+
+    "q67_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($tokensSql) AS value FROM documents),
+         |c AS (SELECT value, count(*) AS cnt FROM toks
+         |      WHERE value IS NOT NULL GROUP BY value),
+         |tot AS (SELECT sum(cnt) AS total FROM c)
+         |SELECT value, cnt,
+         |  round(cnt::DOUBLE / total::DOUBLE, 6) AS share
+         |FROM c, tot WHERE cnt >= total * 0.02 ORDER BY value""".stripMargin,
+
+    // Rates round to 9 decimals before the u60 gate so pow() ulp noise
+    // between engines cannot flip a row; arithmetic order mirrors the
+    // Spark side exactly ((target·w) / wsum / n, left to right).
+    "q68_mixture_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, pow(n, 0.5) AS w FROM c),
+        |s AS (SELECT sum(w) AS wsum FROM w),
+        |r AS (SELECT lang, least(1.0::DOUBLE,
+        |        round(200.0 * w / wsum / n, 9)) AS rate FROM w, s),
+        |kept AS (SELECT d.lang FROM documents d JOIN r USING (lang)
+        |  WHERE ((('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT::DOUBLE + 1.0)
+        |         / 1152921504606846976.0) < r.rate)
+        |SELECT lang, count(*) AS n_sampled FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q69_k_anonymity" ->
+      """WITH g AS (SELECT user_id, event_type FROM events
+        |  GROUP BY user_id, event_type HAVING count(*) >= 12),
+        |kept AS (SELECT e.user_id, e.event_type FROM events e
+        |  JOIN g ON e.user_id = g.user_id AND e.event_type = g.event_type)
+        |SELECT event_type, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Positives = q23's MinHash-LSH pairs (same CTEs); the negative is
+    // the corpus doc at sorted-rank (u60(md5("a|b")) + j) mod n for the
+    // first j in {0,1,2} that collides with neither pair member.
+    "q70_contrastive_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |ranked AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY doc_id) - 1 AS ix FROM documents),
+         |cand AS (SELECT p.id_a AS anchor, p.id_b AS positive, js.j,
+         |    CAST(((('0x' || substr(md5(p.id_a::VARCHAR || '|' || p.id_b::VARCHAR), 1, 15))::UBIGINT
+         |      + js.j) % n.n) AS BIGINT) AS nix
+         |  FROM pairs p, n, (SELECT unnest([0,1,2]) AS j) js),
+         |valid AS (SELECT c.anchor, c.positive, c.j, r.doc_id AS neg
+         |  FROM cand c JOIN ranked r ON c.nix = r.ix
+         |  WHERE r.doc_id <> c.anchor AND r.doc_id <> c.positive)
+         |SELECT anchor, positive, min_by(neg, j) AS negative
+         |FROM valid GROUP BY anchor, positive ORDER BY anchor, positive""".stripMargin)
 }

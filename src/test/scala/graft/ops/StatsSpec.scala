@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exactQuantiles matches the brute-force sorted-rank answer, deciles over a shuffled column") {
+    val n = 1237
+    val vals = (0 until n).map(i => ((i * 7919) % n).toLong)
+    val df = vals.toDF("x").repartition(9)
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Stats.exactQuantiles(df, "x", qs)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val ix = math.ceil(q * n - 1e-9).toLong - 1
+      assert(got(q) === sorted(ix.toInt), s"q=$q")
+    }
+    assert(got.size === qs.size)
+  }
+
+  test("exactQuantiles: rank arithmetic survives q*n landing ulp-above an integer") {
+    // 0.1 * 500 = 50.000000000000007 in doubles; exact rank must be 49
+    val df = (1L to 500L).toDF("x")
+    val got = Stats.exactQuantiles(df, "x", Seq(0.1)).head.getLong(1)
+    assert(got === 50L, "ceil(0.1*500)-1 = 49 -> 50 (1-based value)")
+  }
+
+  test("exactQuantiles: ties yield the tied value; nulls drop") {
+    val df = (Seq.fill(40)(7L) ++ Seq.fill(60)(9L)).toDF("x")
+      .union(Seq[Option[Long]](None, None).toDF("x"))
+    val got = Stats.exactQuantiles(df, "x", Seq(0.25, 0.75))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(got(0.25) === 7L && got(0.75) === 9L)
+  }
+
+  test("heavyHitters: exact counts, share gate, partitioning-invariant") {
+    // 600 a, 300 b, 90 c, 10 d of 1000
+    val rows = Seq.fill(600)("a") ++ Seq.fill(300)("b") ++
+      Seq.fill(90)("c") ++ Seq.fill(10)("d")
+    val df = rows.toDF("v")
+    val hh = Stats.heavyHitters(df, "v", minShare = 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hh === Set(("a", 600L, 0.6), ("b", 300L, 0.3), ("c", 90L, 0.09)))
+    val again = Stats.heavyHitters(df.repartition(13), "v", 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hh === again)
+  }
+}

@@ -216,6 +216,41 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), "the classic global-row_number scale-killer")
   }
 
+  test("q66 exact quantiles: two-pass range ranks, q->rank targets broadcast") {
+    val p = plan("q66_exact_quantiles")
+    assert(!p.contains("Window"), "ranks come from the range zip, not a global window")
+    assert(p.contains("BroadcastHashJoin"), "rank targets (|qs| rows) must broadcast")
+  }
+
+  test("q67 heavy hitters: the total reuses the counts exchange — one corpus walk") {
+    // exchange reuse is an AQE runtime decision: execute, then read the
+    // final adaptive plan
+    val df = graft.SparkEntry.queries("q67_heavy_hitters")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "final adaptive plan expected")
+    assert(p.contains("ReusedExchange"),
+      "the total must derive from the counts exchange, not a second corpus scan")
+    assert(p.contains("partial_count"), "map-side combine on the value counts")
+  }
+
+  test("q68 mixture sample: per-domain rates broadcast; corpus never shuffles for the gate") {
+    val p = plan("q68_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), "rates (|domains| rows) must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus must not shuffle to meet its rates")
+  }
+
+  test("q69 k-anonymity: left-semi join back — payload never rides the counting shuffle") {
+    val p = plan("q69_k_anonymity")
+    assert(p.contains("LeftSemi"), "suppression joins back as a semi join")
+  }
+
+  test("q70 contrastive triplets: rank-addressed negatives, no window, no cartesian") {
+    val p = plan("q70_contrastive_pairs")
+    assert(!p.contains("Window"), "corpus ranks come from the range zip")
+    assert(!p.contains("CartesianProduct"), "the one cross join is a 1-row broadcast")
+  }
+
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
