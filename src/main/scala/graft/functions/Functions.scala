@@ -1059,6 +1059,94 @@ case class MultiReachExpression(json: Expression, paths: Seq[String])
     copy(json = c(0))
 }
 
+/** KMV k-minimum-values sketch as a TRUE aggregate
+  * (TypedImperativeAggregate): tracks the k smallest DISTINCT 60-bit
+  * hashes in a bounded TreeSet, merging partial sketches across
+  * partitions. This is the scale form of the sketch — the relational
+  * `distinct().orderBy().limit(k)` formulation shuffles every distinct
+  * hash in the corpus (billions of rows for a k=64 answer), while this
+  * aggregate ships exactly one ≤k-entry buffer per partition through
+  * map-side partial aggregation. Input: the LONG hash column (keep the
+  * md5-derived hashing in the plan — the sketch stays oracle-checkable).
+  * Output: struct(n_mins, kth_hash); the estimate arithmetic lives in
+  * [[graft.ops.Sketches.kmvDistinct]] so both formulations share it.
+  */
+case class KmvMinsAggregate(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 2, "KMV needs k >= 2")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kmv_mins expects a LONG hash column, got ${other.simpleString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_mins", LongType, nullable = false),
+    StructField("kth_hash", LongType, nullable = true)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv_mins"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) buf.add(v)
+    // TreeSet.add is false on duplicates — only trim when v displaced one
+    else if (v < buf.last && buf.add(v)) buf.pollLast()
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long])
+      : java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    org.apache.spark.sql.catalyst.InternalRow(
+      buf.size.toLong, if (buf.isEmpty) null else buf.last)
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.hasRemaining) out.add(bb.getLong)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvMinsAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvMinsAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression])
+      : Expression = copy(child = c(0))
+}
+
 /** `SparkSessionExtensions` injector — the idiomatic way to get every
   * graft expression into a session at build time:
   * {{{
@@ -1132,7 +1220,12 @@ object GraftFunctions {
     "graft_script_counts" -> (e => ScriptCountsExpression(e(0))),
     "graft_script_lang" -> (e => ScriptLangExpression(e(0), e(1))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
-    "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))))
+    "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))),
+    "graft_kmv_mins" -> (e => KmvMinsAggregate(e(0), e(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"graft_kmv_mins k must be an int literal, got $other")
+    })))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -17,21 +17,42 @@ object Sketches {
 
   /** KMV (k-minimum-values) distinct-count estimate: with u_k = the
     * k-th smallest distinct hash mapped into (0, 1], the estimator is
-    * `(k−1) / u_k` (Bar-Yossef et al. 2002). Scale shape: the distinct
-    * hash set map-side combines, then the k minimums ride a
-    * TakeOrdered (per-partition heaps + driver merge of k) — no global
-    * sort, state O(k). Returns one row:
-    * (k, kth_hash, estimate). */
+    * `(k−1) / u_k` (Bar-Yossef et al. 2002). Scale shape: the native
+    * `graft_kmv_mins` aggregate (a TypedImperativeAggregate) carries a
+    * bounded ≤k-entry buffer per partition and merges buffers — ONE
+    * aggregation, state O(k), versus the relational
+    * `distinct().limit(k)` form that shuffles every distinct hash in
+    * the corpus for a k-row answer
+    * ([[kmvDistinctRelational]], kept as the equivalence reference).
+    * Returns one row: (k, kth_hash, estimate). */
   def kmvDistinct(df: DataFrame, colName: String, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    // nulls drop (SQL COUNT DISTINCT semantics); their null hash would
-    // otherwise sort first and poison the k-th minimum
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // nulls drop (SQL COUNT DISTINCT semantics); hash60(null) is null
+    // and the aggregate skips nulls — the filter just prunes the scan
+    df.filter(col(colName).isNotNull)
+      .agg(call_function("graft_kmv_mins",
+        hash60(col(colName)), lit(k)).as("s"))
+      .select(lit(k.toLong).as("k"), col("s.kth_hash").as("kth_hash"),
+        // when fewer than k distinct values exist the count is exact
+        when(col("s.n_mins") < k, col("s.n_mins").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            ((col("s.kth_hash").cast("double") + 1.0) / lit(math.pow(2.0, 60))), 6))
+          .as("estimate"))
+  }
+
+  /** The relational form of [[kmvDistinct]] — distinct hashes then the
+    * k minimums via TakeOrdered. Correct, but its distinct() shuffles
+    * every distinct hash; kept as the independent reference the native
+    * aggregate is equivalence-tested against (SketchesSpec). */
+  private[ops] def kmvDistinctRelational(df: DataFrame, colName: String,
+                                         k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
     df.filter(col(colName).isNotNull)
       .select(hash60(col(colName)).as("h")).distinct()
       .orderBy(col("h").asc).limit(k)
       .agg(count(lit(1)).as("n_mins"), max(col("h")).as("kth_hash"))
       .select(lit(k.toLong).as("k"), col("kth_hash"),
-        // when fewer than k distinct values exist the count is exact
         when(col("n_mins") < k, col("n_mins").cast("double"))
           .otherwise(round(lit((k - 1).toDouble) /
             ((col("kth_hash").cast("double") + 1.0) / lit(math.pow(2.0, 60))), 6))

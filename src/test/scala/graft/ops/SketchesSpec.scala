@@ -22,6 +22,27 @@ class SketchesSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("native KMV aggregate == relational distinct+limit form (incl. below-k and nulls)") {
+    val df = (0L until 4000L).map(i => i % 900).toDF("v")
+      .union(Seq[Option[Long]](None, None).toDF("v"))
+    for (k <- Seq(16, 64, 1024)) { // 1024 > distinct count: exact path
+      val native = Sketches.kmvDistinct(df, "v", k).head
+      val relational = Sketches.kmvDistinctRelational(df, "v", k).head
+      assert(native === relational, s"k=$k")
+    }
+  }
+
+  test("native KMV plan is one aggregation — no distinct exchange of the hash set") {
+    val df = (0L until 2000L).toDF("v")
+    val p = Sketches.kmvDistinct(df, "v", 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_kmv_mins"), "the native aggregate must plan")
+    assert(!p.contains("TakeOrderedAndProject"), "no k-minimum sort pass")
+    // exactly one shuffle: the partial->final aggregate boundary
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"one exchange expected (partial sketches -> merge), got:\n$p")
+  }
+
   test("weighted sample prefers heavy weights and is deterministic") {
     val docs = (0L until 400L).map(i =>
       (i, if (i < 40) 1000L else 1L)).toDF("doc_id", "w") // 10% heavy

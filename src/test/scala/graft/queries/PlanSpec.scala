@@ -202,9 +202,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), "IVF lists prune the scan — no full ADC sweep")
   }
 
-  test("q62/q63 sketches run as TakeOrdered heaps — no global sort of the corpus") {
+  test("q62/q63 sketches: bounded-state aggregate / TakeOrdered heaps — no global sort") {
     val kmv = plan("q62_kmv_distinct")
-    assert(kmv.contains("TakeOrderedAndProject"), "k minimums via per-partition heaps")
+    assert(kmv.contains("partial_graft_kmv_mins"),
+      "k minimums via the native bounded-buffer aggregate, map-side combined")
+    assert(!kmv.contains("TakeOrderedAndProject") && !kmv.contains("Sort "),
+      "no distinct+sort pass over the hash set")
     val ws = plan("q63_weighted_sample")
     assert(ws.contains("TakeOrderedAndProject"), "top-n keys via per-partition heaps")
     assert(!ws.contains("Window"), "no rank window anywhere")
