@@ -45,8 +45,8 @@ object Sketches {
     * k minimums via TakeOrdered. Correct, but its distinct() shuffles
     * every distinct hash; kept as the independent reference the native
     * aggregate is equivalence-tested against (SketchesSpec). */
-  private[ops] def kmvDistinctRelational(df: DataFrame, colName: String,
-                                         k: Int): DataFrame = {
+  private[graft] def kmvDistinctRelational(df: DataFrame, colName: String,
+                                           k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     df.filter(col(colName).isNotNull)
       .select(hash60(col(colName)).as("h")).distinct()

@@ -293,6 +293,49 @@ object ScaleProbe {
       println(s"[scale]   survivors = ${kept.count()}")
     }
 
+    // --- round-5 statistics / sampling operators ---------------------
+    timed("KMV native aggregate over 600k keys") {
+      val est = graft.ops.Sketches.kmvDistinct(li, "l_partkey", k = 256)
+        .head.getDouble(2)
+      println(s"[scale]   estimate = $est")
+    }
+
+    timed("KMV relational (distinct shuffle) — A/B") {
+      val est = graft.ops.Sketches.kmvDistinctRelational(li, "l_partkey", k = 256)
+        .head.getDouble(2)
+      println(s"[scale]   estimate = $est")
+    }
+
+    timed("exact deciles of 600k longs (two-pass rank)") {
+      val out = graft.ops.Stats.exactQuantiles(li, "l_extendedprice",
+        (1 to 9).map(_ / 10.0))
+      println(s"[scale]   rows = ${out.count()}")
+    }
+
+    timed("heavy hitters over 600k keys (share >= 0.4%)") {
+      val out = graft.ops.Stats.heavyHitters(li, "l_quantity", minShare = 0.004)
+      println(s"[scale]   rows = ${out.count()}")
+    }
+
+    timed("mixture sample 600k -> ~60k (16 domains)") {
+      val domed = li.withColumn("dom",
+        concat(lit("d"), pmod(col("l_suppkey"), lit(16))))
+        .withColumn("rid", col("l_orderkey") * 100 + col("l_linenumber"))
+      val out = graft.ops.Curation.mixtureSample(domed, "dom", "rid",
+        alpha = 0.5, targetRows = 60000)
+      println(s"[scale]   sampled = ${out.count()}")
+    }
+
+    timed("contrastive triplets from 100k pairs over 600k corpus") {
+      val ids = li.select((col("l_orderkey") * 100 + col("l_linenumber"))
+        .as("doc_id")).distinct().localCheckpoint(true)
+      val pairs = ids.filter(pmod(col("doc_id"), lit(6)) === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b")).limit(100000)
+      val out = graft.ops.Contrastive.contrastivePairs(ids, "doc_id", pairs)
+      println(s"[scale]   triplets = ${out.count()}")
+    }
+
     spark.stop()
   }
 }
