@@ -463,4 +463,27 @@ object Dedup {
       .withColumn("keep", col(idCol) === col("cluster_id"))
       .drop("__cc_id", "__cc_cluster")
   }
+
+  /** Leakage-safe train/val/test split: assign by CLUSTER, not by
+    * document, so a near-duplicate pair can never straddle train and
+    * test (the classic eval-contamination leak — a test doc whose
+    * near-twin was trained on measures memorization, not
+    * generalization). Clusters come from [[resolveClusters]]; the
+    * split is an md5-uniform of the cluster id against cumulative
+    * fractions — a pure function of (corpus ids, pairs), reproducible
+    * in any engine with md5. Adds `cluster_id`, `keep` and `split`
+    * ("train" / "val" / "test"). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       trainFrac: Double, valFrac: Double,
+                       maxIterations: Int = 20): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      "fractions must be positive and leave room for the test split")
+    val u = (Sketches.hash60(col("cluster_id")).cast("double") + 1.0) /
+      math.pow(2.0, 60)
+    resolveClusters(docs, idCol, pairs, maxIterations)
+      .withColumn("split",
+        when(u < trainFrac, lit("train"))
+          .when(u < trainFrac + valFrac, lit("val"))
+          .otherwise(lit("test")))
+  }
 }

@@ -50,6 +50,39 @@ object Stats {
       .select(col("q"), col("value"))
   }
 
+  /** Per-group exact discrete quantiles — the "calibrate the cut per
+    * domain/language" form of [[exactQuantiles]] (a global p95 length
+    * cut under-trims verbose domains and guts terse ones). Same
+    * epsilon-corrected `ceil(q·n) − 1` rank semantics, per group.
+    *
+    * Scale shape: ONE shuffle on the group key feeds both windows
+    * (rank and group size share the partitioning); rows are gated by
+    * an `array_contains` against the |qs| target ranks BEFORE the
+    * q-explode, so the corpus never multiplies by |qs| — only the
+    * ≤|qs| selected rows per group do. Groups must fit a window
+    * partition (the standard grouped-rank idiom; a group is a domain,
+    * not the corpus). Output: (group, q, value). */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).as("value"))
+      .withColumn("__rk",
+        row_number().over(byGroup.orderBy(col("value").asc)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+    def target(q: Column, n: Column): Column =
+      ceil(q * n - lit(1e-9)).cast("long")
+    val targets = array(qs.map(q => target(lit(q), col("__n"))): _*)
+    ranked.filter(array_contains(targets, col("__rk")))
+      .select(col(groupCol), explode(typedlit(qs.sorted)).as("q"),
+        col("value"), col("__rk"), col("__n"))
+      .filter(col("__rk") === target(col("q"), col("__n")))
+      .select(col(groupCol), col("q"), col("value"))
+  }
+
   /** Exact heavy hitters: the distinct values of `colName` whose share
     * of non-null rows is at least `minShare`, with their exact counts.
     * One corpus walk: the per-value counts map-side combine into one

@@ -677,6 +677,42 @@ object TrainingData {
         k = 16, bands = 4, shingleSize = 3)
       Contrastive.contrastivePairs(docs, "doc_id", pairs)
         .orderBy(col("anchor"), col("positive"))
+    }),
+
+    // Leakage-safe split: q23's near-dup pairs resolve to clusters and
+    // each CLUSTER (not doc) draws its train/val/test assignment — a
+    // near-twin can never sit across train and test.
+    "q71_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleSize = 3)
+      Dedup.leakageSafeSplit(docs.select(col("doc_id")), "doc_id", pairs,
+          trainFrac = 0.7, valFrac = 0.15)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-language length quartiles — the per-domain calibration form
+    // of q66; one shuffle on the group key feeds rank + size windows.
+    "q72_grouped_quantiles" -> ((s, d) => {
+      Stats.groupedQuantiles(t(s, d, "documents"), "lang", "n_chars",
+          Seq(0.25, 0.5, 0.75))
+        .orderBy(col("lang"), col("q"))
+    }),
+
+    // Frequency-vocabulary construction: token counts -> top-32 by
+    // (count desc, token) -> dense ids. The rank window touches only
+    // the 32 survivors of a TakeOrdered (the bm25 k-bounded pattern).
+    "q73_vocab_build" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("token")).limit(32)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      top.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+        .select(col("token_id"), col("token"), col("cnt"))
+        .orderBy(col("token_id"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -1746,5 +1782,56 @@ object TrainingData {
          |  FROM cand c JOIN ranked r ON c.nix = r.ix
          |  WHERE r.doc_id <> c.anchor AND r.doc_id <> c.positive)
          |SELECT anchor, positive, min_by(neg, j) AS negative
-         |FROM valid GROUP BY anchor, positive ORDER BY anchor, positive""".stripMargin)
+         |FROM valid GROUP BY anchor, positive ORDER BY anchor, positive""".stripMargin,
+
+    // q39's reachability CTEs resolve the clusters; the split is the
+    // same u60 arithmetic as q63/q68 over the CLUSTER id.
+    "q71_leakage_split" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+         |assigned AS (SELECT d.doc_id,
+         |    COALESCE(l.cluster, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |u AS (SELECT doc_id, cluster_id,
+         |    ((('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::UBIGINT::DOUBLE + 1.0)
+         |     / 1152921504606846976.0) AS uu FROM assigned)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN uu < 0.7 THEN 'train'
+         |       WHEN uu < 0.85 THEN 'val' ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q72_grouped_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars AS value,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |qs AS (SELECT unnest([0.25,0.5,0.75]::DOUBLE[]) AS q)
+        |SELECT lang, q, value FROM r, qs
+        |WHERE rk = CAST(ceil(q * n - 1e-9) AS BIGINT)
+        |ORDER BY lang, q""".stripMargin,
+
+    "q73_vocab_build" ->
+      s"""WITH toks AS (SELECT unnest($tokensSql) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 32)
+         |SELECT row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id,
+         |  token, cnt
+         |FROM top ORDER BY token_id""".stripMargin)
 }

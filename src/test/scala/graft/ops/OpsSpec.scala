@@ -203,6 +203,32 @@ class DedupSpec extends SparkTestBase {
     assert(r(99L) === (99L, true))
   }
 
+  test("leakageSafeSplit: every near-dup cluster lands whole in one split") {
+    import spark.implicits._
+    val docs = (0L until 300L).toDF("doc_id")
+    // chains of 3: (i, i+1), (i+1, i+2) for i = 0, 10, 20, ...
+    val pairs = (0L until 300L by 10L)
+      .flatMap(i => Seq((i, i + 1), (i + 1, i + 2)))
+      .toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+      trainFrac = 0.7, valFrac = 0.15)
+    val perCluster = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .collect().map(_.getLong(1))
+    assert(perCluster.forall(_ === 1L), "a cluster must never straddle splits")
+    val bySplit = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L),
+      s"0.7 train fraction should dominate, got $bySplit")
+    val again = Dedup.leakageSafeSplit(docs.repartition(7), "doc_id",
+        pairs.repartition(3), 0.7, 0.15)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === again)
+  }
+
   test("connected components match a union-find reference on random graphs") {
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = Array.tabulate(n)(identity)

@@ -36,6 +36,22 @@ class StatsSpec extends SparkTestBase {
     assert(got(0.25) === 7L && got(0.75) === 9L)
   }
 
+  test("groupedQuantiles: per-group brute-force parity, incl. a 1-row group") {
+    val rows = (0 until 400).map(i => ("g" + (i % 3), ((i * 7919) % 400).toLong)) :+
+      ("solo", 42L)
+    val df = rows.toDF("g", "x").repartition(7)
+    val qs = Seq(0.25, 0.5, 0.75, 1.0)
+    val got = Stats.groupedQuantiles(df, "g", "x", qs)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2))).toMap
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, sorted) <- byGroup; q <- qs) {
+      val ix = math.ceil(q * sorted.size - 1e-9).toInt - 1
+      assert(got((g, q)) === sorted(ix), s"group $g q=$q")
+    }
+    assert(got.size === byGroup.size * qs.size)
+    assert(got(("solo", 0.25)) === 42L, "a 1-row group answers every q with its row")
+  }
+
   test("heavyHitters: exact counts, share gate, partitioning-invariant") {
     // 600 a, 300 b, 90 c, 10 d of 1000
     val rows = Seq.fill(600)("a") ++ Seq.fill(300)("b") ++

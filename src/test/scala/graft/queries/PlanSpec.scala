@@ -254,6 +254,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "the one cross join is a 1-row broadcast")
   }
 
+  test("q72 grouped quantiles: windows keyed on the group — never a single partition") {
+    val p = plan("q72_grouped_quantiles")
+    assert(p.contains("Window"), "grouped ranks are the window idiom")
+    assert(!p.contains("SinglePartition"), "the window key is the group, not global")
+  }
+
+  test("q73 vocab: corpus-side top-k is a TakeOrdered heap; the rank window sees 32 rows") {
+    val p = plan("q73_vocab_build")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the corpus reduces via per-partition heaps before any window")
+    assert(p.contains("partial_count"), "token counts map-side combine")
+  }
+
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
