@@ -103,6 +103,35 @@ class StreamingSpec extends SparkTestBase {
     assert(kept === Set(1L, 3L), s"dup texts dropped, got $kept")
   }
 
+  test("KMV aggregate runs in a streaming aggregation: running distinct estimate per key") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("grp", "v")
+    // the bounded <=k buffer is exactly what a streaming state store
+    // wants: per-group state never exceeds k longs no matter how many
+    // distinct values stream through
+    val out = stream
+      .groupBy(col("grp"))
+      .agg(call_function("graft_kmv_mins",
+        graft.ops.Sketches.hash60(col("v")), lit(64)).as("s"))
+      .select(col("grp"), col("s.n_mins").as("n_mins"))
+    val writer = out.writeStream.format("memory").queryName("kmv_out")
+      .outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("graft-kmv").toString)
+      .start()
+    input.addData((0L until 40L).map(i => ("a", i % 20)): _*)
+    writer.processAllAvailable()
+    input.addData((0L until 40L).map(i => ("a", 20 + i % 20)): _*)
+    writer.processAllAvailable()
+    writer.stop()
+    val n = spark.sql("SELECT n_mins FROM kmv_out WHERE grp = 'a'")
+      .head.getLong(0)
+    // 40 distinct below k=64: the sketch holds the exact distinct count
+    // ACROSS micro-batches (state merged, not recomputed)
+    assert(n === 40L, s"running distinct mins across batches, got $n")
+  }
+
   test("streaming near-dup: a later-batch near-duplicate is flagged against the band table") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
