@@ -1059,6 +1059,74 @@ case class MultiReachExpression(json: Expression, paths: Seq[String])
     copy(json = c(0))
 }
 
+/** Content-defined chunking: split `text` at positions where the hash
+  * of the trailing `window` characters lands in a 1/divisor bucket —
+  * boundaries follow CONTENT, so inserting a prefix shifts every
+  * fixed-size chunk but leaves most CDC chunk hashes intact (the
+  * storage-dedup property fixed chunking cannot give). Boundary
+  * function: u32(first 8 md5 hex chars of the window) % divisor == 0 —
+  * md5-per-window keeps the boundary engine-portable for the oracle
+  * (same philosophy as MinHashExpression); a production cluster would
+  * swap in an O(1)-per-step Rabin fingerprint behind the same
+  * expression without changing the operator surface. Expected chunk
+  * length ≈ divisor characters. Empty text → empty array; chunks
+  * always concatenate back to the input.
+  */
+case class CdcChunksExpression(first: Expression, second: Expression,
+                               third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cdc_chunks"
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cdcExpr", this)
+    nullSafeCodeGen(ctx, ev, (t, w, d) => {
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+         |  $ref.compute($t, $w, $d);""".stripMargin
+    })
+  }
+  def compute(text: UTF8String, w: Int, d: Int): AnyRef =
+    nullSafeEval(text, w, d).asInstanceOf[AnyRef]
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  override protected def nullSafeEval(textAny: Any, wAny: Any, dAny: Any): Any = {
+    val text = textAny.asInstanceOf[UTF8String]
+    val w = wAny.asInstanceOf[Int]
+    val d = dAny.asInstanceOf[Int]
+    require(w >= 1 && d >= 1, "graft_cdc_chunks needs window >= 1, divisor >= 1")
+    val n = text.numChars()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = digest.get()
+    val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+    // boundary positions i (1-based char index of the window's END),
+    // w <= i < n: hash the trailing w chars; i == n is always a cut
+    var i = w
+    while (i < n) {
+      val bytes = text.substring(i - w, i).getBytes
+      val h = md.digest(bytes)
+      val u32 = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+        ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+      if (u32 % d == 0) cuts += i
+      i += 1
+    }
+    cuts += n
+    val out = new Array[Any](cuts.length - 1)
+    var j = 0
+    while (j < out.length) {
+      out(j) = text.substring(cuts(j), cuts(j + 1))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
 /** KMV k-minimum-values sketch as a TRUE aggregate
   * (TypedImperativeAggregate): tracks the k smallest DISTINCT 60-bit
   * hashes in a bounded TreeSet, merging partial sketches across
@@ -1221,6 +1289,7 @@ object GraftFunctions {
     "graft_script_lang" -> (e => ScriptLangExpression(e(0), e(1))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
     "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))),
+    "graft_cdc_chunks" -> (e => CdcChunksExpression(e(0), e(1), e(2))),
     "graft_kmv_mins" -> (e => KmvMinsAggregate(e(0), e(1) match {
       case Literal(i: Int, IntegerType) => i
       case other => throw new IllegalArgumentException(

@@ -229,6 +229,28 @@ object Curation {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking: boundaries follow the TEXT (hash-gated
+    * trailing windows — `graft_cdc_chunks`), so an insertion near the
+    * start shifts every [[chunk]] window but leaves most CDC chunks —
+    * and therefore their dedup hashes — intact. The operator surface
+    * for chunk-level dedup of near-identical documents: explode, hash,
+    * group. One projection per doc, no shuffle; expected chunk length
+    * ≈ `divisor` chars. Output: (id, chunk_ix, chunk, n_chars). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, divisor: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // the empty-text filter guarantees non-empty chunk arrays, so the
+    // OUTER posexplode never emits null rows AND never plans the
+    // size>0 re-evaluation filter the non-outer form costs
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        posexplode_outer(call_function("graft_cdc_chunks",
+          col(textCol), lit(window), lit(divisor)))
+          .as(Seq("chunk_ix", "chunk")))
+      .select(col(idCol), col("chunk_ix").cast("long").as("chunk_ix"),
+        col("chunk"), length(col("chunk")).cast("long").as("n_chars"))
+  }
+
   /** Deterministic greedy sequence packing: within each shard
     * (`shardCol` — packing is embarrassingly parallel per shard, which
     * is what makes it scale; a GLOBAL running sum would serialize), docs

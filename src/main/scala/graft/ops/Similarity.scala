@@ -156,6 +156,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Low-dimension variant of [[nearDuplicates]]: embeddings RIDE the
+    * one (table, bucket) shuffle and cosine verification runs where the
+    * bucket lives (`graft_cosine_pairs` — norms once per member,
+    * survivors only leave the group), so the whole operator is TWO
+    * exchanges (bucket agg + pair distinct) versus the ids-only form's
+    * five (bucket agg, distinct, two embedding re-joins, sort). The
+    * trade is shuffle payload: tables × dims floats per corpus row —
+    * right when dims is small (≲256); [[nearDuplicates]] stays the
+    * default for high-dim corpora, where vector payloads must never
+    * multiply through a shuffle. Same bucket definition, same rounded
+    * cosine, same output — the two forms are interchangeable per
+    * corpus shape. */
+  def nearDuplicatesCompact(df: DataFrame, threshold: Double, planes: Int = 8,
+                            tables: Int = 1,
+                            idCol: String = "vec_id", embCol: String = "embedding",
+                            maxBucketSize: Int = 0): DataFrame = {
+    require(planes >= 1, "nearDuplicatesCompact needs planes >= 1")
+    val keyed = df.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val buckets = keyed.select(col("id"), col("emb"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"),
+            srpBucket(col("emb"), planes, t * planes).as("bucket"))
+        }: _*)).as("tb"))
+      .groupBy(col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("emb")))).as("members"))
+    val capped =
+      if (maxBucketSize > 0) buckets.filter(size(col("members")) <= maxBucketSize)
+      else buckets
+    capped
+      .select(explode(call_function("graft_cosine_pairs",
+        col("members"), lit(threshold))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"),
+        col("p.cosine").as("cosine"))
+      .distinct()
+  }
+
   /** A codebook frame materialized to driver arrays, cid-ascending.
     * Collecting the CODEBOOK is the broadcast: a codebook is small by
     * construction (seeds, a k-means coarse level), and embedding it in

@@ -112,12 +112,15 @@ object TrainingData {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // Embedding-cosine near-dup pairs via multi-table SRP LSH — the
-    // scale path (bucket-key shuffles only, no driver collect, no
-    // all-pairs); md5-derived planes keep the bucketing oracle-
-    // reproducible. 6 tables × 3 planes = full recall on this corpus.
+    // Embedding-cosine near-dup pairs via multi-table SRP LSH;
+    // md5-derived planes keep the bucketing oracle-reproducible.
+    // 6 tables × 3 planes = full recall on this corpus. The 64-dim
+    // embeddings take the COMPACT path (vectors ride the one bucket
+    // shuffle, in-group cosine kernel — two exchanges); the ids-only
+    // nearDuplicates form is the high-dim default (SimilaritySpec
+    // pins the two forms equal).
     "q26_embed_neardup" -> ((s, d) => {
-      Similarity.nearDuplicates(t(s, d, "embeddings"), threshold = 0.45,
+      Similarity.nearDuplicatesCompact(t(s, d, "embeddings"), threshold = 0.45,
           planes = 3, tables = 6)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -713,6 +716,17 @@ object TrainingData {
       top.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
         .select(col("token_id"), col("token"), col("cnt"))
         .orderBy(col("token_id"))
+    }),
+
+    // Content-defined chunking (native graft_cdc_chunks): hash-gated
+    // trailing windows place the boundaries, so chunk hashes survive
+    // prefix insertions — the chunk-level dedup primitive.
+    "q74_cdc_chunks" -> ((s, d) => {
+      Curation.cdcChunks(t(s, d, "documents"), "doc_id", "text",
+          window = 8, divisor = 64)
+        .select(col("doc_id"), col("chunk_ix"),
+          md5(col("chunk")).as("chunk_hash"), col("n_chars"))
+        .orderBy(col("doc_id"), col("chunk_ix"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -1833,5 +1847,25 @@ object TrainingData {
          |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 32)
          |SELECT row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id,
          |  token, cnt
-         |FROM top ORDER BY token_id""".stripMargin)
+         |FROM top ORDER BY token_id""".stripMargin,
+
+    // The boundary rule relationally: cut after char i (w <= i < n)
+    // iff u32(md5(chars i-7..i)) % 64 == 0; chunks between cuts.
+    "q74_cdc_chunks" ->
+      """WITH b AS (SELECT doc_id, text, len(text) AS n
+        |  FROM documents WHERE len(text) > 0),
+        |cuts AS (SELECT doc_id, text, n,
+        |  list_prepend(0::BIGINT, list_append(
+        |    list_filter(range(8, n), i ->
+        |      (('0x' || substr(md5(substr(text, (i-7)::INT, 8)), 1, 8))::UBIGINT % 64) = 0),
+        |    n)) AS cs
+        |  FROM b),
+        |chunks AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(cs)), j ->
+        |      struct_pack(ix := j - 1,
+        |        chunk := substr(text, (cs[j] + 1)::INT, (cs[j+1] - cs[j])::INT)))) AS c
+        |  FROM cuts)
+        |SELECT doc_id, c.ix::BIGINT AS chunk_ix, md5(c.chunk) AS chunk_hash,
+        |  len(c.chunk)::BIGINT AS n_chars
+        |FROM chunks ORDER BY doc_id, chunk_ix""".stripMargin)
 }

@@ -50,6 +50,11 @@ class CodegenSpec extends SparkTestBase {
       textFrame.select(call_function("graft_shingles", $"text", lit(3))), "graft_shingles")
     assert(sh(0).getSeq[String](0).head === "alpha beta gamma")
     spanRows(textFrame.select(call_function("graft_simhash", $"text")), "graft_simhash")
+    val cdc = spanRows(textFrame.select(
+      call_function("graft_cdc_chunks", $"text", lit(4), lit(8)).as("c")),
+      "graft_cdc_chunks")
+    assert(cdc(0).getSeq[String](0).mkString === "alpha beta gamma delta w0",
+      "chunks concatenate to the input through the generated path")
     // script counts: column-dependent CJK text through the generated path
     val cjk = spark.range(2).select($"id",
       concat(lit("mixed 机器 ひらが ไทย 한글 x"), $"id".cast("string")).as("text"))

@@ -33,6 +33,45 @@ class MixturePrivacySpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("cdcChunks: chunks concatenate back to the text; brute-force boundary parity") {
+    def u32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
+        ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+    }
+    val text = (1 to 120).map(i => s"tok${(i * 7919) % 97}").mkString(" ")
+    val df = Seq((1L, text), (2L, ""), (3L, "short")).toDF("doc_id", "text")
+    val out = Curation.cdcChunks(df, "doc_id", "text", window = 8, divisor = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(!out.exists(_._1 == 2L), "empty text yields no chunks")
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq === Seq("short"),
+      "below-window text is one whole chunk")
+    val chunks1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(chunks1.mkString === text, "chunks must concatenate to the input")
+    // brute-force the same boundary rule
+    val expected = {
+      val cuts = (8 until text.length)
+        .filter(i => u32(text.substring(i - 8, i)) % 16 == 0)
+      (0 +: cuts :+ text.length).sliding(2)
+        .map { case Seq(a, b) => text.substring(a, b) }.toSeq
+    }
+    assert(chunks1.toSeq === expected)
+    assert(chunks1.length > 3, s"divisor 16 over 600+ chars should cut several times")
+  }
+
+  test("cdcChunks: a prefix insertion preserves most chunk hashes (the CDC property)") {
+    val base = (1 to 200).map(i => s"w${(i * 6007) % 89}").mkString(" ")
+    val df = Seq((1L, base), (2L, "INSERTED PREFIX " + base)).toDF("doc_id", "text")
+    val chunks = Curation.cdcChunks(df, "doc_id", "text", window = 8, divisor = 32)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = (a intersect b).size.toDouble / a.size
+    assert(shared > 0.5,
+      f"content-defined boundaries should survive a prefix shift, shared=$shared%.2f")
+  }
+
   test("kAnonymize: drops quasi-groups smaller than k, keeps payload rows intact") {
     val df = Seq(
       ("a", 1, "p1"), ("a", 1, "p2"), ("a", 1, "p3"),

@@ -609,6 +609,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs === Set((0L, 1L)), "only the near-identical direction pair survives")
   }
 
+  test("compact (embedding-carrying) near-dup form == ids-only form, two exchanges, no join") {
+    val wide = (0L until 60L).map(i =>
+      (i, Array.tabulate(12)(d => (math.sin(i / 3 * 17 + d) * 4).toFloat)))
+      .toDF("vec_id", "embedding").repartition(5)
+    val a = Similarity.nearDuplicates(wide, threshold = 0.8, planes = 2, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val compact = Similarity.nearDuplicatesCompact(wide, threshold = 0.8,
+      planes = 2, tables = 4)
+    val b = compact.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b, "the two forms must emit identical verified pairs")
+    assert(a.nonEmpty, "the synthetic corpus must actually produce near-dups")
+    val p = compact.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "in-group verification — no embedding re-joins")
+    assert(p.contains("graft_cosine_pairs"), "the native in-group kernel")
+  }
+
   test("native srpBucket equals the composed-built-ins reference definition") {
     val both = vecs.select(
       Similarity.srpBucket(col("embedding"), 8, planeOffset = 5).as("native"),

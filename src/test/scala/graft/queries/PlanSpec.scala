@@ -114,9 +114,10 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "the benchmark shingle set broadcasts")
   }
 
-  test("q26 LSH mode: bucket-key joins only — no collect, no single partition") {
+  test("q26 compact LSH: one bucket shuffle, in-group cosine kernel — no joins at all") {
     val p = plan("q26_embed_neardup")
-    assert(p.contains("Join"), "bucket self-join + id re-joins for scoring")
+    assert(!p.contains("Join"), "in-group verification — no embedding re-joins")
+    assert(p.contains("graft_cosine_pairs"), "the native in-group cosine kernel")
     assert(!p.contains("CartesianProduct"), "never all-pairs")
     assert(!p.contains("SinglePartition"), "no constant-key single partition")
     assert(!p.contains("MapPartitions"), "no driver-collect exact path in the registered query")
