@@ -1101,15 +1101,22 @@ case class CdcChunksExpression(first: Expression, second: Expression,
     val n = text.numChars()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val md = digest.get()
+    val scratch = new Array[Byte](16)
     val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
     // boundary positions i (1-based char index of the window's END),
-    // w <= i < n: hash the trailing w chars; i == n is always a cut
+    // w <= i < n: hash the trailing w chars; i == n is always a cut.
+    // ASCII fast path: byte index == char index, so each window
+    // digests a slice of ONE materialized byte array — the per-window
+    // substring+getBytes pair allocates twice per character otherwise.
+    val ascii = text.numBytes() == n
+    val allBytes = if (ascii) text.getBytes else null
     var i = w
     while (i < n) {
-      val bytes = text.substring(i - w, i).getBytes
-      val h = md.digest(bytes)
-      val u32 = ((h(0) & 0xFFL) << 24) | ((h(1) & 0xFFL) << 16) |
-        ((h(2) & 0xFFL) << 8) | (h(3) & 0xFFL)
+      if (ascii) md.update(allBytes, i - w, w)
+      else md.update(text.substring(i - w, i).getBytes)
+      md.digest(scratch, 0, 16)
+      val u32 = ((scratch(0) & 0xFFL) << 24) | ((scratch(1) & 0xFFL) << 16) |
+        ((scratch(2) & 0xFFL) << 8) | (scratch(3) & 0xFFL)
       if (u32 % d == 0) cuts += i
       i += 1
     }

@@ -237,12 +237,19 @@ object Curation {
     * group. One projection per doc, no shuffle; expected chunk length
     * ≈ `divisor` chars. Output: (id, chunk_ix, chunk, n_chars). */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-                window: Int = 8, divisor: Int = 64): DataFrame = {
+                window: Int = 8, divisor: Int = 64,
+                spreadPartitions: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // O(chars) digests per doc makes this COMPUTE-bound, so parallelism
+    // must not be input-split-bound: a corpus far smaller than one
+    // split (a dev SF, a filtered slice) runs the whole pass on one
+    // core unless spread. spreadPartitions > 0 repartitions first — at
+    // real scale splits already abound and the knob stays 0.
+    val input = if (spreadPartitions > 0) df.repartition(spreadPartitions) else df
     // the empty-text filter guarantees non-empty chunk arrays, so the
     // OUTER posexplode never emits null rows AND never plans the
     // size>0 re-evaluation filter the non-outer form costs
-    df.filter(length(col(textCol)) > 0)
+    input.filter(length(col(textCol)) > 0)
       .select(col(idCol),
         posexplode_outer(call_function("graft_cdc_chunks",
           col(textCol), lit(window), lit(divisor)))

@@ -722,8 +722,10 @@ object TrainingData {
     // trailing windows place the boundaries, so chunk hashes survive
     // prefix insertions — the chunk-level dedup primitive.
     "q74_cdc_chunks" -> ((s, d) => {
+      // spread: the sf0.1 documents file is ONE input split, and this
+      // operator is md5-per-character compute-bound
       Curation.cdcChunks(t(s, d, "documents"), "doc_id", "text",
-          window = 8, divisor = 64)
+          window = 8, divisor = 64, spreadPartitions = 32)
         .select(col("doc_id"), col("chunk_ix"),
           md5(col("chunk")).as("chunk_hash"), col("n_chars"))
         .orderBy(col("doc_id"), col("chunk_ix"))
