@@ -31,6 +31,59 @@ object Relevance {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Consecutive-token bigrams of `text`, occurrence-preserving
+    * ("a b a b" → ["a b", "b a", "a b"]) — unlike the dedup shingles,
+    * a language model needs COUNTS, not membership. */
+  private def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** CCNet-style LM quality score: the average negative log-probability
+    * of a document's token bigrams under an add-k-smoothed bigram model
+    * trained on `lmCorpus` — low scores read like the reference corpus,
+    * high scores are gibberish/boilerplate (the "perplexity filter" of
+    * CCNet/Gopher pipelines, with an honest self-trained model instead
+    * of a shipped binary). p(w2|w1) = (C(w1 w2) + k) / (C(w1) + k·V).
+    *
+    * Scale shape: bigram/unigram counts are map-side-combined
+    * aggregates of one exploded pass over the LM corpus; the scored
+    * corpus explodes once and joins the two count tables by key
+    * (vocabulary-sized — AQE broadcasts small ones, shuffle-joins at
+    * scale); V and the smoothing ride a broadcast 1-row frame. The
+    * per-doc average is a SUM of ln terms — each ln converts to exact
+    * integer PICO-units (×1e12, rounded, LONG) before summing, because
+    * a float SUM over a group is order-nondeterministic in any engine
+    * (the q51 doctrine) and cross-engine ln ulps sit far below the
+    * half-unit boundary. Output: (doc_id, n_bigrams, lm_score) — docs
+    * with no bigrams score null. */
+  def bigramLmScore(docs: DataFrame, lmCorpus: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Double = 0.5): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val lmToks = lmCorpus.select(explode(tokens(col(textCol))).as("w"))
+    val uni = lmToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = lmCorpus.select(explode(bigrams(col(textCol))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val docBi = docs
+      .select(col(idCol).as("doc_id"), explode(bigrams(col(textCol))).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+    val p = docBi
+      .join(bi, Seq("b"), "left")
+      .join(uni, docBi("w1") === uni("w"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp_pico", round(
+        log((coalesce(col("c2"), lit(0L)).cast("double") + lit(k)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + lit(k) * col("v")))
+          * lit(1e12), 0).cast("long"))
+    p.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-(sum(col("lp_pico")).cast("double") / lit(1e12)) /
+          count(lit(1)), 6).as("lm_score"))
+  }
+
   /** Top-`topK` TF-IDF terms per document (smoothed idf, sklearn
     * convention: `idf = ln((1+N)/(1+df)) + 1`, score = tf · idf).
     * Ties rank by term for determinism. Output:

@@ -718,6 +718,16 @@ object TrainingData {
         .orderBy(col("token_id"))
     }),
 
+    // CCNet-style LM quality score: add-0.5-smoothed bigram model
+    // trained on the src0-excluded corpus scores every document —
+    // the "perplexity filter" with an honest self-trained model.
+    "q75_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Relevance.bigramLmScore(docs, docs.filter(col("source") =!= "src0"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Content-defined chunking (native graft_cdc_chunks): hash-gated
     // trailing windows place the boundaries, so chunk hashes survive
     // prefix insertions — the chunk-level dedup primitive.
@@ -1850,6 +1860,29 @@ object TrainingData {
          |SELECT row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id,
          |  token, cnt
          |FROM top ORDER BY token_id""".stripMargin,
+
+    // The LM replayed relationally: occurrence-preserving bigrams,
+    // add-0.5 smoothing, ln in exact pico-units (the float-SUM-order
+    // doctrine), identical arithmetic order throughout.
+    "q75_lm_score" ->
+      s"""WITH lm AS (SELECT text FROM documents WHERE source <> 'src0'),
+         |lt AS (SELECT unnest($tokensSql) AS w FROM lm),
+         |uni AS (SELECT w, count(*) AS c1 FROM lt GROUP BY w),
+         |lb AS (SELECT unnest(list_transform(range(len($tokensSql)-1),
+         |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2])) AS b FROM lm),
+         |bi AS (SELECT b, count(*) AS c2 FROM lb GROUP BY b),
+         |v AS (SELECT count(*) AS v FROM uni),
+         |db AS (SELECT doc_id, unnest(list_transform(range(len($tokensSql)-1),
+         |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2])) AS b FROM documents),
+         |p AS (SELECT doc_id,
+         |    CAST(round(ln((COALESCE(c2, 0)::DOUBLE + 0.5)
+         |      / (COALESCE(c1, 0)::DOUBLE + 0.5 * v.v)) * 1e12, 0) AS BIGINT) AS lp
+         |  FROM db LEFT JOIN bi ON db.b = bi.b
+         |  LEFT JOIN uni ON split_part(db.b, ' ', 1) = uni.w
+         |  CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-(sum(lp)::DOUBLE / 1e12) / count(*), 6) AS lm_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The boundary rule relationally: cut after char i (w <= i < n)
     // iff u32(md5(chars i-7..i)) % 64 == 0; chunks between cuts.

@@ -1247,6 +1247,28 @@ class RelevanceSpec extends SparkTestBase {
     assert(ranked.toSeq === again.toSeq, "scores independent of partitioning")
   }
 
+  test("bigramLmScore: in-domain text scores lower than gibberish; pure function") {
+    import spark.implicits._
+    val lm = (1 to 50).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // in-domain
+      (2L, "zap qux vex wub nim klo parg trel snib juv"),  // unseen bigrams
+      (3L, "single")                                        // no bigrams
+    ).toDF("doc_id", "text")
+    val out = Relevance.bigramLmScore(docs, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._2 < out(2L)._2,
+      s"reference-like text must out-score gibberish, got $out")
+    assert(!out.contains(3L), "a doc with no bigrams has no score rows")
+    assert(out(1L)._1 === 8L, "9 tokens -> 8 bigrams")
+    val again = Relevance.bigramLmScore(docs.repartition(5), lm.repartition(3),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === again, "pico-unit integer sums make the score partition-exact")
+  }
+
   test("bm25TermScores: saturation — tf doubling less than doubles the score") {
     val docs = Seq(
       (1L, "term filler filler filler filler filler filler filler"),

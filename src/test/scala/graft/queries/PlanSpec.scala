@@ -255,6 +255,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "the one cross join is a 1-row broadcast")
   }
 
+  test("q75 LM score: map-combined count tables, no cartesian beyond the 1-row vocab") {
+    val p = plan("q75_lm_score")
+    assert(p.contains("partial_count"), "bigram/unigram counts map-side combine")
+    assert(!p.contains("CartesianProduct"), "only the broadcast 1-row vocab crosses")
+    assert(!p.contains("Window"), "pure aggregate/join shape — no windows")
+  }
+
   test("q72 grouped quantiles: windows keyed on the group — never a single partition") {
     val p = plan("q72_grouped_quantiles")
     assert(p.contains("Window"), "grouped ranks are the window idiom")
