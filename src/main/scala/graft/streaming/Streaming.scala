@@ -77,6 +77,36 @@ object Streaming {
         sum(col("value")).as("total_value"),
         max(col("ts")).as("last_seen"))
 
+  /** Streaming per-domain quota sampling: the first `quota` documents
+    * of each domain are admitted (ascending id within a micro-batch,
+    * arrival order across batches) and the rest drop — the streaming
+    * twin of the batch per-domain cap (`Curation.domainCap`), for
+    * ingest-time corpus balancing. The admitted count persists across
+    * micro-batches via flatMapGroupsWithState: state is ONE long per
+    * domain — bounded by domain cardinality on an infinite stream
+    * (an unbounded seen-set would be the OOM shape). Each invocation
+    * buffers only its own (domain, batch) slice to sort ids. */
+  def quotaSampleStream(docs: DataFrame, domainCol: String, idCol: String,
+                        quota: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(quota > 0, "quota must be positive")
+    docs.select(col(domainCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dom: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, quota - admitted).toInt
+          val take = rows.map(_._2).toArray.sorted.take(room)
+          if (take.nonEmpty) state.update(admitted + take.length)
+          take.iterator.map(id => (dom, id))
+      }
+      .toDF("domain", "doc_id")
+  }
+
   /** Streaming exact deduplication for document ingestion: documents
     * whose normalized-text hash was already seen are dropped,
     * `dropDuplicatesWithinWatermark` keeps the dedup state BOUNDED (an

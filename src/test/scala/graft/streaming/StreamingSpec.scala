@@ -132,6 +132,28 @@ class StreamingSpec extends SparkTestBase {
     assert(n === 40L, s"running distinct mins across batches, got $n")
   }
 
+  test("streaming quota sampler admits the first `quota` docs per domain across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("domain", "doc_id")
+    val out = Streaming.quotaSampleStream(stream, "domain", "doc_id", quota = 3)
+    val writer = out.writeStream.format("memory").queryName("quota_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-quota").toString)
+      .start()
+    input.addData(("a", 5L), ("a", 1L), ("a", 9L), ("a", 3L), ("b", 7L))
+    writer.processAllAvailable()
+    input.addData(("a", 2L), ("a", 8L), ("b", 4L)) // a is FULL: only b admits
+    writer.processAllAvailable()
+    writer.stop()
+    val got = spark.sql("SELECT domain, doc_id FROM quota_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // batch 1: a admits its 3 smallest ids (1,3,5); b admits 7
+    // batch 2: a's state says full; b admits 4 (2 of 3 used)
+    assert(got === Set(("a", 1L), ("a", 3L), ("a", 5L), ("b", 7L), ("b", 4L)),
+      s"quota must persist across micro-batches, got $got")
+  }
+
   test("streaming near-dup: a later-batch near-duplicate is flagged against the band table") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
