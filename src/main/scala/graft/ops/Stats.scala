@@ -83,6 +83,43 @@ object Stats {
       .select(col(groupCol), col("q"), col("value"))
   }
 
+  /** Single-pass corpus profile — the observability query every
+    * pipeline runs before it trusts a table: per column, row/null
+    * counts, a KMV distinct-count estimate, and min/max (rendered as
+    * strings for a uniform schema; the extrema compute on the native
+    * type first, so numeric columns profile numerically).
+    *
+    * ONE corpus scan produces everything: each column contributes its
+    * aggregates (count, `graft_kmv_mins`, min, max) to a single wide
+    * aggregation row — the bounded KMV buffers ride the same partial
+    * aggregation as the ordinary aggregates — and the wide row unpivots
+    * driver-side (|cols| rows). Output:
+    * (column, n_rows, n_nulls, distinct_est, min, max). */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        call_function("graft_kmv_mins",
+          Sketches.hash60(col(c)), lit(k)).as(s"__kmv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      val est = when(col(s"__kmv_$c.n_mins") < k,
+          col(s"__kmv_$c.n_mins").cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) /
+          ((col(s"__kmv_$c.kth_hash").cast("double") + 1.0) /
+            lit(math.pow(2.0, 60))), 6))
+      wide.select(lit(c).as("column"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        est.as("distinct_est"),
+        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"))
+    }
+    perCol.reduce(_.unionByName(_))
+  }
+
   /** Exact heavy hitters: the distinct values of `colName` whose share
     * of non-null rows is at least `minShare`, with their exact counts.
     * One corpus walk: the per-value counts map-side combine into one

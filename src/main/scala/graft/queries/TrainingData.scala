@@ -718,6 +718,15 @@ object TrainingData {
         .orderBy(col("token_id"))
     }),
 
+    // Single-pass table profile (the trust-the-data query): per column
+    // nulls, KMV distinct estimate (the native aggregate riding the
+    // same scan as the ordinary aggregates), min/max.
+    "q76_profile" -> ((s, d) => {
+      Stats.profile(t(s, d, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"), k = 256)
+        .orderBy(col("column"))
+    }),
+
     // CCNet-style LM quality score: add-0.5-smoothed bigram model
     // trained on the src0-excluded corpus scores every document —
     // the "perplexity filter" with an honest self-trained model.
@@ -1860,6 +1869,24 @@ object TrainingData {
          |SELECT row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id,
          |  token, cnt
          |FROM top ORDER BY token_id""".stripMargin,
+
+    // One UNION ALL branch per profiled column; the KMV estimate
+    // replays q62's relational form per column.
+    "q76_profile" -> Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS "column",
+         |  (SELECT count(*) FROM documents)::BIGINT AS n_rows,
+         |  (SELECT count(*) - count($c) FROM documents)::BIGINT AS n_nulls,
+         |  (WITH h AS (SELECT DISTINCT
+         |      ('0x' || substr(md5($c::VARCHAR), 1, 15))::UBIGINT AS h
+         |    FROM documents WHERE $c IS NOT NULL),
+         |  mins AS (SELECT h::BIGINT AS h FROM h ORDER BY h ASC LIMIT 256),
+         |  a AS (SELECT count(*) AS n_mins, max(h) AS kth FROM mins)
+         |  SELECT CASE WHEN n_mins < 256 THEN n_mins::DOUBLE
+         |    ELSE round(255.0 / ((kth::DOUBLE + 1.0) / 1152921504606846976.0), 6)
+         |  END FROM a) AS distinct_est,
+         |  (SELECT min($c)::VARCHAR FROM documents) AS min,
+         |  (SELECT max($c)::VARCHAR FROM documents) AS max""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
 
     // The LM replayed relationally: occurrence-preserving bigrams,
     // add-0.5 smoothing, ln in exact pico-units (the float-SUM-order

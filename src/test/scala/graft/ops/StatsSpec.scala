@@ -52,6 +52,16 @@ class StatsSpec extends SparkTestBase {
     assert(got(("solo", 0.25)) === 42L, "a 1-row group answers every q with its row")
   }
 
+  test("profile: one row per column with nulls, distinct estimate, extrema") {
+    val df = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "y"), (3L, null),
+      (2L, "x"), (null, "z")).toDF("a", "b")
+    val p = Stats.profile(df, Seq("a", "b"), k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getString(5))).toMap
+    assert(p("a") === ((5L, 1L, 3.0, "1", "3")), s"got ${p("a")}")
+    assert(p("b") === ((5L, 1L, 3.0, "x", "z")), s"got ${p("b")}")
+  }
+
   test("heavyHitters: exact counts, share gate, partitioning-invariant") {
     // 600 a, 300 b, 90 c, 10 d of 1000
     val rows = Seq.fill(600)("a") ++ Seq.fill(300)("b") ++
