@@ -429,11 +429,24 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), splitPattern)).as(Seq("ix", "para")))
       .filter(col("para") =!= "")
-    val hot = paras.groupBy(md5(col("para")).as("h"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-      .filter(col("ndocs") >= minDocFreq)
-      .select(col("h")).withColumn("__hot", lit(1))
-    val flagged = paras.join(hot, md5(col("para")) === hot("h"), "left_outer")
+      .withColumn("h", md5(col("para")))
+    // cross-doc document frequency via two windows instead of a
+    // groupBy(h)+join back: the join form evaluates the exploded-paras
+    // subtree TWICE (the two branches' children differ, so no exchange
+    // reuse — the split/regex pass runs once per branch) and pays the
+    // probe-side exchange. Windows keep paras single-evaluation: mark
+    // each (h, doc)'s first occurrence, sum those marks per h =
+    // countDistinct(doc), all with counter-sized state (the tfIdf df
+    // lesson; a collect_set window would OOM on a universal paragraph).
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("h"), col("doc_id")).orderBy(col("ix"))
+    val wH = Window.partitionBy(col("h"))
+    val flagged = paras
+      .withColumn("__first",
+        when(row_number().over(wDoc) === 1, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__hot",
+        when(sum(col("__first")).over(wH) >= minDocFreq, lit(1))
+          .otherwise(lit(null)))
     val rebuilt = flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
         count(when(col("__hot").isNull, lit(1))).as("n_kept"),

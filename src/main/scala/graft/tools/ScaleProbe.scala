@@ -326,6 +326,24 @@ object ScaleProbe {
       println(s"[scale]   sampled = ${out.count()}")
     }
 
+    timed("CDC chunking 600k text docs") {
+      val out = graft.ops.Curation.cdcChunks(textDocs, "doc_id", "text",
+        window = 8, divisor = 32)
+      println(s"[scale]   chunks = ${out.count()}")
+    }
+
+    timed("bigram LM score 600k (self-trained)") {
+      val out = graft.ops.Relevance.bigramLmScore(textDocs, textDocs,
+        "doc_id", "text")
+      println(s"[scale]   scored = ${out.count()}")
+    }
+
+    timed("profile lineitem (4 cols, one scan)") {
+      val out = graft.ops.Stats.profile(li,
+        Seq("l_partkey", "l_suppkey", "l_quantity", "l_returnflag"), k = 256)
+      println(s"[scale]   rows = ${out.count()}")
+    }
+
     timed("contrastive triplets from 100k pairs over 600k corpus") {
       val ids = li.select((col("l_orderkey") * 100 + col("l_linenumber"))
         .as("doc_id")).distinct().localCheckpoint(true)
