@@ -326,6 +326,17 @@ object ScaleProbe {
       println(s"[scale]   sampled = ${out.count()}")
     }
 
+    timed("paragraph dedup 600k (3-token paras, window df)") {
+      val para = textDocs.withColumn("ptext",
+        regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
+      val out = graft.ops.Dedup.paragraphDedup(para, "doc_id", "ptext",
+        splitPattern = "\n", minDocFreq = 2)
+      // force the rebuild: a bare count() prunes text_clean entirely
+      val r = out.agg(sum(length(col("text_clean"))).as("chars"),
+        sum(col("n_kept")).as("kept")).head()
+      println(s"[scale]   chars = ${r.getLong(0)}, kept = ${r.getLong(1)}")
+    }
+
     timed("CDC chunking 600k text docs") {
       val out = graft.ops.Curation.cdcChunks(textDocs, "doc_id", "text",
         window = 8, divisor = 32)
