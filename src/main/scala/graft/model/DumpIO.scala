@@ -44,6 +44,30 @@ object DumpIO {
     }
   }
 
+  /** Snapshot delta — what changed between two dataset versions (the
+    * audit step of the reference's grow → promote lifecycle): one row
+    * per id with status `added` (only in `next`), `removed` (only in
+    * `prev`), `changed` (both, any compare column differs) or
+    * `unchanged`. Rows compare by an md5 of their compare columns
+    * (null-safe: U+0000 sentinel, U+0001 separator — engine-portable),
+    * so wide payloads diff without shipping both copies past the join.
+    * One full-outer shuffle join on the id; both sides reduce to
+    * (id, hash) before it. */
+  def diffSnapshots(prev: DataFrame, next: DataFrame, idCol: String,
+                    compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "diff needs at least one compare column")
+    def keyed(df: DataFrame, hashName: String) =
+      df.select(col(idCol).as("id"),
+        md5(concat_ws("\u0001", compareCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(hashName))
+    keyed(prev, "__hp").join(keyed(next, "__hn"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__hp").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__hp") =!= col("__hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Resource-cache dump/load (management/commands/dump_resource.py:
     * 209-222 / load_resource.py:185-200). */
   def dumpResources(cache: DataFrame, dir: String): Unit =

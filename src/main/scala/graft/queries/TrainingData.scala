@@ -718,6 +718,21 @@ object TrainingData {
         .orderBy(col("token_id"))
     }),
 
+    // Snapshot diff (the grow → promote audit): src0 docs removed,
+    // English lengths perturbed (changed), French clones appended
+    // (added) — every id classified against the previous version.
+    "q77_snapshot_diff" -> ((s, d) => {
+      val prev = t(s, d, "documents")
+      val next = prev.filter(col("source") =!= "src0")
+        .withColumn("n_chars", when(col("lang") === "en",
+          col("n_chars") + 1).otherwise(col("n_chars")))
+        .unionByName(prev.filter(col("lang") === "fr")
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.model.DumpIO.diffSnapshots(prev, next, "doc_id",
+          Seq("lang", "source", "n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Single-pass table profile (the trust-the-data query): per column
     // nulls, KMV distinct estimate (the native aggregate riding the
     // same scan as the ordinary aggregates), min/max.
@@ -1869,6 +1884,28 @@ object TrainingData {
          |SELECT row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id,
          |  token, cnt
          |FROM top ORDER BY token_id""".stripMargin,
+
+    "q77_snapshot_diff" ->
+      """WITH next AS (
+        |  SELECT doc_id, lang, source,
+        |    CASE WHEN lang = 'en' THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE source <> 'src0'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, source, n_chars
+        |  FROM documents WHERE lang = 'fr'),
+        |hp AS (SELECT doc_id, md5(concat_ws(chr(1), COALESCE(lang, chr(0)),
+        |    COALESCE(source, chr(0)), COALESCE(n_chars::VARCHAR, chr(0)))) AS h
+        |  FROM documents),
+        |hn AS (SELECT doc_id, md5(concat_ws(chr(1), COALESCE(lang, chr(0)),
+        |    COALESCE(source, chr(0)), COALESCE(n_chars::VARCHAR, chr(0)))) AS h
+        |  FROM next)
+        |SELECT COALESCE(hp.doc_id, hn.doc_id) AS doc_id,
+        |  CASE WHEN hp.h IS NULL THEN 'added'
+        |       WHEN hn.h IS NULL THEN 'removed'
+        |       WHEN hp.h <> hn.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM hp FULL OUTER JOIN hn ON hp.doc_id = hn.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // One UNION ALL branch per profiled column; the KMV estimate
     // replays q62's relational form per column.

@@ -114,6 +114,27 @@ class DumpIOSpec extends SparkTestBase {
 
   val spec = CollectionSpec("dump", identifier = Some("id"))
 
+  test("diffSnapshots classifies added/removed/changed/unchanged, null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val prev = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, None: Option[String], 30L)).toDF("id", "t", "n")
+    val next = Seq((1L, Some("a"), 10L), (2L, Some("B"), 20L),
+      (4L, Some("d"), 40L), (3L, None: Option[String], 30L)).toDF("id", "t", "n")
+    val d = DumpIO.diffSnapshots(prev, next, "id", Seq("t", "n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"))
+    val d2 = DumpIO.diffSnapshots(next, prev, "id", Seq("t", "n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2(4L) === "removed")
+    // a null vs the empty string must NOT collide (the sentinel's job)
+    val p3 = Seq((9L, None: Option[String])).toDF("id", "t")
+    val n3 = Seq((9L, Some(""))).toDF("id", "t")
+    assert(DumpIO.diffSnapshots(p3, n3, "id", Seq("t"))
+      .head.getString(1) === "changed")
+  }
+
   test("collection content to file is a JSON array ordered by id (collection.py:359-361)") {
     val docs = CollectionOps.add(Documents.empty(spark),
       Documents.fromJsonSeq(spark, Seq("""{"id":1,"t":"a"}""", """{"id":2,"t":"b"}""")), spec)
