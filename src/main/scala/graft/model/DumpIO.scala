@@ -52,7 +52,9 @@ object DumpIO {
     * (null-safe: U+0000 sentinel, U+0001 separator — engine-portable),
     * so wide payloads diff without shipping both copies past the join.
     * One full-outer shuffle join on the id; both sides reduce to
-    * (id, hash) before it. */
+    * (id, hash) before it. `idCol` must be unique per snapshot (the
+    * collection identifier contract) — duplicate ids would
+    * cross-multiply through the outer join. */
   def diffSnapshots(prev: DataFrame, next: DataFrame, idCol: String,
                     compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "diff needs at least one compare column")

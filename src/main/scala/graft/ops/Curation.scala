@@ -436,7 +436,9 @@ object Curation {
     * aggregation's exchange, and the per-domain rates BROADCAST back
     * onto the corpus — the corpus itself shuffles zero times. Rates
     * round to 9 decimals so `pow` ulp differences between engines
-    * cannot flip a row across the gate. */
+    * cannot flip a row across the gate. Null-domain rows drop (no
+    * null join key, SQL semantics) — route them to a sentinel domain
+    * upstream if they must sample. */
   def mixtureSample(docs: DataFrame, domainCol: String, idCol: String,
                     alpha: Double, targetRows: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must lie in [0, 1]")

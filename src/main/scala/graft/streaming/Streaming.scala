@@ -100,9 +100,14 @@ object Streaming {
         (dom: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
           val room = math.max(0L, quota - admitted).toInt
-          val take = rows.map(_._2).toArray.sorted.take(room)
-          if (take.nonEmpty) state.update(admitted + take.length)
-          take.iterator.map(id => (dom, id))
+          // a FULL domain buffers nothing — the common steady state once
+          // the stream outlives its quotas
+          if (room == 0) Iterator.empty
+          else {
+            val take = rows.map(_._2).toArray.sorted.take(room)
+            if (take.nonEmpty) state.update(admitted + take.length)
+            take.iterator.map(id => (dom, id))
+          }
       }
       .toDF("domain", "doc_id")
   }
