@@ -438,6 +438,13 @@ object Dedup {
     // each (h, doc)'s first occurrence, sum those marks per h =
     // countDistinct(doc), all with counter-sized state (the tfIdf df
     // lesson; a collect_set window would OOM on a universal paragraph).
+    // Known trade: WindowExec buffers each h-group's ROWS while
+    // evaluating, so a paragraph present in a large corpus fraction is
+    // a spill hotspot (spills, never OOMs — UnsafeExternalSorter); the
+    // 4× dup-densified probe (every group ≥4 occurrences, 2.4M docs)
+    // runs sublinear at 6.6 s. Corpora with UNIVERSAL boilerplate
+    // should strip it first (boilerplateMetrics) — true of the join
+    // form too, which shuffled the same hot rows to one reducer.
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("h"), col("doc_id")).orderBy(col("ix"))
     val wH = Window.partitionBy(col("h"))

@@ -326,8 +326,10 @@ object ScaleProbe {
       println(s"[scale]   sampled = ${out.count()}")
     }
 
-    timed("paragraph dedup 600k (3-token paras, window df)") {
-      val para = textDocs.withColumn("ptext",
+    timed(s"paragraph dedup ${600 * probeScale}k (3-token paras, window df)") {
+      // scaledDocs: dup-densification multiplies every paragraph's
+      // h-group size ×scale — the window form's buffer hotspot
+      val para = scaledDocs.withColumn("ptext",
         regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
       val out = graft.ops.Dedup.paragraphDedup(para, "doc_id", "ptext",
         splitPattern = "\n", minDocFreq = 2)
