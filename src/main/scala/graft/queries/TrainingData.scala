@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, Contrastive, Curation, Dedup, Multimodal, Relevance, Similarity, Sketches, Stats, TextOps}
+import graft.ops.{AsOfJoin, Contrastive, Curation, Dedup, Graph, Multimodal, Relevance, Similarity, Sketches, Stats, TextOps}
 
 /** Training-data pipeline operators as oracle-checkable queries:
   * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -716,6 +716,20 @@ object TrainingData {
       top.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
         .select(col("token_id"), col("token"), col("cnt"))
         .orderBy(col("token_id"))
+    }),
+
+    // PageRank centrality over the near-dup graph (exact pico-unit
+    // arithmetic, 4 rounds): central docs are their neighborhoods'
+    // representatives — a data-selection signal.
+    "q78_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleSize = 3)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      Graph.pageRank(docs.select(col("doc_id")), edges, iterations = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }),
 
     // Snapshot diff (the grow → promote audit): src0 docs removed,
@@ -1884,6 +1898,42 @@ object TrainingData {
          |SELECT row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id,
          |  token, cnt
          |FROM top ORDER BY token_id""".stripMargin,
+
+    // q23's pair CTEs feed a 4-round unrolled PageRank: identical
+    // pico-unit integer arithmetic per round (the contribution sum is
+    // a BIGINT sum — order-exact in both engines).
+    "q78_pagerank" -> {
+      val iter = (i: Int) =>
+        s"""r$i AS (
+           |  SELECT n.id, (SELECT b FROM consts) + COALESCE(s.c, 0) AS pico
+           |  FROM ids n LEFT JOIN (
+           |    SELECT e.dst AS id,
+           |      SUM(CAST(round(r.pico * 0.85 / o.outdeg, 0) AS BIGINT)) AS c
+           |    FROM edges e JOIN r${i - 1} r ON e.src = r.id
+           |    JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) s ON n.id = s.id)""".stripMargin
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |ids AS (SELECT doc_id AS id FROM documents),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |consts AS (SELECT
+         |  CAST(round(1e12 * (1 - 0.85) / count(*), 0) AS BIGINT) AS b,
+         |  CAST(round(1e12 / count(*), 0) AS BIGINT) AS ini FROM documents),
+         |r0 AS (SELECT id, (SELECT ini FROM consts) AS pico FROM ids),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT id AS doc_id, round(pico::DOUBLE / 1e12, 9) AS rank
+         |FROM r4 ORDER BY doc_id""".stripMargin
+    },
 
     "q77_snapshot_diff" ->
       """WITH next AS (

@@ -255,6 +255,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "the one cross join is a 1-row broadcast")
   }
 
+  test("q78 pagerank: keyed joins and map-combined sums — no cartesian, no window") {
+    val p = plan("q78_pagerank")
+    assert(!p.contains("CartesianProduct"), "iterations join on node keys only")
+    assert(!p.contains("Window"), "pure join/aggregate rounds")
+    assert(p.contains("partial_sum"), "per-destination contributions map-side combine")
+  }
+
   test("q75 LM score: map-combined count tables, no cartesian beyond the 1-row vocab") {
     val p = plan("q75_lm_score")
     assert(p.contains("partial_count"), "bigram/unigram counts map-side combine")
