@@ -357,6 +357,17 @@ object ScaleProbe {
       println(s"[scale]   rows = ${out.count()}")
     }
 
+    timed("pagerank 5 rounds, 600k nodes / ~1.2M edges") {
+      val ids = li.select((col("l_orderkey") * 100 + col("l_linenumber"))
+        .as("id")).distinct().localCheckpoint(true)
+      val fwd = ids.select(col("id").as("src"),
+        (pmod(col("id") * 7919 + 13, lit(600000)) * 100).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val r = graft.ops.Graph.pageRank(ids, edges, iterations = 5)
+      println(s"[scale]   ranked = ${r.count()}")
+    }
+
     timed("contrastive triplets from 100k pairs over 600k corpus") {
       val ids = li.select((col("l_orderkey") * 100 + col("l_linenumber"))
         .as("doc_id")).distinct().localCheckpoint(true)
