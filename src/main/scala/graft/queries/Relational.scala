@@ -35,8 +35,15 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
-            (lit(1) - col("l_discount").cast(DecimalType(18, 4)))).cast("double").as("sum_disc_price"),
+          // the products are exactly 4-decimal (2dp price × 2dp
+          // discount complement): rounding the sum to scale 4 is
+          // lossless AND keeps the scaled integer below 2^53, where a
+          // scale-8 decimal→double cast is no longer exact (DuckDB's
+          // int128/1e8 conversion drifted 3e-7 at sf0.1 — caught by
+          // the sf0.1 oracle gate)
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 4)))), 4)
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -201,8 +208,10 @@ object Relational {
       li.join(part, li("l_partkey") === part("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
-            (lit(1) - col("l_discount").cast(DecimalType(18, 4)))).cast("double").as("revenue"),
+          // scale-4 rounded sum: see q1's sum_disc_price note
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 4)))), 4)
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("p_brand"))
     }),
@@ -221,7 +230,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-12-01'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -298,7 +307,7 @@ object Relational {
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "q17_brand_revenue" ->
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
