@@ -30,30 +30,36 @@ object AsOfJoin {
                    keyCol: String, tsCol: String,
                    rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     require(rightCols.nonEmpty, "need at least one right column to carry")
-    val carried = rightCols.map(c => s"$prefix$c") :+ s"${prefix}ts"
-    val lSide = carried.foldLeft(left.withColumn("__side", lit(1))) {
-      case (df, c) =>
-        val src = if (c == s"${prefix}ts") tsCol else c.stripPrefix(prefix)
-        df.withColumn(c, lit(null).cast(right.schema(src).dataType))
-    }
-    val rSide = {
-      val base = right.select(
-        Seq(col(keyCol), col(tsCol), lit(0).as("__side"), col(tsCol).as(s"${prefix}ts")) ++
-          rightCols.map(c => col(c).as(s"$prefix$c")): _*)
-      // null columns for the left-only attributes so the union aligns
-      lSide.columns.foldLeft(base) { case (df, c) =>
-        if (df.columns.contains(c)) df
-        else df.withColumn(c, lit(null).cast(lSide.schema(c).dataType))
-      }
+    // ONE struct carries the whole matched right row (ts + values), so
+    // a null in a carried value column rides with ITS row instead of
+    // being back-filled from an older row — per-column last(ignoreNulls)
+    // would mix fields of different right rows, diverging from true
+    // as-of semantics (and from DuckDB's ASOF, which returns the latest
+    // row including its nulls). The struct itself is null only on left
+    // rows, so ignoreNulls skips exactly the non-matches.
+    val payload = (col(tsCol).as(s"${prefix}ts") +:
+      rightCols.map(c => col(c).as(s"$prefix$c"))).toSeq
+    val rSide0 = right.select(
+      col(keyCol), col(tsCol), lit(0).as("__side"), struct(payload: _*).as("__asof"))
+    val lSide = left.withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(rSide0.schema("__asof").dataType))
+    // null columns for the left-only attributes so the union aligns
+    val rSide = lSide.columns.foldLeft(rSide0) { case (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(lSide.schema(c).dataType))
     }
     val unioned = lSide.unionByName(rSide.select(lSide.columns.map(col): _*))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCarry = carried.foldLeft(unioned) { case (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    withCarry.filter(col("__side") === 1).drop("__side")
+    val withCarry = unioned
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    // unpack in the historical output order: carried values, then ts
+    val outCols = left.columns.map(col).toSeq ++
+      rightCols.map(c => col(s"__asof.$prefix$c").as(s"$prefix$c")) :+
+      col(s"__asof.${prefix}ts").as(s"${prefix}ts")
+    withCarry.select(outCols: _*)
   }
 
   /** Gap-based sessionization — the other temporal primitive (web-log /

@@ -230,29 +230,45 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIterations: Int = 20,
-                          driverEdgeLimit: Long = 5000000L): DataFrame = {
+                          driverEdgeLimit: Long = 1000000L): DataFrame = {
     // Small-graph fast path: near-dup graphs are usually TINY relative
     // to their corpus (dozens to thousands of edges for millions of
     // docs), and every distributed round costs fixed scheduler +
     // checkpoint overhead — ~1 s of pure latency for a 262-edge graph
     // (measured, sf0.1). The limit(n+1) collect IS the cutover probe:
     // one evaluation of the (possibly expensive) pair pipeline either
-    // yields the whole edge list (≤ driverEdgeLimit, default 5M ≈
-    // 80 MB — union-find labels it on the driver) or stops at n+1 rows
-    // and the distributed rounds run unchanged. Equivalence: union-find
-    // with min-root IS min-label closure (DedupSpec tests both paths
-    // against the same reference).
-    if (driverEdgeLimit > 0 && driverEdgeLimit < Int.MaxValue) {
-      val probe = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
-        .limit(driverEdgeLimit.toInt + 1).collect()
-      if (probe.length <= driverEdgeLimit)
-        return connectedComponentsLocal(pairs.sparkSession,
-          probe.map(r => (r.getLong(0), r.getLong(1))))
+    // yields the whole edge list (≤ driverEdgeLimit, default 1M — as
+    // primitive-specialized tuples ≈ 30 MB of driver heap, union-find
+    // labels it on the driver) or stops at n+1 rows and the distributed
+    // rounds run on the SAME persisted pair frame, so the pipeline
+    // evaluates once either way. Integral-id graphs only — any other id
+    // type (strings, decimals) goes straight to the distributed path,
+    // which never casts. Equivalence: union-find with min-root IS
+    // min-label closure (DedupSpec tests both paths against the same
+    // reference).
+    val integralIds = Seq(idA, idB).forall(c => pairs.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    val fastEligible = driverEdgeLimit > 0 && driverEdgeLimit < Int.MaxValue && integralIds
+    val src = if (fastEligible)
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pairs
+    if (fastEligible) {
+      import src.sparkSession.implicits._
+      val probe = src.select(col(idA).cast("long"), col(idB).cast("long"))
+        .as[(Long, Long)].limit(driverEdgeLimit.toInt + 1).collect()
+      if (probe.length <= driverEdgeLimit) {
+        src.unpersist(blocking = false)
+        return connectedComponentsLocal(pairs.sparkSession, probe)
+      }
     }
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    val edges = src.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(src.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // eager — src is materialized into the edge frame here
+    if (fastEligible) src.unpersist(blocking = false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()

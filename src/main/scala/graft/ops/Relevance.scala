@@ -36,7 +36,10 @@ object Relevance {
     * a language model needs COUNTS, not membership. */
   private def bigrams(text: Column): Column = {
     val t = tokens(text)
-    zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+    // clamp at 0: a 0/1-token doc has no bigrams, and slice() throws on
+    // a negative length rather than returning empty
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
       (a, b) => concat(a, lit(" "), b))
   }
 

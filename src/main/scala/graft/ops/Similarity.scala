@@ -120,12 +120,16 @@ object Similarity {
     * The bucket self-join carries only (table, bucket, id) — embeddings
     * re-join by id for exact-cosine verification, so vector payloads
     * never ride the ×tables shuffle. Set `planes = 0` for exact
-    * all-pairs (only sane for probe-scale inputs). */
+    * all-pairs (only sane for probe-scale inputs — guarded by
+    * `exactRowLimit`, which callers must raise EXPLICITLY to run exact
+    * mode on anything bigger than a probe corpus). */
   def nearDuplicates(df: DataFrame, threshold: Double, planes: Int = 8,
                      tables: Int = 1,
                      idCol: String = "vec_id", embCol: String = "embedding",
-                     maxBucketSize: Int = 0): DataFrame = {
-    if (planes <= 0) return exactNearDuplicates(df, threshold, idCol, embCol)
+                     maxBucketSize: Int = 0,
+                     exactRowLimit: Int = 100000): DataFrame = {
+    if (planes <= 0)
+      return exactNearDuplicates(df, threshold, idCol, embCol, exactRowLimit)
     val keyed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       sqrt(dotUdf(col(embCol), col(embCol))).as("norm"))
     // one shuffle on the (table, bucket) key; pairs generate locally
@@ -693,12 +697,22 @@ object Similarity {
     * matches the oracle exactly: sequential double dot, dot/(na*nb),
     * round 6. */
   private def exactNearDuplicates(df: DataFrame, threshold: Double,
-                                  idCol: String, embCol: String): DataFrame = {
+                                  idCol: String, embCol: String,
+                                  rowLimit: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(idCol).cast("long"), col(embCol))
       .as[(Long, Array[Float])]
-    val corpus = spark.sparkContext.broadcast(rows.collect().sortBy(_._1))
+    // the broadcast-then-loop shape is O(n²) work and O(n·dims) driver +
+    // executor memory — probe the size BEFORE collecting the corpus so
+    // an oversized frame fails fast instead of OOMing the driver
+    val probe = rows.limit(rowLimit + 1).collect()
+    require(probe.length <= rowLimit,
+      s"nearDuplicates exact mode (planes <= 0) broadcasts the whole corpus " +
+        s"to every task and compares all pairs; input exceeds exactRowLimit=$rowLimit " +
+        s"rows. Use SRP buckets (planes >= 1) at data scale, or raise exactRowLimit " +
+        s"explicitly if the corpus genuinely fits on the driver.")
+    val corpus = spark.sparkContext.broadcast(probe.sortBy(_._1))
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)

@@ -121,7 +121,11 @@ object Sketches {
     // One partition has one offset — 0 — so the counting job is skipped.
     val offsets = if (n == 1) Array(0L) else {
       val counts = rdd.mapPartitionsWithIndex { case (ix, it) =>
-        Iterator((ix, it.size.toLong))
+        // Long accumulator, not it.size: Iterator.size returns Int and
+        // silently wraps past 2^31 rows per partition
+        var cnt = 0L
+        while (it.hasNext) { it.next(); cnt += 1L }
+        Iterator((ix, cnt))
       }.collect().sortBy(_._1).map(_._2)
       counts.scanLeft(0L)(_ + _)
     }

@@ -104,6 +104,23 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("as-of: a null payload field rides with ITS row, never a stitched older row") {
+    // latest right row @150 carries value=null, tag="b"; a left row @200
+    // must get (asof_ts=150, asof_value=null, asof_tag=b) — per-column
+    // forward-fill would resurrect value=1.5 from the @50 row and emit a
+    // right row that never existed
+    val r = Seq(
+      (10L, ts(50), Option(1.5), "a"),
+      (10L, ts(150), Option.empty[Double], "b")
+    ).toDF("user_id", "ts", "value", "tag")
+    val l = Seq((1L, 10L, ts(200))).toDF("event_id", "user_id", "ts")
+    val row = AsOfJoin.asofBackward(l, r, "user_id", "ts", Seq("value", "tag")).head()
+    assert(row.getAs[Timestamp]("asof_ts") === ts(150))
+    assert(row.isNullAt(row.fieldIndex("asof_value")),
+      "the matched row's null payload must survive")
+    assert(row.getAs[String]("asof_tag") === "b")
+  }
+
   test("as-of plan: one keyed window — no range join, no cartesian") {
     val p = AsOfJoin.asofBackward(left, right, "user_id", "ts", Seq("value"))
       .queryExecution.executedPlan.toString

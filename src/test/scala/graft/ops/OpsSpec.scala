@@ -602,6 +602,22 @@ class SimilaritySpec extends SparkTestBase {
     both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("exact near-dup mode refuses an oversized corpus unless the limit is raised") {
+    val big = (0L until 50L).map(i =>
+      (i, Array.tabulate(4)(d => (i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.nearDuplicates(big, threshold = 0.9, planes = 0, exactRowLimit = 10)
+        .collect()
+    }
+    assert(ex.getMessage.contains("exactRowLimit"),
+      "the guard must name the knob that lifts it")
+    // raising the limit explicitly opts in and the collect proceeds
+    val ok = Similarity.nearDuplicates(big, threshold = 0.999999, planes = 0,
+      exactRowLimit = 50)
+    assert(ok.count() >= 0L)
+  }
+
   test("multi-table SRP near-dup finds the close pair without any collect") {
     val nd = Similarity.nearDuplicates(vecs, threshold = 0.9, planes = 2, tables = 3)
     assert(nd.queryExecution.executedPlan.toString.contains("Join"))
@@ -1255,13 +1271,17 @@ class RelevanceSpec extends SparkTestBase {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // in-domain
       (2L, "zap qux vex wub nim klo parg trel snib juv"),  // unseen bigrams
-      (3L, "single")                                        // no bigrams
+      (3L, "single"),                                       // no bigrams
+      (4L, ""),                                             // ZERO tokens
+      (5L, "   \t  ")                                       // whitespace-only
     ).toDF("doc_id", "text")
     val out = Relevance.bigramLmScore(docs, lm, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(out(1L)._2 < out(2L)._2,
       s"reference-like text must out-score gibberish, got $out")
     assert(!out.contains(3L), "a doc with no bigrams has no score rows")
+    assert(!out.contains(4L) && !out.contains(5L),
+      "zero-token docs must drop out, not crash the slice (negative length)")
     assert(out(1L)._1 === 8L, "9 tokens -> 8 bigrams")
     val again = Relevance.bigramLmScore(docs.repartition(5), lm.repartition(3),
         "doc_id", "text")
