@@ -62,10 +62,25 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The JSON must survive sbt/log4j noise and tail truncation: write
+    // it to a file AND print it as the absolute last line, after
+    // spark.stop() has flushed every executor/log line that could
+    // otherwise interleave with (or displace) the one machine-readable
+    // line of output.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
+    println(json)
   }
 }

@@ -140,6 +140,151 @@ object Multimodal {
     if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
   }
 
+  // ---- MP3 (MPEG audio Layer III) frame-header parse & synthesis ----
+
+  /** Layer III bitrates (kbps) by version: index 1-14; 0 = free, 15 = bad. */
+  private val Mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3Rates = Map( // version bits -> sample-rate table
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000))  // MPEG2.5
+
+  /** MP3 duration from the frame header: skips an ID3v2 tag, scans for
+    * the first valid Layer III frame sync, then either reads the exact
+    * frame count from a Xing/Info VBR header (frames × samples-per-frame
+    * ÷ sample rate) or falls back to the CBR estimate (remaining bytes ×
+    * 8 ÷ bitrate). None when no frame sync parses — not an MP3. */
+  def parseMp3DurationMs(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 4) return None
+    var off = 0
+    // ID3v2 tag: "ID3" + ver(2) + flags + 4 syncsafe size bytes
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      off = 10 + size
+    }
+    // scan a bounded window for the sync — tolerates junk prefixes
+    val scanEnd = math.min(bytes.length - 4, off + 4096)
+    while (off <= scanEnd) {
+      if ((bytes(off) & 0xFF) == 0xFF && (bytes(off + 1) & 0xE0) == 0xE0) {
+        val b1 = bytes(off + 1) & 0xFF; val b2 = bytes(off + 2) & 0xFF
+        val version = (b1 >> 3) & 3  // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layer = (b1 >> 1) & 3    // 1 = Layer III
+        val brIdx = (b2 >> 4) & 0xF
+        val srIdx = (b2 >> 2) & 3
+        if (version != 1 && layer == 1 && brIdx >= 1 && brIdx <= 14 && srIdx != 3) {
+          val sampleRate = Mp3Rates(version)(srIdx)
+          val kbps = (if (version == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+          val samplesPerFrame = if (version == 3) 1152 else 576
+          val stereo = ((bytes(off + 3) & 0xFF) >> 6) != 3 // channel mode 3 = mono
+          // Xing/Info VBR header sits after the side info block
+          val sideInfo = (version, stereo) match {
+            case (3, true) => 32; case (3, false) => 17
+            case (_, true) => 17; case _ => 9
+          }
+          val x = off + 4 + sideInfo
+          val vbrFrames =
+            if (x + 12 <= bytes.length &&
+                (ascii4(bytes, x) == "Xing" || ascii4(bytes, x) == "Info") &&
+                (bytes(x + 7) & 1) == 1)
+              Some(beInt(bytes, x + 8).toLong & 0xFFFFFFFFL)
+            else None
+          return vbrFrames match {
+            case Some(n) => Some(n * samplesPerFrame * 1000L / sampleRate)
+            case None => Some((bytes.length - off).toLong * 8L / kbps)
+          }
+        }
+      }
+      off += 1
+    }
+    None
+  }
+
+  /** Minimal CBR MP3: one valid Layer III frame header + zero fill
+    * sized so the CBR estimate reads back `durationMs`. */
+  def mp3Bytes(durationMs: Long, kbps: Int = 128): Array[Byte] = {
+    val brIdx = Mp3BitrateV1.indexOf(kbps)
+    require(brIdx >= 1, s"unsupported MPEG1 Layer III bitrate: $kbps")
+    val total = math.max(4L, durationMs * kbps / 8L).toInt
+    val out = new Array[Byte](total)
+    out(0) = 0xFF.toByte; out(1) = 0xFB.toByte // MPEG1, Layer III, no CRC
+    out(2) = ((brIdx << 4) | (0 << 2)).toByte  // 44100 Hz, no padding
+    out(3) = 0x00                              // stereo
+    out
+  }
+
+  // ---- Ogg (Vorbis/Opus) page walk ---------------------------------
+
+  private def ascii4(b: Array[Byte], off: Int) = new String(b, off, 4, "US-ASCII")
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def leLong(b: Array[Byte], off: Int): Long =
+    (0 until 8).foldLeft(0L)((acc, i) => acc | ((b(off + i) & 0xFFL) << (8 * i)))
+
+  /** Ogg duration from the page walk: the codec identification packet
+    * on the first page gives the granule rate (Vorbis `\\x01vorbis` →
+    * declared sample rate; Opus `OpusHead` → granules are ALWAYS
+    * 48 kHz), the max granule position across pages gives the sample
+    * count. CRCs are not verified — this is a feature probe, not a
+    * demuxer. None when no parseable Ogg page / ident packet exists. */
+  def parseOggDurationMs(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 28 || ascii4(bytes, 0) != "OggS") return None
+    var pos = 0
+    var rate = 0L
+    var maxGranule = 0L
+    var first = true
+    while (pos + 27 <= bytes.length && ascii4(bytes, pos) == "OggS") {
+      val granule = leLong(bytes, pos + 6)
+      if (granule > maxGranule) maxGranule = granule
+      val nSegs = bytes(pos + 26) & 0xFF
+      if (pos + 27 + nSegs > bytes.length) return None
+      var payloadLen = 0
+      var i = 0
+      while (i < nSegs) { payloadLen += bytes(pos + 27 + i) & 0xFF; i += 1 }
+      val payload = pos + 27 + nSegs
+      if (first && payload + 16 <= bytes.length) {
+        if (bytes(payload) == 0x01 && payload + 16 <= bytes.length &&
+            new String(bytes, payload + 1, 6, "US-ASCII") == "vorbis")
+          rate = leInt(bytes, payload + 12).toLong & 0xFFFFFFFFL
+        else if (ascii4(bytes, payload) == "Opus" &&
+            ascii4(bytes, payload + 4) == "Head")
+          rate = 48000L
+        first = false
+      }
+      pos = payload + payloadLen
+    }
+    if (rate > 0) Some(maxGranule * 1000L / rate) else None
+  }
+
+  /** Minimal two-page Ogg Vorbis stream: page 0 carries the ident
+    * packet (declaring `sampleRate`), page 1 carries the final granule
+    * position for `durationMs`. CRC fields are zero (the parser never
+    * checks them). */
+  def oggBytes(durationMs: Long, sampleRate: Int = 44100): Array[Byte] = {
+    def page(seq: Int, granule: Long, typ: Int, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255, "single-segment synth page")
+      val bb = java.nio.ByteBuffer.allocate(28 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(typ.toByte)
+        .putLong(granule).putInt(1).putInt(seq).putInt(0)
+        .put(1.toByte).put(payload.length.toByte).put(payload)
+      bb.array()
+    }
+    val ident = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(0x01.toByte).put("vorbis".getBytes("US-ASCII"))
+      .putInt(0).put(1.toByte).putInt(sampleRate)
+      .putInt(0).putInt(0).putInt(0).put(0x01.toByte).array()
+    val granule = durationMs * sampleRate / 1000L
+    page(0, 0L, 0x02, ident) ++ page(1, granule, 0x04, Array[Byte](0))
+  }
+
   /** Minimal ISO-BMFF container: ftyp + moov(mvhd + trak(tkhd)) + mdat
     * around `data`. Fixed 244-byte box overhead (so the synthesized
     * payload size is arithmetically predictable), version-0 boxes,
@@ -208,9 +353,10 @@ object Multimodal {
   }
 
   /** THE default decoder: real header-only parses for all three kinds —
-    * image dimensions via [[imageDims]], audio duration via
-    * [[parseWavDurationMs]], video duration + dimensions via
-    * [[parseMp4]]. Bytes-proportional work is limited to sha256 and the
+    * image dimensions via [[imageDims]], audio duration via the
+    * container sniff chain ([[parseWavDurationMs]] →
+    * [[parseMp3DurationMs]] → [[parseOggDurationMs]]), video duration +
+    * dimensions via [[parseMp4]]. Bytes-proportional work is limited to sha256 and the
     * byte-histogram feature; undecodable payloads yield null
     * dimensions/duration rather than failing the batch. */
   class HeaderDecoder extends Decoder {
@@ -228,7 +374,12 @@ object Multimodal {
           row(dims.map(d => Integer.valueOf(d._1)).orNull,
             dims.map(d => Integer.valueOf(d._2)).orNull, null)
         case "audio" =>
-          row(null, null, parseWavDurationMs(payload).map(java.lang.Long.valueOf).orNull)
+          // container sniff: WAV → MP3 → Ogg (each parser returns None
+          // fast on a foreign magic, so the chain costs one header read)
+          val dur = parseWavDurationMs(payload)
+            .orElse(parseMp3DurationMs(payload))
+            .orElse(parseOggDurationMs(payload))
+          row(null, null, dur.map(java.lang.Long.valueOf).orNull)
         case "video" =>
           parseMp4(payload) match {
             case Some((dur, w, h)) =>

@@ -157,8 +157,18 @@ class DGGrowthUnfinished extends RuntimeException("Dataset growth already in pro
   * current snapshot then regrows (upserts refresh the copied docs).
   * Collection pipelines run as ordinary Spark jobs; the manifest swap
   * replaces Celery orchestration + row locks.
+  *
+  * `collectionParallelism` > 1 grows a dataset's collections as
+  * CONCURRENT Spark jobs (the reference dispatches them as a parallel
+  * Celery group, dataset.py:297-298): each collection pipeline is
+  * independent — own seeding fetches, own output path — so a
+  * fetch-bound collection no longer serializes behind a neighbor.
+  * Jobs are submitted from one driver thread per collection; set
+  * `spark.scheduler.mode=FAIR` for round-robin task slots between them
+  * (FIFO still overlaps fetch latency with compute, which is the win).
   */
-class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = false) {
+class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = false,
+                    collectionParallelism: Int = 4) {
 
   def grow(spec: DatasetSpec, args: Seq[String] = Nil,
            kwargs: Map[String, String] = Map.empty,
@@ -195,9 +205,10 @@ class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = 
     store.updateVersion(sig, version.copy(state = GrowthState.Growing))
 
     // grow_collection per collection pipeline (dispatch_growth,
-    // dataset.py:262-300 — Celery group becomes sequential Spark jobs;
-    // each collection's stages are themselves fully parallel).
-    spec.collections.foreach { cd =>
+    // dataset.py:262-300 — the Celery group becomes one driver thread
+    // per collection submitting concurrent Spark jobs; each collection's
+    // stages are themselves fully parallel).
+    def growCollection(cd: CollectionDef): Unit = {
       var docs0 = store.readCollection(sig, version.version, cd.collection.name)
       if (retry || (current.isDefined && strategy == GrowthStrategy.Revise))
         docs0 = prepareDatasetVersion(docs0, spec).localCheckpoint(true)
@@ -210,6 +221,30 @@ class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = 
         docs = grown.localCheckpoint(true)
       }
       store.writeCollection(sig, version.version, cd.collection.name, docs)
+    }
+    val par = math.max(1, math.min(collectionParallelism, spec.collections.size))
+    if (par <= 1) spec.collections.foreach(growCollection)
+    else {
+      // Collections write to disjoint paths and share no mutable state,
+      // so the only cross-thread concern is Spark's thread-locals: the
+      // active session must be re-pinned in each worker thread, and the
+      // scheduler pool is a per-thread local property (inert under FIFO,
+      // round-robin under FAIR).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val jobs = spec.collections.map { cd =>
+          scala.concurrent.Future {
+            SparkSession.setActiveSession(spark)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-grow")
+            growCollection(cd)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(jobs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdownNow()
     }
 
     val allDocs = spec.collections.map(cd =>

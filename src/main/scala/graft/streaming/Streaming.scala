@@ -128,12 +128,15 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
 
-  /** Empty band-table frame — the initial state for [[nearDupSink]]. */
-  def emptyBandTable(spark: SparkSession): DataFrame = {
+  /** Empty band-table frame — the initial state for [[nearDupSink]].
+    * `withTs = true` adds the epoch-millis event-time column the
+    * retention-enabled sink stamps on every band row. */
+  def emptyBandTable(spark: SparkSession, withTs: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
+    val base = Seq(StructField("id", LongType),
+      StructField("band", IntegerType), StructField("bucket", StringType))
     spark.createDataFrame(new java.util.ArrayList[Row](),
-      StructType(Seq(StructField("id", LongType),
-        StructField("band", IntegerType), StructField("bucket", StringType))))
+      StructType(if (withTs) base :+ StructField("ts", LongType) else base))
   }
 
   /** Streaming NEAR-duplicate detection: each micro-batch computes the
@@ -162,25 +165,63 @@ object Streaming {
     * candidates collapse through the per-id `min(partner_id)` agg.
     * This is candidate DETECTION (q23 semantics); exact-Jaccard
     * verification of flagged pairs belongs to the batch path, where
-    * both texts are at hand. */
+    * both texts are at hand.
+    *
+    * Retention: without a bound the band table grows forever — `bands`
+    * rows per document EVER seen, the one unbounded state in the
+    * streaming layer. Pass `tsCol` (an event-time column of the stream)
+    * and `retentionMillis` > 0 to bound it: every band row is stamped
+    * with its document's event time, the probe join ignores prior rows
+    * older than `max-event-time-seen − retention` (a driver-side
+    * high-water mark — the same observed-event-time clock a watermark
+    * uses, so replays age deterministically, wall clock never enters),
+    * and the store drops expired rows at compaction
+    * ([[BandStore.compact]]). Near-dups further apart than the
+    * retention window are the accepted miss — that tail belongs to the
+    * batch compaction pass (q23/q50), exactly like exact dedup's
+    * within-watermark contract above. */
   def nearDupSink(idCol: String, textCol: String,
                   loadBands: SparkSession => DataFrame,
                   saveBands: DataFrame => Unit,
                   emit: DataFrame => Unit,
-                  k: Int = 16, bands: Int = 4, shingleSize: Int = 3)
-                 (stream: DataFrame): DataStreamWriter[Row] =
+                  k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+                  tsCol: String = "", retentionMillis: Long = 0L)
+                 (stream: DataFrame): DataStreamWriter[Row] = {
+    val retain = tsCol.nonEmpty && retentionMillis > 0L
+    // high-water mark of observed event time, carried across micro-
+    // batches on the driver (foreachBatch closures outlive batches)
+    val highWater = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         graft.functions.GraftFunctions.register(spark)
-        val batchBands = graft.ops.Dedup
+        val keys = graft.ops.Dedup
           .minhashSignatures(batch, idCol, textCol, k, shingleSize)
           .select(col("id"),
             explode(graft.ops.Dedup.lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
           .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-          .localCheckpoint(true)
-        val prior = loadBands(spark)
+        val batchBands = (if (!retain) keys else {
+          // stamp each band row with its doc's event time (epoch millis)
+          val times = batch.groupBy(col(idCol).cast("long").as("id"))
+            .agg(max(unix_millis(col(tsCol))).as("ts"))
+          keys.join(times, Seq("id"), "left")
+        }).localCheckpoint(true)
+        val horizon = if (!retain) Long.MinValue else {
+          val batchMax = batch.agg(max(unix_millis(col(tsCol)))).head()
+          if (!batchMax.isNullAt(0))
+            highWater.accumulateAndGet(batchMax.getLong(0), math.max(_, _))
+          highWater.get() match {
+            case Long.MinValue => Long.MinValue
+            case hw => hw - retentionMillis
+          }
+        }
+        val prior0 = loadBands(spark)
+        val prior = if (retain)
+          // null ts (rows persisted before retention was enabled) never
+          // expires — deletion must be an explicit compact decision
+          prior0.filter(col("ts").isNull || col("ts") >= lit(horizon))
+        else prior0
         val fromPrior = batchBands
           .join(prior.select(col("id").as("partner_id"), col("band"), col("bucket")),
             Seq("band", "bucket"))
@@ -189,11 +230,13 @@ object Streaming {
           .join(batchBands.select(col("id").as("partner_id"), col("band"), col("bucket")),
             Seq("band", "bucket"))
           .filter(col("partner_id") < col("id"))
-        emit(fromPrior.unionByName(withinBatch)
+        emit(fromPrior.unionByName(withinBatch
+            .select(fromPrior.columns.map(col): _*))
           .groupBy(col("id")).agg(min(col("partner_id")).as("partner_id"))
           .localCheckpoint(true))
         saveBands(batchBands)
       }
+  }
 
   /** The production band-table store for [[nearDupSink]]: a parquet
     * table bucketed by (band, bucket) ([[graft.sources.Bucketed]]), so
@@ -213,8 +256,18 @@ object Streaming {
     def save(batchBands: DataFrame): Unit =
       Bucketed.writeKeys(batchBands, table, Seq("band", "bucket"), buckets,
         mode = "append")
-    def compact(): Unit = if (exists) {
-      val compacted = spark.table(table).distinct().localCheckpoint(true)
+    /** Rewrite the append log distinct; with `horizonMillis` set (and a
+      * `ts` column present — the retention-enabled sink stamps one),
+      * also DROP rows whose event time fell behind the sink's probe
+      * horizon — the state-size release valve that makes the band table
+      * plateau instead of growing with the stream's lifetime. */
+    def compact(horizonMillis: Long = Long.MinValue): Unit = if (exists) {
+      val current = spark.table(table)
+      val kept =
+        if (horizonMillis > Long.MinValue && current.columns.contains("ts"))
+          current.filter(col("ts").isNull || col("ts") >= lit(horizonMillis))
+        else current
+      val compacted = kept.distinct().localCheckpoint(true)
       Bucketed.writeKeys(compacted, table, Seq("band", "bucket"), buckets)
     }
   }

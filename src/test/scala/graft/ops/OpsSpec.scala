@@ -1127,6 +1127,47 @@ class MultimodalSpec extends SparkTestBase {
       "header shorter than fmt+data walk must not parse")
   }
 
+  test("MP3/Ogg header parsers: round-trip, ID3/Xing handling, cross-format safety") {
+    // CBR MP3 round-trip: synthesized at 128 kbps, estimate reads back
+    val mp3 = Multimodal.mp3Bytes(durationMs = 2500L)
+    assert(Multimodal.parseMp3DurationMs(mp3).contains(2500L))
+    assert(Multimodal.parseMp3DurationMs(Multimodal.mp3Bytes(0L)).contains(0L))
+    // an ID3v2 tag in front is skipped (syncsafe size = 100 bytes)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100) ++ mp3
+    assert(Multimodal.parseMp3DurationMs(id3).contains(2500L),
+      "ID3 tag bytes are skipped — the CBR estimate starts at the sync point")
+    // Xing VBR header overrides the CBR estimate: 100 frames @44100
+    val vbr = Multimodal.mp3Bytes(durationMs = 9999L)
+    val x = 4 + 32 // MPEG1 stereo side info
+    "Xing".getBytes.copyToArray(vbr, x)
+    vbr(x + 7) = 1 // flags: FRAMES
+    vbr(x + 8) = 0; vbr(x + 9) = 0; vbr(x + 10) = 0; vbr(x + 11) = 100
+    assert(Multimodal.parseMp3DurationMs(vbr).contains(100L * 1152 * 1000 / 44100))
+    // Ogg Vorbis round-trip at two rates; granule math is exact
+    assert(Multimodal.parseOggDurationMs(Multimodal.oggBytes(7000L)).contains(7000L))
+    assert(Multimodal.parseOggDurationMs(
+      Multimodal.oggBytes(1234L, sampleRate = 8000)).contains(1234L))
+    // cross-format and junk bytes: None, never a throw
+    val wav = Multimodal.wavBytes(Array.fill[Byte](100)(3))
+    for (parser <- Seq(Multimodal.parseMp3DurationMs _, Multimodal.parseOggDurationMs _)) {
+      assert(parser(wav).isEmpty)
+      assert(parser("no sync to be found anywhere in this text".getBytes).isEmpty)
+      assert(parser(Array.empty[Byte]).isEmpty)
+      assert(parser(null).isEmpty)
+    }
+    assert(Multimodal.parseWavDurationMs(mp3).isEmpty)
+    assert(Multimodal.parseOggDurationMs(
+      java.util.Arrays.copyOf(Multimodal.oggBytes(7000L), 20)).isEmpty,
+      "truncated page header must not parse")
+    // HeaderDecoder sniffs the chain: WAV, MP3 and Ogg payloads all get
+    // a duration through the ONE audio path
+    val dec = new Multimodal.HeaderDecoder
+    assert(dec.decode(1L, "audio", wav).get(6) === 3L, "100 PCM bytes / 32000 B/s")
+    assert(dec.decode(2L, "audio", mp3).get(6) === 2500L)
+    assert(dec.decode(3L, "audio", Multimodal.oggBytes(7000L)).get(6) === 7000L)
+  }
+
   test("ImageIoDecoder reads real PNG/JPEG dimensions; junk bytes decode to null dims") {
     def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,

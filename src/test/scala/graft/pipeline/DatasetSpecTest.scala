@@ -104,6 +104,38 @@ class DatasetLifecycleSpec extends SparkTestBase {
     assert(store.readCollection("", 1, "journal").count() === 20)
   }
 
+  test("concurrent collection growth == sequential growth (dispatch_growth parallel group)") {
+    def phase(entity: String) = Seq(PhaseSpec(
+      phase = entity, strategy = "initial", batchSize = 5,
+      retrieve = RetrieveSpec(
+        urlTemplate = s"http://localhost:8000/entities/$entity/",
+        parameters = Seq("size" -> "20", "page_size" -> "10"),
+        continuationLimit = 2),
+      contribute = ContributeSpec(objective =
+        Some(Objective("$.results", Seq("id" -> "$.id", "title" -> "$.title"))))))
+    val spec = DatasetSpec(
+      name = "library",
+      collections = Seq("paper", "journal", "author").map(e =>
+        CollectionDef(CollectionSpec(e, identifier = Some("id")), phase(e))),
+      growthStrategy = GrowthStrategy.Freeze)
+    def contents(par: Int): Map[String, Seq[String]] = {
+      val store = newStore()
+      val v = new DatasetRunner(store, new EntityApiFetcher(),
+        collectionParallelism = par).grow(spec)
+      assert(v.state === GrowthState.Complete)
+      Seq("paper", "journal", "author").map(c =>
+        c -> store.readCollection("", 1, c)
+          .select(col("identity"), col("properties"))
+          .collect().map(_.toString).sorted.toSeq).toMap
+    }
+    val seq = contents(par = 1)
+    val conc = contents(par = 3)
+    seq.keys.foreach { c =>
+      assert(seq(c).nonEmpty, s"$c grew no docs")
+      assert(seq(c) === conc(c), s"collection $c diverges between the two modes")
+    }
+  }
+
   test("prepareDatasetVersion: weeds docs, invalidates failed tasks, stamps tasks (dataset.py:178-217)") {
     import graft.model.{CollectionOps, Documents}
     val colSpec = CollectionSpec("prep", identifier = Some("id"))

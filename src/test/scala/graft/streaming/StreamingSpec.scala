@@ -198,6 +198,49 @@ class StreamingSpec extends SparkTestBase {
     assert(saveSizes.toSeq === Seq(2 * 4, 4 * 4), s"saves must be batch-sized: $saveSizes")
   }
 
+  test("streaming near-dup retention: expired bands stop flagging and compact away") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+    var bandTable = Streaming.emptyBandTable(spark, withTs = true)
+    var flagged = Map.empty[Long, Long]
+    // retention = 60 s of EVENT time
+    val writer = Streaming.nearDupSink("doc_id", "text",
+        _ => bandTable,
+        bt => bandTable = bandTable.unionByName(bt.localCheckpoint(true)),
+        f => flagged ++= f.collect().map(r => r.getLong(0) -> r.getLong(1)),
+        tsCol = "ts", retentionMillis = 60000L)(stream)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ndret").toString)
+      .start()
+
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    input.addData((1L, base, ts(0)), (2L, other, ts(55)))
+    writer.processAllAvailable()
+    // batch 2 at event time 100: doc 1's bands (age 100 s) are PAST the
+    // 60 s window — its near-dup must NOT flag; doc 2 (age 45 s) must
+    input.addData((42L, base.replace("today", "tonight"), ts(100)),
+      (43L, other + " xi", ts(100)))
+    writer.processAllAvailable()
+    writer.stop()
+    assert(!flagged.contains(42L), s"expired band must not flag, got $flagged")
+    assert(flagged.get(43L).contains(2L), s"in-window near-dup must flag, got $flagged")
+
+    // state plateau: compacting at the sink's horizon (100 s − 60 s)
+    // drops doc 1's rows — the table holds only in-window docs
+    spark.sql("DROP TABLE IF EXISTS graft_band_ret")
+    val store = new Streaming.BandStore(spark, "graft_band_ret", buckets = 4)
+    store.save(bandTable)
+    assert(store.load(spark).count() === 4 * 4, "4 docs x 4 bands before compaction")
+    store.compact(horizonMillis = 40000L)
+    val kept = store.load(spark)
+    assert(kept.count() === 3 * 4, "doc 1 expired; 3 docs remain")
+    assert(kept.filter(col("id") === 1L).isEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_band_ret")
+  }
+
   test("BandStore: bucketed band table, append-only saves, Exchange-free probe side") {
     implicit val sqlCtx = spark.sqlContext
     spark.sql("DROP TABLE IF EXISTS graft_band_test")
