@@ -220,17 +220,18 @@ object Dedup {
     * depth (long chains), use [[connectedComponentsStar]]: O(log n)
     * rounds at a higher per-round cost.
     *
-    * Scale shape: each round is one shuffle of the label frame on id,
-    * `localCheckpoint` truncates the iterative lineage, and convergence
-    * is the label-sum invariant (labels only decrease, so the sum is
-    * strictly monotone until the fixpoint — one cheap aggregate per
-    * round instead of a change-count join).
+    * Scale shape: frontier (changed-labels-only) propagation — round 1
+    * is one full edge⋈label shuffle, later rounds shuffle only edges
+    * touching the shrinking frontier; `localCheckpoint` every
+    * `checkpointInterval` rounds truncates the iterative lineage, and
+    * convergence is frontier-emptiness on the materialized state.
     *
     * Returns (id, cluster) where cluster = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIterations: Int = 20,
-                          driverEdgeLimit: Long = 1000000L): DataFrame = {
+                          driverEdgeLimit: Long = 1000000L,
+                          checkpointInterval: Int = 1): DataFrame = {
     // Small-graph fast path: near-dup graphs are usually TINY relative
     // to their corpus (dozens to thousands of edges for millions of
     // docs), and every distributed round costs fixed scheduler +
@@ -269,33 +270,56 @@ object Dedup {
       .distinct()
       .localCheckpoint() // eager — src is materialized into the edge frame here
     if (fastEligible) src.unpersist(blocking = false)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // FRONTIER propagation (the Pregel CC shape): round r only sends
+    // labels that CHANGED in round r-1 — after the first round the
+    // edge⋈frontier join shrinks with the frontier instead of re-
+    // shuffling every label past every edge (full relabel is O(E) per
+    // round; frontier rounds are O(frontier-adjacent edges), and near-
+    // dup frontiers collapse after round 1). State is one frame
+    // (id, cluster, chg): the frontier is a filter of it, so each round
+    // materializes ONCE. `checkpointInterval` > 1 batches that many
+    // rounds into one eager materialization — intermediates persist
+    // (diamond reuse: each round's state feeds both the next round's
+    // messages and its label join) and only the span boundary
+    // localCheckpoints + runs the convergence count, trading
+    // potentially one overshot round for span-1 fewer checkpoint
+    // materializations and scheduler barriers per span. The span is
+    // CLAMPED ≤ 4: caching dedupes execution of the per-round diamond,
+    // but Catalyst walks logical plans as TREES, so analysis cost is
+    // 2^span small-tree traversals — fine at 4, an OOM at 16.
+    var state = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"), lit(true).as("chg"))
       .localCheckpoint()
-    // SUM over zero rows is null — an empty pair frame (clean corpus)
-    // must mean "already converged", not an NPE
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster")).cast("decimal(38,0)")).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIterations) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster").as("ncluster")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("ncluster")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      val newSum = labelSum(updated)
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
-      labels = updated
-      iter += 1
+      val span = math.min(math.min(math.max(checkpointInterval, 1), 4),
+        maxIterations - iter)
+      var s = state
+      val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+      for (_ <- 0 until span) {
+        val msgs = edges
+          .join(s.filter(col("chg"))
+            .select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nc")).as("nmin"))
+        s = s.select(col("id"), col("cluster"))
+          .join(msgs, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+            coalesce(col("nmin") < col("cluster"), lit(false)).as("chg"))
+        if (persisted.length < span - 1) { // last frame checkpoints below
+          s = s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += s
+        }
+      }
+      val next = s.localCheckpoint() // eager: the whole span evaluates once
+      persisted.foreach(_.unpersist(blocking = false))
+      state = next
+      iter += span
+      converged = state.filter(col("chg")).isEmpty
     }
-    labels
+    state.select(col("id"), col("cluster"))
   }
 
   /** Driver union-find for edge lists under the collect limit: path

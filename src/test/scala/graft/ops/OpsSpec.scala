@@ -253,6 +253,8 @@ class DedupSpec extends SparkTestBase {
       for (algo <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
           df => Dedup.connectedComponents(df), // driver union-find fast path
           df => Dedup.connectedComponents(df, driverEdgeLimit = 0), // distributed rounds
+          // batched-checkpoint cadence must not change the fixpoint
+          df => Dedup.connectedComponents(df, driverEdgeLimit = 0, checkpointInterval = 3),
           df => Dedup.connectedComponentsStar(df))) {
         val got = algo(edges.toDF("id_a", "id_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -270,6 +272,12 @@ class DedupSpec extends SparkTestBase {
     val cc = Dedup.connectedComponents(chain, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet === Set(0L), s"all chain nodes label 0, got $cc")
+    // batched cadence (clamped at 4): spans may overshoot the fixpoint
+    // but labels must be unchanged; 16 exercises the clamp
+    val batched = Dedup.connectedComponents(chain, driverEdgeLimit = 0,
+        checkpointInterval = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batched === cc, "checkpoint batching must not change labels")
   }
 
   test("both CC algorithms label self-loop-only nodes identically") {
