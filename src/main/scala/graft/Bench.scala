@@ -65,8 +65,37 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Reference DuckDB timings (tools/duckdb_times.py, checked in per SF)
+    // make "weak row" a computed column instead of a judgment call: a
+    // query is weak when Spark is BOTH >=1 s AND >2x the DuckDB oracle on
+    // the same parquet at the same SF. The ref file's "times" object is a
+    // flat {"name": seconds} map we wrote ourselves — a regex parse is
+    // exact for that shape, and no JSON library rides the runtime jar.
+    val sfName = new java.io.File(sfDir).getName
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_REF",
+      s"bench_ref/duckdb_$sfName.json")
+    val duckTimes: Map[String, Double] =
+      try {
+        val text = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refPath)), "UTF-8")
+        val timesBlock = text.substring(text.indexOf("\"times\""))
+        """"([^"]+)":\s*(-?[0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(timesBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0)
+          .toMap
+      } catch { case _: Exception => Map.empty }
+    val duckJson = duckTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val weak = results.toSeq.sortBy(_._1).collect {
+      case (k, v) if v >= 1.0 && duckTimes.get(k).exists(d => v > 2 * d) => k
+    }
+    val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val duckTotal = duckTimes.filter { case (k, _) => results.contains(k) }.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""duckdb":$duckJson,"duckdb_total":$duckTotal,"weak":$weakJson,""" +
+        s""""sf":"$sfDir"}"""
     // The JSON must survive sbt/log4j noise and tail truncation: write
     // it to a file AND print it as the absolute last line, after
     // spark.stop() has flushed every executor/log line that could
