@@ -352,11 +352,158 @@ object Multimodal {
     }
   }
 
+  // ---- WebM (Matroska/EBML) header walk ----------------------------
+  // The third wild-corpus video container after MP4: EBML is a nested
+  // TLV encoding (id, size, body), so a header walk needs only the
+  // varint decoder and four well-known element ids — no codec work.
+
+  /** EBML element id at `pos`: (id-with-marker, width). Matroska ids
+    * compare against their full stored form (e.g. Segment 0x18538067). */
+  private def ebmlId(b: Array[Byte], pos: Int): Option[(Long, Int)] = {
+    if (pos >= b.length) return None
+    val first = b(pos) & 0xFF
+    if (first == 0) return None
+    val width = Integer.numberOfLeadingZeros(first) - 23
+    if (width > 4 || pos + width > b.length) return None
+    var v = 0L
+    var i = 0
+    while (i < width) { v = (v << 8) | (b(pos + i) & 0xFF); i += 1 }
+    Some((v, width))
+  }
+
+  /** EBML size vint at `pos`: (size, width); size −1 = "unknown"
+    * (all value bits set — streamed elements run to their parent's end). */
+  private def ebmlSize(b: Array[Byte], pos: Int): Option[(Long, Int)] = {
+    if (pos >= b.length) return None
+    val first = b(pos) & 0xFF
+    if (first == 0) return None
+    val width = Integer.numberOfLeadingZeros(first) - 23
+    if (width > 8 || pos + width > b.length) return None
+    var v = (first & (0xFF >>> width)).toLong
+    var ones = width == 8 || v == (0xFF >>> width).toLong
+    var i = 1
+    while (i < width) {
+      val byte = b(pos + i) & 0xFF
+      v = (v << 8) | byte
+      if (byte != 0xFF) ones = false
+      i += 1
+    }
+    Some((if (ones) -1L else v, width))
+  }
+
+  /** First child element with `id` in body range [start, end):
+    * Some((bodyStart, bodyEnd)). Malformed/overrunning sizes → None. */
+  private def findEbml(b: Array[Byte], start: Int, end: Int, id: Long): Option[(Int, Int)] = {
+    var pos = start
+    while (pos < end) {
+      val (elId, idW) = ebmlId(b, pos).getOrElse(return None)
+      val (sz, szW) = ebmlSize(b, pos + idW).getOrElse(return None)
+      val body = pos + idW + szW
+      if (sz >= 0 && body + sz > end) return None
+      if (elId == id) return Some((body, if (sz < 0) end else (body + sz).toInt))
+      if (sz < 0) return None // unknown-size non-target: cannot skip past
+      pos = body + sz.toInt
+    }
+    None
+  }
+
+  private def ebmlUInt(b: Array[Byte], start: Int, end: Int): Long = {
+    var v = 0L; var i = start
+    while (i < end && i - start < 8) { v = (v << 8) | (b(i) & 0xFF); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], start: Int, end: Int): Double = (end - start) match {
+    case 4 => java.lang.Float.intBitsToFloat(
+      java.nio.ByteBuffer.wrap(b, start, 4).getInt).toDouble
+    case 8 => java.lang.Double.longBitsToDouble(
+      java.nio.ByteBuffer.wrap(b, start, 8).getLong)
+    case _ => 0.0
+  }
+
+  /** WebM/Matroska header walk: (duration_ms, width, height) from
+    * Segment→Info (TimecodeScale × Duration) and Segment→Tracks→
+    * TrackEntry→Video (PixelWidth/PixelHeight — first track that HAS a
+    * Video child, so audio-first muxing still yields dims). Duration is
+    * Matroska-spec float ticks × TimecodeScale ns (default 1 ms/tick);
+    * 0/0 dims when no video track. None when the EBML magic or Segment
+    * walk fails (not a WebM/MKV). */
+  def parseWebm(bytes: Array[Byte]): Option[(Long, Int, Int)] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (!ebmlId(bytes, 0).exists(_._1 == 0x1A45DFA3L)) return None
+    for {
+      seg <- findEbml(bytes, 0, bytes.length, 0x18538067L)
+      info <- findEbml(bytes, seg._1, seg._2, 0x1549A966L)
+    } yield {
+      val scaleNs = findEbml(bytes, info._1, info._2, 0x2AD7B1L)
+        .map(r => ebmlUInt(bytes, r._1, r._2)).filter(_ > 0).getOrElse(1000000L)
+      val ticks = findEbml(bytes, info._1, info._2, 0x4489L)
+        .map(r => ebmlFloat(bytes, r._1, r._2)).getOrElse(0.0)
+      val durMs = math.round(ticks * scaleNs / 1e6)
+      val dims = findEbml(bytes, seg._1, seg._2, 0x1654AE6BL).flatMap { tracks =>
+        // iterate TrackEntry siblings; take the first with a Video child
+        var pos = tracks._1
+        var found: Option[(Int, Int)] = None
+        while (found.isEmpty && pos < tracks._2) {
+          (for {
+            (elId, idW) <- ebmlId(bytes, pos)
+            (sz, szW) <- ebmlSize(bytes, pos + idW) if sz >= 0
+            body = pos + idW + szW if body + sz <= tracks._2
+          } yield {
+            if (elId == 0xAEL)
+              found = findEbml(bytes, body, (body + sz).toInt, 0xE0L)
+            body + sz.toInt
+          }) match {
+            case Some(next) => pos = next
+            case None => pos = tracks._2 // malformed: stop
+          }
+        }
+        found.map { case (vs, ve) =>
+          (findEbml(bytes, vs, ve, 0xB0L).map(r => ebmlUInt(bytes, r._1, r._2).toInt)
+            .getOrElse(0),
+            findEbml(bytes, vs, ve, 0xBAL).map(r => ebmlUInt(bytes, r._1, r._2).toInt)
+              .getOrElse(0))
+        }
+      }
+      (durMs, dims.fold(0)(_._1), dims.fold(0)(_._2))
+    }
+  }
+
+  /** Minimal WebM: EBML header (DocType "webm") + Segment(Info(
+    * TimecodeScale 1 ms, Duration float ticks) + Tracks(video
+    * TrackEntry with PixelWidth/PixelHeight)). All sizes 2-byte vints
+    * for arithmetic predictability. */
+  def webmBytes(durationMs: Long, width: Int, height: Int): Array[Byte] = {
+    def vint2(n: Int): Array[Byte] =
+      Array((0x40 | (n >> 8)).toByte, (n & 0xFF).toByte)
+    def el(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+      id ++ vint2(body.length) ++ body
+    def uintBody(v: Long): Array[Byte] = {
+      var w = 1
+      while (w < 8 && (v >>> (8 * w)) != 0) w += 1
+      (w - 1 to 0 by -1).map(i => ((v >>> (8 * i)) & 0xFF).toByte).toArray
+    }
+    val id = (s: String) => s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val header = el(id("1A45DFA3"), el(id("4282"), "webm".getBytes("US-ASCII")))
+    val info = el(id("1549A966"),
+      el(id("2AD7B1"), uintBody(1000000L)) ++
+        el(id("4489"), {
+          val bb = java.nio.ByteBuffer.allocate(8)
+          bb.putDouble(durationMs.toDouble); bb.array()
+        }))
+    val video = el(id("E0"),
+      el(id("B0"), uintBody(width.toLong)) ++ el(id("BA"), uintBody(height.toLong)))
+    val track = el(id("AE"),
+      el(id("D7"), uintBody(1L)) ++ el(id("83"), uintBody(1L)) ++ video)
+    val tracks = el(id("1654AE6B"), track)
+    header ++ el(id("18538067"), info ++ tracks)
+  }
+
   /** THE default decoder: real header-only parses for all three kinds —
     * image dimensions via [[imageDims]], audio duration via the
     * container sniff chain ([[parseWavDurationMs]] →
     * [[parseMp3DurationMs]] → [[parseOggDurationMs]]), video duration +
-    * dimensions via [[parseMp4]]. Bytes-proportional work is limited to sha256 and the
+    * dimensions via [[parseMp4]] → [[parseWebm]]. Bytes-proportional work is limited to sha256 and the
     * byte-histogram feature; undecodable payloads yield null
     * dimensions/duration rather than failing the batch. */
   class HeaderDecoder extends Decoder {
@@ -381,7 +528,9 @@ object Multimodal {
             .orElse(parseOggDurationMs(payload))
           row(null, null, dur.map(java.lang.Long.valueOf).orNull)
         case "video" =>
-          parseMp4(payload) match {
+          // container sniff: MP4 → WebM (magic mismatch returns None
+          // immediately, so the chain costs one header read)
+          parseMp4(payload).orElse(parseWebm(payload)) match {
             case Some((dur, w, h)) =>
               row(if (w > 0) Integer.valueOf(w) else null,
                 if (h > 0) Integer.valueOf(h) else null, java.lang.Long.valueOf(dur))

@@ -1176,6 +1176,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(dec.decode(3L, "audio", Multimodal.oggBytes(7000L)).get(6) === 7000L)
   }
 
+  test("WebM header parser: round-trip, default-scale fallback, cross-format safety") {
+    // round-trip: synthesized Segment(Info + Tracks) reads back exactly
+    val webm = Multimodal.webmBytes(durationMs = 42500L, width = 1280, height = 720)
+    assert(Multimodal.parseWebm(webm).contains((42500L, 1280, 720)))
+    assert(Multimodal.parseWebm(Multimodal.webmBytes(0L, 16, 9)).contains((0L, 16, 9)))
+    // cross-format and junk bytes: None, never a throw
+    val mp4 = Multimodal.mp4Bytes("data".getBytes, 90210L, 640, 360)
+    assert(Multimodal.parseWebm(mp4).isEmpty)
+    assert(Multimodal.parseWebm("not an ebml document".getBytes).isEmpty)
+    assert(Multimodal.parseWebm(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseWebm(null).isEmpty)
+    assert(Multimodal.parseWebm(java.util.Arrays.copyOf(webm, 24)).isEmpty,
+      "Segment truncated away must not parse")
+    assert(Multimodal.parseMp4(webm).isEmpty, "webm bytes are not an MP4")
+    // HeaderDecoder video sniff chain covers BOTH containers
+    val dec = new Multimodal.HeaderDecoder
+    assert(dec.decode(1L, "video", mp4).get(6) === 90210L)
+    assert(dec.decode(2L, "video", webm).get(6) === 42500L)
+    assert(dec.decode(2L, "video", webm).get(4) === 1280)
+    assert(dec.decode(3L, "video", "garbage".getBytes).get(6) === null)
+  }
+
   test("ImageIoDecoder reads real PNG/JPEG dimensions; junk bytes decode to null dims") {
     def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
