@@ -35,9 +35,17 @@ object CCProbe {
     val shapes = args.drop(1).headOption.map(_.split(',').toSeq)
       .getOrElse(Seq("lsh", "chain"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions default 4× cores here, NOT the bench's 1×: at
+    // 200M edges a 32-way shuffle gives ~2 GB per task state and local
+    // mode pays all 32 tasks' pages from ONE heap — 64 GiB OOMs (first
+    // probe attempt died in the frontier join). 128-way cuts per-task
+    // state 4× for the same total work; on a real cluster this is
+    // exactly "size partitions to fit executor memory".
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      (cpus.toInt * 4).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
