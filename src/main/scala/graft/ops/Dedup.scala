@@ -292,7 +292,13 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var converged = edges.isEmpty
+    // GRAFT_CC_DEBUG=1: per-span wall time + frontier size to stdout —
+    // probe instrumentation on the REAL code path (CCProbe sets it); the
+    // only behavioral delta is count() instead of isEmpty() for the
+    // convergence check, identical in result.
+    val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
     while (!converged && iter < maxIterations) {
+      val spanT0 = System.nanoTime()
       val span = math.min(math.min(math.max(checkpointInterval, 1), 4),
         maxIterations - iter)
       var s = state
@@ -317,7 +323,12 @@ object Dedup {
       persisted.foreach(_.unpersist(blocking = false))
       state = next
       iter += span
-      converged = state.filter(col("chg")).isEmpty
+      if (debug) {
+        val frontier = state.filter(col("chg")).count()
+        converged = frontier == 0L
+        println(f"[cc] iter=$iter%-3d span=$span frontier=$frontier%,d " +
+          f"span_s=${(System.nanoTime() - spanT0) / 1e9}%.1f")
+      } else converged = state.filter(col("chg")).isEmpty
     }
     state.select(col("id"), col("cluster"))
   }
@@ -406,12 +417,16 @@ object Dedup {
     var prev = sig(e)
     var iter = 0
     var converged = prev._1 == 0L
+    val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
     while (!converged && iter < maxIterations) {
+      val t0 = System.nanoTime()
       e = smallStar(largeStar(e)).localCheckpoint()
       val now = sig(e)
       converged = now == prev
       prev = now
       iter += 1
+      if (debug) println(f"[cc-star] iter=$iter%-3d edges=${now._1}%,d " +
+        f"round_s=${(System.nanoTime() - t0) / 1e9}%.1f")
     }
     // at the star fixpoint every non-root points straight at its
     // component min; groupBy-min also tolerates a maxIterations cutoff.

@@ -8,12 +8,14 @@ import graft.ops.Dedup
 /** Distributed connected-components probe — the 100 TB-critical path
   * that every bench-scale graph skips (they all fit the ≤1M-edge driver
   * fast path). Forces `driverEdgeLimit = 0` on synthetic graphs far past
-  * the fast-path cutover and times the algorithm/cadence matrix:
+  * the fast-path cutover and times one (shape, algorithm) configuration
+  * per JVM:
   *
-  *   - frontier min-label propagation at checkpointInterval 1 / 2 / 4
-  *   - full-relabel min-label (the pre-frontier loop, inlined here as
-  *     the A/B reference — every round shuffles every label)
-  *   - large-star/small-star alternation
+  *   - `f1` / `f2` / `f4`: frontier min-label propagation at
+  *     checkpointInterval 1 / 2 / 4
+  *   - `full`: full-relabel min-label (the pre-frontier loop, inlined
+  *     here as the A/B reference — every round shuffles every label)
+  *   - `star`: large-star/small-star alternation
   *
   * over two graph shapes:
   *
@@ -23,17 +25,26 @@ import graft.ops.Dedup
   *   - `chain`: length-32 paths — adversarial diameter, the shape that
   *     separates propagation (diameter rounds) from star (log rounds).
   *
-  * Every config's (n_nodes, n_clusters, Σcluster) must agree — the
-  * probe is also a large-scale equivalence check. Not part of CI.
+  * ONE config per invocation (fresh JVM = no cross-config cache/heap
+  * contamination; the first matrix attempt ran all configs in one JVM
+  * and the accumulated checkpoint blocks distorted later configs).
+  * Every config's (n_nodes, n_clusters, Σcluster) triple must agree
+  * across runs of the same (edges, shape) — the probe doubles as a
+  * large-scale equivalence check; graphs are deterministic (xxhash64
+  * of spark.range, no RNG state). GRAFT_CC_DEBUG=1 adds per-round
+  * frontier/edge counts from the real operator loop. Not part of CI.
+  *
   * Usage:
-  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.tools.CCProbe [edges] [shape,shape]"
+  *   SPARK_DRIVER_MEM=96g GRAFT_CC_DEBUG=1 \
+  *     sbt "runMain graft.tools.CCProbe <edges> <lsh|chain> <f1|f2|f4|full|star>"
   */
 object CCProbe {
 
   def main(args: Array[String]): Unit = {
-    val nEdges = args.headOption.map(_.toLong).getOrElse(200000000L)
-    val shapes = args.drop(1).headOption.map(_.split(',').toSeq)
-      .getOrElse(Seq("lsh", "chain"))
+    require(args.length >= 3, "usage: CCProbe <edges> <lsh|chain> <f1|f2|f4|full|star>")
+    val nEdges = args(0).toLong
+    val shape = args(1)
+    val config = args(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle partitions default 4× cores here, NOT the bench's 1×: at
     // 200M edges a 32-way shuffle gives ~2 GB per task state and local
@@ -51,12 +62,6 @@ object CCProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def timed(name: String)(f: => (Long, Long, Long)): Unit = {
-      val t0 = System.nanoTime()
-      val (nodes, clusters, checksum) = f
-      println(f"[ccprobe] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.1f s" +
-        f"  nodes=$nodes%d clusters=$clusters%d sum=$checksum%d")
-    }
     def summarize(labels: DataFrame): (Long, Long, Long) = {
       val r = labels.agg(count(lit(1)), count_distinct(col("cluster")),
         sum(col("cluster")).cast("decimal(38,0)").cast("string")).head
@@ -81,7 +86,9 @@ object CCProbe {
       var prevSum = labelSum(labels)
       var iter = 0
       var converged = edges.isEmpty
+      val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
       while (!converged && iter < maxIterations) {
+        val t0 = System.nanoTime()
         val neighborMin = edges
           .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
           .groupBy(col("src").as("id")).agg(min(col("nc")).as("nmin"))
@@ -94,72 +101,62 @@ object CCProbe {
         prevSum = newSum
         labels = updated
         iter += 1
+        if (debug) println(f"[cc-full] iter=$iter%-3d " +
+          f"round_s=${(System.nanoTime() - t0) / 1e9}%.1f")
       }
       labels
     }
 
-    def clearState(): Unit = {
-      // let the ContextCleaner release the previous config's
-      // now-unreferenced checkpoint/cache blocks (a blanket unpersist
-      // would also tear down the shared input frame's checkpoint)
-      System.gc()
-      Thread.sleep(2000)
+    // deterministic synthetic graphs from spark.range — no data files,
+    // no Math.random, reproducible across runs
+    val (pairs, maxIter) = shape match {
+      case "lsh" =>
+        // components of 16 nodes / 24 random intra-edges: the shallow
+        // many-small-clusters shape of LSH candidate pairs
+        val s = 16L; val epc = 24L
+        (spark.range(nEdges).select(
+          ((col("id") / epc).cast("long") * s +
+            pmod(xxhash64(col("id"), lit(1)), lit(s))).as("id_a"),
+          ((col("id") / epc).cast("long") * s +
+            pmod(xxhash64(col("id"), lit(2)), lit(s))).as("id_b"))
+          .filter(col("id_a") =!= col("id_b")), 20)
+      case "chain" =>
+        // length-32 paths: diameter 31 — propagation worst case.
+        // NB Spark `/` on longs is DOUBLE division; cast back for the
+        // integer chain index.
+        val l = 31L
+        val chainIx = (col("id") / l).cast("long")
+        val pos = pmod(col("id"), lit(l))
+        (spark.range(nEdges).select(
+          (chainIx * (l + 1) + pos).as("id_a"),
+          (chainIx * (l + 1) + pos + 1).as("id_b")), 40)
+      case other => throw new IllegalArgumentException(s"unknown shape: $other")
+    }
+    val frame = pairs.localCheckpoint(true)
+    println(s"[ccprobe] shape=$shape edges=${frame.count()} config=$config " +
+      s"shuffle=$shuffle")
+
+    def run(df: DataFrame): DataFrame = config match {
+      case "f1" => Dedup.connectedComponents(df, maxIterations = maxIter,
+        driverEdgeLimit = 0, checkpointInterval = 1)
+      case "f2" => Dedup.connectedComponents(df, maxIterations = maxIter,
+        driverEdgeLimit = 0, checkpointInterval = 2)
+      case "f4" => Dedup.connectedComponents(df, maxIterations = maxIter,
+        driverEdgeLimit = 0, checkpointInterval = 4)
+      case "full" => fullRelabel(df, maxIter)
+      case "star" => Dedup.connectedComponentsStar(df, maxIterations = maxIter)
+      case other => throw new IllegalArgumentException(s"unknown config: $other")
     }
 
-    shapes.foreach { shape =>
-      // deterministic synthetic graphs from spark.range — no data files,
-      // no Math.random, reproducible across runs
-      val (pairs, maxIter) = shape match {
-        case "lsh" =>
-          // components of 16 nodes / 24 random intra-edges: the shallow
-          // many-small-clusters shape of LSH candidate pairs
-          val s = 16L; val epc = 24L
-          (spark.range(nEdges).select(
-            ((col("id") / epc).cast("long") * s +
-              pmod(xxhash64(col("id"), lit(1)), lit(s))).as("id_a"),
-            ((col("id") / epc).cast("long") * s +
-              pmod(xxhash64(col("id"), lit(2)), lit(s))).as("id_b"))
-            .filter(col("id_a") =!= col("id_b")), 20)
-        case "chain" =>
-          // length-32 paths: diameter 31 — propagation worst case.
-          // NB Spark `/` on longs is DOUBLE division; cast back for the
-          // integer chain index.
-          val l = 31L
-          val chainIx = (col("id") / l).cast("long")
-          val pos = pmod(col("id"), lit(l))
-          (spark.range(nEdges).select(
-            (chainIx * (l + 1) + pos).as("id_a"),
-            (chainIx * (l + 1) + pos + 1).as("id_b")), 40)
-        case other => throw new IllegalArgumentException(s"unknown shape: $other")
-      }
-      val frame = pairs.localCheckpoint(true)
-      println(s"[ccprobe] shape=$shape edges=${frame.count()}")
+    // JIT/codegen warmup outside the timing: the selected algorithm once
+    // on a small prefix of the same graph
+    run(frame.limit(100000).localCheckpoint(true)).count()
+    System.gc()
 
-      // JIT/codegen warmup outside the timings: every algorithm once on
-      // a small prefix of the same graph
-      val warm = frame.limit(100000).localCheckpoint(true)
-      Dedup.connectedComponents(warm, driverEdgeLimit = 0).count()
-      Dedup.connectedComponentsStar(warm).count()
-      fullRelabel(warm, 20).count()
-      clearState()
-
-      for (cadence <- Seq(1, 2, 4)) {
-        clearState()
-        timed(s"$shape frontier/ckpt=$cadence") {
-          summarize(Dedup.connectedComponents(frame, maxIterations = maxIter,
-            driverEdgeLimit = 0, checkpointInterval = cadence))
-        }
-      }
-      clearState()
-      timed(s"$shape full-relabel") {
-        summarize(fullRelabel(frame, maxIter))
-      }
-      clearState()
-      timed(s"$shape star") {
-        summarize(Dedup.connectedComponentsStar(frame, maxIterations = maxIter))
-      }
-      clearState()
-    }
+    val t0 = System.nanoTime()
+    val (nodes, clusters, checksum) = summarize(run(frame))
+    println(f"[ccprobe] $shape $config%-6s ${(System.nanoTime() - t0) / 1e9}%8.1f s" +
+      f"  nodes=$nodes%d clusters=$clusters%d sum=$checksum%d")
     spark.stop()
   }
 }
