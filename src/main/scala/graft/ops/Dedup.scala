@@ -265,9 +265,21 @@ object Dedup {
         return connectedComponentsLocal(pairs.sparkSession, probe)
       }
     }
+    // CO-PARTITION the loop invariants ONCE: `localCheckpoint` preserves
+    // the physical plan's outputPartitioning in the LogicalRDD it leaves
+    // behind, so an edge frame hash-partitioned by dst and a state frame
+    // hash-partitioned by id make every round's big-side joins
+    // exchange-free — only the (shrinking) message stream shuffles.
+    // Without this, EnsureRequirements re-shuffles the FULL edge frame
+    // every round (measured: a 178-row frontier round still cost 67 s at
+    // 23M edges — the whole per-round floor was that redundant shuffle).
+    // The partition count is pinned explicitly: AQE must not coalesce
+    // one side of a co-partitioned pair.
+    val p = src.sparkSession.sessionState.conf.numShufflePartitions
     val edges = src.select(col(idA).as("src"), col(idB).as("dst"))
       .union(src.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .repartition(p, col("dst"))
       .localCheckpoint() // eager — src is materialized into the edge frame here
     if (fastEligible) src.unpersist(blocking = false)
     // FRONTIER propagation (the Pregel CC shape): round r only sends
@@ -289,6 +301,7 @@ object Dedup {
     // 2^span small-tree traversals — fine at 4, an OOM at 16.
     var state = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"), lit(true).as("chg"))
+      .repartition(p, col("id"))
       .localCheckpoint()
     var iter = 0
     var converged = edges.isEmpty
@@ -304,13 +317,22 @@ object Dedup {
       var s = state
       val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
       for (_ <- 0 until span) {
+        // Both joins are exchange-free: the frontier inherits the state
+        // frame's id-partitioning through the id→dst alias (matching the
+        // edge frame's dst-partitioning), and msgs comes out of its
+        // groupBy hash-partitioned by id (matching state). SHUFFLE_HASH
+        // hints pin the hash-join strategy so the static big sides are
+        // streamed, not sorted, every round — the build side is one
+        // partition's share of the frontier (Pregel's standard memory
+        // assumption), never the edge frame.
         val msgs = edges
           .join(s.filter(col("chg"))
-            .select(col("id").as("dst"), col("cluster").as("nc")), Seq("dst"))
+            .select(col("id").as("dst"), col("cluster").as("nc"))
+            .hint("shuffle_hash"), Seq("dst"))
           .groupBy(col("src").as("id"))
           .agg(min(col("nc")).as("nmin"))
         s = s.select(col("id"), col("cluster"))
-          .join(msgs, Seq("id"), "left")
+          .join(msgs.hint("shuffle_hash"), Seq("id"), "left")
           .select(col("id"),
             least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
             coalesce(col("nmin") < col("cluster"), lit(false)).as("chg"))
