@@ -343,6 +343,14 @@ object Dedup {
       }
       val next = s.localCheckpoint() // eager: the whole span evaluates once
       persisted.foreach(_.unpersist(blocking = false))
+      // Drop the SUPERSEDED state's checkpoint blocks now, not when the
+      // ContextCleaner eventually notices the frame is unreferenced:
+      // each round strands ~O(nodes) of block-manager storage, and 10+
+      // rounds of stranded frames evict live blocks / stall rounds on
+      // GC (measured: erratic 20-215 s rounds at sub-1k frontiers on a
+      // 23M-edge graph; flat ~10 s rounds with eager release). `next`
+      // is already materialized, so nothing re-reads these blocks.
+      dropCheckpointBlocks(state)
       state = next
       iter += span
       if (debug) {
@@ -352,8 +360,23 @@ object Dedup {
           f"span_s=${(System.nanoTime() - spanT0) / 1e9}%.1f")
       } else converged = state.filter(col("chg")).isEmpty
     }
-    state.select(col("id"), col("cluster"))
+    val out = state.select(col("id"), col("cluster"))
+    // The result depends only on the final state checkpoint — the edge
+    // frame's blocks can go as soon as the loop exits.
+    dropCheckpointBlocks(edges)
+    out
   }
+
+  /** Eagerly release the block-manager storage behind a
+    * `localCheckpoint`ed frame (its plan leaf is a `LogicalRDD` owning
+    * the cached blocks). A post-checkpoint frame's lineage contains
+    * ONLY its own RDD leaf, so this never touches other live frames. */
+  private def dropCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 
   /** Driver union-find for edge lists under the collect limit: path
     * compression + union by min keeps the min id as each root, so the
@@ -442,7 +465,9 @@ object Dedup {
     val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
     while (!converged && iter < maxIterations) {
       val t0 = System.nanoTime()
+      val prevE = e
       e = smallStar(largeStar(e)).localCheckpoint()
+      dropCheckpointBlocks(prevE) // superseded round's blocks, eagerly
       val now = sig(e)
       converged = now == prev
       prev = now
