@@ -54,17 +54,28 @@ object Bench {
     // not the neighbor. (The warmup pass above already absorbed
     // codegen/JIT, so rep 1 vs rep 2 differ only by noise.)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A query that throws is a FAILED query, not a fast one: its row in
+    // "queries" is -1, it is excluded from "value" (total), and its name
+    // lands in "failed" — a correctness regression must never improve
+    // the bench (the q61/TIMESTAMP_NTZ lesson: a 4 ms time-to-throw
+    // once masqueraded as the suite's fastest result).
+    val runs = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          ok = false
+          System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
-    }.toMap
+      (name, if (ok) times.min else -1.0, ok)
+    }
+    val failed = runs.collect { case (name, _, false) => name }
+    val results = runs.map { case (name, t, _) => name -> t }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     // Reference DuckDB timings (tools/duckdb_times.py, checked in per SF)
     // make "weak row" a computed column instead of a judgment call: a
     // query is weak when Spark is BOTH >=1 s AND >2x the DuckDB oracle on
@@ -91,11 +102,14 @@ object Bench {
       case (k, v) if v >= 1.0 && duckTimes.get(k).exists(d => v > 2 * d) => k
     }
     val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val duckTotal = duckTimes.filter { case (k, _) => results.contains(k) }.values.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // like-for-like: the DuckDB comparison total spans only queries that
+    // actually ran on the Spark side (failed ones are in neither total)
+    val duckTotal = duckTimes.filter { case (k, _) => results.get(k).exists(_ >= 0) }.values.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""duckdb":$duckJson,"duckdb_total":$duckTotal,"weak":$weakJson,""" +
-        s""""sf":"$sfDir"}"""
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
     // The JSON must survive sbt/log4j noise and tail truncation: write
     // it to a file AND print it as the absolute last line, after
     // spark.stop() has flushed every executor/log line that could

@@ -3,20 +3,42 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Canonical testdata loader. The driver-generated `events.parquet`
-  * stores `ts` as Parquet TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (then it surfaces as a LongType of nanoseconds). We normalize it to a
-  * proper TimestampType (microsecond precision — Spark's native unit).
+/** Canonical testdata loader. Driver generations of `events.parquet`
+  * have shipped `ts` two ways: Parquet TIMESTAMP(NANOS), which Spark's
+  * vectorized reader rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (then it surfaces as a
+  * LongType of nanoseconds), and plain `timestamp[us]` without a
+  * timezone flag, which Spark reads as TIMESTAMP_NTZ — a type the
+  * temporal functions (`unix_micros`, `window`, …) reject. Both shapes
+  * normalize here to a proper TimestampType (microsecond precision,
+  * Spark's native unit), so every operator downstream sees ONE
+  * timestamp type. The NTZ→TZ cast reinterprets the local datetime in
+  * the session timezone; `prepare` pins that to UTC, making the cast
+  * value-exact (epoch micros unchanged).
   */
 object Tables {
 
-  /** Session config every graft entry point applies (nanos handling +
-    * graft function registration). Idempotent. */
+  /** Session config every graft entry point applies (nanos handling,
+    * UTC session so NTZ normalization is value-exact + datetime output
+    * is engine-reproducible, graft function registration). Idempotent. */
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.GraftFunctions.register(spark)
     spark
+  }
+
+  /** Cast every TIMESTAMP_NTZ column to TIMESTAMP (session TZ must be
+    * UTC for value-exactness — `prepare` guarantees it for all graft
+    * entry points). Applied to every table, not just events: any column
+    * written by modern pandas/pyarrow without an isAdjustedToUTC flag
+    * lands as NTZ. */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntzCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntzCols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 
   // Base-frame memo per (session, path): schema inference and file
@@ -36,7 +58,7 @@ object Tables {
       // q58 as-of oracle, where the matched timestamp is an output).
       if (name == "events" && df.schema("ts").dataType.simpleString == "bigint")
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      else normalizeNtz(df)
     })
   }
 }

@@ -35,13 +35,32 @@ object Verify {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A failed query must produce a RED row, never an absent one: the
+    // q61 regression hid for a round because the key was simply omitted
+    // and 77-green-of-78 read as all-green. On exception we write a
+    // 1-row marker parquet whose schema can never match any oracle (the
+    // driver's compare then reports an explicit mismatch) and collect
+    // the error into errors.json for the human reader.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failures(name) = String.valueOf(e.getMessage).take(1000)
+        import spark.implicits._
+        Seq(("QUERY_FAILED", failures(name)))
+          .toDF("__graft_query_failed", "__graft_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    // Loud but zero-exit: the driver must still run its per-query
+    // compare (the marker parquet is what turns failure into a red row).
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
   }
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Point-in-time (as-of) join — the temporal primitive Spark lacks as a
   * built-in: for every left row, attach the LATEST right row whose
@@ -74,7 +75,16 @@ object AsOfJoin {
                  gapMillis: Long): DataFrame = {
     require(gapMillis > 0, "gap must be positive")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
-    val micros = unix_micros(col(tsCol))
+    // TIMESTAMP_NTZ inputs (modern pyarrow parquet without the
+    // adjusted-to-UTC flag) are accepted: `unix_micros` rejects NTZ, so
+    // cast to TIMESTAMP first. Gap arithmetic only uses differences,
+    // which the cast preserves under any fixed-offset session timezone
+    // (graft sessions pin UTC via Tables.prepare).
+    val tsTyped = events.schema(tsCol).dataType match {
+      case TimestampNTZType => col(tsCol).cast(TimestampType)
+      case _                => col(tsCol)
+    }
+    val micros = unix_micros(tsTyped)
     val isNew = when(lag(micros, 1).over(w).isNull, lit(0L))
       .otherwise((micros - lag(micros, 1).over(w) > gapMillis * 1000L).cast("long"))
     events.withColumn("session_ix",

@@ -123,11 +123,17 @@ object Dedup {
     * in this shape — the same aggregation that collects a shingle's doc
     * list knows its frequency, and hot shingles (stopword n-grams that
     * explode pairs quadratically and never discriminate near-dups) are
-    * dropped before pair generation. Pass 0 to keep all shingles, e.g.
-    * for oracle-exact runs at probe scale. */
+    * dropped before pair generation.
+    *
+    * The cap DEFAULTS ON (1024): one viral shingle shared by 100k docs
+    * is ~5×10⁹ pairs from a single group — at corpus scale an uncapped
+    * default is a silent job-killer, and a shingle present in >1024
+    * docs carries no near-dup signal anyway (any true near-dup pair
+    * blocked through it also shares rarer shingles). Pass 0 to opt out
+    * explicitly, e.g. for oracle-exact runs at probe scale. */
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleSize: Int = 3,
-                          maxShingleFreq: Int = 0): DataFrame = {
+                          maxShingleFreq: Int = 1024): DataFrame = {
     // per-doc shingle count is a PER-ROW property — no aggregation, no
     // shuffle, no cache; one extra native-shingles evaluation per doc.
     val sizes = df.select(col(idCol).as("id"),

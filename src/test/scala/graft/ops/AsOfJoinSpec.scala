@@ -121,6 +121,58 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(row.getAs[String]("asof_tag") === "b")
   }
 
+  // --- TIMESTAMP_NTZ tolerance (the q61 regression class) ---
+  // Modern pyarrow/pandas write parquet timestamps without the
+  // adjusted-to-UTC flag; Spark reads them as TIMESTAMP_NTZ, a type
+  // `unix_micros`/`window` reject at analysis time. Every tsCol
+  // entry point must accept BOTH types and produce identical results.
+
+  private def ntz(s: Long) = java.time.LocalDateTime
+    .ofEpochSecond(s, 0, java.time.ZoneOffset.UTC)
+
+  test("sessionize accepts TIMESTAMP_NTZ input and matches the TIMESTAMP result") {
+    val rows = Seq((1L, 10L, 0L), (2L, 10L, 100L), (3L, 10L, 221L),
+      (4L, 10L, 341L), (5L, 20L, 0L))
+    val tzDf = rows.map { case (i, k, t) => (i, k, ts(t)) }
+      .toDF("event_id", "user_id", "ts")
+    val ntzDf = rows.map { case (i, k, t) => (i, k, ntz(t)) }
+      .toDF("event_id", "user_id", "ts")
+    assert(ntzDf.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val expect = AsOfJoin.sessionize(tzDf, "user_id", "ts", 120000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val got = AsOfJoin.sessionize(ntzDf, "user_id", "ts", 120000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === expect)
+  }
+
+  test("as-of accepts TIMESTAMP_NTZ on both sides") {
+    val l = Seq((1L, 10L, ntz(100)), (2L, 10L, ntz(40)))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, ntz(50), 1.5), (10L, ntz(150), 2.5))
+      .toDF("user_id", "ts", "value")
+    val out = AsOfJoin.asofBackward(l, r, "user_id", "ts", Seq("value"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(out(1L) === Some(1.5), "NTZ ordering matches @50 for left @100")
+    assert(out(2L) === None, "left @40 precedes every right row")
+  }
+
+  test("Tables.load normalizes TIMESTAMP_NTZ columns to TIMESTAMP, value-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ntz-tables").toString
+    Seq((1L, ntz(100)), (2L, ntz(200))).toDF("id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // raw read is NTZ (what the driver-regenerated testdata looks like)
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val loaded = graft.Tables.load(spark, dir, "events")
+    assert(loaded.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    // value-exact under the UTC session: epoch micros unchanged
+    val micros = loaded.select(unix_micros(col("ts"))).as[Long]
+      .collect().sorted
+    assert(micros === Array(100000000L, 200000000L))
+  }
+
   test("as-of plan: one keyed window — no range join, no cartesian") {
     val p = AsOfJoin.asofBackward(left, right, "user_id", "ts", Seq("value"))
       .queryExecution.executedPlan.toString

@@ -313,7 +313,8 @@ class DedupSpec extends SparkTestBase {
     // 5 docs share one stopword-ish shingle ("aa bb cc") and nothing
     // else: uncapped blocking joins all C(5,2)=10 pairs through it.
     val hot = Seq.tabulate(5)(i => (i.toLong, s"aa bb cc u$i v$i")).toDF("doc_id", "text")
-    val uncapped = Dedup.ngramJaccardBlocked(hot, "doc_id", "text", threshold = 0.01)
+    val uncapped = Dedup.ngramJaccardBlocked(hot, "doc_id", "text", threshold = 0.01,
+      maxShingleFreq = 0) // explicit opt-out of the default cap
     assert(uncapped.count() === 10)
     // cap below the shingle's doc-frequency: the hot shingle is dropped
     // from blocking, so no candidate pairs survive — the f²/2 blow-up
@@ -326,6 +327,20 @@ class DedupSpec extends SparkTestBase {
       threshold = 0.01, maxShingleFreq = 5)
     assert(noop.orderBy("id_a", "id_b").collect().toSeq ===
       uncapped.orderBy("id_a", "id_b").collect().toSeq)
+  }
+
+  test("ngramJaccardBlocked DEFAULT caps hot shingles (uncapped is opt-in)") {
+    // 1030 docs all sharing the shingle "aa bb cc" and nothing else:
+    // the default cap (1024) must drop it BEFORE pair generation —
+    // C(1030,2) ≈ 530k pairs from one group is exactly the footgun the
+    // default exists to prevent.
+    val viral = Seq.tabulate(1030)(i => (i.toLong, s"aa bb cc u$i v$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardBlocked(viral, "doc_id", "text",
+      threshold = 0.01).count() === 0, "default drops the >1024-doc shingle")
+    assert(Dedup.ngramJaccardBlocked(viral, "doc_id", "text",
+      threshold = 0.01, maxShingleFreq = 0).count() === 1030L * 1029L / 2L,
+      "explicit 0 opts out of the cap")
   }
 
   test("simhash bits come from the md5 hex prefix (oracle-portable definition)") {

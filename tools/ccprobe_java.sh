@@ -1,0 +1,25 @@
+#!/bin/bash
+# CC probe matrix runner that bypasses sbt (no project-lock contention
+# with interactive builds): plain java over target/scala-2.13/classes +
+# /opt/spark/jars, same --add-opens set as build.sbt's forked runs.
+# Usage: tools/ccprobe_java.sh <logfile> "<edges>:<shape>:<config>" ...
+# Env: SPARK_DRIVER_MEM (default 64g), SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE
+LOG="$1"; shift
+cd /root/repo
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for spec in "$@"; do
+  IFS=':' read -r edges shape config <<< "$spec"
+  echo "=== $(date +%H:%M:%S) $edges $shape $config ===" >> "$LOG"
+  GRAFT_CC_DEBUG=1 java $ADD_OPENS \
+    -Xmx"${SPARK_DRIVER_MEM:-64g}" \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.tools.CCProbe "$edges" "$shape" "$config" 2>/dev/null \
+    | grep -E "^\[cc" >> "$LOG"
+done
+echo "=== $(date +%H:%M:%S) matrix done ===" >> "$LOG"
