@@ -75,11 +75,10 @@ object AsOfJoin {
                  gapMillis: Long): DataFrame = {
     require(gapMillis > 0, "gap must be positive")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
-    // TIMESTAMP_NTZ inputs (modern pyarrow parquet without the
-    // adjusted-to-UTC flag) are accepted: `unix_micros` rejects NTZ, so
-    // cast to TIMESTAMP first. Gap arithmetic only uses differences,
-    // which the cast preserves under any fixed-offset session timezone
-    // (graft sessions pin UTC via Tables.prepare).
+    // `unix_micros` rejects TIMESTAMP_NTZ — dispatch like every tsCol
+    // entry point (the graft.core.Timestamps policy; inline here
+    // because only the INTERNAL gap arithmetic needs the cast — the
+    // caller's original column passes through untouched).
     val tsTyped = events.schema(tsCol).dataType match {
       case TimestampNTZType => col(tsCol).cast(TimestampType)
       case _                => col(tsCol)

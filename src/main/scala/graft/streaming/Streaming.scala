@@ -41,7 +41,7 @@ object Streaming {
     * watermark is dropped; state is bounded (mandatory at 100 TB). */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =
-    events
+    graft.core.Timestamps.normalize(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total_value"))
@@ -58,7 +58,7 @@ object Streaming {
   def sessionizeStream(events: DataFrame, keyCol: String = "user_id",
                        tsCol: String = "ts", gap: String = "30 minutes",
                        watermark: String = "1 hour"): DataFrame =
-    events
+    graft.core.Timestamps.normalize(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"),
@@ -122,7 +122,7 @@ object Streaming {
     * rides on. */
   def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
                   watermark: String = "1 hour"): DataFrame =
-    docs
+    graft.core.Timestamps.normalize(docs, tsCol)
       .withColumn("__text_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__text_hash")
@@ -193,7 +193,11 @@ object Streaming {
     val highWater = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // `unix_millis` below rejects TIMESTAMP_NTZ — same policy as
+        // every other tsCol entry point (core.Timestamps)
+        val batch = if (retain)
+          graft.core.Timestamps.normalize(batch0, tsCol) else batch0
         val spark = batch.sparkSession
         graft.functions.GraftFunctions.register(spark)
         val keys = graft.ops.Dedup
