@@ -18,10 +18,19 @@ object Graph {
     * every iteration is reproducible bit-for-bit by the unrolled-CTE
     * oracle. Per iteration: contribution = round(pico·damping/outdeg)
     * along each edge, new score = base + Σ contributions, where
-    * base = round(1e12·(1−damping)/n). Dangling mass is NOT
-    * redistributed (documented simplification — totals shrink by the
-    * dangling fraction per round; ranking order is unaffected for the
-    * similarity-graph use).
+    * base = round(1e12·(1−damping)/n).
+    *
+    * Dangling mass: by default NOT redistributed (totals shrink by the
+    * dangling fraction per round; ranking ORDER is unaffected for the
+    * similarity-graph use). Real link graphs are dangling-heavy and
+    * cross-domain rank comparisons need conserved mass — pass
+    * `redistributeDangling = true` for the standard correction: each
+    * round, the damped rank mass parked on out-degree-0 nodes is
+    * shared uniformly, new score = base + Σ contributions +
+    * round(damping·Σ_dangling pico / n). The dangling sum rides as a
+    * BROADCAST 1-row frame (an anti-join aggregate per round — no
+    * driver collect, no extra blocking job; the q76-style stats-frame
+    * crossJoin shape).
     *
     * Scale shape: one (src-keyed) degree aggregate; per iteration one
     * join of edges to the rank frame (both keyed on the node id) and
@@ -31,7 +40,8 @@ object Graph {
     * (src, dst) — symmetrize near-dup pairs upstream. Output:
     * (id, rank) with rank rounded to 9. */
   def pageRank(nodes: DataFrame, edges: DataFrame,
-               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 5, damping: Double = 0.85,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && damping > 0 && damping < 1,
       "need iterations >= 1 and damping in (0, 1)")
     val spark = nodes.sparkSession
@@ -55,9 +65,25 @@ object Graph {
           round(col("pico") * lit(damping) / col("outdeg"), 0)
             .cast("long").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("__sum"))
-      ranks = ids.join(contrib, Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit(basePico) + coalesce(col("__sum"), lit(0L))).as("pico"))
+      val joined = ids.join(contrib, Seq("id"), "left_outer")
+      ranks =
+        if (!redistributeDangling)
+          joined.select(col("id"),
+            (lit(basePico) + coalesce(col("__sum"), lit(0L))).as("pico"))
+        else {
+          // damped mass parked on out-degree-0 nodes this round, as a
+          // broadcast 1-row frame; the per-node share uses the same
+          // double-then-round arithmetic as the edge contributions so
+          // the unrolled-CTE oracle reproduces it bit-for-bit
+          val dangling = ranks
+            .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+            .agg(coalesce(sum(col("pico")), lit(0L)).as("__dang"))
+          joined.crossJoin(broadcast(dangling))
+            .select(col("id"),
+              (lit(basePico) + coalesce(col("__sum"), lit(0L)) +
+                round(col("__dang") * lit(damping) / lit(n.toDouble), 0)
+                  .cast("long")).as("pico"))
+        }
       if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
       i += 1
     }

@@ -732,6 +732,22 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // PageRank with dangling-mass redistribution, over the DIRECTED
+    // candidate pairs (id_a→id_b): most docs have out-degree 0, the
+    // dangling-heavy shape of real link graphs — each round their
+    // damped mass is shared uniformly, so total rank is conserved and
+    // scores stay comparable across domains.
+    "q79_pagerank_dangling" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleSize = 3)
+      Graph.pageRank(docs.select(col("doc_id")),
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+          iterations = 4, redistributeDangling = true)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Snapshot diff (the grow → promote audit): src0 docs removed,
     // English lengths perturbed (changed), French clones appended
     // (added) — every id classified against the previous version.
@@ -1929,6 +1945,48 @@ object TrainingData {
          |consts AS (SELECT
          |  CAST(round(1e12 * (1 - 0.85) / count(*), 0) AS BIGINT) AS b,
          |  CAST(round(1e12 / count(*), 0) AS BIGINT) AS ini FROM documents),
+         |r0 AS (SELECT id, (SELECT ini FROM consts) AS pico FROM ids),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT id AS doc_id, round(pico::DOUBLE / 1e12, 9) AS rank
+         |FROM r4 ORDER BY doc_id""".stripMargin
+    },
+
+    // q78's CTEs with DIRECTED edges and per-round dangling-mass
+    // redistribution: d_i sums the prior round's rank over
+    // out-degree-0 nodes; every node gains
+    // round(dang * 0.85 / n) pico — the identical double-then-round
+    // arithmetic as the Spark operator, so the hash compare is exact.
+    "q79_pagerank_dangling" -> {
+      val iter = (i: Int) =>
+        s"""d$i AS (SELECT COALESCE(SUM(r.pico), 0) AS dang FROM r${i - 1} r
+           |  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id)),
+           |r$i AS (
+           |  SELECT n.id, (SELECT b FROM consts) + COALESCE(s.c, 0)
+           |    + CAST(round((SELECT dang FROM d$i) * 0.85
+           |        / (SELECT n FROM consts), 0) AS BIGINT) AS pico
+           |  FROM ids n LEFT JOIN (
+           |    SELECT e.dst AS id,
+           |      SUM(CAST(round(r.pico * 0.85 / o.outdeg, 0) AS BIGINT)) AS c
+           |    FROM edges e JOIN r${i - 1} r ON e.src = r.id
+           |    JOIN outdeg o ON e.src = o.src
+           |    GROUP BY e.dst) s ON n.id = s.id)""".stripMargin
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs),
+         |ids AS (SELECT doc_id AS id FROM documents),
+         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |consts AS (SELECT
+         |  CAST(round(1e12 * (1 - 0.85) / count(*), 0) AS BIGINT) AS b,
+         |  CAST(round(1e12 / count(*), 0) AS BIGINT) AS ini,
+         |  count(*) AS n FROM documents),
          |r0 AS (SELECT id, (SELECT ini FROM consts) AS pico FROM ids),
          |${(1 to 4).map(iter).mkString(",\n")}
          |SELECT id AS doc_id, round(pico::DOUBLE / 1e12, 9) AS rank

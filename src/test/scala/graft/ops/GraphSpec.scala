@@ -43,4 +43,33 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(r.sum - 1.0) < 1e-6, s"cycle mass conserved, got ${r.sum}")
     assert(r.distinct.size === 1, "a cycle is symmetric — all ranks equal")
   }
+
+  test("dangling redistribution conserves total mass where the default leaks it") {
+    val nodes = (0L until 8L).toDF("id")
+    // chain 0→1→2→3; node 3 dangles; 4..7 isolated (also dangling)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val leaky = Graph.pageRank(nodes, edges, iterations = 6)
+      .collect().map(_.getDouble(1)).sum
+    val conserved = Graph.pageRank(nodes, edges, iterations = 6,
+        redistributeDangling = true)
+      .collect().map(_.getDouble(1)).sum
+    assert(leaky < 0.6, s"default leaks dangling mass each round, got $leaky")
+    assert(math.abs(conserved - 1.0) < 1e-6,
+      s"redistributed mass sums to 1, got $conserved")
+  }
+
+  test("dangling redistribution is partition-exact and keeps rank order") {
+    val nodes = (0L until 30L).toDF("id")
+    // directed edges only (near-dup pairs as emitted): many dangling dsts
+    val pairs = (0L until 20L).map(i => (i, (i * 3 + 1) % 30))
+      .filter { case (a, b) => a != b }
+    val edges = pairs.toDF("src", "dst")
+    val a = Graph.pageRank(nodes, edges, iterations = 5,
+        redistributeDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = Graph.pageRank(nodes.repartition(7), edges.repartition(5),
+        iterations = 5, redistributeDangling = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(a === b, "pico-unit arithmetic is partition-invariant")
+  }
 }
