@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming scale probe — the state-boundedness questions a 100 TB
+  * stream poses, exercised at 600k events through a REAL file-source
+  * stream (multiple micro-batches, not MemoryStream driver toys):
+  *
+  *   - does `sessionizeStream`'s session_window state track OPEN
+  *     sessions (≈ distinct keys) rather than events seen — i.e. does
+  *     the watermark actually evict closed sessions?
+  *   - does `quotaSampleStream` hold exactly one long per domain, and
+  *     do per-domain admissions respect the quota ACROSS micro-batches?
+  *   - both on the raw TIMESTAMP_NTZ `ts` the driver parquet ships —
+  *     the type normalization must hold on the streaming path too.
+  *
+  * State sizes come from the engine's own accounting
+  * (`lastProgress.stateOperators.numRowsTotal`), not from guesses.
+  * Not part of CI. Usage:
+  *   sbt "runMain graft.tools.StreamProbe [sfDir]"
+  */
+object StreamProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 600k events: the sf0.1 events table ×6, each copy's users disjoint
+    // (offset 1e9·k) — session/quota state then scales with KEYS, and the
+    // probe can pin state ∝ keys, not events. `ts` stays EXACTLY as the
+    // parquet ships it (TIMESTAMP_NTZ since the r6 regeneration): the
+    // streaming entry points must normalize, not the probe.
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val copies = (0 until 6).map(k => raw
+      .withColumn("user_id", col("user_id") + lit(k * 1000000000L)))
+      .reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("stream-probe").toString
+    copies.repartition(12).write.mode("overwrite").parquet(s"$dir/events")
+    val nEvents = spark.read.parquet(s"$dir/events").count()
+    val nUsers = raw.select(col("user_id")).distinct().count() * 6
+    println(s"[stream] events=$nEvents users=$nUsers (ts type: " +
+      raw.schema("ts").dataType.simpleString + ")")
+
+    def finalStateRows(q: StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.toSeq).filter(_.nonEmpty)
+        .map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+
+    // file-source stream: 2 files per trigger → 6 micro-batches of ~100k
+    def stream(path: String) = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(path)
+
+    // --- sessionizeStream at 600k ------------------------------------
+    {
+      val t0 = System.nanoTime()
+      var sessions = 0L
+      val q = graft.streaming.Streaming
+        .sessionizeStream(stream(s"$dir/events"), "user_id", "ts",
+          gap = "30 minutes", watermark = "1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sp-ckpt").toString)
+        .foreachBatch { (b: DataFrame, _: Long) => sessions += b.count() }
+        .start()
+      q.processAllAvailable()
+      val state = finalStateRows(q)
+      q.stop()
+      println(f"[stream] sessionize 600k            " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"closed_sessions=$sessions state_rows=$state")
+      // closed sessions emitted; state holds only open sessions — the
+      // engine may keep a few rows per key across the session/watermark
+      // stores, but NEVER O(events)
+      assert(sessions > 0, "watermark advanced: sessions closed and emitted")
+      assert(state >= 0 && state <= 4 * nUsers,
+        s"session state tracks open sessions (~#keys), not events: " +
+          s"$state vs ${4 * nUsers} allowed")
+    }
+
+    // --- quotaSampleStream at 600k -----------------------------------
+    {
+      val t0 = System.nanoTime()
+      // ~1000 domains via user-id hash; id = event_id (unique per copy
+      // union? no — make it unique by salting with user_id)
+      val docs = stream(s"$dir/events")
+        .select(concat(lit("d"), pmod(col("user_id"), lit(1000))).as("domain"),
+          (col("event_id") + col("user_id") * lit(1000000L)).as("doc_id"))
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q = graft.streaming.Streaming
+        .quotaSampleStream(docs, "domain", "doc_id", quota = 50)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sp-quota").toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          admitted ++= b.collect().map(r => r.getString(0) -> r.getLong(1))
+          () // disambiguate the Scala foreachBatch overload (Unit body)
+        }
+        .start()
+      q.processAllAvailable()
+      val state = finalStateRows(q)
+      q.stop()
+      val perDomain = admitted.groupBy(_._1).view.mapValues(_.size)
+      val nDomains = perDomain.size.toLong
+      println(f"[stream] quota sample 600k          " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"admitted=${admitted.size} domains=$nDomains state_rows=$state")
+      assert(perDomain.values.forall(_ <= 50),
+        s"no domain exceeds its quota across micro-batches: " +
+          perDomain.filter(_._2 > 50))
+      assert(perDomain.values.exists(_ == 50),
+        "full domains exist (600k events over 1000 domains)")
+      // state is ONE counter per domain — the bounded shape; allow the
+      // store's per-key overhead but never O(events) or O(admitted)
+      assert(state >= 0 && state <= 2 * nDomains,
+        s"quota state is one row per domain: $state vs $nDomains domains")
+    }
+
+    spark.stop()
+    println("[stream] all state-boundedness asserts passed")
+  }
+}
