@@ -216,6 +216,94 @@ object Multimodal {
     out
   }
 
+  // ---- FLAC STREAMINFO + AAC ADTS frame walk -----------------------
+
+  /** FLAC duration from the mandatory STREAMINFO metadata block
+    * (first block after the `fLaC` magic): sample rate is a 20-bit
+    * field, total samples a 36-bit field; duration = samples × 1000 ÷
+    * rate. None when the magic or block layout doesn't parse — not a
+    * FLAC. */
+  def parseFlacDurationMs(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 42 || ascii4(bytes, 0) != "fLaC") return None
+    if ((bytes(4) & 0x7F) != 0) return None // first block must be STREAMINFO
+    val len = ((bytes(5) & 0xFF) << 16) | ((bytes(6) & 0xFF) << 8) | (bytes(7) & 0xFF)
+    if (len < 34 || 8 + 34 > bytes.length) return None
+    def b(i: Int) = bytes(8 + i) & 0xFF
+    val sampleRate = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4)
+    val totalSamples = ((b(13) & 0x0F).toLong << 32) | (b(14).toLong << 24) |
+      (b(15).toLong << 16) | (b(16).toLong << 8) | b(17).toLong
+    if (sampleRate <= 0) None else Some(totalSamples * 1000L / sampleRate)
+  }
+
+  /** Minimal FLAC: magic + one (last) STREAMINFO block declaring
+    * 44.1 kHz mono 16-bit and the sample count for `durationMs`. */
+  def flacBytes(durationMs: Long, sampleRate: Int = 44100): Array[Byte] = {
+    val total = durationMs * sampleRate / 1000L
+    val out = new Array[Byte](8 + 34)
+    "fLaC".getBytes("US-ASCII").copyToArray(out, 0)
+    out(4) = 0x80.toByte // last-block flag, type 0 = STREAMINFO
+    out(7) = 34          // block length (BE24)
+    out(8) = 0x10; out(10) = 0x10 // min/max block size 4096
+    out(18) = (sampleRate >> 12).toByte
+    out(19) = ((sampleRate >> 4) & 0xFF).toByte
+    // rate low nibble | channels-1 (000 = mono) | bps-1 high bit (16-1 = 15)
+    out(20) = (((sampleRate & 0xF) << 4) | (15 >> 4)).toByte
+    out(21) = (((15 & 0xF) << 4) | ((total >> 32) & 0xF)).toByte
+    out(22) = ((total >> 24) & 0xFF).toByte
+    out(23) = ((total >> 16) & 0xFF).toByte
+    out(24) = ((total >> 8) & 0xFF).toByte
+    out(25) = (total & 0xFF).toByte
+    out
+  }
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** AAC ADTS duration from the frame walk: every ADTS frame carries
+    * its byte length (13-bit field) and 1–4 AAC frames of 1024 samples
+    * each; duration = Σ frames × 1024 × 1000 ÷ rate. The layer bits
+    * are 00 — disjoint from MP3's Layer III sync, so the two sniffers
+    * never claim each other's payloads. None when no ADTS sync parses. */
+  def parseAdtsDurationMs(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 7) return None
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xF6) != 0xF0) return None
+    val srIdx = (bytes(2) >> 2) & 0xF
+    if (srIdx >= AdtsRates.length) return None
+    val rate = AdtsRates(srIdx)
+    var pos = 0
+    var aacFrames = 0L
+    while (pos + 7 <= bytes.length &&
+        (bytes(pos) & 0xFF) == 0xFF && (bytes(pos + 1) & 0xF6) == 0xF0) {
+      val frameLen = ((bytes(pos + 3) & 0x03) << 11) |
+        ((bytes(pos + 4) & 0xFF) << 3) | ((bytes(pos + 5) & 0xE0) >> 5)
+      if (frameLen < 7) return None
+      aacFrames += (bytes(pos + 6) & 0x03) + 1
+      pos += frameLen
+    }
+    if (aacFrames == 0) None else Some(aacFrames * 1024L * 1000L / rate)
+  }
+
+  /** Minimal ADTS stream: header-only 7-byte frames (one 1024-sample
+    * AAC frame each), count chosen so the walk reads back
+    * `durationMs`. */
+  def adtsBytes(durationMs: Long, sampleRate: Int = 44100): Array[Byte] = {
+    val srIdx = AdtsRates.indexOf(sampleRate)
+    require(srIdx >= 0, s"unsupported ADTS sample rate: $sampleRate")
+    val nFrames = math.max(1L, durationMs * sampleRate / 1000L / 1024L).toInt
+    val out = new Array[Byte](7 * nFrames)
+    (0 until nFrames).foreach { i =>
+      val p = i * 7
+      out(p) = 0xFF.toByte
+      out(p + 1) = 0xF1.toByte // MPEG-4, layer 00, no CRC
+      out(p + 2) = ((1 << 6) | (srIdx << 2)).toByte // AAC-LC, rate, mono(hi)
+      out(p + 3) = ((1 << 6) | (7 >> 11)).toByte    // mono(lo) + len hi bits
+      out(p + 4) = ((7 >> 3) & 0xFF).toByte
+      out(p + 5) = (((7 & 0x7) << 5) | 0x1F).toByte
+      out(p + 6) = 0xFC.toByte // buffer fullness | frames-1 = 0
+    }
+    out
+  }
+
   // ---- Ogg (Vorbis/Opus) page walk ---------------------------------
 
   private def ascii4(b: Array[Byte], off: Int) = new String(b, off, 4, "US-ASCII")
@@ -502,7 +590,8 @@ object Multimodal {
   /** THE default decoder: real header-only parses for all three kinds —
     * image dimensions via [[imageDims]], audio duration via the
     * container sniff chain ([[parseWavDurationMs]] →
-    * [[parseMp3DurationMs]] → [[parseOggDurationMs]]), video duration +
+    * [[parseFlacDurationMs]] → [[parseMp3DurationMs]] →
+    * [[parseAdtsDurationMs]] → [[parseOggDurationMs]]), video duration +
     * dimensions via [[parseMp4]] → [[parseWebm]]. Bytes-proportional work is limited to sha256 and the
     * byte-histogram feature; undecodable payloads yield null
     * dimensions/duration rather than failing the batch. */
@@ -521,10 +610,14 @@ object Multimodal {
           row(dims.map(d => Integer.valueOf(d._1)).orNull,
             dims.map(d => Integer.valueOf(d._2)).orNull, null)
         case "audio" =>
-          // container sniff: WAV → MP3 → Ogg (each parser returns None
-          // fast on a foreign magic, so the chain costs one header read)
+          // container sniff: WAV → FLAC → MP3 → ADTS → Ogg (each parser
+          // returns None fast on a foreign magic, so the chain costs one
+          // header read; MP3's Layer III bits and ADTS's layer-00 bits
+          // are disjoint, so the 0xFFF syncs never cross-claim)
           val dur = parseWavDurationMs(payload)
+            .orElse(parseFlacDurationMs(payload))
             .orElse(parseMp3DurationMs(payload))
+            .orElse(parseAdtsDurationMs(payload))
             .orElse(parseOggDurationMs(payload))
           row(null, null, dur.map(java.lang.Long.valueOf).orNull)
         case "video" =>

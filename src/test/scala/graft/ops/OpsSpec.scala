@@ -1191,6 +1191,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(dec.decode(3L, "audio", Multimodal.oggBytes(7000L)).get(6) === 7000L)
   }
 
+  test("FLAC/ADTS header parsers: round-trip, MP3-sync disjointness, cross-format safety") {
+    // FLAC STREAMINFO round-trip at two rates; 36-bit sample count math
+    assert(Multimodal.parseFlacDurationMs(Multimodal.flacBytes(2500L)).contains(2500L))
+    assert(Multimodal.parseFlacDurationMs(
+      Multimodal.flacBytes(90000L, sampleRate = 8000)).contains(90000L))
+    // ADTS frame walk: duration quantizes to whole 1024-sample frames
+    val adts = Multimodal.adtsBytes(durationMs = 5000L)
+    val nFrames = 5000L * 44100 / 1000 / 1024
+    assert(Multimodal.parseAdtsDurationMs(adts)
+      .contains(nFrames * 1024L * 1000 / 44100))
+    assert(Multimodal.parseAdtsDurationMs(
+      Multimodal.adtsBytes(1000L, sampleRate = 16000)).isDefined)
+    // the 0xFFF syncs never cross-claim: MP3 wants Layer III bits (01),
+    // ADTS carries layer 00 — and vice versa
+    assert(Multimodal.parseMp3DurationMs(adts).isEmpty,
+      "ADTS layer-00 frames must not parse as MP3")
+    assert(Multimodal.parseAdtsDurationMs(Multimodal.mp3Bytes(2500L)).isEmpty,
+      "MP3 Layer III frames must not parse as ADTS")
+    // cross-format and junk bytes: None, never a throw
+    val wav = Multimodal.wavBytes(Array.fill[Byte](100)(3))
+    for (parser <- Seq(Multimodal.parseFlacDurationMs _,
+        Multimodal.parseAdtsDurationMs _)) {
+      assert(parser(wav).isEmpty)
+      assert(parser("no flac or adts magic hiding in here".getBytes).isEmpty)
+      assert(parser(Array.empty[Byte]).isEmpty)
+      assert(parser(null).isEmpty)
+    }
+    assert(Multimodal.parseFlacDurationMs(
+      java.util.Arrays.copyOf(Multimodal.flacBytes(2500L), 20)).isEmpty,
+      "truncated STREAMINFO must not parse")
+    // the decoder's ONE audio path sniffs both new containers
+    val dec = new Multimodal.HeaderDecoder
+    assert(dec.decode(1L, "audio", Multimodal.flacBytes(2500L)).get(6) === 2500L)
+    assert(dec.decode(2L, "audio", adts).get(6) === nFrames * 1024L * 1000 / 44100)
+  }
+
   test("WebM header parser: round-trip, default-scale fallback, cross-format safety") {
     // round-trip: synthesized Segment(Info + Tracks) reads back exactly
     val webm = Multimodal.webmBytes(durationMs = 42500L, width = 1280, height = 720)
