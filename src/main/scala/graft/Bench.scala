@@ -61,13 +61,18 @@ object Bench {
     // once masqueraded as the suite's fastest result).
     val runs = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          ok = false
-          System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+      val times = (1 to reps).flatMap { _ =>
+        // no reps after a failure: ok can never recover, and a query
+        // that runs minutes before throwing would pay that again per rep
+        if (!ok) None
+        else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+            ok = false
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+          }
+          Some((System.nanoTime() - t0) / 1e9)
         }
-        (System.nanoTime() - t0) / 1e9
       }
       (name, if (ok) times.min else -1.0, ok)
     }

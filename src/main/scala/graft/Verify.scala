@@ -48,10 +48,17 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         failures(name) = String.valueOf(e.getMessage).take(1000)
-        import spark.implicits._
-        Seq(("QUERY_FAILED", failures(name)))
-          .toDF("__graft_query_failed", "__graft_error")
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // the marker write must never abort the loop (disk-full or a
+        // wedged session would otherwise recreate the silent-absence
+        // failure mode for every query AFTER this one)
+        try {
+          import spark.implicits._
+          Seq(("QUERY_FAILED", failures(name)))
+            .toDF("__graft_query_failed", "__graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed too: $e2")
+        }
       }
     }
     Files.writeString(Paths.get(s"$outDir/errors.json"),

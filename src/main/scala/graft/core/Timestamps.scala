@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
@@ -25,5 +25,14 @@ object Timestamps {
       case TimestampNTZType =>
         df.withColumn(tsCol, col(tsCol).cast(TimestampType))
       case _ => df
+    }
+
+  /** Column-level form for call sites that must leave the caller's
+    * frame untouched (e.g. sessionize passes the original column
+    * through and only normalizes its INTERNAL arithmetic input). */
+  def tzCol(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case TimestampNTZType => col(tsCol).cast(TimestampType)
+      case _                => col(tsCol)
     }
 }

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Point-in-time (as-of) join — the temporal primitive Spark lacks as a
   * built-in: for every left row, attach the LATEST right row whose
@@ -75,15 +74,10 @@ object AsOfJoin {
                  gapMillis: Long): DataFrame = {
     require(gapMillis > 0, "gap must be positive")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
-    // `unix_micros` rejects TIMESTAMP_NTZ — dispatch like every tsCol
-    // entry point (the graft.core.Timestamps policy; inline here
-    // because only the INTERNAL gap arithmetic needs the cast — the
-    // caller's original column passes through untouched).
-    val tsTyped = events.schema(tsCol).dataType match {
-      case TimestampNTZType => col(tsCol).cast(TimestampType)
-      case _                => col(tsCol)
-    }
-    val micros = unix_micros(tsTyped)
+    // `unix_micros` rejects TIMESTAMP_NTZ — the one type policy
+    // (core.Timestamps) in column form: only the INTERNAL gap
+    // arithmetic sees the cast, the caller's column passes through.
+    val micros = unix_micros(graft.core.Timestamps.tzCol(events, tsCol))
     val isNew = when(lag(micros, 1).over(w).isNull, lit(0L))
       .otherwise((micros - lag(micros, 1).over(w) > gapMillis * 1000L).cast("long"))
     events.withColumn("session_ix",

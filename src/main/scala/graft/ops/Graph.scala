@@ -29,8 +29,9 @@ object Graph {
     * shared uniformly, new score = base + Σ contributions +
     * round(damping·Σ_dangling pico / n). The dangling sum rides as a
     * BROADCAST 1-row frame (an anti-join aggregate per round — no
-    * driver collect, no extra blocking job; the q76-style stats-frame
-    * crossJoin shape).
+    * driver collect; the q76-style stats-frame crossJoin shape). This
+    * mode materializes the rank frame every round (it is referenced
+    * twice per iteration — see the checkpoint note in the loop).
     *
     * Scale shape: one (src-keyed) degree aggregate; per iteration one
     * join of edges to the rank frame (both keyed on the node id) and
@@ -84,7 +85,13 @@ object Graph {
                 round(col("__dang") * lit(damping) / lit(n.toDouble), 0)
                   .cast("long")).as("pico"))
         }
-      if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
+      // redistribution references the prior ranks frame TWICE per round
+      // (contrib join + dangling aggregate) and Catalyst does not share
+      // the subplan — un-materialized rounds would recompute 2^k-fold
+      // between checkpoints, so that mode materializes every round; the
+      // single-reference default keeps the cheaper every-3rd cadence
+      if ((redistributeDangling || i % 3 == 0) && i < iterations)
+        ranks = ranks.localCheckpoint(true)
       i += 1
     }
     ranks.select(col("id"),

@@ -590,8 +590,8 @@ object Multimodal {
   /** THE default decoder: real header-only parses for all three kinds —
     * image dimensions via [[imageDims]], audio duration via the
     * container sniff chain ([[parseWavDurationMs]] →
-    * [[parseFlacDurationMs]] → [[parseMp3DurationMs]] →
-    * [[parseAdtsDurationMs]] → [[parseOggDurationMs]]), video duration +
+    * [[parseFlacDurationMs]] → [[parseAdtsDurationMs]] →
+    * [[parseMp3DurationMs]] → [[parseOggDurationMs]]), video duration +
     * dimensions via [[parseMp4]] → [[parseWebm]]. Bytes-proportional work is limited to sha256 and the
     * byte-histogram feature; undecodable payloads yield null
     * dimensions/duration rather than failing the batch. */
@@ -610,14 +610,17 @@ object Multimodal {
           row(dims.map(d => Integer.valueOf(d._1)).orNull,
             dims.map(d => Integer.valueOf(d._2)).orNull, null)
         case "audio" =>
-          // container sniff: WAV → FLAC → MP3 → ADTS → Ogg (each parser
-          // returns None fast on a foreign magic, so the chain costs one
-          // header read; MP3's Layer III bits and ADTS's layer-00 bits
-          // are disjoint, so the 0xFFF syncs never cross-claim)
+          // container sniff: WAV → FLAC → ADTS → MP3 → Ogg. Strict
+          // parsers (exact magic / sync at offset 0) run BEFORE the
+          // junk-tolerant MP3 scanner: ADTS headers carry layer-00 bits
+          // so MP3 files never parse as ADTS, but an ADTS file's
+          // compressed PAYLOAD can contain a byte pair that satisfies
+          // MP3's scanning sync check — strict-first makes the order
+          // safe in both directions.
           val dur = parseWavDurationMs(payload)
             .orElse(parseFlacDurationMs(payload))
-            .orElse(parseMp3DurationMs(payload))
             .orElse(parseAdtsDurationMs(payload))
+            .orElse(parseMp3DurationMs(payload))
             .orElse(parseOggDurationMs(payload))
           row(null, null, dur.map(java.lang.Long.valueOf).orNull)
         case "video" =>

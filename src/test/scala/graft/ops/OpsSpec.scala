@@ -1225,6 +1225,24 @@ class MultimodalSpec extends SparkTestBase {
     val dec = new Multimodal.HeaderDecoder
     assert(dec.decode(1L, "audio", Multimodal.flacBytes(2500L)).get(6) === 2500L)
     assert(dec.decode(2L, "audio", adts).get(6) === nFrames * 1024L * 1000 / 44100)
+    // strict-before-tolerant ordering: an ADTS frame whose PAYLOAD
+    // contains an MP3-sync-looking byte pair must still sniff as ADTS
+    // (the junk-tolerant MP3 scanner would otherwise claim it)
+    val withPayload = {
+      val payloadLen = 20
+      val frameLen = 7 + payloadLen
+      val f = Multimodal.adtsBytes(0L) // one header-only frame
+      val out = java.util.Arrays.copyOf(f, frameLen)
+      out(3) = ((1 << 6) | (frameLen >> 11)).toByte
+      out(4) = ((frameLen >> 3) & 0xFF).toByte
+      out(5) = (((frameLen & 0x7) << 5) | 0x1F).toByte
+      out(9) = 0xFF.toByte; out(10) = 0xFB.toByte // MP3-ish sync in payload
+      out
+    }
+    assert(Multimodal.parseAdtsDurationMs(withPayload)
+      .contains(1024L * 1000 / 44100))
+    assert(dec.decode(3L, "audio", withPayload).get(6) === 1024L * 1000 / 44100,
+      "decoder chain must not let the MP3 scanner claim ADTS payload bytes")
   }
 
   test("WebM header parser: round-trip, default-scale fallback, cross-format safety") {
