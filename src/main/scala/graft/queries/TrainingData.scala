@@ -1917,10 +1917,14 @@ object TrainingData {
 
     // q23's pair CTEs feed a 4-round unrolled PageRank: identical
     // pico-unit integer arithmetic per round (the contribution sum is
-    // a BIGINT sum — order-exact in both engines).
+    // a BIGINT sum — order-exact in both engines). Every CTE is
+    // MATERIALIZED: the round CTEs chain, and DuckDB's inlining
+    // otherwise re-evaluates the md5 pair pipeline per reference —
+    // super-linear at sf0.1 (measured 4.5× at sf0.01 on the q79
+    // variant, worse with scale).
     "q78_pagerank" -> {
       val iter = (i: Int) =>
-        s"""r$i AS (
+        s"""r$i AS MATERIALIZED (
            |  SELECT n.id, (SELECT b FROM consts) + COALESCE(s.c, 0) AS pico
            |  FROM ids n LEFT JOIN (
            |    SELECT e.dst AS id,
@@ -1928,24 +1932,24 @@ object TrainingData {
            |    FROM edges e JOIN r${i - 1} r ON e.src = r.id
            |    JOIN outdeg o ON e.src = o.src
            |    GROUP BY e.dst) s ON n.id = s.id)""".stripMargin
-      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
-         |mh AS (
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS MATERIALIZED (
          |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
          |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
-         |bands AS (
+         |bands AS MATERIALIZED (
          |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
          |  FROM mh GROUP BY doc_id, i // 4),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |ids AS (SELECT doc_id AS id FROM documents),
-         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-         |consts AS (SELECT
+         |ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+         |outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |consts AS MATERIALIZED (SELECT
          |  CAST(round(1e12 * (1 - 0.85) / count(*), 0) AS BIGINT) AS b,
          |  CAST(round(1e12 / count(*), 0) AS BIGINT) AS ini FROM documents),
-         |r0 AS (SELECT id, (SELECT ini FROM consts) AS pico FROM ids),
+         |r0 AS MATERIALIZED (SELECT id, (SELECT ini FROM consts) AS pico FROM ids),
          |${(1 to 4).map(iter).mkString(",\n")}
          |SELECT id AS doc_id, round(pico::DOUBLE / 1e12, 9) AS rank
          |FROM r4 ORDER BY doc_id""".stripMargin
@@ -1958,9 +1962,10 @@ object TrainingData {
     // arithmetic as the Spark operator, so the hash compare is exact.
     "q79_pagerank_dangling" -> {
       val iter = (i: Int) =>
-        s"""d$i AS (SELECT COALESCE(SUM(r.pico), 0) AS dang FROM r${i - 1} r
+        s"""d$i AS MATERIALIZED (
+           |  SELECT COALESCE(SUM(r.pico), 0) AS dang FROM r${i - 1} r
            |  WHERE NOT EXISTS (SELECT 1 FROM outdeg o WHERE o.src = r.id)),
-           |r$i AS (
+           |r$i AS MATERIALIZED (
            |  SELECT n.id, (SELECT b FROM consts) + COALESCE(s.c, 0)
            |    + CAST(round((SELECT dang FROM d$i) * 0.85
            |        / (SELECT n FROM consts), 0) AS BIGINT) AS pico
@@ -1970,24 +1975,24 @@ object TrainingData {
            |    FROM edges e JOIN r${i - 1} r ON e.src = r.id
            |    JOIN outdeg o ON e.src = o.src
            |    GROUP BY e.dst) s ON n.id = s.id)""".stripMargin
-      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
-         |mh AS (
+      s"""WITH sh AS MATERIALIZED (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS MATERIALIZED (
          |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
          |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
-         |bands AS (
+         |bands AS MATERIALIZED (
          |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
          |  FROM mh GROUP BY doc_id, i // 4),
-         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs),
-         |ids AS (SELECT doc_id AS id FROM documents),
-         |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-         |consts AS (SELECT
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs),
+         |ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+         |outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |consts AS MATERIALIZED (SELECT
          |  CAST(round(1e12 * (1 - 0.85) / count(*), 0) AS BIGINT) AS b,
          |  CAST(round(1e12 / count(*), 0) AS BIGINT) AS ini,
          |  count(*) AS n FROM documents),
-         |r0 AS (SELECT id, (SELECT ini FROM consts) AS pico FROM ids),
+         |r0 AS MATERIALIZED (SELECT id, (SELECT ini FROM consts) AS pico FROM ids),
          |${(1 to 4).map(iter).mkString(",\n")}
          |SELECT id AS doc_id, round(pico::DOUBLE / 1e12, 9) AS rank
          |FROM r4 ORDER BY doc_id""".stripMargin

@@ -19,7 +19,9 @@ for spec in "$@"; do
     -Xmx"${SPARK_DRIVER_MEM:-64g}" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-    graft.tools.CCProbe "$edges" "$shape" "$config" 2>/dev/null \
+    graft.tools.CCProbe "$edges" "$shape" "$config" 2>>"$LOG.err" \
     | grep -E "^\[cc" >> "$LOG"
+  # a crashed cell must be visible in the main log, not silence
+  [ "${PIPESTATUS[0]}" -eq 0 ] || echo "!!! $edges $shape $config EXIT ${PIPESTATUS[0]} (see $LOG.err)" >> "$LOG"
 done
 echo "=== $(date +%H:%M:%S) matrix done ===" >> "$LOG"
