@@ -53,8 +53,15 @@ object Graph {
     val basePico = math.round(1e12 * (1 - damping) / n)
     val initPico = math.round(1e12 / n)
     val ids = nodes.select(col(nodes.columns.head).as("id"))
-    val e = edges.select(col(edges.columns(0)).as("src"),
+    val e0 = edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"))
+    // redistribution materializes ranks EVERY round (see the loop), and
+    // each of those checkpoints is its own job — exchange reuse does
+    // not cross jobs, so a lazy edge frame (e.g. the LSH candidate
+    // pipeline in q79) would be recomputed per round. Materialize it
+    // once; the single-action default keeps the lazy form (one job,
+    // ReusedExchange covers the rounds).
+    val e = if (redistributeDangling) e0.localCheckpoint(true) else e0
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var ranks = ids.select(col("id"), lit(initPico).as("pico"))
     var i = 1
