@@ -214,30 +214,40 @@ object Dedup {
 
   /** Connected components over an undirected candidate-pair graph —
     * the closure step that turns near-dup PAIRS (q22/q23/q24/q26) into
-    * dedup CLUSTERS. Iterative min-label propagation: each round every
-    * node takes the minimum label among itself and its neighbors, until
-    * a fixpoint — converges in graph-DIAMETER rounds, and each round is
-    * just 3 cheap stages (edge⋈label join, min agg, label update).
+    * dedup CLUSTERS. Three execution paths, picked by graph size and
+    * `algorithm`:
     *
-    * Near-dup components are shallow by construction (LSH buckets
-    * connect most members pairwise), so diameter ≈ 2-4 and this is the
-    * fastest shape — measured 3× faster than the star alternation on
-    * the 600 k LSH probe graph. For graphs of UNKNOWN or adversarial
-    * depth (long chains), use [[connectedComponentsStar]]: O(log n)
-    * rounds at a higher per-round cost.
+    *  - ≤ `driverEdgeLimit` edges (integral ids): driver union-find —
+    *    near-dup graphs are usually tiny relative to their corpus, and
+    *    every distributed round costs ~1 s of pure scheduler latency.
+    *  - above the limit, `algorithm = "star"` (default): large-star/
+    *    small-star alternation ([[connectedComponentsStar]]) — the
+    *    shape-ROBUST choice. The one-config-per-JVM probe matrix
+    *    (NOTES_r07, 22.5M/24M edges) has star within 11% of the best
+    *    config on shallow LSH graphs and 3× the best propagation
+    *    config on adversarial chains (O(log n) = 6 rounds vs 32) — and
+    *    a caller with millions of edges usually cannot KNOW the shape.
+    *  - `algorithm = "frontier"`: changed-labels-only min-label
+    *    propagation — converges in graph-DIAMETER rounds; round 1 is
+    *    one full edge⋈label shuffle, later rounds shuffle only edges
+    *    touching the shrinking frontier. Opt-in for graphs KNOWN to be
+    *    shallow at moderate scale, where propagation's 3 cheap stages
+    *    per round beat star's rewiring cost (measured 3× on the 600 k
+    *    LSH probe graph — a scale the driver fast path absorbs anyway).
     *
-    * Scale shape: frontier (changed-labels-only) propagation — round 1
-    * is one full edge⋈label shuffle, later rounds shuffle only edges
-    * touching the shrinking frontier; `localCheckpoint` every
-    * `checkpointInterval` rounds truncates the iterative lineage, and
-    * convergence is frontier-emptiness on the materialized state.
+    * All three label identically (OpsSpec pins the equivalence; the
+    * probe matrix pins it at 22.5M+ edges via (nodes, clusters,
+    * Σlabel) agreement).
     *
     * Returns (id, cluster) where cluster = min id of the component.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                           maxIterations: Int = 20,
                           driverEdgeLimit: Long = 1000000L,
-                          checkpointInterval: Int = 1): DataFrame = {
+                          checkpointInterval: Int = 1,
+                          algorithm: String = "star"): DataFrame = {
+    require(algorithm == "star" || algorithm == "frontier",
+      s"unknown CC algorithm: $algorithm (expected star | frontier)")
     // Small-graph fast path: near-dup graphs are usually TINY relative
     // to their corpus (dozens to thousands of edges for millions of
     // docs), and every distributed round costs fixed scheduler +
@@ -270,6 +280,13 @@ object Dedup {
         src.unpersist(blocking = false)
         return connectedComponentsLocal(pairs.sparkSession, probe)
       }
+    }
+    if (algorithm == "star") {
+      // Star materializes both its derived frames from the persisted
+      // src before returning, so the cache can drop immediately.
+      val out = connectedComponentsStar(src, idA, idB, maxIterations)
+      if (fastEligible) src.unpersist(blocking = false)
+      return out
     }
     // CO-PARTITION the loop invariants ONCE: `localCheckpoint` preserves
     // the physical plan's outputPartitioning in the LogicalRDD it leaves
@@ -414,9 +431,11 @@ object Dedup {
     * graph-DIAMETER rounds for [[connectedComponents]], which
     * serializes on long chains.
     *
-    * Use this for graphs of unknown or adversarial depth; for shallow
-    * near-dup graphs plain propagation's 3-stage rounds win (measured
-    * 3× on the 600 k LSH probe graph). Each half-step is one
+    * This is [[connectedComponents]]'s default distributed path (see
+    * its scaladoc for the probe-matrix numbers behind that choice);
+    * for shallow near-dup graphs at moderate scale plain propagation's
+    * 3-stage rounds win (measured 3× on the 600 k LSH probe graph —
+    * `algorithm = "frontier"` there). Each half-step is one
     * map-side-combinable groupBy for the neighborhood minima plus one
     * join back to the edge frame; the edge set SHRINKS as components
     * collapse into stars; `localCheckpoint` truncates the iterative
@@ -428,12 +447,28 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                               maxIterations: Int = 20): DataFrame = {
+    // ONE evaluation of the (possibly expensive — LSH!) pair pipeline:
+    // both derived frames — the normalized edge set and the original
+    // endpoint set for the final self-labels — materialize eagerly from
+    // a persisted copy, then the copy drops. Without this, the lazy
+    // `nodes` union at the bottom re-ran the whole upstream pipeline at
+    // result-evaluation time.
+    val src = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // normalized edge direction: src > dst (big points to small)
-    var e = pairs
+    var e = src
       .select(greatest(col(idA), col(idB)).as("src"), least(col(idA), col(idB)).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    // every ORIGINAL endpoint: a node whose only pair was a self-loop
+    // has no surviving normalized edge but must still be labeled,
+    // exactly as the propagation algorithm labels it — the two
+    // algorithms return the same node set for any input.
+    val nodes = src.select(col(idA).as("id"))
+      .union(src.select(col(idB).as("id")))
+      .distinct()
+      .localCheckpoint()
+    src.unpersist(blocking = false)
 
     // large-star(u): every neighbor v > u rewires to m = min(Γ(u) ∪ {u})
     def largeStar(edges: DataFrame): DataFrame = {
@@ -483,14 +518,6 @@ object Dedup {
     }
     // at the star fixpoint every non-root points straight at its
     // component min; groupBy-min also tolerates a maxIterations cutoff.
-    // Union the ORIGINAL endpoint set as self-labels: a node whose only
-    // pair was a self-loop has no surviving edge (the normalization
-    // filters src == dst) but must still be labeled, exactly as the
-    // propagation algorithm labels it — the two algorithms return the
-    // same node set for any input.
-    val nodes = pairs.select(col(idA).as("id"))
-      .union(pairs.select(col(idB).as("id")))
-      .distinct()
     e.select(col("src").as("id"), col("dst").as("cluster"))
       .union(e.select(col("dst").as("id"), col("dst").as("cluster")))
       .union(nodes.withColumn("cluster", col("id")))
@@ -577,14 +604,78 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Duplicated-substring coverage (the ExactSubstr signal of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — approximated at fixed token-window granularity): a
+    * document position is DUPLICATED if some `windowTokens`-token
+    * window starting there also appears in ≥ `minDocFreq` distinct
+    * documents. Unlike whole-doc near-dup (MinHash) or paragraph dedup
+    * (exact md5 at paragraph grain), this catches partially-copied
+    * spans — quote farms, templated intros, licence blocks — that
+    * neither whole-doc signatures nor paragraph hashes see.
+    *
+    * Per doc: `n_windows` (token windows), `n_dup_windows` (windows
+    * whose hash is corpus-hot), `covered_tokens` (size of the UNION of
+    * the hot windows' [pos, pos+L) intervals — overlapping spans are
+    * not double-counted), `dup_frac` = covered / tokens. Filter
+    * `dup_frac > τ` to drop heavily-copied docs, or feed
+    * `covered_tokens` into a span-removal rewrite.
+    *
+    * Scale shape: one explode to (doc, pos, window-hash) rows; the hot
+    * set is a map-side-combined hash aggregate joined back on the hash
+    * (shuffle join — the hot set is NOT assumed broadcastable); the
+    * interval union is one lag window partitioned by doc, bounded by
+    * doc length — the same per-doc invariant every rewrite op here
+    * relies on. Window hashes are md5 over the space-joined window, so
+    * the DuckDB oracle reproduces them exactly. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be at least 2")
+    require(minDocFreq >= 2, "minDocFreq below 2 would mark every window duplicated")
+    val L = windowTokens
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("t"))
+    // sequence(a, b) DESCENDS when a > b — short docs must yield an
+    // empty window array, not a [0, -1] one
+    val wins = toks
+      .select(col("doc_id"), posexplode(
+        when(size(col("t")) >= L,
+          transform(sequence(lit(0), size(col("t")) - L),
+            i => md5(array_join(slice(col("t"), i + 1, lit(L)), " "))))
+          .otherwise(array())).as(Seq("pos", "h")))
+    val hot = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("wdf"))
+      .filter(col("wdf") >= minDocFreq)
+      .select(col("h"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = wins.join(hot, Seq("h"))
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("inc",
+        when(col("prev").isNull, lit(L.toLong))
+          .otherwise(least(lit(L.toLong), col("pos") - col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("inc")).as("covered_tokens"))
+    toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        greatest(size(col("t")) - L + 1, lit(0)).cast("long").as("n_windows"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
+  }
+
   /** Resolve a corpus against its candidate pairs: every doc gets its
     * component's min id as `cluster_id` and `keep` marks the one
     * survivor per cluster (unpaired docs survive as their own cluster).
     * This is the operator that actually PRODUCES a deduplicated corpus:
     * `docs.filter(col("keep"))` after any pair-generating detector. */
   def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-                      maxIterations: Int = 20): DataFrame = {
-    val labels = connectedComponents(pairs, maxIterations = maxIterations)
+                      maxIterations: Int = 20,
+                      algorithm: String = "star"): DataFrame = {
+    val labels = connectedComponents(pairs, maxIterations = maxIterations,
+        algorithm = algorithm)
       .select(col("id").as("__cc_id"), col("cluster").as("__cc_cluster"))
     docs.join(labels, docs(idCol) === labels("__cc_id"), "left")
       .withColumn("cluster_id", coalesce(col("__cc_cluster"), col(idCol)))
@@ -603,12 +694,13 @@ object Dedup {
     * ("train" / "val" / "test"). */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        trainFrac: Double, valFrac: Double,
-                       maxIterations: Int = 20): DataFrame = {
+                       maxIterations: Int = 20,
+                       algorithm: String = "star"): DataFrame = {
     require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
       "fractions must be positive and leave room for the test split")
     val u = (Sketches.hash60(col("cluster_id")).cast("double") + 1.0) /
       math.pow(2.0, 60)
-    resolveClusters(docs, idCol, pairs, maxIterations)
+    resolveClusters(docs, idCol, pairs, maxIterations, algorithm)
       .withColumn("split",
         when(u < trainFrac, lit("train"))
           .when(u < trainFrac + valFrac, lit("val"))

@@ -748,6 +748,18 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicated-substring coverage (Lee et al. ExactSubstr at
+    // 5-token-window grain): per doc, how much of it is a span that
+    // also appears verbatim in ≥2 distinct documents — the
+    // partial-copy signal whole-doc MinHash and paragraph-grain
+    // md5 both miss. Interval-union semantics: overlapping hot
+    // windows never double-count a token.
+    "q80_dup_spans" -> ((s, d) => {
+      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+          windowTokens = 5, minDocFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Snapshot diff (the grow → promote audit): src0 docs removed,
     // English lengths perturbed (changed), French clones appended
     // (added) — every id classified against the previous version.
@@ -1997,6 +2009,36 @@ object TrainingData {
          |SELECT id AS doc_id, round(pico::DOUBLE / 1e12, 9) AS rank
          |FROM r4 ORDER BY doc_id""".stripMargin
     },
+
+    // Window hash = md5 of the space-joined 5-token slice — identical
+    // bytes in both engines (slice is 1-based-inclusive t[i+1:i+5] here,
+    // slice(t, i+1, 5) in Spark). Interval union via lag: first hot
+    // window in a doc contributes 5 tokens, each later one
+    // min(5, pos - prev). generate_series descends-to-empty on short
+    // docs, mirroring the Spark-side size guard.
+    "q80_dup_spans" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM documents),
+         |wins AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+         |  FROM toks, unnest(generate_series(0, len(t)-5)) AS u(i)),
+         |hot AS MATERIALIZED (
+         |  SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hw AS (
+         |  SELECT w.doc_id, w.pos,
+         |    lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS prev
+         |  FROM wins w JOIN hot USING (h)),
+         |cov AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_dup_windows,
+         |    SUM(CASE WHEN prev IS NULL THEN 5
+         |             ELSE least(5, pos - prev) END)::BIGINT AS covered_tokens
+         |  FROM hw GROUP BY doc_id)
+         |SELECT tk.doc_id, len(tk.t)::BIGINT AS n_tokens,
+         |  greatest(len(tk.t) - 4, 0)::BIGINT AS n_windows,
+         |  COALESCE(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |  COALESCE(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+         |  round(COALESCE(c.covered_tokens, 0)::DOUBLE
+         |        / greatest(len(tk.t), 1), 6) AS dup_frac
+         |FROM toks tk LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q77_snapshot_diff" ->
       """WITH next AS (

@@ -138,11 +138,11 @@ object CCProbe {
 
     def run(df: DataFrame): DataFrame = config match {
       case "f1" => Dedup.connectedComponents(df, maxIterations = maxIter,
-        driverEdgeLimit = 0, checkpointInterval = 1)
+        driverEdgeLimit = 0, checkpointInterval = 1, algorithm = "frontier")
       case "f2" => Dedup.connectedComponents(df, maxIterations = maxIter,
-        driverEdgeLimit = 0, checkpointInterval = 2)
+        driverEdgeLimit = 0, checkpointInterval = 2, algorithm = "frontier")
       case "f4" => Dedup.connectedComponents(df, maxIterations = maxIter,
-        driverEdgeLimit = 0, checkpointInterval = 4)
+        driverEdgeLimit = 0, checkpointInterval = 4, algorithm = "frontier")
       case "full" => fullRelabel(df, maxIter)
       case "star" => Dedup.connectedComponentsStar(df, maxIterations = maxIter)
       case other => throw new IllegalArgumentException(s"unknown config: $other")

@@ -252,9 +252,13 @@ class DedupSpec extends SparkTestBase {
       }
       for (algo <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
           df => Dedup.connectedComponents(df), // driver union-find fast path
-          df => Dedup.connectedComponents(df, driverEdgeLimit = 0), // distributed rounds
+          // distributed default above the limit = star (via dispatch)
+          df => Dedup.connectedComponents(df, driverEdgeLimit = 0),
+          // frontier propagation (opt-in distributed path)
+          df => Dedup.connectedComponents(df, driverEdgeLimit = 0, algorithm = "frontier"),
           // batched-checkpoint cadence must not change the fixpoint
-          df => Dedup.connectedComponents(df, driverEdgeLimit = 0, checkpointInterval = 3),
+          df => Dedup.connectedComponents(df, driverEdgeLimit = 0, checkpointInterval = 3,
+            algorithm = "frontier"),
           df => Dedup.connectedComponentsStar(df))) {
         val got = algo(edges.toDF("id_a", "id_b"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -267,15 +271,16 @@ class DedupSpec extends SparkTestBase {
 
   test("connected components reach fixpoint on a long chain (propagation over diameter)") {
     // path 0-1-2-...-9: min label must travel 9 hops; driverEdgeLimit=0
-    // forces the DISTRIBUTED rounds (the thing this test pins)
+    // + algorithm="frontier" forces the DISTRIBUTED propagation rounds
+    // (the thing this test pins)
     val chain = Seq.tabulate(9)(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain, driverEdgeLimit = 0)
+    val cc = Dedup.connectedComponents(chain, driverEdgeLimit = 0, algorithm = "frontier")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet === Set(0L), s"all chain nodes label 0, got $cc")
     // batched cadence (clamped at 4): spans may overshoot the fixpoint
     // but labels must be unchanged; 16 exercises the clamp
     val batched = Dedup.connectedComponents(chain, driverEdgeLimit = 0,
-        checkpointInterval = 16)
+        checkpointInterval = 16, algorithm = "frontier")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(batched === cc, "checkpoint batching must not change labels")
   }
@@ -284,13 +289,21 @@ class DedupSpec extends SparkTestBase {
     val pairs = Seq((7L, 7L), (3L, 1L)).toDF("id_a", "id_b")
     val local = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val prop = Dedup.connectedComponents(pairs, driverEdgeLimit = 0)
+    val prop = Dedup.connectedComponents(pairs, driverEdgeLimit = 0, algorithm = "frontier")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val star = Dedup.connectedComponentsStar(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(prop === Map(1L -> 1L, 3L -> 1L, 7L -> 7L))
     assert(local === prop, "driver fast path must label self-loop nodes identically")
     assert(star === prop, "star must label the self-loop node like propagation does")
+  }
+
+  test("connectedComponents rejects an unknown algorithm") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, algorithm = "pregel")
+    }
+    assert(e.getMessage.contains("unknown CC algorithm"))
   }
 
   test("star alternation collapses a long chain in O(log n) rounds") {
@@ -300,6 +313,33 @@ class DedupSpec extends SparkTestBase {
     val cc = Dedup.connectedComponentsStar(chain, maxIterations = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size === 31 && cc.values.toSet === Set(0L), s"chain must collapse to 0, got $cc")
+  }
+
+  test("duplicateSpans: interval union, cross-doc-only hotness, short docs") {
+    val docs = Seq(
+      // d1/d2 share exactly one 5-token window ("a b c d e" at pos 0)
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      // d3 too short for any window
+      (3L, "x y"),
+      // d4/d5 share a 7-token run: hot windows at pos 0,1,2 overlap —
+      // union must be 7 tokens (5 + 1 + 1), not 15
+      (4L, "h i j k l m n"),
+      (5L, "h i j k l m n"),
+      // d6 repeats a 5-token span WITHIN itself only: distinct-doc
+      // frequency is 1, so nothing is hot
+      (6L, "p q r s t z p q r s t")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text",
+        windowTokens = 5, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(1L) === ((6L, 2L, 1L, 5L, 0.833333)))
+    assert(got(2L) === ((6L, 2L, 1L, 5L, 0.833333)))
+    assert(got(3L) === ((2L, 0L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((7L, 3L, 3L, 7L, 1.0)))
+    assert(got(5L) === ((7L, 3L, 3L, 7L, 1.0)))
+    assert(got(6L) === ((11L, 7L, 0L, 0L, 0.0)))
   }
 
   test("ngram jaccard verification: exact=1.0, near<1, threshold filters") {

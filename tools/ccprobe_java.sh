@@ -3,9 +3,13 @@
 # with interactive builds): plain java over target/scala-2.13/classes +
 # /opt/spark/jars, same --add-opens set as build.sbt's forked runs.
 # Usage: tools/ccprobe_java.sh <logfile> "<edges>:<shape>:<config>" ...
-# Env: SPARK_DRIVER_MEM (default 64g), SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE
+# Env: SPARK_DRIVER_MEM (default 64g), SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUFFLE,
+#      GRAFT_CC_CLASSES (classes dir; snapshot target/scala-2.13/classes to a
+#      frozen copy first if the matrix runs while development recompiles —
+#      cells launch fresh JVMs and must all see ONE code version)
 LOG="$1"; shift
 cd /root/repo
+CLASSES="${GRAFT_CC_CLASSES:-target/scala-2.13/classes}"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -18,7 +22,7 @@ for spec in "$@"; do
   GRAFT_CC_DEBUG=1 java $ADD_OPENS \
     -Xmx"${SPARK_DRIVER_MEM:-64g}" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    -cp "$CLASSES:/opt/spark/jars/*" \
     graft.tools.CCProbe "$edges" "$shape" "$config" 2>>"$LOG.err" \
     | grep -E "^\[cc" >> "$LOG"
   # a crashed cell must be visible in the main log, not silence
