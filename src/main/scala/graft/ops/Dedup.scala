@@ -633,23 +633,10 @@ object Dedup {
     require(windowTokens >= 2, "windowTokens must be at least 2")
     require(minDocFreq >= 2, "minDocFreq below 2 would mark every window duplicated")
     val L = windowTokens
-    val toks = df.select(col(idCol).as("doc_id"),
-      TextOps.tokens(col(textCol)).as("t"))
-    // sequence(a, b) DESCENDS when a > b — short docs must yield an
-    // empty window array, not a [0, -1] one
-    val wins = toks
-      .select(col("doc_id"), posexplode(
-        when(size(col("t")) >= L,
-          transform(sequence(lit(0), size(col("t")) - L),
-            i => md5(array_join(slice(col("t"), i + 1, lit(L)), " "))))
-          .otherwise(array())).as(Seq("pos", "h")))
-    val hot = wins.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("wdf"))
-      .filter(col("wdf") >= minDocFreq)
-      .select(col("h"))
+    val (toks, hotStarts) = hotWindowStarts(df, idCol, textCol, L, minDocFreq)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val cov = wins.join(hot, Seq("h"))
+    val cov = hotStarts
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
       .withColumn("inc",
         when(col("prev").isNull, lit(L.toLong))
@@ -664,6 +651,76 @@ object Dedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
+  }
+
+  /** Shared front half of [[duplicateSpans]] / [[removeDuplicateSpans]]:
+    * (tokens frame (doc_id, t), hot-window-start frame (doc_id, pos))
+    * where a hot window is an `L`-token window whose md5 (over the
+    * space-joined slice) appears in ≥ `minDocFreq` DISTINCT docs. */
+  private def hotWindowStarts(df: DataFrame, idCol: String, textCol: String,
+                              L: Int, minDocFreq: Int): (DataFrame, DataFrame) = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("t"))
+    // sequence(a, b) DESCENDS when a > b — short docs must yield an
+    // empty window array, not a [0, -1] one
+    val wins = toks
+      .select(col("doc_id"), posexplode(
+        when(size(col("t")) >= L,
+          transform(sequence(lit(0), size(col("t")) - L),
+            i => md5(array_join(slice(col("t"), i + 1, lit(L)), " "))))
+          .otherwise(array())).as(Seq("pos", "h")))
+    val hot = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("wdf"))
+      .filter(col("wdf") >= minDocFreq)
+      .select(col("h"))
+    (toks, wins.join(hot, Seq("h")).select(col("doc_id"), col("pos")))
+  }
+
+  /** The rewrite half of [[duplicateSpans]] — Lee et al.'s actual
+    * intervention: DELETE every token covered by a corpus-hot window
+    * and reassemble the survivors in original order. Tokens are
+    * re-joined with single spaces, so output text is
+    * tokenizer-normalized (the same contract as [[paragraphDedup]]'s
+    * reassembly at its grain); a fully-copied doc comes back with
+    * empty text and stays in the corpus — the caller's quality gate,
+    * not silent row loss, decides its fate.
+    *
+    * Scale shape: [[hotWindowStarts]]'s explode + hash-agg + hash
+    * join, then ONE equi-join of token rows to hot starts and ONE
+    * running-max window per doc (cover-end = max(pos + L) over
+    * preceding hot starts; a token at p is covered iff that max > p) —
+    * interval membership without exploding each window into its L
+    * positions. The rebuild groupBy collects one doc's tokens,
+    * bounded by doc size. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int = 8, minDocFreq: Int = 2): DataFrame = {
+    require(windowTokens >= 2, "windowTokens must be at least 2")
+    require(minDocFreq >= 2, "minDocFreq below 2 would mark every window duplicated")
+    val L = windowTokens
+    val (toks, hotStarts) = hotWindowStarts(df, idCol, textCol, L, minDocFreq)
+    val tokRows = toks.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("p", "tok")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val rebuilt = tokRows
+      .join(hotStarts.select(col("doc_id"), col("pos").as("p"), lit(1).as("hit")),
+        Seq("doc_id", "p"), "left")
+      .withColumn("cover_end",
+        max(when(col("hit") === 1, col("p") + L)).over(byDoc))
+      .withColumn("covered", coalesce(col("cover_end") > col("p"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("covered"), lit(1))).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("covered"),
+            struct(col("p"), col("tok"))))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    df.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** Resolve a corpus against its candidate pairs: every doc gets its

@@ -760,6 +760,15 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // The q80 signal turned into Lee et al.'s actual intervention:
+    // delete every token covered by a cross-doc-hot 5-token window,
+    // reassemble survivors in order (tokenizer-normalized re-join).
+    "q81_remove_dup_spans" -> ((s, d) => {
+      Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+          windowTokens = 5, minDocFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Snapshot diff (the grow → promote audit): src0 docs removed,
     // English lengths perturbed (changed), French clones appended
     // (added) — every id classified against the previous version.
@@ -2039,6 +2048,39 @@ object TrainingData {
          |  round(COALESCE(c.covered_tokens, 0)::DOUBLE
          |        / greatest(len(tk.t), 1), 6) AS dup_frac
          |FROM toks tk LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q80's window/hot CTEs, then per-token coverage by running max of
+    // (hot-start pos + 5) over preceding positions — a token at p is
+    // removed iff that max exceeds p; survivors re-join with single
+    // spaces (string_agg skips the removed tokens' NULLs, ORDER BY p
+    // preserves document order).
+    "q81_remove_dup_spans" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM documents),
+         |wins AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+         |  FROM toks, unnest(generate_series(0, len(t)-5)) AS u(i)),
+         |hot AS MATERIALIZED (
+         |  SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hs AS MATERIALIZED (
+         |  SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (h)),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, i AS p, t[i+1] AS tok
+         |  FROM toks, unnest(generate_series(0, len(t)-1)) AS u(i)),
+         |cov AS (
+         |  SELECT tk.doc_id, tk.p, tk.tok,
+         |    max(CASE WHEN hs.pos IS NOT NULL THEN hs.pos + 5 END)
+         |      OVER (PARTITION BY tk.doc_id ORDER BY tk.p) AS ce
+         |  FROM tok tk LEFT JOIN hs ON hs.doc_id = tk.doc_id AND hs.pos = tk.p),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+         |    SUM(CASE WHEN ce > p THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         |    COALESCE(string_agg(CASE WHEN ce IS NULL OR ce <= p THEN tok END,
+         |      ' ' ORDER BY p), '') AS text_clean
+         |  FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+         |  COALESCE(a.n_removed, 0)::BIGINT AS n_removed,
+         |  COALESCE(a.text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q77_snapshot_diff" ->
       """WITH next AS (

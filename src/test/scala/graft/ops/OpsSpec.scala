@@ -342,6 +342,27 @@ class DedupSpec extends SparkTestBase {
     assert(got(6L) === ((11L, 7L, 0L, 0L, 0.0)))
   }
 
+  test("removeDuplicateSpans deletes covered tokens, keeps docs, preserves order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),            // window "a b c d e" hot with d2 → only "f" survives
+      (2L, "a b c d e g"),
+      (3L, "x y"),                     // too short: untouched
+      (4L, "h i j k l m n"),           // fully covered by overlapping hot windows
+      (5L, "h i j k l m n"),
+      (6L, "p q r s t z p q r s t")    // within-doc repeat only: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text",
+        windowTokens = 5, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((6L, 5L, "f")))
+    assert(got(2L) === ((6L, 5L, "g")))
+    assert(got(3L) === ((2L, 0L, "x y")))
+    assert(got(4L) === ((7L, 7L, "")))
+    assert(got(5L) === ((7L, 7L, "")))
+    assert(got(6L) === ((11L, 0L, "p q r s t z p q r s t")))
+  }
+
   test("ngram jaccard verification: exact=1.0, near<1, threshold filters") {
     val nd = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
