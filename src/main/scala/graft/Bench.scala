@@ -33,11 +33,9 @@ object Bench {
     // compilation of each query's generated code.
     // Dev knob: SPARK_GRAFT_ONLY="q65_corpus_prep,q26_embed_neardup"
     // restricts the run to the named queries (A/B iteration); unset =
-    // the full registered suite (what the driver measures).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
-    val picked = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.filter { case (k, _) => names(k) })
+    // the full registered suite (what the driver measures). One
+    // definition shared with Verify (SparkEntry.pickedQueries).
+    val picked = SparkEntry.pickedQueries
     val warmDir = "/root/testdata/sf0.001"
     picked.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }

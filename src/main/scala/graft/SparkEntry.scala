@@ -8,6 +8,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TrainingData.queries
+  /** The registry filtered by the SPARK_GRAFT_ONLY dev knob (comma-
+    * separated query names; unset = everything). One definition for
+    * both harnesses so the knob's semantics cannot drift between
+    * Bench and Verify. */
+  def pickedQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    only.fold(queries)(names => queries.filter { case (k, _) => names(k) })
+  }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

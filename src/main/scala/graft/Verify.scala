@@ -42,14 +42,10 @@ object Verify {
     // driver's compare then reports an explicit mismatch) and collect
     // the error into errors.json for the human reader.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Dev knob (same as Bench): SPARK_GRAFT_ONLY="q80_dup_spans,..."
+    // SPARK_GRAFT_ONLY dev knob (shared with Bench via pickedQueries):
     // restricts the dump to the named queries for oracle iteration;
     // unset = the full registry (what the driver runs).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
-    val picked = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.filter { case (k, _) => names(k) })
-    picked.foreach { case (name, fn) =>
+    SparkEntry.pickedQueries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -439,9 +439,10 @@ object Dedup {
     * map-side-combinable groupBy for the neighborhood minima plus one
     * join back to the edge frame; the edge set SHRINKS as components
     * collapse into stars; `localCheckpoint` truncates the iterative
-    * lineage. Convergence is the (edge-count, endpoint-sum) signature:
-    * rewiring only ever replaces endpoints with smaller labels, so the
-    * signature is monotone until the fixpoint.
+    * lineage. Convergence is the (edge-count, edge-hash-sum)
+    * signature — a type-agnostic edge-SET fingerprint (works for
+    * string ids, which the driver fast path always routes here), equal
+    * across a round exactly when the rewiring reached its fixpoint.
     *
     * Returns (id, cluster) where cluster = min id of the component.
     */
@@ -493,10 +494,20 @@ object Dedup {
       rewired.union(self).distinct()
     }
 
-    // (count, Σ endpoints) — SUM over zero rows is null: an empty pair
-    // frame (clean corpus) must mean "already converged", not an NPE
+    // Edge-set signature (count, Σ xxhash64(src, dst)) — equality across
+    // a round means the rewiring changed nothing = fixpoint. The hash
+    // keeps the signature TYPE-AGNOSTIC: `src + dst` arithmetic on
+    // string ids yields null under non-ANSI Spark (every round's sum
+    // collapses to 0 → false convergence on the first count plateau,
+    // silently wrong labels) and throws under ANSI — and string-id
+    // graphs are exactly the ones the integral-id-only driver fast path
+    // always routes here. Decimal sum: ANSI long-sum overflow would
+    // throw at ~2^31 edges of 63-bit hashes. SUM over zero rows is
+    // null: an empty pair frame (clean corpus) must mean "already
+    // converged", not an NPE.
     def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)), sum(col("src") + col("dst")).cast("decimal(38,0)")).head
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head
       (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
 
@@ -678,10 +689,14 @@ object Dedup {
 
   /** The rewrite half of [[duplicateSpans]] — Lee et al.'s actual
     * intervention: DELETE every token covered by a corpus-hot window
-    * and reassemble the survivors in original order. Tokens are
-    * re-joined with single spaces, so output text is
-    * tokenizer-normalized (the same contract as [[paragraphDedup]]'s
-    * reassembly at its grain); a fully-copied doc comes back with
+    * and reassemble the survivors in original order. A doc with NO
+    * covered tokens returns its text VERBATIM — rewriting is strictly
+    * opt-in per removal, so clean documents (including CJK text, whose
+    * per-character tokens would otherwise come back space-separated,
+    * and anything with meaningful newlines) are never mutated. Docs
+    * that DO lose a span are re-joined with single spaces, i.e.
+    * tokenizer-normalized — the price of token-grain surgery, paid
+    * only where surgery happened. A fully-copied doc comes back with
     * empty text and stays in the corpus — the caller's quality gate,
     * not silent row loss, decides its fate.
     *
@@ -715,12 +730,14 @@ object Dedup {
           array_sort(collect_list(when(!col("covered"),
             struct(col("p"), col("tok"))))),
           x => x.getField("tok")), " ").as("text_clean"))
-    df.select(col(idCol).as("doc_id"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        when(coalesce(col("n_removed"), lit(0L)) === 0L,
+          coalesce(col("__orig"), lit("")))
+          .otherwise(col("text_clean")).as("text_clean"))
   }
 
   /** Resolve a corpus against its candidate pairs: every doc gets its

@@ -2079,7 +2079,8 @@ object TrainingData {
          |  FROM cov GROUP BY doc_id)
          |SELECT d.doc_id, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
          |  COALESCE(a.n_removed, 0)::BIGINT AS n_removed,
-         |  COALESCE(a.text_clean, '') AS text_clean
+         |  CASE WHEN COALESCE(a.n_removed, 0) = 0 THEN COALESCE(d.text, '')
+         |       ELSE a.text_clean END AS text_clean
          |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q77_snapshot_diff" ->

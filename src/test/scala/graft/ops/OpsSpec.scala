@@ -349,7 +349,11 @@ class DedupSpec extends SparkTestBase {
       (3L, "x y"),                     // too short: untouched
       (4L, "h i j k l m n"),           // fully covered by overlapping hot windows
       (5L, "h i j k l m n"),
-      (6L, "p q r s t z p q r s t")    // within-doc repeat only: untouched
+      (6L, "p q r s t z p q r s t"),   // within-doc repeat only: untouched
+      // untouched docs come back VERBATIM — newlines, double spaces and
+      // CJK per-character tokens must NOT be re-joined with spaces
+      (7L, "line one\n\nline two  spaced"),
+      (8L, "天地玄黄宇宙洪荒")
     ).toDF("doc_id", "text")
     val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text",
         windowTokens = 5, minDocFreq = 2)
@@ -361,6 +365,25 @@ class DedupSpec extends SparkTestBase {
     assert(got(4L) === ((7L, 7L, "")))
     assert(got(5L) === ((7L, 7L, "")))
     assert(got(6L) === ((11L, 0L, "p q r s t z p q r s t")))
+    assert(got(7L) === ((5L, 0L, "line one\n\nline two  spaced")))
+    assert(got(8L) === ((8L, 0L, "天地玄黄宇宙洪荒")))
+  }
+
+  test("connectedComponents handles string ids on the distributed default path") {
+    // string ids can never take the integral-id driver fast path, so
+    // they always hit the distributed default (star). The convergence
+    // signature must not do arithmetic on the ids: `src + dst` on
+    // strings nulls out under non-ANSI Spark, collapsing the signature
+    // to the edge count alone — which plateaus before the fixpoint on
+    // a chain and silently mislabels.
+    val pairs = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a"))
+    val frontier = Dedup.connectedComponents(pairs, algorithm = "frontier")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(frontier === got, "frontier must agree on string ids")
   }
 
   test("ngram jaccard verification: exact=1.0, near<1, threshold filters") {
