@@ -94,6 +94,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus near-duplicate candidates: corpus documents sharing
+    * ANY MinHash band bucket with ANY benchmark document — near-dup
+    * DECONTAMINATION (the fuzzy counterpart of [[Curation.decontaminate]]'s
+    * exact n-gram overlap: a lightly-paraphrased eval item still
+    * collides in minhash space). Output: one row per corpus doc —
+    * (doc_id, n_bench_matches = distinct colliding benchmark docs,
+    * contaminated) — every corpus doc present, zero-match docs included
+    * (absence is not silence).
+    *
+    * Scale shape: the benchmark side is eval-set-sized (thousands of
+    * docs → `bands × docs` bucket rows), so its bucket table is
+    * explicitly broadcast — the corpus side is touched by ONE signature
+    * pass + band explode and joins with NO shuffle of corpus data and
+    * no self-join anywhere; corpus bucket frequency never matters
+    * because the quadratic blow-up of a hot bucket cannot arise in a
+    * broadcast-probe join (pair count ≤ corpus_bands × bench collisions). */
+  def crossContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 16, bands: Int = 4,
+                         shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = k / bands
+    def bandRows(df: DataFrame, idAs: String): DataFrame =
+      minhashSignatures(df, idCol, textCol, k, shingleSize)
+        .select(col("id").as(idAs),
+          explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col(idAs), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val bench = bandRows(benchmark, "bench_id")
+    val matches = bandRows(corpus, "doc_id")
+      .join(broadcast(bench), Seq("band", "bucket"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_matches"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        (coalesce(col("n_bench_matches"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Exact n-gram Jaccard for given pairs: verification stage after LSH
     * (or any blocking). `docs` must expose (id, text). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,

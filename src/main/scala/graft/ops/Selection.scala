@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for training-corpus construction: hashed
+  * n-gram importance weighting (the DSIR recipe — Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"),
+  * a self-trained Naive-Bayes quality classifier (the linear
+  * bag-of-words scorer behind fastText-style quality filters, with
+  * count-based closed-form training instead of SGD), and snake-order
+  * balanced sharding for writing size-balanced training shards.
+  *
+  * Portability conventions (the repo-wide oracle doctrine): feature
+  * hashes are md5-derived (`u60(md5(tk)[0,15)) % buckets` — DuckDB:
+  * `('0x' || substr(md5(tk), 1, 15))::UBIGINT % buckets`); every `ln`
+  * converts to exact integer PICO-units (×1e12, rounded, LONG) before
+  * any SUM over a group, because float group-sums are
+  * order-nondeterministic in every engine; doubles surface through
+  * `round(…, 6)`.
+  *
+  * Scale shape shared by the scorers: the model side (bucket table /
+  * vocabulary) is aggregate-sized, never corpus-sized — it joins back
+  * by key, so AQE broadcasts it when small and shuffle-joins at scale;
+  * corpus-level scalars ride a broadcast 1-row cross join, never a
+  * driver collect; the corpus itself is touched by exactly one
+  * explode + one keyed aggregation per pass.
+  */
+object Selection {
+
+  @inline private def tokens(text: Column): Column = TextOps.tokens(text)
+
+  /** Hashed feature bucket of a token: u60 of the first 15 md5 hex
+    * chars, mod `buckets` — the same hash family as
+    * [[Curation.bloomPositions]], reproducible in any engine with md5. */
+  def hashedBucket(tk: Column, buckets: Int): Column =
+    conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % buckets
+
+  /** DSIR importance log-weights: for every document in `raw`, the
+    * log-likelihood ratio of its hashed-unigram features under the
+    * `target` corpus distribution vs the `raw` corpus distribution,
+    *
+    *   log w(d) = Σ_tokens [ ln p_target(bucket) − ln p_raw(bucket) ]
+    *
+    * with add-k smoothed bucket probabilities
+    * `p(b) = (C(b) + k) / (N + k·B)`. High-weight documents "read like"
+    * the target; sampling ∝ w reshapes raw data toward the target
+    * domain (the DSIR selection step — see [[dsirSelect]]).
+    *
+    * Scale: both distributions are one exploded pass each,
+    * map-side-combined into `buckets`-sized count tables; the per-doc
+    * score is one exploded pass over `raw` joining those tables by
+    * bucket key. Documents with zero tokens surface with
+    * `n_tokens = 0, log_weight = null` (left join from the id side —
+    * absence is not silence).
+    *
+    * Output: (doc_id, n_tokens, log_weight) — log_weight rounded to 6. */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame,
+                     idCol: String, textCol: String,
+                     buckets: Int = 4096, k: Double = 0.5): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(k > 0, "add-k smoothing needs k > 0")
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tk"))
+      .select(col("doc_id"), hashedBucket(col("tk"), buckets).as("bkt"))
+    val rawB = bucketed(raw)
+    val rawCounts = rawB.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    val tgtCounts = bucketed(target).groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+    // corpus totals as ONE broadcast row (sums of the already-bucketed
+    // count tables — no second corpus scan on either side)
+    val totals = rawCounts.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tgtCounts.agg(sum(col("ct")).as("nt")))
+    val perToken = rawB
+      .join(rawCounts, Seq("bkt"))                // every raw bucket exists: inner
+      .join(tgtCounts, Seq("bkt"), "left")        // unseen-in-target: count 0
+      .crossJoin(broadcast(totals))
+      .withColumn("w_pico", round(
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(k)) /
+          (col("nt").cast("double") + lit(k * buckets))) -
+          log((col("cr").cast("double") + lit(k)) /
+            (col("nr").cast("double") + lit(k * buckets)))) * lit(1e12), 0)
+        .cast("long"))
+    val perDoc = perToken.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("w_pico")).cast("double") / lit(1e12), 6).as("log_weight"))
+    raw.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("log_weight"))
+  }
+
+  /** DSIR selection: the `n` highest-importance documents of `raw`
+    * toward `target` (ties broken by doc_id). Deterministic top-k —
+    * rank-by-weight selection, the noise-free limit of DSIR's Gumbel
+    * resampling (and what its authors use for the "top-k" ablation).
+    * A global TakeOrdered, never a global window: k results cross the
+    * wire per partition. */
+  def dsirSelect(raw: DataFrame, target: DataFrame,
+                 idCol: String, textCol: String, n: Int,
+                 buckets: Int = 4096, k: Double = 0.5): DataFrame =
+    dsirLogWeights(raw, target, idCol, textCol, buckets, k)
+      .filter(col("log_weight").isNotNull)
+      .orderBy(col("log_weight").desc, col("doc_id"))
+      .limit(n)
+
+  /** Count-based Naive-Bayes training over a labeled corpus: per
+    * vocabulary token, the add-k-smoothed log-likelihood ratio
+    *
+    *   llr(t) = ln (C_pos(t)+k)/(N_pos+k·V) − ln (C_neg(t)+k)/(N_neg+k·V)
+    *
+    * in exact pico-units, plus the document-prior log-odds
+    * `ln(D_pos/D_neg)` on a broadcast 1-row frame. Closed-form (one
+    * aggregation pass, no SGD) — the classic high-throughput text
+    * classifier, and the linear model family fastText-style quality
+    * filters live in.
+    *
+    * Returns (model, prior): model = (tk, llr_pico) — vocabulary-sized;
+    * prior = 1-row (prior_pico, d_pos, d_neg). `labelCol` must be a
+    * boolean column; both classes must be present. */
+  def naiveBayesTrain(labeled: DataFrame, labelCol: String, textCol: String,
+                      k: Double = 0.5): (DataFrame, DataFrame) = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val tok = labeled
+      .select(col(labelCol).as("y"), explode(tokens(col(textCol))).as("tk"))
+    val counts = tok.groupBy(col("tk")).agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
+    val totals = counts.agg(
+      sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"),
+      count(lit(1)).as("v"))
+    val docPrior = labeled.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("d_pos"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("d_neg"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("llr_pico", round(
+        (log((col("c_pos").cast("double") + lit(k)) /
+          (col("n_pos").cast("double") + lit(k) * col("v"))) -
+          log((col("c_neg").cast("double") + lit(k)) /
+            (col("n_neg").cast("double") + lit(k) * col("v")))) * lit(1e12), 0)
+        .cast("long"))
+      .select(col("tk"), col("llr_pico"))
+    val prior = docPrior.withColumn("prior_pico",
+      round(log(col("d_pos").cast("double") / col("d_neg")) * lit(1e12), 0)
+        .cast("long"))
+    (model, prior)
+  }
+
+  /** Naive-Bayes inference: per document, prior log-odds + Σ llr over
+    * its tokens that are IN the training vocabulary (vocab-restricted
+    * NB — out-of-vocabulary tokens contribute nothing, the standard
+    * inference-time convention; smoothing already handled
+    * single-class tokens at train time). One exploded pass over the
+    * scored corpus joining the vocabulary-sized model by token.
+    * Zero-vocab-token documents score prior alone (left join from the
+    * id side). Output: (doc_id, n_vocab_tokens, log_odds, predicted). */
+  def naiveBayesScore(docs: DataFrame, model: DataFrame, prior: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tk"))
+      .join(model, Seq("tk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_vocab_tokens"), sum(col("llr_pico")).as("s_pico"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior.select(col("prior_pico"))))
+      .select(col("doc_id"),
+        coalesce(col("n_vocab_tokens"), lit(0L)).as("n_vocab_tokens"),
+        round((coalesce(col("s_pico"), lit(0L)) + col("prior_pico"))
+          .cast("double") / lit(1e12), 6).as("log_odds"),
+        (coalesce(col("s_pico"), lit(0L)) + col("prior_pico") > 0L).as("predicted"))
+  }
+
+  /** Snake-order (boustrophedon) balanced sharding: documents ranked by
+    * token count descending (ties by id) deal into `nShards` shards in
+    * alternating direction — rank r goes to shard `r % n` on even
+    * passes and `n−1−(r % n)` on odd passes, so each shard gets one doc
+    * per pass from alternating ends of the size distribution. The
+    * classic deterministic near-LPT heuristic for writing size-balanced
+    * training shards (max/min shard token imbalance ≤ one document's
+    * worth per pass), reproducible by any engine with a rank.
+    *
+    * Scale: the global rank comes from [[Sketches.contiguousIds]]'s
+    * range-partitioned two-pass zip — never a single-partition window.
+    * Output: (doc_id, n_tokens, shard). */
+  def snakeShards(docs: DataFrame, idCol: String, textCol: String,
+                  nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val sized = docs.select(col(idCol).cast("long").as("doc_id"),
+      coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("n_tokens"))
+    // single ascending ord_key = (n_tokens DESC, doc_id ASC): fixed-width
+    // decimal strings (the q64/q65 idiom); 10^10 bounds both fields
+    val keyed = sized.withColumn("ord_key",
+      concat(lpad((lit(9999999999L) - col("n_tokens")).cast("string"), 10, "0"),
+        lit("|"), lpad(col("doc_id").cast("string"), 10, "0")))
+    val ranked = Sketches.contiguousIds(keyed, "ord_key")
+    val pass = (col("row_ix") / nShards).cast("long")
+    val pos = col("row_ix") % nShards
+    ranked.select(col("doc_id"), col("n_tokens"),
+      when(pass % 2 === 0, pos).otherwise(lit(nShards - 1) - pos)
+        .cast("long").as("shard"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, Contrastive, Curation, Dedup, Graph, Multimodal, Relevance, Similarity, Sketches, Stats, TextOps}
+import graft.ops.{AsOfJoin, Contrastive, Curation, Dedup, Graph, Multimodal, Relevance, Selection, Similarity, Sketches, Stats, TextOps}
 
 /** Training-data pipeline operators as oracle-checkable queries:
   * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -718,6 +718,48 @@ object TrainingData {
         .orderBy(col("token_id"))
     }),
 
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of
+    // every doc under the English-slice target distribution vs the full
+    // corpus — the distribution-reshaping selection signal.
+    "q82_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Selection.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 4096, k = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Naive-Bayes quality classifier: closed-form training on the even
+    // half (label = is-English), vocab-restricted scoring of the odd
+    // half — the fastText-style linear filter, self-trained.
+    "q83_nb_classifier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("is_en", col("lang") === "en")
+      val (model, prior) = Selection.naiveBayesTrain(train, "is_en", "text")
+      Selection.naiveBayesScore(docs.filter(col("doc_id") % 2 === 1),
+          model, prior, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup decontamination: corpus docs sharing any MinHash band
+    // bucket with the held-out benchmark slice (doc_id % 97 = 0) —
+    // the fuzzy counterpart of q32's exact n-gram overlap.
+    "q84_cross_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.crossContamination(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+          k = 16, bands = 4, shingleSize = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Snake-order balanced sharding: size-ranked docs deal into 8
+    // shards in alternating direction — near-equal token totals per
+    // shard, rank from the range-partitioned two-pass zip.
+    "q85_snake_shards" -> ((s, d) => {
+      Selection.snakeShards(t(s, d, "documents"), "doc_id", "text", nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // PageRank centrality over the near-dup graph (exact pico-unit
     // arithmetic, 4 rounds): central docs are their neighborhoods'
     // representatives — a data-selection signal.
@@ -903,6 +945,83 @@ object TrainingData {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    // q82: per-token hashed-bucket LLR in pico-units (the q75 ln
+    // doctrine), target = English slice, raw = full corpus.
+    "q82_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tk FROM documents),
+         |b AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::UBIGINT % 4096 AS bkt
+         |      FROM tok),
+         |rawc AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
+         |tgtc AS (SELECT bkt, count(*) AS ct
+         |         FROM b JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bkt),
+         |tot AS (SELECT (SELECT sum(cr) FROM rawc) AS nr, (SELECT sum(ct) FROM tgtc) AS nt),
+         |lp AS (
+         |  SELECT doc_id,
+         |    round((ln((COALESCE(ct, 0) + 0.5) / (nt + 0.5 * 4096))
+         |         - ln((cr + 0.5) / (nr + 0.5 * 4096))) * 1e12)::BIGINT AS w
+         |  FROM b JOIN rawc USING (bkt) LEFT JOIN tgtc USING (bkt) CROSS JOIN tot),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |               round(sum(w) / 1e12, 6) AS log_weight
+         |        FROM lp GROUP BY doc_id)
+         |SELECT doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens, log_weight
+         |FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q83: count-based NB — vocab LLR table from the even half, prior
+    // log-odds, vocab-restricted scoring of the odd half.
+    "q83_nb_classifier" ->
+      s"""WITH train AS (
+         |  SELECT doc_id, text, (lang = 'en') AS y FROM documents WHERE doc_id % 2 = 0),
+         |tok AS (SELECT y, unnest($tokensSql) AS tk FROM train),
+         |cnt AS (SELECT tk,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+         |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS c_neg
+         |  FROM tok GROUP BY tk),
+         |tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, count(*) AS v FROM cnt),
+         |model AS (
+         |  SELECT tk, round((ln((c_pos + 0.5) / (n_pos + 0.5 * v))
+         |                  - ln((c_neg + 0.5) / (n_neg + 0.5 * v))) * 1e12)::BIGINT AS llr
+         |  FROM cnt CROSS JOIN tot),
+         |prior AS (
+         |  SELECT round(ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+         |               / sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) * 1e12)::BIGINT AS p
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |score AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_vocab_tokens, sum(llr)::BIGINT AS s
+         |  FROM (SELECT doc_id, unnest($tokensSql) AS tk
+         |        FROM documents WHERE doc_id % 2 = 1) dt
+         |  JOIN model USING (tk) GROUP BY doc_id)
+         |SELECT doc_id, COALESCE(n_vocab_tokens, 0)::BIGINT AS n_vocab_tokens,
+         |  round((COALESCE(s, 0) + p) / 1e12, 6) AS log_odds,
+         |  (COALESCE(s, 0) + p) > 0 AS predicted
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN score USING (doc_id) CROSS JOIN prior
+         |ORDER BY doc_id""".stripMargin,
+    // q84: q23's band machinery split corpus-vs-benchmark — distinct
+    // colliding bench docs per corpus doc, zero-match rows included.
+    "q84_cross_decontam" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |matches AS (
+         |  SELECT c.doc_id AS doc_id, count(DISTINCT b.doc_id)::BIGINT AS n_bench_matches
+         |  FROM bands c JOIN bands b ON c.band = b.band AND c.bucket = b.bucket
+         |  WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+         |  GROUP BY c.doc_id)
+         |SELECT doc_id, COALESCE(n_bench_matches, 0)::BIGINT AS n_bench_matches,
+         |  COALESCE(n_bench_matches, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         |LEFT JOIN matches USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q85: snake deal over the (n_tokens DESC, doc_id) rank.
+    "q85_snake_shards" ->
+      s"""WITH t AS (SELECT doc_id, len($tokensSql)::BIGINT AS n FROM documents),
+         |r AS (SELECT doc_id, n,
+         |        ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) - 1 AS rk FROM t)
+         |SELECT doc_id, n AS n_tokens,
+         |  (CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - (rk % 8) END)::BIGINT AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q46_full_curation" ->
       s"""WITH m AS (
          |  SELECT doc_id, text, lang,
