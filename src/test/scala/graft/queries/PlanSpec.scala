@@ -310,6 +310,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), "token counts map-side combine")
   }
 
+  test("q82 DSIR: map-combined bucket counts, no cartesian beyond the 1-row totals") {
+    val p = plan("q82_dsir_weights")
+    assert(p.contains("partial_count"), "bucket distributions map-side combine")
+    assert(!p.contains("CartesianProduct"), "only the broadcast 1-row totals cross")
+    assert(!p.contains("Window"), "pure aggregate/join shape")
+  }
+
+  test("q83 NB classifier: one aggregation pass per distribution, 1-row prior broadcasts") {
+    val p = plan("q83_nb_classifier")
+    assert(p.contains("partial_sum"), "class-conditional counts map-side combine")
+    assert(!p.contains("CartesianProduct"), "totals/prior cross only as 1-row broadcasts")
+    assert(!p.contains("Window"), "closed-form training — no windows, no iterations")
+  }
+
+  test("q84 cross decontamination: bench buckets broadcast — corpus bands never self-join") {
+    val p = plan("q84_cross_decontam")
+    assert(p.contains("BroadcastHashJoin"), "the eval-set bucket probe must broadcast")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+    assert(p.contains("graft_minhash"), "signatures come from the native one-pass kernel")
+  }
+
+  test("q85 snake shards: rank from the range zip — no window, no single partition") {
+    val p = plan("q85_snake_shards")
+    assert(!p.contains("Window"), "the global rank is the two-pass zip, not a window")
+    assert(!p.contains("SinglePartition"), "the classic global-row_number scale-killer")
+  }
+
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
