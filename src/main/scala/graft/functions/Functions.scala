@@ -1222,6 +1222,99 @@ case class KmvMinsAggregate(
       : Expression = copy(child = c(0))
 }
 
+/** Element-wise embedding sum in exact integer MICRO-units
+  * (TypedImperativeAggregate): each float component converts to
+  * `round(v · scale)` (round-half-away-from-zero on the IEEE double
+  * product — the same rule DuckDB's `round()` applies, so an oracle
+  * replays the conversion exactly) and accumulates into one long per
+  * dimension. Buffer = dims+1 longs (count + sums) regardless of group
+  * size — the centroid primitive that would otherwise need a ×dims
+  * posexplode of the corpus before its aggregation. Integer sums make
+  * the result partitioning-invariant where a float SUM is
+  * order-nondeterministic (the repo-wide pico/micro doctrine).
+  * Output: struct(n long, sums array<long>); empty group → (0, null).
+  * Mismatched dims within a group throw — a corrupt-embedding guard. */
+case class VecSumAggregate(
+    child: Expression,
+    scale: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+
+  require(scale > 0, "graft_vec_sum scale must be positive")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftFunctions.requireFloatArray("graft_vec_sum", child.dataType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("sums", ArrayType(LongType, containsNull = false))))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_vec_sum"
+
+  // buffer layout: [count, sum_0, ..., sum_{dims-1}]; dims fixed by the
+  // first non-null row seen
+  override def createAggregationBuffer(): Array[Long] = Array(0L)
+
+  private def micro(v: Float): Long = {
+    val x = v.toDouble * scale
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+  }
+
+  override def update(buf: Array[Long],
+                      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val d = arr.numElements()
+    val out = if (buf.length == 1) new Array[Long](d + 1) else buf
+    if (buf.length == 1) out(0) = buf(0)
+    require(out.length == d + 1,
+      s"graft_vec_sum: mismatched embedding dims in one group (${out.length - 1} vs $d)")
+    out(0) += 1L
+    var i = 0
+    while (i < d) { out(i + 1) += micro(arr.getFloat(i)); i += 1 }
+    out
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b2.length == 1) { b1(0) += b2(0); return b1 }
+    if (b1.length == 1) { b2(0) += b1(0); return b2 }
+    require(b1.length == b2.length,
+      s"graft_vec_sum: mismatched embedding dims across partitions " +
+        s"(${b1.length - 1} vs ${b2.length - 1})")
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.InternalRow(buf(0),
+      if (buf.length == 1) null else new GenericArrayData(buf.drop(1)))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): VecSumAggregate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VecSumAggregate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression])
+      : Expression = copy(child = c(0))
+}
+
 /** `SparkSessionExtensions` injector — the idiomatic way to get every
   * graft expression into a session at build time:
   * {{{
@@ -1301,6 +1394,12 @@ object GraftFunctions {
       case Literal(i: Int, IntegerType) => i
       case other => throw new IllegalArgumentException(
         s"graft_kmv_mins k must be an int literal, got $other")
+    })),
+    "graft_vec_sum" -> (e => VecSumAggregate(e(0), e(1) match {
+      case Literal(l: Long, LongType) => l
+      case Literal(i: Int, IntegerType) => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"graft_vec_sum scale must be an integer literal, got $other")
     })))
 
   def register(spark: SparkSession): Unit = {

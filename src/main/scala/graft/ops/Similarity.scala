@@ -443,6 +443,41 @@ object Similarity {
     Curation.stratifiedTake(ivfAssign(df, centroids, idCol, embCol, cidCol),
       "cluster", idCol, perCluster)
 
+  /** Per-cluster embedding centroids over an already-assigned frame
+    * (`clusterCol` from [[ivfAssign]], [[semanticDedup]]'s labels, any
+    * partition key): ONE map-side-combined aggregation whose buffer is
+    * `dims+1` longs per group — the native `graft_vec_sum` kernel sums
+    * micro-unit (×`scale`, rounded) components exactly, so the centroid
+    * is partitioning-invariant AND oracle-replayable where a float SUM
+    * is order-nondeterministic. The relational alternative — posexplode
+    * to (row × dims) before the aggregation — multiplies the corpus 64×
+    * on the map side for the same result ([[clusterCentroidsExploded]],
+    * kept as the equivalence reference). Codebook refinement (the
+    * k-means M-step), cluster diagnostics, SemDeDup telemetry all sit
+    * on this. Output: (cluster, n_vecs, centroid array<double> @6dp). */
+  def clusterCentroids(assigned: DataFrame, clusterCol: String,
+                       embCol: String, scale: Long = 1000000L): DataFrame =
+    assigned.groupBy(col(clusterCol).as("cluster"))
+      .agg(call_function("graft_vec_sum", col(embCol), lit(scale)).as("vs"))
+      .select(col("cluster"), col("vs.n").as("n_vecs"),
+        transform(col("vs.sums"), s =>
+          round(s.cast("double") / lit(scale.toDouble) / col("vs.n"), 6))
+          .as("centroid"))
+
+  /** Exploded reference form of [[clusterCentroids]] — identical
+    * values via posexplode + (cluster, dim) aggregation; the ×dims
+    * row blow-up is the cost the native kernel avoids. Equivalence
+    * pinned by SimilaritySpec; not used by any registered query. */
+  private[ops] def clusterCentroidsExploded(assigned: DataFrame, clusterCol: String,
+                                            embCol: String, scale: Long = 1000000L): DataFrame =
+    assigned
+      .select(col(clusterCol).as("cluster"), posexplode(col(embCol)).as(Seq("dim", "x")))
+      .withColumn("m", round(col("x").cast("double") * lit(scale.toDouble), 0).cast("long"))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("m")).as("ms"))
+      .select(col("cluster"), col("dim"), col("n_vecs"),
+        round(col("ms").cast("double") / lit(scale.toDouble) / col("n_vecs"), 6).as("c"))
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space coarsely (IVF codebook), find cosine-near
     * duplicates WITHIN each cluster only, close them into components

@@ -760,6 +760,23 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-cluster embedding centroids via the native micro-unit vector
+    // sum (buffer = dims+1 longs per group, no ×dims posexplode) —
+    // the k-means M-step / cluster-diagnostics primitive. Exploded to
+    // (cluster, dim) rows for the oracle compare.
+    "q86_cluster_centroids" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val coarse = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      Similarity.clusterCentroids(Similarity.ivfAssign(emb, coarse),
+          "cluster", "embedding")
+        .select(col("cluster"), col("n_vecs"),
+          posexplode_outer(col("centroid")).as(Seq("dim", "c")))
+        .select(col("cluster"), col("n_vecs"), col("dim").cast("long").as("dim"),
+          col("c"))
+        .orderBy(col("cluster"), col("dim"))
+    }),
+
     // PageRank centrality over the near-dup graph (exact pico-unit
     // arithmetic, 4 rounds): central docs are their neighborhoods'
     // representatives — a data-selection signal.
@@ -1022,6 +1039,31 @@ object TrainingData {
          |SELECT doc_id, n AS n_tokens,
          |  (CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - (rk % 8) END)::BIGINT AS shard
          |FROM r ORDER BY doc_id""".stripMargin,
+    // q86: q35's argmin assignment + exact micro-unit component sums
+    // (round-half-away-from-zero on the double product — both engines'
+    // round()); dims come from the data via a struct unnest.
+    "q86_cluster_centroids" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |        + list_dot_product(c.cv, c.cv), cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |assign AS (SELECT vec_id, cid AS cluster FROM dist WHERE rn = 1),
+        |comp AS (
+        |  SELECT a.cluster, s.i AS dim, round(s.x * 1000000)::BIGINT AS m
+        |  FROM (SELECT vec_id,
+        |          unnest(list_transform(range(len(v)), i -> {'i': i, 'x': v[i+1]})) AS s
+        |        FROM e) u
+        |  JOIN assign a USING (vec_id)),
+        |agg AS (SELECT cluster, dim, count(*)::BIGINT AS n_vecs, sum(m)::BIGINT AS ms
+        |        FROM comp GROUP BY cluster, dim)
+        |SELECT cluster, n_vecs, dim::BIGINT AS dim,
+        |  round(ms / 1000000.0 / n_vecs, 6) AS c
+        |FROM agg ORDER BY cluster, dim""".stripMargin,
     "q46_full_curation" ->
       s"""WITH m AS (
          |  SELECT doc_id, text, lang,

@@ -921,6 +921,60 @@ class SimilaritySpec extends SparkTestBase {
     val perCluster = a.groupBy(_._2).view.mapValues(_.length)
     assert(perCluster.values.forall(_ <= 5), "hard per-cluster cap")
   }
+
+  test("clusterCentroids: native micro-sum kernel == posexplode reference, exact") {
+    val df = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 17 - 8) / 9.0f), i % 3)
+    }.toDF("vec_id", "embedding", "cluster")
+    val native = Similarity.clusterCentroids(df, "cluster", "embedding")
+      .select(col("cluster"), col("n_vecs"),
+        posexplode(col("centroid")).as(Seq("dim", "c")))
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    val ref = Similarity.clusterCentroidsExploded(df, "cluster", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(native.size === 24, "3 clusters x 8 dims")
+    assert(native === ref, "native aggregate must equal the exploded reference exactly")
+  }
+
+  test("clusterCentroids is partitioning-invariant (integer micro-sums)") {
+    val df = (0L until 50L).map { i =>
+      (i, Array.tabulate(6)(d => math.sin(i * 1.7 + d).toFloat), i % 4)
+    }.toDF("vec_id", "embedding", "cluster")
+    val a = Similarity.clusterCentroids(df, "cluster", "embedding")
+      .orderBy("cluster").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    val b = Similarity.clusterCentroids(df.repartition(13), "cluster", "embedding")
+      .orderBy("cluster").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("clusterCentroids: null embeddings skipped; mismatched dims throw") {
+    val withNull = Seq(
+      (0L, Array(1f, 1f), 0L), (1L, null.asInstanceOf[Array[Float]], 0L),
+      (2L, Array(3f, 5f), 0L)
+    ).toDF("vec_id", "embedding", "cluster")
+    val r = Similarity.clusterCentroids(withNull, "cluster", "embedding").head
+    assert(r.getLong(1) === 2L, "null row must not count")
+    assert(r.getSeq[Double](2) === Seq(2.0, 3.0))
+    val bad = Seq((0L, Array(1f, 2f), 0L), (1L, Array(1f, 2f, 3f), 0L))
+      .toDF("vec_id", "embedding", "cluster")
+    val e = intercept[Exception] {
+      Similarity.clusterCentroids(bad, "cluster", "embedding").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("clusterCentroids plan: one aggregation, no posexplode of the corpus") {
+    val df = (0L until 20L).map(i => (i, Array(1f, 2f, 3f), i % 2))
+      .toDF("vec_id", "embedding", "cluster")
+    val p = Similarity.clusterCentroids(df, "cluster", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_vec_sum"), "the native kernel must plan")
+    assert(!p.contains("Generate"), "no ×dims explode before the aggregation")
+  }
 }
 
 class CurationSpec extends SparkTestBase {

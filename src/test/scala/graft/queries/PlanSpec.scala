@@ -337,6 +337,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), "the classic global-row_number scale-killer")
   }
 
+  test("q86 centroids: native assignment + native vec-sum — the only explode is the " +
+      "clusters×dims result") {
+    val p = plan("q86_cluster_centroids")
+    assert(p.contains("graft_ivf_nearest"), "assignment is the per-row argmin kernel")
+    assert(p.contains("graft_vec_sum"), "component sums are the dims+1-long-buffer kernel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "no corpus×codebook materialization")
+    // exactly one Generate: the posexplode of the ALREADY-AGGREGATED
+    // centroids (clusters×dims rows) — never of the corpus
+    assert("Generate".r.findAllIn(p).length === 1, "corpus must not explode")
+  }
+
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
