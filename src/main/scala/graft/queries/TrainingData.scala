@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, Contrastive, Curation, Dedup, Graph, Multimodal, Relevance, Selection, Similarity, Sketches, Stats, TextOps}
+import graft.ops.{AsOfJoin, Bpe, Contrastive, Curation, Dedup, Graph, Multimodal, Relevance, Selection, Similarity, Sketches, Stats, TextOps}
 
 /** Training-data pipeline operators as oracle-checkable queries:
   * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -760,6 +760,37 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Round-7 composed pipeline over the selection family: gopher
+    // quality gate → self-trained NB classifier keeps predicted-English
+    // → DSIR top-100 toward the English slice → snake-shard the
+    // survivors into 4 balanced shards. Every stage is one of the
+    // oracled operators above (q30/q83/q82/q85 machinery).
+    "q88_selection_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quality = docs.filter(Curation.gopherMetrics(col("text")).getField("keep"))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("is_en", col("lang") === "en")
+      val (model, prior) = Selection.naiveBayesTrain(train, "is_en", "text")
+      val kept = quality.join(
+        Selection.naiveBayesScore(quality, model, prior, "doc_id", "text")
+          .filter(col("predicted")).select("doc_id"),
+        Seq("doc_id"))
+      val top = Selection.dsirSelect(kept, docs.filter(col("lang") === "en"),
+        "doc_id", "text", n = 100)
+      Selection.snakeShards(kept.join(top.select("doc_id"), Seq("doc_id")),
+          "doc_id", "text", nShards = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE merge induction: 8 merges learned from the corpus — one
+    // corpus pass for word counts, then vocab-sized sentinel-replace
+    // rounds with a 1-row argmax each. The merge table IS the output
+    // (the artifact a subword tokenizer ships).
+    "q87_bpe_merges" -> ((s, d) => {
+      Bpe.trainBpe(t(s, d, "documents"), "text", merges = 8, minPairCount = 2)
+        .orderBy(col("rank"))
+    }),
+
     // Per-cluster embedding centroids via the native micro-unit vector
     // sum (buffer = dims+1 longs per group, no ×dims posexplode) —
     // the k-means M-step / cluster-diagnostics primitive. Exploded to
@@ -897,6 +928,35 @@ object TrainingData {
     (0 until planes).map { p =>
       s"(CASE WHEN list_dot_product(v, ${srpPlaneSql(planeOffset + p)}) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+  /** q87's oracle: every BPE round replayed verbatim — pair counts
+    * from a struct unnest over the split symbol string, a 1-row argmax
+    * (count DESC, l, r), and the same sentinel `replace`. `v_i` /
+    * `w_i` are MATERIALIZED: each is referenced twice (by `p_{i+1}`
+    * and `v_{i+1}`) and DuckDB's default inlining would otherwise
+    * recompute the whole chain exponentially (the q79 lesson). An
+    * exhausted round (no pair ≥ minCount) empties every later CTE, so
+    * the UNION shrinks exactly like the engine's early stop. */
+  private def bpeOracleSql(k: Int, minCount: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH tok AS (SELECT unnest($tokensSql) AS w FROM documents),
+wc AS (SELECT w, count(*) AS cnt FROM tok WHERE NOT contains(w, chr(1)) GROUP BY w),
+v0 AS MATERIALIZED (SELECT chr(1) || array_to_string(list_append(regexp_split_to_array(w,''),'</w>'), chr(1)||chr(1)) || chr(1) AS st, cnt FROM wc)""")
+    for (i <- 1 to k) sb.append(s""",
+p$i AS (
+  SELECT s.l AS l, s.r AS r, sum(cnt)::BIGINT AS c FROM (
+    SELECT unnest(list_transform(range(len(sy)-1), j -> {'l': sy[j+1], 'r': sy[j+2]})) AS s, cnt
+    FROM (SELECT string_split(trim(st, chr(1)), chr(1)||chr(1)) AS sy, cnt FROM v${i - 1}))
+  GROUP BY l, r),
+w$i AS MATERIALIZED (SELECT l, r, c FROM p$i WHERE c >= $minCount ORDER BY c DESC, l, r LIMIT 1),
+v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), chr(1)||l||r||chr(1)) AS st, cnt
+        FROM v${i - 1} CROSS JOIN w$i)""")
+    val union = (1 to k).map(i =>
+      s"SELECT ${i - 1}::BIGINT AS rank, l AS lhs, r AS rhs, l||r AS merged, c AS pair_count FROM w$i")
+      .mkString("\nUNION ALL ")
+    sb.append(s"\nSELECT * FROM (\n$union) ORDER BY rank")
+    sb.toString
+  }
+
   private def shinglesSql(alias: String) =
     s"""(SELECT DISTINCT doc_id, s FROM (
        |  SELECT doc_id, unnest(list_transform(range(len($tokensSql)-2),
@@ -1038,6 +1098,73 @@ object TrainingData {
          |        ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) - 1 AS rk FROM t)
          |SELECT doc_id, n AS n_tokens,
          |  (CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - (rk % 8) END)::BIGINT AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q87_bpe_merges" -> bpeOracleSql(8, 2),
+    // q88: q30's gate + q83's NB train/score + q82's LLR (raw = the
+    // kept set, target = the full-corpus English slice) + q85's snake,
+    // composed.
+    "q88_selection_pipeline" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    len($tokensSql)::BIGINT AS word_count,
+         |    round(list_sum(list_transform($tokensSql, x -> length(x)))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS mean_word_len,
+         |    round(len(list_distinct($tokensSql))::DOUBLE
+         |          / greatest(len($tokensSql), 1), 6) AS frac_unique
+         |  FROM documents),
+         |quality AS (
+         |  SELECT doc_id FROM m
+         |  WHERE word_count >= 3 AND word_count <= 100000
+         |    AND mean_word_len >= 1.0 AND mean_word_len <= 12.0
+         |    AND frac_unique >= 0.2),
+         |train AS (
+         |  SELECT doc_id, text, (lang = 'en') AS y FROM documents WHERE doc_id % 2 = 0),
+         |ttok AS (SELECT y, unnest($tokensSql) AS tk FROM train),
+         |cnt AS (SELECT tk,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+         |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS c_neg
+         |  FROM ttok GROUP BY tk),
+         |tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, count(*) AS v FROM cnt),
+         |model AS (
+         |  SELECT tk, round((ln((c_pos + 0.5) / (n_pos + 0.5 * v))
+         |                  - ln((c_neg + 0.5) / (n_neg + 0.5 * v))) * 1e12)::BIGINT AS llr
+         |  FROM cnt CROSS JOIN tot),
+         |prior AS (
+         |  SELECT round(ln(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+         |               / sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) * 1e12)::BIGINT AS p
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |nb AS (
+         |  SELECT q.doc_id, COALESCE(s.s, 0) AS s
+         |  FROM quality q
+         |  LEFT JOIN (
+         |    SELECT doc_id, sum(llr)::BIGINT AS s
+         |    FROM (SELECT d.doc_id, unnest($tokensSql) AS tk
+         |          FROM documents d JOIN quality USING (doc_id)) dt
+         |    JOIN model USING (tk) GROUP BY doc_id) s USING (doc_id)),
+         |kept AS (SELECT doc_id FROM nb CROSS JOIN prior WHERE s + p > 0),
+         |ktok AS (SELECT d.doc_id, unnest($tokensSql) AS tk
+         |         FROM documents d JOIN kept USING (doc_id)),
+         |b AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::UBIGINT % 4096 AS bkt
+         |      FROM ktok),
+         |rawc AS (SELECT bkt, count(*) AS cr FROM b GROUP BY bkt),
+         |tgtb AS (SELECT ('0x' || substr(md5(tk), 1, 15))::UBIGINT % 4096 AS bkt
+         |         FROM (SELECT unnest($tokensSql) AS tk FROM documents WHERE lang = 'en')),
+         |tgtc AS (SELECT bkt, count(*) AS ct FROM tgtb GROUP BY bkt),
+         |dtot AS (SELECT (SELECT sum(cr) FROM rawc) AS nr, (SELECT sum(ct) FROM tgtc) AS nt),
+         |lp AS (
+         |  SELECT doc_id,
+         |    round((ln((COALESCE(ct, 0) + 0.5) / (nt + 0.5 * 4096))
+         |         - ln((cr + 0.5) / (nr + 0.5 * 4096))) * 1e12)::BIGINT AS w
+         |  FROM b JOIN rawc USING (bkt) LEFT JOIN tgtc USING (bkt) CROSS JOIN dtot),
+         |wt AS (SELECT doc_id, round(sum(w) / 1e12, 6) AS lw FROM lp GROUP BY doc_id),
+         |top AS (SELECT doc_id FROM wt WHERE lw IS NOT NULL
+         |        ORDER BY lw DESC, doc_id LIMIT 100),
+         |sized AS (SELECT doc_id, len($tokensSql)::BIGINT AS n
+         |          FROM documents JOIN top USING (doc_id)),
+         |r AS (SELECT doc_id, n,
+         |        ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) - 1 AS rk FROM sized)
+         |SELECT doc_id, n AS n_tokens,
+         |  (CASE WHEN (rk // 4) % 2 = 0 THEN rk % 4 ELSE 3 - (rk % 4) END)::BIGINT AS shard
          |FROM r ORDER BY doc_id""".stripMargin,
     // q86: q35's argmin assignment + exact micro-unit component sums
     // (round-half-away-from-zero on the double product — both engines'

@@ -46,6 +46,10 @@ class SelectionSpec extends SparkTestBase {
     val ws = top.map(_.getDouble(2))
     assert(ws.sameElements(ws.sortBy(-(_: Double))), "descending weight order")
     assert(!top.map(_.getLong(0)).contains(6L), "null-weight doc never selected")
+    val plan = Selection.dsirSelect(docs, docs.filter($"lang" === "en"),
+      "doc_id", "text", n = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-n is a per-partition heap, never a global sort")
   }
 
   test("naiveBayes: separable classes classify correctly; OOV doc scores prior alone") {

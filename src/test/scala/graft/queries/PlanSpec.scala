@@ -349,6 +349,18 @@ class PlanSpec extends SparkTestBase {
     assert("Generate".r.findAllIn(p).length === 1, "corpus must not explode")
   }
 
+  test("q88 selection pipeline: composed stages keep their shapes — no cartesian, " +
+      "no global window, no single partition") {
+    // the final executedPlan is the post-zip tail (contiguousIds' RDD
+    // boundary hides the upstream stages, whose shapes q30/q82/q83/q85's
+    // own pins cover); what must hold HERE is that the shard assignment
+    // and final sort never collapse to one partition or a window
+    val p = plan("q88_selection_pipeline")
+    assert(!p.contains("CartesianProduct"), "only 1-row broadcast crosses")
+    assert(!p.contains("SinglePartition"), "snake rank stays the two-pass zip")
+    assert(!p.contains("Window"), "no global row_number anywhere in the tail")
+  }
+
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
