@@ -77,37 +77,141 @@ object Bpe {
   /** Learn up to `merges` BPE merges from the corpus. Stops early when
     * no pair reaches `minPairCount`. Returns the merge table —
     * (rank, lhs, rhs, merged, pair_count) — the training artifact a
-    * tokenizer ships. The k argmax collects are ONE ROW each; the
-    * vocab frame re-caches per round (previous round released) so each
-    * round computes exactly one replace, not the whole chain. */
+    * tokenizer ships.
+    *
+    * Two equivalent paths behind one corpus pass (the
+    * `connectedComponents` fast-path doctrine — `ops/Dedup.scala:262`):
+    * the word-TYPE table is vocabulary-sized by construction, so when
+    * it fits `driverVocabLimit` (default 200k types ≈ a few MB — web
+    * corpora plateau near 10⁶) the k merge rounds run as an in-memory
+    * loop after ONE collect; k sequential argmax rounds as Spark jobs
+    * are pure fixed scheduling cost at that size (measured at sf0.1,
+    * k = 8: 1.74 s of jobs vs 0.41 s collect+loop — AQE turns every
+    * round's tiny shuffle into multiple job submissions). Above the
+    * limit the rounds run distributed: one 1-row argmax job per round,
+    * each new vocab persisted lazily and the parent cache released one
+    * round deferred (the next argmax materializes the child while the
+    * parent is still alive — no eager count() job). Both paths share
+    * the merge rule via the same sentinel strings; BpeSpec pins
+    * cross-path equality. */
   def trainBpe(docs: DataFrame, textCol: String, merges: Int,
-               minPairCount: Long = 2L): DataFrame = {
+               minPairCount: Long = 2L, driverVocabLimit: Int = 200000): DataFrame = {
     require(merges >= 0, "merges must be non-negative")
     val session = docs.sparkSession
-    var vocab = wordCounts(docs, textCol)
-      .select(initialState(col("w")).as("state"), col("cnt"))
+    import session.implicits._
+    val wc = wordCounts(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val vocabSize = wc.count()
+    val out =
+      if (vocabSize <= driverVocabLimit) {
+        val words = wc.collect().map(r => r.getString(0) -> r.getLong(1))
+        wc.unpersist(blocking = false)
+        localBpe(words, merges, minPairCount)
+      } else distributedBpe(wc, merges, minPairCount)
+    out.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** UTF-8 byte comparison — what Spark's UTF8String sort and SQL
+    * engines compare, and identical to code-POINT order; Java String's
+    * compareTo (UTF-16 units) would diverge from the distributed path
+    * on supplementary-plane symbols. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def pairLt(a: (String, String), b: (String, String)): Boolean =
+    if (a._1 != b._1) utf8Lt(a._1, b._1) else utf8Lt(a._2, b._2)
+
+  /** In-memory merge rounds over the collected word-type table —
+    * vocabulary-sized state, identical semantics to the distributed
+    * rounds (occurrence-counted overlapping pairs, left-to-right
+    * non-overlapping merge, (count DESC, l, r) tie-break). */
+  private def localBpe(words: Array[(String, Long)], merges: Int,
+                       minPairCount: Long): Seq[(Long, String, String, String, Long)] = {
+    var vocab = new java.util.HashMap[List[String], Long]()
+    words.foreach { case (w, c) =>
+      // split by code POINT (what an empty-regex split yields in both
+      // engines) — a per-UTF-16-unit split would halve surrogate pairs
+      val syms = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toList :+ EndMark
+      vocab.merge(syms, c, (a, b) => a + b)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var rank = 0L
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      val pc = new java.util.HashMap[(String, String), Long]()
+      vocab.forEach { (syms, c) =>
+        var rest = syms
+        while (rest.nonEmpty && rest.tail.nonEmpty) {
+          pc.merge((rest.head, rest.tail.head), c, (a, b) => a + b)
+          rest = rest.tail
+        }
+      }
+      var best: ((String, String), Long) = null
+      pc.forEach { (p, c) =>
+        if (c >= minPairCount &&
+          (best == null || c > best._2 || (c == best._2 && pairLt(p, best._1))))
+          best = (p, c)
+      }
+      if (best == null) exhausted = true
+      else {
+        val ((l, r), c) = best
+        out += ((rank, l, r, l + r, c))
+        val next = new java.util.HashMap[List[String], Long]()
+        vocab.forEach { (syms, cnt) =>
+          val b = scala.collection.mutable.ListBuffer[String]()
+          var rest = syms
+          while (rest.nonEmpty) {
+            if (rest.tail.nonEmpty && rest.head == l && rest.tail.head == r) {
+              b += (l + r); rest = rest.tail.tail
+            } else { b += rest.head; rest = rest.tail }
+          }
+          next.merge(b.toList, cnt, (a, bb) => a + bb)
+        }
+        vocab = next
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed merge rounds — the unbounded-vocabulary path. */
+  private def distributedBpe(wc: DataFrame, merges: Int,
+                             minPairCount: Long): Seq[(Long, String, String, String, Long)] = {
+    var vocab = wc.select(initialState(col("w")).as("state"), col("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var parent: Option[DataFrame] = Some(wc)
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     var i = 0
     var exhausted = false
     while (i < merges && !exhausted) {
       val top = pairCounts(vocab).filter(col("c") >= minPairCount)
         .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      // this job materialized `vocab`'s cache — the grandparent can go
+      parent.foreach(_.unpersist(blocking = false))
+      parent = None
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((i.toLong, l, r, l + r, c))
         val next = vocab.withColumn("state", mergeExpr(col("state"), l, r))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the parent cache
-        vocab.unpersist(blocking = false)
+        parent = Some(vocab)
         vocab = next
       }
       i += 1
     }
+    parent.foreach(_.unpersist(blocking = false))
     vocab.unpersist(blocking = false)
-    import session.implicits._
-    out.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    out.toSeq
   }
 
   /** Apply a learned merge table to a text column: per token, the same

@@ -86,6 +86,16 @@ class BpeSpec extends SparkTestBase {
     assert(merges.isEmpty, s"expected no merges, got $merges")
   }
 
+  test("driver fast path == forced distributed rounds, merge for merge") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"alpha beta${i % 5} gamma alpha delta${i % 4} beta${i % 5}"))
+      .toDF("doc_id", "text")
+    val local = collectMerges(Bpe.trainBpe(docs, "text", merges = 6))
+    val dist = collectMerges(Bpe.trainBpe(docs, "text", merges = 6,
+      driverVocabLimit = 0))
+    assert(local.nonEmpty && local === dist)
+  }
+
   test("trainBpe is partitioning-invariant and reference-exact on a mixed corpus") {
     val docs = (0L until 40L)
       .map(i => (i, s"token${i % 7} data data${i % 3} spark engine corpus"))
