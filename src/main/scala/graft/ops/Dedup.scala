@@ -132,6 +132,68 @@ object Dedup {
         (coalesce(col("n_bench_matches"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** LSH PARAMETER AUDIT: measured precision/recall of MinHash banding
+    * against exact n-gram Jaccard ground truth, one row per band
+    * configuration. Dedup quality is a bands/rows trade-off (more
+    * bands → higher recall, more false candidates); the S-curve
+    * P(candidate) = 1 − (1 − j^{k/b})^b says where the knee sits, but a
+    * real corpus's similarity distribution decides what you actually
+    * pay — this operator measures it, so the config shipped to the
+    * 100 TB run is chosen on data, not folklore.
+    *
+    * Ground truth: pairs with exact Jaccard ≥ `threshold` from
+    * [[ngramJaccardBlocked]] (shingle-blocked, `maxShingleFreq`-capped
+    * — the truth set is itself computed at scale discipline). For each
+    * `b` in `bandConfigs` (each must divide `k`), candidates are the
+    * standard band-bucket pairs over ONE shared signature definition —
+    * the native per-row minhash pass recomputes per config rather than
+    * caching a corpus-sized signature frame (callers auditing many
+    * configs on one corpus can persist [[minhashSignatures]] and inline
+    * the band stage themselves).
+    *
+    * Output: (bands, rows_per_band, n_candidates, n_true, n_hits,
+    * prec, rec) — `prec` null when a config yields no candidates (a
+    * 0/0, not a 1.0), every configured row present. Counts are exact;
+    * ratios round(…, 6). */
+  def lshAudit(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 16, bandConfigs: Seq[Int] = Seq(2, 4, 8),
+               shingleSize: Int = 3, threshold: Double = 0.8,
+               maxShingleFreq: Int = 1024): DataFrame = {
+    require(bandConfigs.nonEmpty, "need at least one band configuration")
+    bandConfigs.foreach(b => require(b > 0 && k % b == 0,
+      s"bands=$b must divide k=$k"))
+    val spark = df.sparkSession
+    val truth = ngramJaccardBlocked(df, idCol, textCol, threshold,
+        shingleSize, maxShingleFreq)
+      .select(col("id_a"), col("id_b"), lit(true).as("is_true"))
+    val candidates = bandConfigs.map { b =>
+      lshCandidatePairs(df, idCol, textCol, k, b, shingleSize)
+        .withColumn("bands", lit(b))
+    }.reduce(_ unionByName _)
+    val perConfig = candidates
+      .join(truth, Seq("id_a", "id_b"), "left")
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_hits"))
+    // spine of configured rows: a config whose candidate set is EMPTY
+    // must still surface (absence is not silence)
+    import spark.implicits._
+    val spine = bandConfigs.toDF("bands")
+    spine.join(perConfig, Seq("bands"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("bands").cast("long").as("bands"),
+        (lit(k) / col("bands")).cast("long").as("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_candidates"), lit(0L)) > 0L,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_candidates"), 6)).as("prec"),
+        when(col("n_true") > 0L,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_true"), 6)).as("rec"))
+  }
+
   /** Exact n-gram Jaccard for given pairs: verification stage after LSH
     * (or any blocking). `docs` must expose (id, text). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,

@@ -174,4 +174,49 @@ object Relevance {
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("score"), col("rank"))
   }
+
+  /** BLOCKED inverted index: per (term, doc-id block), the
+    * delta-encoded posting list — the searchable-corpus artifact
+    * (keyword slicing, decontamination lookups, BM25 serving all read
+    * postings), built with the segmenting trick every at-scale indexer
+    * uses: postings shard by `doc_id >> blockBits`, so one group holds
+    * at most 2^blockBits doc ids NO MATTER how common the term is. A
+    * naive `groupBy(term).collect_list` puts a stopword's
+    * corpus-sized posting list in one task; here the stopword costs
+    * `n_docs / 2^blockBits` bounded groups spread across the shuffle,
+    * and block-local delta gaps stay small (block-relative), which is
+    * exactly what varint/PForDelta compression wants downstream.
+    *
+    * Gaps: first entry is relative to the block base
+    * (`block << blockBits`), each later entry to its predecessor —
+    * `ids = base + prefix-sums(gaps)` reconstructs exactly. `minDf`
+    * drops hapax/rare terms by GLOBAL document frequency (a semi-join
+    * against the term-keyed df table — vocabulary-sized, never a
+    * second corpus scan).
+    *
+    * Output: (term, block, df_block, gaps: array<long>), one shuffle
+    * on (term, block) after the distinct. Ids must be non-negative. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    blockBits: Int = 20, minDf: Long = 1L): DataFrame = {
+    require(blockBits >= 1 && blockBits <= 62, "blockBits in [1, 62]")
+    val postings = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .distinct()
+    val kept =
+      if (minDf <= 1L) postings
+      else postings.join(
+        postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= minDf).select(col("term")),
+        Seq("term"), "left_semi")
+    val blocked = kept
+      .withColumn("block", shiftrightunsigned(col("doc_id"), blockBits))
+      .groupBy(col("term"), col("block"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    blocked.select(col("term"), col("block"),
+      size(col("ids")).cast("long").as("df_block"),
+      transform(col("ids"), (x, i) =>
+        x - when(i === 0, shiftleft(col("block"), blockBits))
+          .otherwise(element_at(col("ids"), i))).as("gaps"))
+  }
 }

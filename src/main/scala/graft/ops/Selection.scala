@@ -199,4 +199,101 @@ object Selection {
       when(pass % 2 === 0, pos).otherwise(lit(nShards - 1) - pos)
         .cast("long").as("shard"))
   }
+
+  /** Deterministic seeded GLOBAL SHUFFLE of a corpus: every row gets a
+    * contiguous position `pos ∈ [0, n)` in the order of
+    * `md5(id || ':' || seed)` — a pseudo-random permutation that is (a)
+    * reproducible from the seed alone (re-runs, resumed jobs, and any
+    * other engine agree row-for-row), (b) independent of the input's
+    * physical layout, and (c) re-drawable by changing the seed (epoch
+    * reshuffles). This is the "shuffle the corpus before training"
+    * step: sequentially-written sources (one domain per file) must not
+    * reach the trainer in file order.
+    *
+    * Scale: the position comes from [[Sketches.contiguousIds]]'s
+    * range-partitioned two-pass zip over the hash key — one range
+    * exchange, numPartitions longs to the driver, never a
+    * single-partition window and never a driver-side sort. Downstream
+    * shard writers key on `pos / shardSize` (contiguous, size-exact) or
+    * `pos % nShards` (round-robin).
+    *
+    * The order key is `md5 || zero-padded id`: the id suffix makes the
+    * total order exact even under (astronomically unlikely) digest
+    * collisions, so the permutation is a function, not a tie-break
+    * lottery. Ids must be non-negative and < 10^18.
+    *
+    * Output: the input columns plus `pos` (long). */
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val keyed = df.withColumn("__shuffle_key",
+      concat(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
+        lpad(col(idCol).cast("string"), 18, "0")))
+    Sketches.contiguousIds(keyed, "__shuffle_key")
+      .withColumnRenamed("row_ix", "pos")
+      .drop("__shuffle_key")
+  }
+
+  /** 32-bit Morton (Z-order) key of two 16-bit dimensions: the bits of
+    * `x` and `y` interleaved (`y` in the odd positions), via the
+    * classic magic-mask bit spread — five shift/mask ops per dimension,
+    * all built-in long arithmetic, fully inside whole-stage codegen.
+    * Rows close in Morton order are close in BOTH dimensions, so
+    * range-partitioning / sorting by this key clusters
+    * multi-dimensionally — the Z-ORDER data-layout optimization
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`): one sorted write gives
+    * min-max-pruned scans on either dimension.
+    *
+    * Inputs are masked to their low 16 bits (caller buckets real
+    * values first). Reproducible in any engine with integer bit ops —
+    * the oracle replays the same five-step spread in SQL. */
+  def mortonKey(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      val m = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      val a = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val d = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+      d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Cluster a frame for two-dimensional locality: range-repartition on
+    * the Morton key of (x, y) and sort each partition by it — the
+    * Z-order WRITE path (follow with a parquet write; each file then
+    * holds a small x-range AND a small y-range, so min-max stats prune
+    * scans filtered on either column). One range exchange; the sort is
+    * partition-local. */
+  def zorderRepartition(df: DataFrame, x: Column, y: Column,
+                        numPartitions: Int): DataFrame = {
+    val keyed = df.withColumn("__z", mortonKey(x, y))
+    keyed.repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z")).drop("__z")
+  }
+
+  /** Audit of what Z-order clustering buys: bucket rows by the high
+    * bits of their Morton key (fixed-width key ranges — `bucketBits`
+    * top bits of a `keyBits`-wide key, deterministic, no quantile
+    * pass) and report each bucket's row count and per-dimension
+    * min/max envelope. Tight envelopes on BOTH dims = files whose
+    * min-max stats prune on either filter column; compare against the
+    * same stats bucketed on one dimension alone to quantify the layout
+    * win. `keyBits` anchors the bucket split to the OCCUPIED key
+    * width — dims bucketed to b bits fill 2b Morton bits, so pass
+    * `keyBits = 2b` (full 16-bit dims: the default 32). One
+    * map-combined aggregation.
+    * Output: (bucket, n, x_min, x_max, y_min, y_max). */
+  def zorderStats(df: DataFrame, x: Column, y: Column,
+                  bucketBits: Int = 6, keyBits: Int = 32): DataFrame = {
+    require(keyBits >= 2 && keyBits <= 32 && keyBits % 2 == 0,
+      "keyBits an even number in [2, 32]")
+    require(bucketBits >= 1 && bucketBits <= keyBits,
+      "bucketBits in [1, keyBits]")
+    val xm = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val ym = y.cast("long").bitwiseAND(lit(0xFFFFL))
+    df.select(shiftrightunsigned(mortonKey(x, y), keyBits - bucketBits).as("bucket"),
+        xm.as("xv"), ym.as("yv"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("xv")).as("x_min"),
+        max(col("xv")).as("x_max"), min(col("yv")).as("y_min"),
+        max(col("yv")).as("y_max"))
+  }
 }

@@ -904,6 +904,64 @@ object TrainingData {
         .select(col("doc_id"), col("chunk_ix"),
           md5(col("chunk")).as("chunk_hash"), col("n_chars"))
         .orderBy(col("doc_id"), col("chunk_ix"))
+    }),
+
+    // Deterministic seeded global corpus shuffle: positions from the
+    // md5(id:seed) order via the range-partitioned two-pass id zip —
+    // the reproducible "shuffle before training" permutation.
+    "q89_global_shuffle" -> ((s, d) => {
+      Selection.globalShuffle(t(s, d, "documents").select(col("doc_id")),
+          "doc_id", seed = 42L)
+        .select(col("doc_id"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-order locality audit on events: per fixed-width Morton-key
+    // bucket, the (user, hour) envelope — tight on BOTH dims = min-max
+    // stats that prune scans filtered on either column. 6-bit dims
+    // (user mod 64, epoch-hour mod 64) fill a 12-bit key; 64 buckets
+    // = 8×8 (user, hour) tiles.
+    "q90_zorder_stats" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      Selection.zorderStats(ev,
+          col("user_id") % 64,
+          floor(unix_seconds(col("ts")) / 3600).cast("long") % 64,
+          bucketBits = 6, keyBits = 12)
+        .orderBy(col("bucket"))
+    }),
+
+    // LSH parameter audit: measured precision/recall of 2/4/8-band
+    // MinHash candidates against exact-Jaccard ≥ 0.8 ground truth —
+    // the band config for the 100 TB dedup run, chosen on data.
+    "q91_lsh_audit" -> ((s, d) => {
+      Dedup.lshAudit(t(s, d, "documents"), "doc_id", "text",
+          k = 16, bandConfigs = Seq(2, 4, 8), shingleSize = 3,
+          threshold = 0.8, maxShingleFreq = 1000)
+        .orderBy(col("bands"))
+    }),
+
+    // BPE APPLY cross-check: train the q87 merge table, then segment
+    // the corpus with the INDEPENDENT applier (subwordTokens' rank-
+    // order cascade) — the oracle replays training and unnests the
+    // final vocab state, so applier ≡ trainer is verified under the
+    // hash compare, token for token, count for count.
+    "q92_bpe_vocab" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.trainBpe(docs, "text", merges = 8, minPairCount = 2)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+      docs.select(explode(Bpe.subwordTokens(col("text"), merges)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("token"))
+    }),
+
+    // Blocked inverted index: per (term, 1024-id block), the
+    // delta-encoded posting list — bounded groups regardless of term
+    // frequency (the stopword-posting skew killer).
+    "q93_inverted_index" -> ((s, d) => {
+      Relevance.invertedIndex(t(s, d, "documents"), "doc_id", "text",
+          blockBits = 10, minDf = 100L)
+        .orderBy(col("term"), col("block"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -955,6 +1013,34 @@ v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), ch
       .mkString("\nUNION ALL ")
     sb.append(s"\nSELECT * FROM (\n$union) ORDER BY rank")
     sb.toString
+  }
+
+  /** q92's oracle: the q87 training replay extended one step — the
+    * FINAL vocab state's symbols, unnested and weighted by word count.
+    * The Spark side segments with the independent applier
+    * (Bpe.subwordTokens), so the hash compare pins applier ≡ trainer. */
+  private def bpeApplyOracleSql(k: Int, minCount: Long): String = {
+    val base = bpeOracleSql(k, minCount)
+    // keep the CTE chain, swap the final merge-table SELECT for the
+    // final-state token counts
+    val cteEnd = base.lastIndexOf("\nSELECT * FROM (")
+    base.substring(0, cteEnd) +
+      s"""
+         |SELECT sym AS token, sum(cnt)::BIGINT AS n FROM (
+         |  SELECT unnest(string_split(trim(st, chr(1)), chr(1)||chr(1))) AS sym, cnt
+         |  FROM v$k)
+         |GROUP BY sym ORDER BY token""".stripMargin
+  }
+
+  /** SQL twin of Selection.mortonKey's magic-mask bit spread (16 → 32
+    * bits, value in the even bit positions). Textually nested — ~500
+    * chars per spread, constant-folded by the oracle engine. */
+  private def spreadSql(c: String): String = {
+    val m = s"($c & 65535)"
+    val a = s"(($m | ($m << 8)) & 16711935)"
+    val b = s"(($a | ($a << 4)) & 252645135)"
+    val d = s"(($b | ($b << 2)) & 858993459)"
+    s"(($d | ($d << 1)) & 1431655765)"
   }
 
   private def shinglesSql(alias: String) =
@@ -2452,5 +2538,94 @@ v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), ch
         |  FROM cuts)
         |SELECT doc_id, c.ix::BIGINT AS chunk_ix, md5(c.chunk) AS chunk_hash,
         |  len(c.chunk)::BIGINT AS n_chars
-        |FROM chunks ORDER BY doc_id, chunk_ix""".stripMargin)
+        |FROM chunks ORDER BY doc_id, chunk_ix""".stripMargin,
+    // q89: positions in md5(id:seed) order; the id suffix on the order
+    // key mirrors the engine's collision-proof total order.
+    "q89_global_shuffle" ->
+      """SELECT doc_id,
+        |  (row_number() OVER (ORDER BY
+        |     md5(doc_id::VARCHAR || ':42') || lpad(doc_id::VARCHAR, 18, '0'))
+        |   - 1)::BIGINT AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q90: the same five-step bit spread replayed textually; epoch_us
+    // floor-division for the hour bucket (unix_seconds truncates the
+    // same way on non-negative input).
+    "q90_zorder_stats" -> {
+      val morton =
+        s"(${spreadSql("x")} | (${spreadSql("y")} << 1))"
+      s"""WITH v AS (
+         |  SELECT (user_id % 64)::BIGINT AS x,
+         |         ((epoch_us(ts) // 1000000 // 3600) % 64)::BIGINT AS y
+         |  FROM events),
+         |z AS (SELECT x, y, $morton AS morton FROM v)
+         |SELECT (morton >> 6)::BIGINT AS bucket, count(*)::BIGINT AS n,
+         |  min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max,
+         |  min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+    // q91: q22's capped exact-Jaccard truth + q23's minhash bands at
+    // three configs; MATERIALIZED because truth/mh are read per config.
+    "q91_lsh_audit" -> {
+      val bandCtes = Seq(2, 4, 8).map { b =>
+        val rpb = 16 / b
+        s"""bt$b AS MATERIALIZED (
+           |  SELECT doc_id, i // $rpb AS band,
+           |         md5(string_agg(m, '|' ORDER BY i)) AS bucket
+           |  FROM mh GROUP BY doc_id, i // $rpb)""".stripMargin
+      }.mkString(",\n")
+      val candSelects = Seq(2, 4, 8).map { b =>
+        s"""SELECT $b AS bands, a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bt$b a JOIN bt$b b
+           |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2, 3""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.s = ok.s GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT id_a, id_b
+         |  FROM p JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+         |  WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.8),
+         |mh AS MATERIALIZED (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |$bandCtes,
+         |cand AS ($candSelects),
+         |st AS (
+         |  SELECT bands, count(*)::BIGINT AS n_candidates,
+         |    sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM cand c LEFT JOIN truth t USING (id_a, id_b) GROUP BY bands),
+         |spine AS (SELECT unnest([2, 4, 8]) AS bands),
+         |tt AS (SELECT count(*)::BIGINT AS n_true FROM truth)
+         |SELECT bands::BIGINT AS bands, (16 // bands)::BIGINT AS rows_per_band,
+         |  COALESCE(n_candidates, 0)::BIGINT AS n_candidates, n_true,
+         |  COALESCE(n_hits, 0)::BIGINT AS n_hits,
+         |  CASE WHEN COALESCE(n_candidates, 0) > 0
+         |       THEN round(COALESCE(n_hits, 0)::DOUBLE / n_candidates, 6) END AS prec,
+         |  CASE WHEN n_true > 0
+         |       THEN round(COALESCE(n_hits, 0)::DOUBLE / n_true, 6) END AS rec
+         |FROM spine LEFT JOIN st USING (bands) CROSS JOIN tt
+         |ORDER BY bands""".stripMargin
+    },
+    "q92_bpe_vocab" -> bpeApplyOracleSql(8, 2),
+    // q93: distinct postings, global-df gate, 1024-id blocks,
+    // block-relative delta gaps.
+    "q93_inverted_index" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, tk AS term FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS tk FROM documents)),
+         |keep AS (SELECT term FROM tok GROUP BY term HAVING count(*) >= 100),
+         |b AS (SELECT term, doc_id // 1024 AS block, doc_id
+         |      FROM tok JOIN keep USING (term)),
+         |g AS (SELECT term, block, count(*)::BIGINT AS df_block,
+         |             list_sort(list(doc_id)) AS ids
+         |      FROM b GROUP BY term, block)
+         |SELECT term, block::BIGINT AS block, df_block,
+         |  list_transform(range(len(ids)), j ->
+         |    ids[j+1] - CASE WHEN j = 0 THEN block * 1024 ELSE ids[j] END) AS gaps
+         |FROM g ORDER BY term, block""".stripMargin)
 }

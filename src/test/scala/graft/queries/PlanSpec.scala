@@ -361,6 +361,49 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "no global row_number anywhere in the tail")
   }
 
+  test("q89 global shuffle: positions from the range zip — no window, no single partition") {
+    val p = plan("q89_global_shuffle")
+    assert(!p.contains("Window"), "the permutation index is the two-pass zip")
+    assert(!p.contains("SinglePartition"), "never a global-row_number collapse")
+  }
+
+  test("q90 zorder stats: one map-combined aggregation, key arithmetic in codegen") {
+    val p = plan("q90_zorder_stats")
+    assert(p.contains("partial_min") || p.contains("partial_max"),
+      "envelope min/max combine map-side")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    // the morton spread must be built-in long arithmetic (codegen-able
+    // shiftleft/and/or), never a UDF opaque to the optimizer
+    assert(p.contains("shiftleft") && !p.toLowerCase.contains("batchevalpython")
+      && !p.contains("UDF"), "bit spread stays a native expression")
+  }
+
+  test("q91 lsh audit: no self-join of shingle rows beyond the grouped pair " +
+      "generation; only the 1-row n_true crosses") {
+    val p = plan("q91_lsh_audit")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "the only cross is the broadcast 1-row truth count")
+    assert(p.contains("graft_minhash"), "signatures come from the native per-row pass")
+    assert(p.contains("graft_pairs"), "candidates from in-bucket generation, not a self-join")
+  }
+
+  test("q92 bpe apply: segmentation is one explode + one map-combined count") {
+    val p = plan("q92_bpe_vocab")
+    assert("Generate".r.findAllIn(p).length === 1,
+      "exactly the subword explode — merges are plan-embedded literals")
+    assert(p.contains("partial_count"), "token counts combine map-side")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("q93 inverted index: postings group on (term, block) — no single partition, " +
+      "no window, global-df gate is a semi-join") {
+    val p = plan("q93_inverted_index")
+    assert(!p.contains("SinglePartition"), "posting lists never collapse to one task")
+    assert(!p.contains("Window"))
+    assert(p.contains("LeftSemi"), "minDf gate joins, never collects a vocabulary")
+  }
+
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
