@@ -96,19 +96,49 @@ object Bpe {
     * cross-path equality. */
   def trainBpe(docs: DataFrame, textCol: String, merges: Int,
                minPairCount: Long = 2L, driverVocabLimit: Int = 200000): DataFrame = {
-    require(merges >= 0, "merges must be non-negative")
-    val session = docs.sparkSession
-    import session.implicits._
     val wc = wordCounts(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
-    val vocabSize = wc.count()
+    try trainBpeFromCounts(wc, merges, minPairCount, driverVocabLimit)
+    finally wc.unpersist(blocking = false)
+  }
+
+  /** Training from a CALLER-OWNED word-count frame (`w`, `cnt`) —
+    * persist it first; it is scanned once per round (twice on the
+    * driver fast path) and NOT unpersisted here. The entry point for
+    * train-then-apply pipelines that reuse one corpus pass: train from
+    * `wc`, then [[tokenCounts]] over the SAME frame — the corpus is
+    * read exactly once end-to-end. */
+  def trainBpeFromCounts(wc: DataFrame, merges: Int,
+                         minPairCount: Long = 2L,
+                         driverVocabLimit: Int = 200000): DataFrame = {
+    require(merges >= 0, "merges must be non-negative")
+    val session = wc.sparkSession
+    import session.implicits._
+    // ONE size-probe-and-fetch job: a capped collect. Under the guard
+    // the cap is never reached, so this reads every partition (fully
+    // materializing a caller persist) and IS the vocabulary; over the
+    // guard it stops at limit+1 rows and the distributed rounds take
+    // over — the probe never pulls an unbounded vocabulary.
+    val probe = wc.limit(driverVocabLimit + 1).collect()
     val out =
-      if (vocabSize <= driverVocabLimit) {
-        val words = wc.collect().map(r => r.getString(0) -> r.getLong(1))
-        wc.unpersist(blocking = false)
-        localBpe(words, merges, minPairCount)
+      if (probe.length <= driverVocabLimit) {
+        localBpe(probe.map(r => r.getString(0) -> r.getLong(1)),
+          merges, minPairCount)
       } else distributedBpe(wc, merges, minPairCount)
     out.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
+
+  /** Corpus token counts under a trained merge table, computed the way
+    * an at-scale tokenizer does it: segment the VOCABULARY (word
+    * types), not the corpus — each type runs the merge cascade once
+    * and contributes `cnt`-weighted subword counts, so the per-string
+    * replace work is O(types), not O(corpus occurrences) (30×+ less on
+    * natural text). Input is a (w, cnt) frame from [[wordCounts]];
+    * output (token, n). Per-document segmentation (token ids for
+    * packing) still uses [[subwordTokens]] on the corpus — this is the
+    * vocab/count side. */
+  def tokenCounts(wc: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    wc.select(explode(subwordTokens(col("w"), merges)).as("token"), col("cnt"))
+      .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
 
   /** UTF-8 byte comparison — what Spark's UTF8String sort and SQL
     * engines compare, and identical to code-POINT order; Java String's
@@ -186,9 +216,11 @@ object Bpe {
   /** Distributed merge rounds — the unbounded-vocabulary path. */
   private def distributedBpe(wc: DataFrame, merges: Int,
                              minPairCount: Long): Seq[(Long, String, String, String, Long)] = {
+    // wc is caller-owned (trainBpeFromCounts' contract) — never
+    // unpersisted here; the round chain starts parentless
     var vocab = wc.select(initialState(col("w")).as("state"), col("cnt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var parent: Option[DataFrame] = Some(wc)
+    var parent: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     var i = 0
     var exhausted = false

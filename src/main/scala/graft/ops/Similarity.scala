@@ -287,6 +287,94 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** ANN RECALL AUDIT: measured recall@k of IVF search against exact
+    * brute-force ground truth, one row per `nProbe` configuration —
+    * the [[graft.ops.Dedup.lshAudit]] counterpart for the embedding
+    * side. `nProbe` is ANN's recall/cost dial (probe more inverted
+    * lists → scan more candidates); this measures what each setting
+    * actually buys ON THIS corpus, so the production config is a
+    * number, not folklore. With `nProbe = |centroids|` every list is
+    * probed and the candidate set equals the exact search's — recall
+    * must read 1.0 (spec-pinned; a cheap self-test of the whole IVF
+    * path).
+    *
+    * Scale: audits run on a probe SAMPLE (thousands), never the full
+    * corpus — ground truth is [[bruteForceTopK]]'s broadcast-probe
+    * corpus pass; each config is one [[ivfSearch]]. The per-config
+    * joins are (probe_id, neighbor_id)-keyed counts.
+    *
+    * Output: (n_probe, n_returned, n_true, n_hits, recall) — every
+    * configured row present, `recall` null when the truth set is
+    * empty. Counts exact; recall round(…, 6). */
+  def annRecallAudit(probes: DataFrame, corpus: DataFrame,
+                     centroids: DataFrame, k: Int,
+                     nProbeConfigs: Seq[Int] = Seq(1, 2, 4, 8),
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     cidCol: String = "cid"): DataFrame = {
+    require(nProbeConfigs.nonEmpty, "need at least one nProbe configuration")
+    require(nProbeConfigs.forall(_ > 0), "nProbe must be positive")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    // ALL configs share one pass: corpus assigned once, probes rank
+    // their max(nProbe) nearest lists once, candidates join once; a
+    // config explode (candidate qualifies for every np > its cluster
+    // rank) then ONE window ranks every (config, probe) group — vs
+    // running ivfSearch per config, which would recompute the corpus
+    // assignment and the candidate join |configs| times
+    val maxNp = nProbeConfigs.max
+    val (cids, cembs) = codebookArrays(centroids, cidCol, embCol)
+    require(maxNp <= cids.length,
+      s"nProbe ${maxNp} exceeds the ${cids.length}-centroid codebook")
+    val probeNearest = probes
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        posexplode(ivfNearest(col(embCol), maxNp, cids, cembs))
+          .as(Seq("c_rank", "cluster")))
+      .withColumn("p_norm", sqrt(dotUdf(col("p_emb"), col("p_emb"))))
+    val corpusAssigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        element_at(ivfNearest(col(embCol), 1, cids, cembs), 1).as("cluster"))
+      .withColumn("c_norm", sqrt(dotUdf(col("c_emb"), col("c_emb"))))
+    val candidates = probeNearest.join(corpusAssigned, Seq("cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
+      .withColumn("n_probe",
+        explode(array(nProbeConfigs.map(lit(_)): _*)))
+      .filter(col("c_rank") < col("n_probe"))
+    val wRank = Window.partitionBy(col("n_probe"), col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val approx = candidates
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("n_probe"))
+    // Ground truth: when the widest config probes EVERY inverted list,
+    // its candidate set is all (probe, corpus) pairs — that branch IS
+    // exact search (same rounding, same tie-break), so truth falls out
+    // of the shared pass for free. Otherwise pay the brute-force pass.
+    val truth = (if (maxNp == cids.length)
+        approx.filter(col("n_probe") === maxNp)
+          .select(col("probe_id"), col("neighbor_id"))
+      else
+        bruteForceTopK(probes, corpus, k, idCol, embCol)
+          .select(col("probe_id"), col("neighbor_id")))
+      .withColumn("is_true", lit(true))
+    val perConfig = approx
+      .join(truth, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_hits"))
+    val spine = nProbeConfigs.toDF("n_probe")
+    spine.join(perConfig, Seq("n_probe"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("n_probe").cast("long").as("n_probe"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_true") > 0L,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_true"), 6)).as("recall"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 100 TB
     * storage lever (4× smaller than float32 at ~1% cosine error).
     * Per-vector scale = max|v| / 127; codes are `floor(v / scale)`

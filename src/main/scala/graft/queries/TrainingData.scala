@@ -946,13 +946,15 @@ object TrainingData {
     // final vocab state, so applier ≡ trainer is verified under the
     // hash compare, token for token, count for count.
     "q92_bpe_vocab" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val merges = Bpe.trainBpe(docs, "text", merges = 8, minPairCount = 2)
+      // ONE corpus pass end-to-end: train and apply share the word-
+      // count frame, and the applier segments word TYPES (cnt-weighted),
+      // not occurrences — the at-scale tokenizer shape.
+      val wc = Bpe.wordCounts(t(s, d, "documents"), "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = Bpe.trainBpeFromCounts(wc, merges = 8, minPairCount = 2)
         .orderBy(col("rank")).collect()
         .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
-      docs.select(explode(Bpe.subwordTokens(col("text"), merges)).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .orderBy(col("token"))
+      Bpe.tokenCounts(wc, merges).orderBy(col("token"))
     }),
 
     // Blocked inverted index: per (term, 1024-id block), the
@@ -962,6 +964,20 @@ object TrainingData {
       Relevance.invertedIndex(t(s, d, "documents"), "doc_id", "text",
           blockBits = 10, minDf = 100L)
         .orderBy(col("term"), col("block"))
+    }),
+
+    // ANN recall audit: measured recall@3 of IVF search at nProbe
+    // 1/2/4/8 against exact brute force — q91's counterpart for the
+    // embedding side; nProbe=8 probes every list, recall must be 1.
+    "q94_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.annRecallAudit(
+          probes = emb.filter(col("vec_id") < 20),
+          corpus = emb,
+          centroids = emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("cid"), col("embedding")),
+          k = 3, nProbeConfigs = Seq(1, 2, 4, 8))
+        .orderBy(col("n_probe"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -2627,5 +2643,67 @@ v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), ch
          |SELECT term, block::BIGINT AS block, df_block,
          |  list_transform(range(len(ids)), j ->
          |    ids[j+1] - CASE WHEN j = 0 THEN block * 1024 ELSE ids[j] END) AS gaps
-         |FROM g ORDER BY term, block""".stripMargin)
+         |FROM g ORDER BY term, block""".stripMargin,
+    // q94: q25's exact truth + q35's IVF machinery replayed at four
+    // nProbe settings; shared CTEs MATERIALIZED (read per config).
+    "q94_ann_recall" -> {
+      val configs = Seq(1, 2, 4, 8)
+      val perConfig = configs.map { np =>
+        s"""sel$np AS (
+           |  SELECT $np AS n_probe, probe_id, neighbor_id FROM (
+           |    SELECT pc.probe_id, corpus.neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY pc.probe_id ORDER BY
+           |        round(list_dot_product(p.v, corpus.v) / (p.norm * corpus.norm), 6) DESC,
+           |        corpus.neighbor_id) AS rank
+           |    FROM (SELECT vec_id AS probe_id, cid AS cluster FROM dist
+           |          WHERE rn <= $np AND vec_id < 20) pc
+           |    JOIN corpus ON pc.cluster = corpus.cluster
+           |      AND pc.probe_id <> corpus.neighbor_id
+           |    JOIN pr p ON p.probe_id = pc.probe_id)
+           |  WHERE rank <= 3)""".stripMargin
+      }.mkString(",\n")
+      val union = configs.map(np => s"SELECT * FROM sel$np").mkString("\nUNION ALL ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |dist AS MATERIALIZED (
+         |  SELECT e.vec_id, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+         |        + list_dot_product(c.cv, c.cv), cid) AS rn
+         |  FROM e CROSS JOIN c),
+         |corpus AS MATERIALIZED (
+         |  SELECT d.vec_id AS neighbor_id, cid AS cluster, e.v,
+         |    sqrt(list_dot_product(e.v, e.v)) AS norm
+         |  FROM dist d JOIN e ON d.vec_id = e.vec_id WHERE rn = 1),
+         |pr AS MATERIALIZED (
+         |  SELECT vec_id AS probe_id, v, sqrt(list_dot_product(v, v)) AS norm
+         |  FROM e WHERE vec_id < 20),
+         |truth AS MATERIALIZED (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.probe_id, ce.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+         |        round(list_dot_product(p.v, ce.v) /
+         |          (p.norm * sqrt(list_dot_product(ce.v, ce.v))), 6) DESC,
+         |        ce.vec_id) AS rank
+         |    FROM pr p JOIN e ce ON p.probe_id <> ce.vec_id)
+         |  WHERE rank <= 3),
+         |$perConfig,
+         |cand AS ($union),
+         |st AS (
+         |  SELECT n_probe, count(*)::BIGINT AS n_returned,
+         |    sum(CASE WHEN t.probe_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM cand LEFT JOIN truth t USING (probe_id, neighbor_id)
+         |  GROUP BY n_probe),
+         |spine AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+         |tt AS (SELECT count(*)::BIGINT AS n_true FROM truth)
+         |SELECT n_probe::BIGINT AS n_probe,
+         |  COALESCE(n_returned, 0)::BIGINT AS n_returned, n_true,
+         |  COALESCE(n_hits, 0)::BIGINT AS n_hits,
+         |  CASE WHEN n_true > 0
+         |       THEN round(COALESCE(n_hits, 0)::DOUBLE / n_true, 6) END AS recall
+         |FROM spine LEFT JOIN st USING (n_probe) CROSS JOIN tt
+         |ORDER BY n_probe""".stripMargin
+    })
 }

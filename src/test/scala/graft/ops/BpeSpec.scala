@@ -107,4 +107,27 @@ class BpeSpec extends SparkTestBase {
       .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === refBpe(wc, 5, 2))
   }
+
+  test("tokenCounts (vocab-side apply) == corpus-occurrence segmentation, count for count") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"lower lowest newer new${i % 4} wider widest"))
+      .toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Bpe.trainBpeFromCounts(wc, merges = 6)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val vocabSide = Bpe.tokenCounts(wc, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the expensive reference: segment every word OCCURRENCE in the
+    // corpus and count tokens directly
+    val corpusSide = docs
+      .select(explode(Bpe.subwordTokens(col("text"), merges)).as("token"))
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocabSide === corpusSide,
+      "per-type weighted counts must equal per-occurrence counts exactly")
+    wc.unpersist(blocking = false)
+  }
 }

@@ -975,6 +975,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(p.contains("graft_vec_sum"), "the native kernel must plan")
     assert(!p.contains("Generate"), "no ×dims explode before the aggregation")
   }
+
+  test("annRecallAudit: recall monotone in nProbe, exactly 1.0 when every list is probed") {
+    // 40 vectors in 4 well-separated direction clusters
+    val vecs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(8)(0f)
+      base(c) = 10f
+      (i, base.zipWithIndex.map { case (v, d) =>
+        v + (math.sin(i * 7 + d) * 0.5).toFloat })
+    }.toDF("vec_id", "embedding")
+    val centroids = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding")
+    val out = Similarity.annRecallAudit(
+        probes = vecs.filter($"vec_id" < 12), corpus = vecs,
+        centroids = centroids, k = 3, nProbeConfigs = Seq(1, 2, 4))
+      .collect().map(r => r.getAs[Long]("n_probe") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_true"),
+          r.getAs[Double]("recall")))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L), "every configured row present")
+    assert(out(1L)._2 === 36L, "truth is probes × k")
+    // more probed lists can only add candidates (supersets) => recall
+    // is monotone non-decreasing
+    assert(out(1L)._1 <= out(2L)._1 && out(2L)._1 <= out(4L)._1)
+    // nProbe = |centroids| probes everything: candidate set == exact
+    // search's, so the top-k MUST agree pair for pair
+    assert(out(4L)._3 === 1.0, s"full probe must have recall 1.0: $out")
+    // the 1.0 above uses the shared-pass truth shortcut (maxNp ==
+    // |centroids|); a run withOUT a full-probe config takes the
+    // brute-force fallback — both truths must produce identical
+    // hit counts for the shared configs
+    val fallback = Similarity.annRecallAudit(
+        probes = vecs.filter($"vec_id" < 12), corpus = vecs,
+        centroids = centroids, k = 3, nProbeConfigs = Seq(1, 2))
+      .collect().map(r => r.getAs[Long]("n_probe") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_true")))).toMap
+    assert(fallback(1L) === ((out(1L)._1, out(1L)._2)) &&
+      fallback(2L) === ((out(2L)._1, out(2L)._2)),
+      "shortcut truth (full-probe branch) == brute-force truth, config for config")
+  }
 }
 
 class CurationSpec extends SparkTestBase {

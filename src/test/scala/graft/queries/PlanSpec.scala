@@ -388,11 +388,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_pairs"), "candidates from in-bucket generation, not a self-join")
   }
 
-  test("q92 bpe apply: segmentation is one explode + one map-combined count") {
+  test("q92 bpe apply: vocab-side segmentation — one explode over word types, " +
+      "map-combined weighted counts, cached word-count scan") {
     val p = plan("q92_bpe_vocab")
-    assert("Generate".r.findAllIn(p).length === 1,
-      "exactly the subword explode — merges are plan-embedded literals")
-    assert(p.contains("partial_count"), "token counts combine map-side")
+    // (the Generate count includes the cached wordCounts plan that
+    // InMemoryRelation embeds in the plan text — only the top-level
+    // subword explode actually runs against the cache)
+    assert(p.contains("Generate"), "subword segmentation is an explode, not a UDF loop")
+    assert(p.contains("partial_sum"), "cnt-weighted token counts combine map-side")
+    assert(p.contains("InMemoryTableScan"),
+      "apply reads the SAME cached word counts training used — one corpus pass total")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
@@ -402,6 +407,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), "posting lists never collapse to one task")
     assert(!p.contains("Window"))
     assert(p.contains("LeftSemi"), "minDf gate joins, never collects a vocabulary")
+  }
+
+  test("q94 ann recall audit: native IVF assignment, no cartesian, no brute-force " +
+      "pass — truth falls out of the shared full-probe branch") {
+    val p = plan("q94_ann_recall")
+    assert(p.contains("graft_ivf_nearest"), "cluster assignment is the per-row kernel")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast all-pairs")
+    // the widest config (nProbe = |centroids|) probes every list, so
+    // ground truth needs NO separate theta-join scoring pass: the only
+    // nest-loop allowed is the broadcast 1-row n_true total
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the 1-row total may nest-loop — truth shares the candidate pass")
   }
 
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
