@@ -187,12 +187,13 @@ object Selection {
     require(nShards > 0, "nShards must be positive")
     val sized = docs.select(col(idCol).cast("long").as("doc_id"),
       coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("n_tokens"))
-    // single ascending ord_key = (n_tokens DESC, doc_id ASC): fixed-width
-    // decimal strings (the q64/q65 idiom); 10^10 bounds both fields
-    val keyed = sized.withColumn("ord_key",
-      concat(lpad((lit(9999999999L) - col("n_tokens")).cast("string"), 10, "0"),
-        lit("|"), lpad(col("doc_id").cast("string"), 10, "0")))
-    val ranked = Sketches.contiguousIds(keyed, "ord_key")
+    // (n_tokens DESC, doc_id ASC) as an all-ascending LONG pair
+    // (negated size) — numeric keys range-partition and sort several
+    // times cheaper than the decimal-string idiom at scale
+    val keyed = sized.withColumn("__neg_tokens", -col("n_tokens"))
+    val ranked = Sketches.contiguousIds(keyed, Seq("__neg_tokens", "doc_id"),
+        partitions = 0, persist = true)
+      .drop("__neg_tokens")
     val pass = (col("row_ix") / nShards).cast("long")
     val pos = col("row_ix") % nShards
     ranked.select(col("doc_id"), col("n_tokens"),
@@ -217,17 +218,23 @@ object Selection {
     * shard writers key on `pos / shardSize` (contiguous, size-exact) or
     * `pos % nShards` (round-robin).
     *
-    * The order key is `md5 || zero-padded id`: the id suffix makes the
-    * total order exact even under (astronomically unlikely) digest
+    * The order key is the LONG pair (u60 of md5's first 15 hex chars,
+    * id): a numeric key range-partitions and sorts several times
+    * faster than a hex string at 100M+ rows (measured in the
+    * LayoutProbe — see NOTES), and the id tiebreak makes the total
+    * order exact even under (astronomically unlikely) 60-bit hash
     * collisions, so the permutation is a function, not a tie-break
-    * lottery. Ids must be non-negative and < 10^18.
+    * lottery.
     *
     * Output: the input columns plus `pos` (long). */
   def globalShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
     val keyed = df.withColumn("__shuffle_key",
-      concat(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
-        lpad(col(idCol).cast("string"), 18, "0")))
-    Sketches.contiguousIds(keyed, "__shuffle_key")
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
+        1, 15), 16, 10).cast("long"))
+    // persist=false: the key projection is cheap and deterministic —
+    // the contiguousIds cache would only re-serialize the corpus
+    Sketches.contiguousIds(keyed, Seq("__shuffle_key", idCol),
+        partitions = 0, persist = false)
       .withColumnRenamed("row_ix", "pos")
       .drop("__shuffle_key")
   }

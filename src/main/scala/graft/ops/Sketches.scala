@@ -98,7 +98,19 @@ object Sketches {
     * `persist = false` only when the input is a cheap deterministic
     * scan. */
   def contiguousIds(df: DataFrame, orderCol: String,
-                    partitions: Int = 0, persist: Boolean = true): DataFrame = {
+                    partitions: Int = 0, persist: Boolean = true): DataFrame =
+    contiguousIds(df, Seq(orderCol), partitions, persist)
+
+  /** Multi-column order-key form: ranks by the columns
+    * lexicographically (all ascending). Prefer narrow NUMERIC key
+    * columns over one concatenated string — range-partitioning and
+    * sorting 100M+ rows on long keys is several times cheaper than on
+    * fixed-width decimal/hex strings (the probe that motivated this:
+    * globalShuffle at 100M rows, string key 375 s → long-pair key,
+    * see NOTES). */
+  def contiguousIds(df: DataFrame, orderCols: Seq[String],
+                    partitions: Int, persist: Boolean): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
     val spark = df.sparkSession
     // A bounded plan (global limit upstream — e.g. a top-k sample)
     // announces its row count at plan time via maxRows: size the id
@@ -114,8 +126,8 @@ object Sketches {
     val input = if (persist && n > 1)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
-    val sorted = input.repartitionByRange(n, col(orderCol).asc)
-      .sortWithinPartitions(col(orderCol).asc)
+    val sorted = input.repartitionByRange(n, orderCols.map(c => col(c).asc): _*)
+      .sortWithinPartitions(orderCols.map(c => col(c).asc): _*)
     val rdd = sorted.rdd
     // pass 1: per-partition counts (numPartitions longs to the driver).
     // One partition has one offset — 0 — so the counting job is skipped.

@@ -2555,12 +2555,14 @@ v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), ch
         |SELECT doc_id, c.ix::BIGINT AS chunk_ix, md5(c.chunk) AS chunk_hash,
         |  len(c.chunk)::BIGINT AS n_chars
         |FROM chunks ORDER BY doc_id, chunk_ix""".stripMargin,
-    // q89: positions in md5(id:seed) order; the id suffix on the order
-    // key mirrors the engine's collision-proof total order.
+    // q89: positions in (u60(md5(id:seed)), id) order — the engine's
+    // long-pair key replayed exactly (id tiebreak = collision-proof
+    // total order).
     "q89_global_shuffle" ->
       """SELECT doc_id,
         |  (row_number() OVER (ORDER BY
-        |     md5(doc_id::VARCHAR || ':42') || lpad(doc_id::VARCHAR, 18, '0'))
+        |     ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::UBIGINT,
+        |     doc_id)
         |   - 1)::BIGINT AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q90: the same five-step bit spread replayed textually; epoch_us
