@@ -1167,7 +1167,13 @@ case class KmvMinsAggregate(
     }
   override def dataType: DataType = StructType(Seq(
     StructField("n_mins", LongType, nullable = false),
-    StructField("kth_hash", LongType, nullable = true)))
+    StructField("kth_hash", LongType, nullable = true),
+    // the full ≤k-entry min-set, ascending: what makes the sketch
+    // MERGEABLE downstream (k smallest of a union of per-group
+    // min-sets = the union's k smallest — re-aggregate exploded mins
+    // to combine sketches built shard-by-shard)
+    StructField("mins", ArrayType(LongType, containsNull = false),
+      nullable = false)))
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kmv_mins"
 
@@ -1196,9 +1202,15 @@ case class KmvMinsAggregate(
     b1
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
     org.apache.spark.sql.catalyst.InternalRow(
-      buf.size.toLong, if (buf.isEmpty) null else buf.last)
+      buf.size.toLong, if (buf.isEmpty) null else buf.last,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr))
+  }
 
   override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 * buf.size)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -35,10 +35,53 @@ object Sketches {
         hash60(col(colName)), lit(k)).as("s"))
       .select(lit(k.toLong).as("k"), col("s.kth_hash").as("kth_hash"),
         // when fewer than k distinct values exist the count is exact
-        when(col("s.n_mins") < k, col("s.n_mins").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble) /
-            ((col("s.kth_hash").cast("double") + 1.0) / lit(math.pow(2.0, 60))), 6))
-          .as("estimate"))
+        kmvEstimate(col("s"), k).as("estimate"))
+  }
+
+  /** The KMV estimate from a `graft_kmv_mins` struct column — shared
+    * by the direct, grouped, and merged forms. Exact when fewer than
+    * k distinct values were seen. */
+  private def kmvEstimate(s: Column, k: Int): Column =
+    when(s.getField("n_mins") < k, s.getField("n_mins").cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) /
+        ((s.getField("kth_hash").cast("double") + 1.0) / lit(math.pow(2.0, 60))), 6))
+
+  /** PER-GROUP KMV sketches: one bounded ≤k-long min-set and estimate
+    * per group — the MERGEABLE corpus-stats pattern (per-source
+    * vocabulary sizes, per-shard id cardinalities). Each sketch is
+    * O(k) state carried by the native aggregate; the `mins` arrays are
+    * what downstream merges consume ([[kmvMergeSketches]]): compute
+    * once per shard as data lands, merge later — never re-scan the
+    * corpus for a global number.
+    * Output: (group, n_mins, kth_hash, mins, estimate). */
+  def kmvSketchGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(call_function("graft_kmv_mins", hash60(col(valueCol)), lit(k)).as("s"))
+      .select(col(groupCol), col("s.n_mins").as("n_mins"),
+        col("s.kth_hash").as("kth_hash"), col("s.mins").as("mins"),
+        kmvEstimate(col("s"), k).as("estimate"))
+  }
+
+  /** Merge per-group sketches into ONE global sketch + estimate: the k
+    * smallest of the union of min-sets ARE the union's k smallest
+    * (every global top-k hash is in its own group's top-k), so the
+    * merged estimate equals the direct single-pass estimate EXACTLY —
+    * spec-pinned, not approximately. Input: a frame with a
+    * `mins array<long>` column (from [[kmvSketchGrouped]]); the merge
+    * touches only sketch rows (groups × k longs), never the corpus.
+    * Output: one row (k, n_mins, kth_hash, estimate). */
+  def kmvMergeSketches(sketches: DataFrame, k: Int,
+                       minsCol: String = "mins"): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    graft.functions.GraftFunctions.register(sketches.sparkSession)
+    sketches.select(explode(col(minsCol)).as("h"))
+      .agg(call_function("graft_kmv_mins", col("h"), lit(k)).as("s"))
+      .select(lit(k.toLong).as("k"), col("s.n_mins").as("n_mins"),
+        col("s.kth_hash").as("kth_hash"), kmvEstimate(col("s"), k).as("estimate"))
   }
 
   /** The relational form of [[kmvDistinct]] — distinct hashes then the

@@ -560,11 +560,13 @@ object TrainingData {
         .withColumn("keep", m.getField("keep"))
         .filter(col("keep") && col("n_kept") > 0)
       val sampled = Sketches.weightedSample(quality, "doc_id", "n_kept", n = 100)
+      // long-pair order key (u60 of md5, id tiebreak) — the q89 lesson;
+      // persist stays on: the upstream (paragraphDedup + gates) is
+      // expensive and the range-boundary sampling walk would re-run it
       Sketches.contiguousIds(
           sampled.select(col("doc_id"), col("n_kept"),
-            concat(md5(col("text_clean")), lit("|"),
-              lpad(col("doc_id").cast("string"), 10, "0")).as("ord_key")),
-          "ord_key")
+            Sketches.hash60(col("text_clean")).as("ord_key")),
+          Seq("ord_key", "doc_id"), partitions = 0, persist = true)
         .select(col("row_ix"), col("doc_id"), col("n_kept"))
         .orderBy(col("row_ix"))
     }),
@@ -587,14 +589,14 @@ object TrainingData {
     }),
 
     // Contiguous 0-based ids in a nontrivial deterministic order
-    // (md5-of-text, doc_id-suffixed for uniqueness) — assigned by
-    // range-partitioned two-pass zip, never a single-partition window.
+    // (u60 of md5-of-text, doc_id tiebreak) — assigned by the
+    // range-partitioned two-pass zip over LONG keys, never a
+    // single-partition window; persist off (cheap deterministic scan).
     "q64_contiguous_ids" -> ((s, d) => {
       val keyed = t(s, d, "documents")
-        .select(col("doc_id"),
-          concat(md5(col("text")), lit("|"),
-            lpad(col("doc_id").cast("string"), 10, "0")).as("ord_key"))
-      Sketches.contiguousIds(keyed, "ord_key")
+        .select(col("doc_id"), Sketches.hash60(col("text")).as("ord_key"))
+      Sketches.contiguousIds(keyed, Seq("ord_key", "doc_id"),
+          partitions = 0, persist = false)
         .select(col("row_ix"), col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -978,6 +980,22 @@ object TrainingData {
             .select(col("vec_id").as("cid"), col("embedding")),
           k = 3, nProbeConfigs = Seq(1, 2, 4, 8))
         .orderBy(col("n_probe"))
+    }),
+
+    // Mergeable per-source vocabulary sketches + their union: each
+    // source carries one bounded 64-long KMV min-set; the global row
+    // is merged from the SKETCHES (groups × k longs), never a corpus
+    // re-scan — and equals the direct single-pass estimate exactly.
+    "q95_kmv_merge" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tk"))
+      val perSource = Sketches.kmvSketchGrouped(tok, "source", "tk", k = 64)
+      perSource
+        .select(col("source"), col("n_mins"), col("kth_hash"), col("estimate"))
+        .unionByName(Sketches.kmvMergeSketches(perSource, k = 64)
+          .select(lit("__merged__").as("source"), col("n_mins"),
+            col("kth_hash"), col("estimate")))
+        .orderBy(col("source"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -2053,7 +2071,8 @@ v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), ch
          |  FROM quality),
          |top AS (SELECT doc_id, n_kept, txt FROM sk
          |        ORDER BY sample_key DESC, doc_id LIMIT 100)
-         |SELECT (ROW_NUMBER() OVER (ORDER BY md5(txt) || '|' || lpad(doc_id::VARCHAR, 10, '0'))
+         |SELECT (ROW_NUMBER() OVER (ORDER BY
+         |          ('0x' || substr(md5(txt), 1, 15))::UBIGINT, doc_id)
          |        - 1)::BIGINT AS row_ix, doc_id, n_kept
          |FROM top ORDER BY row_ix""".stripMargin,
     // q62: kth-smallest distinct 60-bit md5 hash → (k−1)/u_k estimate.
@@ -2079,9 +2098,10 @@ v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), ch
         |top AS (SELECT doc_id, sample_key FROM k
         |        ORDER BY sample_key DESC, doc_id LIMIT 25)
         |SELECT doc_id, sample_key FROM top ORDER BY doc_id""".stripMargin,
-    // q64: ROW_NUMBER over the same md5-keyed total order.
+    // q64: ROW_NUMBER over the same (u60(md5), id) long-pair order.
     "q64_contiguous_ids" ->
-      """SELECT (ROW_NUMBER() OVER (ORDER BY md5(text) || '|' || lpad(doc_id::VARCHAR, 10, '0'))
+      """SELECT (ROW_NUMBER() OVER (ORDER BY
+        |          ('0x' || substr(md5(text), 1, 15))::UBIGINT, doc_id)
         |        - 1)::BIGINT AS row_ix, doc_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q61: same lag + running-sum session derivation over epoch-µs
@@ -2707,5 +2727,26 @@ v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), ch
          |       THEN round(COALESCE(n_hits, 0)::DOUBLE / n_true, 6) END AS recall
          |FROM spine LEFT JOIN st USING (n_probe) CROSS JOIN tt
          |ORDER BY n_probe""".stripMargin
-    })
+    },
+    // q95: per-source top-64 distinct hashes, then the union's top-64
+    // re-ranked — the same dedup-on-merge the TreeSet buffer does.
+    "q95_kmv_merge" ->
+      s"""WITH tok AS (SELECT source, unnest($tokensSql) AS tk FROM documents),
+         |h AS (SELECT DISTINCT source,
+         |        ('0x' || substr(md5(tk), 1, 15))::UBIGINT::BIGINT AS h FROM tok),
+         |ranked AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         |mins AS (SELECT source, h FROM ranked WHERE rn <= 64),
+         |per AS (SELECT source, count(*)::BIGINT AS n_mins, max(h)::BIGINT AS kth_hash
+         |        FROM mins GROUP BY source),
+         |g AS (SELECT h FROM (SELECT DISTINCT h FROM mins) ORDER BY h LIMIT 64),
+         |gm AS (SELECT count(*)::BIGINT AS n_mins, max(h)::BIGINT AS kth_hash FROM g),
+         |allrows AS (
+         |  SELECT source, n_mins, kth_hash FROM per
+         |  UNION ALL SELECT '__merged__', n_mins, kth_hash FROM gm)
+         |SELECT source, n_mins, kth_hash,
+         |  CASE WHEN n_mins < 64 THEN n_mins::DOUBLE
+         |       ELSE round(63.0 / ((kth_hash::DOUBLE + 1.0) / 1152921504606846976.0), 6)
+         |  END AS estimate
+         |FROM allrows ORDER BY source""".stripMargin)
 }

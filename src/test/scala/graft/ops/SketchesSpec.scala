@@ -67,4 +67,50 @@ class SketchesSpec extends SparkTestBase {
       .select("row_ix", "key").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows.toSet === again)
   }
+
+  test("grouped KMV sketches: bounded ascending min-sets, exact below k") {
+    val df = (0L until 3000L)
+      .map(i => (s"src${i % 3}", i % (100 * (i % 3 + 1))))
+      .toDF("g", "v")
+    val out = Sketches.kmvSketchGrouped(df, "g", "v", k = 32)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set("src0", "src1", "src2"))
+    out.values.foreach { case (n, mins, _) =>
+      assert(n <= 32 && mins.length === n, "buffer bounded by k")
+      assert(mins === mins.sorted, "min-set is ascending")
+    }
+    // a group with < k distinct values reports the exact count
+    val small = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 5L)).toDF("g", "v")
+    val ex = Sketches.kmvSketchGrouped(small, "g", "v", k = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(ex === Map("a" -> 2.0, "b" -> 1.0))
+  }
+
+  test("merged sketches == direct single-pass sketch, field for field") {
+    val df = (0L until 5000L)
+      .map(i => (s"src${i % 7}", (i * 31) % 1200))
+      .toDF("g", "v")
+    val direct = Sketches.kmvDistinct(df, "v", k = 64).head
+    val merged = Sketches.kmvMergeSketches(
+      Sketches.kmvSketchGrouped(df, "g", "v", k = 64), k = 64).head
+    // (k, kth_hash, estimate) vs (k, n_mins, kth_hash, estimate)
+    assert(merged.getAs[Long]("kth_hash") === direct.getAs[Long]("kth_hash"),
+      "the union's k smallest survive the per-group cut — merge is lossless")
+    assert(merged.getAs[Double]("estimate") === direct.getAs[Double]("estimate"))
+    assert(merged.getAs[Long]("n_mins") === 64L)
+  }
+
+  test("sketch merge touches only sketch rows — no corpus re-scan in the plan") {
+    val df = (0L until 2000L).map(i => (s"s${i % 4}", i % 300)).toDF("g", "v")
+    val sketches = Sketches.kmvSketchGrouped(df, "g", "v", k = 16)
+      .select("g", "mins").cache()
+    sketches.count()
+    val p = Sketches.kmvMergeSketches(sketches, k = 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), "merge reads the sketch frame")
+    assert(!p.contains("FileScan") && p.contains("graft_kmv_mins"),
+      "never the underlying corpus")
+    sketches.unpersist(blocking = false)
+  }
 }

@@ -421,6 +421,17 @@ class PlanSpec extends SparkTestBase {
       "only the 1-row total may nest-loop — truth shares the candidate pass")
   }
 
+  test("q95 kmv merge: bounded native sketch buffers end to end — no distinct " +
+      "exchange, no k-minimum sort pass") {
+    val p = plan("q95_kmv_merge")
+    assert("graft_kmv_mins".r.findAllIn(p).length >= 2,
+      "per-source sketches AND the merge both run the O(k)-buffer aggregate")
+    assert(!p.contains("TakeOrderedAndProject"), "no global k-minimum sort")
+    assert(!p.toLowerCase.contains("hashaggregate(keys=[h"),
+      "hashes are never distinct-shuffled corpus-wide")
+    assert(!p.contains("Window"))
+  }
+
   test("semanticDedup pair stage: per-row assignment + in-cluster native pair generation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
