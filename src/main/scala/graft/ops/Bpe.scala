@@ -140,6 +140,20 @@ object Bpe {
     wc.select(explode(subwordTokens(col("w"), merges)).as("token"), col("cnt"))
       .groupBy(col("token")).agg(sum(col("cnt")).as("n"))
 
+  /** Contiguous token ids for a [[tokenCounts]] vocabulary, assigned
+    * by (count DESC, token ASC) — the frequency-rank convention
+    * (common ids small, so downstream varint/embedding-table layouts
+    * put the hot rows first), deterministic and replayable by any
+    * engine with a rank. Ids come from the range-partitioned two-pass
+    * zip — at real vocabulary sizes (10⁵–10⁶) this is still one tiny
+    * exchange, and never a single-partition window.
+    * Output: (token_id, token, n). */
+  def vocabIds(counts: DataFrame): DataFrame =
+    graft.ops.Sketches.contiguousIds(
+        counts.withColumn("__neg", -col("n")),
+        Seq("__neg", "token"), partitions = 0, persist = false)
+      .select(col("row_ix").as("token_id"), col("token"), col("n"))
+
   /** UTF-8 byte comparison — what Spark's UTF8String sort and SQL
     * engines compare, and identical to code-POINT order; Java String's
     * compareTo (UTF-16 units) would diverge from the distributed path

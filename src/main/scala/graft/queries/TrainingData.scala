@@ -996,6 +996,37 @@ object TrainingData {
           .select(lit("__merged__").as("source"), col("n_mins"),
             col("kth_hash"), col("estimate")))
         .orderBy(col("source"))
+    }),
+
+    // The training-ready artifact: per-document BPE token-ID sequences
+    // — train, build the frequency-ranked vocab, segment each doc with
+    // the independent applier, map tokens to ids, and hash the ordered
+    // id sequence. End-to-end: the corpus a trainer would actually
+    // consume, oracle-checked id for id (via the sequence hash).
+    "q96_bpe_doc_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val wc = Bpe.wordCounts(docs, "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = Bpe.trainBpeFromCounts(wc, merges = 8, minPairCount = 2)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+      val ids = Bpe.vocabIds(Bpe.tokenCounts(wc, merges))
+        .select(col("token_id"), col("token"))
+      val perDoc = docs
+        .select(col("doc_id"),
+          posexplode(Bpe.subwordTokens(col("text"), merges))
+            .as(Seq("ix", "token")))
+        .join(ids, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("ix"), col("token_id")))),
+            p => p.getField("token_id").cast("string")))).as("ids_hash"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("ids_hash"))
+        .orderBy(col("doc_id"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -1064,6 +1095,48 @@ v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), ch
          |  SELECT unnest(string_split(trim(st, chr(1)), chr(1)||chr(1))) AS sym, cnt
          |  FROM v$k)
          |GROUP BY sym ORDER BY token""".stripMargin
+  }
+
+  /** q96's oracle: the q87 replay with the WORD carried through the
+    * chain (the final state then maps word → symbol list directly —
+    * no string surgery to recover the word), a frequency-ranked vocab
+    * id table, and per-doc id sequences hashed in (word ix, symbol ix)
+    * order — the exact order the engine's flattened applier emits. */
+  private def bpeDocIdsOracleSql(k: Int, minCount: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH tok AS (SELECT unnest($tokensSql) AS w FROM documents),
+wc AS (SELECT w, count(*) AS cnt FROM tok WHERE NOT contains(w, chr(1)) GROUP BY w),
+v0 AS MATERIALIZED (SELECT w, chr(1) || array_to_string(list_append(regexp_split_to_array(w,''),'</w>'), chr(1)||chr(1)) || chr(1) AS st, cnt FROM wc)""")
+    for (i <- 1 to k) sb.append(s""",
+p$i AS (
+  SELECT s.l AS l, s.r AS r, sum(cnt)::BIGINT AS c FROM (
+    SELECT unnest(list_transform(range(len(sy)-1), j -> {'l': sy[j+1], 'r': sy[j+2]})) AS s, cnt
+    FROM (SELECT string_split(trim(st, chr(1)), chr(1)||chr(1)) AS sy, cnt FROM v${i - 1}))
+  GROUP BY l, r),
+w$i AS MATERIALIZED (SELECT l, r, c FROM p$i WHERE c >= $minCount ORDER BY c DESC, l, r LIMIT 1),
+v$i AS MATERIALIZED (SELECT w, replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), chr(1)||l||r||chr(1)) AS st, cnt
+        FROM v${i - 1} CROSS JOIN w$i)""")
+    sb.append(s""",
+wmap AS MATERIALIZED (
+  SELECT w, string_split(trim(st, chr(1)), chr(1)||chr(1)) AS sy FROM v$k),
+vc AS (SELECT sym AS token, sum(cnt)::BIGINT AS n FROM (
+    SELECT unnest(m.sy) AS sym, cnt FROM wmap m JOIN wc USING (w))
+  GROUP BY sym),
+vid AS (SELECT token,
+    (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS token_id FROM vc),
+dt AS (SELECT doc_id, unnest($tokensSql) AS tk,
+    generate_subscripts($tokensSql, 1) AS wix FROM documents),
+seq AS (
+  SELECT d.doc_id, d.wix, generate_subscripts(m.sy, 1) AS six,
+    unnest(m.sy) AS token
+  FROM dt d JOIN wmap m ON d.tk = m.w),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+    md5(string_agg(token_id::VARCHAR, ' ' ORDER BY wix, six)) AS ids_hash
+  FROM seq JOIN vid USING (token) GROUP BY doc_id)
+SELECT doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens, ids_hash
+FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
+    sb.toString
   }
 
   /** SQL twin of Selection.mortonKey's magic-mask bit spread (16 → 32
@@ -2748,5 +2821,6 @@ v$i AS MATERIALIZED (SELECT replace(st, chr(1)||l||chr(1)||chr(1)||r||chr(1), ch
          |  CASE WHEN n_mins < 64 THEN n_mins::DOUBLE
          |       ELSE round(63.0 / ((kth_hash::DOUBLE + 1.0) / 1152921504606846976.0), 6)
          |  END AS estimate
-         |FROM allrows ORDER BY source""".stripMargin)
+         |FROM allrows ORDER BY source""".stripMargin,
+    "q96_bpe_doc_ids" -> bpeDocIdsOracleSql(8, 2))
 }

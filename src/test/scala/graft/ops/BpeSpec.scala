@@ -130,4 +130,13 @@ class BpeSpec extends SparkTestBase {
       "per-type weighted counts must equal per-occurrence counts exactly")
     wc.unpersist(blocking = false)
   }
+
+  test("vocabIds: contiguous frequency-rank ids — hot tokens first, ties by token") {
+    val counts = Seq(("b", 5L), ("a", 5L), ("c", 9L), ("d", 1L))
+      .toDF("token", "n")
+    val ids = Bpe.vocabIds(counts)
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(ids === Map("c" -> 0L, "a" -> 1L, "b" -> 2L, "d" -> 3L),
+      "order is (count DESC, token ASC), ids contiguous from 0")
+  }
 }

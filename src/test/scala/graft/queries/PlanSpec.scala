@@ -421,6 +421,16 @@ class PlanSpec extends SparkTestBase {
       "only the 1-row total may nest-loop — truth shares the candidate pass")
   }
 
+  test("q96 bpe doc ids: doc-side segmentation joins the vocab-id frame — " +
+      "no window, no cartesian, no single partition in the tail") {
+    // (the vocab rank itself is contiguousIds' two-pass zip behind an
+    // RDD boundary — its no-window shape is pinned by q64/q85/q89)
+    val p = plan("q96_bpe_doc_ids")
+    assert(!p.contains("Window"), "the id-sequence hash is a sorted collect_list, not a window")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"))
+  }
+
   test("q95 kmv merge: bounded native sketch buffers end to end — no distinct " +
       "exchange, no k-minimum sort pass") {
     val p = plan("q95_kmv_merge")
