@@ -266,7 +266,13 @@ object Bpe {
     * plan-embedded merge list (model-sized; ships with the task binary
     * like a broadcast). Returns array<string> of subword units. */
   def subwordTokens(text: Column, merges: Seq[(String, String)]): Column = {
-    val segmented = transform(TextOps.tokens(text), w =>
+    // the same sentinel guard wordCounts applies at train time: a word
+    // containing U+0001 (legal in tokenizer output — the tokenizer
+    // splits on whitespace, not control chars) would corrupt the
+    // sentinel-framed state; train and apply must drop the SAME words
+    // or applier output diverges from the trained vocabulary
+    val words = filter(TextOps.tokens(text), w => !w.contains(Sep))
+    val segmented = transform(words, w =>
       symbols(merges.foldLeft(initialState(w)) { case (st, (l, r)) =>
         call_function("replace", st,
           lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))

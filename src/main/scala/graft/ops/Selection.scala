@@ -226,15 +226,21 @@ object Selection {
     * collisions, so the permutation is a function, not a tie-break
     * lottery.
     *
+    * `persist` follows [[Sketches.contiguousIds]]'s contract: the
+    * rank machinery walks the input an extra time (range-boundary
+    * sampling), so the default TRUE protects expensive or
+    * nondeterministic upstream pipelines — pass false ONLY when `df`
+    * is a cheap deterministic scan (measured at 100M rows: the
+    * needless cache of a plain scan costs ~3× the shuffle itself —
+    * see NOTES/LayoutProbe).
+    *
     * Output: the input columns plus `pos` (long). */
-  def globalShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long,
+                    persist: Boolean = true): DataFrame = {
     val keyed = df.withColumn("__shuffle_key",
-      conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
-        1, 15), 16, 10).cast("long"))
-    // persist=false: the key projection is cheap and deterministic —
-    // the contiguousIds cache would only re-serialize the corpus
+      Sketches.hash60(concat(col(idCol).cast("string"), lit(":" + seed))))
     Sketches.contiguousIds(keyed, Seq("__shuffle_key", idCol),
-        partitions = 0, persist = false)
+        partitions = 0, persist = persist)
       .withColumnRenamed("row_ix", "pos")
       .drop("__shuffle_key")
   }

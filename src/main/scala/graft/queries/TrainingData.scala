@@ -912,8 +912,9 @@ object TrainingData {
     // md5(id:seed) order via the range-partitioned two-pass id zip —
     // the reproducible "shuffle before training" permutation.
     "q89_global_shuffle" -> ((s, d) => {
+      // persist=false: the input is a one-column parquet scan
       Selection.globalShuffle(t(s, d, "documents").select(col("doc_id")),
-          "doc_id", seed = 42L)
+          "doc_id", seed = 42L, persist = false)
         .select(col("doc_id"), col("pos"))
         .orderBy(col("doc_id"))
     }),
@@ -950,9 +951,13 @@ object TrainingData {
     "q92_bpe_vocab" -> ((s, d) => {
       // ONE corpus pass end-to-end: train and apply share the word-
       // count frame, and the applier segments word TYPES (cnt-weighted),
-      // not occurrences — the at-scale tokenizer shape.
+      // not occurrences — the at-scale tokenizer shape. localCheckpoint,
+      // not persist: a query builder has no post-execution unpersist
+      // hook, and checkpoint blocks are ContextCleaner-released once
+      // the frame is unreachable (a persist would live in CacheManager
+      // for the session). The frame is vocabulary-sized either way.
       val wc = Bpe.wordCounts(t(s, d, "documents"), "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val merges = Bpe.trainBpeFromCounts(wc, merges = 8, minPairCount = 2)
         .orderBy(col("rank")).collect()
         .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
@@ -1005,8 +1010,10 @@ object TrainingData {
     // consume, oracle-checked id for id (via the sequence hash).
     "q96_bpe_doc_ids" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // localCheckpoint for the same reason as q92: no session-lifetime
+      // CacheManager entry from inside a lazy query builder
       val wc = Bpe.wordCounts(docs, "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val merges = Bpe.trainBpeFromCounts(wc, merges = 8, minPairCount = 2)
         .orderBy(col("rank")).collect()
         .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq

@@ -51,7 +51,8 @@ object LayoutProbe {
     // ---- q89 globalShuffle at n rows -------------------------------
     timed(s"globalShuffle ($n rows)") {
       val ids = spark.range(n).withColumnRenamed("id", "doc_id")
-      val out = Selection.globalShuffle(ids, "doc_id", seed = 42L)
+      val out = Selection.globalShuffle(ids, "doc_id", seed = 42L,
+        persist = false) // cheap deterministic range source
       val r = out.agg(count(lit(1)), min(col("pos")), max(col("pos")),
         sum(col("pos"))).head()
       val (c, mn, mx, s) = (r.getLong(0), r.getLong(1), r.getLong(2),

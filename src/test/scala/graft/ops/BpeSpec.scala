@@ -131,6 +131,30 @@ class BpeSpec extends SparkTestBase {
     wc.unpersist(blocking = false)
   }
 
+  test("subwordTokens drops sentinel-containing words — the same guard wordCounts trains with") {
+    val docs = Seq((1L, "plain word"), (2L, "evil\u0001token plain")).toDF("doc_id", "text")
+    val merges = Seq.empty[(String, String)]
+    val out = docs.select($"doc_id",
+        Bpe.subwordTokens($"text", merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // char-split base symbols, word-end marked; the U+0001 word is
+    // GONE (not mangled fragments) — matching its absence from any
+    // trained vocabulary
+    assert(out(1L).mkString("|") === "p|l|a|i|n|</w>|w|o|r|d|</w>")
+    assert(out(2L).mkString("|") === "p|l|a|i|n|</w>",
+      s"sentinel word must be dropped, got ${out(2L)}")
+    // and the vocab-side/corpus-side count equivalence therefore holds
+    // even ON such a corpus
+    val wc = Bpe.wordCounts(docs, "text")
+    val vocabSide = Bpe.tokenCounts(wc, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpusSide = docs
+      .select(explode(Bpe.subwordTokens($"text", merges)).as("token"))
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocabSide === corpusSide)
+  }
+
   test("vocabIds: contiguous frequency-rank ids — hot tokens first, ties by token") {
     val counts = Seq(("b", 5L), ("a", 5L), ("c", 9L), ("d", 1L))
       .toDF("token", "n")

@@ -391,13 +391,11 @@ class PlanSpec extends SparkTestBase {
   test("q92 bpe apply: vocab-side segmentation — one explode over word types, " +
       "map-combined weighted counts, cached word-count scan") {
     val p = plan("q92_bpe_vocab")
-    // (the Generate count includes the cached wordCounts plan that
-    // InMemoryRelation embeds in the plan text — only the top-level
-    // subword explode actually runs against the cache)
     assert(p.contains("Generate"), "subword segmentation is an explode, not a UDF loop")
     assert(p.contains("partial_sum"), "cnt-weighted token counts combine map-side")
-    assert(p.contains("InMemoryTableScan"),
-      "apply reads the SAME cached word counts training used — one corpus pass total")
+    assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"),
+      "apply reads the SAME materialized word counts training used — " +
+        "one corpus pass total (localCheckpoint surfaces as an RDD scan)")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
