@@ -121,6 +121,30 @@ object Sketches {
       .limit(n)
   }
 
+  /** PER-GROUP weighted sampling: `nPerGroup` rows from every group,
+    * drawn ∝ weight by the same deterministic Efraimidis-Spirakis
+    * keys as [[weightedSample]] — the stratified form ("200 docs per
+    * language, length-weighted"). The rank window is PARTITIONED BY
+    * the group key, so each window group is one stratum — keyed
+    * shuffle, no global sort, no single partition; skew is bounded by
+    * the largest stratum, the same bound any per-group operator
+    * carries. Non-positive weights are excluded (undefined under
+    * A-ES), empty groups simply absent.
+    * Output: input columns + (sample_key, rank ∈ [1, nPerGroup]). */
+  def weightedSampleGrouped(df: DataFrame, groupCol: String, idCol: String,
+                            weightCol: String, nPerGroup: Int): DataFrame = {
+    require(nPerGroup > 0, "nPerGroup must be positive")
+    val u = (hash60(col(idCol)).cast("double") + 1.0) / math.pow(2.0, 60)
+    val key = round(log(u) / col(weightCol).cast("double"), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("sample_key").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_key", key)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= nPerGroup)
+  }
+
   /** Contiguous 0-based row ids in `orderCol` order — the "give every
     * training example a stable index" primitive. A `row_number()` over
     * a global ORDER BY collapses to ONE partition (the classic

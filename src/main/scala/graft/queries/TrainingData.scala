@@ -1034,6 +1034,18 @@ object TrainingData {
         .select(col("doc_id"),
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("ids_hash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Stratified weighted sampling: 8 docs per language, drawn
+    // ∝ length by deterministic ES keys — the per-stratum form of q63
+    // (window keyed on the stratum: no global sort, no one-partition
+    // collapse; the "N docs per language/domain" curation step).
+    "q97_stratified_weighted" -> ((s, d) => {
+      Sketches.weightedSampleGrouped(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "doc_id", "n_chars", nPerGroup = 8)
+        .select(col("lang"), col("doc_id"), col("sample_key"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -2829,5 +2841,17 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |       ELSE round(63.0 / ((kth_hash::DOUBLE + 1.0) / 1152921504606846976.0), 6)
          |  END AS estimate
          |FROM allrows ORDER BY source""".stripMargin,
-    "q96_bpe_doc_ids" -> bpeDocIdsOracleSql(8, 2))
+    "q96_bpe_doc_ids" -> bpeDocIdsOracleSql(8, 2),
+    // q97: q63's ES key with the rank window partitioned by stratum.
+    "q97_stratified_weighted" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |    round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::DOUBLE + 1.0)
+        |          / 1152921504606846976.0) / n_chars::DOUBLE, 6) AS sample_key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT lang, doc_id, sample_key,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY sample_key DESC, doc_id) AS rank
+        |  FROM k)
+        |SELECT lang, doc_id, sample_key, rank::BIGINT AS rank
+        |FROM r WHERE rank <= 8 ORDER BY lang, rank""".stripMargin)
 }

@@ -68,6 +68,32 @@ class SketchesSpec extends SparkTestBase {
     assert(rows.toSet === again)
   }
 
+  test("weightedSampleGrouped: n per group, global-sample consistency, weight bias") {
+    val df = (0L until 600L)
+      .map(i => (i, s"g${i % 3}", if (i % 2 == 0) 1000L else 1L))
+      .toDF("id", "g", "w")
+    val out = Sketches.weightedSampleGrouped(df, "g", "id", "w", nPerGroup = 20)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getAs[Long]("rank")))
+    val byGroup = out.groupBy(_._1)
+    assert(byGroup.keySet === Set("g0", "g1", "g2"))
+    byGroup.values.foreach { rows =>
+      assert(rows.length === 20, "exactly n per stratum")
+      assert(rows.map(_._3).sorted.toSeq === (1L to 20L), "ranks contiguous")
+    }
+    // heavy weights dominate: 1000-vs-1 weights should hand nearly all
+    // slots to even ids
+    val evens = out.count(_._2 % 2 == 0)
+    assert(evens >= 55, s"weight-1000 rows must dominate the 60 slots, got $evens")
+    // a single-group frame reproduces the GLOBAL sampler exactly (same
+    // keys, same tie-break): stratified with one stratum == weightedSample
+    val one = df.filter($"g" === "g1")
+    val strat = Sketches.weightedSampleGrouped(one, "g", "id", "w", 15)
+      .collect().map(_.getLong(0)).toSet
+    val glob = Sketches.weightedSample(one, "id", "w", 15)
+      .collect().map(_.getLong(0)).toSet
+    assert(strat === glob)
+  }
+
   test("grouped KMV sketches: bounded ascending min-sets, exact below k") {
     val df = (0L until 3000L)
       .map(i => (s"src${i % 3}", i % (100 * (i % 3 + 1))))

@@ -429,6 +429,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"))
   }
 
+  test("q97 stratified weighted sample: rank window keyed on the stratum — " +
+      "never a single partition") {
+    val p = plan("q97_stratified_weighted")
+    assert(p.contains("Window"), "per-stratum rank IS a window — keyed, which is fine")
+    assert(!p.contains("SinglePartition"),
+      "the window must partition by lang, not collapse globally")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q95 kmv merge: bounded native sketch buffers end to end — no distinct " +
       "exchange, no k-minimum sort pass") {
     val p = plan("q95_kmv_merge")
