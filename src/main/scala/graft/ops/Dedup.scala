@@ -163,9 +163,15 @@ object Dedup {
     bandConfigs.foreach(b => require(b > 0 && k % b == 0,
       s"bands=$b must divide k=$k"))
     val spark = df.sparkSession
+    // the exact-Jaccard truth frame feeds BOTH the candidate join and
+    // the broadcast n_true aggregate — eager-checkpoint it so the
+    // shingle-blocked corpus pass runs once, not twice (blocks are
+    // ContextCleaner-released when the plan is GC'd, unlike persist
+    // entries which outlive a lazy query builder)
     val truth = ngramJaccardBlocked(df, idCol, textCol, threshold,
         shingleSize, maxShingleFreq)
       .select(col("id_a"), col("id_b"), lit(true).as("is_true"))
+      .localCheckpoint(true)
     val candidates = bandConfigs.map { b =>
       lshCandidatePairs(df, idCol, textCol, k, b, shingleSize)
         .withColumn("bands", lit(b))

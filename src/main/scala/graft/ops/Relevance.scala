@@ -199,8 +199,16 @@ object Relevance {
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     blockBits: Int = 20, minDf: Long = 1L): DataFrame = {
     require(blockBits >= 1 && blockBits <= 62, "blockBits in [1, 62]")
+    // the non-negative contract is ENFORCED, not just documented: a
+    // negative id under shiftrightunsigned would silently land in a
+    // garbage block with wrong gap bases; the guard lives in the value
+    // path (not a droppable side column) so pruning can't remove it
+    val rawId = col(idCol).cast("long")
+    val guardedId = when(rawId < 0L, raise_error(concat(
+        lit("invertedIndex: negative doc_id "), rawId.cast("string"))))
+      .otherwise(rawId)
     val postings = df
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(guardedId.as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .distinct()
     val kept =

@@ -351,6 +351,9 @@ object Similarity {
     // its candidate set is all (probe, corpus) pairs — that branch IS
     // exact search (same rounding, same tie-break), so truth falls out
     // of the shared pass for free. Otherwise pay the brute-force pass.
+    // truth feeds BOTH the per-config join and the broadcast n_true
+    // aggregate — eager-checkpoint so the brute-force corpus pass (or
+    // the shared-pass branch's window) runs once, not twice
     val truth = (if (maxNp == cids.length)
         approx.filter(col("n_probe") === maxNp)
           .select(col("probe_id"), col("neighbor_id"))
@@ -358,6 +361,7 @@ object Similarity {
         bruteForceTopK(probes, corpus, k, idCol, embCol)
           .select(col("probe_id"), col("neighbor_id")))
       .withColumn("is_true", lit(true))
+      .localCheckpoint(true)
     val perConfig = approx
       .join(truth, Seq("probe_id", "neighbor_id"), "left")
       .groupBy(col("n_probe"))

@@ -966,10 +966,15 @@ object TrainingData {
 
     // Blocked inverted index: per (term, 1024-id block), the
     // delta-encoded posting list — bounded groups regardless of term
-    // frequency (the stopword-posting skew killer).
+    // frequency (the stopword-posting skew killer). The REGISTERED
+    // query serializes the gap array to a comma string (the q96 id-
+    // sequence discipline — the driver's comparator hashes scalar
+    // cells); Relevance.invertedIndex stays array-valued for library
+    // users.
     "q93_inverted_index" -> ((s, d) => {
       Relevance.invertedIndex(t(s, d, "documents"), "doc_id", "text",
           blockBits = 10, minDf = 100L)
+        .withColumn("gaps", concat_ws(",", col("gaps").cast("array<string>")))
         .orderBy(col("term"), col("block"))
     }),
 
@@ -2755,8 +2760,8 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |             list_sort(list(doc_id)) AS ids
          |      FROM b GROUP BY term, block)
          |SELECT term, block::BIGINT AS block, df_block,
-         |  list_transform(range(len(ids)), j ->
-         |    ids[j+1] - CASE WHEN j = 0 THEN block * 1024 ELSE ids[j] END) AS gaps
+         |  array_to_string(list_transform(range(len(ids)), j ->
+         |    ids[j+1] - CASE WHEN j = 0 THEN block * 1024 ELSE ids[j] END), ',') AS gaps
          |FROM g ORDER BY term, block""".stripMargin,
     // q94: q25's exact truth + q35's IVF machinery replayed at four
     // nProbe settings; shared CTEs MATERIALIZED (read per config).
