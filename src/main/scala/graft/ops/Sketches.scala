@@ -216,4 +216,155 @@ object Sketches {
     spark.createDataFrame(withIx,
       StructType(StructField("row_ix", LongType, nullable = false) +: sorted.schema.fields))
   }
+
+  // ---- HyperLogLog (Flajolet et al. 2007), md5-derived registers ----
+
+  /** α_m · m² — the HLL bias-correction constant, exposed so oracle SQL
+    * can interpolate the IDENTICAL double literal. */
+  private[graft] def hllAlphaM2(p: Int): Double = {
+    val m = 1 << p
+    val alpha =
+      if (m <= 16) 0.673
+      else if (m == 32) 0.697
+      else if (m == 64) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m
+  }
+
+  /** Per-GROUP HyperLogLog sketches: one dense 2^p-register array per
+    * group — the other mergeable distinct-count shape next to KMV
+    * ([[kmvSketchGrouped]]): registers are elementwise-MAXABLE, so
+    * per-shard sketches computed as data lands union into exact global
+    * registers without a corpus re-scan. Registers are md5-derived
+    * (bucket = top p bits of [[hash60]], ρ = leading-zero rank of the
+    * remaining 60−p bits), so — unlike every engine's built-in HLL,
+    * whose register layouts differ — the sketch is EXACTLY reproducible
+    * in any engine with md5, and every estimate is oracle-checkable.
+    *
+    * Determinism discipline: the 2^{−reg} register sum is carried as
+    * the INTEGER Σ 2^{(61−p)−reg} (`s_int`, max 2^61 — overflow-safe
+    * for p ≤ 16), so the only floating arithmetic is one final divide
+    * (and `ln` on the linear-counting branch) — no float summation
+    * order to diverge cross-engine.
+    *
+    * Output: (group, v_zero, s_int, registers array<int>[2^p],
+    * estimate round(…,6)). Estimate = α_m·m²·2^{61−p}/s_int, switched
+    * to linear counting m·ln(m/V) below 2.5m when empty registers
+    * remain (the standard small-range correction). */
+  def hllSketchGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                       p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision p in [4, 16]")
+    val rem = col("h").bitwiseAND(lit((1L << (60 - p)) - 1L))
+    val rho = when(rem === 0L, lit(61 - p))
+      .otherwise(lit(61 - p) - length(bin(rem)))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), hash60(col(valueCol)).as("h"))
+      .select(col(groupCol),
+        shiftrightunsigned(col("h"), 60 - p).cast("int").as("bucket"),
+        rho.cast("int").as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+      .groupBy(col(groupCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("rho")))).as("rm"))
+      .select(col(groupCol),
+        transform(sequence(lit(0), lit((1 << p) - 1)),
+          i => coalesce(element_at(col("rm"), i), lit(0))).as("registers"))
+      .transform(withHllStats(_, p, Seq(groupCol)))
+  }
+
+  /** Merge per-group HLL sketches into ONE global sketch + estimate:
+    * registers merge by elementwise max, and because every value hashes
+    * identically everywhere, merged registers EQUAL the direct global
+    * computation's — the estimate matches a single-pass run exactly,
+    * not approximately. Touches only sketch rows (groups × 2^p ints).
+    * Output: one row (v_zero, s_int, registers, estimate). */
+  def hllMergeSketches(sketches: DataFrame, p: Int,
+                       registersCol: String = "registers"): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision p in [4, 16]")
+    sketches
+      .select(posexplode(col(registersCol)).as(Seq("bucket", "reg")))
+      .groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("reg")))).as("rm"))
+      .select(transform(sequence(lit(0), lit((1 << p) - 1)),
+        i => coalesce(element_at(col("rm"), i), lit(0))).as("registers"))
+      .transform(withHllStats(_, p, Seq.empty))
+  }
+
+  /** Attach (v_zero, s_int, estimate) to a frame with a dense
+    * `registers` array — shared by the grouped and merged forms. Two
+    * selects: the estimate reads the s_int/v_zero columns the first
+    * one defines. */
+  private def withHllStats(df: DataFrame, p: Int,
+                           keyCols: Seq[String]): DataFrame = {
+    val m = 1 << p
+    val keys = keyCols.map(col)
+    // Σ 2^{(61−p)−reg} as a LONG fold in index order — exact integers,
+    // no float sum; shiftleft via call_function (the functions.shiftleft
+    // overload only takes a literal shift amount)
+    val sInt = aggregate(col("registers"), lit(0L),
+      (acc, r) => acc + call_function("shiftleft", lit(1L), lit(61 - p) - r))
+    val vZero = size(filter(col("registers"), r => r === 0)).cast("long")
+    val raw = lit(hllAlphaM2(p)) * lit(math.pow(2.0, 61 - p)) /
+      col("s_int").cast("double")
+    df.select(keys ++ Seq(vZero.as("v_zero"), sInt.as("s_int"),
+        col("registers")): _*)
+      .select(keys ++ Seq(col("v_zero"), col("s_int"), col("registers"),
+        round(when(raw <= lit(2.5 * m) && col("v_zero") > 0L,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+          .otherwise(raw), 6).as("estimate")): _*)
+  }
+
+  // ---- Count-min (Cormode & Muthukrishnan 2005), md5-derived rows ----
+
+  /** Per-GROUP count-min sketches in SPARSE cell form: one
+    * (group, i, bucket, cnt) row per non-empty cell, `depth` hash rows
+    * of `width` buckets, row i's hash = [[hash60]] of `"i|value"`.
+    * Sparse beats a dense depth×width array at scale: the sketch
+    * builds in ONE aggregation keyed on (group, i, bucket) — map-side
+    * partial counts collapse the corpus before the shuffle — and cells
+    * merge across groups by plain summation ([[cmMergeSketches]]).
+    * All-integer: estimates are oracle-exact, no float discipline
+    * needed. */
+  def cmSketchGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("string").as("v"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .select(col(groupCol), col("i"),
+        pmod(hash60(concat(col("i").cast("string"), lit("|"), col("v"))),
+          lit(width.toLong)).as("bucket"))
+      .groupBy(col(groupCol), col("i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge per-group count-min cells into one global sketch: counts are
+    * additive, so cell-wise SUM of shard sketches equals the direct
+    * global sketch exactly. Touches only sketch rows. */
+  def cmMergeSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates from a count-min sketch: for each query
+    * value, min over the `depth` rows of its cell count (missing cell
+    * = 0). The classic one-sided guarantee — estimate ≥ true count —
+    * holds per construction. `queries` keeps its other columns; the
+    * sketch side is broadcast (depth × width cells, tiny). */
+  def cmPointEstimate(sketch: DataFrame, queries: DataFrame,
+                      valueCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    val qcols = queries.columns
+    queries
+      .withColumn("__i", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("__bucket",
+        pmod(hash60(concat(col("__i").cast("string"), lit("|"),
+          col(valueCol).cast("string"))), lit(width.toLong)))
+      .join(broadcast(sketch.withColumnRenamed("i", "__i")
+          .withColumnRenamed("bucket", "__bucket")),
+        Seq("__i", "__bucket"), "left")
+      .groupBy(qcols.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
+  }
 }

@@ -1051,6 +1051,54 @@ object TrainingData {
           "lang", "doc_id", "n_chars", nPerGroup = 8)
         .select(col("lang"), col("doc_id"), col("sample_key"), col("rank"))
         .orderBy(col("lang"), col("rank"))
+    }),
+
+    // Mergeable per-source HyperLogLog vocabulary sketches + their
+    // union: each source carries one dense 64-register array; the
+    // global row merges the REGISTERS (elementwise max over sketch
+    // rows, never a corpus re-scan) and — because every token hashes
+    // identically — equals the direct single-pass registers exactly.
+    // KMV's (q95) counterpart with O(2^p) state and max-merge instead
+    // of min-set union. Registers ride as a csv string (driver-
+    // comparator shape); v_zero/s_int expose the integer internals so
+    // any float drift would be attributable.
+    "q98_hll_merge" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tk"))
+      // no checkpoint: both union branches contain the IDENTICAL
+      // per-source aggregation subtree, so ReuseExchange evaluates the
+      // corpus pass once inside one job — cheaper than materializing
+      // a checkpoint in a separate job (the bench rebuilds per rep)
+      val perSource = Sketches.hllSketchGrouped(tok, "source", "tk", p = 6)
+      perSource
+        .select(col("source"), col("v_zero"), col("s_int"),
+          col("registers"), col("estimate"))
+        .unionByName(Sketches.hllMergeSketches(perSource, p = 6)
+          .select(lit("__merged__").as("source"), col("v_zero"),
+            col("s_int"), col("registers"), col("estimate")))
+        .withColumn("registers",
+          concat_ws(",", col("registers").cast("array<string>")))
+        .orderBy(col("source"))
+    }),
+
+    // Mergeable per-source count-min sketches: 4×64 cells per source,
+    // merged by cell-wise SUM into the global sketch, then point-
+    // estimated for the 20 most frequent tokens against their true
+    // counts — the one-sided estimate ≥ true guarantee, oracle-exact
+    // (all-integer, no float discipline needed).
+    "q99_countmin" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tk"))
+        .localCheckpoint(true)
+      val perSource = Sketches.cmSketchGrouped(tok, "source", "tk",
+        depth = 4, width = 64)
+      val merged = Sketches.cmMergeSketches(perSource)
+      val top = tok.groupBy(col("tk"))
+        .agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("tk")).limit(20)
+      Sketches.cmPointEstimate(merged, top, "tk", depth = 4, width = 64)
+        .select(col("tk").as("token"), col("true_n"), col("cm_estimate"))
+        .orderBy(col("true_n").desc, col("token"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -2858,5 +2906,61 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
         |                       ORDER BY sample_key DESC, doc_id) AS rank
         |  FROM k)
         |SELECT lang, doc_id, sample_key, rank::BIGINT AS rank
-        |FROM r WHERE rank <= 8 ORDER BY lang, rank""".stripMargin)
+        |FROM r WHERE rank <= 8 ORDER BY lang, rank""".stripMargin,
+
+    // q98: per-source + global HLL replayed register for register.
+    // The global rows ARE the merged rows by construction (max over
+    // (source, bucket) == max over bucket), so the hash compare pins
+    // merge ≡ direct. α·m² and 2^{61−p} are interpolated from the SAME
+    // Scala doubles the engine folds into its plan — identical literal,
+    // identical one-divide arithmetic.
+    "q98_hll_merge" -> {
+      val p = 6; val m = 1 << p
+      val aM2 = Sketches.hllAlphaM2(p)        // exact double literal
+      val twoPow = math.pow(2.0, 61 - p)      // 2^55, exact in double
+      val est = s"round(CASE WHEN ($aM2 * $twoPow) / s_int <= ${2.5 * m} AND v_zero > 0" +
+        s" THEN $m * ln($m / v_zero::DOUBLE)" +
+        s" ELSE ($aM2 * $twoPow) / s_int END, 6) AS estimate"
+      s"""WITH tok AS (SELECT source, unnest($tokensSql) AS tk FROM documents),
+         |h AS (SELECT source, ('0x' || substr(md5(tk), 1, 15))::UBIGINT AS h FROM tok),
+         |br AS (SELECT source, h >> ${60 - p} AS bucket,
+         |  CASE WHEN (h & ((1::UBIGINT << ${60 - p}) - 1)) = 0 THEN ${61 - p}
+         |       ELSE ${61 - p} - length(bin(h & ((1::UBIGINT << ${60 - p}) - 1))) END AS rho
+         |  FROM h),
+         |r AS (SELECT source, bucket, max(rho) AS rho FROM br GROUP BY source, bucket
+         |      UNION ALL
+         |      SELECT '__merged__' AS source, bucket, max(rho) AS rho FROM br GROUP BY bucket),
+         |dense AS (
+         |  SELECT s.source, t.i AS bucket, coalesce(r.rho, 0) AS reg
+         |  FROM (SELECT DISTINCT source FROM r) s
+         |  CROSS JOIN range($m) t(i)
+         |  LEFT JOIN r ON r.source = s.source AND r.bucket = t.i),
+         |agg AS (
+         |  SELECT source,
+         |    sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero,
+         |    sum(1::UBIGINT << (${61 - p} - reg))::BIGINT AS s_int,
+         |    array_to_string(list(reg ORDER BY bucket), ',') AS registers
+         |  FROM dense GROUP BY source)
+         |SELECT source, v_zero, s_int, registers, $est
+         |FROM agg ORDER BY source""".stripMargin
+    },
+
+    // q99: global count-min cells recomputed directly (cell-wise sum of
+    // per-source sketches == the direct global sketch — counts are
+    // additive); top-20 true counts, then min over the 4 hash rows.
+    "q99_countmin" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS tk FROM documents),
+         |top AS (SELECT tk, count(*)::BIGINT AS true_n FROM tok
+         |        GROUP BY tk ORDER BY true_n DESC, tk LIMIT 20),
+         |cells AS (SELECT i, ('0x' || substr(md5(i::VARCHAR || '|' || tk), 1, 15))::UBIGINT % 64 AS bucket,
+         |                 count(*)::BIGINT AS cnt
+         |          FROM tok CROSS JOIN range(4) t(i) GROUP BY 1, 2),
+         |est AS (SELECT top.tk, min(coalesce(cells.cnt, 0))::BIGINT AS cm_estimate
+         |        FROM top CROSS JOIN range(4) t(i)
+         |        LEFT JOIN cells ON cells.i = t.i
+         |          AND cells.bucket = ('0x' || substr(md5(t.i::VARCHAR || '|' || top.tk), 1, 15))::UBIGINT % 64
+         |        GROUP BY top.tk)
+         |SELECT top.tk AS token, top.true_n, est.cm_estimate
+         |FROM top JOIN est ON top.tk = est.tk
+         |ORDER BY top.true_n DESC, token""".stripMargin)
 }

@@ -127,6 +127,63 @@ class SketchesSpec extends SparkTestBase {
     assert(merged.getAs[Long]("n_mins") === 64L)
   }
 
+  test("HLL: merged registers == direct single-pass registers, estimate near truth") {
+    val df = (0L until 6000L)
+      .map(i => (s"src${i % 5}", (i * 17) % 1500))
+      .toDF("g", "v")
+    val direct = Sketches.hllSketchGrouped(
+      df.withColumn("g", lit("all")), "g", "v", p = 6).head
+    val merged = Sketches.hllMergeSketches(
+      Sketches.hllSketchGrouped(df, "g", "v", p = 6), p = 6).head
+    assert(merged.getSeq[Int](2) === direct.getSeq[Int](3),
+      "elementwise-max merge must reproduce the single-pass registers")
+    assert(merged.getAs[Double]("estimate") === direct.getAs[Double]("estimate"))
+    val est = merged.getAs[Double]("estimate")
+    // standard error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(est > 1500 * 0.6 && est < 1500 * 1.4,
+      s"p=6 estimate of 1500 distinct, got $est")
+  }
+
+  test("HLL: registers dense and bounded, linear counting below 2.5m, partition-invariant") {
+    val out = Sketches.hllSketchGrouped(
+      (0L until 100L).map(i => ("a", i % 20)).toDF("g", "v"), "g", "v", p = 6).head
+    val regs = out.getSeq[Int](3)
+    assert(regs.length === 64, "dense 2^p register array")
+    assert(regs.forall(r => r >= 0 && r <= 55), "rho bounded by hash width")
+    assert(out.getAs[Long]("v_zero") === regs.count(_ == 0).toLong)
+    // 20 distinct << 2.5*64: the linear-counting branch must engage —
+    // m*ln(m/V) is exact-ish at this density
+    val v = out.getAs[Long]("v_zero")
+    val expected = BigDecimal(java.math.BigDecimal.valueOf(64.0 * math.log(64.0 / v)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("estimate") === expected)
+    val again = Sketches.hllSketchGrouped(
+      (0L until 100L).map(i => ("a", i % 20)).toDF("g", "v").repartition(11),
+      "g", "v", p = 6).head
+    assert(again.getSeq[Int](3) === regs, "pure function of the value set")
+  }
+
+  test("count-min: estimate >= true always, exact for unique-bucket rows, merge == direct") {
+    val df = (0L until 4000L).map(i => (s"s${i % 3}", s"tok${i % 50}")).toDF("g", "v")
+    val merged = Sketches.cmMergeSketches(
+      Sketches.cmSketchGrouped(df, "g", "v", depth = 4, width = 64))
+    val direct = Sketches.cmSketchGrouped(
+      df.withColumn("g", lit("all")), "g", "v", depth = 4, width = 64)
+      .select("i", "bucket", "cnt")
+    assert(merged.collect().toSet === direct.collect().toSet,
+      "cell-wise sum of shard sketches == direct global sketch")
+    val queries = (0 until 50).map(i => s"tok$i").toDF("v")
+    val est = Sketches.cmPointEstimate(merged, queries, "v", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every tok appears exactly 80 times; CM guarantees est >= true
+    assert(est.size === 50)
+    est.foreach { case (tok, e) => assert(e >= 80L, s"$tok under-estimated: $e") }
+    // 50 values over 4x64 cells: most rows see collisions, but the MIN
+    // across 4 independent rows should be exact for a majority
+    assert(est.values.count(_ == 80L) >= 25,
+      s"min-of-4-rows should be exact for most tokens, got ${est.values.count(_ == 80L)}")
+  }
+
   test("sketch merge touches only sketch rows — no corpus re-scan in the plan") {
     val df = (0L until 2000L).map(i => (s"s${i % 4}", i % 300)).toDF("g", "v")
     val sketches = Sketches.kmvSketchGrouped(df, "g", "v", k = 16)
