@@ -140,4 +140,63 @@ object Stats {
       .select(col("value"), col("cnt"),
         round(col("cnt").cast("double") / col("__total"), 6).as("share"))
   }
+
+  // ---- Mergeable fixed-width histograms (bounded quantile sketches) --
+
+  /** Per-GROUP fixed-width histogram sketches: (group, bin, cnt) with
+    * bin = floor(value / binWidth) — the MERGEABLE quantile shape next
+    * to [[exactQuantiles]]: bins are additive ([[histogramMergeSketches]]
+    * is a plain per-bin SUM), so per-shard histograms computed as data
+    * lands answer global quantile questions without re-sorting the
+    * corpus — at the cost of `binWidth` resolution instead of
+    * exactness. ONE aggregation keyed (group, bin), map-side combined;
+    * state per group is bounded by the value range / binWidth. Floor
+    * division is exact integer arithmetic (pmod-subtract), correct for
+    * negative values too. Nulls drop. */
+  def histogramSketchGrouped(df: DataFrame, groupCol: String,
+                             valueCol: String, binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be positive")
+    val v = col(valueCol).cast("long")
+    val bin = ((v - pmod(v, lit(binWidth))) / binWidth).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge per-group histograms into the global histogram: per-bin SUM
+    * — equals the direct single-pass histogram exactly (counts are
+    * additive). Touches only sketch rows (groups × bins). */
+  def histogramMergeSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile BRACKETS from a (bin, cnt) histogram: for each q, the
+    * bin containing the element at rank `ceil(q·n − 1e-9)` (the same
+    * epsilon-corrected PERCENTILE_DISC rank as [[exactQuantiles]] —
+    * the exact quantile PROVABLY lies in [bin_lo, bin_hi]). The
+    * cumulative window runs over the HISTOGRAM (bins, not corpus
+    * rows), so the single-partition window is bounded by the bin
+    * count; n rides a one-row broadcast.
+    * Output: (q, bin, bin_lo, bin_hi, cum, n). */
+  def histogramQuantiles(hist: DataFrame, qs: Seq[Double],
+                         binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val n = hist.agg(sum(col("cnt")).as("n"))
+    cum.crossJoin(broadcast(n))
+      .select(explode(typedlit(qs.sorted)).as("q"),
+        col("bin"), col("cnt"), col("cum"), col("n"))
+      .withColumn("__target", ceil(col("q") * col("n") - lit(1e-9)).cast("long"))
+      // the containing bin: target in (cum - cnt, cum]
+      .filter(col("cum") >= col("__target") &&
+        col("cum") - col("cnt") < col("__target"))
+      .select(col("q"), col("bin"),
+        (col("bin") * binWidth).as("bin_lo"),
+        ((col("bin") + 1) * binWidth - 1).as("bin_hi"),
+        col("cum"), col("n"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, Bpe, Contrastive, Curation, Dedup, Graph, Multimodal, Relevance, Selection, Similarity, Sketches, Stats, TextOps}
+import graft.ops.{AsOfJoin, Bpe, Contrastive, Curation, Dedup, Graph, Multimodal, Relevance, Selection, Sharding, Similarity, Sketches, Stats, TextOps}
 
 /** Training-data pipeline operators as oracle-checkable queries:
   * dedup family (exact / MinHash+LSH / SimHash / n-gram Jaccard /
@@ -1099,6 +1099,33 @@ object TrainingData {
       Sketches.cmPointEstimate(merged, top, "tk", depth = 4, width = 64)
         .select(col("tk").as("token"), col("true_n"), col("cm_estimate"))
         .orderBy(col("true_n").desc, col("token"))
+    }),
+
+    // Rendezvous-hash sharding + grow-by-one audit: assignment is a
+    // pure per-row expression (no shuffle, no directory), and growing
+    // 8 → 9 shards must move ~1/9 of each shard's docs — every one TO
+    // the new shard (n_moved_elsewhere = 0, measured not assumed).
+    "q100_rendezvous" -> ((s, d) => {
+      Sharding.shardMoveAudit(t(s, d, "documents"), "doc_id", nShards = 8)
+        .orderBy(col("shard"))
+    }),
+
+    // Mergeable histogram quantiles: per-source fixed-width (64-char)
+    // length histograms, merged by per-bin sum, bracket the p50/p90/p99
+    // — and the EXACT quantile (q66's machinery) must land inside each
+    // bracket, verified as a column, not assumed.
+    "q101_histogram_quantiles" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("source"), col("n_chars"))
+      val merged = Stats.histogramMergeSketches(
+        Stats.histogramSketchGrouped(docs, "source", "n_chars", binWidth = 64L))
+      val brackets = Stats.histogramQuantiles(merged, Seq(0.5, 0.9, 0.99), 64L)
+      val exact = Stats.exactQuantiles(docs, "n_chars", Seq(0.5, 0.9, 0.99))
+        .select(col("q"), col("value").cast("long").as("exact"))
+      brackets.join(exact, Seq("q"))
+        .select(col("q"), col("bin_lo"), col("bin_hi"), col("exact"),
+          (col("exact") >= col("bin_lo") && col("exact") <= col("bin_hi"))
+            .as("contained"))
+        .orderBy(col("q"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -2962,5 +2989,40 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |        GROUP BY top.tk)
          |SELECT top.tk AS token, top.true_n, est.cm_estimate
          |FROM top JOIN est ON top.tk = est.tk
-         |ORDER BY top.true_n DESC, token""".stripMargin)
+         |ORDER BY top.true_n DESC, token""".stripMargin,
+
+    // q100: the 9-hash array replayed; the 8-shard view is the prefix
+    // slice, argmax by first-occurrence list_position both sides.
+    "q100_rendezvous" ->
+      """WITH h AS (SELECT doc_id,
+        |    list_transform(range(9), s ->
+        |      ('0x' || substr(md5(s::VARCHAR || '|' || doc_id::VARCHAR), 1, 15))::UBIGINT) AS hs
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |    list_position(hs[1:8], list_max(hs[1:8])) - 1 AS s_old,
+        |    list_position(hs, list_max(hs)) - 1 AS s_new
+        |  FROM h)
+        |SELECT s_old::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+        |  sum(CASE WHEN s_old <> s_new AND s_new <> 8 THEN 1 ELSE 0 END)::BIGINT AS n_moved_elsewhere
+        |FROM a GROUP BY s_old ORDER BY shard""".stripMargin,
+
+    // q101: direct global histogram (== per-bin sum of per-source
+    // histograms by additivity), cumulative bracket, and the same
+    // epsilon-corrected PERCENTILE_DISC rank for the exact value.
+    "q101_histogram_quantiles" ->
+      """WITH v AS (SELECT n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*)::BIGINT AS n FROM v),
+        |t AS (SELECT q, CEIL(q * n - 0.000000001)::BIGINT AS target
+        |      FROM (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q) CROSS JOIN n),
+        |hist AS (SELECT v // 64 AS bin, count(*)::BIGINT AS cnt FROM v GROUP BY 1),
+        |cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM hist),
+        |br AS (SELECT t.q, c.bin FROM t JOIN cum c
+        |       ON c.cum >= t.target AND c.cum - c.cnt < t.target),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM v),
+        |ex AS (SELECT t.q, rk.v AS exact FROM t JOIN rk ON rk.r = t.target)
+        |SELECT br.q, (br.bin * 64)::BIGINT AS bin_lo,
+        |  (br.bin * 64 + 63)::BIGINT AS bin_hi, ex.exact,
+        |  ex.exact BETWEEN br.bin * 64 AND br.bin * 64 + 63 AS contained
+        |FROM br JOIN ex USING (q) ORDER BY q""".stripMargin)
 }

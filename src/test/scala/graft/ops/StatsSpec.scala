@@ -74,4 +74,45 @@ class StatsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(hh === again)
   }
+
+  test("histogram sketches: merge == direct, brackets contain the exact quantile") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = (0L until 3000L).map(i => (s"s${i % 5}", (i * 7919) % 1000))
+      .toDF("g", "v")
+    val merged = Stats.histogramMergeSketches(
+      Stats.histogramSketchGrouped(df, "g", "v", binWidth = 32L))
+    val direct = Stats.histogramSketchGrouped(
+      df.withColumn("g", lit("all")), "g", "v", binWidth = 32L)
+      .select("bin", "cnt")
+    assert(merged.collect().toSet === direct.collect().toSet,
+      "per-bin sum of shard histograms == direct global histogram")
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val brackets = Stats.histogramQuantiles(merged, qs, 32L)
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val exact = Stats.exactQuantiles(df, "v", qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(brackets.keySet === qs.toSet, "exactly one bracket per q")
+    qs.foreach { q =>
+      val (lo, hi) = brackets(q)
+      assert(exact(q) >= lo && exact(q) <= hi,
+        s"q=$q exact ${exact(q)} outside bracket [$lo, $hi]")
+      assert(hi - lo === 31L, "fixed bin width")
+    }
+  }
+
+  test("histogram bins: floor division handles negatives; cum brackets are exclusive-inclusive") {
+    val df = Seq(("a", -65L), ("a", -64L), ("a", -1L), ("a", 0L), ("a", 63L), ("a", 64L))
+      .toDF("g", "v")
+    val bins = Stats.histogramSketchGrouped(df, "g", "v", binWidth = 64L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // -65 -> bin -2; -64..-1 -> bin -1; 0..63 -> bin 0; 64 -> bin 1
+    assert(bins === Map(-2L -> 1L, -1L -> 2L, 0L -> 2L, 1L -> 1L))
+    // rank 1 of 6 at q≈0.1 lands in bin -2; rank 6 at q=1.0 in bin 1
+    val qs = Stats.histogramQuantiles(
+      Stats.histogramMergeSketches(bins.toSeq.toDF("bin", "cnt")
+        .selectExpr("'x' AS g", "bin", "cnt").drop("g")),
+      Seq(0.1, 1.0), 64L)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(qs === Map(0.1 -> -2L, 1.0 -> 1L))
+  }
 }
