@@ -455,6 +455,43 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Training-mix token accounting: given a TARGET mixture (domain →
+    * weight, the config table every LLM run publishes) and a total
+    * token budget, the per-domain token allocation and the EPOCHS each
+    * domain must repeat to fill its slice — epochs > 1 is the
+    * upsampling flag (the domain will be seen more than once; > ~4 is
+    * the overfitting-risk line the mixing literature draws). The math
+    * is one domain-keyed aggregation over the corpus (map-side
+    * combined token sums) against a broadcast weight table — corpus
+    * walked once, no matter how many mixes are auditioned. Domains
+    * missing from `weights` get weight 0 (dropped from the mix but
+    * still reported). Weighted targets use round-half-up to integer
+    * tokens; epochs round(…,6).
+    * Output: (domain, n_tokens, weight, target_tokens, epochs,
+    * upsampled). */
+  def mixtureEpochs(docs: DataFrame, domainCol: String, textCol: String,
+                    weights: Map[String, Double],
+                    budgetTokens: Long): DataFrame = {
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    require(budgetTokens > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.toDF(domainCol, "weight"))
+    docs.select(col(domainCol), TextOps.tokenCount(col(textCol)).cast("long").as("__tc"))
+      .groupBy(col(domainCol))
+      .agg(sum(col("__tc")).as("n_tokens"))
+      .join(wdf, Seq(domainCol), "left")
+      .select(col(domainCol).as("domain"), col("n_tokens"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+      .withColumn("target_tokens",
+        round(lit(budgetTokens.toDouble) * col("weight"), 0).cast("long"))
+      .withColumn("epochs",
+        when(col("n_tokens") > 0L,
+          round(col("target_tokens").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("upsampled", col("epochs") > 1.0)
+  }
+
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * combination is shared by at least `k` rows — groups smaller than k
     * are re-identification risks and drop entirely (suppression, the

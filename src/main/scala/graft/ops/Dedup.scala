@@ -265,6 +265,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs (Broder 1997):
+    * C(A→B) = |A∩B| / |A| — the subset-duplication detector. A short
+    * doc quoted whole inside a much longer one has C(short→long) ≈ 1
+    * while Jaccard dilutes to |short|/|long| and slips under every
+    * resemblance threshold — boilerplate embeddings, quoted articles,
+    * README-in-repo-dump cases that [[ngramJaccardBlocked]] cannot
+    * see. Emits a pair when EITHER direction's containment clears
+    * `threshold` (both directions reported).
+    *
+    * Same scale shape as [[ngramJaccardBlocked]]: one wide shuffle
+    * groups exploded (doc, shingle) rows by shingle, each group emits
+    * its id-pairs locally, pair-count == intersection size; per-doc
+    * sizes are per-row properties joined back. The `maxShingleFreq`
+    * cap applies identically (a >1024-doc shingle carries no
+    * containment signal either — a contained doc also shares its
+    * RARE shingles with its container).
+    * Output: (id_a, id_b, c_ab, c_ba), ratios round(…,6). */
+  def containmentPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, shingleSize: Int = 3,
+                              maxShingleFreq: Int = 1024): DataFrame = {
+    val sizes = df.select(col(idCol).as("id"),
+      size(TextOps.distinctShingles(col(textCol), shingleSize)).cast("long").as("n"))
+    val flat = df.select(col(idCol).as("id"),
+      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+    val byShingle = flat.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val capped =
+      if (maxShingleFreq > 0) byShingle.filter(size(col("ids")) <= maxShingleFreq)
+      else byShingle
+    val inter = capped
+      .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .filter(greatest(
+        col("inter").cast("double") / col("n_a"),
+        col("inter").cast("double") / col("n_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("n_a"), 6).as("c_ab"),
+        round(col("inter").cast("double") / col("n_b"), 6).as("c_ba"))
+  }
+
   /** MinHash+LSH near-dup detection end-to-end: candidates → exact
     * Jaccard → threshold. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,

@@ -227,4 +227,29 @@ object Relevance {
         x - when(i === 0, shiftleft(col("block"), blockBits))
           .otherwise(element_at(col("ids"), i))).as("gaps"))
   }
+
+  /** Storage accounting for [[invertedIndex]]: per term, the EXACT
+    * Elias-γ-coded size of its delta-encoded postings next to the
+    * fixed-width 64-bit baseline — the "will the index fit?" planning
+    * number at 100 TB, where posting compression decides whether the
+    * index is a sidecar or a second corpus. γ(x) costs
+    * `2·bitlen(x) − 1` bits and is defined on POSITIVE ints, so gaps
+    * encode as gap+1 (a block's first gap can be 0 at the base).
+    * All-integer per-array folds — no explode (gaps stay packed), no
+    * float discipline; one vocabulary-sized aggregation over the index
+    * frame. Output: (term, n_blocks, df, elias_bits, fixed_bits,
+    * ratio round(…,6)). */
+  def postingSizeStats(df: DataFrame, idCol: String, textCol: String,
+                       blockBits: Int = 20, minDf: Long = 1L): DataFrame = {
+    invertedIndex(df, idCol, textCol, blockBits, minDf)
+      .select(col("term"), col("df_block"),
+        aggregate(col("gaps"), lit(0L), (acc, g) =>
+          acc + (lit(2) * length(bin(g + 1)) - 1).cast("long")).as("bits"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("df_block")).as("df"),
+        sum(col("bits")).as("elias_bits"))
+      .withColumn("fixed_bits", col("df") * 64L)
+      .withColumn("ratio",
+        round(col("elias_bits").cast("double") / col("fixed_bits"), 6))
+  }
 }

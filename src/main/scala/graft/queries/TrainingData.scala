@@ -1126,6 +1126,36 @@ object TrainingData {
           (col("exact") >= col("bin_lo") && col("exact") <= col("bin_hi"))
             .as("contained"))
         .orderBy(col("q"))
+    }),
+
+    // Elias-γ storage accounting over the blocked inverted index: per
+    // term, exact compressed posting bits vs the 64-bit-id baseline —
+    // the "will the index fit" planning number, all-integer folds over
+    // the packed gap arrays (no explode, no float discipline).
+    "q102_posting_bits" -> ((s, d) => {
+      Relevance.postingSizeStats(t(s, d, "documents"), "doc_id", "text",
+          blockBits = 10, minDf = 100L)
+        .orderBy(col("term"))
+    }),
+
+    // Asymmetric shingle containment (Broder): subset-duplication
+    // pairs Jaccard can't see — either direction's |A∩B|/|A| over the
+    // shared-shingle blocked pairs.
+    "q103_containment" -> ((s, d) => {
+      Dedup.containmentPairsBlocked(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Training-mix epochs: the published-mix audit — per language,
+    // actual tokens vs a 60/15/10/10/5 target mix at a 2M-token
+    // budget; epochs > 1 flags the upsampled (repeated) slices.
+    "q104_mix_epochs" -> ((s, d) => {
+      Curation.mixtureEpochs(t(s, d, "documents"), "lang", "text",
+          weights = Map("en" -> 0.60, "zh" -> 0.15, "de" -> 0.10,
+            "es" -> 0.10, "fr" -> 0.05),
+          budgetTokens = 2000000L)
+        .orderBy(col("domain"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3024,5 +3054,64 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
         |SELECT br.q, (br.bin * 64)::BIGINT AS bin_lo,
         |  (br.bin * 64 + 63)::BIGINT AS bin_hi, ex.exact,
         |  ex.exact BETWEEN br.bin * 64 AND br.bin * 64 + 63 AS contained
-        |FROM br JOIN ex USING (q) ORDER BY q""".stripMargin)
+        |FROM br JOIN ex USING (q) ORDER BY q""".stripMargin,
+
+    // q102: q93's chain + γ(gap+1) = 2·bitlen−1 per entry; integer
+    // list_sum (order-free), term-level rollup.
+    "q102_posting_bits" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, tk AS term FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS tk FROM documents)),
+         |keep AS (SELECT term FROM tok GROUP BY term HAVING count(*) >= 100),
+         |b AS (SELECT term, doc_id // 1024 AS block, doc_id
+         |      FROM tok JOIN keep USING (term)),
+         |g AS (SELECT term, block, count(*)::BIGINT AS df_block,
+         |             list_sort(list(doc_id)) AS ids
+         |      FROM b GROUP BY term, block),
+         |gp AS (SELECT term, df_block,
+         |  list_transform(range(len(ids)), j ->
+         |    ids[j+1] - CASE WHEN j = 0 THEN block * 1024 ELSE ids[j] END) AS gaps
+         |  FROM g),
+         |bits AS (SELECT term, df_block,
+         |  list_sum(list_transform(gaps, x -> 2 * length(bin((x + 1)::UBIGINT)) - 1))::BIGINT AS bits
+         |  FROM gp)
+         |SELECT term, count(*)::BIGINT AS n_blocks, sum(df_block)::BIGINT AS df,
+         |  sum(bits)::BIGINT AS elias_bits, (sum(df_block) * 64)::BIGINT AS fixed_bits,
+         |  round(sum(bits)::DOUBLE / (sum(df_block) * 64), 6) AS ratio
+         |FROM bits GROUP BY term ORDER BY term""".stripMargin,
+
+    // q103: q22's blocked-pair shape with the asymmetric gate — either
+    // direction's inter/|side| clears 0.8; the cap mirrors the
+    // engine's default 1024.
+    "q103_containment" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1024),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.s = ok.s GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(inter::DOUBLE / s1.n, 6) AS c_ab,
+         |  round(inter::DOUBLE / s2.n, 6) AS c_ba
+         |FROM pairs JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+         |WHERE greatest(inter::DOUBLE / s1.n, inter::DOUBLE / s2.n) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q104: the published-mix table as VALUES, double arithmetic
+    // mirrored (round-half-up targets, round(…,6) epochs).
+    "q104_mix_epochs" ->
+      s"""WITH tc AS (SELECT lang AS domain, sum(len($tokensSql))::BIGINT AS n_tokens
+         |            FROM documents GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('en', 0.60), ('zh', 0.15), ('de', 0.10),
+         |                           ('es', 0.10), ('fr', 0.05)) t(domain, weight)),
+         |j AS (SELECT tc.domain, tc.n_tokens,
+         |        coalesce(w.weight, 0.0)::DOUBLE AS weight,
+         |        round(2000000.0 * coalesce(w.weight, 0.0)::DOUBLE)::BIGINT AS target_tokens
+         |      FROM tc LEFT JOIN w USING (domain)),
+         |e AS (SELECT *, CASE WHEN n_tokens > 0
+         |        THEN round(target_tokens::DOUBLE / n_tokens, 6) END AS epochs FROM j)
+         |SELECT domain, n_tokens, weight, target_tokens, epochs,
+         |  epochs > 1.0 AS upsampled
+         |FROM e ORDER BY domain""".stripMargin)
 }

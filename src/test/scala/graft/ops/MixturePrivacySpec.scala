@@ -84,4 +84,23 @@ class MixturePrivacySpec extends SparkTestBase {
     val all = Curation.kAnonymize(df, Seq("q1"), k = 1).count()
     assert(all === 6L, "k=1 suppresses nothing")
   }
+
+  test("mixtureEpochs: targets follow the weight table, epochs flag upsampling, unknown domains weight 0") {
+    // en: 100 docs x 4 tokens = 400; fr: 10 x 4 = 40; xx: 5 x 4 = 20
+    val docs = ((0 until 100).map(i => (s"d$i", "en", "one two three four")) ++
+      (0 until 10).map(i => (s"e$i", "fr", "un deux trois quatre")) ++
+      (0 until 5).map(i => (s"x$i", "xx", "a b c d")))
+      .toDF("id", "lang", "text")
+    val out = Curation.mixtureEpochs(docs, "lang", "text",
+        weights = Map("en" -> 0.75, "fr" -> 0.25), budgetTokens = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Boolean])))).toMap
+    assert(out.keySet === Set("en", "fr", "xx"), "every domain reported")
+    assert(out("en") === ((400L, 0.75, 750L, Some(1.875), Some(true))),
+      s"en: 750-token slice over 400 actual -> 1.875 epochs (upsampled), got ${out("en")}")
+    assert(out("fr") === ((40L, 0.25, 250L, Some(6.25), Some(true))))
+    assert(out("xx") === ((20L, 0.0, 0L, Some(0.0), Some(false))),
+      "domain absent from the mix: weight 0, zero slice, not upsampled")
+  }
 }

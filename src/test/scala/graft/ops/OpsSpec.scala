@@ -522,6 +522,39 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(2))
     assert(high.forall(_ === 2L), "df=30 boiler stays under a 31-doc threshold")
   }
+
+  test("containment catches subset duplication that Jaccard dilutes away") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 40).map(i => s"filler$i word$i extra$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "totally different content with other words entirely here now"))
+      .toDF("doc_id", "text")
+    // Jaccard(short, long) = |short|/|long| ≈ 6/126 — invisible at 0.8
+    val jac = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", threshold = 0.8)
+    assert(jac.count() === 0L, "resemblance misses the quoted-subset pair")
+    val con = Dedup.containmentPairsBlocked(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(con.length === 1 && con.head._1 === 1L && con.head._2 === 2L)
+    assert(con.head._3 === 1.0, "every shingle of the short doc is in the long one")
+    assert(con.head._4 < 0.2, "the reverse direction stays small")
+    val again = Dedup.containmentPairsBlocked(docs.repartition(7), "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(con.toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("containment respects the shingle-frequency cap and both-direction gate") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d e f z")).toDF("doc_id", "text")
+    // identical docs: containment 1.0 both ways
+    val con = Dedup.containmentPairsBlocked(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(con.contains((1L, 2L)), "identical pair passes both directions")
+    assert(con.contains((1L, 3L)) && con.contains((2L, 3L)),
+      "4-of-4 shingles of the shorter side contained -> one-direction pass")
+    // cap = 1 drops every shared shingle (each appears in >= 2 docs)
+    val capped = Dedup.containmentPairsBlocked(docs, "doc_id", "text", 0.9,
+      maxShingleFreq = 1)
+    assert(capped.count() === 0L)
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
@@ -1615,5 +1648,32 @@ class RelevanceSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(sc(2L) > sc(1L) && sc(3L) > sc(2L), "more hits, higher score")
     assert(sc(2L) - sc(1L) > sc(3L) - sc(2L), "diminishing returns (k1 saturation)")
+  }
+
+  test("postingSizeStats: hand-checked Elias-gamma bits, gamma beats fixed-width on dense postings") {
+    // 6 docs all holding "hot": block 0 (blockBits=4 -> base 0), ids
+    // 0..5, gaps [0,1,1,1,1,1] -> gamma(gap+1): g(1)=1 bit, g(2)=3 bits
+    val docs = (0L until 6L).map(i => (i, "hot cold" + i)).toDF("doc_id", "text")
+    val out = Relevance.postingSizeStats(docs, "doc_id", "text",
+        blockBits = 4, minDf = 6L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.length === 1 && out.head._1 === "hot", "minDf gates rare terms")
+    val (_, nBlocks, df, elias, fixed, ratio) = out.head
+    assert(nBlocks === 1L && df === 6L)
+    assert(elias === 1L + 5L * 3L, s"1 + 5*3 bits, got $elias")
+    assert(fixed === 6L * 64L)
+    assert(ratio === BigDecimal(java.math.BigDecimal.valueOf(elias.toDouble / fixed))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "dense postings compress ~24x (ratio rounds to 6dp)")
+  }
+
+  test("postingSizeStats: blocks split ids, gamma bits follow block-relative gaps") {
+    // ids 0 and 16 with blockBits=4: two blocks, each first-gap 0 ->
+    // gamma(1) = 1 bit per block
+    val docs = Seq((0L, "x"), (16L, "x")).toDF("doc_id", "text")
+    val r = Relevance.postingSizeStats(docs, "doc_id", "text",
+      blockBits = 4, minDf = 1L).head
+    assert(r.getLong(1) === 2L && r.getLong(2) === 2L && r.getLong(3) === 2L)
   }
 }
