@@ -52,39 +52,9 @@ object Bench {
     // not the neighbor. (The warmup pass above already absorbed
     // codegen/JIT, so rep 1 vs rep 2 differ only by noise.)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    // A query that throws is a FAILED query, not a fast one: its row in
-    // "queries" is -1, it is excluded from "value" (total), and its name
-    // lands in "failed" — a correctness regression must never improve
-    // the bench (the q61/TIMESTAMP_NTZ lesson: a 4 ms time-to-throw
-    // once masqueraded as the suite's fastest result).
-    val runs = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var ok = true
-      val times = (1 to reps).flatMap { _ =>
-        // no reps after a failure: ok can never recover, and a query
-        // that runs minutes before throwing would pay that again per rep
-        if (!ok) None
-        else {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-            ok = false
-            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
-          }
-          Some((System.nanoTime() - t0) / 1e9)
-        }
-      }
-      (name, if (ok) times.min else -1.0, ok)
-    }
-    val failed = runs.collect { case (name, _, false) => name }
-    val results = runs.map { case (name, t, _) => name -> t }.toMap
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    // Reference DuckDB timings (tools/duckdb_times.py, checked in per SF)
-    // make "weak row" a computed column instead of a judgment call: a
-    // query is weak when Spark is BOTH >=1 s AND >2x the DuckDB oracle on
-    // the same parquet at the same SF. The ref file's "times" object is a
-    // flat {"name": seconds} map we wrote ourselves — a regex parse is
-    // exact for that shape, and no JSON library rides the runtime jar.
+    // Reference DuckDB timings are needed DURING the run now (the
+    // noise-immunity retry below consults them), not only for the
+    // final weak computation.
     val sfName = new java.io.File(sfDir).getName
     val refPath = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_REF",
       s"bench_ref/duckdb_$sfName.json")
@@ -99,6 +69,56 @@ object Bench {
           .filter(_._2 > 0)
           .toMap
       } catch { case _: Exception => Map.empty }
+    // A query that throws is a FAILED query, not a fast one: its row in
+    // "queries" is -1, it is excluded from "value" (total), and its name
+    // lands in "failed" — a correctness regression must never improve
+    // the bench (the q61/TIMESTAMP_NTZ lesson: a 4 ms time-to-throw
+    // once masqueraded as the suite's fastest result).
+    val runs = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
+      def rep(): Option[Double] =
+        // no reps after a failure: ok can never recover, and a query
+        // that runs minutes before throwing would pay that again per rep
+        if (!ok) None
+        else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+            ok = false
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+          }
+          Some((System.nanoTime() - t0) / 1e9)
+        }
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to reps).foreach(_ => rep().foreach(times += _))
+      // Noise immunity (the r7 lesson: a loaded shared host inflated
+      // six 0.01–0.9 s queries past the 1 s / 2× weak line in a 2-rep
+      // run; quiet-host reruns flagged none): a row about to be
+      // flagged weak earns up to 2 extra reps — ONE clean rep clears
+      // it, because weak-by-noise requires EVERY rep to be unlucky
+      // while weak-by-regression survives any number. Bounded cost:
+      // only would-be-weak rows pay, and they are ≤ a few seconds by
+      // construction or they deserve the reps.
+      def wouldBeWeak: Boolean = ok && times.nonEmpty && {
+        val t = times.min
+        t >= 1.0 && duckTimes.get(name).exists(d => t > 2 * d)
+      }
+      var extra = 0
+      while (wouldBeWeak && extra < 2) { rep().foreach(times += _); extra += 1 }
+      (name, if (ok) times.min else -1.0, ok)
+    }
+    val failed = runs.collect { case (name, _, false) => name }
+    val results = runs.map { case (name, t, _) => name -> t }.toMap
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    // Reference DuckDB timings (tools/duckdb_times.py, checked in per SF)
+    // make "weak row" a computed column instead of a judgment call: a
+    // query is weak when Spark is BOTH >=1 s AND >2x the DuckDB oracle on
+    // the same parquet at the same SF. The ref file's "times" object is a
+    // flat {"name": seconds} map we wrote ourselves — a regex parse is
+    // exact for that shape, and no JSON library rides the runtime jar.
+    // (duckTimes itself is parsed above, before the runs — the
+    // noise-immunity retry consults it.)
     val duckJson = duckTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val weak = results.toSeq.sortBy(_._1).collect {

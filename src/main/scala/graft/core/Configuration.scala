@@ -17,7 +17,12 @@ final case class Configuration(
     values: Map[String, Any] = Map.empty,
     namespace: Seq[String] = Nil,
     privateKeys: Set[String] = Configuration.DefaultPrivate,
-    defaults: Map[String, Any] = Configuration.Defaults) extends Serializable {
+    // the REGISTRY snapshot, not the static map: defaults an app
+    // registered at startup (DefaultsRegistry.registerDefaults — the
+    // reference's register_defaults) resolve in every Configuration
+    // created afterwards; the captured snapshot keeps instances
+    // immutable and serializable
+    defaults: Map[String, Any] = DefaultsRegistry.snapshot) extends Serializable {
 
   /** `update` semantics (types.py:80-90): private-listed keys get
     * shielded with `_`, others stored as given. */
@@ -83,26 +88,55 @@ object Configuration {
 
   val DefaultPrivate: Set[String] = Set("_defaults", "_namespace", "_private")
 
-  /** The reference's package defaults (datagrowth/datagrowth.yml). */
-  val Defaults: Map[String, Any] = Map(
-    "global_batch_size" -> 100,
-    "global_max_batch_size" -> 100,
-    "global_datetime_format" -> "%Y%m%d%H%M%S%f",
-    "global_cache_only" -> false,
-    "global_sample_size" -> 0,
-    "global_async" -> true,
-    "http_resource_timeout" -> 30,
-    "http_resource_continuation_limit" -> 1,
-    "http_resource_interval_duration" -> 0,
-    "http_resource_backoff_delays" -> Seq(2, 4, 8, 16),
-    "http_resource_concat_args_size" -> 0,
-    "http_resource_concat_args_symbol" -> "|",
-    "extract_processor_extract_from_object_values" -> false,
-    "growth_processor_growth_phase" -> "",
-    "growth_processor_depends_on" -> "",
-    "growth_processor_to_property" -> "",
-    "growth_processor_apply_resource_to" -> Seq.empty[String])
+  /** The reference's package defaults (datagrowth/datagrowth.yml),
+    * flattened from ConfigLoaders.PackageDefaults — ONE nested source
+    * of truth for both the static map and the loader's allowlist. */
+  val Defaults: Map[String, Any] = ConfigLoaders.flattenDefaults(
+    ConfigLoaders.PackageDefaults)._1
 
   def apply(namespace: String, values: Map[String, Any]): Configuration =
     Configuration(namespace = Seq(namespace)).withValues(values)
+
+  /** `create_config` (types.py:352-369): a fresh namespaced
+    * configuration over the current registered defaults. */
+  def createConfig(namespace: String, values: Map[String, Any]): Configuration =
+    Configuration(namespace = Seq(namespace),
+      privateKeys = Set("_private", "_namespace", "_defaults"))
+      .withValues(values)
+
+  /** `from_dict` (types.py:157-196): rebuild a configuration from its
+    * serialized map form — `_namespace` and `_private` are REQUIRED
+    * (they carry resolution behavior, and silently defaulting them
+    * would change lookup results). */
+  def fromDict(config: Map[String, Any],
+               defaults: Option[Map[String, Any]] = None): Configuration = {
+    require(config.contains("_namespace"),
+      "_namespace needs to be specified in the configuration.")
+    require(config.contains("_private"),
+      "_private needs to be specified in the configuration.")
+    val ns = config("_namespace") match {
+      case s: String => Seq(s)
+      case xs: Seq[_] => xs.map(_.toString)
+      case other => Seq(other.toString)
+    }
+    val priv = config("_private") match {
+      case xs: Iterable[_] => xs.map(_.toString).toSet
+      case other => Set(other.toString)
+    }
+    Configuration(namespace = ns,
+      privateKeys = DefaultPrivate ++ priv,
+      defaults = defaults.getOrElse(DefaultsRegistry.snapshot))
+      .withValues(config -- Seq("_namespace", "_private", "_defaults"))
+  }
+
+  /** `load_config` (serializers.py:12-30): coerce a raw map (which
+    * must carry `_namespace`/`_private`) or a ready Configuration into
+    * the typed form and hand it to `f` — the decorator's Scala shape. */
+  def loadConfig[T](config: Any)(f: Configuration => T): T = config match {
+    case c: Configuration => f(c)
+    case m: Map[_, _] if m.nonEmpty =>
+      f(fromDict(m.map { case (k, v) => k.toString -> (v: Any) }))
+    case _ => throw new IllegalArgumentException(
+      "loadConfig expects a non-empty config map or a Configuration.")
+  }
 }

@@ -35,13 +35,66 @@ object Commands {
     spark
   }
 
-  /** `Class.forName` a Scala `object` (or zero-arg class) implementing
+  /** Resolve a provider: registered label first ([[DataStorages]] —
+    * the reference's `apps.get_model(label)` path), then
+    * `Class.forName` a Scala `object` (or zero-arg class) implementing
     * [[DatasetProvider]]. */
   def provider(name: String): DatasetProvider =
-    (try Class.forName(name + "$").getField("MODULE$").get(null)
-     catch { case _: ClassNotFoundException =>
-       Class.forName(name).getDeclaredConstructor().newInstance() })
-      .asInstanceOf[DatasetProvider]
+    DataStorages.lookup(name).map(_.provider).getOrElse(
+      (try Class.forName(name + "$").getField("MODULE$").get(null)
+       catch { case _: ClassNotFoundException =>
+         Class.forName(name).getDeclaredConstructor().newInstance() })
+        .asInstanceOf[DatasetProvider])
+}
+
+/** Label-string → storage bundle resolver — the reference's
+  * `DataStorages.from_label` (reference: datagrowth/datatypes/types.py:
+  * 59-101): given a runtime label, hand back everything a command or
+  * task needs to address a dataset — its provider, spec, collection
+  * definitions, and (after [[DataStorages.loadInstances]]) the storage
+  * root it lives under. The reference resolves Django model classes
+  * through the app registry; here labels resolve through an explicit
+  * registry apps populate at startup (the same bootstrap moment as
+  * `DefaultsRegistry.registerDefaults`), with a dotted-class-name
+  * fallback so unregistered providers stay addressable. */
+final case class DataStorages(
+    label: String,
+    provider: DatasetProvider,
+    spec: DatasetSpec,
+    storeRoot: Option[String] = None) {
+  def collections: Seq[graft.pipeline.CollectionDef] = spec.collections
+}
+
+object DataStorages {
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, DatasetProvider]
+
+  /** Register `label` → provider (an app's ready hook). Labels are
+    * case-insensitive, mirroring Django's `app_label.Model` lookup. */
+  def register(label: String, provider: DatasetProvider): Unit =
+    registry.put(label.toLowerCase, provider)
+
+  def lookup(label: String): Option[DataStorages] =
+    registry.get(label.toLowerCase).map(p => DataStorages(label, p, p.spec))
+
+  /** `from_label` (types.py:67-77): resolve or die loudly — an
+    * unresolvable label is a configuration error, not an empty
+    * result. Falls back to dotted-class-name resolution. */
+  def fromLabel(label: String): DataStorages =
+    lookup(label).getOrElse {
+      val p = try Commands.provider(label) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"Expected to load a DatasetProvider through label '$label'", e)
+      }
+      DataStorages(label, p, p.spec)
+    }
+
+  /** `load_instances` (types.py:40-59): attach the concrete storage
+    * location so downstream reads address the dataset's versions. */
+  def loadInstances(label: String, storeRoot: String): DataStorages =
+    fromLabel(label).copy(storeRoot = Some(storeRoot))
+
+  private[graft] def reset(): Unit = registry.clear()
 }
 
 /** `grow_dataset` twin (reference grow_dataset.py:77-131): grows a

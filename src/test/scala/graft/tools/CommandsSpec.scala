@@ -71,4 +71,32 @@ class CommandsSpec extends SparkTestBase {
       Grow.main(Array("graft.tools.PapersProvider", storeRoot, "paper"))
     }
   }
+
+  test("DataStorages resolves registered labels (case-insensitive) and drives the CLI by label") {
+    DataStorages.reset()
+    try {
+      DataStorages.register("articles.Paper", PapersProvider)
+      val storages = DataStorages.fromLabel("ARTICLES.paper")
+      assert(storages.provider eq PapersProvider)
+      assert(storages.spec.name === "papers")
+      assert(storages.collections.map(_.collection.name) === Seq("paper"))
+      val loaded = DataStorages.loadInstances("articles.Paper", "/some/store")
+      assert(loaded.storeRoot === Some("/some/store"))
+      // the Grow main resolves the label through the same registry —
+      // grow_dataset <label> parity, not just a lookup API
+      val storeRoot = Files.createTempDirectory("graft-cli-label").toString
+      Grow.main(Array("articles.Paper", storeRoot, "paper"))
+      assert(new VersionStore(storeRoot, spark)
+        .currentVersion("paper").exists(_.version === 1))
+    } finally DataStorages.reset()
+  }
+
+  test("DataStorages falls back to dotted class names; unresolvable labels fail loudly") {
+    DataStorages.reset()
+    val viaClass = DataStorages.fromLabel("graft.tools.PapersProvider")
+    assert(viaClass.spec.name === "papers")
+    intercept[IllegalArgumentException] {
+      DataStorages.fromLabel("no.such.Label")
+    }
+  }
 }
