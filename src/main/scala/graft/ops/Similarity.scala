@@ -310,7 +310,13 @@ object Similarity {
                      centroids: DataFrame, k: Int,
                      nProbeConfigs: Seq[Int] = Seq(1, 2, 4, 8),
                      idCol: String = "vec_id", embCol: String = "embedding",
-                     cidCol: String = "cid"): DataFrame = {
+                     cidCol: String = "cid",
+                     // ground truth is CODEBOOK-INDEPENDENT — callers
+                     // auditing several codebooks over one probe set
+                     // (seeding A/Bs) compute bruteForceTopK once and
+                     // pass it here instead of paying the exact pass
+                     // per audit; (probe_id, neighbor_id) columns
+                     truthOverride: Option[DataFrame] = None): DataFrame = {
     require(nProbeConfigs.nonEmpty, "need at least one nProbe configuration")
     require(nProbeConfigs.forall(_ > 0), "nProbe must be positive")
     val spark = probes.sparkSession
@@ -353,15 +359,20 @@ object Similarity {
     // of the shared pass for free. Otherwise pay the brute-force pass.
     // truth feeds BOTH the per-config join and the broadcast n_true
     // aggregate — eager-checkpoint so the brute-force corpus pass (or
-    // the shared-pass branch's window) runs once, not twice
-    val truth = (if (maxNp == cids.length)
-        approx.filter(col("n_probe") === maxNp)
-          .select(col("probe_id"), col("neighbor_id"))
-      else
-        bruteForceTopK(probes, corpus, k, idCol, embCol)
-          .select(col("probe_id"), col("neighbor_id")))
-      .withColumn("is_true", lit(true))
-      .localCheckpoint(true)
+    // the shared-pass branch's window) runs once, not twice; an
+    // override arrives already materialized by its owner
+    val truth = truthOverride match {
+      case Some(t) => t.select(col("probe_id"), col("neighbor_id"))
+        .withColumn("is_true", lit(true))
+      case None => (if (maxNp == cids.length)
+          approx.filter(col("n_probe") === maxNp)
+            .select(col("probe_id"), col("neighbor_id"))
+        else
+          bruteForceTopK(probes, corpus, k, idCol, embCol)
+            .select(col("probe_id"), col("neighbor_id")))
+        .withColumn("is_true", lit(true))
+        .localCheckpoint(true)
+    }
     val perConfig = approx
       .join(truth, Seq("probe_id", "neighbor_id"), "left")
       .groupBy(col("n_probe"))
@@ -371,6 +382,92 @@ object Similarity {
     spine.join(perConfig, Seq("n_probe"), "left")
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
       .select(col("n_probe").cast("long").as("n_probe"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_true") > 0L,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_true"), 6)).as("recall"))
+  }
+
+  /** MULTI-CODEBOOK recall audit: [[annRecallAudit]] for several
+    * codebooks (a seeding / training A/B) in ONE shared pass — the
+    * corpus is scanned once with every codebook's assignment as a
+    * tagged per-row expression, candidates ride ONE (seeding, cluster)
+    * join, ONE window ranks every (seeding, config, probe) group, and
+    * the codebook-independent brute-force truth computes once. Running
+    * |codebooks| separate audits instead pays the corpus scan, join,
+    * and window per codebook — the fused shape is what an A/B HARNESS
+    * needs (audit N candidate codebooks without N corpus passes).
+    * Output: (seeding, n_probe, n_returned, n_true, n_hits, recall). */
+  def annRecallAuditMulti(probes: DataFrame, corpus: DataFrame,
+                          codebooks: Seq[(String, DataFrame)], k: Int,
+                          nProbeConfigs: Seq[Int] = Seq(1, 2, 4, 8),
+                          idCol: String = "vec_id", embCol: String = "embedding",
+                          cidCol: String = "cid",
+                          truthOverride: Option[DataFrame] = None): DataFrame = {
+    require(codebooks.nonEmpty, "need at least one codebook")
+    require(nProbeConfigs.nonEmpty && nProbeConfigs.forall(_ > 0),
+      "nProbe configs must be positive")
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val maxNp = nProbeConfigs.max
+    val arrays = codebooks.map { case (tag, c) =>
+      val (cids, cembs) = codebookArrays(c, cidCol, embCol)
+      require(maxNp <= cids.length,
+        s"nProbe $maxNp exceeds codebook '$tag' (${cids.length} centroids)")
+      (tag, cids, cembs)
+    }
+    val probeNearest = probes
+      .select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        sqrt(dotUdf(col(embCol), col(embCol))).as("p_norm"))
+      .select(col("probe_id"), col("p_emb"), col("p_norm"),
+        explode(array(arrays.map { case (tag, cids, cembs) =>
+          struct(lit(tag).as("seeding"),
+            ivfNearest(col("p_emb"), maxNp, cids, cembs).as("nearest"))
+        }: _*)).as("s"))
+      .select(col("probe_id"), col("p_emb"), col("p_norm"),
+        col("s.seeding").as("seeding"),
+        posexplode(col("s.nearest")).as(Seq("c_rank", "cluster")))
+    val corpusAssigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        sqrt(dotUdf(col(embCol), col(embCol))).as("c_norm"))
+      .select(col("neighbor_id"), col("c_emb"), col("c_norm"),
+        explode(array(arrays.map { case (tag, cids, cembs) =>
+          struct(lit(tag).as("seeding"),
+            element_at(ivfNearest(col("c_emb"), 1, cids, cembs), 1).as("cluster"))
+        }: _*)).as("s"))
+      .select(col("neighbor_id"), col("c_emb"), col("c_norm"),
+        col("s.seeding").as("seeding"), col("s.cluster").as("cluster"))
+    val candidates = probeNearest.join(corpusAssigned, Seq("seeding", "cluster"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
+      .withColumn("n_probe", explode(array(nProbeConfigs.map(lit(_)): _*)))
+      .filter(col("c_rank") < col("n_probe"))
+    val wRank = Window.partitionBy(col("seeding"), col("n_probe"), col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val approx = candidates
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("seeding"), col("probe_id"), col("neighbor_id"), col("n_probe"))
+    val truth = (truthOverride match {
+      case Some(t) => t.select(col("probe_id"), col("neighbor_id"))
+      case None => bruteForceTopK(probes, corpus, k, idCol, embCol)
+        .select(col("probe_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+    }).withColumn("is_true", lit(true))
+    val perConfig = approx
+      .join(truth, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("seeding"), col("n_probe"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_hits"))
+    val spine = codebooks.map(_._1)
+      .flatMap(tag => nProbeConfigs.map(np => (tag, np)))
+      .toDF("seeding", "n_probe")
+    spine.join(perConfig, Seq("seeding", "n_probe"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("seeding"), col("n_probe").cast("long").as("n_probe"),
         coalesce(col("n_returned"), lit(0L)).as("n_returned"),
         col("n_true"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -496,6 +593,96 @@ object Similarity {
       .as[(Long, Array[Float])]
       .groupByKey(_._1)
       .agg(meanAgg.toColumn.name("mean"))
+  }
+
+  /** Deterministic farthest-first codebook seeding (Gonzalez 1985) —
+    * the kmeans++ INTENT (spread seeds across the data instead of
+    * clumping them) without kmeans++'s RNG: seed 0 is the lowest-id
+    * vector; each next seed is the vector FARTHEST (squared euclidean)
+    * from its nearest already-chosen seed, ties by id. Lowest-id
+    * seeding ([[trainCodebook]]'s default) can start all k seeds
+    * inside one natural cluster, starving the others and hurting IVF
+    * recall at small nProbe; farthest-first provably 2-approximates
+    * the optimal k-center spread.
+    *
+    * Scale shape: k−1 corpus passes, each ONE TakeOrdered(1) over a
+    * per-row `least(d²…)` projection against the ≤k chosen seeds
+    * embedded as literals — no corpus shuffle, no corpus×seed
+    * materialization; only single rows reach the driver (the codebook
+    * collect pattern). Distance arithmetic is the sequential double
+    * dot of [[dotUdf]], so seed choices replay exactly in any engine.
+    * Output: (cid 0..k−1 in selection order, embCol). */
+  def seedCodebookFarthest(df: DataFrame, k: Int,
+                           idCol: String = "vec_id",
+                           embCol: String = "embedding",
+                           sampleSize: Int = 0): DataFrame = {
+    require(k >= 1, "need at least one seed")
+    val session = df.sparkSession
+    import session.implicits._
+    val chosen: Vector[Array[Float]] =
+      if (sampleSize > 0) {
+        // SAMPLED path (the kmeans‖ idea: seed from a bounded sample,
+        // not k corpus passes): ONE TakeOrdered draws the
+        // `sampleSize` vectors with the smallest md5-uniform id hash
+        // (deterministic, layout-independent), and the greedy runs
+        // driver-side over that bounded set — job count is CONSTANT
+        // in k, the property a 32k-centroid codebook at 100 TB needs.
+        // Distance arithmetic matches the distributed path double for
+        // double (sequential folds), so either path is oracle-exact.
+        val sample = df
+          .select(col(idCol).cast("long").as("id"), col(embCol).as("e"),
+            Sketches.hash60(col(idCol)).as("h"))
+          .orderBy(col("h"), col("id")).limit(sampleSize)
+          .select(col("id"), col("e")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        require(sample.nonEmpty, "cannot seed from an empty corpus")
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0; val n = math.min(a.length, b.length)
+          while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        def d2(a: Array[Float], b: Array[Float]): Double =
+          dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+        var picked = Vector(sample.minBy(_._1)._2)
+        val minD = scala.collection.mutable.Map.empty[Long, Double]
+        sample.foreach { case (id, e) => minD(id) = d2(e, picked.head) }
+        while (picked.size < math.min(k, sample.length)) {
+          val (nextId, _) = sample
+            .map { case (id, _) => (id, minD(id)) }
+            .maxBy { case (id, d) => (d, -id) } // d DESC, id ASC
+          val nextEmb = sample.find(_._1 == nextId).get._2
+          picked :+= nextEmb
+          sample.foreach { case (id, e) =>
+            val d = d2(e, nextEmb); if (d < minD(id)) minD(id) = d
+          }
+        }
+        picked
+      } else {
+        // EXACT path: k−1 corpus passes, each one TakeOrdered(1) over
+        // a least(d²…) projection against the chosen seeds as
+        // literals — no corpus shuffle, single rows to the driver.
+        val firstRow = df.orderBy(col(idCol)).limit(1)
+          .select(col(embCol)).collect()
+        require(firstRow.nonEmpty, "cannot seed from an empty corpus")
+        var picked = Vector(firstRow.head.getSeq[Float](0).toArray)
+        while (picked.size < k) {
+          val d2 = picked.map { c =>
+            val cl = typedlit[Seq[Float]](c.toSeq)
+            // ‖e‖² − 2·e·c + ‖c‖²; ‖c‖² folded driver-side with the
+            // same sequential double accumulation as the kernel
+            val c2 = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+            dotUdf(col(embCol), col(embCol)) -
+              lit(2.0) * dotUdf(col(embCol), cl) + lit(c2)
+          }.reduce(least(_, _))
+          val next = df.select(col(idCol), col(embCol), d2.as("__d2"))
+            .orderBy(col("__d2").desc, col(idCol)).limit(1)
+            .select(col(embCol)).collect()
+          picked :+= next.head.getSeq[Float](0).toArray
+        }
+        picked
+      }
+    chosen.zipWithIndex
+      .map { case (emb, i) => (i.toLong, emb) }.toDF("cid", embCol)
   }
 
   /** Lloyd's k-means codebook trainer for IVF: `iterations` rounds of

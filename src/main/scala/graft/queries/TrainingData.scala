@@ -1156,6 +1156,30 @@ object TrainingData {
             "es" -> 0.10, "fr" -> 0.05),
           budgetTokens = 2000000L)
         .orderBy(col("domain"))
+    }),
+
+    // Codebook seeding A/B under the recall audit: lowest-id seeds vs
+    // deterministic farthest-first (Gonzalez) at the same nProbe —
+    // the seeding-quality question answered with a measured recall
+    // column instead of folklore. Truth is seed-independent (brute
+    // force), shared across both audits.
+    "q105_ann_seeding" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 20)
+      val naive = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding"))
+      // sampled greedy (kmeans‖ shape): one sample job, constant in k
+      val far = Similarity.seedCodebookFarthest(emb, k = 8, sampleSize = 256)
+      // fused multi-codebook audit: one corpus pass, one join, one
+      // window — not two stacked audits; truth rides INSIDE the same
+      // action (two references — cheaper recomputed in-action than a
+      // dedicated checkpoint job at this probe count)
+      val truth = Similarity.bruteForceTopK(probes, emb, k = 3)
+        .select(col("probe_id"), col("neighbor_id"))
+      Similarity.annRecallAuditMulti(probes, emb,
+          Seq("naive" -> naive, "farthest" -> far), k = 3, Seq(1, 2),
+          truthOverride = Some(truth))
+        .orderBy(col("seeding"), col("n_probe"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3113,5 +3137,98 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |        THEN round(target_tokens::DOUBLE / n_tokens, 6) END AS epochs FROM j)
          |SELECT domain, n_tokens, weight, target_tokens, epochs,
          |  epochs > 1.0 AS upsampled
-         |FROM e ORDER BY domain""".stripMargin)
+         |FROM e ORDER BY domain""".stripMargin,
+
+    // q105: both seedings replayed against ONE brute-force truth —
+    // the farthest-first chain is 7 argmax rounds (min-d² over the
+    // chosen set, DESC, id tie-break), then each seeding gets q94's
+    // dist/corpus/sel machinery with its own codebook.
+    "q105_ann_seeding" -> {
+      val d2 = "list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)" +
+        " + list_dot_product(c.cv, c.cv)"
+      val farChain = (1 to 7).map { i =>
+        s"""fn$i AS MATERIALIZED (
+           |  SELECT $i AS cid, v AS cv FROM (
+           |    SELECT e.vec_id, e.v, min($d2) AS dd
+           |    FROM smp e CROSS JOIN fch${i - 1} c GROUP BY e.vec_id, e.v
+           |    ORDER BY dd DESC, e.vec_id LIMIT 1)),
+           |fch$i AS MATERIALIZED (SELECT * FROM fch${i - 1} UNION ALL SELECT * FROM fn$i)""".stripMargin
+      }.mkString(",\n")
+      def audit(tag: String, codebook: String) = {
+        val dist =
+          s"""dist$tag AS MATERIALIZED (
+             |  SELECT e.vec_id, cid,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $d2, cid) AS rn
+             |  FROM e CROSS JOIN $codebook c),
+             |corpus$tag AS MATERIALIZED (
+             |  SELECT d.vec_id AS neighbor_id, cid AS cluster, e.v,
+             |    sqrt(list_dot_product(e.v, e.v)) AS norm
+             |  FROM dist$tag d JOIN e ON d.vec_id = e.vec_id WHERE rn = 1)""".stripMargin
+        val sels = Seq(1, 2).map { np =>
+          s"""sel$tag$np AS (
+             |  SELECT $np AS n_probe, probe_id, neighbor_id FROM (
+             |    SELECT pc.probe_id, cc.neighbor_id,
+             |      ROW_NUMBER() OVER (PARTITION BY pc.probe_id ORDER BY
+             |        round(list_dot_product(p.v, cc.v) / (p.norm * cc.norm), 6) DESC,
+             |        cc.neighbor_id) AS rank
+             |    FROM (SELECT vec_id AS probe_id, cid AS cluster FROM dist$tag
+             |          WHERE rn <= $np AND vec_id < 20) pc
+             |    JOIN corpus$tag cc ON pc.cluster = cc.cluster
+             |      AND pc.probe_id <> cc.neighbor_id
+             |    JOIN pr p ON p.probe_id = pc.probe_id)
+             |  WHERE rank <= 3)""".stripMargin
+        }.mkString(",\n")
+        s"$dist,\n$sels"
+      }
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pr AS MATERIALIZED (
+         |  SELECT vec_id AS probe_id, v, sqrt(list_dot_product(v, v)) AS norm
+         |  FROM e WHERE vec_id < 20),
+         |truth AS MATERIALIZED (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT p.probe_id, ce.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+         |        round(list_dot_product(p.v, ce.v) /
+         |          (p.norm * sqrt(list_dot_product(ce.v, ce.v))), 6) DESC,
+         |        ce.vec_id) AS rank
+         |    FROM pr p JOIN e ce ON p.probe_id <> ce.vec_id)
+         |  WHERE rank <= 3),
+         |cn AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |smp AS MATERIALIZED (
+         |  SELECT vec_id, v FROM (
+         |    SELECT vec_id, v,
+         |      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT AS h
+         |    FROM e ORDER BY h, vec_id LIMIT 256)),
+         |fch0 AS MATERIALIZED (
+         |  SELECT 0 AS cid, v AS cv FROM smp
+         |  WHERE vec_id = (SELECT min(vec_id) FROM smp)),
+         |$farChain,
+         |cf AS (SELECT cid, cv FROM fch7),
+         |${audit("n", "cn")},
+         |${audit("f", "cf")},
+         |cand AS (
+         |  SELECT 'naive' AS seeding, * FROM seln1
+         |  UNION ALL SELECT 'naive', * FROM seln2
+         |  UNION ALL SELECT 'farthest', * FROM self1
+         |  UNION ALL SELECT 'farthest', * FROM self2),
+         |st AS (
+         |  SELECT seeding, n_probe, count(*)::BIGINT AS n_returned,
+         |    sum(CASE WHEN t.probe_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM cand LEFT JOIN truth t USING (probe_id, neighbor_id)
+         |  GROUP BY seeding, n_probe),
+         |spine AS (
+         |  SELECT s.seeding, np.n_probe
+         |  FROM (VALUES ('naive'), ('farthest')) s(seeding)
+         |  CROSS JOIN (SELECT unnest([1, 2]) AS n_probe) np),
+         |tt AS (SELECT count(*)::BIGINT AS n_true FROM truth)
+         |SELECT spine.seeding, spine.n_probe::BIGINT AS n_probe,
+         |  COALESCE(n_returned, 0)::BIGINT AS n_returned, n_true,
+         |  COALESCE(n_hits, 0)::BIGINT AS n_hits,
+         |  CASE WHEN n_true > 0
+         |       THEN round(COALESCE(n_hits, 0)::DOUBLE / n_true, 6) END AS recall
+         |FROM spine LEFT JOIN st USING (seeding, n_probe) CROSS JOIN tt
+         |ORDER BY seeding, n_probe""".stripMargin
+    })
 }

@@ -1047,6 +1047,56 @@ class SimilaritySpec extends SparkTestBase {
       fallback(2L) === ((out(2L)._1, out(2L)._2)),
       "shortcut truth (full-probe branch) == brute-force truth, config for config")
   }
+
+  test("annRecallAuditMulti == stacked single audits, codebook for codebook") {
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.filter($"vec_id" < 6)
+    val cbA = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding")
+    val cbB = corpus.filter($"vec_id" >= 56)
+      .select(($"vec_id" - 56).as("cid"), $"embedding")
+    val fused = Similarity.annRecallAuditMulti(probes, corpus,
+        Seq("a" -> cbA, "b" -> cbB), k = 3, Seq(1, 2))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    Seq("a" -> cbA, "b" -> cbB).foreach { case (tag, cb) =>
+      val single = Similarity.annRecallAudit(probes, corpus, cb, k = 3, Seq(1, 2))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      Seq(1L, 2L).foreach { np =>
+        assert(fused((tag, np)) === single(np),
+          s"fused audit must equal the per-codebook audit for $tag nProbe=$np")
+      }
+    }
+  }
+
+  test("seedCodebookFarthest: spread seeds reach distant clusters lowest-id seeding misses") {
+    // 3 tight clusters; ids 0-3 all sit in cluster A, so lowest-id
+    // 3-seeding stays inside A while farthest-first must visit B and C
+    val a = (0L until 4L).map(i => (i, Array(0f + i * 0.01f, 0f)))
+    val b = (4L until 8L).map(i => (i, Array(10f, 10f + i * 0.01f)))
+    val c = (8L until 12L).map(i => (i, Array(-10f + i * 0.01f, 10f)))
+    val corpus = (a ++ b ++ c).toDF("vec_id", "embedding")
+    val seeds = Similarity.seedCodebookFarthest(corpus, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(seeds.keySet === Set(0L, 1L, 2L), "cids are 0..k-1 in selection order")
+    assert(seeds(0L).head < 1f && seeds(0L)(1) < 1f, "seed 0 = lowest id (cluster A)")
+    val regions = seeds.values.map { v =>
+      if (v.head < 5f && v.head > -5f) "A" else if (v.head > 5f) "B" else "C"
+    }.toSet
+    assert(regions === Set("A", "B", "C"),
+      s"farthest-first must cover every cluster, got $regions")
+    val again = Similarity.seedCodebookFarthest(corpus.repartition(7), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(seeds === again, "deterministic under repartition")
+    // the sampled (kmeans‖-shaped) path degenerates to the exact greedy
+    // when the sample covers the corpus — same seeds, same order
+    val sampled = Similarity.seedCodebookFarthest(corpus, k = 3, sampleSize = 100)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(sampled === seeds, "sample ⊇ corpus -> sampled == exact")
+  }
 }
 
 class CurationSpec extends SparkTestBase {
