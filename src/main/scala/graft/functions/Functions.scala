@@ -238,6 +238,139 @@ case class SimHashExpression(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `graft_bpe_segment(word, merges)` — BPE subword segmentation of ONE
+  * word under a LITERAL merge table, as a native kernel: the composed
+  * form (`Bpe.subwordTokensComposed`) folds the table into `merges`
+  * nested `replace` calls, which blows up the expression tree and the
+  * generated code at real vocabulary sizes (32k merges ≈ 32k-deep
+  * Catalyst tree — unrepresentable); this kernel carries the table as
+  * plain data (constructor param — ships with the task binary like a
+  * broadcast, ~600 KB at 32k merges) and loops it at eval.
+  *
+  * Semantics are EXACTLY the rank-order cascade (apply merge 0, then
+  * 1, …, each pass merging all its occurrences left-to-right
+  * non-overlapping — BpeSpec pins kernel ≡ composed):
+  *  - WELL-FORMED tables (every side is a base symbol — one code
+  *    point or the end mark — or the result of an earlier merge; all
+  *    trained tables are, by construction) run the standard
+  *    min-rank-first loop: O(len²) per word, INDEPENDENT of table
+  *    size — the property a 32k-merge vocabulary needs. Equivalence
+  *    with the cascade for well-formed tables is the textbook BPE
+  *    result: a pair of rank i cannot appear before every lower rank
+  *    that builds its sides has fired.
+  *  - Arbitrary tables (adversarial ranks referencing symbols built
+  *    LATER) fall back to the literal rank scan: O(merges) presence
+  *    checks per word — still no string-replace passes and no
+  *    expression-tree blowup, just slower per word.
+  */
+case class BpeSegmentExpression(child: Expression,
+                                merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bpe_segment"
+  private val EndMark = "</w>"
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      // first rank wins on duplicate pairs (the cascade would have
+      // merged every occurrence at the lower rank already)
+      m.putIfAbsent(l + " " + r, i)
+    }
+    m
+  }
+  @transient private lazy val wellFormed: Boolean = {
+    val producible = new java.util.HashSet[String]()
+    val seen = new java.util.HashSet[String]()
+    def atomic(s: String): Boolean =
+      s == EndMark || (s.nonEmpty && s.codePointCount(0, s.length) == 1)
+    merges.forall { case (l, r) =>
+      // a DUPLICATE pair is also disqualifying: the cascade would fire
+      // the recreated occurrence at the duplicate's LATER rank, the
+      // min-rank loop at the first — only the rank scan replays that
+      val ok = seen.add(l + " " + r) &&
+        (atomic(l) || producible.contains(l)) &&
+        (atomic(r) || producible.contains(r))
+      producible.add(l + r)
+      ok
+    }
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeSegmentExpr", this)
+    nullSafeCodeGen(ctx, ev, w => s"${ev.value} = $ref.compute($w);")
+  }
+  def compute(word: UTF8String): GenericArrayData =
+    nullSafeEval(word).asInstanceOf[GenericArrayData]
+
+  private def mergeAll(syms: java.util.ArrayList[String], l: String, r: String): Unit = {
+    // one left-to-right non-overlapping pass, in place
+    var read = 0
+    var write = 0
+    while (read < syms.size) {
+      if (read + 1 < syms.size && syms.get(read) == l && syms.get(read + 1) == r) {
+        syms.set(write, l + r); read += 2
+      } else { syms.set(write, syms.get(read)); read += 1 }
+      write += 1
+    }
+    while (syms.size > write) syms.remove(syms.size - 1)
+  }
+
+  override protected def nullSafeEval(wordAny: Any): Any = {
+    val word = wordAny.toString
+    val syms = new java.util.ArrayList[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      syms.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    syms.add(EndMark)
+    if (wellFormed) {
+      // min-rank-first: cost bounded by the word, not the table
+      var done = false
+      while (!done && syms.size > 1) {
+        var best = -1
+        var bestL: String = null
+        var bestR: String = null
+        var j = 0
+        while (j + 1 < syms.size) {
+          val rk = rank.get(syms.get(j) + " " + syms.get(j + 1))
+          if (rk != null && (best < 0 || rk < best)) {
+            best = rk; bestL = syms.get(j); bestR = syms.get(j + 1)
+          }
+          j += 1
+        }
+        if (best < 0) done = true
+        else mergeAll(syms, bestL, bestR)
+      }
+    } else {
+      // literal rank scan — correct for ANY table
+      var r = 0
+      while (r < merges.length && syms.size > 1) {
+        val (l, rr) = merges(r)
+        var present = false
+        var j = 0
+        while (!present && j + 1 < syms.size) {
+          if (syms.get(j) == l && syms.get(j + 1) == rr) present = true
+          j += 1
+        }
+        if (present) mergeAll(syms, l, rr)
+        r += 1
+      }
+    }
+    val out = new Array[AnyRef](syms.size)
+    var k = 0
+    while (k < syms.size) { out(k) = UTF8String.fromString(syms.get(k)); k += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `tokens(text)` — THE tokenizer as a native expression: one pass of
   * [[Tokenize.split]] (CJK-aware, ASCII-whitespace + U+3000
   * separators), no regex. The composed column form
@@ -1402,6 +1535,22 @@ object GraftFunctions {
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),
     "graft_minhash" -> (e => MinHashExpression(e(0), e(1), e(2))),
     "graft_cdc_chunks" -> (e => CdcChunksExpression(e(0), e(1), e(2))),
+    "graft_bpe_segment" -> (e => BpeSegmentExpression(e(0), {
+      require(e(1).foldable,
+        "graft_bpe_segment merges must be a literal array<array<string>>")
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      e(1).eval() match {
+        case a: ArrayData =>
+          (0 until a.numElements()).map { i =>
+            val p = a.getArray(i)
+            require(p.numElements() == 2,
+              "each merge must be a 2-element [lhs, rhs] array")
+            (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft_bpe_segment merges must be an array literal, got $other")
+      }
+    })),
     "graft_kmv_mins" -> (e => KmvMinsAggregate(e(0), e(1) match {
       case Literal(i: Int, IntegerType) => i
       case other => throw new IllegalArgumentException(

@@ -109,21 +109,33 @@ object Bpe {
     * read exactly once end-to-end. */
   def trainBpeFromCounts(wc: DataFrame, merges: Int,
                          minPairCount: Long = 2L,
-                         driverVocabLimit: Int = 200000): DataFrame = {
+                         driverVocabLimit: Int = 200000,
+                         minWordCount: Long = 1L): DataFrame = {
     require(merges >= 0, "merges must be non-negative")
+    require(minWordCount >= 1L, "minWordCount must be positive")
     val session = wc.sparkSession
     import session.implicits._
+    // Frequency floor BEFORE the driver-size probe — the 100 TB lever:
+    // a web corpus's word-TYPE count is hapax-dominated (Zipf: half
+    // the types occur once), so flooring at even 2 collapses the type
+    // table several-fold and keeps the fast path reachable where the
+    // raw type count would blow past the guard. Training semantics
+    // change accordingly (floored types contribute NO pair counts) —
+    // the standard trade every large-corpus tokenizer makes, explicit
+    // here rather than implied.
+    val floored =
+      if (minWordCount > 1L) wc.filter(col("cnt") >= minWordCount) else wc
     // ONE size-probe-and-fetch job: a capped collect. Under the guard
     // the cap is never reached, so this reads every partition (fully
     // materializing a caller persist) and IS the vocabulary; over the
     // guard it stops at limit+1 rows and the distributed rounds take
     // over — the probe never pulls an unbounded vocabulary.
-    val probe = wc.limit(driverVocabLimit + 1).collect()
+    val probe = floored.limit(driverVocabLimit + 1).collect()
     val out =
       if (probe.length <= driverVocabLimit) {
         localBpe(probe.map(r => r.getString(0) -> r.getLong(1)),
           merges, minPairCount)
-      } else distributedBpe(wc, merges, minPairCount)
+      } else distributedBpe(floored, merges, minPairCount)
     out.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 
@@ -260,17 +272,61 @@ object Bpe {
     out.toSeq
   }
 
-  /** Apply a learned merge table to a text column: per token, the same
-    * sentinel-replace cascade in rank order, then the symbol split —
-    * subword segmentation as a pure column expression over the
-    * plan-embedded merge list (model-sized; ships with the task binary
-    * like a broadcast). Returns array<string> of subword units. */
+  /** Apply a learned merge table to a text column — subword
+    * segmentation over the plan-embedded merge table (model-sized;
+    * ships with the task binary like a broadcast). Returns
+    * array<string> of subword units.
+    *
+    * Backed by the native rank-table kernel
+    * (graft.functions.BpeSegmentExpression): per-word cost is bounded
+    * by the WORD, not the table, and the Catalyst tree stays O(1) in
+    * table size — a 32k-merge vocabulary is representable where the
+    * nested-replace cascade ([[subwordTokensComposed]], kept as the
+    * portable reference; BpeSpec pins equality) blows up the
+    * expression tree at a few hundred merges. */
   def subwordTokens(text: Column, merges: Seq[(String, String)]): Column = {
     // the same sentinel guard wordCounts applies at train time: a word
     // containing U+0001 (legal in tokenizer output — the tokenizer
     // splits on whitespace, not control chars) would corrupt the
-    // sentinel-framed state; train and apply must drop the SAME words
-    // or applier output diverges from the trained vocabulary
+    // sentinel-framed reference cascade; train and apply must drop the
+    // SAME words or applier output diverges from the trained vocabulary
+    val words = filter(TextOps.tokens(text), w => !w.contains(Sep))
+    val mergesLit = typedlit[Seq[Seq[String]]](
+      merges.map(m => Seq(m._1, m._2)))
+    flatten(transform(words,
+      w => call_function("graft_bpe_segment", w, mergesLit)))
+  }
+
+  /** Deterministic synthetic WELL-FORMED merge table for deep-vocab
+    * audits (a TRAINED deep table cannot be oracle-replayed — k
+    * argmax rounds of SQL explode past a few hundred merges — but a
+    * RULE-BUILT table can, as a plain replace chain): level 1 pairs
+    * single letters (a..z)² in enumeration order, level 2 pairs each
+    * level-1 result with each letter, and so on — every merge's left
+    * side is built by an earlier rank, so the table is well-formed by
+    * construction and the native kernel's fast path applies. */
+  def syntheticMerges(n: Int): Seq[(String, String)] = {
+    require(n >= 0, "n must be non-negative")
+    val letters = ('a' to 'z').map(_.toString)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var level: Seq[String] = letters
+    while (out.size < n) {
+      val next = scala.collection.mutable.ArrayBuffer[String]()
+      for (l <- level; r <- letters if out.size < n) {
+        out += ((l, r)); next += (l + r)
+      }
+      level = next.toSeq
+    }
+    out.toSeq
+  }
+
+  /** The composed-built-ins reference form of [[subwordTokens]]: the
+    * sentinel-replace cascade in rank order as nested `replace`
+    * column expressions — the definitional semantics the native
+    * kernel is equivalence-tested against. Unusable at real vocab
+    * sizes (tree depth = table size); keep for specs and oracles. */
+  private[ops] def subwordTokensComposed(text: Column,
+                                         merges: Seq[(String, String)]): Column = {
     val words = filter(TextOps.tokens(text), w => !w.contains(Sep))
     val segmented = transform(words, w =>
       symbols(merges.foldLeft(initialState(w)) { case (st, (l, r)) =>

@@ -1180,6 +1180,18 @@ object TrainingData {
           Seq("naive" -> naive, "farthest" -> far), k = 3, Seq(1, 2),
           truthOverride = Some(truth))
         .orderBy(col("seeding"), col("n_probe"))
+    }),
+
+    // Deep-vocabulary BPE apply: a 1024-merge table through the native
+    // rank-table kernel — the nested-replace cascade is
+    // unrepresentable at this depth; the oracle replays the table as
+    // a literal 1024-replace chain (rule-built table, so the chain IS
+    // the cascade). Corpus token counts segment the VOCABULARY, each
+    // type weighted by its count (q92's shape).
+    "q106_bpe_deep" -> ((s, d) => {
+      val wc = Bpe.wordCounts(t(s, d, "documents"), "text")
+      Bpe.tokenCounts(wc, Bpe.syntheticMerges(1024))
+        .orderBy(col("token"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3230,5 +3242,28 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |       THEN round(COALESCE(n_hits, 0)::DOUBLE / n_true, 6) END AS recall
          |FROM spine LEFT JOIN st USING (seeding, n_probe) CROSS JOIN tt
          |ORDER BY seeding, n_probe""".stripMargin
+    },
+
+    // q106: the rule-built 1024-merge table as a literal replace
+    // chain over the sentinel-framed vocabulary — 32 CTE rounds of 32
+    // nested replaces each (rank order = innermost first), then the
+    // final state's symbols weighted by word count.
+    "q106_bpe_deep" -> {
+      val merges = graft.ops.Bpe.syntheticMerges(1024)
+      val rounds = merges.grouped(32).zipWithIndex.map { case (chunk, i) =>
+        val chained = chunk.foldLeft("st") { case (acc, (l, r)) =>
+          s"replace($acc, chr(1)||'$l'||chr(1)||chr(1)||'$r'||chr(1), chr(1)||'${l + r}'||chr(1))"
+        }
+        s"d${i + 1} AS (SELECT $chained AS st, cnt FROM d$i)"
+      }.mkString(",\n")
+      val last = (merges.size + 31) / 32
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS cnt FROM tok WHERE NOT contains(w, chr(1)) GROUP BY w),
+         |d0 AS (SELECT chr(1) || array_to_string(list_append(regexp_split_to_array(w, ''), '</w>'), chr(1)||chr(1)) || chr(1) AS st, cnt FROM wc),
+         |$rounds
+         |SELECT sym AS token, sum(cnt)::BIGINT AS n FROM (
+         |  SELECT unnest(string_split(trim(st, chr(1)), chr(1)||chr(1))) AS sym, cnt
+         |  FROM d$last)
+         |GROUP BY sym ORDER BY token""".stripMargin
     })
 }

@@ -163,4 +163,74 @@ class BpeSpec extends SparkTestBase {
     assert(ids === Map("c" -> 0L, "a" -> 1L, "b" -> 2L, "d" -> 3L),
       "order is (count DESC, token ASC), ids contiguous from 0")
   }
+
+  test("native kernel == composed cascade on trained tables AND adversarial rank orders") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "low lower lowest newest newer new widest wide"),
+      (2L, "lowest of the low new newer wide wider ab abc abcd"))
+      .toDF("doc_id", "text")
+    val trained = Bpe.trainBpe(docs, "text", merges = 12, minPairCount = 1)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def seg(fn: (org.apache.spark.sql.Column, Seq[(String, String)]) => org.apache.spark.sql.Column,
+            merges: Seq[(String, String)]) =
+      docs.select(col("doc_id"), fn(col("text"), merges).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(seg(Bpe.subwordTokens, trained) ===
+      seg(Bpe.subwordTokensComposed, trained),
+      "well-formed (trained) table: min-rank fast path == cascade")
+    // adversarial: rank 0 references a symbol only rank 1 builds — the
+    // kernel must take the literal rank-scan and still match the
+    // cascade (which misses the ("ab","c") merge for exactly that
+    // reason); and a DUPLICATE pair disqualifies the fast path too
+    val adversarial = Seq(("ab", "c"), ("a", "b"))
+    assert(seg(Bpe.subwordTokens, adversarial) ===
+      seg(Bpe.subwordTokensComposed, adversarial),
+      "non-well-formed table: rank scan == cascade")
+    val dup = Seq(("a", "b"), ("ab", "c"), ("a", "b"))
+    assert(seg(Bpe.subwordTokens, dup) === seg(Bpe.subwordTokensComposed, dup))
+  }
+
+  test("deep 32k-merge table: kernel segments where the cascade is unrepresentable") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val merges = Bpe.syntheticMerges(32768)
+    assert(merges.size === 32768 && merges.distinct.size === 32768)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzyzx aab qwfp vvv the aaaa")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        Bpe.subwordTokens(col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // reconstruction: concatenating subwords and stripping </w>
+    // yields the original words in order — no symbol lost or invented
+    val rebuilt = out(1L).mkString.replace("</w>", " ").trim
+    assert(rebuilt === "the quick brown fox jumps over the lazy dog")
+    // depth actually engaged: "aab" = (a,a)@rank 0 then (aa,b)@rank
+    // 677 — a LEVEL-2 rank, only reachable past merge 676
+    assert(out(2L).contains("aab"),
+      s"multi-level merges must fire, got ${out(2L).take(8)}")
+    val again = docs.repartition(3).select(col("doc_id"),
+        Bpe.subwordTokens(col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out === again)
+  }
+
+  test("trainBpeFromCounts minWordCount floor: floored types contribute no pairs") {
+    import org.apache.spark.sql.functions.col
+    // (a,b) reaches count 3 only through three DISTINCT hapax types —
+    // under a >=2 floor those types vanish and the z-pairs take over
+    val wc = Seq(("zz", 3L), ("abc", 1L), ("abd", 1L), ("abe", 1L))
+      .toDF("w", "cnt")
+    def first(minWordCount: Long) =
+      Bpe.trainBpeFromCounts(wc, merges = 1, minPairCount = 1,
+          minWordCount = minWordCount)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).head
+    val unfloored = first(1L)
+    val floored = first(2L)
+    assert(unfloored === (("a", "b")),
+      s"hapax types dominate the unfloored corpus, got $unfloored")
+    assert(!floored._1.contains("a") && !floored._2.contains("b"),
+      s"floored training must not see hapax pairs, got $floored")
+    assert(floored !== unfloored)
+  }
 }
