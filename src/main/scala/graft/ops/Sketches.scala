@@ -84,6 +84,35 @@ object Sketches {
         col("s.kth_hash").as("kth_hash"), kmvEstimate(col("s"), k).as("estimate"))
   }
 
+  /** Pairwise Jaccard ESTIMATES from per-group KMV sketches (Beyer et
+    * al. 2007 k-min set operations): for groups A, B with min-sets
+    * S_A, S_B, take U = the k smallest of S_A ∪ S_B; the estimator is
+    * |U ∩ S_A ∩ S_B| / |U| — the fraction of the union's k-sample
+    * that both sides saw. When |A ∪ B| ≤ k the estimate is EXACT.
+    *
+    * This is the cross-source overlap PLANNING matrix at 100 TB: the
+    * corpus is touched once (building the sketches as data lands);
+    * every pairwise question after that runs on sketch rows alone
+    * (groups × k longs — here via a sketch-sized nested-loop
+    * self-join, never a corpus join). All-integer set ops + one
+    * divide, deterministic anywhere md5 exists.
+    * Output: (g_a, g_b, denom, matches, est_jaccard) for g_a < g_b. */
+  def kmvPairwiseJaccard(sketches: DataFrame, k: Int,
+                         groupCol: String, minsCol: String = "mins"): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val a = sketches.select(col(groupCol).as("g_a"), col(minsCol).as("m_a"))
+    val b = sketches.select(col(groupCol).as("g_b"), col(minsCol).as("m_b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("m_a"), col("m_b"),
+        slice(array_sort(array_union(col("m_a"), col("m_b"))), 1, k).as("u"))
+      .select(col("g_a"), col("g_b"),
+        size(col("u")).cast("long").as("denom"),
+        size(array_intersect(col("u"),
+          array_intersect(col("m_a"), col("m_b")))).cast("long").as("matches"))
+      .withColumn("est_jaccard",
+        round(col("matches").cast("double") / col("denom"), 6))
+  }
+
   /** The relational form of [[kmvDistinct]] — distinct hashes then the
     * k minimums via TakeOrdered. Correct, but its distinct() shuffles
     * every distinct hash; kept as the independent reference the native

@@ -1192,6 +1192,37 @@ object TrainingData {
       val wc = Bpe.wordCounts(t(s, d, "documents"), "text")
       Bpe.tokenCounts(wc, Bpe.syntheticMerges(1024))
         .orderBy(col("token"))
+    }),
+
+    // Cross-source vocabulary-overlap matrix: KMV-sketch Jaccard
+    // estimates for all 190 source pairs (sketch rows only — the
+    // corpus is touched once to build sketches) next to the EXACT
+    // pairwise Jaccard, so sketch accuracy is a measured column. The
+    // dedup-planning heatmap: which sources share vocabulary enough
+    // to cross-dedup.
+    "q107_source_overlap" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tk"))
+        .distinct()
+        .localCheckpoint(true)
+      val est = Sketches.kmvPairwiseJaccard(
+        Sketches.kmvSketchGrouped(tok, "source", "tk", k = 64),
+        k = 64, groupCol = "source")
+      val sizes = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = tok.select(col("source").as("g_a"), col("tk"))
+        .join(tok.select(col("source").as("g_b"), col("tk")), Seq("tk"))
+        .filter(col("g_a") < col("g_b"))
+        .groupBy(col("g_a"), col("g_b")).agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, Seq("g_a", "g_b"), "left")
+        .join(sizes.select(col("source").as("g_a"), col("n").as("n_a")), Seq("g_a"))
+        .join(sizes.select(col("source").as("g_b"), col("n").as("n_b")), Seq("g_b"))
+        .select(col("g_a").as("src_a"), col("g_b").as("src_b"),
+          col("est_jaccard"),
+          round(coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))), 6)
+            .as("exact_jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3265,5 +3296,47 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |  SELECT unnest(string_split(trim(st, chr(1)), chr(1)||chr(1))) AS sym, cnt
          |  FROM d$last)
          |GROUP BY sym ORDER BY token""".stripMargin
-    })
+    },
+
+    // q107: per-source top-64 min-hashes replayed, pairwise union
+    // re-rank (k smallest of the DISTINCT union), membership in both
+    // sketches; exact side from the (source, token) distinct frame.
+    "q107_source_overlap" ->
+      s"""WITH tok AS (SELECT DISTINCT source, tk FROM (
+         |    SELECT source, unnest($tokensSql) AS tk FROM documents)),
+         |sizes AS (SELECT source, count(*)::BIGINT AS n FROM tok GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS inter
+         |  FROM tok a JOIN tok b ON a.tk = b.tk AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |topk AS (SELECT source, h FROM (
+         |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |    FROM (SELECT DISTINCT source,
+         |            ('0x' || substr(md5(tk), 1, 15))::UBIGINT AS h FROM tok))
+         |  WHERE rn <= 64),
+         |pairs AS (SELECT s1.source AS src_a, s2.source AS src_b
+         |          FROM sizes s1 JOIN sizes s2 ON s1.source < s2.source),
+         |pair_h AS (SELECT DISTINCT p.src_a, p.src_b, t.h
+         |           FROM pairs p JOIN topk t ON t.source IN (p.src_a, p.src_b)),
+         |u AS (SELECT src_a, src_b, h FROM (
+         |    SELECT src_a, src_b, h,
+         |      row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+         |    FROM pair_h) WHERE rn <= 64),
+         |m AS (SELECT u.src_a, u.src_b,
+         |        sum(CASE WHEN ta.h IS NOT NULL AND tb.h IS NOT NULL
+         |                 THEN 1 ELSE 0 END)::BIGINT AS matches,
+         |        count(*)::BIGINT AS denom
+         |      FROM u
+         |      LEFT JOIN topk ta ON ta.source = u.src_a AND ta.h = u.h
+         |      LEFT JOIN topk tb ON tb.source = u.src_b AND tb.h = u.h
+         |      GROUP BY 1, 2)
+         |SELECT m.src_a, m.src_b,
+         |  round(matches::DOUBLE / denom, 6) AS est_jaccard,
+         |  round(COALESCE(i.inter, 0)::DOUBLE /
+         |    (sa.n + sb.n - COALESCE(i.inter, 0)), 6) AS exact_jaccard
+         |FROM m
+         |LEFT JOIN inter i ON i.src_a = m.src_a AND i.src_b = m.src_b
+         |JOIN sizes sa ON sa.source = m.src_a
+         |JOIN sizes sb ON sb.source = m.src_b
+         |ORDER BY m.src_a, m.src_b""".stripMargin)
 }

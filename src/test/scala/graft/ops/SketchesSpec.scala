@@ -184,6 +184,35 @@ class SketchesSpec extends SparkTestBase {
       s"min-of-4-rows should be exact for most tokens, got ${est.values.count(_ == 80L)}")
   }
 
+  test("KMV pairwise Jaccard: exact when the union fits k, near-truth when sampled") {
+    // A = 0..999, B = 500..1499, C = 0..99: J(A,B) = 1/3, J(A,C) = 0.1
+    val df = ((0L until 1000L).map(("a", _)) ++
+      (500L until 1500L).map(("b", _)) ++
+      (0L until 100L).map(("c", _))).toDF("g", "v")
+    val sk = Sketches.kmvSketchGrouped(df, "g", "v", k = 256)
+    val est = Sketches.kmvPairwiseJaccard(sk, k = 256, groupCol = "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(4)))).toMap
+    val (dAB, jAB) = est(("a", "b"))
+    assert(dAB === 256L, "union of 1500 values saturates the k-sample")
+    assert(math.abs(jAB - 1.0 / 3.0) < 0.12,
+      s"sampled estimate of J=1/3, got $jAB") // se ~ sqrt(J(1-J)/k) ≈ 0.03
+    val (dAC, jAC) = est(("a", "c"))
+    assert(dAC === 256L && math.abs(jAC - 0.1) < 0.08, s"J(A,C)=0.1, got $jAC")
+    // exact regime: |A ∪ C'| <= k for tiny sets
+    val tiny = ((0L until 30L).map(("x", _)) ++ (20L until 50L).map(("y", _)))
+      .toDF("g", "v")
+    val te = Sketches.kmvPairwiseJaccard(
+        Sketches.kmvSketchGrouped(tiny, "g", "v", k = 256), 256, "g")
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).head
+    assert(te === ((50L, 10L, 0.2)), "union 50 <= k: the estimate IS exact")
+    // pure function of the value sets
+    val again = Sketches.kmvPairwiseJaccard(
+        Sketches.kmvSketchGrouped(df.repartition(13), "g", "v", 256), 256, "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(again(("a", "b")) === jAB && again(("a", "c")) === jAC)
+  }
+
   test("sketch merge touches only sketch rows — no corpus re-scan in the plan") {
     val df = (0L until 2000L).map(i => (s"s${i % 4}", i % 300)).toDF("g", "v")
     val sketches = Sketches.kmvSketchGrouped(df, "g", "v", k = 16)
