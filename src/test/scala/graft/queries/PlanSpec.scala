@@ -469,6 +469,63 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_pairs"), "ids-only group-and-pair inside each cluster")
     assert(!p.contains("Join"), "pair generation never joins the corpus to itself")
   }
+
+  test("q98 hll merge: the per-source aggregation subtree is shared, not recomputed") {
+    // exchange reuse is an AQE runtime decision: execute, then read
+    // the final adaptive plan (the q67 discipline)
+    val df = graft.SparkEntry.queries("q98_hll_merge")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "final adaptive plan expected")
+    assert(p.contains("ReusedExchange"),
+      "both union branches must consume ONE per-source aggregation")
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("Window"))
+  }
+
+  test("q99 count-min: map-side partial counts; the sketch side broadcasts to the queries") {
+    val p = plan("q99_countmin")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "cells must combine map-side before the shuffle")
+    assert(p.contains("BroadcastHashJoin"), "the depth×width sketch rides a broadcast")
+  }
+
+  test("q101 histogram quantiles: the cumulative window runs over BINS, never the corpus") {
+    val p = plan("q101_histogram_quantiles")
+    // the only windows allowed are over the bins-sized histogram; the
+    // corpus-sized stages are plain hash aggregations
+    assert(p.contains("HashAggregate"), "binning is one keyed aggregation")
+    assert(!p.contains("CartesianProduct"), "n rides broadcast one-row joins")
+  }
+
+  test("q102 posting bits: gaps fold in place — never exploded") {
+    val p = plan("q102_posting_bits")
+    // Generates may appear twice (the postings subtree feeds both the
+    // df gate and the index — q93's shape); the gamma fold must NOT
+    // add a GAPS explode on top
+    assert(!p.contains("explode(gaps") && !p.contains("posexplode(gaps"),
+      "the bit accounting folds the packed arrays in place")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q103 containment: native pair generation, no shingle self-join") {
+    val p = plan("q103_containment")
+    assert(p.contains("graft_pairs"), "pairs from the grouped shingle lists")
+    assert("SortMergeJoin".r.findAllIn(p).isEmpty,
+      "size joins broadcast; the shingle rows are never self-joined")
+  }
+
+  test("q106 deep bpe: the native rank-table kernel, not a replace cascade") {
+    val p = plan("q106_bpe_deep")
+    assert(p.contains("graft_bpe_segment"), "the kernel must plan")
+    assert(!p.contains("replace("),
+      "no nested-replace cascade anywhere in the deep-table plan")
+  }
+
+  test("q107 overlap: estimates come from sketch rows (native kmv aggregate); no window") {
+    val p = plan("q107_source_overlap")
+    assert(p.contains("graft_kmv_mins"), "sketches built by the bounded aggregate")
+    assert(!p.contains("Window"), "no rank pass anywhere — set ops on arrays")
+  }
 }
 
 class FileResourcesSpec extends SparkTestBase {
