@@ -281,7 +281,26 @@ object Sketches {
     * to linear counting m·ln(m/V) below 2.5m when empty registers
     * remain (the standard small-range correction). */
   def hllSketchGrouped(df: DataFrame, groupCol: String, valueCol: String,
-                       p: Int): DataFrame = {
+                       p: Int): DataFrame =
+    hllRegisterRows(df, groupCol, valueCol, p)
+      .groupBy(col(groupCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("rho")))).as("rm"))
+      .select(col(groupCol),
+        transform(sequence(lit(0), lit((1 << p) - 1)),
+          i => coalesce(element_at(col("rm"), i), lit(0))).as("registers"))
+      .transform(withHllStats(_, p, Seq(groupCol)))
+
+  /** The SPARSE (group, bucket, rho-max) register rows BEFORE
+    * densification — a single `groupBy.max`, which makes it the
+    * STREAMING-maintainable form of the sketch: a watermark-free
+    * update-mode aggregation keeps the running max per (group,
+    * bucket) across micro-batches with state bounded by
+    * groups × 2^p ints, and the maintained rows equal the batch
+    * registers at every point (max is order-insensitive).
+    * [[hllSketchGrouped]] is this plus densify + estimate. */
+  def hllRegisterRows(df: DataFrame, groupCol: String, valueCol: String,
+                      p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "HLL precision p in [4, 16]")
     val rem = col("h").bitwiseAND(lit((1L << (60 - p)) - 1L))
     val rho = when(rem === 0L, lit(61 - p))
@@ -293,13 +312,6 @@ object Sketches {
         rho.cast("int").as("rho"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("rho")).as("rho"))
-      .groupBy(col(groupCol))
-      .agg(map_from_entries(collect_list(
-        struct(col("bucket"), col("rho")))).as("rm"))
-      .select(col(groupCol),
-        transform(sequence(lit(0), lit((1 << p) - 1)),
-          i => coalesce(element_at(col("rm"), i), lit(0))).as("registers"))
-      .transform(withHllStats(_, p, Seq(groupCol)))
   }
 
   /** Merge per-group HLL sketches into ONE global sketch + estimate:

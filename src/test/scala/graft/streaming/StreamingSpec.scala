@@ -132,6 +132,35 @@ class StreamingSpec extends SparkTestBase {
     assert(n === 40L, s"running distinct mins across batches, got $n")
   }
 
+  test("streaming HLL register maintenance: running registers == batch registers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("grp", "v")
+    // register maintenance is ONE update-mode max aggregation — state
+    // bounded by groups × 2^p, mergeable forever, no watermark needed
+    val out = graft.ops.Sketches.hllRegisterRows(stream, "grp", "v", p = 6)
+    val writer = out.writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("graft-hll").toString)
+      .start()
+    val batch1 = (0L until 300L).map(i => ("a", i % 150))
+    val batch2 = (0L until 300L).map(i => ("a", 100 + i % 150))
+    input.addData(batch1: _*)
+    writer.processAllAvailable()
+    input.addData(batch2: _*)
+    writer.processAllAvailable()
+    writer.stop()
+    val streamed = spark.sql("SELECT bucket, rho FROM hll_out WHERE grp = 'a'")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    import spark.implicits._
+    val batch = graft.ops.Sketches.hllRegisterRows(
+        (batch1 ++ batch2).toDF("grp", "v"), "grp", "v", p = 6)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(streamed === batch,
+      "cross-batch running max must equal the one-shot batch registers")
+    assert(streamed.size <= 64, "state bounded by 2^p buckets")
+  }
+
   test("streaming quota sampler admits the first `quota` docs per domain across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
