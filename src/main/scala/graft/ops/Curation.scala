@@ -492,6 +492,32 @@ object Curation {
       .withColumn("upsampled", col("epochs") > 1.0)
   }
 
+  /** Materialize a target mixture: repeat each document
+    * `epochs(domain)` times — `floor(epochs)` full copies plus one
+    * more with probability `frac = epochs − floor(epochs)`, decided by
+    * the md5-uniform of the id. Deterministic and shuffle-free (one
+    * broadcast join + one explode): every run and every engine admits
+    * EXACTLY the same fractional-epoch docs, so the materialized
+    * training list is reproducible — [[mixtureEpochs]]' audit turned
+    * into the artifact. `epoch_ix` tags each copy (0-based) for
+    * curriculum ordering / per-epoch shuffle seeding downstream.
+    * Domains with epochs ≤ 0 (or absent) drop. */
+  def expandEpochs(docs: DataFrame, domainCol: String, idCol: String,
+                   epochs: DataFrame): DataFrame = {
+    val u = (graft.ops.Sketches.hash60(col(idCol)).cast("double") + 1.0) /
+      math.pow(2.0, 60)
+    val whole = floor(col("epochs")).cast("int")
+    val copies = (whole +
+      when(u < col("epochs") - whole, 1).otherwise(0)).cast("int")
+    docs.join(broadcast(epochs.select(col(domainCol), col("epochs"))),
+        Seq(domainCol))
+      .withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch_ix",
+        explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n", "epochs")
+  }
+
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * combination is shared by at least `k` rows — groups smaller than k
     * are re-identification risks and drop entirely (suppression, the

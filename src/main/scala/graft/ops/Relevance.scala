@@ -228,6 +228,33 @@ object Relevance {
           .otherwise(element_at(col("ids"), i))).as("gaps"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocab size N, the
+    * fraction of corpus token OCCURRENCES the top-N types cover
+    * ((count DESC, token ASC) rank — [[graft.ops.Bpe.vocabIds]]'
+    * convention) — the "how big must the vocabulary be" sizing plot
+    * every tokenizer design starts from. Each cutoff is a bounded
+    * TakeOrdered(N) + one sum over N rows — never a corpus-wide rank
+    * window; the type table materializes once (eager checkpoint) and
+    * feeds every cutoff plus the total.
+    * Output: (vocab_size, covered, total, coverage round(…,6)). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ > 0), "sizes must be positive")
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("n")).as("total"))
+    sizes.sorted.map { k =>
+      counts.orderBy(col("n").desc, col("tk")).limit(k)
+        .agg(sum(col("n")).as("covered"))
+        .select(lit(k.toLong).as("vocab_size"), col("covered"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total"), 6).as("coverage"))
+  }
+
   /** Storage accounting for [[invertedIndex]]: per term, the EXACT
     * Elias-γ-coded size of its delta-encoded postings next to the
     * fixed-width 64-bit baseline — the "will the index fit?" planning

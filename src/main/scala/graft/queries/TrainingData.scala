@@ -1223,6 +1223,33 @@ object TrainingData {
             (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))), 6)
             .as("exact_jaccard"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Mixture materialization: q104's epochs table expanded into the
+    // actual training list — floor full copies + an md5-gated
+    // fractional copy per doc, deterministic engine-wide. Aggregated
+    // per (domain, epoch_ix) so copy-count structure is fully pinned.
+    "q108_epoch_expand" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val epochs = Curation.mixtureEpochs(docs, "lang", "text",
+          weights = Map("en" -> 0.60, "zh" -> 0.15, "de" -> 0.10,
+            "es" -> 0.10, "fr" -> 0.05),
+          budgetTokens = 2000000L)
+        .select(col("domain").as("lang"), col("epochs"))
+      Curation.expandEpochs(docs.select(col("lang"), col("doc_id")),
+          "lang", "doc_id", epochs)
+        .groupBy(col("lang"), col("epoch_ix"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("epoch_ix"))
+    }),
+
+    // Vocabulary coverage curve: corpus-token share of the top-N types
+    // at N = 100 / 1000 / 10000 — bounded TakeOrdered cutoffs, no
+    // corpus-wide rank window.
+    "q109_vocab_coverage" -> ((s, d) => {
+      Relevance.vocabCoverage(t(s, d, "documents"), "text",
+          sizes = Seq(100, 1000, 10000))
+        .orderBy(col("vocab_size"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3338,5 +3365,42 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |LEFT JOIN inter i ON i.src_a = m.src_a AND i.src_b = m.src_b
          |JOIN sizes sa ON sa.source = m.src_a
          |JOIN sizes sb ON sb.source = m.src_b
-         |ORDER BY m.src_a, m.src_b""".stripMargin)
+         |ORDER BY m.src_a, m.src_b""".stripMargin,
+
+    // q108: q104's epochs replayed, then per-doc copies = floor +
+    // (md5-uniform < frac), unnested as epoch indices.
+    "q108_epoch_expand" ->
+      s"""WITH tc AS (SELECT lang AS domain, sum(len($tokensSql))::BIGINT AS n_tokens
+         |            FROM documents GROUP BY 1),
+         |w AS (SELECT * FROM (VALUES ('en', 0.60), ('zh', 0.15), ('de', 0.10),
+         |                           ('es', 0.10), ('fr', 0.05)) t(domain, weight)),
+         |j AS (SELECT tc.domain, tc.n_tokens,
+         |        round(2000000.0 * coalesce(w.weight, 0.0)::DOUBLE)::BIGINT AS target_tokens
+         |      FROM tc LEFT JOIN w USING (domain)),
+         |e AS (SELECT domain AS lang, CASE WHEN n_tokens > 0
+         |        THEN round(target_tokens::DOUBLE / n_tokens, 6) END AS epochs FROM j),
+         |x AS (SELECT d.lang, d.doc_id, e.epochs,
+         |        (floor(e.epochs)::INT +
+         |         CASE WHEN ((('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT::DOUBLE + 1.0)
+         |                    / 1152921504606846976.0) < (e.epochs - floor(e.epochs)::INT)
+         |              THEN 1 ELSE 0 END) AS n
+         |      FROM documents d JOIN e ON d.lang = e.lang
+         |      WHERE e.epochs IS NOT NULL),
+         |u AS (SELECT lang, doc_id, unnest(range(n)) AS epoch_ix FROM x WHERE n > 0)
+         |SELECT lang, epoch_ix::BIGINT AS epoch_ix, count(*)::BIGINT AS n_docs
+         |FROM u GROUP BY 1, 2 ORDER BY lang, epoch_ix""".stripMargin,
+
+    // q109: rank window over the type table (vocab-sized in DuckDB —
+    // the engine side uses bounded TakeOrdered cutoffs instead).
+    "q109_vocab_coverage" ->
+      s"""WITH tc AS (SELECT tk, count(*)::BIGINT AS n FROM (
+         |    SELECT unnest($tokensSql) AS tk FROM documents) GROUP BY tk),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tk) AS rk FROM tc),
+         |tot AS (SELECT sum(n)::BIGINT AS total FROM tc)
+         |SELECT v.vocab_size::BIGINT AS vocab_size,
+         |  (SELECT sum(n) FROM r WHERE rk <= v.vocab_size)::BIGINT AS covered,
+         |  tot.total,
+         |  round((SELECT sum(n) FROM r WHERE rk <= v.vocab_size)::DOUBLE / tot.total, 6) AS coverage
+         |FROM (SELECT unnest([100, 1000, 10000]) AS vocab_size) v CROSS JOIN tot
+         |ORDER BY vocab_size""".stripMargin)
 }

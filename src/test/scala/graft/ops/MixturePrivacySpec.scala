@@ -103,4 +103,27 @@ class MixturePrivacySpec extends SparkTestBase {
     assert(out("xx") === ((20L, 0.0, 0L, Some(0.0), Some(false))),
       "domain absent from the mix: weight 0, zero slice, not upsampled")
   }
+
+  test("expandEpochs: floor copies for everyone, md5-gated fractional copy, zero drops") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 400L).map(i => (s"d$i", if (i < 300) "a" else "b"))
+      .toDF("id", "dom")
+    val epochs = Seq(("a", 2.5), ("b", 0.0)).toDF("dom", "epochs")
+    // join puts the domain key first: (dom, id, epoch_ix)
+    val out = Curation.expandEpochs(docs, "dom", "id", epochs)
+      .collect().map(r => (r.getString(1), r.getString(0), r.getInt(2)))
+    assert(out.forall(_._2 == "a"), "epochs <= 0 drops the domain entirely")
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(perDoc.size === 300, "every doc of an admitted domain appears")
+    assert(perDoc.values.forall(ixs => ixs == (0 until ixs.length)),
+      "epoch_ix is contiguous from 0 per doc")
+    val copies = perDoc.values.map(_.length).toSeq
+    assert(copies.forall(c => c == 2 || c == 3), "floor(2.5)=2 plus at most one more")
+    val three = copies.count(_ == 3)
+    // frac = 0.5: expect ~150 of 300; binomial 3-sigma ≈ 26
+    assert(three > 110 && three < 190, s"~half get the fractional copy, got $three")
+    val again = Curation.expandEpochs(docs.repartition(7), "dom", "id", epochs)
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSet
+    assert(again === out.map(t => (t._1, t._3)).toSet, "pure function of the id")
+  }
 }
