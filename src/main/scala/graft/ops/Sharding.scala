@@ -40,6 +40,34 @@ object Sharding {
   def rendezvousShard(key: Column, nShards: Int): Column =
     rendezvousPick(rendezvousHashes(key, nShards))
 
+  /** Release MANIFEST: the artifact a reproducible corpus release
+    * ships — per rendezvous shard, the doc count, token total, id
+    * range, and an order-insensitive content checksum
+    * (Σ hash60(text) mod p, p = 1e9+7): any consumer can re-derive
+    * the manifest from the shards and byte-verify the release.
+    * Additive-mod checksums are MERGEABLE (sub-shard manifests sum)
+    * and order-free, so the number is partitioning-invariant and the
+    * per-shard accumulator fits a long up to ~9×10⁹ docs per shard.
+    * One projection (assignment is shuffle-free) + one keyed
+    * aggregation. Output: (shard, n_docs, n_tokens, min_id, max_id,
+    * checksum). */
+  def releaseManifest(docs: DataFrame, idCol: String, textCol: String,
+                      nShards: Int): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    val p = 1000000007L
+    docs
+      .select(rendezvousShard(col(idCol), nShards).as("shard"),
+        col(idCol).cast("long").as("id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("tc"),
+        pmod(Sketches.hash60(col(textCol)), lit(p)).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tc")).as("n_tokens"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        pmod(sum(col("h")), lit(p)).as("checksum"))
+  }
+
   /** Resharding audit for growing `nShards` → `nShards`+1: per current
     * shard, how many keys there are, how many move under the grown
     * layout, and how many move anywhere OTHER than the new shard —

@@ -1250,6 +1250,16 @@ object TrainingData {
       Relevance.vocabCoverage(t(s, d, "documents"), "text",
           sizes = Seq(100, 1000, 10000))
         .orderBy(col("vocab_size"))
+    }),
+
+    // Release manifest: per rendezvous shard, counts + id range + an
+    // order-insensitive additive-mod content checksum — the
+    // reproducible-release artifact any consumer can re-derive and
+    // byte-verify; checksums merge across sub-shards.
+    "q110_release_manifest" -> ((s, d) => {
+      Sharding.releaseManifest(t(s, d, "documents"), "doc_id", "text",
+          nShards = 8)
+        .orderBy(col("shard"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3402,5 +3412,22 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |  tot.total,
          |  round((SELECT sum(n) FROM r WHERE rk <= v.vocab_size)::DOUBLE / tot.total, 6) AS coverage
          |FROM (SELECT unnest([100, 1000, 10000]) AS vocab_size) v CROSS JOIN tot
-         |ORDER BY vocab_size""".stripMargin)
+         |ORDER BY vocab_size""".stripMargin,
+
+    // q110: rendezvous assignment replayed + the same additive-mod
+    // checksum (DuckDB sums to HUGEINT, so the outer mod is exact).
+    "q110_release_manifest" ->
+      s"""WITH a AS (SELECT
+         |    list_position(hs, list_max(hs)) - 1 AS shard, doc_id,
+         |    len($tokensSql) AS tc,
+         |    ('0x' || substr(md5(text), 1, 15))::UBIGINT % 1000000007 AS h
+         |  FROM (SELECT doc_id, text,
+         |      list_transform(range(8), s ->
+         |        ('0x' || substr(md5(s::VARCHAR || '|' || doc_id::VARCHAR), 1, 15))::UBIGINT) AS hs
+         |    FROM documents))
+         |SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+         |  sum(tc)::BIGINT AS n_tokens,
+         |  min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id,
+         |  (sum(h) % 1000000007)::BIGINT AS checksum
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin)
 }

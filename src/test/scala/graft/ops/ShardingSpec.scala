@@ -40,6 +40,34 @@ class ShardingSpec extends SparkTestBase {
     assert(audit.map(a => a._1 -> a._2).toMap === direct)
   }
 
+  test("releaseManifest: every doc accounted, checksums order-free and sub-manifest-mergeable") {
+    val docs = (0L until 500L).map(i => (i, s"text body number $i with words"))
+      .toDF("doc_id", "text")
+    val m = Sharding.releaseManifest(docs, "doc_id", "text", nShards = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(m.keySet === (0L until 4L).toSet)
+    assert(m.values.map(_._1).sum === 500L, "every doc in exactly one shard row")
+    assert(m.values.map(_._2).sum === 500L * 6, "6 tokens per doc")
+    val again = Sharding.releaseManifest(docs.repartition(13), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(m === again, "manifest is partitioning-invariant")
+    // mergeability: manifests of two halves combine to the full one
+    // (counts add; checksums add mod p)
+    val p = 1000000007L
+    val lo = Sharding.releaseManifest(docs.filter($"doc_id" < 250), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(5)))).toMap
+    val hi = Sharding.releaseManifest(docs.filter($"doc_id" >= 250), "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(5)))).toMap
+    (0L until 4L).foreach { s =>
+      val (nLo, cLo) = lo.getOrElse(s, (0L, 0L))
+      val (nHi, cHi) = hi.getOrElse(s, (0L, 0L))
+      assert(nLo + nHi === m(s)._1)
+      assert((cLo + cHi) % p === m(s)._3, s"shard $s checksum must merge")
+    }
+  }
+
   test("assignment is a pure projection — no exchange before the audit's single aggregation") {
     val ids = (0L until 100L).toDF("id")
     val assignPlan = ids.select(Sharding.rendezvousShard($"id", 8).as("s"))
