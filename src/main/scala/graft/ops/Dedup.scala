@@ -309,6 +309,76 @@ object Dedup {
         round(col("inter").cast("double") / col("n_b"), 6).as("c_ba"))
   }
 
+  /** Edit-distance verification of LSH candidates: the byte-level
+    * Levenshtein similarity of every MinHash band-bucket candidate
+    * pair, kept when `1 − lev/max(len_a, len_b) ≥ threshold`. Shingle
+    * Jaccard (the usual verifier) is order-insensitive — a document
+    * and its sentence-shuffled copy score high; edit distance is the
+    * order-SENSITIVE verifier that tells real clones from bag-of-words
+    * coincidences.
+    *
+    * Semantics: distance over UTF-8 BYTES, not code points — Spark's
+    * `levenshtein` counts characters, so each text is round-tripped
+    * `encode(UTF-8) → decode(ISO-8859-1)` (one char per byte, never
+    * fails) first; identical on ASCII, and byte-level on CJK, which is
+    * what C-family engines (and the DuckDB oracle) compute. Texts are
+    * truncated to `maxChars` CHARACTERS before the DP: Levenshtein is
+    * O(len²) per pair, so the cap bounds verifier cost no matter what
+    * the corpus holds — at 100 TB the pair count is already bounded by
+    * the LSH banding (candidates only, never all-pairs), and the cap
+    * bounds the per-pair cost.
+    *
+    * Output: (id_a, id_b, lev_bytes, edit_sim @6dp), id_a < id_b. */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.8, k: Int = 16, bands: Int = 4,
+                        shingleSize: Int = 3, maxChars: Int = 4096): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, k, bands, shingleSize)
+    def bytesOf(c: Column): Column =
+      decode(encode(substring(c, 1, maxChars), "UTF-8"), "ISO-8859-1")
+    val texts = df.select(col(idCol).as("id"), bytesOf(col(textCol)).as("bt"))
+    val lev = levenshtein(col("ta"), col("tb"))
+    val maxLen = greatest(length(col("ta")), length(col("tb")), lit(1))
+    val sim = lit(1.0) - lev.cast("double") / maxLen
+    pairs
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("bt", "ta"), Seq("id_a"))
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("bt", "tb"), Seq("id_b"))
+      .filter(sim >= threshold)
+      .select(col("id_a"), col("id_b"), lev.cast("long").as("lev_bytes"),
+        round(sim, 6).as("edit_sim"))
+  }
+
+  /** Winnowing-fingerprint overlap pairs (MOSS): documents sharing at
+    * least `minShared` selected fingerprints
+    * ([[TextOps.winnowingFingerprints]]), with the overlap fraction
+    * `shared / min(|fp_a|, |fp_b|)`. The clone detector at index
+    * scale: the fingerprint index holds ~2/(w+1) of the shingle rows
+    * (4× smaller at w=4 than the q22 shingle index) yet any clone of
+    * `w + n − 1` tokens or longer is guaranteed a shared fingerprint.
+    * Same one-wide-shuffle group-and-pair as every blocking dedup op,
+    * with the hot-fingerprint cap (`maxFpFreq`, 0 = off) bounding the
+    * quadratic group blow-up on boilerplate. */
+  def winnowingOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, w: Int = 4, minShared: Long = 2L,
+                            maxFpFreq: Int = 1024): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+        explode(TextOps.winnowingFingerprints(col(textCol), n, w)).as("fp"))
+    val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
+    val byFp = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val capped =
+      if (maxFpFreq > 0) byFp.filter(size(col("ids")) <= maxFpFreq) else byFp
+    capped
+      .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_fp", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fp", "n_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("overlap"))
+  }
+
   /** MinHash+LSH near-dup detection end-to-end: candidates → exact
     * Jaccard → threshold. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,

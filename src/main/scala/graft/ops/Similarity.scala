@@ -757,6 +757,70 @@ object Similarity {
       .select(col("cluster"), col("dim"), col("n_vecs"),
         round(col("ms").cast("double") / lit(scale.toDouble) / col("n_vecs"), 6).as("c"))
 
+  /** Lloyd-iteration CONVERGENCE AUDIT: `rounds` k-means rounds from
+    * the k lowest-id seeds, reporting per round the inertia (Σ min-d²,
+    * in exact micro-units), the number of vectors that changed cluster
+    * vs the previous round, and the number of non-empty clusters. The
+    * "is the codebook done?" table: inertia must fall monotonically
+    * (Lloyd guarantees it), reassignments must dwindle — a codebook
+    * trained until this audit flattens is defensible; one trained for
+    * "4 iterations because 4" is folklore. [[trainCodebook]] trains;
+    * this MEASURES, with every number oracle-replayable.
+    *
+    * Determinism discipline (the difference from [[trainCodebook]],
+    * whose float-sum means are partition-order-sensitive): the M-step
+    * is [[clusterCentroids]] — exact micro-unit integer sums, round 6
+    * — cast to float (IEEE round-to-nearest, identical in any engine);
+    * inertia is summed as per-row `round(d² × 1e6)` LONGS (order-free);
+    * empty clusters keep their previous centroid. Per round: one
+    * assignment projection (per-row argmin kernel, no corpus×codebook
+    * join), one broadcast join for d², one map-combined centroid
+    * aggregation, one id-keyed join for the reassignment count — only
+    * scalar aggregates and codebook-sized frames reach the driver. */
+  def kmeansAudit(df: DataFrame, k: Int, rounds: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val session = df.sparkSession
+    import session.implicits._
+    var codebook: DataFrame = df.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col(embCol))
+      .localCheckpoint(true)
+    var prevAssign: DataFrame = null
+    val audit = collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val assigned = ivfAssign(df, codebook, idCol, embCol)
+        .select(col(idCol), col(embCol), col("cluster"))
+        .localCheckpoint(true)
+      val cb = broadcast(codebook
+        .select(col("cid").as("cluster"), col(embCol).as("__c")))
+      val d2 = dotUdf(col(embCol), col(embCol)) -
+        lit(2.0) * dotUdf(col(embCol), col("__c")) +
+        dotUdf(col("__c"), col("__c"))
+      val stats = assigned.join(cb, Seq("cluster"))
+        .agg(sum(round(d2 * lit(scale.toDouble), 0).cast("long")).as("inertia"),
+          countDistinct(col("cluster")).as("nc")).head()
+      val inertia = stats.getLong(0)
+      val nClusters = stats.getLong(1)
+      val moved =
+        if (prevAssign == null) -1L
+        else assigned.select(col(idCol), col("cluster"))
+          .join(prevAssign.select(col(idCol), col("cluster").as("__pc")), Seq(idCol))
+          .filter(col("cluster") =!= col("__pc")).count()
+      audit += ((r.toLong, inertia, moved, nClusters))
+      prevAssign = assigned
+      if (r < rounds) {
+        val next = clusterCentroids(assigned, "cluster", embCol, scale)
+          .select(col("cluster").as("cid"),
+            transform(col("centroid"), _.cast("float")).as("__nc"))
+        codebook = codebook.join(next, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("__nc"), col(embCol)).as(embCol))
+          .localCheckpoint(true)
+      }
+    }
+    audit.toSeq.toDF("round", "inertia_micro", "n_reassigned", "n_clusters")
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space coarsely (IVF codebook), find cosine-near
     * duplicates WITHIN each cluster only, close them into components

@@ -199,4 +199,93 @@ object Stats {
         ((col("bin") + 1) * binWidth - 1).as("bin_hi"),
         col("cum"), col("n"))
   }
+
+  /** Per-group cumulative distribution of an (integer-valued) score —
+    * `CUME_DIST() OVER (PARTITION BY group ORDER BY value)` — WITHOUT a
+    * per-group sort of the corpus. The quantile-normalization
+    * primitive: heterogeneous sources score on incomparable raw scales
+    * (one crawl's "good" is another's median), so selection gates
+    * calibrate per source — "top 20% of each source", not one global
+    * raw threshold.
+    *
+    * Scale shape: a corpus-wide window partitioned by source is the
+    * classic skew killer (one partition per source — a 100 TB corpus
+    * has FEW sources, each huge). Instead the corpus aggregates to
+    * (group, value) counts — bounded by groups × |score range|, tiny
+    * for any discretized score — the cumulative/total window runs on
+    * THAT frame, and the per-row cume_dist comes back via a broadcast
+    * join. The corpus is touched by one map-combined aggregation and
+    * one broadcast join: no corpus sort, no skewed window, identical
+    * values (cume_dist is tie-insensitive: every row with the same
+    * (group, value) shares `cum ≤ value / n_group`).
+    *
+    * Output: the input plus `cume_dist` (round 6). `valueCol` should
+    * be discrete (ints, a milli-scaled score): the aggregate frame is
+    * |distinct values| per group. */
+  def groupedCumeDist(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__n"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(groupCol))
+    val cd = counts
+      .withColumn("__cum", sum(col("__n")).over(cumW))
+      .withColumn("__tot", sum(col("__n")).over(totW))
+      .select(col(groupCol), col(valueCol),
+        round(col("__cum").cast("double") / col("__tot"), 6).as("cume_dist"))
+    df.join(broadcast(cd), Seq(groupCol, valueCol))
+  }
+
+  /** Source-balance audit: the Lorenz curve of `weightCol` mass over
+    * `groupCol` (per-group share and cumulative share in ascending
+    * weight order) with the Gini coefficient and Shannon entropy as
+    * summary columns — the "is this mixture dominated by one source?"
+    * table a pipeline publishes before fixing mixture weights. A
+    * 100 TB corpus with gini → 1 is one source wearing a corpus
+    * costume; entropy (in nats) is the effective-source-count lens on
+    * the same question (e^H ≈ how many sources it behaves as).
+    *
+    * Scale shape: the corpus is touched by ONE map-combined sum per
+    * group; everything after runs on the group-sized frame (sources,
+    * domains — bounded), so the unpartitioned rank window is safe by
+    * construction. Determinism: Gini's numerator Σ (2·rank − n − 1)·wᵢ
+    * is exact integer arithmetic on long weights (order-free); entropy
+    * terms are rounded to micro-nats BEFORE the sum (order-free long
+    * sum), leaving no float-summation order anywhere.
+    *
+    * Output: one row per group — (group, weight, share, cum_share,
+    * rank) ordered ascending by (weight, group), plus the constant
+    * (gini, entropy_nats) columns (round 6). */
+  def balanceAudit(df: DataFrame, groupCol: String,
+                   weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("weight"))
+    // bounded frame from here on: one row per group
+    val ord = Window.orderBy(col("weight"), col(groupCol))
+    val ranked = w
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_w",
+        sum(col("weight")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val share = col("weight").cast("double") / col("total")
+    val summary = ranked
+      .agg(count(lit(1)).as("n"), sum(col("weight")).as("total"),
+        sum((lit(2) * col("rank") - lit(1)) * col("weight")).as("g_num"))
+    val withTotals = ranked.crossJoin(broadcast(summary))
+    val entropy = withTotals
+      .agg((sum(round(-share * log(share) * lit(1000000.0), 0).cast("long"))
+        .cast("double") / lit(1000000.0)).as("h"))
+    withTotals.crossJoin(broadcast(entropy))
+      .select(col(groupCol), col("weight"),
+        round(share, 6).as("share"),
+        round(col("cum_w").cast("double") / col("total"), 6).as("cum_share"),
+        col("rank").cast("long").as("rank"),
+        // Gini = Σ(2i − n − 1)wᵢ / (n Σw): exact integer numerator
+        round((col("g_num") - (col("n") + 1) * col("total")).cast("double") /
+          (col("n") * col("total")), 6).as("gini"),
+        round(col("h"), 6).as("entropy_nats"))
+  }
 }

@@ -59,6 +59,32 @@ object TextOps {
   def distinctShingles(text: Column, n: Int): Column =
     call_function("graft_shingles", text, lit(n))
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    * algorithm): hash every ORDERED `n`-gram shingle to a u32 (first 8
+    * md5 hex chars — engine-portable), slide a window of `w`
+    * consecutive hashes and keep each window's minimum; the distinct
+    * selected hashes are the document's fingerprint set, returned
+    * sorted. Guarantees of the scheme: any shared run of `w + n − 1`
+    * tokens between two documents yields at least one SHARED
+    * fingerprint, while expected density is only 2/(w+1) of the
+    * shingle count — the index over fingerprints is ~4× smaller than
+    * the full shingle index at w=4 and still cannot miss a
+    * sufficiently long clone. Documents with fewer than `w` shingles
+    * contribute the minimum of what they have (one window over all);
+    * documents with no shingles (< `n` tokens) return null.
+    *
+    * Pure column composition (md5 / slice / array_min built-ins) —
+    * stays inside whole-stage codegen; cost O(shingles × w) per row. */
+  def winnowingFingerprints(text: Column, n: Int = 3, w: Int = 4): Column = {
+    val hs = transform(shingles(text, n),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val m = size(hs)
+    when(m >= 1,
+      sort_array(array_distinct(
+        transform(sequence(lit(0), greatest(m - w, lit(0))),
+          i => array_min(slice(hs, i + 1, lit(w)))))))
+  }
+
   /** Quality metrics (length / punctuation / stopword ratios — the
     * standard pre-training quality heuristics). `stopwords` doubles as
     * the language profile. */
@@ -166,4 +192,47 @@ object TextOps {
     * h = Σ h*31 + crc32(token), in 64-bit arithmetic. */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + crc32(t))
+
+  /** URL canonicalization — the key-normalization step of URL-level
+    * dedup (the cheapest dedup a web corpus runs, before any content
+    * hashing: the same page crawled via `HTTP://WWW.Site.com:80/a/?utm_
+    * source=feed#top` and `http://site.com/a` must collide). Rules, in
+    * order:
+    *  - scheme and host lowercase; userinfo (`user@`) stripped;
+    *  - default port stripped (`:80` for http, `:443` for https);
+    *  - leading `www.` stripped;
+    *  - fragment (`#…`) stripped;
+    *  - trailing slashes trimmed from the path; empty path → `/`;
+    *  - query parameters: tracking params dropped (any param matching
+    *    a `dropParamPrefixes` prefix — `utm_*`, `fbclid=…`, `gclid=…`,
+    *    `ref=…` by default), the rest SORTED bytewise and rejoined, so
+    *    parameter order never splits a dup group.
+    *
+    * Pure column composition (regexp / split / array built-ins — stays
+    * inside whole-stage codegen); non-URL input degrades gracefully
+    * (no scheme → empty scheme, the rest of the rules still apply). */
+  def canonicalUrl(url: Column,
+                   dropParamPrefixes: Seq[String] =
+                     Seq("utm_", "fbclid=", "gclid=", "ref=")): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noFrag = substring_index(rest, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val auth = substring_index(base, "/", 1)
+    val path = base.substr(length(auth) + 1, length(base))
+    val hostPort = lower(regexp_replace(auth, "^[^@]*@", ""))
+    val noPort =
+      when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+        .otherwise(hostPort)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val trimmed = regexp_replace(path, "/+$", "")
+    val cPath = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && dropParamPrefixes.map(pre => !p.startsWith(pre)).reduce(_ && _))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, cPath,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
 }

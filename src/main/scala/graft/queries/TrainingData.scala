@@ -1260,6 +1260,51 @@ object TrainingData {
       Sharding.releaseManifest(t(s, d, "documents"), "doc_id", "text",
           nShards = 8)
         .orderBy(col("shard"))
+    }),
+
+    // Edit-distance verification of LSH candidates: byte-level
+    // Levenshtein similarity on the q23 band-bucket pairs — the
+    // order-SENSITIVE verifier (a sentence-shuffled copy passes
+    // Jaccard, fails this). Cost is bounded twice: pairs by LSH
+    // banding, per-pair DP by the maxChars cap.
+    "q111_edit_verify" -> ((s, d) => {
+      Dedup.editVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Winnowing (MOSS) fingerprint overlap: window-min-selected shingle
+    // hashes — a 4×-smaller index than full shingles that still
+    // guarantees any ≥ w+n−1-token clone shares a fingerprint.
+    "q112_winnowing" -> ((s, d) => {
+      Dedup.winnowingOverlapPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, w = 4, minShared = 2L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Per-source calibrated quality: CUME_DIST of an integer stopword
+    // score WITHOUT a corpus window — (source, score) aggregation +
+    // broadcast join back; "top 20% of each source" selection.
+    "q113_calibrated_quality" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val stop = array(TextOps.DefaultProfiles.head._2.map(lit): _*)
+      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+        (lit(1000) * size(filter(toks, tk => array_contains(stop, tk))) /
+          greatest(size(toks), lit(1))).cast("long").as("score_milli"))
+      Stats.groupedCumeDist(scored, "source", "score_milli")
+        .withColumn("selected", col("cume_dist") >= 0.8)
+        .select(col("doc_id"), col("source"), col("score_milli"),
+          col("cume_dist"), col("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Lloyd k-means convergence audit: 3 rounds from the 8 lowest-id
+    // seeds — per-round exact micro-unit inertia (must fall),
+    // reassignment count (must dwindle), live clusters. The "is the
+    // codebook done?" table, every number oracle-replayed.
+    "q114_kmeans_audit" -> ((s, d) => {
+      Similarity.kmeansAudit(t(s, d, "embeddings"), k = 8, rounds = 3)
+        .orderBy(col("round"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3429,5 +3474,134 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |  sum(tc)::BIGINT AS n_tokens,
          |  min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id,
          |  (sum(h) % 1000000007)::BIGINT AS checksum
-         |FROM a GROUP BY shard ORDER BY shard""".stripMargin)
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q111: q23's band CTEs for the candidates, then BYTE-level
+    // Levenshtein (DuckDB's levenshtein is byte-based on UTF-8; the
+    // Spark side matches it via the UTF-8 → ISO-8859-1 round-trip).
+    // strlen = byte length, substr = char-based truncation, both
+    // mirroring the engine exactly.
+    "q111_edit_verify" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |tt AS (SELECT doc_id, substr(text, 1, 4096) AS tx FROM documents),
+         |lv AS (
+         |  SELECT id_a, id_b, levenshtein(ta.tx, tb.tx) AS lev,
+         |    greatest(strlen(ta.tx), strlen(tb.tx), 1) AS ml
+         |  FROM cand JOIN tt ta ON id_a = ta.doc_id JOIN tt tb ON id_b = tb.doc_id)
+         |SELECT id_a, id_b, lev::BIGINT AS lev_bytes,
+         |  round(1.0 - lev::DOUBLE / ml, 6) AS edit_sim
+         |FROM lv WHERE 1.0 - lev::DOUBLE / ml >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q112: winnowing replayed — ordered trigram u32 hashes, window
+    // minima over w=4 (one window when fewer than w shingles), distinct
+    // selected hashes, then the q103-style capped fingerprint join.
+    "q112_winnowing" ->
+      s"""WITH gr AS (
+         |  SELECT doc_id, list_transform(range(greatest(len($tokensSql) - 2, 0)),
+         |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3]) AS gs
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_transform(gs, g ->
+         |    ('0x' || substr(md5(g), 1, 8))::UBIGINT::BIGINT) AS h
+         |  FROM gr WHERE len(gs) >= 1),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id, unnest(list_transform(range(greatest(len(h) - 4, 0) + 1),
+         |      i -> list_min(h[i+1:i+4]))) AS fp
+         |    FROM hs)),
+         |sizes AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+         |ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1024),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.fp = ok.fp GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  round(n_shared::DOUBLE / least(s1.nf, s2.nf), 6) AS overlap
+         |FROM pairs JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+         |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // q113: CUME_DIST itself is the oracle — tie-insensitive, so the
+    // engine's aggregation + broadcast-join-back form must agree
+    // value-for-value. Integer milli score: occurrence-counted
+    // stopword hits, floor division in both engines.
+    "q113_calibrated_quality" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    ((1000 * len(list_filter($tokensSql,
+         |        t -> list_contains(['the','and','of','to','in','is','that','for','with','a'], t))))
+         |      // greatest(len($tokensSql), 1))::BIGINT AS score_milli
+         |  FROM documents)
+         |SELECT doc_id, source, score_milli,
+         |  round(CUME_DIST() OVER (PARTITION BY source ORDER BY score_milli), 6) AS cume_dist,
+         |  round(CUME_DIST() OVER (PARTITION BY source ORDER BY score_milli), 6) >= 0.8 AS selected
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q114: three Lloyd rounds replayed verbatim — argmin assignment
+    // (d2, cid tie-break), micro-unit centroid update with the q86
+    // arithmetic plus the ::REAL cast (the engine ships float
+    // codebooks), inertia as Σ round(d2·1e6)::BIGINT (order-free),
+    // reassignments via the a{r}×a{r-1} id join. MATERIALIZED keeps
+    // the chain linear (the q79 lesson).
+    "q114_kmeans_audit" -> {
+      def roundCtes(r: Int, last: Boolean): String = {
+        val assign =
+          s"""d$r AS MATERIALIZED (
+             |  SELECT e.vec_id, c.cid,
+             |    list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+             |      + list_dot_product(c.cv, c.cv) AS d2
+             |  FROM e CROSS JOIN cb${r - 1} c),
+             |a$r AS MATERIALIZED (
+             |  SELECT vec_id, cid, d2 FROM (
+             |    SELECT vec_id, cid, d2,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             |    FROM d$r) WHERE rn = 1)""".stripMargin
+        val update =
+          s""",
+             |u$r AS MATERIALIZED (
+             |  SELECT cid, list(cc ORDER BY dim) AS cv FROM (
+             |    SELECT a.cid, s.i AS dim,
+             |      CAST(CAST(round(sum(round(s.x * 1000000))::BIGINT / 1000000.0 / count(*), 6)
+             |        AS REAL) AS DOUBLE) AS cc
+             |    FROM (SELECT vec_id,
+             |            unnest(list_transform(range(len(v)), i -> {'i': i, 'x': v[i+1]})) AS s
+             |          FROM e) q
+             |    JOIN a$r a USING (vec_id)
+             |    GROUP BY a.cid, s.i) t
+             |  GROUP BY cid),
+             |cb$r AS MATERIALIZED (
+             |  SELECT o.cid, coalesce(u.cv, o.cv) AS cv
+             |  FROM cb${r - 1} o LEFT JOIN u$r u USING (cid))""".stripMargin
+        if (last) assign else assign + update
+      }
+      def auditRow(r: Int): String = {
+        val moved =
+          if (r == 1) "(-1)::BIGINT"
+          else s"""(SELECT count(*)::BIGINT FROM a$r x JOIN a${r - 1} p
+                  | ON x.vec_id = p.vec_id AND x.cid <> p.cid)""".stripMargin
+        s"""SELECT $r::BIGINT AS round,
+           |  (SELECT sum(round(d2 * 1000000)::BIGINT)::BIGINT FROM a$r) AS inertia_micro,
+           |  $moved AS n_reassigned,
+           |  (SELECT count(DISTINCT cid)::BIGINT FROM a$r) AS n_clusters""".stripMargin
+      }
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cb0 AS MATERIALIZED (
+         |  SELECT vec_id::BIGINT AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         |${(1 to 3).map(r => roundCtes(r, r == 3)).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 3).map(auditRow).mkString("\nUNION ALL\n")}
+         |) ORDER BY round""".stripMargin
+    })
 }

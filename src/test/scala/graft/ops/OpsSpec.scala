@@ -106,6 +106,34 @@ class TextOpsSpec extends SparkTestBase {
       .collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
+
+  test("winnowingFingerprints: shared-run guarantee, density, short-doc and empty cases") {
+    // two documents sharing a run of w + n - 1 = 6 tokens MUST share a fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"$shared nine ten eleven twelve thirteen fourteen"),
+      (3L, "ab"),          // 1 token -> no trigram shingles -> null
+      (4L, "p q r"),       // exactly one shingle (< w) -> one window over all
+      (5L, "completely different content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextOps.winnowingFingerprints($"text", 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_ => r.getSeq[Long](1).toSeq)).toMap
+    assert(fps(3L).isEmpty, "no shingles -> null")
+    assert(fps(4L).exists(_.length === 1), "fewer than w shingles -> the single min")
+    val a = fps(1L).get.toSet
+    val b = fps(2L).get.toSet
+    assert(a.intersect(b).nonEmpty, "w+n-1 shared tokens guarantee a shared fingerprint")
+    assert(a.intersect(fps(5L).get.toSet).isEmpty, "disjoint docs share nothing")
+    // selected fingerprints are a subset of the doc's shingle hashes, sorted distinct
+    fps(1L).get.zip(fps(1L).get.tail).foreach { case (x, y) => assert(x < y) }
+    // density: selection strictly shrinks the set for a long doc
+    val longDoc = Seq((1 to 200).map(i => s"tk$i").mkString(" ")).toDF("text")
+    val nFp = longDoc.select(size(TextOps.winnowingFingerprints($"text", 3, 4))).head.getInt(0)
+    val nSh = longDoc.select(size(TextOps.shingles($"text", 3))).head.getInt(0)
+    assert(nFp < nSh / 2, s"winnowing keeps ~2/(w+1) of $nSh shingles, got $nFp")
+  }
 }
 
 class DedupSpec extends SparkTestBase {
@@ -553,6 +581,59 @@ class DedupSpec extends SparkTestBase {
     // cap = 1 drops every shared shingle (each appears in >= 2 docs)
     val capped = Dedup.containmentPairsBlocked(docs, "doc_id", "text", 0.9,
       maxShingleFreq = 1)
+    assert(capped.count() === 0L)
+  }
+
+  test("editVerifiedPairs is order-sensitive where Jaccard is not") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shuffled = (1 to 30).reverse.map(i => s"w$i").mkString(" ")
+    val nearClone = base.replace("w17", "w17x")
+    val docs = Seq((1L, base), (2L, shuffled), (3L, nearClone),
+      (4L, "unrelated words that never match anything else at all"))
+      .toDF("doc_id", "text")
+    // bag-of-words identical: the shuffled copy passes the Jaccard verifier
+    val jac = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.8,
+        shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.contains((1L, 2L)), "unigram Jaccard cannot see token order")
+    // edit distance separates the clone from the shuffle (bands=16 ->
+    // single-hash bands: one shared minhash value makes a candidate,
+    // so near-identical unigram sets are deterministically candidates)
+    val ed = Dedup.editVerifiedPairs(docs, "doc_id", "text", threshold = 0.8,
+        k = 16, bands = 16, shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(ed.contains((1L, 3L)), "one-token edit survives the 0.8 gate")
+    assert(ed((1L, 3L))._1 === 1L, "exactly one byte inserted")
+    assert(!ed.contains((1L, 2L)), "sentence-shuffled copy fails the order-sensitive gate")
+    // byte-level semantics: a CJK char substitution costs its UTF-8
+    // bytes (中 E4B8AD -> 文 E69687: all three differ), not 1
+    val ws = (1 to 30).map(i => s"v$i").mkString(" ")
+    val cjk = Seq((1L, s"$ws 中"), (2L, s"$ws 文"), (3L, s"$ws 中"))
+      .toDF("doc_id", "text")
+    val lev = Dedup.editVerifiedPairs(cjk, "doc_id", "text", threshold = 0.8,
+        k = 16, bands = 16, shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(lev((1L, 3L)) === 0L)
+    assert(lev((1L, 2L)) === 3L, "3-byte CJK substitution = 3 byte edits")
+  }
+
+  test("winnowingOverlapPairs: clones pair up, partitioning-invariant, cap bounds hot fingerprints") {
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, body + " tail extra words"),
+      (3L, "another corpus entirely with its own distinct vocabulary here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowingOverlapPairs(docs, "doc_id", "text", n = 3, w = 4,
+        minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1L, 2L)))
+    assert(got.head._4 === 1.0, "every fingerprint of the prefix doc is shared")
+    val again = Dedup.winnowingOverlapPairs(docs.repartition(7), "doc_id", "text",
+        3, 4, 2L).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq === got.toSeq)
+    // a fingerprint shared by every doc is dropped at cap 1 -> no pairs
+    val capped = Dedup.winnowingOverlapPairs(docs, "doc_id", "text", 3, 4, 2L,
+      maxFpFreq = 1)
     assert(capped.count() === 0L)
   }
 }
@@ -1096,6 +1177,32 @@ class SimilaritySpec extends SparkTestBase {
     val sampled = Similarity.seedCodebookFarthest(corpus, k = 3, sampleSize = 100)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(sampled === seeds, "sample ⊇ corpus -> sampled == exact")
+  }
+
+  test("kmeansAudit: inertia falls monotonically, reassignments dwindle, converged run reports zero moves") {
+    // two tight blobs keyed by id parity, so the two lowest-id seeds
+    // start one per blob; k=2 then converges in round 1 and stays put
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i, Array(base + (i / 2) * 0.01f, base - (i / 2) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val audit = Similarity.kmeansAudit(vecs, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(audit.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(audit.head._3 === -1L, "round 1 has no previous assignment")
+    // Lloyd guarantee: inertia never increases round over round
+    audit.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"inertia rose: ${a._2} -> ${b._2}")
+    }
+    // seeds 0 and 1 both sit in blob A; the update must pull one
+    // centroid to blob B, then the assignment is stable
+    assert(audit.last._3 === 0L, "converged: no reassignments in the final round")
+    assert(audit.last._4 === 2L, "both clusters alive")
+    assert(audit.last._2 < audit.head._2, "separating the blobs cut inertia")
+    // partitioning invariance: exact integer micro-units end to end
+    val again = Similarity.kmeansAudit(vecs.repartition(7), k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === audit.toSeq)
   }
 }
 

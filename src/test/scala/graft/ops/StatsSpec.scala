@@ -115,4 +115,30 @@ class StatsSpec extends SparkTestBase {
       .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
     assert(qs === Map(0.1 -> -2L, 1.0 -> 1L))
   }
+
+  test("groupedCumeDist equals the window CUME_DIST, per group, tie-correct") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 5L),
+      ("b", 10L), ("b", 10L), ("b", 10L)).toDF("g", "v")
+    val got = Stats.groupedCumeDist(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // hand-computed: group a has 4 rows (1,1,2,5); group b all-ties
+    assert(got(("a", 1L)) === 0.5, "both tied rows share cum<=v / n")
+    assert(got(("a", 2L)) === 0.75)
+    assert(got(("a", 5L)) === 1.0)
+    assert(got(("b", 10L)) === 1.0, "an all-tie group is all 1.0")
+    // the window-function reference agrees value for value
+    val ref = df.selectExpr("g", "v",
+        "round(CUME_DIST() OVER (PARTITION BY g ORDER BY v), 6) AS cd")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === ref)
+    // row multiplicity is preserved (join back fans out to every input row)
+    assert(Stats.groupedCumeDist(df, "g", "v").count() === 7L)
+    // plan shape: the corpus is never window-sorted — the only Window
+    // runs on the aggregated (g, v) frame after one aggregation
+    val plan = Stats.groupedCumeDist(df, "g", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "cume frame comes back via a broadcast join")
+  }
 }
