@@ -166,6 +166,46 @@ object Bpe {
         Seq("__neg", "token"), partitions = 0, persist = false)
       .select(col("row_ix").as("token_id"), col("token"), col("n"))
 
+  /** Tokenizer FERTILITY audit: per group (source, language, domain)
+    * the bytes-per-subword-token and subwords-per-word of a merge
+    * table over the corpus — the number that decides whether a
+    * tokenizer is fair to a language (a vocab trained on English
+    * fragments CJK/underrepresented scripts into many more tokens per
+    * byte: same text budget, less content). Published per source
+    * BEFORE committing a vocabulary to a 100 TB tokenization run.
+    *
+    * Scale shape: the corpus is touched by ONE token explode into a
+    * (group, word-type) count frame; the BPE kernel then segments each
+    * TYPE once (types ≪ tokens — Zipf), and everything aggregates
+    * map-combined. Byte counts are UTF-8 (`length(encode(...))` —
+    * octet semantics in any engine); `n_bytes` counts word content
+    * bytes only (whitespace is not the tokenizer's to spend).
+    *
+    * Output per group: (group, n_word_tokens, n_word_types, n_bytes,
+    * n_subwords, bytes_per_subword, subwords_per_word), ratios round 6. */
+  def fertilityAudit(docs: DataFrame, groupCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val wc = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(!col("w").contains(Sep))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("cnt"))
+    wc
+      .withColumn("n_sub", size(subwordTokens(col("w"), merges)))
+      .withColumn("n_byt", length(encode(col("w"), "UTF-8")).cast("long"))
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_word_tokens"),
+        count(lit(1)).as("n_word_types"),
+        sum(col("cnt") * col("n_byt")).as("n_bytes"),
+        sum(col("cnt") * col("n_sub")).as("n_subwords"))
+      .select(col("grp").as(groupCol), col("n_word_tokens"),
+        col("n_word_types"), col("n_bytes"), col("n_subwords"),
+        round(col("n_bytes").cast("double") / col("n_subwords"), 6)
+          .as("bytes_per_subword"),
+        round(col("n_subwords").cast("double") / col("n_word_tokens"), 6)
+          .as("subwords_per_word"))
+  }
+
   /** UTF-8 byte comparison — what Spark's UTF8String sort and SQL
     * engines compare, and identical to code-POINT order; Java String's
     * compareTo (UTF-16 units) would diverge from the distributed path

@@ -132,6 +132,69 @@ object Dedup {
         (coalesce(col("n_bench_matches"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** The PUBLISHED MinHash index of a corpus: one row per (band,
+    * bucket) membership carrying the full signature — the artifact an
+    * INCREMENTAL ingestion pipeline persists (bucketed/partitioned by
+    * (band, bucket)) so that tomorrow's batch deduplicates against
+    * yesterday's corpus WITHOUT re-scanning a byte of old text. The
+    * signature rides along so candidate verification needs no
+    * old-corpus lookup either (see [[dedupAgainstIndex]]); the bands×
+    * corpus row multiplication is the standard storage trade for a
+    * join-ready index. */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, bands: Int = 4,
+                       shingleSize: Int = 3): DataFrame =
+    minhashSignatures(df, idCol, textCol, k, shingleSize)
+      .select(col("id").as("doc_id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+  /** Incremental near-dup screening of a NEW batch against a published
+    * [[minhashBandIndex]] — the 100 TB ingestion story: the old corpus
+    * is represented ONLY by its index rows (bands + signatures), so
+    * screening a day's batch costs one signature pass over the batch
+    * plus one join against the index, never a re-scan of the
+    * accumulated corpus. Verification is signature-estimated Jaccard
+    * (matching components / k — the standard unbiased MinHash
+    * estimate), so it too reads no old text.
+    *
+    * Output: one row per new doc (absence is not silence) —
+    * (new_id, n_dup_matches = old docs with est ≥ threshold,
+    * dup_of = smallest such old id or null, est_jaccard = best
+    * estimate or null, is_dup). New docs whose batch ids collide with
+    * index ids are the caller's contract to avoid. */
+  def dedupAgainstIndex(newBatch: DataFrame, index: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val newRows = minhashBandIndex(newBatch, idCol, textCol, k, bands,
+        shingleSize)
+      .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
+        col("band"), col("bucket"))
+    val est = (aggregate(
+      zip_with(col("new_sig"), col("old_sig"), (a, b) => (a === b).cast("int")),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(k)).as("est")
+    val hits = newRows
+      .join(index.select(col("band"), col("bucket"),
+        col("doc_id").as("old_id"), col("sig").as("old_sig")),
+        Seq("band", "bucket"))
+      // same (new, old) pair via several bands → one candidate row;
+      // est is pair-determined, so max() just deduplicates it
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(max(est).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_dup_matches"), min(col("old_id")).as("dup_of"),
+        round(max(col("est_jaccard")), 6).as("est_jaccard"))
+    newBatch.select(col(idCol).as("new_id"))
+      .join(hits, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        col("dup_of"), col("est_jaccard"),
+        (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
+  }
+
   /** LSH PARAMETER AUDIT: measured precision/recall of MinHash banding
     * against exact n-gram Jaccard ground truth, one row per band
     * configuration. Dedup quality is a bands/rows trade-off (more

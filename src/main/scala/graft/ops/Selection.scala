@@ -309,4 +309,42 @@ object Selection {
         max(col("xv")).as("x_max"), min(col("yv")).as("y_min"),
         max(col("yv")).as("y_max"))
   }
+
+  /** Quantile-ensemble quality score: each signal column is mapped to
+    * its corpus-wide CUME_DIST and the ensemble score is the MEAN of
+    * those quantiles — rank aggregation, the standard fix for
+    * combining quality signals with incomparable scales and outliers
+    * (a raw weighted sum lets one heavy-tailed signal dominate; in
+    * quantile space every signal votes in [0, 1]). Signals must be
+    * "higher is better" (negate a badness score first) and DISCRETE
+    * (ints / milli-scaled ratios): the per-signal frame is its
+    * distinct-value histogram.
+    *
+    * Scale shape, per signal: one map-combined (value → count)
+    * aggregation, the cumulative window over THAT bounded frame, and a
+    * broadcast join back — the [[Stats.groupedCumeDist]] trick, never
+    * a corpus-wide rank/sort. k signals cost k broadcast joins on one
+    * corpus pass.
+    *
+    * Output: the input plus `q_<signal>` per signal (round 6) and
+    * `ensemble_score` = round(mean of the q's, 6). */
+  def ensembleCumeDist(df: DataFrame, signalCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(signalCols.nonEmpty, "need at least one signal column")
+    val out = signalCols.foldLeft(df) { (acc, s) =>
+      val counts = df.groupBy(col(s)).agg(count(lit(1)).as("__n"))
+      val cumW = Window.orderBy(col(s))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cd = counts
+        .withColumn("__cum", sum(col("__n")).over(cumW))
+        .withColumn("__tot", sum(col("__n")).over(
+          Window.partitionBy()))
+        .select(col(s),
+          round(col("__cum").cast("double") / col("__tot"), 6).as(s"q_$s"))
+      acc.join(broadcast(cd), Seq(s))
+    }
+    out.withColumn("ensemble_score",
+      round(signalCols.map(s => col(s"q_$s")).reduce(_ + _) /
+        lit(signalCols.size.toDouble), 6))
+  }
 }

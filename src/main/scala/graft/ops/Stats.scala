@@ -283,8 +283,9 @@ object Stats {
         round(share, 6).as("share"),
         round(col("cum_w").cast("double") / col("total"), 6).as("cum_share"),
         col("rank").cast("long").as("rank"),
-        // Gini = Σ(2i − n − 1)wᵢ / (n Σw): exact integer numerator
-        round((col("g_num") - (col("n") + 1) * col("total")).cast("double") /
+        // Gini = Σ(2i − n − 1)wᵢ / (n Σw); with g_num = Σ(2i − 1)wᵢ the
+        // numerator folds to g_num − n·Σw. Exact integer arithmetic.
+        round((col("g_num") - col("n") * col("total")).cast("double") /
           (col("n") * col("total")), 6).as("gini"),
         round(col("h"), 6).as("entropy_nats"))
   }

@@ -1305,6 +1305,84 @@ object TrainingData {
     "q114_kmeans_audit" -> ((s, d) => {
       Similarity.kmeansAudit(t(s, d, "embeddings"), k = 8, rounds = 3)
         .orderBy(col("round"))
+    }),
+
+    // URL-level dedup: canonicalization (scheme/host case, default
+    // port, www, fragment, trailing slash, tracking params, param
+    // order) collapses crawl-variant URLs into dup groups. The
+    // documents table has no URL column, so both engines BUILD the
+    // same messy synthetic URL from doc_id — the canonicalizer, not
+    // the data, is what the oracle checks.
+    "q115_url_dedup" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(
+        lit("HTTP://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Example-"), (id % 7).cast("string"), lit(".COM"),
+        when(id % 2 === 0, lit(":80")).otherwise(lit("")),
+        lit("/path/"), (id % 50).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (id % 5).cast("string"), lit("&a=1"),
+        when(id % 6 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+        lit("#frag"))
+      val canon = t(s, d, "documents")
+        .select(id, TextOps.canonicalUrl(url).as("canonical_url"))
+      val groups = canon.groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("rep_id"))
+      canon.join(groups, Seq("canonical_url"))
+        .select(col("doc_id"), col("canonical_url"), col("n_dups"),
+          (col("doc_id") === col("rep_id")).as("is_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source-balance audit: Lorenz curve + Gini + entropy of the
+    // per-source token mass — the "is the mixture dominated?" table.
+    "q116_source_balance" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("w"))
+      Stats.balanceAudit(docs, "source", "w").orderBy(col("rank"))
+    }),
+
+    // Incremental dedup against the PUBLISHED MinHash index: batch =
+    // doc_id % 5 == 0, corpus = the rest; the old corpus is
+    // represented only by its (band, bucket, sig) index rows —
+    // verification is signature-estimated Jaccard, no old text read.
+    "q117_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = Dedup.minhashBandIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 5 === 0), index,
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("new_id"))
+    }),
+
+    // Tokenizer fertility per source: bytes-per-subword and
+    // subwords-per-word of a 256-merge table, computed over word
+    // TYPES (Zipf: types ≪ tokens), one corpus explode.
+    "q118_fertility" -> ((s, d) => {
+      Bpe.fertilityAudit(t(s, d, "documents"), "source", "text",
+          Bpe.syntheticMerges(256))
+        .orderBy(col("source"))
+    }),
+
+    // Quantile-ensemble quality selection: three discrete signals
+    // (token count, stopword milli-ratio, type-token milli-ratio)
+    // each mapped to its corpus CUME_DIST via the aggregate+broadcast
+    // trick, mean of quantiles, top-100.
+    "q119_ensemble_quality" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val stop = array(TextOps.DefaultProfiles.head._2.map(lit): _*)
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (lit(1000) * size(filter(toks, tk => array_contains(stop, tk))) /
+          greatest(size(toks), lit(1))).cast("long").as("stop_milli"),
+        (lit(1000) * size(array_distinct(toks)) /
+          greatest(size(toks), lit(1))).cast("long").as("ttr_milli"))
+      Selection.ensembleCumeDist(scored, Seq("n_tokens", "stop_milli", "ttr_milli"))
+        .orderBy(col("ensemble_score").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("n_tokens"), col("stop_milli"),
+          col("ttr_milli"), col("q_n_tokens"), col("q_stop_milli"),
+          col("q_ttr_milli"), col("ensemble_score"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3603,5 +3681,184 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |SELECT * FROM (
          |${(1 to 3).map(auditRow).mkString("\nUNION ALL\n")}
          |) ORDER BY round""".stripMargin
-    })
+    },
+
+    // q115: the same synthetic URL built from doc_id, then the
+    // canonicalization replayed rule for rule (scheme/host lowering,
+    // userinfo/default-port/www/fragment stripping, trailing-slash
+    // trim, tracking-param drop + bytewise param sort).
+    "q115_url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'HTTP://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+         |    'Example-' || (doc_id % 7)::VARCHAR || '.COM' ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+         |    '/path/' || (doc_id % 50)::VARCHAR ||
+         |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+         |    '?utm_source=feed&b=' || (doc_id % 5)::VARCHAR || '&a=1' ||
+         |    CASE WHEN doc_id % 6 = 0 THEN '&fbclid=xyz' ELSE '' END ||
+         |    '#frag' AS url
+         |  FROM documents),
+         |p1 AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    split_part(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#', 1) AS nofrag
+         |  FROM u),
+         |p2 AS (
+         |  SELECT doc_id, scheme,
+         |    split_part(nofrag, '?', 1) AS base,
+         |    regexp_extract(nofrag, '\\?(.*)$$', 1) AS query
+         |  FROM p1),
+         |p3 AS (
+         |  SELECT doc_id, scheme, query,
+         |    split_part(base, '/', 1) AS auth,
+         |    substr(base, length(split_part(base, '/', 1)) + 1) AS path
+         |  FROM p2),
+         |p4 AS (
+         |  SELECT doc_id, scheme, query, path,
+         |    CASE WHEN scheme = 'http'
+         |           THEN regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), ':80$$', '')
+         |         WHEN scheme = 'https'
+         |           THEN regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), ':443$$', '')
+         |         ELSE lower(regexp_replace(auth, '^[^@]*@', '')) END AS np
+         |  FROM p3),
+         |p5 AS (
+         |  SELECT doc_id, scheme,
+         |    regexp_replace(np, '^www\\.', '') AS host,
+         |    CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+         |         ELSE regexp_replace(path, '/+$$', '') END AS cpath,
+         |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+         |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+         |        AND NOT starts_with(p, 'fbclid=')
+         |        AND NOT starts_with(p, 'gclid=')
+         |        AND NOT starts_with(p, 'ref='))), '&') AS q
+         |  FROM p4),
+         |c AS (
+         |  SELECT doc_id, scheme || '://' || host || cpath ||
+         |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+         |  FROM p5),
+         |g AS (
+         |  SELECT canonical_url, count(*)::BIGINT AS n_dups,
+         |    min(doc_id) AS rep_id
+         |  FROM c GROUP BY canonical_url)
+         |SELECT c.doc_id, c.canonical_url, g.n_dups,
+         |  c.doc_id = g.rep_id AS is_rep
+         |FROM c JOIN g USING (canonical_url) ORDER BY doc_id""".stripMargin,
+
+    // q116: Lorenz/Gini/entropy replay — integer Gini numerator
+    // Σ(2i−1)wᵢ (HUGEINT-capped ::BIGINT), entropy terms rounded to
+    // micro-nats BEFORE the sum (the order-free float discipline).
+    "q116_source_balance" ->
+      s"""WITH w AS (
+         |  SELECT source, sum(len($tokensSql))::BIGINT AS weight
+         |  FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT source, weight,
+         |    row_number() OVER (ORDER BY weight, source) AS rank,
+         |    sum(weight) OVER (ORDER BY weight, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_w
+         |  FROM w),
+         |s AS (
+         |  SELECT count(*)::BIGINT AS n, sum(weight)::BIGINT AS total,
+         |    sum((2 * rank - 1) * weight)::BIGINT AS g_num
+         |  FROM r),
+         |h AS (
+         |  SELECT (sum(round(-(weight::DOUBLE / total) *
+         |      ln(weight::DOUBLE / total) * 1000000))::BIGINT::DOUBLE
+         |    / 1000000.0) AS hval
+         |  FROM r CROSS JOIN s)
+         |SELECT source, weight,
+         |  round(weight::DOUBLE / total, 6) AS share,
+         |  round(cum_w::DOUBLE / total, 6) AS cum_share,
+         |  rank::BIGINT AS rank,
+         |  round((g_num - n * total)::DOUBLE / (n * total), 6) AS gini,
+         |  round(hval, 6) AS entropy_nats
+         |FROM r CROSS JOIN s CROSS JOIN h ORDER BY rank""".stripMargin,
+
+    // q117: q111's band machinery split old/new, signature-estimated
+    // Jaccard = matching components / 16 (exact power-of-two
+    // fractions, so the threshold compare is drift-free), left join
+    // keeps zero-match batch docs.
+    "q117_incremental_dedup" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |sg AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+         |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+         |est AS (
+         |  SELECT new_id, old_id,
+         |    len(list_filter(range(16), i -> a.sig[i+1] = b.sig[i+1]))::DOUBLE / 16 AS ej
+         |  FROM cand JOIN sg a ON new_id = a.doc_id JOIN sg b ON old_id = b.doc_id),
+         |hits AS (
+         |  SELECT new_id, count(*)::BIGINT AS n_dup_matches,
+         |    min(old_id)::BIGINT AS dup_of, round(max(ej), 6) AS est_jaccard
+         |  FROM est WHERE ej >= 0.5 GROUP BY new_id)
+         |SELECT d.doc_id AS new_id,
+         |  coalesce(n_dup_matches, 0)::BIGINT AS n_dup_matches,
+         |  dup_of, est_jaccard, coalesce(n_dup_matches, 0) > 0 AS is_dup
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
+
+    // q118: the q106 replace-chain at 256 merges applied to the
+    // per-(source, word-type) frame, then the fertility aggregation
+    // (bytes via strlen = UTF-8 octets, matching Spark's
+    // length(encode(w, 'UTF-8'))).
+    "q118_fertility" -> {
+      val merges = graft.ops.Bpe.syntheticMerges(256)
+      val rounds = merges.grouped(32).zipWithIndex.map { case (chunk, i) =>
+        val chained = chunk.foldLeft("st") { case (acc, (l, r)) =>
+          s"replace($acc, chr(1)||'$l'||chr(1)||chr(1)||'$r'||chr(1), chr(1)||'${l + r}'||chr(1))"
+        }
+        s"d${i + 1} AS (SELECT source, w, cnt, $chained AS st FROM d$i)"
+      }.mkString(",\n")
+      val last = (merges.size + 31) / 32
+      s"""WITH tok AS (SELECT source, unnest($tokensSql) AS w FROM documents),
+         |wc AS (SELECT source, w, count(*) AS cnt FROM tok
+         |       WHERE NOT contains(w, chr(1)) GROUP BY source, w),
+         |d0 AS (SELECT source, w, cnt,
+         |  chr(1) || array_to_string(list_append(regexp_split_to_array(w, ''), '</w>'), chr(1)||chr(1)) || chr(1) AS st
+         |  FROM wc),
+         |$rounds,
+         |seg AS (SELECT source, w, cnt,
+         |  len(string_split(trim(st, chr(1)), chr(1)||chr(1)))::BIGINT AS n_sub
+         |  FROM d$last)
+         |SELECT source, sum(cnt)::BIGINT AS n_word_tokens,
+         |  count(*)::BIGINT AS n_word_types,
+         |  sum(cnt * strlen(w))::BIGINT AS n_bytes,
+         |  sum(cnt * n_sub)::BIGINT AS n_subwords,
+         |  round(sum(cnt * strlen(w))::DOUBLE / sum(cnt * n_sub), 6) AS bytes_per_subword,
+         |  round(sum(cnt * n_sub)::DOUBLE / sum(cnt), 6) AS subwords_per_word
+         |FROM seg GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // q119: three CUME_DIST windows (tie-insensitive ≡ the engine's
+    // aggregate+broadcast form), mean of quantiles in the same
+    // left-to-right order, top-100 on the (score DESC, doc_id) total
+    // order.
+    "q119_ensemble_quality" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, len($tokensSql)::BIGINT AS n_tokens,
+         |    ((1000 * len(list_filter($tokensSql,
+         |        t -> list_contains(['the','and','of','to','in','is','that','for','with','a'], t))))
+         |      // greatest(len($tokensSql), 1))::BIGINT AS stop_milli,
+         |    ((1000 * len(list_distinct($tokensSql)))
+         |      // greatest(len($tokensSql), 1))::BIGINT AS ttr_milli
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, n_tokens, stop_milli, ttr_milli,
+         |    round(CUME_DIST() OVER (ORDER BY n_tokens), 6) AS q_n_tokens,
+         |    round(CUME_DIST() OVER (ORDER BY stop_milli), 6) AS q_stop_milli,
+         |    round(CUME_DIST() OVER (ORDER BY ttr_milli), 6) AS q_ttr_milli
+         |  FROM s)
+         |SELECT doc_id, n_tokens, stop_milli, ttr_milli,
+         |  q_n_tokens, q_stop_milli, q_ttr_milli,
+         |  round((q_n_tokens + q_stop_milli + q_ttr_milli) / 3, 6) AS ensemble_score
+         |FROM q ORDER BY ensemble_score DESC, doc_id LIMIT 100""".stripMargin)
 }

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Specs for the corpus-audit / incremental-ingestion operator batch:
+  * URL canonicalization, source-balance (Lorenz/Gini/entropy),
+  * incremental dedup against a published MinHash index, tokenizer
+  * fertility, and quantile-ensemble quality scoring.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("canonicalUrl: case, default ports, www, userinfo, fragment, trailing slash, tracking params, param order") {
+    val cases = Seq(
+      // every rule at once: scheme/host case, :80, www, trailing /,
+      // fragment, utm_* dropped, params sorted
+      "HTTP://WWW.Example.COM:80/a/b/?b=2&utm_source=x&a=1#top" ->
+        "http://example.com/a/b?a=1&b=2",
+      // https default port + userinfo stripped; root path survives
+      "https://User:pw@Site.org:443/" -> "https://site.org/",
+      // NON-default port is kept
+      "https://site.org:8443/x" -> "https://site.org:8443/x",
+      // :80 is only default for http, not https
+      "https://site.org:80/x" -> "https://site.org:80/x",
+      // empty path canonicalizes to /
+      "http://site.org" -> "http://site.org/",
+      // all params tracking -> query dropped entirely
+      "http://site.org/?utm_source=a&fbclid=b&gclid=c&ref=d" ->
+        "http://site.org/",
+      // param order never splits a group
+      "http://a.com/p?z=1&y=2&x=3" -> "http://a.com/p?x=3&y=2&z=1",
+      // non-URL input degrades gracefully, never throws
+      "oops" -> "://oops/")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+    // the two crawl-variant spellings of one page collide
+    val pair = Seq(
+      "HTTP://WWW.Site.com:80/a/?utm_source=feed&x=1#top",
+      "http://site.com/a?x=1").toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c"))
+      .distinct().count()
+    assert(pair === 1L)
+  }
+
+  test("balanceAudit: hand-computed Lorenz curve, Gini and micro-nat entropy; partition-invariant") {
+    // per-source masses 10/30/60 arrive as split rows so the corpus
+    // aggregation is exercised
+    val df = Seq(("s1", 4L), ("s1", 6L), ("s2", 30L), ("s3", 25L), ("s3", 35L))
+      .toDF("src", "w").repartition(5)
+    val rows = Stats.balanceAudit(df, "src", "w").orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq === Seq("s1", "s2", "s3"))
+    assert(rows.map(_._3).toSeq === Seq(0.1, 0.3, 0.6), "shares")
+    assert(rows.map(_._4).toSeq === Seq(0.1, 0.4, 1.0), "Lorenz cum shares")
+    // g_num = 1*10 + 3*30 + 5*60 = 400; gini = (400 - 3*100)/(3*100)
+    assert(rows.forall(_._6 === 0.333333), "gini")
+    // entropy micro-nat terms: 230259 + 361192 + 306495 = 897946
+    assert(rows.forall(_._7 === 0.897946), "entropy")
+    // equal weights -> gini 0
+    val eq = Seq(("a", 5L), ("b", 5L)).toDF("src", "w")
+    assert(Stats.balanceAudit(eq, "src", "w").head.getDouble(5) === 0.0)
+  }
+
+  test("dedupAgainstIndex: exact dup flagged via signatures only, min old id wins, clean doc untouched") {
+    val t = "the quick brown fox jumps over the lazy dog again and again for good measure"
+    val u = "completely different content with nothing shared at all among these many words"
+    val old = Seq((5L, t), (2L, t), (3L, u)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, t),
+      (11L, "unrelated fresh text never seen before with plenty of novel tokens inside")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(old, "doc_id", "text")
+    // index stores bands x docs rows, signature riding along
+    assert(idx.count() === 3L * 4L)
+    val got = Dedup.dedupAgainstIndex(batch, idx, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getBoolean(4))).toMap
+    // both old copies matched at estimated J=1.0; dup_of is the SMALLEST
+    assert(got(10L) === ((2L, Some(2L), Some(1.0), true)))
+    // the clean doc is present with zero matches (absence is not silence)
+    assert(got(11L) === ((0L, None, None, false)))
+  }
+
+  test("fertilityAudit: hand-computed subword/byte accounting, CJK bytes as UTF-8 octets") {
+    val docs = Seq(("g", "ab ab cd"), ("h", "机")).toDF("src", "text")
+    val got = Bpe.fertilityAudit(docs, "src", "text", Seq(("a", "b")))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // g: ab x2 (merged -> [ab, </w>] = 2 subwords), cd x1 ([c, d, </w>] = 3)
+    // bytes = 2*2 + 2 = 6; subwords = 2*2 + 3 = 7
+    assert(got(0) === (("g", 3L, 2L, 6L, 7L, 0.857143, 2.333333)))
+    // h: one CJK char = 3 UTF-8 bytes, segments to [机, </w>]
+    assert(got(1) === (("h", 1L, 1L, 3L, 2L, 1.5, 2.0)))
+  }
+
+  test("ensembleCumeDist equals the mean of window CUME_DISTs, tie-correct; cume frames broadcast") {
+    val df = Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 5L), (4L, 30L, 9L))
+      .toDF("id", "s1", "s2").repartition(3)
+    val out = Selection.ensembleCumeDist(df, Seq("s1", "s2"))
+    val got = out.collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("q_s1"), r.getAs[Double]("q_s2"),
+          r.getAs[Double]("ensemble_score"))).toMap
+    val ref = df.selectExpr("id",
+        "round(CUME_DIST() OVER (ORDER BY s1), 6) AS q1",
+        "round(CUME_DIST() OVER (ORDER BY s2), 6) AS q2")
+      .selectExpr("id", "q1", "q2", "round((q1 + q2) / 2, 6) AS e")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got === ref)
+    // ties: ids 1 and 2 share s1=10 -> same q_s1
+    assert(got(1L)._1 === got(2L)._1)
+    // plan shape: per-signal cume frames come back via broadcast joins,
+    // never a corpus-wide window sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}
