@@ -238,6 +238,59 @@ object Stats {
     df.join(broadcast(cd), Seq(groupCol, valueCol))
   }
 
+  /** The per-source DATASET CARD: the datasheet table a corpus release
+    * publishes next to its shards — per source the document/token/char
+    * mass, token-count range, mean stopword quality score, exact-dup
+    * incidence (corpus-wide md5 collision, so cross-source duplication
+    * shows up in BOTH sources' rows), and English-ID'd doc count. One
+    * row per source; every number re-derivable by any engine, so
+    * consumers can AUDIT the card against the shards they downloaded.
+    *
+    * Scale shape: ONE corpus pass computes every per-doc scalar; the
+    * dup count rides a count-over-hash-partition window on that same
+    * pass (single evaluation — the [[graft.ops.Dedup.paragraphDedup]]
+    * lesson: a groupBy+join-back form evaluates the corpus subtree
+    * twice), then one map-combined aggregation per source. Known
+    * trade: a hash shared by a huge fraction of the corpus makes a hot
+    * window partition (spills, bounded by the dup group); corpora with
+    * a dominant boilerplate doc should exact-dedup first.
+    *
+    * `mean_stop_milli` is floor(Σ stop_milli / n_docs) — integer in
+    * any engine; `dup_ratio` rounds 6. */
+  def datasetCard(docs: DataFrame, sourceCol: String, idCol: String,
+                  textCol: String,
+                  stopwords: Seq[String] =
+                    graft.ops.TextOps.DefaultProfiles.head._2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    val perDoc = docs.select(col(sourceCol).as("source"),
+      size(toks).cast("long").as("n_toks"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      (lit(1000) * size(filter(toks, tk => array_contains(stopArr, tk))) /
+        greatest(size(toks), lit(1))).cast("long").as("stop_milli"),
+      TextOps.languageId(col(textCol)).as("lang"),
+      md5(col(textCol)).as("h"))
+    val withDup = perDoc
+      .withColumn("hc", count(lit(1)).over(Window.partitionBy(col("h"))))
+    withDup.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("n_toks")).as("min_tokens"),
+        max(col("n_toks")).as("max_tokens"),
+        (sum(col("stop_milli")) / count(lit(1))).cast("long")
+          .as("mean_stop_milli"),
+        count(when(col("hc") > 1, lit(1))).as("n_dup_docs"),
+        count(when(col("lang") === "en", lit(1))).as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("min_tokens"), col("max_tokens"), col("mean_stop_milli"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+          .as("dup_ratio"),
+        col("n_en"))
+  }
+
   /** Source-balance audit: the Lorenz curve of `weightCol` mass over
     * `groupCol` (per-group share and cumulative share in ascending
     * weight order) with the Gini coefficient and Shannon entropy as

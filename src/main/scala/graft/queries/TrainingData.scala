@@ -1383,6 +1383,14 @@ object TrainingData {
         .select(col("doc_id"), col("n_tokens"), col("stop_milli"),
           col("ttr_milli"), col("q_n_tokens"), col("q_stop_milli"),
           col("q_ttr_milli"), col("ensemble_score"))
+    }),
+
+    // The per-source dataset card: doc/token/char mass, token range,
+    // mean stopword score, corpus-wide exact-dup incidence, langid
+    // counts — the auditable datasheet a release publishes.
+    "q120_dataset_card" -> ((s, d) => {
+      Stats.datasetCard(t(s, d, "documents"), "source", "doc_id", "text")
+        .orderBy(col("source"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3860,5 +3868,42 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |SELECT doc_id, n_tokens, stop_milli, ttr_milli,
          |  q_n_tokens, q_stop_milli, q_ttr_milli,
          |  round((q_n_tokens + q_stop_milli + q_ttr_milli) / 3, 6) AS ensemble_score
-         |FROM q ORDER BY ensemble_score DESC, doc_id LIMIT 100""".stripMargin)
+         |FROM q ORDER BY ensemble_score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // q120: the card replayed — per-doc scalars (q19/q20 fragments),
+    // corpus-wide md5 dup window, per-source aggregation with floor
+    // mean (// matches Spark's double-div + long truncation on
+    // non-negative values).
+    "q120_dataset_card" ->
+      s"""WITH pd AS (
+         |  SELECT source,
+         |    len($tokensSql)::BIGINT AS n_toks,
+         |    length(text)::BIGINT AS n_chars,
+         |    ((1000 * len(list_filter($tokensSql,
+         |        t -> list_contains(['the','and','of','to','in','is','that','for','with','a'], t))))
+         |      // greatest(len($tokensSql), 1))::BIGINT AS stop_milli,
+         |    len(list_intersect($tokensSql, ['the','and','of','to','in','is','that','for','with','a'])) AS en,
+         |    len(list_intersect($tokensSql, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS de,
+         |    len(list_intersect($tokensSql, ['le','la','les','et','est','pas','une','pour','dans','que'])) AS fr,
+         |    len(list_intersect($tokensSql, ['el','la','los','y','es','no','una','para','en','que'])) AS es,
+         |    md5(text) AS h
+         |  FROM documents),
+         |lang AS (
+         |  SELECT *, CASE WHEN greatest(en, de, fr, es) >= 1 THEN
+         |      CASE WHEN es > greatest(en, de, fr) THEN 'es'
+         |           WHEN fr > greatest(en, de) THEN 'fr'
+         |           WHEN de > en THEN 'de' ELSE 'en' END
+         |    ELSE 'und' END AS lang
+         |  FROM pd),
+         |wd AS (SELECT *, count(*) OVER (PARTITION BY h) AS hc FROM lang)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_toks)::BIGINT AS n_tokens,
+         |  sum(n_chars)::BIGINT AS n_chars,
+         |  min(n_toks)::BIGINT AS min_tokens,
+         |  max(n_toks)::BIGINT AS max_tokens,
+         |  (sum(stop_milli) // count(*))::BIGINT AS mean_stop_milli,
+         |  sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+         |  round(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio,
+         |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+         |FROM wd GROUP BY source ORDER BY source""".stripMargin)
 }

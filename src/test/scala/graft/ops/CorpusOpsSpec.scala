@@ -98,6 +98,25 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(1) === (("h", 1L, 1L, 3L, 2L, 1.5, 2.0)))
   }
 
+  test("datasetCard: hand-computed per-source card; cross-source exact dup shows in BOTH sources") {
+    val docs = Seq(
+      (1L, "sa", "the quick fox"),          // en (1 stopword of 3)
+      (2L, "sa", "shared boiler text"),     // dup partner in sb
+      (3L, "sb", "shared boiler text"),
+      (4L, "sb", "zzz qqq")                 // und, no stopwords
+    ).toDF("doc_id", "src", "text")
+    val got = Stats.datasetCard(docs, "src", "doc_id", "text")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8), r.getLong(9)))
+    // sa: 2 docs, 3+3=6 tokens, min/max 3/3, stop_milli (333+0)/2=166,
+    //     1 dup doc (the cross-source copy), 2 en?  "shared boiler text"
+    //     has no stopwords -> und; so n_en = 1
+    assert(got(0) === (("sa", 2L, 6L, 3L, 3L, 166L, 1L, 0.5, 1L)))
+    // sb: 2 docs, 3+2=5 tokens, min 2 max 3, stop 0, 1 dup, 0 en
+    assert(got(1) === (("sb", 2L, 5L, 2L, 3L, 0L, 1L, 0.5, 0L)))
+  }
+
   test("ensembleCumeDist equals the mean of window CUME_DISTs, tie-correct; cume frames broadcast") {
     val df = Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 5L), (4L, 30L, 9L))
       .toDF("id", "s1", "s2").repartition(3)
