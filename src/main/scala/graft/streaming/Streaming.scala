@@ -139,6 +139,55 @@ object Streaming {
       StructType(if (withTs) base :+ StructField("ts", LongType) else base))
   }
 
+  /** Empty signature-carrying index frame — the initial state for
+    * [[indexedDedupSink]]; schema matches
+    * [[graft.ops.Dedup.minhashBandIndex]]. */
+  def emptyIndexTable(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("sig", ArrayType(StringType)),
+        StructField("band", IntegerType), StructField("bucket", StringType))))
+  }
+
+  /** Streaming maintenance of the PUBLISHED MinHash index (q117's
+    * artifact): each micro-batch is first SCREENED against the
+    * accumulated index with the batch operator
+    * ([[graft.ops.Dedup.dedupAgainstIndex]] — verbatim; one
+    * definition, two execution modes), emitting the full per-doc
+    * verdict frame (n_dup_matches / dup_of / est_jaccard / is_dup —
+    * signature-estimated Jaccard, so no prior text is ever read), and
+    * then its own [[graft.ops.Dedup.minhashBandIndex]] rows append to
+    * the store. The "screen against history, then admit" ingestion
+    * gate; the streamed index is byte-identical to the batch-built
+    * index over the same documents, so batch consumers (q117, offline
+    * compaction) read it directly.
+    *
+    * Differences from [[nearDupSink]]: that sink flags CANDIDATES
+    * (band collisions, within-batch pairs included) for downstream
+    * verification; this one emits VERDICTS against prior history only
+    * — within-batch duplicates are admitted together and belong to
+    * the next batch compaction. Save contract is append-only and
+    * batch-sized, as everywhere. */
+  def indexedDedupSink(idCol: String, textCol: String,
+                       loadIndex: SparkSession => DataFrame,
+                       saveIndex: DataFrame => Unit,
+                       emit: DataFrame => Unit,
+                       k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+                       threshold: Double = 0.5)
+                      (stream: DataFrame): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        emit(graft.ops.Dedup.dedupAgainstIndex(batch, loadIndex(spark),
+          idCol, textCol, k, bands, shingleSize, threshold))
+        saveIndex(graft.ops.Dedup
+          .minhashBandIndex(batch, idCol, textCol, k, bands, shingleSize)
+          .localCheckpoint(true))
+      }
+
   /** Streaming NEAR-duplicate detection: each micro-batch computes the
     * SAME MinHash+LSH band keys as the batch operator
     * ([[graft.ops.Dedup.lshCandidatePairs]] — one definition, two

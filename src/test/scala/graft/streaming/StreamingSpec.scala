@@ -402,4 +402,62 @@ class StreamingSpec extends SparkTestBase {
         "post-compact table keeps Exchange-free bucket-keyed aggregation")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("streaming indexed dedup: verdicts == batch dedupAgainstIndex; streamed index == batch minhashBandIndex") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    var index = Streaming.emptyIndexTable(spark)
+    var afterBatch1 = index
+    val verdicts = scala.collection.mutable.Map
+      .empty[Long, (Long, Option[Long], Boolean)]
+    val writer = Streaming.indexedDedupSink("doc_id", "text",
+        _ => index,
+        ix => { index = index.unionByName(ix.localCheckpoint(true)) },
+        v => verdicts ++= v.collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            r.getBoolean(4))))(stream)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ixdedup").toString)
+      .start()
+
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val b1 = Seq((1L, base),
+      (2L, "totally different streaming content with many private words here"))
+    input.addData(b1: _*)
+    writer.processAllAvailable()
+    afterBatch1 = index.localCheckpoint(true)
+    // screened against an EMPTY index: present, clean (absence != silence)
+    assert(verdicts(1L) === ((0L, None, false)) &&
+      verdicts(2L) === ((0L, None, false)))
+
+    val b2 = Seq((42L, base),
+      (43L, "a novel unrelated document never seen before in any batch at all"))
+    input.addData(b2: _*)
+    writer.processAllAvailable()
+    writer.stop()
+    // the exact re-ingest flags against history; the novel doc is clean
+    assert(verdicts(42L) === ((1L, Some(1L), true)), s"got $verdicts")
+    assert(verdicts(43L) === ((0L, None, false)))
+
+    // one definition, two modes: batch 2's verdicts equal the BATCH
+    // operator run against the post-batch-1 index
+    val ref = graft.ops.Dedup.dedupAgainstIndex(
+        b2.toDF("doc_id", "text"), afterBatch1, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4))).toMap
+    assert(ref === Map(42L -> verdicts(42L), 43L -> verdicts(43L)))
+
+    // the streamed index is row-identical to the batch-built one
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), array_join(col("sig"), "|").as("s"),
+        col("band"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getString(3))).toSet
+    val batchIx = graft.ops.Dedup.minhashBandIndex(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+    assert(rows(index) === rows(batchIx))
+  }
 }
