@@ -195,6 +195,39 @@ object Dedup {
         (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
   }
 
+  /** Cross-source exact-duplication matrix: for every source pair that
+    * shares at least one exact text (md5), the number of shared
+    * distinct texts and the document mass on each side — the "who is
+    * mirroring whom" table that decides cross-source dedup order and
+    * provenance priority before a 100 TB dedup run (dedup within a
+    * source is cheap; knowing WHICH pairs of sources overlap is what
+    * prices the cross-source pass). Complements the q107 vocabulary
+    * overlap (tokens) with verbatim-copy overlap (whole texts).
+    *
+    * Scale shape: the corpus collapses to the (text-hash, source,
+    * n_docs) frame in ONE map-combined aggregation; the self-join runs
+    * on THAT aggregated frame, keyed by hash — a text present in all S
+    * sources fans out to S² rows, bounded by the source count, never
+    * by the corpus. Pairs with zero overlap do not appear (the matrix
+    * is sparse by construction; the caller's source list supplies the
+    * spine if needed).
+    *
+    * Output: (src_a, src_b) with src_a < src_b, n_shared_texts,
+    * n_docs_a, n_docs_b. */
+  def crossSourceDupMatrix(df: DataFrame, sourceCol: String,
+                           textCol: String): DataFrame = {
+    val hs = df
+      .select(col(sourceCol).as("source"), md5(col(textCol)).as("h"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("nd"))
+    hs.select(col("h"), col("source").as("src_a"), col("nd").as("nd_a"))
+      .join(hs.select(col("h"), col("source").as("src_b"), col("nd").as("nd_b")),
+        Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_texts"),
+        sum(col("nd_a")).as("n_docs_a"), sum(col("nd_b")).as("n_docs_b"))
+  }
+
   /** LSH PARAMETER AUDIT: measured precision/recall of MinHash banding
     * against exact n-gram Jaccard ground truth, one row per band
     * configuration. Dedup quality is a bands/rows trade-off (more

@@ -279,4 +279,40 @@ object Relevance {
       .withColumn("ratio",
         round(col("elias_bits").cast("double") / col("fixed_bits"), 6))
   }
+
+  /** N-gram NOVELTY score: per document the fraction of its distinct
+    * shingles that appear in NO other document (corpus document
+    * frequency 1) — high novelty marks genuinely new content worth
+    * keeping; near-zero novelty marks recombined boilerplate that
+    * n-gram dedup thresholds may still pass. The informativeness
+    * signal between exact dedup (whole-text) and near-dup (pairwise):
+    * it prices each document against the WHOLE corpus in one number.
+    *
+    * Scale shape: one distinct-shingle explode; document frequency
+    * rides a count-over-shingle-partition window on that same pass
+    * (the [[graft.ops.Dedup.paragraphDedup]] single-evaluation
+    * discipline — a groupBy+join-back form would evaluate the explode
+    * twice); then one per-doc aggregation. Hot-shingle windows spill,
+    * never OOM (bounded by the shingle's doc frequency).
+    *
+    * Output: every input doc — (doc_id, n_shingles, n_unique,
+    * novelty = n_unique/n_shingles round 6, null when the doc has no
+    * shingles). */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+    val agg = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, lit(1))).as("n_unique"))
+    df.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
 }

@@ -38,6 +38,23 @@ object TrainingData {
     *  - 1000005: mixed Latin + Han tokenization;
     *  - 1000006: Korean (space-delimited Hangul — tokenizes by word,
     *    identifies by script). */
+  /** Planted cross-source mirror documents for q121 — the synthetic
+    * corpus has natural exact cross-source duplicates only at sf0.1,
+    * so the dup matrix plants a known overlap pattern at every SF:
+    * "mirror one" lives in mirror_a/b/c, "mirror two" in mirror_a/b,
+    * and one unique text anchors mirror_c. Sources sit outside the
+    * parquet source names (src0..src19). Expected planted pairs:
+    * (a,b)=2 shared texts, (a,c)=1, (b,c)=1. */
+  private val MirrorDocs: Seq[(String, String)] = Seq(
+    "mirror_a" -> "planted mirror text one crawled from several feeds verbatim",
+    "mirror_b" -> "planted mirror text one crawled from several feeds verbatim",
+    "mirror_c" -> "planted mirror text one crawled from several feeds verbatim",
+    "mirror_a" -> "planted mirror text two syndicated article body here",
+    "mirror_b" -> "planted mirror text two syndicated article body here",
+    "mirror_c" -> "a unique anchor document only mirror c carries")
+  private def mirrorValuesSql: String =
+    MirrorDocs.map { case (src, tx) => s"('$src', '$tx')" }.mkString(", ")
+
   private val CjkIdBase = 1000000L
   private val CjkDocs: Seq[(Long, String)] = Seq(
     1000001L -> "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳云腾致雨露结为霜",
@@ -1391,6 +1408,31 @@ object TrainingData {
     "q120_dataset_card" -> ((s, d) => {
       Stats.datasetCard(t(s, d, "documents"), "source", "doc_id", "text")
         .orderBy(col("source"))
+    }),
+
+    // Cross-source exact-duplication matrix: which source pairs share
+    // verbatim texts, and how much document mass sits on each side —
+    // the provenance/priority table before a cross-source dedup run.
+    // The synthetic corpus has natural cross-source dups only at
+    // sf0.1, so both engines union the same planted mirror docs (the
+    // q47 planted-fixture discipline) — the matrix is exercised at
+    // every SF and the natural sf0.1 pairs still flow through.
+    "q121_dup_matrix" -> ((s, d) => {
+      import s.implicits._
+      val planted = MirrorDocs.toDF("source", "text")
+      Dedup.crossSourceDupMatrix(
+          t(s, d, "documents").select(col("source"), col("text"))
+            .unionByName(planted),
+          "source", "text")
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // N-gram novelty: the fraction of each doc's distinct trigrams
+    // found nowhere else in the corpus — the informativeness signal
+    // between exact dedup and pairwise near-dup.
+    "q122_novelty" -> ((s, d) => {
+      Relevance.noveltyScores(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3905,5 +3947,37 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |  sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
          |  round(sum(CASE WHEN hc > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio,
          |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
-         |FROM wd GROUP BY source ORDER BY source""".stripMargin)
+         |FROM wd GROUP BY source ORDER BY source""".stripMargin,
+
+    // q121: the (hash, source, n_docs) frame self-joined on hash —
+    // the aggregated frame, never the corpus; same planted mirror
+    // docs unioned in.
+    "q121_dup_matrix" ->
+      s"""WITH docs AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $mirrorValuesSql) v(source, text)),
+         |hs AS (
+         |  SELECT md5(text) AS h, source, count(*)::BIGINT AS nd
+         |  FROM docs GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*)::BIGINT AS n_shared_texts,
+         |  sum(a.nd)::BIGINT AS n_docs_a, sum(b.nd)::BIGINT AS n_docs_b
+         |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // q122: distinct-shingle doc frequency via the same count-over-
+    // partition window, per-doc unique fraction, left-join spine
+    // (shingle-less docs novelty NULL).
+    "q122_novelty" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |wd AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh),
+         |agg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+         |  FROM wd GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_shingles, 0)::BIGINT AS n_shingles,
+         |  coalesce(n_unique, 0)::BIGINT AS n_unique,
+         |  round(n_unique::DOUBLE / n_shingles, 6) AS novelty
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)
 }

@@ -117,6 +117,34 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(1) === (("sb", 2L, 5L, 2L, 3L, 0L, 1L, 0.5, 0L)))
   }
 
+  test("crossSourceDupMatrix: shared texts and per-side doc mass, multiplicity counted") {
+    val docs = Seq(
+      ("a", "t one"), ("a", "t one"), ("b", "t one"), ("c", "t one"),
+      ("a", "t two"), ("b", "t two"),
+      ("c", "only c has this")).toDF("src", "text")
+    val got = Dedup.crossSourceDupMatrix(docs, "src", "text")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("a", "b", 2L, 3L, 2L),  // t-one (a has TWO copies) + t-two
+      ("a", "c", 1L, 2L, 1L),
+      ("b", "c", 1L, 1L, 1L)))
+  }
+
+  test("noveltyScores: corpus-unique shingle fraction; shingle-less doc gets null novelty") {
+    val docs = Seq((1L, "a b c d"), (2L, "x b c d"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val got = Relevance.noveltyScores(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // shingles: d1 {a b c, b c d}, d2 {x b c, b c d}; "b c d" df=2
+    assert(got(0) === ((1L, 2L, 1L, Some(0.5))))
+    assert(got(1) === ((2L, 2L, 1L, Some(0.5))))
+    assert(got(2) === ((3L, 0L, 0L, None)))
+  }
+
   test("ensembleCumeDist equals the mean of window CUME_DISTs, tie-correct; cume frames broadcast") {
     val df = Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 5L), (4L, 30L, 9L))
       .toDF("id", "s1", "s2").repartition(3)
