@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Incremental-dedup scale probe (dev tool, run-once evidence for
+  * NOTES): build the published MinHash band index over an N-doc
+  * synthetic corpus, then screen a batch (10% planted duplicates of
+  * indexed docs) against it — the q117 / indexedDedupSink path at
+  * probe scale. Reports index build time, index row count, screening
+  * time, and planted-dup recall (exact copies ⇒ signature match is
+  * certain; recall must be 1.0).
+  *
+  * Usage: runMain graft.tools.IndexProbe [oldDocs] [batchDocs]
+  */
+object IndexProbe {
+  def main(args: Array[String]): Unit = {
+    val oldN = args.headOption.map(_.toLong).getOrElse(1800000L)
+    val batchN = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def tm[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    // deterministic 25-token doc from a seed; xxhash64 mixing — a
+    // linear-congruential token formula folds mod the vocabulary and
+    // silently makes every ~200k-th seed an EXACT duplicate doc (the
+    // first run of this probe flagged 100% of the batch, correctly)
+    def text(seed: org.apache.spark.sql.Column) = array_join(
+      transform(sequence(lit(0), lit(24)),
+        j => concat(lit("w"),
+          pmod(xxhash64(seed, j), lit(200000L)).cast("string"))), " ")
+    val old = spark.range(oldN)
+      .select(col("id").as("doc_id"), text(col("id")).as("text"))
+    // batch ids sit above the old range; every 10th doc reuses an old
+    // doc's seed => an exact copy the index must flag
+    val batch = spark.range(batchN)
+      .select((col("id") + oldN).as("doc_id"),
+        text(when(col("id") % 10 === 0, col("id") * 97L % oldN)
+          .otherwise(col("id") + oldN)).as("text"))
+
+    val index = tm(s"build index over ${oldN / 1000}k docs") {
+      Dedup.minhashBandIndex(old, "doc_id", "text").localCheckpoint(true)
+    }
+    println(s"[probe] index rows: ${index.count()} (docs x 4 bands)")
+    tm(s"screen ${batchN / 1000}k batch against the index") {
+      val verdicts = Dedup
+        .dedupAgainstIndex(batch, index, "doc_id", "text")
+        .localCheckpoint(true)
+      val flagged = verdicts.filter(col("is_dup")).count()
+      val planted = verdicts
+        .filter((col("new_id") - oldN) % 10 === 0 && col("is_dup")).count()
+      println(s"[probe] flagged: $flagged of ${batchN / 10} planted " +
+        s"(planted hits: $planted, false-ish extras: ${flagged - planted})")
+    }
+    spark.stop()
+  }
+}
