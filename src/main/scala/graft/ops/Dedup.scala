@@ -486,6 +486,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-source NEAR-duplication matrix: verified near-dup pairs
+    * ([[nearDuplicates]] — LSH candidates, exact-Jaccard gate)
+    * aggregated by unordered source pair, with the pair count and the
+    * mean verified Jaccard. The fuzzy counterpart of
+    * [[crossSourceDupMatrix]]: syndication with light edits, template
+    * reuse and boilerplate families show up here and not in the exact
+    * matrix; the diagonal (src_a = src_b) is within-source dup
+    * pressure. Mean Jaccard is order-free: per-pair micro-units sum
+    * as longs before ONE divide (round 6).
+    *
+    * Scale: rides the banded candidate machinery (never all-pairs);
+    * the per-pair source lookup is two id-keyed joins; the matrix
+    * aggregation is map-combined and source²-bounded. */
+  def crossSourceNearDupMatrix(df: DataFrame, idCol: String,
+                               sourceCol: String, textCol: String,
+                               threshold: Double = 0.8, k: Int = 16,
+                               bands: Int = 4, shingleSize: Int = 3,
+                               maxBucketSize: Int = 0): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, threshold, k, bands,
+      shingleSize, maxBucketSize)
+    val src = df.select(col(idCol).as("id"), col(sourceCol).as("src"))
+    pairs
+      .join(src.withColumnRenamed("id", "id_a").withColumnRenamed("src", "sa"),
+        Seq("id_a"))
+      .join(src.withColumnRenamed("id", "id_b").withColumnRenamed("src", "sb"),
+        Seq("id_b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * lit(1000000.0), 0).cast("long"))
+          .as("__jm"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        round(col("__jm").cast("double") / lit(1000000.0) / col("n_pairs"), 6)
+          .as("mean_jaccard"))
+  }
+
+  /** Quality-aware cluster representative selection: like
+    * [[resolveClusters]] but `keep` marks the HIGHEST-`qualityCol` doc
+    * of each near-dup cluster (tie: smallest id) instead of the
+    * smallest id — the "keep best, not first" dedup policy (a cluster
+    * usually holds one clean original and its degraded copies; keeping
+    * by id keeps whichever was crawled first). Window runs per
+    * cluster — bounded by cluster size, the same invariant every
+    * per-cluster op relies on. Output: input + (cluster_id, keep). */
+  def resolveClustersByQuality(docs: DataFrame, idCol: String,
+                               qualityCol: String, pairs: DataFrame,
+                               maxIterations: Int = 20,
+                               algorithm: String = "star"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    resolveClusters(docs, idCol, pairs, maxIterations, algorithm)
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** 64-bit SimHash over the token stream: per-token 64-bit FNV-1a,
     * per-bit ±1 votes, sign → bit — a native one-pass expression
     * (graft.functions.SimHashExpression). */

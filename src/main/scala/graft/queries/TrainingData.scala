@@ -1433,6 +1433,32 @@ object TrainingData {
     "q122_novelty" -> ((s, d) => {
       Relevance.noveltyScores(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source NEAR-dup matrix: verified near-dup pairs by
+    // unordered source pair with order-free mean Jaccard — the fuzzy
+    // counterpart of q121 (light edits and template reuse show here).
+    "q123_neardup_matrix" -> ((s, d) => {
+      Dedup.crossSourceNearDupMatrix(t(s, d, "documents"), "doc_id",
+          "source", "text", threshold = 0.8)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Quality-aware dedup: keep the highest-quality doc of each
+    // near-dup cluster (type-token-ratio milli score; tie = smallest
+    // id) — "keep best, not first".
+    "q124_quality_dedup" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        (lit(1000) * size(array_distinct(toks)) /
+          greatest(size(toks), lit(1))).cast("long").as("quality_milli"))
+      val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.resolveClustersByQuality(docs, "doc_id", "quality_milli", pairs)
+        .select(col("doc_id"), col("cluster_id"), col("quality_milli"),
+          col("keep"))
+        .orderBy(col("doc_id"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -3979,5 +4005,86 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |SELECT d.doc_id, coalesce(n_shingles, 0)::BIGINT AS n_shingles,
          |  coalesce(n_unique, 0)::BIGINT AS n_unique,
          |  round(n_unique::DOUBLE / n_shingles, 6) AS novelty
-         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q123: the q50 candidate+verify chain, Jaccard ROUNDED 6 before
+    // both the threshold and the micro-unit mean (mirrors the
+    // engine's filter-on-rounded semantics exactly).
+    "q123_neardup_matrix" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(inter.i::DOUBLE / (s1.n + s2.n - inter.i), 6) AS j
+         |  FROM cand c
+         |  JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+         |  JOIN sizes s1 ON c.id_a = s1.doc_id JOIN sizes s2 ON c.id_b = s2.doc_id
+         |  WHERE round(inter.i::DOUBLE / (s1.n + s2.n - inter.i), 6) >= 0.8)
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*)::BIGINT AS n_pairs,
+         |  round(sum(round(j * 1000000)::BIGINT)::DOUBLE / 1000000 / count(*), 6)
+         |    AS mean_jaccard
+         |FROM ver JOIN documents da ON ver.id_a = da.doc_id
+         |JOIN documents db ON ver.id_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // q124: the q50 cluster chain, then keep = highest quality per
+    // cluster (ttr milli, tie smallest id) instead of smallest id.
+    "q124_quality_dedup" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+         |  JOIN sizes s1 ON c.id_a = s1.doc_id JOIN sizes s2 ON c.id_b = s2.doc_id
+         |  WHERE round(inter.i::DOUBLE / (s1.n + s2.n - inter.i), 6) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ((1000 * len(list_distinct($tokensSql)))
+         |      // greatest(len($tokensSql), 1))::BIGINT AS quality_milli
+         |  FROM documents),
+         |res AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_id,
+         |    s.quality_milli
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |  JOIN scored s ON d.doc_id = s.doc_id)
+         |SELECT doc_id, cluster_id, quality_milli,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY quality_milli DESC, doc_id) = 1 AS keep
+         |FROM res ORDER BY doc_id""".stripMargin)
 }

@@ -145,6 +145,41 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(2) === ((3L, 0L, 0L, None)))
   }
 
+  test("crossSourceNearDupMatrix: cross-source pair lands off-diagonal, within-source on the diagonal") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, "sa", base), (2L, "sb", base + " nu"),          // cross near-dup
+      (3L, "sc", "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "sc", "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (5L, "sa", "totally unrelated content with nothing shared here at all today")
+    ).toDF("doc_id", "src", "text")
+    val got = Dedup.crossSourceNearDupMatrix(docs, "doc_id", "src", "text")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 2)
+    assert(got(0)._1 === "sa" && got(0)._2 === "sb" && got(0)._3 === 1L)
+    assert(got(0)._4 > 0.8 && got(0)._4 < 1.0)
+    assert(got(1) === (("sc", "sc", 1L, got(1)._4)), "within-source diagonal")
+  }
+
+  test("resolveClustersByQuality: keep goes to the highest-quality member, not the smallest id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq((1L, base), (2L, base + " nu"), (3L, base),
+      (9L, "a singleton document with its very own content and words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+    val scored = Seq((1L, 10L), (2L, 99L), (3L, 50L), (9L, 1L))
+      .toDF("doc_id", "q")
+    val got = Dedup.resolveClustersByQuality(scored, "doc_id", "q", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L) === ((1L, false)), "smallest id loses to quality")
+    assert(got(2L) === ((1L, true)), "highest quality kept")
+    assert(got(3L) === ((1L, false)))
+    assert(got(9L) === ((9L, true)), "singleton keeps itself")
+  }
+
   test("ensembleCumeDist equals the mean of window CUME_DISTs, tie-correct; cume frames broadcast") {
     val df = Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 5L), (4L, 30L, 9L))
       .toDF("id", "s1", "s2").repartition(3)
