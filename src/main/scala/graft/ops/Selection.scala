@@ -310,6 +310,54 @@ object Selection {
         max(col("yv")).as("y_max"))
   }
 
+  /** Per-source distribution-DRIFT audit: KL(source ∥ corpus) of the
+    * add-1-smoothed hashed-unigram distributions — "which source reads
+    * least like the corpus" in one nat-valued number per source. The
+    * mixture designer's companion to [[dsirLogWeights]] (same feature
+    * space, corpus-level instead of per-doc): a source whose KL jumps
+    * between snapshots changed its content pipeline; a source with the
+    * max KL is the first candidate for its own mixture weight.
+    *
+    * KL is computed over the FULL bucket domain (sources × buckets
+    * cross frame — bounded, e.g. 20 × 1024), so smoothing mass on
+    * unseen buckets is counted exactly, not approximated. Per-bucket
+    * terms `p·ln(p/q)` convert to exact pico-nat LONGS before the sum
+    * (the repo-wide ln discipline — float group-sums are
+    * order-nondeterministic in every engine).
+    *
+    * Scale: one token explode map-combined to (source, bucket) counts;
+    * everything after runs on bucket-domain-sized frames.
+    * Output: (source, n_tokens, kl_nats round 6) — n_tokens = the
+    * source's token mass, the weight for any corpus-level roll-up. */
+  def sourceDriftKl(docs: DataFrame, sourceCol: String, textCol: String,
+                    buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val sb = docs
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("tk"))
+      .select(col("source"), hashedBucket(col("tk"), buckets).as("bkt"))
+      .groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n_sb"))
+    val sTot = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+    val cb = sb.groupBy(col("bkt")).agg(sum(col("n_sb")).as("n_b"))
+    val nTot = cb.agg(sum(col("n_b")).as("n"))
+    // full domain: every (source, bucket) cell, zero-count included
+    val dom = sTot.select(col("source"), col("n_s"))
+      .crossJoin(broadcast(
+        sb.sparkSession.range(buckets).select(col("id").cast("long").as("bkt"))))
+    val p = (coalesce(col("n_sb"), lit(0L)).cast("double") + 1.0) /
+      (col("n_s").cast("double") + buckets)
+    val q = (coalesce(col("n_b"), lit(0L)).cast("double") + 1.0) /
+      (col("n").cast("double") + buckets)
+    dom
+      .join(sb, Seq("source", "bkt"), "left")
+      .join(broadcast(cb), Seq("bkt"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("t_pico", round(p * log(p / q) * lit(1e12), 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(col("t_pico")).cast("double") / lit(1e12), 6).as("kl_nats"))
+      .select(col("source"), col("n_tokens"), col("kl_nats"))
+  }
+
   /** Quantile-ensemble quality score: each signal column is mapped to
     * its corpus-wide CUME_DIST and the ensemble score is the MEAN of
     * those quantiles — rank aggregation, the standard fix for

@@ -1459,6 +1459,15 @@ object TrainingData {
         .select(col("doc_id"), col("cluster_id"), col("quality_milli"),
           col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source distribution drift: KL(source || corpus) over
+    // add-1-smoothed hashed-unigram buckets, full domain, pico-nat
+    // integer sums — which source reads least like the corpus.
+    "q125_source_drift" -> ((s, d) => {
+      Selection.sourceDriftKl(t(s, d, "documents"), "source", "text",
+          buckets = 1024)
+        .orderBy(col("source"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -4086,5 +4095,34 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |SELECT doc_id, cluster_id, quality_milli,
          |  row_number() OVER (PARTITION BY cluster_id
          |    ORDER BY quality_milli DESC, doc_id) = 1 AS keep
-         |FROM res ORDER BY doc_id""".stripMargin)
+         |FROM res ORDER BY doc_id""".stripMargin,
+
+    // q125: KL replay over the full (source x bucket) domain —
+    // add-1 smoothing, per-cell pico-nat terms rounded to BIGINT
+    // before the sum, exactly the engine's integer discipline.
+    "q125_source_drift" ->
+      s"""WITH sb AS (
+         |  SELECT source,
+         |    ('0x' || substr(md5(tk), 1, 15))::UBIGINT % 1024 AS bkt,
+         |    count(*)::BIGINT AS n_sb
+         |  FROM (SELECT source, unnest($tokensSql) AS tk FROM documents)
+         |  GROUP BY 1, 2),
+         |st AS (SELECT source, sum(n_sb)::BIGINT AS n_s FROM sb GROUP BY 1),
+         |cb AS (SELECT bkt, sum(n_sb)::BIGINT AS n_b FROM sb GROUP BY 1),
+         |nt AS (SELECT sum(n_b)::BIGINT AS n FROM cb),
+         |dom AS (
+         |  SELECT st.source, st.n_s, r.range::BIGINT AS bkt
+         |  FROM st CROSS JOIN range(1024) r),
+         |cells AS (
+         |  SELECT d.source, d.n_s,
+         |    (coalesce(s.n_sb, 0) + 1)::DOUBLE / (d.n_s + 1024) AS p,
+         |    (coalesce(c.n_b, 0) + 1)::DOUBLE / (nt.n + 1024) AS q
+         |  FROM dom d
+         |  LEFT JOIN sb s ON d.source = s.source AND d.bkt = s.bkt
+         |  LEFT JOIN cb c ON d.bkt = c.bkt
+         |  CROSS JOIN nt)
+         |SELECT source, max(n_s)::BIGINT AS n_tokens,
+         |  round(sum(round(p * ln(p / q) * 1e12)::BIGINT)::DOUBLE / 1e12, 6)
+         |    AS kl_nats
+         |FROM cells GROUP BY source ORDER BY source""".stripMargin)
 }

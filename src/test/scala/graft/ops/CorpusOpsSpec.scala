@@ -180,6 +180,43 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(9L) === ((9L, true)), "singleton keeps itself")
   }
 
+  test("sourceDriftKl matches a driver-side replica; atypical source scores higher; KL >= 0") {
+    val docs = Seq(
+      ("mixed", "aa bb cc dd aa bb cc dd aa bb"),
+      ("mixed", "cc dd aa bb cc dd"),
+      ("skew", "zz zz zz zz zz zz zz zz")).toDF("src", "text")
+    val B = 16
+    val got = Selection.sourceDriftKl(docs, "src", "text", buckets = B)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // driver-side replica of the exact formula (same md5 buckets,
+    // add-1 smoothing, pico-nat rounding)
+    def bucket(tk: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16) % B
+    }
+    val toks = Seq(
+      "mixed" -> "aa bb cc dd aa bb cc dd aa bb cc dd aa bb cc dd".split(" ").toSeq,
+      "skew" -> Seq.fill(8)("zz"))
+    val all = toks.flatMap(_._2)
+    val nTot = all.size
+    val cb = all.groupBy(bucket).map { case (b, l) => b -> l.size }
+    val expect = toks.map { case (s, tks) =>
+      val nS = tks.size
+      val sb = tks.groupBy(bucket).map { case (b, l) => b -> l.size }
+      val kl = (0 until B).map { b =>
+        val p = (sb.getOrElse(b.toLong, 0) + 1.0) / (nS + B)
+        val q = (cb.getOrElse(b.toLong, 0) + 1.0) / (nTot + B)
+        math.round(p * math.log(p / q) * 1e12)
+      }.sum / 1e12
+      s -> (nS.toLong, BigDecimal(kl).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(got === expect)
+    assert(got("skew")._2 > got("mixed")._2, "concentrated source drifts more")
+    assert(got("mixed")._2 >= 0.0 && got("skew")._2 >= 0.0, "KL is non-negative")
+  }
+
   test("ensembleCumeDist equals the mean of window CUME_DISTs, tie-correct; cume frames broadcast") {
     val df = Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 5L), (4L, 30L, 9L))
       .toDF("id", "s1", "s2").repartition(3)
