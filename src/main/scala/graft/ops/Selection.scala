@@ -332,10 +332,15 @@ object Selection {
   def sourceDriftKl(docs: DataFrame, sourceCol: String, textCol: String,
                     buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // the (source, bucket) frame feeds THREE downstream subtrees
+    // (source totals, corpus bucket totals, the domain join) — the
+    // eager checkpoint pins the corpus explode to ONE scan (it is
+    // sources × buckets rows at most)
     val sb = docs
       .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("tk"))
       .select(col("source"), hashedBucket(col("tk"), buckets).as("bkt"))
       .groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("n_sb"))
+      .localCheckpoint(true)
     val sTot = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
     val cb = sb.groupBy(col("bkt")).agg(sum(col("n_sb")).as("n_b"))
     val nTot = cb.agg(sum(col("n_b")).as("n"))
@@ -372,7 +377,9 @@ object Selection {
     * aggregation, the cumulative window over THAT bounded frame, and a
     * broadcast join back — the [[Stats.groupedCumeDist]] trick, never
     * a corpus-wide rank/sort. k signals cost k broadcast joins on one
-    * corpus pass.
+    * corpus pass — plus k count-aggregation passes over `df` for the
+    * per-signal histograms: persist/checkpoint the scored input when
+    * the signal expressions are expensive, the aggregations re-read it.
     *
     * Output: the input plus `q_<signal>` per signal (round 6) and
     * `ensemble_score` = round(mean of the q's, 6). */

@@ -314,8 +314,15 @@ object Stats {
   def balanceAudit(df: DataFrame, groupCol: String,
                    weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the per-group frame feeds FOUR downstream subtrees (rows, rank
+    // window, Gini aggregate, entropy aggregate) whose shapes differ
+    // enough that ReuseExchange cannot unify them — without the eager
+    // checkpoint the CORPUS aggregation re-runs once per subtree
+    // (plan-audited: 4 FileScans). One row per group: checkpoint is
+    // free, and the corpus is scanned exactly once.
     val w = df.groupBy(col(groupCol))
       .agg(sum(col(weightCol)).cast("long").as("weight"))
+      .localCheckpoint(true)
     // bounded frame from here on: one row per group
     val ord = Window.orderBy(col("weight"), col(groupCol))
     val ranked = w
