@@ -783,39 +783,76 @@ object Similarity {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
     val session = df.sparkSession
     import session.implicits._
-    var codebook: DataFrame = df.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long").as("cid"), col(embCol))
-      .localCheckpoint(true)
+    // the codebook lives on the DRIVER between rounds (k rows — the
+    // codebook-sized-collect doctrine; ivfAssign collects it into
+    // literal arrays anyway), so no per-round checkpoint job exists
+    // for it. Per round exactly THREE jobs: materialize assignments,
+    // one FUSED audit aggregation (inertia + live clusters +
+    // reassignments vs the previous round in a single pass), and the
+    // k-row centroid collect (skipped on the last round). The first
+    // cut ran ~16 jobs and was scheduling-overhead-bound on small
+    // inputs.
+    // cache the input across rounds — Lloyd re-reads the corpus every
+    // round by construction, so caching the dataset is the standard
+    // k-means discipline at any scale (spill-backed blocks, never
+    // driver memory); lazy, so the seed TakeOrdered doubles as the
+    // materializing action
+    val src = df.select(col(idCol), col(embCol)).localCheckpoint()
+    var codebook: Seq[(Long, Seq[Float])] = src.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(embCol))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
     var prevAssign: DataFrame = null
     val audit = collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
     for (r <- 1 to rounds) {
-      val assigned = ivfAssign(df, codebook, idCol, embCol)
+      val cbDf = codebook.toDF("cid", embCol)
+      // LAZY checkpoint: the assignment pass materializes inside the
+      // fused audit aggregation (no dedicated job) and its blocks then
+      // serve the reassignment join and the centroid update — one
+      // corpus pass per round either way, one fewer scheduled job
+      val assigned = ivfAssign(src, cbDf, idCol, embCol)
         .select(col(idCol), col(embCol), col("cluster"))
-        .localCheckpoint(true)
-      val cb = broadcast(codebook
-        .select(col("cid").as("cluster"), col(embCol).as("__c")))
+        .localCheckpoint()
+      val cb = broadcast(cbDf.select(col("cid").as("cluster"),
+        col(embCol).as("__c")))
       val d2 = dotUdf(col(embCol), col(embCol)) -
         lit(2.0) * dotUdf(col(embCol), col("__c")) +
         dotUdf(col("__c"), col("__c"))
-      val stats = assigned.join(cb, Seq("cluster"))
-        .agg(sum(round(d2 * lit(scale.toDouble), 0).cast("long")).as("inertia"),
-          countDistinct(col("cluster")).as("nc")).head()
-      val inertia = stats.getLong(0)
-      val nClusters = stats.getLong(1)
-      val moved =
-        if (prevAssign == null) -1L
-        else assigned.select(col(idCol), col("cluster"))
-          .join(prevAssign.select(col(idCol), col("cluster").as("__pc")), Seq(idCol))
-          .filter(col("cluster") =!= col("__pc")).count()
-      audit += ((r.toLong, inertia, moved, nClusters))
+      val withPrev =
+        if (prevAssign == null) assigned.withColumn("__pc", lit(null).cast("long"))
+        else assigned.join(
+          prevAssign.select(col(idCol), col("cluster").as("__pc")), Seq(idCol))
+      // ONE job per round: a per-cluster aggregation carrying the
+      // inertia and reassignment partials AND the exact micro-unit
+      // centroid sums; the k collected rows yield the global audit
+      // numbers (integer sums — exactly the global aggregate) and the
+      // next codebook on the driver
+      val perCluster = withPrev.join(cb, Seq("cluster"))
+        .groupBy(col("cluster"))
+        .agg(sum(round(d2 * lit(scale.toDouble), 0).cast("long")).as("in"),
+          sum(when(col("__pc").isNotNull && col("cluster") =!= col("__pc"), 1L)
+            .otherwise(0L)).as("mv"),
+          call_function("graft_vec_sum", col(embCol), lit(scale)).as("vs"))
+        .collect()
+      val moved = if (prevAssign == null) -1L
+        else perCluster.map(_.getLong(2)).sum
+      audit += ((r.toLong, perCluster.map(_.getLong(1)).sum, moved,
+        perCluster.length.toLong))
       prevAssign = assigned
       if (r < rounds) {
-        val next = clusterCentroids(assigned, "cluster", embCol, scale)
-          .select(col("cluster").as("cid"),
-            transform(col("centroid"), _.cast("float")).as("__nc"))
-        codebook = codebook.join(next, Seq("cid"), "left")
-          .select(col("cid"), coalesce(col("__nc"), col(embCol)).as(embCol))
-          .localCheckpoint(true)
+        // driver replica of clusterCentroids' arithmetic: exact long
+        // sums / scale / n, round 6 (BigDecimal HALF_UP — what Spark's
+        // `round` does on doubles), then the IEEE float cast
+        val next = perCluster.map { row =>
+          val vs = row.getStruct(3)
+          val n = vs.getLong(0)
+          val cents = vs.getSeq[Long](1).map(s =>
+            BigDecimal(s.toDouble / scale.toDouble / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble.toFloat)
+          row.getLong(0) -> cents
+        }.toMap
+        codebook = codebook.map { case (cid, emb) =>
+          (cid, next.getOrElse(cid, emb))
+        }
       }
     }
     audit.toSeq.toDF("round", "inertia_micro", "n_reassigned", "n_clusters")

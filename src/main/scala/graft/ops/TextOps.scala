@@ -75,9 +75,28 @@ object TextOps {
     *
     * Pure column composition (md5 / slice / array_min built-ins) —
     * stays inside whole-stage codegen; cost O(shingles × w) per row. */
-  def winnowingFingerprints(text: Column, n: Int = 3, w: Int = 4): Column = {
-    val hs = transform(shingles(text, n),
+  def winnowingFingerprints(text: Column, n: Int = 3, w: Int = 4): Column =
+    winnowFromHashes(shingleHashes(text, n), w)
+
+  /** The u32 hash array over ORDERED `n`-gram shingles — the
+    * winnowing input, exposed separately so pipelines can MATERIALIZE
+    * it as its own column before the window-min pass. This matters:
+    * feeding [[winnowFromHashes]] the unmaterialized expression makes
+    * every window position re-evaluate the whole md5 array inside the
+    * lambda (no common-subexpression elimination across higher-order
+    * functions) — O(shingles²) md5 calls per doc, measured 8.6×
+    * SLOWER than the DuckDB replay at sf0.1; split into two
+    * projections it is O(shingles) md5 + O(shingles × w) mins and
+    * 20× faster than before. CollapseProject keeps the split: the
+    * alias is referenced more than once, so the optimizer does not
+    * inline it back. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n),
       g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+
+  /** Window-min selection over an ALREADY MATERIALIZED hash array —
+    * see [[shingleHashes]] for why the split exists. */
+  def winnowFromHashes(hs: Column, w: Int): Column = {
     val m = size(hs)
     when(m >= 1,
       sort_array(array_distinct(
