@@ -456,12 +456,14 @@ object Dedup {
   def winnowingOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, w: Int = 4, minShared: Long = 2L,
                             maxFpFreq: Int = 1024): DataFrame = {
-    // the hash array MUST materialize as its own column before the
-    // window-min lambda — see TextOps.shingleHashes for the measured
-    // O(shingles²)-md5 trap the one-expression form falls into
+    // each stage MUST materialize before the next lambda captures it
+    // (tokens before shingle hashing, hashes before window-min) — see
+    // TextOps.shingleHashes/shingleHashesFromTokens for the measured
+    // O(n²) capture trap the one-expression form falls into
     val fps = df
-      .select(col(idCol).as("id"),
-        TextOps.shingleHashes(col(textCol), n).as("__hs"))
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col("id"),
+        TextOps.shingleHashesFromTokens(col("__tk"), n).as("__hs"))
       .select(col("id"),
         explode(TextOps.winnowFromHashes(col("__hs"), w)).as("fp"))
     val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))

@@ -78,6 +78,21 @@ object TextOps {
   def winnowingFingerprints(text: Column, n: Int = 3, w: Int = 4): Column =
     winnowFromHashes(shingleHashes(text, n), w)
 
+  /** [[shingleHashes]] over an ALREADY MATERIALIZED token array —
+    * the pipeline form. The composed [[shingles]] re-evaluates its
+    * captured `tokens(text)` expression inside the per-element lambda
+    * (higher-order functions get no subexpression elimination), an
+    * O(tokens²) scanner cost the q112 bench measured; referencing a
+    * materialized ATTRIBUTE instead makes each element O(n). Empty
+    * array when the doc has fewer than `n` tokens (the [[shingles]]
+    * contract). */
+  def shingleHashesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => conv(substring(md5(array_join(slice(toks, i, lit(n)), " ")),
+          1, 8), 16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
+
   /** The u32 hash array over ORDERED `n`-gram shingles — the
     * winnowing input, exposed separately so pipelines can MATERIALIZE
     * it as its own column before the window-min pass. This matters:
