@@ -743,6 +743,66 @@ object Similarity {
           round(s.cast("double") / lit(scale.toDouble) / col("vs.n"), 6))
           .as("centroid"))
 
+  /** Cluster PURITY against a label column: per cluster the majority
+    * label, its count and the purity fraction — the "does unsupervised
+    * structure recover the labels" audit that decides whether an IVF
+    * codebook (or any clustering) is usable for cluster-balanced
+    * sampling / SemDeDup on labeled data. Tie on the majority:
+    * smallest label wins (total order, oracle-replayable).
+    *
+    * Scale: one map-combined (cluster, label) aggregation over the
+    * assignment; the windows run on that clusters × labels bounded
+    * frame. Output: (cluster, n_vecs, majority_label, n_majority,
+    * purity round 6). */
+  def clusterPurity(assigned: DataFrame, clusterCol: String,
+                    labelCol: String): DataFrame = {
+    val cl = assigned
+      .groupBy(col(clusterCol).as("cluster"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    val maj = Window.partitionBy(col("cluster"))
+      .orderBy(col("n").desc, col("label"))
+    cl.withColumn("__rn", row_number().over(maj))
+      .withColumn("n_vecs", sum(col("n")).over(Window.partitionBy(col("cluster"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("n_vecs"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        round(col("n").cast("double") / col("n_vecs"), 6).as("purity"))
+  }
+
+  /** Label-centroid SEPARATION matrix: the pairwise cosine similarity
+    * of per-label centroids — "are the classes separable in embedding
+    * space" in labels² numbers, the audit run before trusting
+    * label-conditioned sampling or a classifier head on these
+    * embeddings.
+    *
+    * Determinism: cosine is scale-invariant, so it is computed from
+    * the EXACT micro-unit SUM vectors (per-dim integer longs — the
+    * graft_vec_sum kernel) with NO intermediate rounding anywhere; a
+    * first cut that rounded per-dim centroids to 6 dp first tripped
+    * over the engines' different double-rounding (decimal-string
+    * HALF_UP vs binary half-away) on boundary values at sf0.1. The
+    * only floats are the final identical left-to-right dot folds and
+    * one sqrt/divide. Self-join runs on the label-sized sum frame.
+    * Output: (label_a < label_b, n_a, n_b, cosine round 6). */
+  def labelCentroidMatrix(df: DataFrame, labelCol: String,
+                          embCol: String, scale: Long = 1000000L): DataFrame = {
+    val sums = df.groupBy(col(labelCol).as("label"))
+      .agg(call_function("graft_vec_sum", col(embCol), lit(scale)).as("vs"))
+      .select(col("label"), col("vs.n").as("n_vecs"),
+        transform(col("vs.sums"), _.cast("double")).as("ms"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val a = sums.select(col("label").as("label_a"), col("n_vecs").as("n_a"),
+      col("ms").as("__ca"))
+    val b = sums.select(col("label").as("label_b"), col("n_vecs").as("n_b"),
+      col("ms").as("__cb"))
+    a.crossJoin(b).filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(dot(col("__ca"), col("__cb")) /
+          (sqrt(dot(col("__ca"), col("__ca"))) *
+            sqrt(dot(col("__cb"), col("__cb")))), 6).as("cosine"))
+  }
+
   /** Exploded reference form of [[clusterCentroids]] — identical
     * values via posexplode + (cluster, dim) aggregation; the ×dims
     * row blow-up is the cost the native kernel avoids. Equivalence

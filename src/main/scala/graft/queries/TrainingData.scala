@@ -1468,6 +1468,27 @@ object TrainingData {
       Selection.sourceDriftKl(t(s, d, "documents"), "source", "text",
           buckets = 1024)
         .orderBy(col("source"))
+    }),
+
+    // Cluster purity vs labels: IVF assignment from the 8 lowest-id
+    // seeds, per cluster the majority label and purity — "does
+    // unsupervised structure recover the labels".
+    "q126_cluster_purity" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding"))
+      Similarity.clusterPurity(
+          Similarity.ivfAssign(e, cb).select(col("cluster"), col("label")),
+          "cluster", "label")
+        .orderBy(col("cluster"))
+    }),
+
+    // Label-centroid separation: pairwise cosine of per-label
+    // centroids — class separability in embedding space.
+    "q127_label_separation" -> ((s, d) => {
+      Similarity.labelCentroidMatrix(t(s, d, "embeddings"), "label",
+          "embedding")
+        .orderBy(col("label_a"), col("label_b"))
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -4124,5 +4145,54 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |SELECT source, max(n_s)::BIGINT AS n_tokens,
          |  round(sum(round(p * ln(p / q) * 1e12)::BIGINT)::DOUBLE / 1e12, 6)
          |    AS kl_nats
-         |FROM cells GROUP BY source ORDER BY source""".stripMargin)
+         |FROM cells GROUP BY source ORDER BY source""".stripMargin,
+
+    // q126: the q86 assignment CTE (argmin, cid tie-break) + the
+    // majority window on the (cluster, label) frame.
+    "q126_cluster_purity" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |dist AS (
+        |  SELECT e.vec_id, e.label, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |        + list_dot_product(c.cv, c.cv), cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |assign AS (SELECT vec_id, label, cid AS cluster FROM dist WHERE rn = 1),
+        |cl AS (SELECT cluster, label, count(*)::BIGINT AS n FROM assign GROUP BY 1, 2),
+        |tot AS (SELECT cluster, sum(n)::BIGINT AS n_vecs FROM cl GROUP BY 1),
+        |mx AS (SELECT cluster, label, n FROM (
+        |    SELECT cluster, label, n,
+        |      ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+        |    FROM cl) WHERE rn = 1)
+        |SELECT t.cluster, t.n_vecs, mx.label AS majority_label,
+        |  mx.n AS n_majority, round(mx.n::DOUBLE / t.n_vecs, 6) AS purity
+        |FROM tot t JOIN mx USING (cluster) ORDER BY cluster""".stripMargin,
+
+    // q127: q86's micro-unit per-dim SUM replay keyed by label — the
+    // exact integer sum vectors feed the cosine directly (cosine is
+    // scale-invariant; no intermediate rounding, so no double-rounding
+    // boundary for the engines to disagree on).
+    "q127_label_separation" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |comp AS (
+        |  SELECT label, s.i AS dim, round(s.x * 1000000)::BIGINT AS m
+        |  FROM (SELECT label,
+        |          unnest(list_transform(range(len(v)), i -> {'i': i, 'x': v[i+1]})) AS s
+        |        FROM e) u),
+        |agg AS (SELECT label, dim, count(*)::BIGINT AS n, sum(m)::BIGINT AS ms
+        |        FROM comp GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, max(n)::BIGINT AS n_vecs,
+        |    list(ms::DOUBLE ORDER BY dim) AS c
+        |  FROM agg GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  a.n_vecs AS n_a, b.n_vecs AS n_b,
+        |  round(list_dot_product(a.c, b.c) /
+        |    (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 6)
+        |    AS cosine
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin)
 }

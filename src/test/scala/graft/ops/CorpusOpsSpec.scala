@@ -217,6 +217,34 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got("mixed")._2 >= 0.0 && got("skew")._2 >= 0.0, "KL is non-negative")
   }
 
+  test("clusterPurity: majority label per cluster, smallest label wins ties") {
+    val assigned = Seq(
+      (0L, 1), (0L, 1), (0L, 2),          // cluster 0: majority label 1
+      (1L, 5), (1L, 7),                   // cluster 1: tie -> label 5
+      (2L, 9)).toDF("cluster", "label")
+    val got = Similarity.clusterPurity(assigned, "cluster", "label")
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq((0L, 3L, 1, 2L, 0.666667),
+      (1L, 2L, 5, 1L, 0.5), (2L, 1L, 9, 1L, 1.0)))
+  }
+
+  test("labelCentroidMatrix: orthogonal labels cosine 0, parallel labels cosine 1") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 1), (2L, Array(3f, 0f), 1),   // label 1 -> +x
+      (3L, Array(0f, 2f), 2),                            // label 2 -> +y
+      (4L, Array(5f, 0f), 3))                            // label 3 -> +x
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidMatrix(vecs, "label", "embedding")
+      .orderBy("label_a", "label_b").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got((1, 2)) === ((2L, 1L, 0.0)))
+    assert(got((1, 3)) === ((2L, 1L, 1.0)))
+    assert(got((2, 3)) === ((1L, 1L, 0.0)))
+  }
+
   test("ensembleCumeDist equals the mean of window CUME_DISTs, tie-correct; cume frames broadcast") {
     val df = Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 5L), (4L, 30L, 9L))
       .toDF("id", "s1", "s2").repartition(3)
