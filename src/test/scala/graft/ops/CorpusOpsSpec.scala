@@ -45,6 +45,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(pair === 1L)
   }
 
+  test("canonicalUrl is idempotent over generated URL variants") {
+    // a canonical form must be a fixed point: canonical(canonical(u))
+    // == canonical(u), else the same page keys differently depending
+    // on how many normalization passes it went through
+    val schemes = Seq("http", "HTTPS", "ftp")
+    val hosts = Seq("WWW.Ex.COM", "ex.com", "User@ex.com:80", "ex.com:443")
+    val paths = Seq("", "/", "/a/b/", "/a//")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=x", "?z=1&utm_a=2&y=3#f")
+    val urls = for (s <- schemes; h <- hosts; p <- paths; q <- queries)
+      yield s"$s://$h$p$q"
+    val once = urls.toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c"))
+    val twice = once.select(col("c").as("orig"),
+        TextOps.canonicalUrl(col("c")).as("again"))
+      .filter(col("orig") =!= col("again"))
+      .collect()
+    assert(twice.isEmpty,
+      s"non-idempotent cases: ${twice.take(5).mkString(", ")}")
+  }
+
   test("balanceAudit: hand-computed Lorenz curve, Gini and micro-nat entropy; partition-invariant") {
     // per-source masses 10/30/60 arrive as split rows so the corpus
     // aggregation is exercised
