@@ -291,6 +291,49 @@ object Stats {
         col("n_en"))
   }
 
+  /** Population Stability Index between a REFERENCE frame and a NEW
+    * frame over a discretized value column — the standard "did the
+    * incoming data shift?" monitor a pipeline runs on every ingest
+    * batch (rule of thumb: PSI < 0.1 stable, 0.1–0.25 drifting, >
+    * 0.25 investigate). PSI = Σ_b (pₙ(b) − pᵣ(b)) · ln(pₙ(b)/pᵣ(b))
+    * over fixed-width bins with add-1 smoothing on the FULL shared
+    * bin domain (so mass appearing in a bin the reference never saw
+    * is priced exactly, not skipped).
+    *
+    * Scale shape: each frame is touched by ONE map-combined bin
+    * count; everything after runs on the bin-domain frame (eagerly
+    * checkpointed — it feeds the totals and the join). Per-bin terms
+    * convert to exact pico LONGS before the sum (the repo ln
+    * discipline). Output: one row — (n_ref, n_new, n_bins,
+    * psi round 6). */
+  def psi(ref: DataFrame, nw: DataFrame, valueCol: String,
+          binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bins(df: DataFrame, cnt: String): DataFrame = df
+      .select(floor(col(valueCol).cast("long") / binWidth).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+      .localCheckpoint(true)
+    val r = bins(ref, "n_r")
+    val n = bins(nw, "n_n")
+    val dom = r.select(col("bin")).union(n.select(col("bin"))).distinct()
+    val totals = r.agg(sum(col("n_r")).as("tr"))
+      .crossJoin(n.agg(sum(col("n_n")).as("tn")))
+      .crossJoin(dom.agg(count(lit(1)).as("nb")))
+    val cells = dom
+      .join(r, Seq("bin"), "left").join(n, Seq("bin"), "left")
+      .crossJoin(broadcast(totals))
+    val pr = (coalesce(col("n_r"), lit(0L)).cast("double") + 1.0) /
+      (col("tr").cast("double") + col("nb"))
+    val pn = (coalesce(col("n_n"), lit(0L)).cast("double") + 1.0) /
+      (col("tn").cast("double") + col("nb"))
+    cells
+      .withColumn("t_pico", round((pn - pr) * log(pn / pr) * lit(1e12), 0)
+        .cast("long"))
+      .agg(max(col("tr")).as("n_ref"), max(col("tn")).as("n_new"),
+        max(col("nb")).as("n_bins"),
+        round(sum(col("t_pico")).cast("double") / lit(1e12), 6).as("psi"))
+  }
+
   /** Source-balance audit: the Lorenz curve of `weightCol` mass over
     * `groupCol` (per-group share and cumulative share in ascending
     * weight order) with the Gini coefficient and Shannon entropy as

@@ -1489,6 +1489,16 @@ object TrainingData {
       Similarity.labelCentroidMatrix(t(s, d, "embeddings"), "label",
           "embedding")
         .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // Ingest-batch drift monitor: PSI of the token-count distribution,
+    // new batch (doc_id % 5 == 0) vs the reference corpus — the
+    // number checked before a batch is admitted (q117's split).
+    "q128_psi" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+      Stats.psi(scored.filter(col("doc_id") % 5 =!= 0),
+        scored.filter(col("doc_id") % 5 === 0), "n_toks", binWidth = 8L)
     }))
 
   // THE tokenizer's oracle twin (graft.functions.Tokenize): space-pad
@@ -4194,5 +4204,31 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
         |    (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 6)
         |    AS cosine
         |FROM cent a JOIN cent b ON a.label < b.label
-        |ORDER BY label_a, label_b""".stripMargin)
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // q128: PSI replay — shared bin domain, add-1 smoothing, pico
+    // terms rounded to BIGINT before the sum.
+    "q128_psi" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, len($tokensSql)::BIGINT AS n_toks FROM documents),
+         |rb AS (SELECT n_toks // 8 AS bin, count(*)::BIGINT AS n_r
+         |       FROM sc WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |nb AS (SELECT n_toks // 8 AS bin, count(*)::BIGINT AS n_n
+         |       FROM sc WHERE doc_id % 5 = 0 GROUP BY 1),
+         |dom AS (SELECT bin FROM rb UNION SELECT bin FROM nb),
+         |tot AS (
+         |  SELECT (SELECT sum(n_r) FROM rb)::BIGINT AS tr,
+         |    (SELECT sum(n_n) FROM nb)::BIGINT AS tn,
+         |    (SELECT count(*) FROM dom)::BIGINT AS nbins),
+         |cells AS (
+         |  SELECT (coalesce(n_r, 0) + 1)::DOUBLE / (tr + nbins) AS pr,
+         |    (coalesce(n_n, 0) + 1)::DOUBLE / (tn + nbins) AS pn,
+         |    tr, tn, nbins
+         |  FROM dom LEFT JOIN rb USING (bin) LEFT JOIN nb USING (bin)
+         |  CROSS JOIN tot)
+         |SELECT max(tr)::BIGINT AS n_ref, max(tn)::BIGINT AS n_new,
+         |  max(nbins)::BIGINT AS n_bins,
+         |  round(sum(round((pn - pr) * ln(pn / pr) * 1e12)::BIGINT)::DOUBLE / 1e12, 6)
+         |    AS psi
+         |FROM cells""".stripMargin)
 }

@@ -165,6 +165,33 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got(2) === ((3L, 0L, 0L, None)))
   }
 
+  test("psi: zero for an identical batch, large for a shifted one, driver-replica exact") {
+    val ref = (1L to 400L).map(i => i % 40).toDF("v")
+    // identical distribution -> every per-bin term is exactly 0
+    assert(Stats.psi(ref, ref, "v", binWidth = 8L).head.getDouble(3) === 0.0)
+    // shifted by two bins -> way past the 0.25 investigate threshold
+    val shifted = (1L to 400L).map(i => i % 40 + 16).toDF("v")
+    val drift = Stats.psi(ref, shifted, "v", binWidth = 8L).head
+    assert(drift.getDouble(3) > 0.25, s"shifted psi: ${drift.getDouble(3)}")
+    assert(drift.getLong(0) === 400L && drift.getLong(1) === 400L)
+    // driver-side replica of the smoothed formula on a small case
+    val a = Seq(0L, 1L, 9L, 17L).toDF("v")
+    val b = Seq(0L, 8L, 8L, 25L).toDF("v")
+    val got = Stats.psi(a, b, "v", binWidth = 8L).head
+    val ra = Map(0L -> 2L, 1L -> 1L, 2L -> 1L)
+    val rb = Map(0L -> 1L, 1L -> 2L, 3L -> 1L)
+    val dom = (ra.keySet ++ rb.keySet).toSeq.sorted
+    val nb = dom.size
+    val expect = dom.map { bin =>
+      val pr = (ra.getOrElse(bin, 0L) + 1.0) / (4 + nb)
+      val pn = (rb.getOrElse(bin, 0L) + 1.0) / (4 + nb)
+      math.round((pn - pr) * math.log(pn / pr) * 1e12)
+    }.sum / 1e12
+    assert(got.getDouble(3) === BigDecimal(expect)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getLong(2) === nb.toLong)
+  }
+
   test("crossSourceNearDupMatrix: cross-source pair lands off-diagonal, within-source on the diagonal") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = Seq(
