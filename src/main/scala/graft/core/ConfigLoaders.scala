@@ -116,17 +116,27 @@ object ConfigLoaders {
 
   /** Environment strings coerced by the DEFAULT value's type
     * (loaders.py:50-68): bool by truthy literal, int/double by parse
-    * (falling back to the raw string), containers by JSON. */
+    * (falling back to the raw string), containers by JSON. The coerced
+    * value always carries the default's EXACT runtime type — an Int
+    * default never yields a boxed Long (the reference's ints are
+    * unbounded; here a value outside the default type's range is
+    * treated like any other unparseable string and kept raw, so a
+    * downstream `asInstanceOf[Int]` on the merged config can't throw
+    * on an out-of-range override). */
   def coerceEnvValue(value: String, defaultValue: Any): Any = defaultValue match {
     case _: Boolean =>
       Set("1", "true", "yes", "on").contains(value.trim.toLowerCase)
-    case _: Int | _: Long =>
-      try value.trim.toLong match {
-        case l if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
-        case l => l
+    case _: Int =>
+      try {
+        val l = value.trim.toLong
+        if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else value
       } catch { case _: NumberFormatException => value }
-    case _: Double | _: Float =>
+    case _: Long =>
+      try value.trim.toLong catch { case _: NumberFormatException => value }
+    case _: Double =>
       try value.trim.toDouble catch { case _: NumberFormatException => value }
+    case _: Float =>
+      try value.trim.toFloat catch { case _: NumberFormatException => value }
     case _: Seq[_] | _: Map[_, _] | null =>
       try jsonToScala(PyJson.parse(value)) catch { case _: Exception => value }
     case _ => value

@@ -422,7 +422,13 @@ object Dedup {
     * O(len²) per pair, so the cap bounds verifier cost no matter what
     * the corpus holds — at 100 TB the pair count is already bounded by
     * the LSH banding (candidates only, never all-pairs), and the cap
-    * bounds the per-pair cost.
+    * bounds the per-pair cost. The cap changes VERDICTS, not just
+    * cost: a pair identical through its first `maxChars` characters
+    * but divergent after is reported with edit_sim = 1.0 (a clone) —
+    * acceptable for prefix-heavy boilerplate dedup, but callers
+    * verifying long documents end-to-end must raise `maxChars` (or
+    * re-verify edit_sim = 1.0 pairs whose untruncated lengths differ)
+    * rather than read the cap as a pure cost bound.
     *
     * Output: (id_a, id_b, lev_bytes, edit_sim @6dp), id_a < id_b. */
   def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,

@@ -373,30 +373,51 @@ object Selection {
     * (ints / milli-scaled ratios): the per-signal frame is its
     * distinct-value histogram.
     *
-    * Scale shape, per signal: one map-combined (value → count)
-    * aggregation, the cumulative window over THAT bounded frame, and a
-    * broadcast join back — the [[Stats.groupedCumeDist]] trick, never
-    * a corpus-wide rank/sort. k signals cost k broadcast joins on one
-    * corpus pass — plus k count-aggregation passes over `df` for the
-    * per-signal histograms: persist/checkpoint the scored input when
-    * the signal expressions are expensive, the aggregations re-read it.
+    * Scale shape: the input lineage is evaluated EXACTLY ONCE — the
+    * scored frame (narrow by contract: an id plus k discrete signals)
+    * is checkpointed, then ALL k signal histograms come out of ONE
+    * map-combined aggregation over a (signal, value) stack (an
+    * explode of k structs per row collapses map-side to the k
+    * histograms' cardinality), the per-signal cumulative windows run
+    * on THAT bounded frame partitioned by signal (never a corpus-wide
+    * rank/sort — the [[Stats.groupedCumeDist]] trick), and the q's
+    * come back via k broadcast joins against histogram-sized frames.
+    * Before the fuse this op cost k + 1 passes over the input (one
+    * count-aggregation per signal plus the join-back), re-running the
+    * caller's signal expressions each time.
     *
-    * Output: the input plus `q_<signal>` per signal (round 6) and
-    * `ensemble_score` = round(mean of the q's, 6). */
+    * Nulls: rows with a NULL signal are KEPT (the join back is
+    * null-safe), with the SQL CUME_DIST convention — nulls order
+    * first, so they share the lowest quantile. No input row is ever
+    * dropped: the output is exactly the input plus `q_<signal>` per
+    * signal (round 6) and `ensemble_score` = round(mean of the q's,
+    * 6). Signal values must fit a LONG (discrete scores by contract;
+    * histograms are keyed on the long-cast value). */
   def ensembleCumeDist(df: DataFrame, signalCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(signalCols.nonEmpty, "need at least one signal column")
-    val out = signalCols.foldLeft(df) { (acc, s) =>
-      val counts = df.groupBy(col(s)).agg(count(lit(1)).as("__n"))
-      val cumW = Window.orderBy(col(s))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cd = counts
-        .withColumn("__cum", sum(col("__n")).over(cumW))
-        .withColumn("__tot", sum(col("__n")).over(
-          Window.partitionBy()))
-        .select(col(s),
-          round(col("__cum").cast("double") / col("__tot"), 6).as(s"q_$s"))
-      acc.join(broadcast(cd), Seq(s))
+    val base = df.localCheckpoint(true)
+    val hist = base
+      .select(explode(array(signalCols.map(s =>
+        struct(lit(s).as("sig"), col(s).cast("long").as("v"))): _*)).as("p"))
+      .groupBy(col("p.sig").as("sig"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("__n"))
+    val cumW = Window.partitionBy(col("sig")).orderBy(col("v").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("sig"))
+    // bounded: k × |distinct signal values|; checkpoint so the k
+    // join-backs read it instead of re-running the stack aggregation
+    val cd = hist
+      .withColumn("__cum", sum(col("__n")).over(cumW))
+      .withColumn("__tot", sum(col("__n")).over(totW))
+      .select(col("sig"), col("v"),
+        round(col("__cum").cast("double") / col("__tot"), 6).as("q"))
+      .localCheckpoint(true)
+    val out = signalCols.foldLeft(base) { (acc, s) =>
+      val cdS = cd.filter(col("sig") === s)
+        .select(col("v").as("__v"), col("q").as(s"q_$s"))
+      acc.join(broadcast(cdS), col(s).cast("long") <=> col("__v"), "left")
+        .drop("__v")
     }
     out.withColumn("ensemble_score",
       round(signalCols.map(s => col(s"q_$s")).reduce(_ + _) /

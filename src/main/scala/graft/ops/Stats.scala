@@ -151,13 +151,14 @@ object Stats {
     * corpus — at the cost of `binWidth` resolution instead of
     * exactness. ONE aggregation keyed (group, bin), map-side combined;
     * state per group is bounded by the value range / binWidth. Floor
-    * division is exact integer arithmetic (pmod-subtract), correct for
-    * negative values too. Nulls drop. */
+    * division is exact integer arithmetic end to end (pmod-subtract,
+    * then integral `div` — never the DOUBLE `/`, which silently loses
+    * bins past 2^53), correct for negative values too. Nulls drop. */
   def histogramSketchGrouped(df: DataFrame, groupCol: String,
                              valueCol: String, binWidth: Long): DataFrame = {
     require(binWidth >= 1, "binWidth must be positive")
     val v = col(valueCol).cast("long")
-    val bin = ((v - pmod(v, lit(binWidth))) / binWidth).cast("long")
+    val bin = call_function("div", v - pmod(v, lit(binWidth)), lit(binWidth))
     df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), bin.as("bin"))
       .agg(count(lit(1)).as("cnt"))

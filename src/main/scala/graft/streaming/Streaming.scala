@@ -168,7 +168,18 @@ object Streaming {
     * verification; this one emits VERDICTS against prior history only
     * — within-batch duplicates are admitted together and belong to
     * the next batch compaction. Save contract is append-only and
-    * batch-sized, as everywhere. */
+    * batch-sized, as everywhere.
+    *
+    * Delivery contract: emits are AT-LEAST-ONCE. `emit` runs before
+    * `saveIndex` (a verdict computed against an index already
+    * containing its own batch would mark every doc a self-duplicate),
+    * so a crash between the two replays the micro-batch and re-emits
+    * its verdict frame. Duplicate `saveIndex` rows from the replay are
+    * harmless ([[graft.ops.Dedup.dedupAgainstIndex]] groups per
+    * (new, old) pair; `compact()` rewrites distinct), but consumers of
+    * `emit` must be idempotent — key the downstream write on
+    * (batch_id, new_id) or dedupe on new_id, exactly as with any
+    * foreachBatch sink without transactional two-phase output. */
   def indexedDedupSink(idCol: String, textCol: String,
                        loadIndex: SparkSession => DataFrame,
                        saveIndex: DataFrame => Unit,

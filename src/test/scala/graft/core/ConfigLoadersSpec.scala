@@ -89,6 +89,19 @@ class ConfigLoadersSpec extends AnyFunSuite {
     assert(out.configuration("http_resource_concat_args_symbol") === "&")
   }
 
+  test("env coercion keeps the default's exact type: out-of-Int-range overrides stay raw strings") {
+    val out = ConfigLoaders.buildDefaultConfiguration(env = Map(
+      "GRAFT_GLOBAL_BATCH_SIZE" -> "3000000000"))
+    // an Int default must never surface a boxed Long (downstream
+    // asInstanceOf[Int]/getInt would throw); the unrepresentable value
+    // is treated like any unparseable string and kept raw
+    assert(out.configuration("global_batch_size") === "3000000000")
+    val ok = ConfigLoaders.buildDefaultConfiguration(env = Map(
+      "GRAFT_GLOBAL_BATCH_SIZE" -> "2147483647"))
+    assert(ok.configuration("global_batch_size") === Int.MaxValue)
+    assert(ok.configuration("global_batch_size").isInstanceOf[Int])
+  }
+
   test("flattenDefaults reproduces Configuration.Defaults exactly") {
     val (flat, warnings) = ConfigLoaders.flattenDefaults(
       ConfigLoaders.PackageDefaults)

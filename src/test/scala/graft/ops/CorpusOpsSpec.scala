@@ -315,4 +315,34 @@ class CorpusOpsSpec extends SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("ensembleCumeDist keeps NULL-signal rows (nulls-first quantile, null-safe join back)") {
+    val df = Seq((1L, Some(10L), Some(5L)), (2L, None, Some(7L)),
+        (3L, Some(20L), Some(5L)), (4L, Some(30L), None))
+      .toDF("id", "s1", "s2")
+    val out = Selection.ensembleCumeDist(df, Seq("s1", "s2")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("q_s1"), r.getAs[Double]("q_s2"))).toMap
+    assert(out.size === 4, "no input row may drop on a NULL signal")
+    // SQL CUME_DIST convention: the null group orders first
+    assert(out(2L)._1 === 0.25, "one null of four -> lowest quantile")
+    assert(out(4L)._2 === 0.25)
+    // non-null values rank above the null group
+    assert(out(1L)._1 === 0.5 && out(3L)._1 === 0.75)
+  }
+
+  test("ensembleCumeDist evaluates the input lineage exactly once (fused histograms)") {
+    val acc = spark.sparkContext.longAccumulator("signal-evals")
+    val bump = udf((x: Long) => { acc.add(1L); x })
+    val n = 64L
+    val scored = spark.range(n).select(col("id"),
+      bump(col("id") % 7).as("s1"), (col("id") % 5).as("s2"),
+      (col("id") % 3).as("s3"))
+    Selection.ensembleCumeDist(scored, Seq("s1", "s2", "s3")).collect()
+    // before the fuse: k histogram passes + the join-back re-ran the
+    // signal expressions (k + 1 = 4 evaluations per row); the
+    // checkpointed stack aggregation runs them once
+    assert(acc.value === n,
+      s"input must be scored once, not re-derived per signal (got ${acc.value})")
+  }
 }
