@@ -153,15 +153,22 @@ object Stats {
     * state per group is bounded by the value range / binWidth. Floor
     * division is exact integer arithmetic end to end (pmod-subtract,
     * then integral `div` — never the DOUBLE `/`, which silently loses
-    * bins past 2^53), correct for negative values too. Nulls drop. */
+    * bins past 2^53), correct for negative values too. Nulls drop.
+    *
+    * `weightCol`: sketch over a PRE-REDUCED (value, weight) frame —
+    * each row counts `weight` times instead of once. The shape that
+    * lets one corpus aggregation feed several sketches: reduce the
+    * corpus to (group, value, n) once, then every histogram/quantile
+    * consumer reads the reduced frame, never the corpus again. */
   def histogramSketchGrouped(df: DataFrame, groupCol: String,
-                             valueCol: String, binWidth: Long): DataFrame = {
+                             valueCol: String, binWidth: Long,
+                             weightCol: Option[String] = None): DataFrame = {
     require(binWidth >= 1, "binWidth must be positive")
     val v = col(valueCol).cast("long")
     val bin = call_function("div", v - pmod(v, lit(binWidth)), lit(binWidth))
     df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), bin.as("bin"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(weightCol.map(w => sum(col(w))).getOrElse(count(lit(1))).as("cnt"))
   }
 
   /** Merge per-group histograms into the global histogram: per-bin SUM
@@ -174,21 +181,31 @@ object Stats {
     * bin containing the element at rank `ceil(q·n − 1e-9)` (the same
     * epsilon-corrected PERCENTILE_DISC rank as [[exactQuantiles]] —
     * the exact quantile PROVABLY lies in [bin_lo, bin_hi]). The
-    * cumulative window runs over the HISTOGRAM (bins, not corpus
-    * rows), so the single-partition window is bounded by the bin
-    * count; n rides a one-row broadcast.
-    * Output: (q, bin, bin_lo, bin_hi, cum, n). */
+    * histogram is BOUNDED by construction (bins, not corpus rows), so
+    * instead of an unpartitioned window — WindowExec's
+    * single-partition warning shape, and a shuffle + sort of its own —
+    * the whole frame collapses into ONE sorted array row (a plain
+    * partial+final aggregation), the cumulative sums compute
+    * in-expression (O(bins²) adds over slices — bins-sized by
+    * contract), and the rows explode back out. One job, no window, no
+    * broadcast; n falls out of the same array. Output: (q, bin,
+    * bin_lo, bin_hi, cum, n). */
   def histogramQuantiles(hist: DataFrame, qs: Seq[Double],
                          binWidth: Long): DataFrame = {
     require(binWidth >= 1, "binWidth must be positive")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must lie in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
-    val n = hist.agg(sum(col("cnt")).as("n"))
-    cum.crossJoin(broadcast(n))
+    hist
+      .agg(sort_array(collect_list(
+        struct(col("bin").as("bin"), col("cnt").as("cnt")))).as("__bins"))
+      .select(col("__bins"),
+        aggregate(col("__bins"), lit(0L), (a, x) => a + x("cnt")).as("n"),
+        posexplode(col("__bins")).as(Seq("__i", "__b")))
+      .select(col("n"), col("__b.bin").as("bin"), col("__b.cnt").as("cnt"),
+        // prefix sum over the materialized array attribute (lambda
+        // captures the ATTRIBUTE, never an unmaterialized subtree)
+        aggregate(slice(col("__bins"), lit(1), col("__i") + 1), lit(0L),
+          (a, x) => a + x("cnt")).as("cum"))
       .select(explode(typedlit(qs.sorted)).as("q"),
         col("bin"), col("cnt"), col("cum"), col("n"))
       .withColumn("__target", ceil(col("q") * col("n") - lit(1e-9)).cast("long"))
@@ -199,6 +216,47 @@ object Stats {
         (col("bin") * binWidth).as("bin_lo"),
         ((col("bin") + 1) * binWidth - 1).as("bin_hi"),
         col("cum"), col("n"))
+  }
+
+  /** Exact discrete quantiles via the VALUE-LEVEL histogram — the same
+    * PERCENTILE_DISC semantics as [[exactQuantiles]] (identical output
+    * on any input), shaped for DISCRETE value columns: one map-combined
+    * (value → count) aggregation replaces the corpus sort entirely,
+    * then the bounded distinct-value frame collapses into ONE sorted
+    * array row whose prefix sums compute in-expression (the
+    * [[histogramQuantiles]] shape — no window, no single-partition
+    * shuffle; boundedness is the caller's contract: |distinct values|
+    * must be driver-row-sized, which is what "discrete" means here).
+    * The quantile is the first value whose cumulative count reaches
+    * the epsilon-corrected rank target. Use [[exactQuantiles]] for
+    * continuous columns where |distinct| ≈ n. Nulls drop (SQL
+    * aggregate semantics). `weightCol` as in
+    * [[histogramSketchGrouped]]: each row counts `weight` times —
+    * quantiles over a pre-reduced (value, n) frame. Output: (q, value). */
+  def exactQuantilesDiscrete(df: DataFrame, valueCol: String,
+                             qs: Seq[Double],
+                             weightCol: Option[String] = None): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("value"))
+      .agg(weightCol.map(w => sum(col(w))).getOrElse(count(lit(1))).as("__cnt"))
+      .agg(sort_array(collect_list(
+        struct(col("value").as("value"), col("__cnt").as("cnt")))).as("__vs"))
+      .select(col("__vs"),
+        aggregate(col("__vs"), lit(0L), (a, x) => a + x("cnt")).as("__n"),
+        posexplode(col("__vs")).as(Seq("__i", "__v")))
+      .select(col("__n"), col("__v.value").as("value"),
+        col("__v.cnt").as("__cnt"),
+        aggregate(slice(col("__vs"), lit(1), col("__i") + 1), lit(0L),
+          (a, x) => a + x("cnt")).as("__cum"))
+      .select(explode(typedlit(qs.sorted)).as("q"),
+        col("value"), col("__cnt"), col("__cum"), col("__n"))
+      .withColumn("__target",
+        ceil(col("q") * col("__n") - lit(1e-9)).cast("long"))
+      .filter(col("__cum") >= col("__target") &&
+        col("__cum") - col("__cnt") < col("__target"))
+      .select(col("q"), col("value"))
   }
 
   /** Per-group cumulative distribution of an (integer-valued) score —

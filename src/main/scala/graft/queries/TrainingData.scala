@@ -1132,11 +1132,24 @@ object TrainingData {
     // — and the EXACT quantile (q66's machinery) must land inside each
     // bracket, verified as a column, not assumed.
     "q101_histogram_quantiles" -> ((s, d) => {
-      val docs = t(s, d, "documents").select(col("source"), col("n_chars"))
+      // ONE corpus aggregation — the (source, value, n) reduction —
+      // feeds BOTH the sketch path and the exact side (the weightCol
+      // form of each operator); the LAZY checkpoint pins the corpus to
+      // a single scan (materialized inside the query's own action, no
+      // separate blocking job) and every stage after it moves kilobytes
+      val sv = t(s, d, "documents").select(col("source"), col("n_chars"))
+        .filter(col("n_chars").isNotNull)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(false)
       val merged = Stats.histogramMergeSketches(
-        Stats.histogramSketchGrouped(docs, "source", "n_chars", binWidth = 64L))
+        Stats.histogramSketchGrouped(sv, "source", "n_chars", binWidth = 64L,
+          weightCol = Some("w")))
       val brackets = Stats.histogramQuantiles(merged, Seq(0.5, 0.9, 0.99), 64L)
-      val exact = Stats.exactQuantiles(docs, "n_chars", Seq(0.5, 0.9, 0.99))
+      // n_chars is discrete: the exact side rides the value-level
+      // histogram (weighted by the same reduction), not a corpus sort
+      val exact = Stats.exactQuantilesDiscrete(sv, "n_chars",
+          Seq(0.5, 0.9, 0.99), weightCol = Some("w"))
         .select(col("q"), col("value").cast("long").as("exact"))
       brackets.join(exact, Seq("q"))
         .select(col("q"), col("bin_lo"), col("bin_hi"), col("exact"),

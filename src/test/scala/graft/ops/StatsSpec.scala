@@ -116,6 +116,26 @@ class StatsSpec extends SparkTestBase {
     assert(qs === Map(0.1 -> -2L, 1.0 -> 1L))
   }
 
+  test("exactQuantilesDiscrete == exactQuantiles (ties, ulp ranks, nulls); no window in the plan") {
+    // shuffled, tied, null-holding discrete column
+    val df = ((0L until 500L).map(i => Option((i * 7919) % 40)) ++
+        Seq(None, None)).toDF("x").repartition(7)
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val viaSort = Stats.exactQuantiles(df, "x", qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val disc = Stats.exactQuantilesDiscrete(df, "x", qs)
+    val viaHist = disc.collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(viaHist === viaSort, "value-histogram form must equal the sorted-rank form")
+    // q*n ulp case (0.1 * 500 = 50.000000000000004 in doubles)
+    assert(viaHist(0.1) === viaSort(0.1))
+    // no window anywhere: the bounded frame collapses to one array row
+    // and prefix sums compute in-expression — never WindowExec's
+    // single-partition shape
+    val plan = disc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"discrete quantiles must not fall back to a window:\n$plan")
+  }
+
   test("groupedCumeDist equals the window CUME_DIST, per group, tie-correct") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 5L),
