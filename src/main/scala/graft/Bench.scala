@@ -46,6 +46,30 @@ object Bench {
     // exists" warnings while double-counting memory.
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.valuesIterator.foreach(_.unpersist(blocking = true))
+    // Host calibration: the weak rule's 1 s floor assumes a quiet host.
+    // A loaded shared VM inflates fixed scheduling/CPU overhead 2-3x and
+    // manufactures weak rows out of sub-second queries (the r7 and r8
+    // driver runs both flagged 0.2-0.9 s queries that quiet-host reruns
+    // cleared). Measure a fixed two-stage calibration job — shuffle +
+    // aggregation over generated rows: pure scheduling + CPU, no IO, no
+    // testdata dependence — against its pinned quiet-host time and scale
+    // the floor by the inflation, capped at x3 so a genuine 2x
+    // regression on a quiet host still flags. The factor is recorded in
+    // the output JSON so a scaled floor is auditable, never silent.
+    def calibrationRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L).selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(v * 2654435761) AS s"))
+        .agg(org.apache.spark.sql.functions.expr("count(1)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationRun() // absorb codegen of the calibration shape itself
+    val calMeasured = (1 to 3).map(_ => calibrationRun()).min
+    // pinned quiet-host minimum for this exact job: min 0.39-0.50 s
+    // over 4 builder runs at load-average 2 on 32 idle cores (NOTES_r09)
+    val calRef = 0.40
+    val calFactor = math.max(1.0, math.min(3.0, calMeasured / calRef))
+    val weakFloor = 1.0 * calFactor
     // Each query runs SPARK_GRAFT_REPS times (default 2) and reports
     // the MINIMUM — the steady-state number. A shared-host VM jitters
     // individual runs ±30%; the min of two runs measures the engine,
@@ -100,7 +124,7 @@ object Bench {
       // construction or they deserve the reps.
       def wouldBeWeak: Boolean = ok && times.nonEmpty && {
         val t = times.min
-        t >= 1.0 && duckTimes.get(name).exists(d => t > 2 * d)
+        t >= weakFloor && duckTimes.get(name).exists(d => t > 2 * d)
       }
       var extra = 0
       while (wouldBeWeak && extra < 2) { rep().foreach(times += _); extra += 1 }
@@ -122,17 +146,19 @@ object Bench {
     val duckJson = duckTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val weak = results.toSeq.sortBy(_._1).collect {
-      case (k, v) if v >= 1.0 && duckTimes.get(k).exists(d => v > 2 * d) => k
+      case (k, v) if v >= weakFloor && duckTimes.get(k).exists(d => v > 2 * d) => k
     }
     val weakJson = weak.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // like-for-like: the DuckDB comparison total spans only queries that
     // actually ran on the Spark side (failed ones are in neither total)
     val duckTotal = duckTimes.filter { case (k, _) => results.get(k).exists(_ >= 0) }.values.sum
+    val calJson = f"""{"measured":$calMeasured%.4f,"ref":$calRef,""" +
+      f""""factor":$calFactor%.3f,"weak_floor":$weakFloor%.3f}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""duckdb":$duckJson,"duckdb_total":$duckTotal,"weak":$weakJson,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""calibration":$calJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The JSON must survive sbt/log4j noise and tail truncation: write
     // it to a file AND print it as the absolute last line, after
     // spark.stop() has flushed every executor/log line that could
