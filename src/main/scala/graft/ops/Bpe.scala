@@ -82,12 +82,14 @@ object Bpe {
     * Two equivalent paths behind one corpus pass (the
     * `connectedComponents` fast-path doctrine — `ops/Dedup.scala:262`):
     * the word-TYPE table is vocabulary-sized by construction, so when
-    * it fits `driverVocabLimit` (default 200k types ≈ a few MB — web
-    * corpora plateau near 10⁶) the k merge rounds run as an in-memory
-    * loop after ONE collect; k sequential argmax rounds as Spark jobs
-    * are pure fixed scheduling cost at that size (measured at sf0.1,
-    * k = 8: 1.74 s of jobs vs 0.41 s collect+loop — AQE turns every
-    * round's tiny shuffle into multiple job submissions). Above the
+    * it fits `driverVocabLimit` (default 10⁶ types — web corpora
+    * plateau near 10⁶ after the hapax floor; ≈60 MB of strings+counts,
+    * driver-trivial) the merges run on the in-memory pair-count HEAP
+    * after ONE collect ([[localBpe]] — incremental deltas over an
+    * inverted index, the only path that reaches 32k merges; k
+    * sequential argmax rounds as Spark jobs are pure fixed scheduling
+    * cost at that size — measured at sf0.1, k = 8: 1.74 s of jobs vs
+    * 0.41 s collect+loop, and unusable at depth). Above the
     * limit the rounds run distributed: one 1-row argmax job per round,
     * each new vocab persisted lazily and the parent cache released one
     * round deferred (the next argmax materializes the child while the
@@ -95,7 +97,7 @@ object Bpe {
     * the merge rule via the same sentinel strings; BpeSpec pins
     * cross-path equality. */
   def trainBpe(docs: DataFrame, textCol: String, merges: Int,
-               minPairCount: Long = 2L, driverVocabLimit: Int = 200000): DataFrame = {
+               minPairCount: Long = 2L, driverVocabLimit: Int = 1000000): DataFrame = {
     val wc = wordCounts(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
     try trainBpeFromCounts(wc, merges, minPairCount, driverVocabLimit)
     finally wc.unpersist(blocking = false)
@@ -109,7 +111,7 @@ object Bpe {
     * read exactly once end-to-end. */
   def trainBpeFromCounts(wc: DataFrame, merges: Int,
                          minPairCount: Long = 2L,
-                         driverVocabLimit: Int = 200000,
+                         driverVocabLimit: Int = 1000000,
                          minWordCount: Long = 1L): DataFrame = {
     require(merges >= 0, "merges must be non-negative")
     require(minWordCount >= 1L, "minWordCount must be positive")
@@ -225,12 +227,173 @@ object Bpe {
   private def pairLt(a: (String, String), b: (String, String)): Boolean =
     if (a._1 != b._1) utf8Lt(a._1, b._1) else utf8Lt(a._2, b._2)
 
-  /** In-memory merge rounds over the collected word-type table —
-    * vocabulary-sized state, identical semantics to the distributed
-    * rounds (occurrence-counted overlapping pairs, left-to-right
-    * non-overlapping merge, (count DESC, l, r) tie-break). */
-  private def localBpe(words: Array[(String, Long)], merges: Int,
-                       minPairCount: Long): Seq[(Long, String, String, String, Long)] = {
+  /** Split a word into its BPE start symbols: code POINTS (what an
+    * empty-regex split yields in both engines — a per-UTF-16-unit
+    * split would halve surrogate pairs) plus the end marker. */
+  private def startSymbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))) :+ EndMark
+
+  /** THE in-memory trainer: an incremental pair-count HEAP over the
+    * collected word-type table — the path that reaches real vocabulary
+    * depth (32k merges over 10⁶ types) where the round-trainer
+    * ([[localBpeRounds]], kept as the definitional reference) rescans
+    * every type per merge and the distributed rounds pay one argmax
+    * JOB per merge.
+    *
+    * Structure: global pair counts, an inverted index pair → word ids
+    * (which types currently contain the pair — each merge touches ONLY
+    * those), and a lazy-invalidation max-heap ordered by the training
+    * tie-break (count DESC, l, r in UTF-8 byte order — what Spark's
+    * UTF8String and the DuckDB oracle compare). Every count change
+    * pushes a fresh heap entry; a popped entry is valid iff its stored
+    * count equals the pair's CURRENT count (an entry with the current
+    * count pushed at-or-after the last change always exists, so the
+    * first valid pop IS the argmax with the exact tie-break). Index
+    * sets are never pruned (a stale id rescans one word and
+    * contributes no delta — cheaper than per-word occurrence
+    * bookkeeping); deltas recompute each affected word's pair multiset
+    * before/after the in-place merge, so overlap semantics
+    * ("aaa" → [aa, a], never [a, aa]) fall out of the same
+    * left-to-right scan the other two paths use. Work per merge is
+    * O(Σ len of words containing the pair), not O(types);
+    * BpeSpec pins merge-for-merge equality with [[localBpeRounds]] and
+    * the distributed rounds. */
+  private[ops] def localBpe(words: Array[(String, Long)], merges: Int,
+                            minPairCount: Long): Seq[(Long, String, String, String, Long)] = {
+    type Pair = (String, String)
+    val syms = new Array[Array[String]](words.length)
+    val cnts = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      syms(i) = startSymbols(words(i)._1); cnts(i) = words(i)._2; i += 1
+    }
+    val pc = new java.util.HashMap[Pair, Long]()
+    val idx = new java.util.HashMap[Pair, java.util.ArrayList[Int]]()
+    // heap entries: (l, r, count-at-push); comparator = training order
+    val heap = new java.util.PriorityQueue[(String, String, Long)](1024,
+      (a: (String, String, Long), b: (String, String, Long)) =>
+        if (a._3 != b._3) java.lang.Long.compare(b._3, a._3)
+        else if (a._1 != b._1) { if (utf8Lt(a._1, b._1)) -1 else 1 }
+        else if (a._2 != b._2) { if (utf8Lt(a._2, b._2)) -1 else 1 }
+        else 0)
+    def addOccurrence(p: Pair, wordId: Int): Unit =
+      idx.computeIfAbsent(p, _ => new java.util.ArrayList[Int]()).add(wordId)
+    i = 0
+    while (i < words.length) {
+      val s = syms(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val old = pc.getOrDefault(p, 0L)
+        pc.put(p, old + cnts(i))
+        if (old == 0L || !seenInWord(s, j, p)) addOccurrence(p, i)
+        j += 1
+      }
+      i += 1
+    }
+    // (the index may hold a word id several times for a repeated pair —
+    // the merge pass deduplicates via the per-round touched set)
+    pc.forEach((p, c) => heap.add((p._1, p._2, c)))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var rank = 0L
+    var exhausted = false
+    while (rank < merges && !exhausted) {
+      // pop to the first VALID entry (stored count == current count)
+      var best: Pair = null
+      var bestC = 0L
+      while (best == null && !heap.isEmpty) {
+        val e = heap.poll()
+        val cur = pc.getOrDefault((e._1, e._2), 0L)
+        if (cur == e._3 && cur >= minPairCount) { best = (e._1, e._2); bestC = cur }
+      }
+      if (best == null) exhausted = true
+      else {
+        val (l, r) = best
+        out += ((rank, l, r, l + r, bestC))
+        val merged = l + r
+        val touched = idx.remove(best)
+        val changed = new java.util.HashSet[Pair]()
+        changed.add(best)
+        if (touched != null) {
+          val done = new java.util.HashSet[Integer]()
+          var t = 0
+          while (t < touched.size()) {
+            val w = touched.get(t)
+            if (done.add(w)) {
+              val s = syms(w); val c = cnts(w)
+              // does the pair still occur? (index ids can be stale)
+              var hit = false
+              var j = 0
+              while (!hit && j + 1 < s.length) {
+                hit = s(j) == l && s(j + 1) == r; j += 1
+              }
+              if (hit) {
+                // subtract the word's current pair multiset
+                j = 0
+                while (j + 1 < s.length) {
+                  val p = (s(j), s(j + 1))
+                  pc.put(p, pc.getOrDefault(p, 0L) - c)
+                  changed.add(p)
+                  j += 1
+                }
+                // left-to-right non-overlapping in-place merge
+                val b = new scala.collection.mutable.ArrayBuffer[String](s.length)
+                j = 0
+                while (j < s.length) {
+                  if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+                    b += merged; j += 2
+                  } else { b += s(j); j += 1 }
+                }
+                val ns = b.toArray
+                syms(w) = ns
+                // add the new multiset back; register new occurrences
+                j = 0
+                while (j + 1 < ns.length) {
+                  val p = (ns(j), ns(j + 1))
+                  val old = pc.getOrDefault(p, 0L)
+                  pc.put(p, old + c)
+                  changed.add(p)
+                  if (p._1 == merged || p._2 == merged) addOccurrence(p, w)
+                  j += 1
+                }
+              }
+            }
+            t += 1
+          }
+        }
+        // one heap push per changed pair per round (counts settled)
+        changed.forEach { p =>
+          val cur = pc.getOrDefault(p, 0L)
+          if (cur <= 0L) { pc.remove(p); () }
+          else { heap.add((p._1, p._2, cur)); () }
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** True iff pair `p` already occurred in `s` strictly before
+    * position `j` — used to avoid duplicate index registrations at
+    * init (best-effort only; the merge pass tolerates duplicates). */
+  private def seenInWord(s: Array[String], j: Int, p: (String, String)): Boolean = {
+    var q = 0
+    while (q < j) {
+      if (s(q) == p._1 && s(q + 1) == p._2) return true
+      q += 1
+    }
+    false
+  }
+
+  /** The definitional round-trainer: recompute ALL pair counts, take
+    * the argmax, rebuild the vocabulary — per merge. Kept as the
+    * reference the heap trainer ([[localBpe]]) is equality-pinned
+    * against (BpeSpec); unusable at depth (O(merges × types × len)).
+    * Identical semantics: occurrence-counted overlapping pairs,
+    * left-to-right non-overlapping merge, (count DESC, l, r)
+    * tie-break. */
+  private[ops] def localBpeRounds(words: Array[(String, Long)], merges: Int,
+                                  minPairCount: Long): Seq[(Long, String, String, String, Long)] = {
     var vocab = new java.util.HashMap[List[String], Long]()
     words.foreach { case (w, c) =>
       // split by code POINT (what an empty-regex split yields in both

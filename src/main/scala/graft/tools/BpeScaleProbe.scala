@@ -47,12 +47,30 @@ object BpeScaleProbe {
       val n = wc.filter(col("cnt") >= floor).count()
       println(f"[probe] types at floor >=$floor: $n (${100.0 * n / total}%.1f%%)")
     }
-    // training with the floor: the type table shrinks under the 200k
-    // guard and the k rounds run driver-side
+    // training with the floor: the type table shrinks under the driver
+    // guard and the merges run on the in-memory pair-count heap
     val merges = tm("train 64 merges, floor>=8")(
       Bpe.trainBpeFromCounts(wc, merges = 64, minPairCount = 2,
         minWordCount = 8L).collect())
     println(s"[probe] merges learned: ${merges.length}")
+    // REAL vocabulary depth: 32,768 TRAINED merges over the full type
+    // table (no floor — every type participates). One collect, then
+    // the incremental heap; the r8 round-trainer path was unusable here
+    // (32k sequential argmax rounds).
+    val deepTrained = tm(s"train 32768 merges over all $total types") {
+      Bpe.trainBpeFromCounts(wc, merges = 32768, minPairCount = 2,
+        driverVocabLimit = 2000000).collect()
+    }
+    println(s"[probe] deep merges learned: ${deepTrained.length} " +
+      s"(last pair count: ${deepTrained.lastOption.map(_.getLong(4))})")
+    // this synthetic corpus exhausts repeated pairs before 32k (an
+    // honest corpus property); minPairCount=1 forces the heap through
+    // the FULL requested depth so 32,768 merges are actually performed
+    val full = tm(s"train 32768 merges, minPairCount=1, all $total types") {
+      Bpe.trainBpeFromCounts(wc, merges = 32768, minPairCount = 1,
+        driverVocabLimit = 2000000).collect()
+    }
+    println(s"[probe] full-depth merges learned: ${full.length}")
     // the 32k applier over EVERY type (vocab-side segmentation)
     val deep = Bpe.syntheticMerges(32768)
     val counts = tm("apply 32768 merges over all types")(

@@ -10,7 +10,13 @@ import graft.ops.Dedup
   * indexed docs) against it — the q117 / indexedDedupSink path at
   * probe scale. Reports index build time, index row count, screening
   * time, and planted-dup recall (exact copies ⇒ signature match is
-  * certain; recall must be 1.0).
+  * certain; recall must be 1.0). Runs the screen through BOTH storage
+  * layouts: the in-memory/plain index (the r8 measurement — the
+  * screen join re-shuffles the whole signature-carrying index side)
+  * and the (band, bucket)-BUCKETED published table
+  * ([[graft.sources.BandIndexStore]] — the index side joins
+  * Exchange-free; only the batch shuffles), so the layout's win is a
+  * measured number, not an assertion.
   *
   * Usage: runMain graft.tools.IndexProbe [oldDocs] [batchDocs]
   */
@@ -18,8 +24,15 @@ object IndexProbe {
   def main(args: Array[String]): Unit = {
     val oldN = args.headOption.map(_.toLong).getOrElse(1800000L)
     val batchN = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+    val wh = new java.io.File("/tmp/graft_indexprobe_wh")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    if (wh.exists) rmrf(wh)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.warehouse.dir", wh.getAbsolutePath)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
@@ -49,16 +62,25 @@ object IndexProbe {
       Dedup.minhashBandIndex(old, "doc_id", "text").localCheckpoint(true)
     }
     println(s"[probe] index rows: ${index.count()} (docs x 4 bands)")
-    tm(s"screen ${batchN / 1000}k batch against the index") {
-      val verdicts = Dedup
-        .dedupAgainstIndex(batch, index, "doc_id", "text")
-        .localCheckpoint(true)
-      val flagged = verdicts.filter(col("is_dup")).count()
-      val planted = verdicts
-        .filter((col("new_id") - oldN) % 10 === 0 && col("is_dup")).count()
-      println(s"[probe] flagged: $flagged of ${batchN / 10} planted " +
-        s"(planted hits: $planted, false-ish extras: ${flagged - planted})")
+    def screenAndReport(label: String, indexSide: org.apache.spark.sql.DataFrame): Unit =
+      tm(s"screen ${batchN / 1000}k batch against the $label index") {
+        val verdicts = Dedup
+          .dedupAgainstIndex(batch, indexSide, "doc_id", "text")
+          .localCheckpoint(true)
+        val flagged = verdicts.filter(col("is_dup")).count()
+        val planted = verdicts
+          .filter((col("new_id") - oldN) % 10 === 0 && col("is_dup")).count()
+        println(s"[probe] $label flagged: $flagged of ${batchN / 10} planted " +
+          s"(planted hits: $planted, false-ish extras: ${flagged - planted})")
+      }
+    screenAndReport("plain (checkpointed frame)", index)
+    // the published bucketed artifact: pay the shuffle ONCE at publish,
+    // then every daily screen joins the index side Exchange-free
+    val store = new graft.sources.BandIndexStore(spark, buckets = 64)
+    tm(s"publish bucketed index table (${oldN / 1000}k docs)") {
+      store.append(index)
     }
+    screenAndReport("bucketed table", store.load())
     spark.stop()
   }
 }

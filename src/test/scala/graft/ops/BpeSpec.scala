@@ -86,6 +86,30 @@ class BpeSpec extends SparkTestBase {
     assert(merges.isEmpty, s"expected no merges, got $merges")
   }
 
+  test("heap trainer == round trainer, merge for merge, on the q87 corpus and adversarial shapes") {
+    // the q87 corpus: real documents table at the smallest SF
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val wc = Bpe.wordCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val viaHeap = Bpe.localBpe(wc, 64, 2L)
+    val viaRounds = Bpe.localBpeRounds(wc, 64, 2L)
+    assert(viaHeap.size === 64)
+    assert(viaHeap === viaRounds, "incremental deltas must replay the argmax rounds exactly")
+    // adversarial: overlap runs (aaa), count ties broken by (l, r),
+    // merged symbols immediately re-pairing, early exhaustion
+    val shapes = Seq(
+      Map("aaaa" -> 3L, "aaab" -> 2L, "baaa" -> 2L),
+      Map("ab" -> 5L, "cd" -> 5L, "ac" -> 5L, "bd" -> 5L),
+      Map("xy" -> 9L, "xyxy" -> 4L, "yx" -> 9L),
+      Map("solo" -> 1L))
+    shapes.foreach { words =>
+      val arr = words.toArray
+      assert(Bpe.localBpe(arr, 12, 2L) === Bpe.localBpeRounds(arr, 12, 2L),
+        s"divergence on $words")
+    }
+  }
+
   test("driver fast path == forced distributed rounds, merge for merge") {
     val docs = (0L until 30L)
       .map(i => (i, s"alpha beta${i % 5} gamma alpha delta${i % 4} beta${i % 5}"))

@@ -36,4 +36,72 @@ class BucketedSpec extends SparkTestBase {
       assert(off.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("BandIndexStore: screen == in-memory dedupAgainstIndex; index side of the join is Exchange-free") {
+    import graft.ops.Dedup
+    val old = (0L until 64L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta token$i payload$i end"))
+      .toDF("doc_id", "text")
+    // every 4th batch doc is an exact copy of an indexed doc
+    val batch = (0L until 32L).map { i =>
+      val id = i + 1000L
+      if (i % 4 == 0)
+        (id, s"alpha beta gamma delta epsilon zeta token$i payload$i end")
+      else (id, s"nu xi omicron pi rho sigma fresh$i body$i tail")
+    }.toDF("doc_id", "text")
+
+    val store = new BandIndexStore(spark, table = "bspec_band_index", buckets = 4)
+    assert(store.load().isEmpty, "empty index before the first publish")
+    store.publish(old, "doc_id", "text")
+
+    // verdict parity with the in-memory index path (one definition,
+    // two storage modes)
+    val viaStore = store.screen(batch, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    val inMem = Dedup.dedupAgainstIndex(batch,
+        Dedup.minhashBandIndex(old, "doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    assert(viaStore === inMem)
+    assert((0L until 32L by 4).forall(i => viaStore(i + 1000L)._2),
+      "planted exact copies must flag")
+
+    // plan pin (AQE/broadcast off so Exchange nodes are visible and the
+    // join shape is forced): the bucketed index side must consume the
+    // on-disk bucketing — only the BATCH side may shuffle
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val plan = store.screen(batch, "doc_id", "text")
+        .queryExecution.executedPlan
+      // the (band, bucket) probe join specifically — outer joins in the
+      // chain transitively contain the scan and legitimately shuffle
+      // their pair-sized frames
+      val sides = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.flatMap(_.references).map(_.name).toSet == Set("band", "bucket") =>
+          Seq(j.left, j.right)
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.flatMap(_.references).map(_.name).toSet == Set("band", "bucket") =>
+          Seq(j.left, j.right)
+      }.flatten
+      assert(sides.nonEmpty, s"no (band, bucket) join in the plan:\n$plan")
+      val indexSides = sides.filter(_.collectFirst {
+        case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s
+      }.nonEmpty)
+      assert(indexSides.nonEmpty,
+        s"the screen must join against the bucketed table scan:\n$plan")
+      indexSides.foreach { side =>
+        assert(side.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"index side must consume the bucketing, never re-shuffle:\n$side")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
 }
