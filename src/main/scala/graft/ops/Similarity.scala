@@ -482,16 +482,22 @@ object Similarity {
     * (floor, not round: floor is bit-identical across engines, round
     * ties are not). Returns `struct(scale float, codes array<tinyint>)`.
     * Composed column expressions, not a native kernel: quantization is
-    * a storage-prep pass, not a per-query hot loop. */
-  def quantize(emb: Column): Column = {
-    val maxAbs = array_max(transform(emb, v => abs(v)))
-    val scale = (maxAbs.cast("double") / 127.0).cast("float")
-    val codes = when(maxAbs === 0f,
-        transform(emb, _ => lit(0).cast("byte")))
-      .otherwise(transform(emb,
-        v => floor(v.cast("double") * 127.0 / maxAbs.cast("double")).cast("byte")))
-    struct(scale.as("scale"), codes.as("codes"))
-  }
+    * a storage-prep pass, not a per-query hot loop.
+    *
+    * max|v| is LET-BOUND through a one-element-array transform so the
+    * codes lambda captures a lambda VARIABLE, not the max-subtree —
+    * the naive capture re-evaluated the O(d) max per element (O(d²)
+    * per row; the q112 capture shape, caught by LambdaGuardSpec). */
+  def quantize(emb: Column): Column =
+    element_at(
+      transform(array(array_max(transform(emb, v => abs(v)))), m =>
+        struct(
+          (m.cast("double") / 127.0).cast("float").as("scale"),
+          transform(emb, v =>
+            when(m === lit(0f), lit(0).cast("byte"))
+              .otherwise(floor(v.cast("double") * 127.0 / m.cast("double"))
+                .cast("byte"))).as("codes"))),
+      1)
 
   /** Inverse of [[quantize]]: `code × scale` back to float. */
   def dequantize(q: Column): Column =

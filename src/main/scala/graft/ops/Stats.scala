@@ -368,9 +368,13 @@ object Stats {
   def psi(ref: DataFrame, nw: DataFrame, valueCol: String,
           binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def bins(df: DataFrame, cnt: String): DataFrame = df
-      .select(floor(col(valueCol).cast("long") / binWidth).as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    // integral floor division (same discipline as histogramSketchGrouped
+    // — floor(double /) silently loses bins past 2^53)
+    def bins(df: DataFrame, cnt: String): DataFrame = {
+      val v = col(valueCol).cast("long")
+      df.select(call_function("div", v - pmod(v, lit(binWidth)), lit(binWidth)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    }
       .localCheckpoint(true)
     val r = bins(ref, "n_r")
     val n = bins(nw, "n_n")

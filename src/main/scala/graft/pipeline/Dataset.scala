@@ -168,7 +168,16 @@ class DGGrowthUnfinished extends RuntimeException("Dataset growth already in pro
   * (FIFO still overlaps fetch latency with compute, which is the win).
   */
 class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = false,
-                    collectionParallelism: Int = 4) {
+                    collectionParallelism: Int = 4,
+                    /** Durable cross-run response cache for the GROWTH
+                      * fan-out ([[graft.sources.ResourceCache]] — use
+                      * `ResourceCache.configured` to pick the bucketed
+                      * table layout at scale). None = cache-less rounds
+                      * (every phase fetches live), the reference's
+                      * behavior with an empty Resource table. Seeding
+                      * keeps its driver-side memo by design: pagination
+                      * is sequential and page-count-sized. */
+                    resourceCache: Option[graft.sources.ResourceCache] = None) {
 
   def grow(spec: DatasetSpec, args: Seq[String] = Nil,
            kwargs: Map[String, String] = Map.empty,
@@ -216,8 +225,17 @@ class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = 
       var docs = seeding.run(docs0, args, initial = seeds,
         limit = if (retry && !docs0.isEmpty && limit == -2) -1 else limit)
       cd.growthPhases.foreach { g =>
-        val (grown, _) = Growth.grow(docs, g, fetcher, graft.sources.Resources.emptyCache(spark),
-          cacheOnly = cacheOnly)
+        val (grown, _) = resourceCache match {
+          // the store owns the round: read its cache, checkpoint the
+          // fetch exactly-once, append the misses — growth rounds are
+          // memoized ACROSS runs and the cache side of the fetch join
+          // stays Exchange-free under the bucketed layout
+          case Some(rc) =>
+            Growth.growWith(docs, g, reqs => rc.fetch(reqs, fetcher, cacheOnly))
+          case None =>
+            Growth.grow(docs, g, fetcher, graft.sources.Resources.emptyCache(spark),
+              cacheOnly = cacheOnly)
+        }
         docs = grown.localCheckpoint(true)
       }
       store.writeCollection(sig, version.version, cd.collection.name, docs)

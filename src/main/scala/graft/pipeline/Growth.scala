@@ -94,8 +94,19 @@ object Growth {
   def grow(docs: DataFrame, spec: GrowthSpec, fetcher: Fetcher,
            cache: DataFrame, cacheOnly: Boolean = false,
            maxConcurrency: Int = 32,
-           auth: graft.sources.AuthConfig = graft.sources.AuthConfig.none): (DataFrame, DataFrame) = {
-    val spark = docs.sparkSession
+           auth: graft.sources.AuthConfig = graft.sources.AuthConfig.none): (DataFrame, DataFrame) =
+    growWith(docs, spec, reqs => Resources.fetchWithCache(reqs, cache, fetcher,
+      cacheOnly, maxConcurrency, auth))
+
+  /** [[grow]] with the fetch kernel abstracted: `fetchKernel` maps the
+    * deduped request frame (method, url, request_body) to the resources
+    * frame. The seam that lets a DURABLE store own the round — pass
+    * `store.fetch(_, fetcher, …)` ([[graft.sources.ResourceCache]]) and
+    * the store reads its cache, checkpoints the fetch exactly-once, and
+    * appends the round's misses; the plain overload above passes a
+    * caller-supplied cache frame and leaves write-back to the caller. */
+  def growWith(docs: DataFrame, spec: GrowthSpec,
+               fetchKernel: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val pending = docs.filter(pendingFilter(spec))
     val rest = docs.filter(!pendingFilter(spec))
 
@@ -108,8 +119,7 @@ object Growth {
     // Identical URLs dedupe into ONE fetch; results fan back per doc.
     val uniqueRequests = requests.select("method", "url", "request_body")
       .dropDuplicates("url")
-    val resources = Resources.fetchWithCache(uniqueRequests, cache, fetcher,
-      cacheOnly, maxConcurrency, auth)
+    val resources = fetchKernel(uniqueRequests)
 
     val resourcesForJoin = resources.select(col("url").as("r_url"),
       col("uri").as("r_uri"), col("data_hash"), col("status"), col("head"), col("body"))

@@ -39,10 +39,22 @@ class BandIndexStore(spark: SparkSession,
     if (exists) spark.table(table) else BandIndexStore.emptyIndex(spark)
 
   /** Append pre-built index rows (schema of
-    * [[graft.ops.Dedup.minhashBandIndex]]). */
-  def append(indexRows: DataFrame): Unit =
-    Bucketed.writeKeys(indexRows, table, Seq("band", "bucket"), buckets,
-      mode = "append")
+    * [[graft.ops.Dedup.minhashBandIndex]]). The write repartitions on
+    * the bucket columns first — repartition and bucketBy share the
+    * same Murmur3 `pmod(hash, n)` assignment, so each task holds
+    * exactly one bucket and each append lands ONE file per bucket,
+    * sorted by (band, bucket): a fresh/compacted table serves the
+    * probe join sort-free (Spark honors sortBy metadata only at one
+    * file per bucket). Repeated appends accumulate files per bucket —
+    * co-location still holds (no Exchange), the reader just re-sorts —
+    * until [[compact]] restores the one-file layout. */
+  def append(indexRows: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    Bucketed.writeKeys(
+      indexRows.repartition(buckets, col("band"), col("bucket")),
+      table, Seq("band", "bucket"), buckets,
+      sortCols = Seq("band", "bucket"), mode = "append")
+  }
 
   /** Index a document frame and append its band rows — the "admit the
     * batch" half of the ingestion gate. */
@@ -58,10 +70,15 @@ class BandIndexStore(spark: SparkSession,
     graft.ops.Dedup.dedupAgainstIndex(newBatch, load(), idCol, textCol,
       k, bands, shingleSize, threshold)
 
-  /** Rewrite the append log distinct, keeping the bucketing. */
+  /** Rewrite the append log distinct, restoring the one-file-per-bucket
+    * sorted layout. */
   def compact(): Unit = if (exists) {
+    import org.apache.spark.sql.functions.col
     val compacted = spark.table(table).distinct().localCheckpoint(true)
-    Bucketed.writeKeys(compacted, table, Seq("band", "bucket"), buckets)
+    Bucketed.writeKeys(
+      compacted.repartition(buckets, col("band"), col("bucket")),
+      table, Seq("band", "bucket"), buckets,
+      sortCols = Seq("band", "bucket"))
   }
 }
 

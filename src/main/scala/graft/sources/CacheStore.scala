@@ -4,6 +4,42 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** The durable-resource-cache contract both storage layouts satisfy —
+  * what the growth pipeline programs against
+  * ([[graft.pipeline.Growth.growWith]] /
+  * [[graft.pipeline.DatasetRunner]]): read the current cache, fetch a
+  * request frame through it (exactly-once semantics are the STORE's
+  * job — implementations checkpoint the fetch before appending),
+  * append the round's new rows, compact the log. */
+trait ResourceCache {
+  /** Current cache contents, newest row per (uri, data_hash). */
+  def read(): DataFrame
+  /** Append newly fetched rows (from_cache=false) from a fetch round. */
+  def append(resources: DataFrame): Unit
+  /** Fetch through this store: read → fetchWithCache → checkpoint →
+    * append misses. The returned frame is already materialized — a
+    * caller action never re-runs the live fetch. */
+  def fetch(requests: DataFrame, fetcher: Fetcher,
+            cacheOnly: Boolean = false, maxConcurrency: Int = 32,
+            auth: AuthConfig = AuthConfig.none): DataFrame
+  /** Rewrite the append log into one row per key. */
+  def compact(): Unit
+}
+
+object ResourceCache {
+  /** Layout selection for the pipeline wiring: a configured TABLE name
+    * picks the bucketed store (the at-scale default — the cache side
+    * of every fetch round joins Exchange-free and is never broadcast);
+    * a path alone picks the plain parquet log (small caches, ad-hoc
+    * dirs); neither → None (the caller runs cache-less, e.g. pure
+    * replay tests). */
+  def configured(spark: SparkSession, path: Option[String] = None,
+                 table: Option[String] = None,
+                 buckets: Int = 32): Option[ResourceCache] =
+    table.map(t => new BucketedCacheStore(spark, t, buckets): ResourceCache)
+      .orElse(path.map(p => new CacheStore(p, spark): ResourceCache))
+}
+
 /** Durable resource cache: the reference's Resource table persisted as
   * Parquet, shared across runs — response memoization is the engine's
   * core optimization AND its test-isolation mechanism (SURVEY §4;
@@ -15,7 +51,7 @@ import org.apache.spark.sql.functions._
   * key when the append log grows. Append + latest-wins means concurrent
   * writers never corrupt the cache — at worst a key is fetched twice.
   */
-class CacheStore(val path: String, spark: SparkSession) {
+class CacheStore(val path: String, spark: SparkSession) extends ResourceCache {
 
   private def exists: Boolean = Files.exists(Paths.get(path))
 
@@ -42,8 +78,10 @@ class CacheStore(val path: String, spark: SparkSession) {
 
   /** Fetch through this store: read → fetchWithCache → append misses. */
   def fetch(requests: DataFrame, fetcher: Fetcher,
-            cacheOnly: Boolean = false, maxConcurrency: Int = 32): DataFrame = {
-    val out = Resources.fetchWithCache(requests, read(), fetcher, cacheOnly, maxConcurrency)
+            cacheOnly: Boolean = false, maxConcurrency: Int = 32,
+            auth: AuthConfig = AuthConfig.none): DataFrame = {
+    val out = Resources.fetchWithCache(requests, read(), fetcher, cacheOnly,
+        maxConcurrency, auth)
       .localCheckpoint(true) // fetch exactly once, before the append re-reads
     append(out)
     out
@@ -70,7 +108,7 @@ class CacheStore(val path: String, spark: SparkSession) {
   * model: appends add bucket-tagged files, `compact()` rewrites the
   * log one-row-per-key and keeps the bucketing. */
 class BucketedCacheStore(spark: SparkSession, val table: String = "graft_resource_cache",
-                         buckets: Int = 32) {
+                         buckets: Int = 32) extends ResourceCache {
 
   private def exists: Boolean = spark.catalog.tableExists(table)
 
@@ -96,9 +134,10 @@ class BucketedCacheStore(spark: SparkSession, val table: String = "graft_resourc
 
   /** Fetch through this store — co-located join, no cache broadcast. */
   def fetch(requests: DataFrame, fetcher: Fetcher,
-            cacheOnly: Boolean = false, maxConcurrency: Int = 32): DataFrame = {
+            cacheOnly: Boolean = false, maxConcurrency: Int = 32,
+            auth: AuthConfig = AuthConfig.none): DataFrame = {
     val out = Resources.fetchWithCache(requests, read(), fetcher, cacheOnly,
-        maxConcurrency, broadcastCache = false)
+        maxConcurrency, auth, broadcastCache = false)
       .localCheckpoint(true) // fetch exactly once, before the append re-reads
     append(out)
     out

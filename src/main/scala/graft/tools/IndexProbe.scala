@@ -73,9 +73,17 @@ object IndexProbe {
         println(s"[probe] $label flagged: $flagged of ${batchN / 10} planted " +
           s"(planted hits: $planted, false-ish extras: ${flagged - planted})")
       }
-    screenAndReport("plain (checkpointed frame)", index)
-    // the published bucketed artifact: pay the shuffle ONCE at publish,
-    // then every daily screen joins the index side Exchange-free
+    screenAndReport("in-memory (checkpointed frame)", index)
+    // the PRODUCTION comparison: a published index lives on disk either
+    // way — plain parquet (the screen re-shuffles the sig-carrying
+    // index every day) vs the bucketed table (shuffle paid once at
+    // publish; the daily screen joins the index side Exchange-free,
+    // sort-free at one file per bucket)
+    val plainPath = s"$wh/plain_index.parquet"
+    tm(s"publish plain parquet index (${oldN / 1000}k docs)") {
+      index.write.mode("overwrite").parquet(plainPath)
+    }
+    screenAndReport("plain parquet", spark.read.parquet(plainPath))
     val store = new graft.sources.BandIndexStore(spark, buckets = 64)
     tm(s"publish bucketed index table (${oldN / 1000}k docs)") {
       store.append(index)

@@ -54,6 +54,74 @@ class GrowthPipelineSpec extends SparkTestBase {
     assert(resources.count() === 3)
   }
 
+  test("growth through the bucketed store: cross-run memoization, Exchange-free cache side") {
+    import graft.sources.{BucketedCacheStore, ResourceCache}
+    CountingHolder.count.set(0)
+    // configured() picks the bucketed layout when a table is named —
+    // the at-scale default this wiring exists for
+    val rc = ResourceCache.configured(spark,
+      path = Some("/tmp/unused"), table = Some("gspec_growth_cache")).get
+    assert(rc.isInstanceOf[BucketedCacheStore])
+    val growth = GrowthSpec(growthPhase = "test",
+      urlTemplate = "{}", argTemplates = Seq("$.resource"), objective = objective)
+    val counting = new CountingSource
+    def kernel(reqs: org.apache.spark.sql.DataFrame) =
+      rc.fetch(reqs, counting)
+    val (out, _) = Growth.growWith(threeDocs(), growth, kernel)
+    val rows = out.orderBy("id").collect()
+    rows.zipWithIndex.foreach { case (row, ix) =>
+      assert(row.getAs[String]("derivatives") === s"""{"test":{"extra":"test $ix"}}""")
+    }
+    assert(CountingHolder.count.get() === 3, "first run fetches live")
+    // a FRESH run over fresh documents: every request is a cache hit —
+    // growth rounds are memoized ACROSS runs through the store
+    val (again, _) = Growth.growWith(threeDocs(), growth, kernel)
+    assert(again.count() === 3)
+    assert(CountingHolder.count.get() === 3, "second run must fetch nothing live")
+    assert(again.orderBy("id").collect().map(_.getAs[String]("derivatives")).toSeq ===
+      rows.map(_.getAs[String]("derivatives")).toSeq)
+
+    // plan pin: the cache side of the fetch's (uri, data_hash) join
+    // consumes the on-disk bucketing — only the request side shuffles.
+    // (rc.fetch checkpoints its result, so inspect the equivalent
+    // un-checkpointed fetch plan against the store's table.)
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val reqs = threeDocs().select(
+        lit("get").as("method"),
+        get_json_object(col("properties"), "$.resource").as("url"),
+        lit(null).cast("string").as("request_body"))
+      val plan = Resources.fetchWithCache(reqs, rc.read(), counting,
+        broadcastCache = false).queryExecution.executedPlan
+      val sides = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.flatMap(_.references).map(_.name).toSet == Set("uri", "data_hash") =>
+          Seq(j.left, j.right)
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.flatMap(_.references).map(_.name).toSet == Set("uri", "data_hash") =>
+          Seq(j.left, j.right)
+      }.flatten
+      assert(sides.nonEmpty, s"no (uri, data_hash) join in the fetch plan:\n$plan")
+      val cacheSides = sides.filter(_.collectFirst {
+        case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s
+      }.nonEmpty)
+      assert(cacheSides.nonEmpty, s"fetch must join the bucketed cache table:\n$plan")
+      cacheSides.foreach { side =>
+        assert(side.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"cache side must consume the bucketing, never re-shuffle:\n$side")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("growth auth: credential reaches the transport, never the resources frame") {
     graft.sources.AuthSeenHolder.reset()
     val growth = GrowthSpec(growthPhase = "test",
