@@ -195,6 +195,53 @@ object Dedup {
         (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
   }
 
+  /** [[dedupAgainstIndex]] over the SPLIT index layout: band rows
+    * WITHOUT signatures ((doc_id, band, bucket) — what the probe join
+    * actually needs) plus a one-row-per-doc signature table joined
+    * only for CANDIDATES. Identical verdicts (the estimate is
+    * pair-determined); radically less data moved: the combined
+    * [[minhashBandIndex]] drags the k-hash signature through every
+    * band row (bands× duplication — IndexProbe measured signature
+    * decode dominating both disk layouts), while here the screen scans
+    * `bands × docs` skinny rows plus |candidates| signature lookups.
+    * Store the band table bucketed by (band, bucket) and the signature
+    * table bucketed by (doc_id) and BOTH joins run Exchange-free on
+    * the index side ([[graft.sources.SplitBandIndexStore]]). */
+  def dedupAgainstIndexSplit(newBatch: DataFrame, bandIndex: DataFrame,
+                             sigIndex: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+                             threshold: Double = 0.5): DataFrame = {
+    val newRows = minhashBandIndex(newBatch, idCol, textCol, k, bands,
+        shingleSize)
+      .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
+        col("band"), col("bucket"))
+    // candidate pairs dedupe BEFORE the signature lookup (several
+    // shared bands → one row), so the sig table is probed once per pair
+    val cands = newRows
+      .join(bandIndex.select(col("band"), col("bucket"),
+        col("doc_id").as("old_id")), Seq("band", "bucket"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(first(col("new_sig")).as("new_sig"))
+    val est = (aggregate(
+      zip_with(col("new_sig"), col("old_sig"), (a, b) => (a === b).cast("int")),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(k)).as("est")
+    val hits = cands
+      .join(sigIndex.select(col("doc_id").as("old_id"), col("sig").as("old_sig")),
+        Seq("old_id"))
+      .select(col("new_id"), col("old_id"), est)
+      .filter(col("est") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_dup_matches"), min(col("old_id")).as("dup_of"),
+        round(max(col("est")), 6).as("est_jaccard"))
+    newBatch.select(col(idCol).as("new_id"))
+      .join(hits, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        col("dup_of"), col("est_jaccard"),
+        (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
+  }
+
   /** Cross-source exact-duplication matrix: for every source pair that
     * shares at least one exact text (md5), the number of shared
     * distinct texts and the document mass on each side — the "who is

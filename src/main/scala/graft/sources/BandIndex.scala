@@ -82,6 +82,67 @@ class BandIndexStore(spark: SparkSession,
   }
 }
 
+/** The SPLIT published-index layout
+  * ([[graft.ops.Dedup.dedupAgainstIndexSplit]]): band rows WITHOUT
+  * signatures in a (band, bucket)-bucketed table, signatures once per
+  * doc in a (doc_id)-bucketed table. The screen's probe join scans
+  * skinny band rows (no bands×-duplicated signature payload — the
+  * decode cost IndexProbe measured dominating the combined layout) and
+  * the signature lookup runs only for CANDIDATE pairs; both index
+  * sides join Exchange-free off their bucketing. */
+class SplitBandIndexStore(spark: SparkSession,
+                          val bandsTable: String = "graft_minhash_bands",
+                          val sigsTable: String = "graft_minhash_sigs",
+                          buckets: Int = 32,
+                          k: Int = 16, bands: Int = 4, shingleSize: Int = 3) {
+  import org.apache.spark.sql.functions._
+
+  def exists: Boolean =
+    spark.catalog.tableExists(bandsTable) && spark.catalog.tableExists(sigsTable)
+
+  /** Index a document frame and append its band + signature rows. */
+  def publish(docs: DataFrame, idCol: String, textCol: String): Unit = {
+    // one signature pass feeds both tables (checkpointed so the two
+    // writes don't recompute the corpus minhash)
+    val sigs = graft.ops.Dedup
+      .minhashSignatures(docs, idCol, textCol, k, shingleSize)
+      .select(col("id").as("doc_id"), col("sig"))
+      .localCheckpoint(true)
+    val bandRows = sigs.select(col("doc_id"),
+        explode(graft.ops.Dedup.lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    Bucketed.writeKeys(
+      bandRows.repartition(buckets, col("band"), col("bucket")),
+      bandsTable, Seq("band", "bucket"), buckets,
+      sortCols = Seq("band", "bucket"), mode = "append")
+    Bucketed.writeKeys(
+      sigs.repartition(buckets, col("doc_id")),
+      sigsTable, Seq("doc_id"), buckets,
+      sortCols = Seq("doc_id"), mode = "append")
+  }
+
+  /** Screen a new batch against the split index — verdicts identical
+    * to [[BandIndexStore.screen]] / the in-memory operator. */
+  def screen(newBatch: DataFrame, idCol: String, textCol: String,
+             threshold: Double = 0.5): DataFrame = {
+    require(exists, s"split index not published yet: $bandsTable/$sigsTable")
+    graft.ops.Dedup.dedupAgainstIndexSplit(newBatch,
+      spark.table(bandsTable), spark.table(sigsTable),
+      idCol, textCol, k, bands, shingleSize, threshold)
+  }
+
+  /** Rewrite both append logs distinct, restoring one sorted file per
+    * bucket. */
+  def compact(): Unit = if (exists) {
+    val b = spark.table(bandsTable).distinct().localCheckpoint(true)
+    Bucketed.writeKeys(b.repartition(buckets, col("band"), col("bucket")),
+      bandsTable, Seq("band", "bucket"), buckets, sortCols = Seq("band", "bucket"))
+    val s = spark.table(sigsTable).distinct().localCheckpoint(true)
+    Bucketed.writeKeys(s.repartition(buckets, col("doc_id")),
+      sigsTable, Seq("doc_id"), buckets, sortCols = Seq("doc_id"))
+  }
+}
+
 object BandIndexStore {
   /** Empty index frame matching [[graft.ops.Dedup.minhashBandIndex]]
     * (long ids — the engine-wide document id convention). */

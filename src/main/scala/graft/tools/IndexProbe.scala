@@ -89,6 +89,20 @@ object IndexProbe {
       store.append(index)
     }
     screenAndReport("bucketed table", store.load())
+    // the SPLIT layout: skinny band rows + per-doc signature table —
+    // the screen stops dragging the bands×-duplicated signatures
+    val split = new graft.sources.SplitBandIndexStore(spark, buckets = 64)
+    tm(s"publish split index tables (${oldN / 1000}k docs)") {
+      split.publish(old, "doc_id", "text")
+    }
+    tm(s"screen ${batchN / 1000}k batch against the split index") {
+      val verdicts = split.screen(batch, "doc_id", "text").localCheckpoint(true)
+      val flagged = verdicts.filter(col("is_dup")).count()
+      val planted = verdicts
+        .filter((col("new_id") - oldN) % 10 === 0 && col("is_dup")).count()
+      println(s"[probe] split flagged: $flagged of ${batchN / 10} planted " +
+        s"(planted hits: $planted, false-ish extras: ${flagged - planted})")
+    }
     spark.stop()
   }
 }

@@ -104,4 +104,78 @@ class BucketedSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     }
   }
+
+  test("SplitBandIndexStore: verdicts == combined layout; band AND sig index sides Exchange-free") {
+    import graft.ops.Dedup
+    val old = (0L until 64L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta token$i payload$i end"))
+      .toDF("doc_id", "text")
+    val batch = (0L until 32L).map { i =>
+      val id = i + 1000L
+      if (i % 4 == 0)
+        (id, s"alpha beta gamma delta epsilon zeta token$i payload$i end")
+      else (id, s"nu xi omicron pi rho sigma fresh$i body$i tail")
+    }.toDF("doc_id", "text")
+
+    val store = new SplitBandIndexStore(spark,
+      bandsTable = "bspec_split_bands", sigsTable = "bspec_split_sigs", buckets = 4)
+    store.publish(old, "doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getBoolean(4)))
+    val viaSplit = store.screen(batch, "doc_id", "text").collect().map(key).toMap
+    val combined = Dedup.dedupAgainstIndex(batch,
+        Dedup.minhashBandIndex(old, "doc_id", "text"), "doc_id", "text")
+      .collect().map(key).toMap
+    assert(viaSplit === combined,
+      "split layout must produce verdict-identical output, est included")
+
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val plan = store.screen(batch, "doc_id", "text")
+        .queryExecution.executedPlan
+      def sidesOf(keys: Set[String]) = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.flatMap(_.references).map(_.name).toSet == keys =>
+          Seq(j.left, j.right)
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.flatMap(_.references).map(_.name).toSet == keys =>
+          Seq(j.left, j.right)
+      }.flatten
+      def pinBucketedSide(keys: Set[String], table: String, what: String): Unit = {
+        val sides = sidesOf(keys)
+        assert(sides.nonEmpty, s"no $keys join in the plan:\n$plan")
+        // the INDEX side is the one scanning the named bucketed table
+        // directly (the other side may transitively contain a bucketed
+        // scan — e.g. the candidates subtree contains the bands scan —
+        // and legitimately shuffles its batch-derived rows)
+        val indexSides = sides.filter(_.collectFirst {
+          case s: FileSourceScanExec
+            if s.relation.bucketSpec.isDefined &&
+              s.tableIdentifier.exists(_.table == table) => s
+        }.nonEmpty).filterNot(_.exists {
+          case j: SortMergeJoinExec => true
+          case j: ShuffledHashJoinExec => true
+          case _ => false
+        })
+        assert(indexSides.nonEmpty, s"$what must scan $table directly:\n$plan")
+        indexSides.foreach { side =>
+          assert(side.collectFirst { case e: ShuffleExchangeLike => e }.isEmpty,
+            s"$what side must consume its bucketing, never re-shuffle:\n$side")
+        }
+      }
+      pinBucketedSide(Set("band", "bucket"), "bspec_split_bands", "band probe")
+      // the sig lookup joins on the aliased bucket column — alias-aware
+      // output partitioning must carry the bucketing through the rename
+      pinBucketedSide(Set("old_id"), "bspec_split_sigs", "signature lookup")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
 }
