@@ -164,15 +164,24 @@ object Relevance {
     val total = queryTerms.map(t => coalesce(col(s"__s_$t"), lit(0.0)))
       .reduce(_ + _)
     // global top-k runs as TakeOrderedAndProject (per-partition heaps,
-    // driver merge of k·partitions rows) — the rank window then touches
-    // only the k survivors, never the corpus
+    // driver merge of k·partitions rows) — ranking then touches only
+    // the k survivors, never the corpus: collapse them to ONE sorted
+    // array row and rank by position (no unpartitioned window). The
+    // sort key negates the MICRO-scaled score as a LONG — scores are
+    // round(·, 6), so ×1e6 is exactly integral, order-isomorphic to
+    // (score DESC, doc_id ASC), and immune to the −0.0 ordering trap a
+    // double negation would reopen.
     val top = pivoted.withColumn("score", round(total, 6))
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("score"), col("rank"))
+    top
+      .agg(sort_array(collect_list(struct(
+        (-round(col("score") * lit(1e6))).cast("long").as("k"),
+        col("doc_id").as("d"), col("score").as("s")))).as("__t"))
+      .select(posexplode(col("__t")).as(Seq("__i", "__r")))
+      .select(col("__r.d").as("doc_id"), col("__r.s").as("score"),
+        (col("__i") + 1).cast("long").as("rank"))
   }
 
   /** BLOCKED inverted index: per (term, doc-id block), the

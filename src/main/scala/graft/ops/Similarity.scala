@@ -996,10 +996,13 @@ object Similarity {
     val dims = df.select(size(col(embCol))).head().getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val dsub = dims / m
-    val w = Window.orderBy(col(idCol))
+    // k seed rows collapse to one sorted array; cid = position — no
+    // unpartitioned window over the (k-bounded) seed frame
     val seeds = df.orderBy(col(idCol)).limit(k)
-      .select(col(embCol).as("__emb"),
-        (row_number().over(w) - 1).cast("long").as("cid"))
+      .agg(sort_array(collect_list(struct(
+        col(idCol).as("i"), col(embCol).as("e")))).as("__s"))
+      .select(posexplode(col("__s")).as(Seq("__cid", "__sv")))
+      .select(col("__sv.e").as("__emb"), col("__cid").cast("long").as("cid"))
     seeds.select(col("cid"),
         explode(array((0 until m).map { j =>
           struct(lit(j).as("sub"), slice(col("__emb"), j * dsub + 1, dsub).as("c"))

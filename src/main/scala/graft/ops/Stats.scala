@@ -419,23 +419,29 @@ object Stats {
     * (gini, entropy_nats) columns (round 6). */
   def balanceAudit(df: DataFrame, groupCol: String,
                    weightCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the per-group frame feeds FOUR downstream subtrees (rows, rank
-    // window, Gini aggregate, entropy aggregate) whose shapes differ
-    // enough that ReuseExchange cannot unify them — without the eager
+    // the per-group frame feeds FOUR downstream subtrees (rows, rank,
+    // Gini aggregate, entropy aggregate) whose shapes differ enough
+    // that ReuseExchange cannot unify them — without the eager
     // checkpoint the CORPUS aggregation re-runs once per subtree
     // (plan-audited: 4 FileScans). One row per group: checkpoint is
     // free, and the corpus is scanned exactly once.
     val w = df.groupBy(col(groupCol))
       .agg(sum(col(weightCol)).cast("long").as("weight"))
       .localCheckpoint(true)
-    // bounded frame from here on: one row per group
-    val ord = Window.orderBy(col("weight"), col(groupCol))
+    // bounded frame from here on (one row per group): collapse to ONE
+    // sorted array row; rank = position, cumulative weight = prefix sum
+    // in-expression — the histogramQuantiles shape, no unpartitioned
+    // window
     val ranked = w
-      .withColumn("rank", row_number().over(ord))
+      .agg(sort_array(collect_list(struct(
+        col("weight").as("wt"), col(groupCol).as("g")))).as("__gs"))
+      .select(col("__gs"), posexplode(col("__gs")).as(Seq("__i", "__r")))
+      .select(col("__gs"), col("__i"), (col("__i") + 1).as("rank"),
+        col("__r.g").as(groupCol), col("__r.wt").as("weight"))
       .withColumn("cum_w",
-        sum(col("weight")).over(ord.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
+        aggregate(slice(col("__gs"), lit(1), col("__i") + 1), lit(0L),
+          (a, x) => a + x("wt")))
+      .drop("__gs", "__i")
     val share = col("weight").cast("double") / col("total")
     val summary = ranked
       .agg(count(lit(1)).as("n"), sum(col("weight")).as("total"),

@@ -730,10 +730,13 @@ object TrainingData {
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       val top = counts.orderBy(col("cnt").desc, col("token")).limit(32)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("token"))
-      top.withColumn("token_id", (row_number().over(w) - 1).cast("long"))
-        .select(col("token_id"), col("token"), col("cnt"))
+      // 32 survivors collapse to one sorted array; id = position (long
+      // counts negate safely — no unpartitioned window)
+      top.agg(sort_array(collect_list(struct((-col("cnt")).as("nc"),
+          col("token").as("t"), col("cnt").as("c")))).as("__v"))
+        .select(posexplode(col("__v")).as(Seq("__i", "__r")))
+        .select(col("__i").cast("long").as("token_id"),
+          col("__r.t").as("token"), col("__r.c").as("cnt"))
         .orderBy(col("token_id"))
     }),
 

@@ -46,12 +46,15 @@ object FileResources {
     * an `arg` column; output: one row per batch with `args` joined. */
   def concatArgs(requests: DataFrame, size: Int, symbol: String = "|"): DataFrame = {
     if (size <= 0) return requests
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("arg"))
+    // batching is request-count-bounded by contract: collapse the args
+    // into ONE sorted array row and slice consecutive batches
+    // in-expression — no unpartitioned window, no second shuffle, and
+    // batch membership is deterministic (sorted order) by construction
+    val nBatches = ceil(array_size(col("__a")).cast("double") / lit(size)).cast("int")
     requests
-      .withColumn("__grp", floor((row_number().over(w) - 1) / size))
-      .groupBy(col("__grp"))
-      .agg(concat_ws(symbol, collect_list(col("arg"))).as("arg"))
-      .drop("__grp")
+      .agg(sort_array(collect_list(col("arg"))).as("__a"))
+      .filter(array_size(col("__a")) > 0)
+      .select(explode(transform(sequence(lit(0), nBatches - 1),
+        b => array_join(slice(col("__a"), b * lit(size) + lit(1), lit(size)), symbol))).as("arg"))
   }
 }
