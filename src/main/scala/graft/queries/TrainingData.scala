@@ -1389,6 +1389,28 @@ object TrainingData {
         .orderBy(col("new_id"))
     }),
 
+    // q117 through the SPLIT index layout: skinny (doc_id, band,
+    // bucket) rows + one signature row per doc, signatures joined only
+    // for candidates — verdict-identical to q117 by construction
+    // (IndexProbe measured the combined layout's screens dominated by
+    // the bands x-duplicated signature decode; this is the production
+    // artifact shape, sources/SplitBandIndexStore).
+    "q129_split_index_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // one signature pass feeds both split frames (the store's shape)
+      val sigs = Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 16)
+        .select(col("id").as("doc_id"), col("sig"))
+        .localCheckpoint(false)
+      val bandRows = sigs.select(col("doc_id"),
+          explode(Dedup.lshBandKeys(col("sig"), 4, 4)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bucket").as("bucket"))
+      Dedup.dedupAgainstIndexSplit(docs.filter(col("doc_id") % 5 === 0),
+          bandRows, sigs, "doc_id", "text", threshold = 0.5)
+        .orderBy(col("new_id"))
+    }),
+
     // Tokenizer fertility per source: bytes-per-subword and
     // subwords-per-word of a 256-merge table, computed over word
     // TYPES (Zipf: types ≪ tokens), one corpus explode.
@@ -3912,6 +3934,37 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
     // fractions, so the threshold compare is drift-free), left join
     // keeps zero-match batch docs.
     "q117_incremental_dedup" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |sg AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+         |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+         |est AS (
+         |  SELECT new_id, old_id,
+         |    len(list_filter(range(16), i -> a.sig[i+1] = b.sig[i+1]))::DOUBLE / 16 AS ej
+         |  FROM cand JOIN sg a ON new_id = a.doc_id JOIN sg b ON old_id = b.doc_id),
+         |hits AS (
+         |  SELECT new_id, count(*)::BIGINT AS n_dup_matches,
+         |    min(old_id)::BIGINT AS dup_of, round(max(ej), 6) AS est_jaccard
+         |  FROM est WHERE ej >= 0.5 GROUP BY new_id)
+         |SELECT d.doc_id AS new_id,
+         |  coalesce(n_dup_matches, 0)::BIGINT AS n_dup_matches,
+         |  dup_of, est_jaccard, coalesce(n_dup_matches, 0) > 0 AS is_dup
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
+
+    // q129: the SPLIT storage layout changes nothing observable —
+    // verdicts are pair-determined (BucketedSpec pins est-for-est
+    // equality with the combined layout), so the oracle is q117's
+    // replay verbatim.
+    "q129_split_index_dedup" ->
       s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
          |mh AS (
          |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m

@@ -71,4 +71,26 @@ object BpeProperties extends Properties("graft.ops.BpeSegment") {
       // the weaker invariant that output tokens are non-empty
       kernel(w, merges).forall(_.nonEmpty)
     }
+
+  // ---- trainer properties: the incremental heap vs the round scan ---
+
+  private val corpusGen: Gen[Map[String, Long]] = for {
+    n <- Gen.chooseNum(1, 12)
+    words <- Gen.listOfN(n, Gen.chooseNum(1, 5).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    counts <- Gen.listOfN(n, Gen.chooseNum(1L, 9L))
+  } yield words.zip(counts).groupMapReduce(_._1)(_._2)(_ + _)
+
+  /** The heap trainer's delta bookkeeping must replay the full-rescan
+    * argmax EXACTLY — merge for merge, count for count — on arbitrary
+    * corpora (tiny alphabet forces dense overlap runs, re-pairing
+    * merges, and count ties: the edge surface of the tie-break and
+    * the per-word delta math). */
+  property("heap trainer == round trainer on arbitrary corpora") =
+    forAll(corpusGen, Gen.chooseNum(0, 16), Gen.chooseNum(1L, 3L)) {
+      (words, merges, minCount) =>
+        val arr = words.toArray
+        Bpe.localBpe(arr, merges, minCount) ==
+          Bpe.localBpeRounds(arr, merges, minCount)
+    }
 }
