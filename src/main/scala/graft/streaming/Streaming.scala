@@ -199,6 +199,44 @@ object Streaming {
           .localCheckpoint(true))
       }
 
+  /** [[indexedDedupSink]] over the SPLIT index layout
+    * ([[graft.ops.Dedup.dedupAgainstIndexSplit]] /
+    * [[graft.sources.SplitBandIndexStore]]): the accumulated history
+    * is a skinny (doc_id, band, bucket) band store plus a per-doc
+    * signature store — the production artifact shape (the combined
+    * layout's screens are dominated by decoding the bands×-duplicated
+    * signatures; IndexProbe: 8.4 s vs 50.0 s per 200k batch). One
+    * signature pass per micro-batch feeds the screen AND both saves.
+    * Same verdict frame, same at-least-once emit contract, same
+    * emit-before-save ordering as the combined sink. */
+  def indexedDedupSinkSplit(idCol: String, textCol: String,
+                            loadBands: SparkSession => DataFrame,
+                            loadSigs: SparkSession => DataFrame,
+                            saveBands: DataFrame => Unit,
+                            saveSigs: DataFrame => Unit,
+                            emit: DataFrame => Unit,
+                            k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+                            threshold: Double = 0.5)
+                           (stream: DataFrame): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        emit(graft.ops.Dedup.dedupAgainstIndexSplit(batch,
+          loadBands(spark), loadSigs(spark),
+          idCol, textCol, k, bands, shingleSize, threshold))
+        val sigs = graft.ops.Dedup
+          .minhashSignatures(batch, idCol, textCol, k, shingleSize)
+          .select(col("id").as("doc_id"), col("sig"))
+          .localCheckpoint(true)
+        saveBands(sigs.select(col("doc_id"),
+            explode(graft.ops.Dedup.lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.bucket").as("bucket")))
+        saveSigs(sigs)
+      }
+
   /** Streaming NEAR-duplicate detection: each micro-batch computes the
     * SAME MinHash+LSH band keys as the batch operator
     * ([[graft.ops.Dedup.lshCandidatePairs]] — one definition, two

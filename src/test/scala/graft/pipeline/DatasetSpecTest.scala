@@ -178,4 +178,57 @@ class DatasetLifecycleSpec extends SparkTestBase {
     assert(docs.filter(col("derivatives").contains("abstract")).count() === 20)
     assert(v.errors.contains("\"detail\":{\"success\":20,\"fail\":0,\"skipped\":0}"))
   }
+
+  test("runner growth through the configured resource cache: a regrow fetches NO growth URL live") {
+    GrowthUrlCounter.n.set(0)
+    val rc = graft.sources.ResourceCache.configured(spark,
+      table = Some("dspec_runner_cache")).get
+    val spec = DatasetSpec(
+      name = "papers",
+      collections = Seq(CollectionDef(
+        CollectionSpec("paper", identifier = Some("id"), referee = Some("id")),
+        seedingPhases = Seq(PhaseSpec(
+          phase = "papers", strategy = "initial", batchSize = 5,
+          retrieve = RetrieveSpec(
+            urlTemplate = "http://localhost:8000/entities/{}/",
+            parameters = Seq("size" -> "20", "page_size" -> "10"),
+            continuationLimit = 2),
+          contribute = ContributeSpec(objective =
+            Some(Objective("$.results", paperKeys.map(k => k -> s"$$.$k")))))),
+        growthPhases = Seq(GrowthSpec(
+          growthPhase = "detail",
+          urlTemplate = "http://localhost:8000/entities/paper/{}/?size=20",
+          argTemplates = Seq("$.id"),
+          objective = Objective("$", Seq("doi" -> "$.doi")))))),
+      growthStrategy = GrowthStrategy.Reset)
+    val store = newStore()
+    val runner = new DatasetRunner(store, new GrowthCountingFetcher(),
+      resourceCache = Some(rc))
+    val v1 = runner.grow(spec, Seq("paper"))
+    assert(v1.state === GrowthState.Complete)
+    val live1 = GrowthUrlCounter.n.get()
+    assert(live1 === 20L, s"first grow fetches every detail URL live, got $live1")
+    // RESET regrows from scratch — every growth URL must now come from
+    // the durable bucketed cache, across runner/version boundaries
+    val v2 = runner.grow(spec, Seq("paper"))
+    assert(v2.version === 2 && v2.state === GrowthState.Complete)
+    assert(GrowthUrlCounter.n.get() === live1,
+      "regrow must fetch no growth URL live (cache-served)")
+    val docs2 = store.readCollection("paper", 2, "paper")
+    assert(docs2.filter(col("derivatives").contains("doi")).count() === 20)
+  }
+}
+
+/** Executor-visible live-fetch counter for the growth DETAIL pattern
+  * (seeding pages don't match — the driver memo covers those). */
+object GrowthUrlCounter {
+  val n = new java.util.concurrent.atomic.AtomicLong()
+}
+
+class GrowthCountingFetcher extends EntityApiFetcher {
+  override def fetch(method: String, url: String,
+                     requestBody: String): graft.sources.FetchResponse = {
+    if (url.matches(".*/entities/paper/\\d+/.*")) GrowthUrlCounter.n.incrementAndGet()
+    super.fetch(method, url, requestBody)
+  }
 }

@@ -460,4 +460,57 @@ class StreamingSpec extends SparkTestBase {
       (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
     assert(rows(index) === rows(batchIx))
   }
+
+  test("streaming SPLIT indexed dedup: verdicts == combined sink; streamed stores == batch split frames") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    var bandsT = graft.sources.BandIndexStore.emptyIndex(spark)
+      .select(col("doc_id"), col("band"), col("bucket"))
+    var sigsT = graft.sources.BandIndexStore.emptyIndex(spark)
+      .select(col("doc_id"), col("sig"))
+    val verdicts = scala.collection.mutable.Map
+      .empty[Long, (Long, Option[Long], Boolean)]
+    val writer = Streaming.indexedDedupSinkSplit("doc_id", "text",
+        _ => bandsT, _ => sigsT,
+        b => { bandsT = bandsT.unionByName(b.localCheckpoint(true)) },
+        s => { sigsT = sigsT.unionByName(s.localCheckpoint(true)) },
+        v => verdicts ++= v.collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            r.getBoolean(4))))(stream)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ixsplit").toString)
+      .start()
+
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val b1 = Seq((1L, base),
+      (2L, "totally different streaming content with many private words here"))
+    input.addData(b1: _*)
+    writer.processAllAvailable()
+    assert(verdicts(1L) === ((0L, None, false)) &&
+      verdicts(2L) === ((0L, None, false)))
+
+    val b2 = Seq((42L, base),
+      (43L, "a novel unrelated document never seen before in any batch at all"))
+    input.addData(b2: _*)
+    writer.processAllAvailable()
+    writer.stop()
+    // identical verdicts to the combined sink's history semantics
+    assert(verdicts(42L) === ((1L, Some(1L), true)), s"got $verdicts")
+    assert(verdicts(43L) === ((0L, None, false)))
+
+    // streamed split stores == batch-built split frames
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val batchSigs = graft.ops.Dedup.minhashSignatures(all, "doc_id", "text", 16)
+      .select(col("id").as("doc_id"), array_join(col("sig"), "|").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sigsT.select(col("doc_id"), array_join(col("sig"), "|"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet === batchSigs)
+    val batchBands = graft.ops.Dedup.minhashBandIndex(all, "doc_id", "text")
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(bandsT.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet === batchBands)
+  }
 }
