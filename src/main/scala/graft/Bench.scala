@@ -58,8 +58,13 @@ object Bench {
     // the output JSON so a scaled floor is auditable, never silent.
     def calibrationRun(): Double = {
       val t0 = System.nanoTime()
+      // the per-row product stays < 2^63 and the post-modulo sum is
+      // ~4e9 per group — in range under ANSI and non-ANSI alike (a
+      // raw sum(v * mix) overflowed Long per group: garbage silently,
+      // or an abort before any query under ANSI)
       spark.range(4000000L).selectExpr("id % 1000 AS k", "id AS v")
-        .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(v * 2654435761) AS s"))
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.expr("sum((v * 2654435761) % 1000003) AS s"))
         .agg(org.apache.spark.sql.functions.expr("count(1)")).collect()
       (System.nanoTime() - t0) / 1e9
     }

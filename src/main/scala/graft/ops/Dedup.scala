@@ -70,6 +70,17 @@ object Dedup {
         md5(array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), "|")).as("bucket"))
     }: _*)
 
+  /** (doc_id, band, bucket) rows from a (doc_id, sig) frame — THE
+    * band-derivation shape every split-index consumer shares (batch
+    * store publish, streaming sink saves, q129): one definition, so
+    * banding changes cannot drift between the artifact, the sink, and
+    * the oracle-checked query. */
+  def bandRowsFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+
   /** Candidate near-duplicate pairs via MinHash+LSH: shingle → minhash →
     * band → bucket-group → local pair generation. Output: (id_a, id_b)
     * with id_a < id_b, distinct across bands. ONE shuffle on the
@@ -211,11 +222,29 @@ object Dedup {
                              sigIndex: DataFrame,
                              idCol: String, textCol: String,
                              k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
-                             threshold: Double = 0.5): DataFrame = {
-    val newRows = minhashBandIndex(newBatch, idCol, textCol, k, bands,
-        shingleSize)
+                             threshold: Double = 0.5): DataFrame =
+    dedupAgainstIndexSplitFromSigs(
+      newBatch.select(col(idCol).as("new_id")),
+      minhashSignatures(newBatch, idCol, textCol, k, shingleSize)
+        .select(col("id").as("doc_id"), col("sig")),
+      bandIndex, sigIndex, k, bands, threshold)
+
+  /** [[dedupAgainstIndexSplit]] from PRECOMPUTED batch signatures —
+    * the one-signature-pass entry point for callers that also persist
+    * the batch's sigs/bands (the split stores, the streaming sink):
+    * compute [[minhashSignatures]] once, screen through this, then
+    * save the same frame. `newIds` carries every batch id (absence is
+    * not silence — docs too short to sign still get a clean verdict
+    * row); `newSigs` is (doc_id, sig). */
+  def dedupAgainstIndexSplitFromSigs(newIds: DataFrame, newSigs: DataFrame,
+                                     bandIndex: DataFrame, sigIndex: DataFrame,
+                                     k: Int = 16, bands: Int = 4,
+                                     threshold: Double = 0.5): DataFrame = {
+    val newRows = newSigs
       .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
-        col("band"), col("bucket"))
+        explode(lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
+      .select(col("new_id"), col("new_sig"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // candidate pairs dedupe BEFORE the signature lookup (several
     // shared bands → one row), so the sig table is probed once per pair
     val cands = newRows
@@ -230,11 +259,18 @@ object Dedup {
       .join(sigIndex.select(col("doc_id").as("old_id"), col("sig").as("old_sig")),
         Seq("old_id"))
       .select(col("new_id"), col("old_id"), est)
-      .filter(col("est") >= threshold)
+      // re-dedupe per PAIR after the sig join: duplicate index rows
+      // (the documented at-least-once append state) would otherwise
+      // fan one distinct old doc into several counted rows — the
+      // combined layout collapses them in its own pair groupBy, and
+      // verdict parity must survive exactly that state
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(max(col("est")).as("est_pair"))
+      .filter(col("est_pair") >= threshold)
       .groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_dup_matches"), min(col("old_id")).as("dup_of"),
-        round(max(col("est")), 6).as("est_jaccard"))
-    newBatch.select(col(idCol).as("new_id"))
+        round(max(col("est_pair")), 6).as("est_jaccard"))
+    newIds
       .join(hits, Seq("new_id"), "left")
       .select(col("new_id"),
         coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),

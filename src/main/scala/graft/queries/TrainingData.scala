@@ -1402,12 +1402,9 @@ object TrainingData {
           docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 16)
         .select(col("id").as("doc_id"), col("sig"))
         .localCheckpoint(false)
-      val bandRows = sigs.select(col("doc_id"),
-          explode(Dedup.lshBandKeys(col("sig"), 4, 4)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.bucket").as("bucket"))
       Dedup.dedupAgainstIndexSplit(docs.filter(col("doc_id") % 5 === 0),
-          bandRows, sigs, "doc_id", "text", threshold = 0.5)
+          Dedup.bandRowsFromSigs(sigs, 4, 4), sigs,
+          "doc_id", "text", threshold = 0.5)
         .orderBy(col("new_id"))
     }),
 

@@ -100,19 +100,32 @@ class SplitBandIndexStore(spark: SparkSession,
   def exists: Boolean =
     spark.catalog.tableExists(bandsTable) && spark.catalog.tableExists(sigsTable)
 
+  /** Current band rows; empty before the first publish (day one of the
+    * ingestion gate screens clean, same as [[BandIndexStore.load]]). */
+  def loadBands(): DataFrame =
+    if (spark.catalog.tableExists(bandsTable)) spark.table(bandsTable)
+    else BandIndexStore.emptyIndex(spark)
+      .select(col("doc_id"), col("band"), col("bucket"))
+
+  /** Current signature rows; empty before the first publish. */
+  def loadSigs(): DataFrame =
+    if (spark.catalog.tableExists(sigsTable)) spark.table(sigsTable)
+    else BandIndexStore.emptyIndex(spark).select(col("doc_id"), col("sig"))
+
   /** Index a document frame and append its band + signature rows. */
-  def publish(docs: DataFrame, idCol: String, textCol: String): Unit = {
-    // one signature pass feeds both tables (checkpointed so the two
-    // writes don't recompute the corpus minhash)
-    val sigs = graft.ops.Dedup
+  def publish(docs: DataFrame, idCol: String, textCol: String): Unit =
+    publishSigs(graft.ops.Dedup
       .minhashSignatures(docs, idCol, textCol, k, shingleSize)
       .select(col("id").as("doc_id"), col("sig"))
-      .localCheckpoint(true)
-    val bandRows = sigs.select(col("doc_id"),
-        explode(graft.ops.Dedup.lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .localCheckpoint(true))
+
+  /** Append PRECOMPUTED (doc_id, sig) rows — one signature pass feeds
+    * both tables (the caller must have materialized the frame; the
+    * two writes must not recompute a corpus minhash). */
+  def publishSigs(sigs: DataFrame): Unit = {
     Bucketed.writeKeys(
-      bandRows.repartition(buckets, col("band"), col("bucket")),
+      graft.ops.Dedup.bandRowsFromSigs(sigs, bands, k / bands)
+        .repartition(buckets, col("band"), col("bucket")),
       bandsTable, Seq("band", "bucket"), buckets,
       sortCols = Seq("band", "bucket"), mode = "append")
     Bucketed.writeKeys(
@@ -122,13 +135,30 @@ class SplitBandIndexStore(spark: SparkSession,
   }
 
   /** Screen a new batch against the split index — verdicts identical
-    * to [[BandIndexStore.screen]] / the in-memory operator. */
+    * to [[BandIndexStore.screen]] / the in-memory operator. Before the
+    * first publish every doc screens clean. */
   def screen(newBatch: DataFrame, idCol: String, textCol: String,
-             threshold: Double = 0.5): DataFrame = {
-    require(exists, s"split index not published yet: $bandsTable/$sigsTable")
+             threshold: Double = 0.5): DataFrame =
     graft.ops.Dedup.dedupAgainstIndexSplit(newBatch,
-      spark.table(bandsTable), spark.table(sigsTable),
+      loadBands(), loadSigs(),
       idCol, textCol, k, bands, shingleSize, threshold)
+
+  /** The full ingestion-gate round in ONE signature pass: screen the
+    * batch against history, then admit it (publish its sigs + bands).
+    * Returns the verdict frame (already materialized — the publish
+    * checkpoints the shared signature pass). */
+  def ingest(newBatch: DataFrame, idCol: String, textCol: String,
+             threshold: Double = 0.5): DataFrame = {
+    val sigs = graft.ops.Dedup
+      .minhashSignatures(newBatch, idCol, textCol, k, shingleSize)
+      .select(col("id").as("doc_id"), col("sig"))
+      .localCheckpoint(true)
+    val verdicts = graft.ops.Dedup.dedupAgainstIndexSplitFromSigs(
+        newBatch.select(col(idCol).as("new_id")), sigs,
+        loadBands(), loadSigs(), k, bands, threshold)
+      .localCheckpoint(true) // screened strictly BEFORE its own admit
+    publishSigs(sigs)
+    verdicts
   }
 
   /** Rewrite both append logs distinct, restoring one sorted file per

@@ -223,17 +223,16 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         graft.functions.GraftFunctions.register(spark)
-        emit(graft.ops.Dedup.dedupAgainstIndexSplit(batch,
-          loadBands(spark), loadSigs(spark),
-          idCol, textCol, k, bands, shingleSize, threshold))
+        // literally one signature pass: the checkpointed frame feeds
+        // the screen AND both saves
         val sigs = graft.ops.Dedup
           .minhashSignatures(batch, idCol, textCol, k, shingleSize)
           .select(col("id").as("doc_id"), col("sig"))
           .localCheckpoint(true)
-        saveBands(sigs.select(col("doc_id"),
-            explode(graft.ops.Dedup.lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"),
-            col("bk.bucket").as("bucket")))
+        emit(graft.ops.Dedup.dedupAgainstIndexSplitFromSigs(
+          batch.select(col(idCol).as("new_id")), sigs,
+          loadBands(spark), loadSigs(spark), k, bands, threshold))
+        saveBands(graft.ops.Dedup.bandRowsFromSigs(sigs, bands, k / bands))
         saveSigs(sigs)
       }
 

@@ -178,4 +178,56 @@ class BucketedSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     }
   }
+
+  test("SplitBandIndexStore day one: screen before any publish is clean; ingest screens-then-admits in one pass") {
+    val store = new SplitBandIndexStore(spark,
+      bandsTable = "bspec_split2_bands", sigsTable = "bspec_split2_sigs", buckets = 4)
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "nu xi omicron pi rho sigma tau upsilon phi chi")).toDF("doc_id", "text")
+    // day one: no tables yet — every doc screens clean, nothing throws
+    val day0 = store.screen(b1, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(day0 === Map(1L -> false, 2L -> false))
+    // ingest batch 1: screened against EMPTY history (clean), then admitted
+    val v1 = store.ingest(b1, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(v1 === Map(1L -> false, 2L -> false),
+      "a batch must never screen against its own admit")
+    // ingest batch 2: the exact copy of doc 1 flags; the novel doc is clean
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "completely novel content never indexed before anywhere at all")
+    ).toDF("doc_id", "text")
+    val v2 = store.ingest(b2, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(v2(10L) === ((1L, Some(1L), true)))
+    assert(v2(11L) === ((0L, None, false)))
+  }
+
+  test("dedupAgainstIndexSplit: duplicate index rows (at-least-once appends) do not inflate counts") {
+    import graft.ops.Dedup
+    val old = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "nu xi omicron pi rho sigma tau upsilon phi chi")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(old, "doc_id", "text", 16)
+      .select(col("id").as("doc_id"), col("sig"))
+    // the documented at-least-once state: every index row appended twice
+    val dupSigs = sigs.unionByName(sigs)
+    val dupBands = Dedup.bandRowsFromSigs(dupSigs, 4, 4)
+    val got = Dedup.dedupAgainstIndexSplit(batch, dupBands, dupSigs,
+        "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.getBoolean(4))).toSet
+    assert(got === Set((10L, 1L, 1L, true)),
+      s"one distinct duplicate must count once, got $got")
+    // parity with the combined layout under the SAME duplicated state
+    val ix = Dedup.minhashBandIndex(old, "doc_id", "text")
+    val combined = Dedup.dedupAgainstIndex(batch, ix.unionByName(ix),
+        "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.getBoolean(4))).toSet
+    assert(combined === got)
+  }
 }
