@@ -103,6 +103,17 @@ object IndexProbe {
       println(s"[probe] split flagged: $flagged of ${batchN / 10} planted " +
         s"(planted hits: $planted, false-ish extras: ${flagged - planted})")
     }
+    // the full daily gate round: screen + admit in ONE signature pass
+    // (ingest) — the steady-state number an ingestion pipeline pays
+    tm(s"ingest (screen + admit) a further ${batchN / 1000}k batch") {
+      val batch2 = spark.range(batchN)
+        .select((col("id") + oldN + batchN).as("doc_id"),
+          text(when(col("id") % 10 === 0, col("id") * 89L % oldN)
+            .otherwise(col("id") + oldN + batchN)).as("text"))
+      val verdicts = split.ingest(batch2, "doc_id", "text")
+      val flagged = verdicts.filter(col("is_dup")).count()
+      println(s"[probe] ingest flagged: $flagged (>= ${batchN / 10} planted)")
+    }
     spark.stop()
   }
 }
