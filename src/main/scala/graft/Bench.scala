@@ -179,5 +179,16 @@ object Bench {
     }
     spark.stop()
     println(json)
+    // The full line above is now long enough (129 queries × two
+    // per-query maps) that a tail-truncating log collector keeps only
+    // its end — r9's driver artifact lost the Spark totals that way.
+    // So the VERDICT numbers also go out as a compact line printed
+    // absolutely LAST: any tail window that survives at all carries
+    // the totals, the weak/failed lists and the calibration factor.
+    val ratio = if (duckTotal > 0) total / duckTotal else -1.0
+    println(f"""{"metric":"summary","spark_total":$total%.4f,""" +
+      f""""duckdb_total":$duckTotal%.4f,"ratio":$ratio%.4f,""" +
+      s""""n_queries":${results.size},"weak":$weakJson,""" +
+      s""""failed":$failedJson,"calibration":$calJson,"sf":"$sfDir"}""")
   }
 }

@@ -118,18 +118,23 @@ object ConfigLoaders {
     * (loaders.py:50-68): bool by truthy literal, int/double by parse
     * (falling back to the raw string), containers by JSON. The coerced
     * value always carries the default's EXACT runtime type — an Int
-    * default never yields a boxed Long (the reference's ints are
-    * unbounded; here a value outside the default type's range is
-    * treated like any other unparseable string and kept raw, so a
-    * downstream `asInstanceOf[Int]` on the merged config can't throw
-    * on an out-of-range override). */
+    * default never yields a boxed Long. A NUMERIC override outside the
+    * Int default's range is a configuration ERROR and throws (the
+    * reference's ints are unbounded, so it would accept the value —
+    * here the honest move is to surface the mismatch at load time, not
+    * to silently keep a String where every reader expects an Int). A
+    * non-numeric string still falls back raw, reference-style. */
   def coerceEnvValue(value: String, defaultValue: Any): Any = defaultValue match {
     case _: Boolean =>
       Set("1", "true", "yes", "on").contains(value.trim.toLowerCase)
     case _: Int =>
       try {
         val l = value.trim.toLong
-        if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else value
+        if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt
+        else throw new IllegalArgumentException(
+          s"environment override '$value' is numeric but outside Int range " +
+            "for an Int-typed default — use a smaller value or widen the " +
+            "default to Long")
       } catch { case _: NumberFormatException => value }
     case _: Long =>
       try value.trim.toLong catch { case _: NumberFormatException => value }

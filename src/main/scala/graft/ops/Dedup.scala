@@ -174,7 +174,13 @@ object Dedup {
     * (new_id, n_dup_matches = old docs with est ≥ threshold,
     * dup_of = smallest such old id or null, est_jaccard = best
     * estimate or null, is_dup). New docs whose batch ids collide with
-    * index ids are the caller's contract to avoid. */
+    * index ids are the caller's contract to avoid — and, as defense in
+    * depth for the one legitimate way a collision arises (an
+    * at-least-once replay screening a batch against an index that
+    * already contains the batch's own rows), candidates with
+    * old_id == new_id are dropped: a document is never its own
+    * duplicate, so a replayed batch re-emits its original verdicts
+    * instead of flagging every doc as a self-dup at est = 1.0. */
   def dedupAgainstIndex(newBatch: DataFrame, index: DataFrame,
                         idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
@@ -190,6 +196,9 @@ object Dedup {
       .join(index.select(col("band"), col("bucket"),
         col("doc_id").as("old_id"), col("sig").as("old_sig")),
         Seq("band", "bucket"))
+      // replay defense: a doc indexed by a previous (crashed) attempt
+      // must not match itself
+      .filter(col("new_id") =!= col("old_id"))
       // same (new, old) pair via several bands → one candidate row;
       // est is pair-determined, so max() just deduplicates it
       .groupBy(col("new_id"), col("old_id"))
@@ -250,6 +259,11 @@ object Dedup {
     val cands = newRows
       .join(bandIndex.select(col("band"), col("bucket"),
         col("doc_id").as("old_id")), Seq("band", "bucket"))
+      // replay defense (same contract as [[dedupAgainstIndex]]): if a
+      // crash landed the batch's own bands/sigs but not the stream
+      // checkpoint, the replayed screen must not report every doc as
+      // its own est=1.0 duplicate
+      .filter(col("new_id") =!= col("old_id"))
       .groupBy(col("new_id"), col("old_id"))
       .agg(first(col("new_sig")).as("new_sig"))
     val est = (aggregate(

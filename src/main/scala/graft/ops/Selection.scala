@@ -391,11 +391,24 @@ object Selection {
     * first, so they share the lowest quantile. No input row is ever
     * dropped: the output is exactly the input plus `q_<signal>` per
     * signal (round 6) and `ensemble_score` = round(mean of the q's,
-    * 6). Signal values must fit a LONG (discrete scores by contract;
-    * histograms are keyed on the long-cast value). */
+    * 6). Signal columns must be INTEGRAL (discrete scores by
+    * contract; histograms are keyed on the long value) — enforced,
+    * not just documented: a fractional-typed signal would silently
+    * truncate (0.2 and 0.9 collapsing into one quantile bucket), so a
+    * non-integral column type fails fast here instead. */
   def ensembleCumeDist(df: DataFrame, signalCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
     require(signalCols.nonEmpty, "need at least one signal column")
+    signalCols.foreach { s =>
+      val dt = df.schema(s).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"ensembleCumeDist signal column '$s' must be integral " +
+          s"(byte/short/int/long), got ${dt.simpleString}: fractional " +
+          "signals would be silently truncated by the long-keyed " +
+          "histograms — pre-discretize (e.g. round to milli-units) first")
+    }
     val base = df.localCheckpoint(true)
     val hist = base
       .select(explode(array(signalCols.map(s =>

@@ -121,17 +121,29 @@ class SplitBandIndexStore(spark: SparkSession,
 
   /** Append PRECOMPUTED (doc_id, sig) rows — one signature pass feeds
     * both tables (the caller must have materialized the frame; the
-    * two writes must not recompute a corpus minhash). */
+    * two writes must not recompute a corpus minhash).
+    *
+    * Torn-publish ordering: the two appends are not atomic, so the
+    * SIGS table is written FIRST. A signature without band rows is
+    * INERT (nothing probes it — the screen reaches sigs only through
+    * band-row candidates), while a band row without its signature
+    * would silently DROP real near-dup candidates at the sig join
+    * (clean verdicts for true duplicates — a recall loss nothing
+    * reports). A crash between the writes therefore leaves dead
+    * weight, never lost matches; re-publishing the batch repairs it
+    * (duplicate rows collapse in the screen's pair groupBy and at
+    * [[compact]]), and [[compact]] additionally verifies the
+    * bands⊆sigs invariant. */
   def publishSigs(sigs: DataFrame): Unit = {
+    Bucketed.writeKeys(
+      sigs.repartition(buckets, col("doc_id")),
+      sigsTable, Seq("doc_id"), buckets,
+      sortCols = Seq("doc_id"), mode = "append")
     Bucketed.writeKeys(
       graft.ops.Dedup.bandRowsFromSigs(sigs, bands, k / bands)
         .repartition(buckets, col("band"), col("bucket")),
       bandsTable, Seq("band", "bucket"), buckets,
       sortCols = Seq("band", "bucket"), mode = "append")
-    Bucketed.writeKeys(
-      sigs.repartition(buckets, col("doc_id")),
-      sigsTable, Seq("doc_id"), buckets,
-      sortCols = Seq("doc_id"), mode = "append")
   }
 
   /** Screen a new batch against the split index — verdicts identical
@@ -162,15 +174,29 @@ class SplitBandIndexStore(spark: SparkSession,
   }
 
   /** Rewrite both append logs distinct, restoring one sorted file per
-    * bucket. */
-  def compact(): Unit = if (exists) {
-    val b = spark.table(bandsTable).distinct().localCheckpoint(true)
+    * bucket — and verify/repair the bands⊆sigs invariant: band rows
+    * whose doc_id has no signature (a torn publish under the OLD
+    * bands-first write order, or a partial external write) would
+    * silently lose candidates at the sig join, so they are detected
+    * here, logged, and dropped. Returns the number of orphan band rows
+    * removed (0 on a healthy store). */
+  def compact(): Long = if (exists) {
+    val sigDocs = spark.table(sigsTable).select(col("doc_id")).distinct()
+    val bandsAll = spark.table(bandsTable).distinct().localCheckpoint(true)
+    val b = bandsAll.join(sigDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val orphans = bandsAll.count() - b.count()
+    if (orphans > 0)
+      System.err.println(s"[SplitBandIndexStore] compact: dropped $orphans " +
+        s"band rows with no signature in $sigsTable (torn publish) — " +
+        "re-publish the affected batch to restore their coverage")
     Bucketed.writeKeys(b.repartition(buckets, col("band"), col("bucket")),
       bandsTable, Seq("band", "bucket"), buckets, sortCols = Seq("band", "bucket"))
     val s = spark.table(sigsTable).distinct().localCheckpoint(true)
     Bucketed.writeKeys(s.repartition(buckets, col("doc_id")),
       sigsTable, Seq("doc_id"), buckets, sortCols = Seq("doc_id"))
-  }
+    orphans
+  } else 0L
 }
 
 object BandIndexStore {

@@ -170,11 +170,14 @@ object Streaming {
     * the next batch compaction. Save contract is append-only and
     * batch-sized, as everywhere.
     *
-    * Delivery contract: emits are AT-LEAST-ONCE. `emit` runs before
-    * `saveIndex` (a verdict computed against an index already
-    * containing its own batch would mark every doc a self-duplicate),
-    * so a crash between the two replays the micro-batch and re-emits
-    * its verdict frame. Duplicate `saveIndex` rows from the replay are
+    * Delivery contract: emits are AT-LEAST-ONCE. The verdict frame is
+    * checkpointed (evaluated) BEFORE `emit` is called and before
+    * `saveIndex` admits the batch, and the screen itself drops
+    * old_id == new_id candidates — so a crash anywhere in the batch
+    * (including AFTER the save but before the stream checkpoint, where
+    * the replay screens against an index that already holds the
+    * batch's own rows) re-emits the ORIGINAL verdicts, never
+    * self-duplicates. Duplicate `saveIndex` rows from the replay are
     * harmless ([[graft.ops.Dedup.dedupAgainstIndex]] groups per
     * (new, old) pair; `compact()` rewrites distinct), but consumers of
     * `emit` must be idempotent — key the downstream write on
@@ -192,8 +195,16 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         graft.functions.GraftFunctions.register(spark)
+        // the verdict frame is CHECKPOINTED before emit sees it: the
+        // screen must evaluate strictly before saveIndex admits the
+        // batch, even if emit defers its action (a lazy emit that ran
+        // after the save would screen the batch against its own rows —
+        // the self-dup belt; dedupAgainstIndex's old_id =!= new_id
+        // filter is the suspenders for the crash-replay window where a
+        // prior attempt's save landed but the stream checkpoint didn't)
         emit(graft.ops.Dedup.dedupAgainstIndex(batch, loadIndex(spark),
-          idCol, textCol, k, bands, shingleSize, threshold))
+          idCol, textCol, k, bands, shingleSize, threshold)
+          .localCheckpoint(true))
         saveIndex(graft.ops.Dedup
           .minhashBandIndex(batch, idCol, textCol, k, bands, shingleSize)
           .localCheckpoint(true))
@@ -229,9 +240,17 @@ object Streaming {
           .minhashSignatures(batch, idCol, textCol, k, shingleSize)
           .select(col("id").as("doc_id"), col("sig"))
           .localCheckpoint(true)
+        // verdicts are CHECKPOINTED before emit: screened strictly
+        // before the saves admit the batch, regardless of whether emit
+        // materializes eagerly (same belt-and-suspenders as the
+        // combined sink — the FromSigs screen also drops
+        // old_id == new_id candidates, so even a crash-replay against
+        // an index already holding this batch re-emits the original
+        // verdicts instead of self-dups)
         emit(graft.ops.Dedup.dedupAgainstIndexSplitFromSigs(
           batch.select(col(idCol).as("new_id")), sigs,
-          loadBands(spark), loadSigs(spark), k, bands, threshold))
+          loadBands(spark), loadSigs(spark), k, bands, threshold)
+          .localCheckpoint(true))
         saveBands(graft.ops.Dedup.bandRowsFromSigs(sigs, bands, k / bands))
         saveSigs(sigs)
       }

@@ -89,13 +89,19 @@ class ConfigLoadersSpec extends AnyFunSuite {
     assert(out.configuration("http_resource_concat_args_symbol") === "&")
   }
 
-  test("env coercion keeps the default's exact type: out-of-Int-range overrides stay raw strings") {
-    val out = ConfigLoaders.buildDefaultConfiguration(env = Map(
-      "GRAFT_GLOBAL_BATCH_SIZE" -> "3000000000"))
+  test("env coercion keeps the default's exact type: out-of-Int-range overrides fail fast") {
     // an Int default must never surface a boxed Long (downstream
-    // asInstanceOf[Int]/getInt would throw); the unrepresentable value
-    // is treated like any unparseable string and kept raw
-    assert(out.configuration("global_batch_size") === "3000000000")
+    // asInstanceOf[Int]/getInt would throw) — and a NUMERIC value that
+    // cannot be represented is a configuration error that must surface
+    // at load time, not be silently kept as a String where every
+    // reader expects an Int
+    val e = intercept[IllegalArgumentException] {
+      ConfigLoaders.buildDefaultConfiguration(env = Map(
+        "GRAFT_GLOBAL_BATCH_SIZE" -> "3000000000"))
+    }
+    assert(e.getMessage.contains("outside Int range"))
+    // a NON-numeric string still falls back raw, reference-style
+    assert(ConfigLoaders.coerceEnvValue("not-a-number", 5) === "not-a-number")
     val ok = ConfigLoaders.buildDefaultConfiguration(env = Map(
       "GRAFT_GLOBAL_BATCH_SIZE" -> "2147483647"))
     assert(ok.configuration("global_batch_size") === Int.MaxValue)

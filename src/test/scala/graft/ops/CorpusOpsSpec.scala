@@ -316,6 +316,16 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("ensembleCumeDist rejects fractional signal columns (long-keyed histograms would truncate)") {
+    val df = Seq((1L, 0.2, 5L), (2L, 0.9, 7L)).toDF("id", "s1", "s2")
+    // 0.2 and 0.9 would silently collapse into one quantile bucket —
+    // the integral-signals contract must fail fast, not truncate
+    val e = intercept[IllegalArgumentException] {
+      Selection.ensembleCumeDist(df, Seq("s1", "s2"))
+    }
+    assert(e.getMessage.contains("s1") && e.getMessage.contains("integral"))
+  }
+
   test("ensembleCumeDist keeps NULL-signal rows (nulls-first quantile, null-safe join back)") {
     val df = Seq((1L, Some(10L), Some(5L)), (2L, None, Some(7L)),
         (3L, Some(20L), Some(5L)), (4L, Some(30L), None))

@@ -230,4 +230,71 @@ class BucketedSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.getBoolean(4))).toSet
     assert(combined === got)
   }
+
+  test("crash-replay defense: a batch screened against an index holding its OWN rows never self-matches") {
+    import graft.ops.Dedup
+    // the at-least-once replay window: a prior attempt's saves landed
+    // (the index already contains the batch) but the stream checkpoint
+    // didn't, so the same batch screens again. Every doc would collide
+    // with itself at est = 1.0 — the old_id =!= new_id filter must
+    // yield the ORIGINAL verdicts instead, in both layouts.
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),   // replayed vs itself
+      (2L, "completely novel content never indexed before anywhere at all"))
+      .toDF("doc_id", "text")
+    val ix = Dedup.minhashBandIndex(batch, "doc_id", "text") // index = the batch itself
+    val combined = Dedup.dedupAgainstIndex(batch, ix, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(combined === Map(1L -> false, 2L -> false),
+      s"replay must not self-match, got $combined")
+    val sigs = Dedup.minhashSignatures(batch, "doc_id", "text", 16)
+      .select(col("id").as("doc_id"), col("sig"))
+    val split = Dedup.dedupAgainstIndexSplit(batch,
+        Dedup.bandRowsFromSigs(sigs, 4, 4), sigs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(split === Map(1L -> false, 2L -> false))
+    // and a replay against history + its own rows still reports the
+    // REAL prior duplicate (the filter drops only the self pair)
+    val full = ix.unionByName(Dedup.minhashBandIndex(
+      history.select(col("doc_id") + 100 as "doc_id", col("text")),
+      "doc_id", "text"))
+    val replay = Dedup.dedupAgainstIndex(batch, full, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(replay(1L) === ((Some(101L), true)))
+    assert(replay(2L) === ((None, false)))
+  }
+
+  test("SplitBandIndexStore: sigs write before bands; compact() detects and drops orphan band rows") {
+    import graft.ops.Dedup
+    val store = new SplitBandIndexStore(spark,
+      bandsTable = "bspec_torn_bands", sigsTable = "bspec_torn_sigs", buckets = 4)
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    store.publish(b1, "doc_id", "text")
+    assert(store.compact() === 0L, "healthy store: no orphans")
+    // simulate a torn publish under the OLD bands-first order: band
+    // rows for doc 99 exist with no signature anywhere
+    val orphanSigs = Dedup.minhashSignatures(
+        Seq((99L, "nu xi omicron pi rho sigma tau upsilon phi chi"))
+          .toDF("doc_id", "text"), "doc_id", "text", 16)
+      .select(col("id").as("doc_id"), col("sig"))
+    Bucketed.writeKeys(
+      Dedup.bandRowsFromSigs(orphanSigs, 4, 4)
+        .repartition(4, col("band"), col("bucket")),
+      store.bandsTable, Seq("band", "bucket"), 4,
+      sortCols = Seq("band", "bucket"), mode = "append")
+    // the orphan silently drops its candidates at the sig join (the
+    // failure mode); compact must detect it, drop exactly those rows,
+    // and leave the healthy doc's coverage intact
+    assert(store.compact() === 4L) // 4 bands × 1 doc
+    assert(store.loadBands().filter(col("doc_id") === 99L).count() === 0)
+    val v = store.screen(b1.select(col("doc_id") + 10 as "doc_id", col("text")),
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(v === Map(11L -> true), "healthy doc still screens as dup after repair")
+  }
 }
