@@ -65,11 +65,67 @@ final case class VersionMeta(version: Int, state: String, isCurrent: Boolean,
   * manifest with an atomically-swapped `is_current` pointer — the Spark
   * replacement for the reference's DatasetVersion rows + row locking
   * (version.py:26-78; SURVEY §4 "snapshot isolation").
-  */
-class VersionStore(val root: String, spark: SparkSession) {
+  *
+  * Concurrency: the manifest write itself was always atomic (temp file
+  * + ATOMIC_MOVE), but atomicity of ONE write is not serialization of
+  * a read-modify-write — two concurrent growers on the same signature
+  * would each read the manifest, decide, and overwrite the other's
+  * decision (lost update; a loser's version could end up silently
+  * promoted). The reference serialized this with `select_for_update`
+  * (dataset.py:302-311); here every manifest MUTATION runs inside a
+  * per-signature lock-file critical section ([[transact]]): an
+  * O_CREAT|O_EXCL lock file is the cross-process mutex (atomic on
+  * POSIX and on every distributed filesystem offering
+  * create-if-absent), held only for the tiny read-decide-write window
+  * — never across Spark jobs. A holder that dies without unlocking is
+  * broken by the stale-lock timeout. */
+class VersionStore(val root: String, spark: SparkSession,
+                   /** Max age before another writer may break a lock
+                     * left by a crashed holder. The critical section is
+                     * milliseconds of JSON I/O, so a minute-old lock is
+                     * abandoned with overwhelming probability. */
+                   lockStaleMs: Long = 60000L,
+                   /** Max total wait to acquire before giving up. */
+                   lockWaitMs: Long = 30000L) {
 
   private def sigDir(sig: String) = Paths.get(root, if (sig.isEmpty) "_default" else sig)
   private def manifestPath(sig: String) = sigDir(sig).resolve("manifest.json")
+  private def lockPath(sig: String) = sigDir(sig).resolve(".manifest.lock")
+
+  /** Serialized manifest transaction: acquire the signature's lock
+    * file, hand `f` the current versions, atomically write the
+    * versions it returns, release. `f` throwing aborts the transaction
+    * (nothing written, lock released) — how [[DatasetRunner.grow]]'s
+    * claim step rejects a second concurrent grower. */
+  def transact[T](sig: String)(f: Seq[VersionMeta] => (Seq[VersionMeta], T)): T = {
+    Files.createDirectories(sigDir(sig))
+    val lock = lockPath(sig)
+    val deadline = System.nanoTime() + lockWaitMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+            catch { case _: Exception => 0L } // holder released between check and stat
+          if (age > lockStaleMs) {
+            // break a crashed holder's lock; the subsequent loop pass
+            // races for the fresh lock through createFile as usual
+            try { Files.deleteIfExists(lock); () } catch { case _: Exception => }
+          } else if (System.nanoTime() > deadline) {
+            throw new IllegalStateException(
+              s"timed out after ${lockWaitMs}ms waiting for manifest lock $lock " +
+                "(another grower holds it; raise lockWaitMs or investigate)")
+          } else Thread.sleep(10)
+      }
+    }
+    try {
+      val (updated, result) = f(versions(sig))
+      writeManifest(sig, updated)
+      result
+    } finally { Files.deleteIfExists(lock); () }
+  }
   def collectionPath(sig: String, v: Int, name: String): String =
     sigDir(sig).resolve(s"v$v").resolve(s"collection=$name").toString
 
@@ -109,21 +165,24 @@ class VersionStore(val root: String, spark: SparkSession) {
 
   def latestVersion(sig: String): Option[VersionMeta] = versions(sig).lastOption
 
-  def createVersion(sig: String, strategy: String): VersionMeta = {
-    val vs = versions(sig)
-    val next = VersionMeta(vs.map(_.version).maxOption.getOrElse(0) + 1,
-      GrowthState.Pending, isCurrent = false, strategy, """{"seeding":{},"tasks":{}}""")
-    writeManifest(sig, vs :+ next)
-    next
-  }
+  def createVersion(sig: String, strategy: String): VersionMeta =
+    transact(sig) { vs =>
+      val next = VersionMeta(vs.map(_.version).maxOption.getOrElse(0) + 1,
+        GrowthState.Pending, isCurrent = false, strategy, """{"seeding":{},"tasks":{}}""")
+      (vs :+ next, next)
+    }
 
   def updateVersion(sig: String, v: VersionMeta): Unit =
-    writeManifest(sig, versions(sig).map(old => if (old.version == v.version) v else old))
+    transact(sig) { vs =>
+      (vs.map(old => if (old.version == v.version) v else old), ())
+    }
 
   /** `finish_processing` promotion (version.py:72-78): non-STACK flips
     * every other version's is_current off. */
   def promote(sig: String, version: Int): Unit =
-    writeManifest(sig, versions(sig).map(v => v.copy(isCurrent = v.version == version)))
+    transact(sig) { vs =>
+      (vs.map(v => v.copy(isCurrent = v.version == version)), ())
+    }
 
   def writeCollection(sig: String, v: Int, name: String, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(collectionPath(sig, v, name))
@@ -186,32 +245,62 @@ class DatasetRunner(store: VersionStore, fetcher: Fetcher, cacheOnly: Boolean = 
     val spark = storeSpark
     val sig = spec.signature(args, kwargs)
     val strategy = spec.growthStrategy
-    val current =
-      if (strategy == GrowthStrategy.Stack) store.latestVersion(sig)
-      else store.currentVersion(sig)
 
-    if (strategy == GrowthStrategy.Freeze && current.isDefined) throw new DGGrowthFrozen
-    if (current.exists(_.state == GrowthState.Growing)) throw new DGGrowthUnfinished
-
-    val version: VersionMeta = current match {
-      case None => store.createVersion(sig, strategy)
-      case Some(v) if v.state == GrowthState.Complete && !retry =>
-        strategy match {
-          case GrowthStrategy.Reset | GrowthStrategy.Stack => store.createVersion(sig, strategy)
-          case GrowthStrategy.Revise =>
-            val nv = store.createVersion(sig, strategy)
-            // copy_dataset_version (version.py:99-110): deep snapshot copy
-            spec.collections.foreach { cd =>
-              val copied = store.readCollection(sig, v.version, cd.collection.name)
-              store.writeCollection(sig, nv.version, cd.collection.name, copied)
+    // The CLAIM is one serialized manifest transaction (the reference's
+    // select_for_update window, dataset.py:302-311): check the strategy
+    // preconditions, pick-or-create the version, and mark it Growing
+    // atomically. Two concurrent growers on the same signature resolve
+    // deterministically — the first claims, the second observes the
+    // Growing state INSIDE the lock and throws DGGrowthUnfinished; a
+    // loser can never create a shadow version or later promote one.
+    val (version, current, copyFrom) =
+      store.transact(sig) { vs =>
+        val current =
+          if (strategy == GrowthStrategy.Stack) vs.lastOption
+          else vs.filter(_.isCurrent).lastOption
+        if (strategy == GrowthStrategy.Freeze && current.isDefined)
+          throw new DGGrowthFrozen
+        // ANY in-flight version blocks, not just the current one: a
+        // fresh Reset/Stack claim is Growing but NOT current (promotion
+        // happens at completion), so a current-only check would let a
+        // second grower race past it into a shadow version. A version
+        // abandoned in Growing by a crashed run must be failed
+        // explicitly (updateVersion to Error) before regrowing — the
+        // same manual intervention the reference's stuck
+        // pending_at/Celery state required.
+        if (vs.exists(_.state == GrowthState.Growing))
+          throw new DGGrowthUnfinished
+        def fresh = VersionMeta(vs.map(_.version).maxOption.getOrElse(0) + 1,
+          GrowthState.Growing, isCurrent = false, strategy,
+          """{"seeding":{},"tasks":{}}""")
+        val (claimed, copyFrom) = current match {
+          case None => (fresh, None)
+          case Some(v) if v.state == GrowthState.Complete && !retry =>
+            strategy match {
+              case GrowthStrategy.Reset | GrowthStrategy.Stack => (fresh, None)
+              case GrowthStrategy.Revise => (fresh, Some(v.version))
+              case other =>
+                throw new IllegalArgumentException(s"Unknown growth_strategy: $other")
             }
-            nv
-          case other => throw new IllegalArgumentException(s"Unknown growth_strategy: $other")
+          // retry / pending / error keeps the version
+          case Some(v) => (v.copy(state = GrowthState.Growing), None)
         }
-      case Some(v) => v // retry / pending / error keeps the version
-    }
+        val updated =
+          if (vs.exists(_.version == claimed.version))
+            vs.map(o => if (o.version == claimed.version) claimed else o)
+          else vs :+ claimed
+        (updated, (claimed, current, copyFrom))
+      }
 
-    store.updateVersion(sig, version.copy(state = GrowthState.Growing))
+    // copy_dataset_version (version.py:99-110): deep snapshot copy —
+    // Spark work, so it runs AFTER the claim, outside the lock (the
+    // version is already ours; no one else can touch it)
+    copyFrom.foreach { fromV =>
+      spec.collections.foreach { cd =>
+        val copied = store.readCollection(sig, fromV, cd.collection.name)
+        store.writeCollection(sig, version.version, cd.collection.name, copied)
+      }
+    }
 
     // grow_collection per collection pipeline (dispatch_growth,
     // dataset.py:262-300 — the Celery group becomes one driver thread

@@ -82,6 +82,59 @@ class DatasetLifecycleSpec extends SparkTestBase {
     assert(!store.versions("paper").exists(_.isCurrent), "stack never promotes")
   }
 
+  test("concurrent growers on one signature: first claims, second raises DGGrowthUnfinished, manifest never corrupt") {
+    val store = newStore()
+    val spec = makeSpec(GrowthStrategy.Reset)
+    // version 1 exists and is current — both racers want to create v2
+    new DatasetRunner(store, new EntityApiFetcher()).grow(spec, Seq("paper"))
+    // grower 1's fetches block until released, so its Growing claim is
+    // observably held while grower 2 attempts its own claim
+    GatedFetcherState.reset()
+    val slowRunner = new DatasetRunner(store, new GatedFetcher())
+    val t1Result = new java.util.concurrent.atomic.AtomicReference[VersionMeta]()
+    val t1 = new Thread(() => {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      t1Result.set(slowRunner.grow(spec, Seq("paper")))
+    })
+    t1.start()
+    // wait until grower 1 has claimed (manifest shows v2 Growing)
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (!store.versions("paper").exists(v =>
+        v.version == 2 && v.state == GrowthState.Growing) &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+    assert(store.versions("paper").exists(v =>
+      v.version == 2 && v.state == GrowthState.Growing), "grower 1 never claimed")
+    // grower 2: the claim transaction must observe Growing and refuse
+    intercept[DGGrowthUnfinished] {
+      new DatasetRunner(store, new EntityApiFetcher()).grow(spec, Seq("paper"))
+    }
+    GatedFetcherState.release()
+    t1.join(60000)
+    assert(t1Result.get() != null, "grower 1 must finish after release")
+    // the winner is promoted; no shadow version was ever created
+    val vs = store.versions("paper")
+    assert(vs.map(_.version) === Seq(1, 2))
+    assert(vs.filter(_.isCurrent).map(_.version) === Seq(2))
+    assert(vs.find(_.version == 2).get.state === GrowthState.Complete)
+  }
+
+  test("transact serializes manifest read-modify-writes across threads (no lost update)") {
+    val store = newStore()
+    val threads = 4; val perThread = 10
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to threads).map(_ => new Thread(() => {
+      try (1 to perThread).foreach(_ => store.createVersion("sig", "reset"))
+      catch { case t: Throwable => errs.add(t); () }
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(errs.isEmpty, s"transact threw: ${errs.peek()}")
+    val vs = store.versions("sig")
+    // every write survived (40 versions) with distinct contiguous
+    // numbers — the unlocked read-modify-write lost ~most of these
+    assert(vs.size === threads * perThread)
+    assert(vs.map(_.version).sorted === (1 to threads * perThread))
+  }
+
   test("multi-collection dataset: one collection per seeding factory (dataset.py:148-164)") {
     def phase(entity: String) = Seq(PhaseSpec(
       phase = entity, strategy = "initial", batchSize = 5,
@@ -229,6 +282,23 @@ class GrowthCountingFetcher extends EntityApiFetcher {
   override def fetch(method: String, url: String,
                      requestBody: String): graft.sources.FetchResponse = {
     if (url.matches(".*/entities/paper/\\d+/.*")) GrowthUrlCounter.n.incrementAndGet()
+    super.fetch(method, url, requestBody)
+  }
+}
+
+/** Cross-serialization gate for the concurrent-grower race: fetches
+  * block on a static latch so one grower's Growing claim stays
+  * observably held while the other attempts its own claim. */
+object GatedFetcherState {
+  @volatile var latch = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = latch = new java.util.concurrent.CountDownLatch(1)
+  def release(): Unit = latch.countDown()
+}
+
+class GatedFetcher extends EntityApiFetcher {
+  override def fetch(method: String, url: String,
+                     requestBody: String): graft.sources.FetchResponse = {
+    GatedFetcherState.latch.await(60, java.util.concurrent.TimeUnit.SECONDS)
     super.fetch(method, url, requestBody)
   }
 }
