@@ -49,18 +49,59 @@ class BandIndexStore(spark: SparkSession,
     * co-location still holds (no Exchange), the reader just re-sorts —
     * until [[compact]] restores the one-file layout. */
   def append(indexRows: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
+    // one on-disk schema regardless of whether the caller stamps event
+    // time: unstamped rows carry ts = null (exempt from expiry, the
+    // BandStore convention)
+    val withTs =
+      if (indexRows.columns.contains("ts")) indexRows
+      else indexRows.withColumn("ts", lit(null).cast("long"))
     Bucketed.writeKeys(
-      indexRows.repartition(buckets, col("band"), col("bucket")),
+      withTs.repartition(buckets, col("band"), col("bucket")),
       table, Seq("band", "bucket"), buckets,
       sortCols = Seq("band", "bucket"), mode = "append")
   }
 
   /** Index a document frame and append its band rows — the "admit the
-    * batch" half of the ingestion gate. */
-  def publish(docs: DataFrame, idCol: String, textCol: String): Unit =
-    append(graft.ops.Dedup.minhashBandIndex(docs, idCol, textCol,
-      k, bands, shingleSize))
+    * batch" half of the ingestion gate. With `tsCol` set, every index
+    * row is stamped with its document's event time (epoch millis), the
+    * retention hook [[expireBefore]] consumes. */
+  def publish(docs: DataFrame, idCol: String, textCol: String,
+              tsCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.ops.Dedup.minhashBandIndex(docs, idCol, textCol,
+      k, bands, shingleSize)
+    append(tsCol match {
+      case Some(t) =>
+        rows.join(docs.select(col(idCol).as("doc_id"),
+          BandIndexStore.epochMillis(docs, t).as("ts")), Seq("doc_id"))
+      case None => rows
+    })
+  }
+
+  /** RETENTION: rewrite the index dropping rows whose event time fell
+    * before `cutoffMillis` — the release valve that keeps a year of
+    * daily appends from scanning dead docs on every screen forever.
+    * Rows published without a timestamp (ts null) are exempt, same as
+    * the streaming [[graft.streaming.Streaming]] BandStore horizon.
+    * Returns the number of rows dropped. Near-dups against expired
+    * history are the accepted miss — that tail belongs to the periodic
+    * full-corpus compaction pass (q23/q50), exactly like the streaming
+    * retention contract. */
+  def expireBefore(cutoffMillis: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    if (!exists) return 0L
+    val cur = spark.table(table)
+    if (!cur.columns.contains("ts")) return 0L // pre-retention table
+    val kept = cur.filter(col("ts").isNull || col("ts") >= cutoffMillis)
+      .distinct().localCheckpoint(true)
+    val dropped = cur.count() - kept.count()
+    Bucketed.writeKeys(
+      kept.repartition(buckets, col("band"), col("bucket")),
+      table, Seq("band", "bucket"), buckets,
+      sortCols = Seq("band", "bucket"))
+    dropped
+  }
 
   /** Screen a new batch against the published index — verdict frame of
     * [[graft.ops.Dedup.dedupAgainstIndex]]; the index side of its
@@ -112,12 +153,21 @@ class SplitBandIndexStore(spark: SparkSession,
     if (spark.catalog.tableExists(sigsTable)) spark.table(sigsTable)
     else BandIndexStore.emptyIndex(spark).select(col("doc_id"), col("sig"))
 
-  /** Index a document frame and append its band + signature rows. */
-  def publish(docs: DataFrame, idCol: String, textCol: String): Unit =
-    publishSigs(graft.ops.Dedup
+  /** Index a document frame and append its band + signature rows. With
+    * `tsCol` set, each doc's SIGNATURE row is stamped with its event
+    * time (epoch millis) — the skinny band rows stay unstamped; expiry
+    * reaches them through the bands⊆sigs invariant ([[expireBefore]]). */
+  def publish(docs: DataFrame, idCol: String, textCol: String,
+              tsCol: Option[String] = None): Unit = {
+    val sigs = graft.ops.Dedup
       .minhashSignatures(docs, idCol, textCol, k, shingleSize)
       .select(col("id").as("doc_id"), col("sig"))
-      .localCheckpoint(true))
+    publishSigs((tsCol match {
+      case Some(t) => sigs.join(docs.select(col(idCol).as("doc_id"),
+        BandIndexStore.epochMillis(docs, t).as("ts")), Seq("doc_id"))
+      case None => sigs
+    }).localCheckpoint(true))
+  }
 
   /** Append PRECOMPUTED (doc_id, sig) rows — one signature pass feeds
     * both tables (the caller must have materialized the frame; the
@@ -135,15 +185,47 @@ class SplitBandIndexStore(spark: SparkSession,
     * [[compact]]), and [[compact]] additionally verifies the
     * bands⊆sigs invariant. */
   def publishSigs(sigs: DataFrame): Unit = {
+    // one on-disk sig schema: unstamped rows carry ts = null (exempt
+    // from expiry); the bands table never carries ts — expiry reaches
+    // it through the bands⊆sigs semi-join
+    val withTs =
+      if (sigs.columns.contains("ts")) sigs
+      else sigs.withColumn("ts", lit(null).cast("long"))
     Bucketed.writeKeys(
-      sigs.repartition(buckets, col("doc_id")),
+      withTs.repartition(buckets, col("doc_id")),
       sigsTable, Seq("doc_id"), buckets,
       sortCols = Seq("doc_id"), mode = "append")
     Bucketed.writeKeys(
-      graft.ops.Dedup.bandRowsFromSigs(sigs, bands, k / bands)
+      graft.ops.Dedup.bandRowsFromSigs(
+          sigs.select(col("doc_id"), col("sig")), bands, k / bands)
         .repartition(buckets, col("band"), col("bucket")),
       bandsTable, Seq("band", "bucket"), buckets,
       sortCols = Seq("band", "bucket"), mode = "append")
+  }
+
+  /** RETENTION, split layout: drop signatures whose event time fell
+    * before `cutoffMillis` (null-ts rows exempt), then drop the band
+    * rows orphaned by the expiry through the same bands⊆sigs semi-join
+    * [[compact]] uses for torn-publish repair — one mechanism, two
+    * callers. Returns the number of signature rows dropped. */
+  def expireBefore(cutoffMillis: Long): Long = {
+    if (!exists) return 0L
+    val cur = spark.table(sigsTable)
+    if (!cur.columns.contains("ts")) return 0L // pre-retention table
+    val kept = cur.filter(col("ts").isNull || col("ts") >= cutoffMillis)
+      .distinct().localCheckpoint(true)
+    val dropped = cur.count() - kept.count()
+    Bucketed.writeKeys(kept.repartition(buckets, col("doc_id")),
+      sigsTable, Seq("doc_id"), buckets, sortCols = Seq("doc_id"))
+    if (dropped > 0) {
+      val bandsKept = spark.table(bandsTable)
+        .join(kept.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .distinct().localCheckpoint(true)
+      Bucketed.writeKeys(bandsKept.repartition(buckets, col("band"), col("bucket")),
+        bandsTable, Seq("band", "bucket"), buckets,
+        sortCols = Seq("band", "bucket"))
+    }
+    dropped
   }
 
   /** Screen a new batch against the split index — verdicts identical
@@ -200,6 +282,19 @@ class SplitBandIndexStore(spark: SparkSession,
 }
 
 object BandIndexStore {
+  /** Event-time column as epoch millis: timestamps through
+    * `unix_millis`, numeric columns by cast (callers already carrying
+    * millis), dates through a midnight-UTC timestamp. */
+  def epochMillis(df: DataFrame, tsCol: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, unix_millis}
+    import org.apache.spark.sql.types.{TimestampType, DateType}
+    df.schema(tsCol).dataType match {
+      case TimestampType => unix_millis(col(tsCol))
+      case DateType => unix_millis(col(tsCol).cast(TimestampType))
+      case _ => col(tsCol).cast("long")
+    }
+  }
+
   /** Empty index frame matching [[graft.ops.Dedup.minhashBandIndex]]
     * (long ids — the engine-wide document id convention). */
   def emptyIndex(spark: SparkSession): DataFrame = {

@@ -267,6 +267,49 @@ class BucketedSpec extends SparkTestBase {
     assert(replay(2L) === ((None, false)))
   }
 
+  test("index retention: expireBefore drops aged docs from both layouts; unstamped rows exempt; screens forget expired history") {
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "nu xi omicron pi rho sigma tau upsilon phi chi")
+    // ---- combined layout ----
+    val store = new BandIndexStore(spark, table = "bspec_exp_combined", buckets = 4)
+    store.publish(
+      Seq((1L, texts(1L), 1000L)).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", tsCol = Some("ts"))
+    store.publish(
+      Seq((2L, texts(2L), 5000L)).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", tsCol = Some("ts"))
+    // doc 1 (ts 1000) ages out; doc 2 (ts 5000) survives
+    assert(store.expireBefore(2000L) === 4L) // 4 bands x 1 doc
+    val ids = store.load().select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L))
+    // the screen no longer remembers the expired doc
+    val v = store.screen(
+        Seq((10L, texts(1L)), (20L, texts(2L))).toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(v === Map(10L -> false, 20L -> true))
+    // unstamped publishes are exempt from any cutoff
+    store.publish(Seq((3L, texts(1L))).toDF("doc_id", "text"), "doc_id", "text")
+    assert(store.expireBefore(Long.MaxValue) === 0L +
+      0L + /* doc 3 rows are null-ts */ 4L /* doc 2's stamped rows age out */)
+    // ---- split layout: expiry reaches bands through the sigs join ----
+    val split = new SplitBandIndexStore(spark,
+      bandsTable = "bspec_exp_bands", sigsTable = "bspec_exp_sigs", buckets = 4)
+    split.publish(Seq((1L, texts(1L), 1000L)).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", tsCol = Some("ts"))
+    split.publish(Seq((2L, texts(2L), 5000L)).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", tsCol = Some("ts"))
+    assert(split.expireBefore(2000L) === 1L) // one sig row dropped
+    assert(split.loadBands().filter(col("doc_id") === 1L).count() === 0,
+      "expired doc's band rows must go with its signature")
+    val sv = split.screen(
+        Seq((10L, texts(1L)), (20L, texts(2L))).toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(sv === Map(10L -> false, 20L -> true))
+  }
+
   test("SplitBandIndexStore: sigs write before bands; compact() detects and drops orphan band rows") {
     import graft.ops.Dedup
     val store = new SplitBandIndexStore(spark,
