@@ -93,9 +93,15 @@ object Bpe {
     * limit the rounds run distributed: one 1-row argmax job per round,
     * each new vocab persisted lazily and the parent cache released one
     * round deferred (the next argmax materializes the child while the
-    * parent is still alive — no eager count() job). Both paths share
-    * the merge rule via the same sentinel strings; BpeSpec pins
-    * cross-path equality. */
+    * parent is still alive — no eager count() job). The per-merge job
+    * is a documented CLIFF, not a bug: batching non-interacting merges
+    * into one round cannot preserve sequential BPE semantics (a merge
+    * can create a new pair that outranks the round's runner-up), and
+    * cross-path equality is the pinned contract — so the trainer warns
+    * loudly on fallback and names the levers (minWordCount floor,
+    * driverVocabLimit) that keep real corpora on the heap path. Both
+    * paths share the merge rule via the same sentinel strings; BpeSpec
+    * pins cross-path equality. */
   def trainBpe(docs: DataFrame, textCol: String, merges: Int,
                minPairCount: Long = 2L, driverVocabLimit: Int = 1000000): DataFrame = {
     val wc = wordCounts(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
@@ -137,7 +143,27 @@ object Bpe {
       if (probe.length <= driverVocabLimit) {
         localBpe(probe.map(r => r.getString(0) -> r.getLong(1)),
           merges, minPairCount)
-      } else distributedBpe(floored, merges, minPairCount)
+      } else {
+        // The distributed path is CORRECT at any scale but pays one
+        // argmax job per merge — 32k merges is 32k Spark jobs of pure
+        // scheduling floor (hours), vs ~20 s on the heap trainer. An
+        // exact batched variant does not exist: merging the round's
+        // best pair can create a NEW pair that outranks the round's
+        // second-best (e.g. merging (a,b) when (b,c) is frequent makes
+        // (ab,c) jump the queue), so any multi-merge round diverges
+        // from sequential BPE semantics — and cross-path equality is a
+        // pinned contract here. The actionable levers are therefore
+        // loud, not silent:
+        System.err.println(
+          s"[Bpe] word-type table exceeds driverVocabLimit=$driverVocabLimit; " +
+            s"falling back to DISTRIBUTED training: one argmax job per merge " +
+            s"($merges jobs here — scheduling-bound at depth). To reach the " +
+            "in-memory heap trainer instead, raise minWordCount (the hapax " +
+            "floor collapses web-corpus type tables several-fold; minWordCount=2 " +
+            "typically halves them) or raise driverVocabLimit (~60 MB of driver " +
+            "memory per 10^6 types).")
+        distributedBpe(floored, merges, minPairCount)
+      }
     out.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
 
