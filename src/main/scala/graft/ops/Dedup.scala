@@ -675,8 +675,22 @@ object Dedup {
     * drops degenerate buckets — at a dup-heavy corpus run exact dedup
     * FIRST, then simhash on the survivors. */
   def simhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                            maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
-    val sims = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+                            maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame =
+    hammingNearDupPairs(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim")),
+      "id", "sim", maxDistance, maxBucketSize)
+
+  /** The 16-bit-block Hamming-ball candidate machinery behind
+    * [[simhashNearDuplicates]], over ANY 64-bit hash column — one
+    * definition shared by text SimHash and image dHash
+    * ([[ImageHash.nearDupPairs]]): pairs within `maxDistance` ≤ 3 of
+    * the 4-block split are found EXACTLY (pigeonhole: ≤ 3 differing
+    * bits across 4 disjoint 16-bit blocks leave at least one block
+    * identical), larger distances degrade to candidate recall like
+    * every LSH. Output (id_a, id_b, hamming), id_a < id_b. */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    val sims = hashes.select(col(idCol).as("id"), col(hashCol).as("sim"))
     val buckets = sims.select(col("id"), col("sim"),
         explode(array((0 until 4).map { blk =>
           struct(lit(blk).as("blk"),

@@ -55,6 +55,14 @@ object TrainingData {
   private def mirrorValuesSql: String =
     MirrorDocs.map { case (src, tx) => s"('$src', '$tx')" }.mkString(", ")
 
+  /** [[graft.ops.ImageHash.fixtureGray]]'s un-perturbed pixel value as
+    * DuckDB SQL over generate_series aliases x.x / y.y — one definition
+    * shared by the q130/q131 oracles so the arithmetic cannot drift
+    * from itself. */
+  private def fixtureGraySql(id: String): String =
+    s"(($id % 97 + 1)*x.x*x.x + ($id % 89 + 2)*y.y*y.y + ($id % 83 + 3)*x.x*y.y" +
+      s" + (($id // 97) % 101)*x.x + (($id // 89) % 103)*y.y) % 256"
+
   private val CjkIdBase = 1000000L
   private val CjkDocs: Seq[(Long, String)] = Seq(
     1000001L -> "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳云腾致雨露结为霜",
@@ -1406,6 +1414,46 @@ object TrainingData {
           Dedup.bandRowsFromSigs(sigs, 4, 4), sigs,
           "doc_id", "text", threshold = 0.5)
         .orderBy(col("new_id"))
+    }),
+
+    // Perceptual image hashing over REAL pixel decode: deterministic
+    // 9x8 grayscale PNG fixtures (every pixel integer arithmetic in
+    // (doc_id, x, y) — the q28 pattern for binary columns), encoded,
+    // ImageIO-decoded, dHashed, and emitted as the 4 16-bit blocks the
+    // Hamming-ball blocking uses. The oracle replays PNG encode →
+    // decode → raster → bit packing from arithmetic alone — the whole
+    // real pipeline is pinned bit-for-bit.
+    "q130_image_dhash" -> ((s, d) => {
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
+      graft.ops.ImageHash.dhashFrame(media)
+        .select(col("media_id"),
+          col("dhash").bitwiseAND(lit(0xFFFFL)).as("b0"),
+          shiftright(col("dhash"), 16).bitwiseAND(lit(0xFFFFL)).as("b1"),
+          shiftright(col("dhash"), 32).bitwiseAND(lit(0xFFFFL)).as("b2"),
+          shiftright(col("dhash"), 48).bitwiseAND(lit(0xFFFFL)).as("b3"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Perceptual image NEAR-DUP pairs: every 17th document gets a
+    // lightly-edited copy (one perturbed pixel → ≤ 2 dHash bits), the
+    // corpus is screened with the 16-bit-block Hamming-ball machinery
+    // (exact for distance ≤ 3 by pigeonhole — shared with SimHash,
+    // ops/Dedup.hammingNearDupPairs), pairs verified in-bucket. The
+    // oracle blocks and verifies the same way from the arithmetic
+    // fixture; at both SFs the measured accidental-pair count between
+    // distinct base images is zero, so the result is exactly the
+    // planted copies with their true bit distances.
+    "q131_image_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val base = docs.select(col("doc_id").as("media_id"),
+        graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
+      val variants = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("media_id"),
+          graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(true)).as("bytes"))
+      graft.ops.ImageHash.nearDuplicates(base.unionByName(variants))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Tokenizer fertility per source: bytes-per-subword and
@@ -3987,6 +4035,69 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
          |  dup_of, est_jaccard, coalesce(n_dup_matches, 0) > 0 AS is_dup
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
          |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
+
+    // q130/q131: the dHash fixture's pixel values are pure integer
+    // arithmetic in (doc_id, x, y) (ops/ImageHash.fixtureGray), so the
+    // oracle computes every hash bit as a SQL comparison of adjacent
+    // pixels and packs the 16-bit blocks with shift-free integer sums —
+    // replaying PNG encode → ImageIO decode → raster read → bit packing
+    // without touching a byte of image data (the q28 convention).
+    "q130_image_dhash" ->
+      s"""WITH px AS (
+         |  SELECT d.doc_id, x.x, y.y, ${fixtureGraySql("d.doc_id")} AS g
+         |  FROM documents d, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |bits AS (
+         |  SELECT l.doc_id, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8)
+         |SELECT doc_id AS media_id,
+         |  sum(CASE WHEN k // 16 = 0 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b0,
+         |  sum(CASE WHEN k // 16 = 1 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b1,
+         |  sum(CASE WHEN k // 16 = 2 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b2,
+         |  sum(CASE WHEN k // 16 = 3 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b3
+         |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // q131: same fixture plus perturbed copies; candidates via the same
+    // 4x16-bit block collision the Spark side uses (both EXACT for
+    // hamming <= 3 by pigeonhole, so blocking parity is semantic, not
+    // coincidental), verified by per-bit comparison.
+    "q131_image_neardup" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id AS pid, FALSE AS perturb FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, doc_id, TRUE FROM documents WHERE doc_id % 17 = 0),
+         |gx AS (
+         |  SELECT m.media_id, m.pid, m.perturb, x.x, y.y,
+         |    ${fixtureGraySql("m.pid")} AS g0
+         |  FROM media m, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |px AS (
+         |  SELECT media_id, x, y,
+         |    CASE WHEN perturb AND x = pid % 9 AND y = pid % 8
+         |      THEN (g0 + 128) % 256 ELSE g0 END AS g
+         |  FROM gx),
+         |bits AS (
+         |  SELECT l.media_id, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.media_id = l.media_id AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |blocks AS (
+         |  SELECT media_id, k // 16 AS blk,
+         |    sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v
+         |    AND a.media_id < b.media_id),
+         |ham AS (
+         |  SELECT c.id_a, c.id_b,
+         |    sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+         |  FROM cand c
+         |  JOIN bits ba ON ba.media_id = c.id_a
+         |  JOIN bits bb ON bb.media_id = c.id_b AND bb.k = ba.k
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // q118: the q106 replace-chain at 256 merges applied to the
     // per-(source, word-type) frame, then the fertility aggregation

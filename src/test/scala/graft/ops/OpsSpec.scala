@@ -1716,6 +1716,78 @@ class MultimodalSpec extends SparkTestBase {
     val ixs = frames.select("frame_ix").collect().map(_.getInt(0))
     assert(ixs.forall(_ % 10 == 0))
   }
+
+  test("dHash: real PNG decode reproduces the arithmetic fixture bit-for-bit") {
+    // the oracle's whole premise: PNG encode -> ImageIO decode ->
+    // raster read -> (identity) downscale -> bit packing equals pure
+    // integer arithmetic on the fixture pattern, for every bit
+    (Seq(0L, 1L, 7L, 97L, 1021L, 999983L) ++ (1 to 20).map(_ * 137L)).foreach { id =>
+      val expected = {
+        var h = 0L
+        for (y <- 0 until 8; x <- 0 until 8)
+          if (ImageHash.fixtureGray(id, x + 1, y, false) >
+              ImageHash.fixtureGray(id, x, y, false)) h |= 1L << (y * 8 + x)
+        h
+      }
+      assert(ImageHash.dHash64(ImageHash.fixturePng(id)) === Some(expected),
+        s"id=$id: decoded dHash diverged from the arithmetic prediction")
+    }
+  }
+
+  test("dHash: gray raster path dodges Java's CS_GRAY gamma (gray 128 must read back 128)") {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 9) img.getRaster.setSample(x, y, 0, 128)
+    assert(ImageHash.grayPlane(img).forall(_ === 128),
+      "getRGB-based gray reads would color-manage 128 to ~186")
+  }
+
+  test("dHash is scale-invariant for the box filter's exact-multiple case") {
+    // an 18x16 image that is the 9x8 fixture with every pixel doubled
+    // into a 2x2 block: box downscale averages each block back to the
+    // original value, so the hash matches the 9x8 original exactly --
+    // the re-encoded-thumbnail case perceptual dedup exists for
+    val id = 4242L
+    val big = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 18)
+      big.getRaster.setSample(x, y, 0, ImageHash.fixtureGray(id, x / 2, y / 2, false))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", buf)
+    assert(ImageHash.dHash64(buf.toByteArray) ===
+      ImageHash.dHash64(ImageHash.fixturePng(id)))
+  }
+
+  test("image near-dup: planted perturbed copies found within Hamming 3, distinct images not") {
+    val ids = (1L to 400L).map(_ * 31L)
+    val base = ids.map(id => (id, ImageHash.fixturePng(id)))
+    // every 10th image gets a lightly-edited copy (one perturbed pixel
+    // -> at most 2 dHash bits differ)
+    val dupIds = ids.filter(_ % 10 == 0)
+    val dups = dupIds.map(id => (id + 1000000000L, ImageHash.fixturePng(id, perturb = true)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize((base ++ dups).map {
+        case (id, png) => org.apache.spark.sql.Row(id, png)
+      }, 8), ImageHash.dhashSchema.copy(fields = Array(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    val pairs = ImageHash.nearDuplicates(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    dupIds.foreach { id =>
+      assert(found.contains((id, id + 1000000000L)),
+        s"planted copy of $id not found (pairs: ${pairs.length})")
+    }
+    assert(pairs.forall(_._3 <= 3))
+    // no pair between two distinct base images (patterns ~32 bits apart)
+    assert(pairs.forall { case (a, b, _) => b - a == 1000000000L },
+      s"unexpected cross-image pair among ${pairs.mkString(", ")}")
+    // undecodable payloads drop out instead of failing the pass
+    val withJunk = media.unionByName(Seq((999L, "junk".getBytes)).toDF("media_id", "bytes"))
+    assert(ImageHash.nearDuplicates(withJunk).count() === pairs.length)
+  }
 }
 
 class RelevanceSpec extends SparkTestBase {
