@@ -1,0 +1,913 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Dedup, TextOps}
+
+/** Deduplication family: exact/normalized/paragraph, n-gram Jaccard, MinHash+LSH, SimHash, containment, winnowing, edit-distance verify, URL canonicalization, dup matrices, cluster resolution, incremental/split index screens, perceptual image dHash.
+  *
+  * Split from the monolithic TrainingData registry by domain (round
+  * 10, maintainability only): every query's Spark definition and its
+  * DuckDB oracle SQL live in THIS file, in the same key order, so a
+  * semantics change cannot land on one side without the other being
+  * one screen away. Registered through [[TrainingData]]. */
+private[queries] object TrainingDedup {
+  import TrainingShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact n-gram Jaccard near-dups over shared-shingle candidates.
+    // maxShingleFreq = 1000 bounds the hot-shingle pair blow-up at
+    // scale (f² rows per shingle shared by f docs); the oracle mirrors
+    // the cap (HAVING COUNT(*) <= 1000 on the shingle block), so parity
+    // is cap-exact at ANY SF — not just while no trigram's
+    // doc-frequency exceeds the cap (max observed at sf0.1 is 25).
+    "q22_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardBlocked(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8, shingleSize = 3, maxShingleFreq = 1000)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH candidate pairs (16 hashes, 4 bands of 4).
+    "q23_minhash_lsh" -> ((s, d) => {
+      Dedup.lshCandidatePairs(t(s, d, "documents"), "doc_id", "text",
+          k = 16, bands = 4, shingleSize = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dups (md5-derived token bits → oracle-checkable;
+    // the 4×16-bit block join is exact-recall at maxDistance 3 by
+    // pigeonhole, so the oracle's all-pairs form agrees).
+    "q24_simhash" -> ((s, d) => {
+      Dedup.simhashNearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          maxDistance = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact dedup on NORMALIZED text (lowercase, punctuation stripped,
+    // whitespace collapsed) — what real near-exact dedup hashes.
+    "q45_normalized_dedup" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), Curation.normalizeText(col("text")).as("norm"))
+        .groupBy(md5(col("norm")).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // Near-dup cluster resolution: q23's LSH candidate pairs closed
+    // into connected components (iterative min-label propagation) —
+    // the step that turns pair DETECTION into an actually deduplicated
+    // corpus: one survivor (`keep`) per transitive near-dup cluster.
+    "q39_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleSize = 3)
+      Dedup.resolveClusters(docs.select(col("doc_id")), "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The flagship dedup operator end-to-end: MinHash+LSH candidates →
+    // exact-Jaccard verification → connected-components closure → ONE
+    // survivor per cluster; output is the deduplicated corpus itself
+    // (what a pipeline actually keeps).
+    "q50_deduplicate" -> ((s, d) => {
+      Dedup.deduplicate(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8, k = 16, bands = 4, shingleSize = 3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Paragraph-level exact dedup (CCNet-style): the corpus gets
+    // deterministic paragraph boundaries (every 3 tokens — the
+    // newline-free synthetic corpus needs synthesized structure; real
+    // corpora pass the default \n split), then cross-doc repeated
+    // paragraphs are dropped from every document.
+    "q53_paragraph_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("ptext",
+          regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
+      Dedup.paragraphDedup(docs, "doc_id", "ptext",
+          splitPattern = "\n", minDocFreq = 2)
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("text_clean")).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Duplicated-substring coverage (Lee et al. ExactSubstr at
+    // 5-token-window grain): per doc, how much of it is a span that
+    // also appears verbatim in ≥2 distinct documents — the
+    // partial-copy signal whole-doc MinHash and paragraph-grain
+    // md5 both miss. Interval-union semantics: overlapping hot
+    // windows never double-count a token.
+    "q80_dup_spans" -> ((s, d) => {
+      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+          windowTokens = 5, minDocFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The q80 signal turned into Lee et al.'s actual intervention:
+    // delete every token covered by a cross-doc-hot 5-token window,
+    // reassemble survivors in order (tokenizer-normalized re-join).
+    "q81_remove_dup_spans" -> ((s, d) => {
+      Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+          windowTokens = 5, minDocFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH parameter audit: measured precision/recall of 2/4/8-band
+    // MinHash candidates against exact-Jaccard ≥ 0.8 ground truth —
+    // the band config for the 100 TB dedup run, chosen on data.
+    "q91_lsh_audit" -> ((s, d) => {
+      Dedup.lshAudit(t(s, d, "documents"), "doc_id", "text",
+          k = 16, bandConfigs = Seq(2, 4, 8), shingleSize = 3,
+          threshold = 0.8, maxShingleFreq = 1000)
+        .orderBy(col("bands"))
+    }),
+
+    // Asymmetric shingle containment (Broder): subset-duplication
+    // pairs Jaccard can't see — either direction's |A∩B|/|A| over the
+    // shared-shingle blocked pairs.
+    "q103_containment" -> ((s, d) => {
+      Dedup.containmentPairsBlocked(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Edit-distance verification of LSH candidates: byte-level
+    // Levenshtein similarity on the q23 band-bucket pairs — the
+    // order-SENSITIVE verifier (a sentence-shuffled copy passes
+    // Jaccard, fails this). Cost is bounded twice: pairs by LSH
+    // banding, per-pair DP by the maxChars cap.
+    "q111_edit_verify" -> ((s, d) => {
+      Dedup.editVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Winnowing (MOSS) fingerprint overlap: window-min-selected shingle
+    // hashes — a 4×-smaller index than full shingles that still
+    // guarantees any ≥ w+n−1-token clone shares a fingerprint.
+    "q112_winnowing" -> ((s, d) => {
+      Dedup.winnowingOverlapPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, w = 4, minShared = 2L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // URL-level dedup: canonicalization (scheme/host case, default
+    // port, www, fragment, trailing slash, tracking params, param
+    // order) collapses crawl-variant URLs into dup groups. The
+    // documents table has no URL column, so both engines BUILD the
+    // same messy synthetic URL from doc_id — the canonicalizer, not
+    // the data, is what the oracle checks.
+    "q115_url_dedup" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(
+        lit("HTTP://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Example-"), (id % 7).cast("string"), lit(".COM"),
+        when(id % 2 === 0, lit(":80")).otherwise(lit("")),
+        lit("/path/"), (id % 50).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&b="), (id % 5).cast("string"), lit("&a=1"),
+        when(id % 6 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
+        lit("#frag"))
+      val canon = t(s, d, "documents")
+        .select(id, TextOps.canonicalUrl(url).as("canonical_url"))
+      val groups = canon.groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("rep_id"))
+      canon.join(groups, Seq("canonical_url"))
+        .select(col("doc_id"), col("canonical_url"), col("n_dups"),
+          (col("doc_id") === col("rep_id")).as("is_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental dedup against the PUBLISHED MinHash index: batch =
+    // doc_id % 5 == 0, corpus = the rest; the old corpus is
+    // represented only by its (band, bucket, sig) index rows —
+    // verification is signature-estimated Jaccard, no old text read.
+    "q117_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = Dedup.minhashBandIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 5 === 0), index,
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("new_id"))
+    }),
+
+    // q117 through the SPLIT index layout: skinny (doc_id, band,
+    // bucket) rows + one signature row per doc, signatures joined only
+    // for candidates — verdict-identical to q117 by construction
+    // (IndexProbe measured the combined layout's screens dominated by
+    // the bands x-duplicated signature decode; this is the production
+    // artifact shape, sources/SplitBandIndexStore).
+    "q129_split_index_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // one signature pass feeds both split frames (the store's shape)
+      val sigs = Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 16)
+        .select(col("id").as("doc_id"), col("sig"))
+        .localCheckpoint(false)
+      Dedup.dedupAgainstIndexSplit(docs.filter(col("doc_id") % 5 === 0),
+          Dedup.bandRowsFromSigs(sigs, 4, 4), sigs,
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("new_id"))
+    }),
+
+    // Perceptual image hashing over REAL pixel decode: deterministic
+    // 9x8 grayscale PNG fixtures (every pixel integer arithmetic in
+    // (doc_id, x, y) — the q28 pattern for binary columns), encoded,
+    // ImageIO-decoded, dHashed, and emitted as the 4 16-bit blocks the
+    // Hamming-ball blocking uses. The oracle replays PNG encode →
+    // decode → raster → bit packing from arithmetic alone — the whole
+    // real pipeline is pinned bit-for-bit.
+    "q130_image_dhash" -> ((s, d) => {
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
+      graft.ops.ImageHash.dhashFrame(media)
+        .select(col("media_id"),
+          col("dhash").bitwiseAND(lit(0xFFFFL)).as("b0"),
+          shiftright(col("dhash"), 16).bitwiseAND(lit(0xFFFFL)).as("b1"),
+          shiftright(col("dhash"), 32).bitwiseAND(lit(0xFFFFL)).as("b2"),
+          shiftright(col("dhash"), 48).bitwiseAND(lit(0xFFFFL)).as("b3"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Perceptual image NEAR-DUP pairs: every 17th document gets a
+    // lightly-edited copy (one perturbed pixel → ≤ 2 dHash bits), the
+    // corpus is screened with the 16-bit-block Hamming-ball machinery
+    // (exact for distance ≤ 3 by pigeonhole — shared with SimHash,
+    // ops/Dedup.hammingNearDupPairs), pairs verified in-bucket. The
+    // oracle blocks and verifies the same way from the arithmetic
+    // fixture; at both SFs the measured accidental-pair count between
+    // distinct base images is zero, so the result is exactly the
+    // planted copies with their true bit distances.
+    "q131_image_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val base = docs.select(col("doc_id").as("media_id"),
+        graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
+      val variants = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("media_id"),
+          graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(true)).as("bytes"))
+      graft.ops.ImageHash.nearDuplicates(base.unionByName(variants))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Cross-source exact-duplication matrix: which source pairs share
+    // verbatim texts, and how much document mass sits on each side —
+    // the provenance/priority table before a cross-source dedup run.
+    // The synthetic corpus has natural cross-source dups only at
+    // sf0.1, so both engines union the same planted mirror docs (the
+    // q47 planted-fixture discipline) — the matrix is exercised at
+    // every SF and the natural sf0.1 pairs still flow through.
+    "q121_dup_matrix" -> ((s, d) => {
+      import s.implicits._
+      val planted = MirrorDocs.toDF("source", "text")
+      Dedup.crossSourceDupMatrix(
+          t(s, d, "documents").select(col("source"), col("text"))
+            .unionByName(planted),
+          "source", "text")
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Cross-source NEAR-dup matrix: verified near-dup pairs by
+    // unordered source pair with order-free mean Jaccard — the fuzzy
+    // counterpart of q121 (light edits and template reuse show here).
+    "q123_neardup_matrix" -> ((s, d) => {
+      Dedup.crossSourceNearDupMatrix(t(s, d, "documents"), "doc_id",
+          "source", "text", threshold = 0.8)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Quality-aware dedup: keep the highest-quality doc of each
+    // near-dup cluster (type-token-ratio milli score; tie = smallest
+    // id) — "keep best, not first".
+    "q124_quality_dedup" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        (lit(1000) * size(array_distinct(toks)) /
+          greatest(size(toks), lit(1))).cast("long").as("quality_milli"))
+      val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.resolveClustersByQuality(docs, "doc_id", "quality_milli", pairs)
+        .select(col("doc_id"), col("cluster_id"), col("quality_milli"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q22_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |-- mirror of the Spark side's maxShingleFreq = 1000 blocking
+         |-- cap (no-op at test SFs, cap-exact at any SF)
+         |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.s = ok.s GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(inter::DOUBLE / (s1.n + s2.n - inter), 6) AS jaccard
+         |FROM pairs JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+         |WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q23_minhash_lsh" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q45_normalized_dedup" ->
+      """SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id,
+        |  count(*)::BIGINT AS n_copies
+        |FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |  '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents)
+        |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // q39: q23's pair derivation + a recursive reachability closure;
+    // min(m) over everything reachable from n = the component min label.
+    "q39_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n)
+         |SELECT d.doc_id, COALESCE(l.cluster, d.doc_id)::BIGINT AS cluster_id,
+         |  d.doc_id = COALESCE(l.cluster, d.doc_id) AS keep
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q24_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS tk FROM documents),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS h FROM tok),
+         |votes AS (
+         |  -- left join from documents: a zero-token doc keeps all-zero
+         |  -- bits (simhash 0), matching the Spark expression
+         |  SELECT d.doc_id, i, SUM(CASE WHEN (th.h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM documents d CROSS JOIN range(64) t(i)
+         |  LEFT JOIN th ON th.doc_id = d.doc_id
+         |  GROUP BY d.doc_id, i),
+         |packed AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN v > 0 AND i < 32 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS lo,
+         |    SUM(CASE WHEN v > 0 AND i >= 32 THEN (1::BIGINT << (i::INT - 32)) ELSE 0 END)::BIGINT AS hi
+         |  FROM votes GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.lo, b.lo))::INT + bit_count(xor(a.hi, b.hi))::INT AS hamming
+         |  FROM packed a JOIN packed b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    // q50: q39's candidate derivation + a jaccard gate on the pairs
+    // before the reachability closure; survivors are docs that ARE
+    // their component's min label.
+    "q50_deduplicate" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+         |  JOIN sizes s1 ON c.id_a = s1.doc_id JOIN sizes s2 ON c.id_b = s2.doc_id
+         |  WHERE inter.i::DOUBLE / (s1.n + s2.n - inter.i) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE d.doc_id = COALESCE(l.cluster, d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // q53: paragraph boundaries synthesized every 3 tokens (RE2 and
+    // java.util.regex segment this pattern identically), then cross-doc
+    // repeated paragraphs (md5 groups, distinct-doc count >= 2) drop
+    // from every doc; survivors re-join in original order.
+    "q53_paragraph_dedup" ->
+      """WITH p0 AS (SELECT doc_id,
+        |  string_split(regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+        |    chr(10)) AS l FROM documents),
+        |paras AS (SELECT doc_id, unnest(l) AS para,
+        |  generate_subscripts(l, 1) AS ix FROM p0),
+        |pp AS (SELECT * FROM paras WHERE para <> ''),
+        |hot AS (SELECT md5(para) AS h FROM pp GROUP BY md5(para)
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT pp.doc_id, pp.para, pp.ix FROM pp
+        |  LEFT JOIN hot ON md5(pp.para) = hot.h WHERE hot.h IS NULL),
+        |np AS (SELECT doc_id, COUNT(*) AS n_paras FROM pp GROUP BY doc_id),
+        |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(para, chr(10) ORDER BY ix) AS txt FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(np.n_paras, 0)::BIGINT AS n_paras,
+        |  COALESCE(k.n_kept, 0)::BIGINT AS n_kept,
+        |  md5(COALESCE(k.txt, '')) AS clean_hash
+        |FROM documents d
+        |LEFT JOIN np ON d.doc_id = np.doc_id
+        |LEFT JOIN k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Window hash = md5 of the space-joined 5-token slice — identical
+    // bytes in both engines (slice is 1-based-inclusive t[i+1:i+5] here,
+    // slice(t, i+1, 5) in Spark). Interval union via lag: first hot
+    // window in a doc contributes 5 tokens, each later one
+    // min(5, pos - prev). generate_series descends-to-empty on short
+    // docs, mirroring the Spark-side size guard.
+    "q80_dup_spans" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM documents),
+         |wins AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+         |  FROM toks, unnest(generate_series(0, len(t)-5)) AS u(i)),
+         |hot AS MATERIALIZED (
+         |  SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hw AS (
+         |  SELECT w.doc_id, w.pos,
+         |    lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS prev
+         |  FROM wins w JOIN hot USING (h)),
+         |cov AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_dup_windows,
+         |    SUM(CASE WHEN prev IS NULL THEN 5
+         |             ELSE least(5, pos - prev) END)::BIGINT AS covered_tokens
+         |  FROM hw GROUP BY doc_id)
+         |SELECT tk.doc_id, len(tk.t)::BIGINT AS n_tokens,
+         |  greatest(len(tk.t) - 4, 0)::BIGINT AS n_windows,
+         |  COALESCE(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |  COALESCE(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+         |  round(COALESCE(c.covered_tokens, 0)::DOUBLE
+         |        / greatest(len(tk.t), 1), 6) AS dup_frac
+         |FROM toks tk LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q80's window/hot CTEs, then per-token coverage by running max of
+    // (hot-start pos + 5) over preceding positions — a token at p is
+    // removed iff that max exceeds p; survivors re-join with single
+    // spaces (string_agg skips the removed tokens' NULLs, ORDER BY p
+    // preserves document order).
+    "q81_remove_dup_spans" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $tokensSql AS t FROM documents),
+         |wins AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(t[i+1:i+5], ' ')) AS h
+         |  FROM toks, unnest(generate_series(0, len(t)-5)) AS u(i)),
+         |hot AS MATERIALIZED (
+         |  SELECT h FROM wins GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hs AS MATERIALIZED (
+         |  SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (h)),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, i AS p, t[i+1] AS tok
+         |  FROM toks, unnest(generate_series(0, len(t)-1)) AS u(i)),
+         |cov AS (
+         |  SELECT tk.doc_id, tk.p, tk.tok,
+         |    max(CASE WHEN hs.pos IS NOT NULL THEN hs.pos + 5 END)
+         |      OVER (PARTITION BY tk.doc_id ORDER BY tk.p) AS ce
+         |  FROM tok tk LEFT JOIN hs ON hs.doc_id = tk.doc_id AND hs.pos = tk.p),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+         |    SUM(CASE WHEN ce > p THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         |    COALESCE(string_agg(CASE WHEN ce IS NULL OR ce <= p THEN tok END,
+         |      ' ' ORDER BY p), '') AS text_clean
+         |  FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(a.n_tokens, 0)::BIGINT AS n_tokens,
+         |  COALESCE(a.n_removed, 0)::BIGINT AS n_removed,
+         |  CASE WHEN COALESCE(a.n_removed, 0) = 0 THEN COALESCE(d.text, '')
+         |       ELSE a.text_clean END AS text_clean
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q91: q22's capped exact-Jaccard truth + q23's minhash bands at
+    // three configs; MATERIALIZED because truth/mh are read per config.
+    "q91_lsh_audit" -> {
+      val bandCtes = Seq(2, 4, 8).map { b =>
+        val rpb = 16 / b
+        s"""bt$b AS MATERIALIZED (
+           |  SELECT doc_id, i // $rpb AS band,
+           |         md5(string_agg(m, '|' ORDER BY i)) AS bucket
+           |  FROM mh GROUP BY doc_id, i // $rpb)""".stripMargin
+      }.mkString(",\n")
+      val candSelects = Seq(2, 4, 8).map { b =>
+        s"""SELECT $b AS bands, a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bt$b a JOIN bt$b b
+           |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2, 3""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.s = ok.s GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT id_a, id_b
+         |  FROM p JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+         |  WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.8),
+         |mh AS MATERIALIZED (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |$bandCtes,
+         |cand AS ($candSelects),
+         |st AS (
+         |  SELECT bands, count(*)::BIGINT AS n_candidates,
+         |    sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM cand c LEFT JOIN truth t USING (id_a, id_b) GROUP BY bands),
+         |spine AS (SELECT unnest([2, 4, 8]) AS bands),
+         |tt AS (SELECT count(*)::BIGINT AS n_true FROM truth)
+         |SELECT bands::BIGINT AS bands, (16 // bands)::BIGINT AS rows_per_band,
+         |  COALESCE(n_candidates, 0)::BIGINT AS n_candidates, n_true,
+         |  COALESCE(n_hits, 0)::BIGINT AS n_hits,
+         |  CASE WHEN COALESCE(n_candidates, 0) > 0
+         |       THEN round(COALESCE(n_hits, 0)::DOUBLE / n_candidates, 6) END AS prec,
+         |  CASE WHEN n_true > 0
+         |       THEN round(COALESCE(n_hits, 0)::DOUBLE / n_true, 6) END AS rec
+         |FROM spine LEFT JOIN st USING (bands) CROSS JOIN tt
+         |ORDER BY bands""".stripMargin
+    },
+
+    // q103: q22's blocked-pair shape with the asymmetric gate — either
+    // direction's inter/|side| clears 0.8; the cap mirrors the
+    // engine's default 1024.
+    "q103_containment" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1024),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.s = ok.s GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(inter::DOUBLE / s1.n, 6) AS c_ab,
+         |  round(inter::DOUBLE / s2.n, 6) AS c_ba
+         |FROM pairs JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+         |WHERE greatest(inter::DOUBLE / s1.n, inter::DOUBLE / s2.n) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q111: q23's band CTEs for the candidates, then BYTE-level
+    // Levenshtein (DuckDB's levenshtein is byte-based on UTF-8; the
+    // Spark side matches it via the UTF-8 → ISO-8859-1 round-trip).
+    // strlen = byte length, substr = char-based truncation, both
+    // mirroring the engine exactly.
+    "q111_edit_verify" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |tt AS (SELECT doc_id, substr(text, 1, 4096) AS tx FROM documents),
+         |lv AS (
+         |  SELECT id_a, id_b, levenshtein(ta.tx, tb.tx) AS lev,
+         |    greatest(strlen(ta.tx), strlen(tb.tx), 1) AS ml
+         |  FROM cand JOIN tt ta ON id_a = ta.doc_id JOIN tt tb ON id_b = tb.doc_id)
+         |SELECT id_a, id_b, lev::BIGINT AS lev_bytes,
+         |  round(1.0 - lev::DOUBLE / ml, 6) AS edit_sim
+         |FROM lv WHERE 1.0 - lev::DOUBLE / ml >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q112: winnowing replayed — ordered trigram u32 hashes, window
+    // minima over w=4 (one window when fewer than w shingles), distinct
+    // selected hashes, then the q103-style capped fingerprint join.
+    "q112_winnowing" ->
+      s"""WITH gr AS (
+         |  SELECT doc_id, list_transform(range(greatest(len($tokensSql) - 2, 0)),
+         |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3]) AS gs
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_transform(gs, g ->
+         |    ('0x' || substr(md5(g), 1, 8))::UBIGINT::BIGINT) AS h
+         |  FROM gr WHERE len(gs) >= 1),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, fp FROM (
+         |    SELECT doc_id, unnest(list_transform(range(greatest(len(h) - 4, 0) + 1),
+         |      i -> list_min(h[i+1:i+4]))) AS fp
+         |    FROM hs)),
+         |sizes AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY 1),
+         |ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 1024),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+         |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  JOIN ok ON a.fp = ok.fp GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  round(n_shared::DOUBLE / least(s1.nf, s2.nf), 6) AS overlap
+         |FROM pairs JOIN sizes s1 ON id_a = s1.doc_id JOIN sizes s2 ON id_b = s2.doc_id
+         |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // q115: the same synthetic URL built from doc_id, then the
+    // canonicalization replayed rule for rule (scheme/host lowering,
+    // userinfo/default-port/www/fragment stripping, trailing-slash
+    // trim, tracking-param drop + bytewise param sort).
+    "q115_url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'HTTP://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+         |    'Example-' || (doc_id % 7)::VARCHAR || '.COM' ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+         |    '/path/' || (doc_id % 50)::VARCHAR ||
+         |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+         |    '?utm_source=feed&b=' || (doc_id % 5)::VARCHAR || '&a=1' ||
+         |    CASE WHEN doc_id % 6 = 0 THEN '&fbclid=xyz' ELSE '' END ||
+         |    '#frag' AS url
+         |  FROM documents),
+         |p1 AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    split_part(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#', 1) AS nofrag
+         |  FROM u),
+         |p2 AS (
+         |  SELECT doc_id, scheme,
+         |    split_part(nofrag, '?', 1) AS base,
+         |    regexp_extract(nofrag, '\\?(.*)$$', 1) AS query
+         |  FROM p1),
+         |p3 AS (
+         |  SELECT doc_id, scheme, query,
+         |    split_part(base, '/', 1) AS auth,
+         |    substr(base, length(split_part(base, '/', 1)) + 1) AS path
+         |  FROM p2),
+         |p4 AS (
+         |  SELECT doc_id, scheme, query, path,
+         |    CASE WHEN scheme = 'http'
+         |           THEN regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), ':80$$', '')
+         |         WHEN scheme = 'https'
+         |           THEN regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), ':443$$', '')
+         |         ELSE lower(regexp_replace(auth, '^[^@]*@', '')) END AS np
+         |  FROM p3),
+         |p5 AS (
+         |  SELECT doc_id, scheme,
+         |    regexp_replace(np, '^www\\.', '') AS host,
+         |    CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+         |         ELSE regexp_replace(path, '/+$$', '') END AS cpath,
+         |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+         |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+         |        AND NOT starts_with(p, 'fbclid=')
+         |        AND NOT starts_with(p, 'gclid=')
+         |        AND NOT starts_with(p, 'ref='))), '&') AS q
+         |  FROM p4),
+         |c AS (
+         |  SELECT doc_id, scheme || '://' || host || cpath ||
+         |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+         |  FROM p5),
+         |g AS (
+         |  SELECT canonical_url, count(*)::BIGINT AS n_dups,
+         |    min(doc_id) AS rep_id
+         |  FROM c GROUP BY canonical_url)
+         |SELECT c.doc_id, c.canonical_url, g.n_dups,
+         |  c.doc_id = g.rep_id AS is_rep
+         |FROM c JOIN g USING (canonical_url) ORDER BY doc_id""".stripMargin,
+
+    // q117: q111's band machinery split old/new, signature-estimated
+    // Jaccard = matching components / 16 (exact power-of-two
+    // fractions, so the threshold compare is drift-free), left join
+    // keeps zero-match batch docs.
+    "q117_incremental_dedup" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |sg AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+         |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+         |est AS (
+         |  SELECT new_id, old_id,
+         |    len(list_filter(range(16), i -> a.sig[i+1] = b.sig[i+1]))::DOUBLE / 16 AS ej
+         |  FROM cand JOIN sg a ON new_id = a.doc_id JOIN sg b ON old_id = b.doc_id),
+         |hits AS (
+         |  SELECT new_id, count(*)::BIGINT AS n_dup_matches,
+         |    min(old_id)::BIGINT AS dup_of, round(max(ej), 6) AS est_jaccard
+         |  FROM est WHERE ej >= 0.5 GROUP BY new_id)
+         |SELECT d.doc_id AS new_id,
+         |  coalesce(n_dup_matches, 0)::BIGINT AS n_dup_matches,
+         |  dup_of, est_jaccard, coalesce(n_dup_matches, 0) > 0 AS is_dup
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
+
+    // q129: the SPLIT storage layout changes nothing observable —
+    // verdicts are pair-determined (BucketedSpec pins est-for-est
+    // equality with the combined layout), so the oracle is q117's
+    // replay verbatim.
+    "q129_split_index_dedup" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |sg AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         |  FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+         |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+         |est AS (
+         |  SELECT new_id, old_id,
+         |    len(list_filter(range(16), i -> a.sig[i+1] = b.sig[i+1]))::DOUBLE / 16 AS ej
+         |  FROM cand JOIN sg a ON new_id = a.doc_id JOIN sg b ON old_id = b.doc_id),
+         |hits AS (
+         |  SELECT new_id, count(*)::BIGINT AS n_dup_matches,
+         |    min(old_id)::BIGINT AS dup_of, round(max(ej), 6) AS est_jaccard
+         |  FROM est WHERE ej >= 0.5 GROUP BY new_id)
+         |SELECT d.doc_id AS new_id,
+         |  coalesce(n_dup_matches, 0)::BIGINT AS n_dup_matches,
+         |  dup_of, est_jaccard, coalesce(n_dup_matches, 0) > 0 AS is_dup
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
+
+    // q130/q131: the dHash fixture's pixel values are pure integer
+    // arithmetic in (doc_id, x, y) (ops/ImageHash.fixtureGray), so the
+    // oracle computes every hash bit as a SQL comparison of adjacent
+    // pixels and packs the 16-bit blocks with shift-free integer sums —
+    // replaying PNG encode → ImageIO decode → raster read → bit packing
+    // without touching a byte of image data (the q28 convention).
+    "q130_image_dhash" ->
+      s"""WITH px AS (
+         |  SELECT d.doc_id, x.x, y.y, ${fixtureGraySql("d.doc_id")} AS g
+         |  FROM documents d, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |bits AS (
+         |  SELECT l.doc_id, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8)
+         |SELECT doc_id AS media_id,
+         |  sum(CASE WHEN k // 16 = 0 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b0,
+         |  sum(CASE WHEN k // 16 = 1 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b1,
+         |  sum(CASE WHEN k // 16 = 2 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b2,
+         |  sum(CASE WHEN k // 16 = 3 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b3
+         |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // q131: same fixture plus perturbed copies; candidates via the same
+    // 4x16-bit block collision the Spark side uses (both EXACT for
+    // hamming <= 3 by pigeonhole, so blocking parity is semantic, not
+    // coincidental), verified by per-bit comparison.
+    "q131_image_neardup" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id AS pid, FALSE AS perturb FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, doc_id, TRUE FROM documents WHERE doc_id % 17 = 0),
+         |gx AS (
+         |  SELECT m.media_id, m.pid, m.perturb, x.x, y.y,
+         |    ${fixtureGraySql("m.pid")} AS g0
+         |  FROM media m, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |px AS (
+         |  SELECT media_id, x, y,
+         |    CASE WHEN perturb AND x = pid % 9 AND y = pid % 8
+         |      THEN (g0 + 128) % 256 ELSE g0 END AS g
+         |  FROM gx),
+         |bits AS (
+         |  SELECT l.media_id, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.media_id = l.media_id AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |blocks AS (
+         |  SELECT media_id, k // 16 AS blk,
+         |    sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v
+         |    AND a.media_id < b.media_id),
+         |ham AS (
+         |  SELECT c.id_a, c.id_b,
+         |    sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+         |  FROM cand c
+         |  JOIN bits ba ON ba.media_id = c.id_a
+         |  JOIN bits bb ON bb.media_id = c.id_b AND bb.k = ba.k
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q121: the (hash, source, n_docs) frame self-joined on hash —
+    // the aggregated frame, never the corpus; same planted mirror
+    // docs unioned in.
+    "q121_dup_matrix" ->
+      s"""WITH docs AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES $mirrorValuesSql) v(source, text)),
+         |hs AS (
+         |  SELECT md5(text) AS h, source, count(*)::BIGINT AS nd
+         |  FROM docs GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*)::BIGINT AS n_shared_texts,
+         |  sum(a.nd)::BIGINT AS n_docs_a, sum(b.nd)::BIGINT AS n_docs_b
+         |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // q123: the q50 candidate+verify chain, Jaccard ROUNDED 6 before
+    // both the threshold and the micro-unit mean (mirrors the
+    // engine's filter-on-rounded semantics exactly).
+    "q123_neardup_matrix" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT c.id_a, c.id_b,
+         |    round(inter.i::DOUBLE / (s1.n + s2.n - inter.i), 6) AS j
+         |  FROM cand c
+         |  JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+         |  JOIN sizes s1 ON c.id_a = s1.doc_id JOIN sizes s2 ON c.id_b = s2.doc_id
+         |  WHERE round(inter.i::DOUBLE / (s1.n + s2.n - inter.i), 6) >= 0.8)
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  count(*)::BIGINT AS n_pairs,
+         |  round(sum(round(j * 1000000)::BIGINT)::DOUBLE / 1000000 / count(*), 6)
+         |    AS mean_jaccard
+         |FROM ver JOIN documents da ON ver.id_a = da.doc_id
+         |JOIN documents db ON ver.id_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // q124: the q50 cluster chain, then keep = highest quality per
+    // cluster (ttr milli, tie smallest id) instead of smallest id.
+    "q124_quality_dedup" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(i::VARCHAR || '|' || s)) AS m
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+         |  JOIN sizes s1 ON c.id_a = s1.doc_id JOIN sizes s2 ON c.id_b = s2.doc_id
+         |  WHERE round(inter.i::DOUBLE / (s1.n + s2.n - inter.i), 6) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ((1000 * len(list_distinct($tokensSql)))
+         |      // greatest(len($tokensSql), 1))::BIGINT AS quality_milli
+         |  FROM documents),
+         |res AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster_id,
+         |    s.quality_milli
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |  JOIN scored s ON d.doc_id = s.doc_id)
+         |SELECT doc_id, cluster_id, quality_milli,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY quality_milli DESC, doc_id) = 1 AS keep
+         |FROM res ORDER BY doc_id""".stripMargin
+  )
+}

@@ -47,10 +47,7 @@ object CacheScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    def tm[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
+    import ProbeTiming.{tm, tmMedian}
     def docs() = Documents.fromProperties(spark.range(n).select(col("id"),
       concat(lit("{\"id\":"), col("id"),
         lit(",\"resource\":\"http://api.test/item/"), col("id"),
@@ -60,25 +57,23 @@ object CacheScaleProbe {
       objective = graft.core.Objective("$.0", Seq("extra" -> "$.extra")))
     val fetcher = new SyntheticSource
 
-    def round(label: String, store: graft.sources.ResourceCache): Unit =
-      tm(label) {
-        val (grown, _) = Growth.growWith(docs(), growth,
-          reqs => store.fetch(reqs, fetcher))
-        val ok = grown.filter(col("derivatives").contains("\"extra\"")).count()
-        require(ok == n, s"$label: $ok of $n docs grew")
-      }
+    def runRound(store: graft.sources.ResourceCache): Unit = {
+      val (grown, _) = Growth.growWith(docs(), growth,
+        reqs => store.fetch(reqs, fetcher))
+      val ok = grown.filter(col("derivatives").contains("\"extra\"")).count()
+      require(ok == n, s"$ok of $n docs grew")
+    }
 
     val plain = new CacheStore(s"$wh/plain_cache.parquet", spark)
-    round(s"plain store, live round ($n docs)", plain)
-    round(s"plain store, warm round (all hits)", plain)
+    // live round is one-shot by nature (it populates the log); warm
+    // rounds are all-hits and side-effect-free, so they take medians
+    tm(s"plain store, live round ($n docs)") { runRound(plain) }
+    tmMedian(s"plain store, warm round (all hits)") { runRound(plain) }
     val bucketed = new BucketedCacheStore(spark, "graft_cache_probe", buckets = 64)
     tm("migrate plain log -> bucketed table") {
       bucketed.append(plain.read().localCheckpoint(true))
     }
-    round(s"bucketed store, warm round (all hits)", bucketed)
-    // second warm bucketed round: the append log now holds one append;
-    // steady-state daily cost
-    round(s"bucketed store, warm round 2", bucketed)
+    tmMedian(s"bucketed store, warm round (all hits)") { runRound(bucketed) }
     spark.stop()
   }
 }

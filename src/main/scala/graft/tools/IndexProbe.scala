@@ -37,10 +37,7 @@ object IndexProbe {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def tm[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
-    }
+    import ProbeTiming.{tm, tmMedian}
     // deterministic 25-token doc from a seed; xxhash64 mixing — a
     // linear-congruential token formula folds mod the vocabulary and
     // silently makes every ~200k-th seed an EXACT duplicate doc (the
@@ -62,17 +59,22 @@ object IndexProbe {
       Dedup.minhashBandIndex(old, "doc_id", "text").localCheckpoint(true)
     }
     println(s"[probe] index rows: ${index.count()} (docs x 4 bands)")
-    def screenAndReport(label: String, indexSide: org.apache.spark.sql.DataFrame): Unit =
-      tm(s"screen ${batchN / 1000}k batch against the $label index") {
-        val verdicts = Dedup
-          .dedupAgainstIndex(batch, indexSide, "doc_id", "text")
-          .localCheckpoint(true)
-        val flagged = verdicts.filter(col("is_dup")).count()
-        val planted = verdicts
-          .filter((col("new_id") - oldN) % 10 === 0 && col("is_dup")).count()
-        println(s"[probe] $label flagged: $flagged of ${batchN / 10} planted " +
-          s"(planted hits: $planted, false-ish extras: ${flagged - planted})")
+    def screenAndReport(label: String, indexSide: => org.apache.spark.sql.DataFrame): Unit = {
+      // recall asserted once; the timing is a median-of-5 steady state
+      val verdicts = Dedup
+        .dedupAgainstIndex(batch, indexSide, "doc_id", "text")
+        .localCheckpoint(true)
+      val flagged = verdicts.filter(col("is_dup")).count()
+      val planted = verdicts
+        .filter((col("new_id") - oldN) % 10 === 0 && col("is_dup")).count()
+      println(s"[probe] $label flagged: $flagged of ${batchN / 10} planted " +
+        s"(planted hits: $planted, false-ish extras: ${flagged - planted})")
+      tmMedian(s"screen ${batchN / 1000}k batch against the $label index") {
+        Dedup.dedupAgainstIndex(batch, indexSide, "doc_id", "text")
+          .agg(sum(when(col("is_dup"), 1).otherwise(0))).collect()
+        ()
       }
+    }
     screenAndReport("in-memory (checkpointed frame)", index)
     // the PRODUCTION comparison: a published index lives on disk either
     // way — plain parquet (the screen re-shuffles the sig-carrying
@@ -95,7 +97,7 @@ object IndexProbe {
     tm(s"publish split index tables (${oldN / 1000}k docs)") {
       split.publish(old, "doc_id", "text")
     }
-    tm(s"screen ${batchN / 1000}k batch against the split index") {
+    locally {
       val verdicts = split.screen(batch, "doc_id", "text").localCheckpoint(true)
       val flagged = verdicts.filter(col("is_dup")).count()
       val planted = verdicts
@@ -103,8 +105,15 @@ object IndexProbe {
       println(s"[probe] split flagged: $flagged of ${batchN / 10} planted " +
         s"(planted hits: $planted, false-ish extras: ${flagged - planted})")
     }
+    tmMedian(s"screen ${batchN / 1000}k batch against the split index") {
+      split.screen(batch, "doc_id", "text")
+        .agg(sum(when(col("is_dup"), 1).otherwise(0))).collect()
+      ()
+    }
     // the full daily gate round: screen + admit in ONE signature pass
-    // (ingest) — the steady-state number an ingestion pipeline pays
+    // (ingest) — the steady-state number an ingestion pipeline pays.
+    // One-shot by nature: each round APPENDS (admitting twice would
+    // poison the recall check for the next stage)
     tm(s"ingest (screen + admit) a further ${batchN / 1000}k batch") {
       val batch2 = spark.range(batchN)
         .select((col("id") + oldN + batchN).as("doc_id"),
@@ -113,6 +122,30 @@ object IndexProbe {
       val verdicts = split.ingest(batch2, "doc_id", "text")
       val flagged = verdicts.filter(col("is_dup")).count()
       println(s"[probe] ingest flagged: $flagged (>= ${batchN / 10} planted)")
+    }
+    // RETENTION: re-publish the whole corpus STAMPED, age out half,
+    // and show the screen cost tracks the surviving index size — the
+    // "a year of appends doesn't scan dead docs forever" claim as a
+    // measured number, not a docstring
+    val retained = new graft.sources.SplitBandIndexStore(spark,
+      bandsTable = "probe_ret_bands", sigsTable = "probe_ret_sigs", buckets = 64)
+    tm(s"publish stamped split index (${oldN / 1000}k docs, ts = doc_id)") {
+      retained.publish(old.withColumn("ts", col("doc_id")), "doc_id", "text",
+        tsCol = Some("ts"))
+    }
+    tmMedian(s"screen ${batchN / 1000}k batch, full ${oldN / 1000}k index") {
+      retained.screen(batch, "doc_id", "text")
+        .agg(sum(when(col("is_dup"), 1).otherwise(0))).collect()
+      ()
+    }
+    tm(s"expireBefore drops the older half (${oldN / 2000}k docs)") {
+      val dropped = retained.expireBefore(oldN / 2)
+      println(s"[probe] expired $dropped signature rows")
+    }
+    tmMedian(s"screen ${batchN / 1000}k batch, post-expiry ${oldN / 2000}k index") {
+      retained.screen(batch, "doc_id", "text")
+        .agg(sum(when(col("is_dup"), 1).otherwise(0))).collect()
+      ()
     }
     spark.stop()
   }

@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{ImageHash, Multimodal}
+
+/** Multimodal scale probe (dev tool, run-once evidence for NOTES): the
+  * text operators carry 1M-doc probes; this is the media counterpart.
+  *
+  *  1. HEADER decode throughput at 1M mixed media rows (PNG image /
+  *     PCM WAV / ISO-BMFF MP4, all REAL spec-conforming containers
+  *     synthesized in-executor) — the [[Multimodal.extractFeatures]]
+  *     scan-cost profile: bytes-proportional work is sha256 + the byte
+  *     histogram, decode is header-only.
+  *  2. PIXEL decode + bilinear resize + PNG re-encode throughput
+  *     ([[Multimodal.resizeImages]]) at 200k 64×48 images — the heavy
+  *     per-row path; memory bound is ONE decoded frame per core
+  *     (rows stream through mapPartitions, nothing batches frames).
+  *  3. Perceptual dedup at ≥100k images: dHash every image (real pixel
+  *     decode + box downscale) and run the Hamming-ball pair pass with
+  *     1-in-10 planted perturbed copies — recall must be exactly the
+  *     planted count (the fixture's perturbation flips ≤ 2 of 64 bits
+  *     and distinct patterns sit ~32 bits apart).
+  *
+  * Steady-state stages report median-of-5 ([[ProbeTiming]]); the
+  * synthetic frames are generated in-executor (no disk), so the only
+  * I/O in the timings is shuffle.
+  *
+  * Usage: runMain graft.tools.MediaProbe [headerRows] [resizeRows] [dhashRows]
+  */
+object MediaProbe {
+
+  /** 64×48 grayscale PNG whose 9×8 downscale reproduces
+    * [[ImageHash.fixtureGray]] exactly: each fixture pixel becomes a
+    * constant block (64/9- and 48/8-sized boxes average back to the
+    * constant), so the probe's planted-dup arithmetic is the q130/q131
+    * oracle's at realistic image dimensions. */
+  def bigFixturePng(id: Long, perturb: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 48) {
+      var x = 0
+      while (x < 64) {
+        raster.setSample(x, y, 0,
+          ImageHash.fixtureGray(id, x * 9 / 64, y * 8 / 48, perturb))
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  def main(args: Array[String]): Unit = {
+    val headerN = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val resizeN = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+    val dhashN = args.drop(2).headOption.map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import ProbeTiming.tmMedian
+
+    // ---- 1. header decode at 1M mixed media --------------------------
+    val mediaSynth = udf { (id: Long) =>
+      val data = s"synthetic payload for media $id padded ${"x" * (id % 512).toInt}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (id % 3) match {
+        case 0 => ImageHash.fixturePng(id) // real 9×8 gray PNG
+        case 1 => Multimodal.wavBytes(data)
+        case _ => Multimodal.mp4Bytes(data, data.length.toLong * 40L,
+          (id % 1280 + 16).toInt, (id % 720 + 16).toInt)
+      }
+    }
+    val kinds = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("id") % 3 + 1).cast("int"))
+    val media = spark.range(0L, headerN, 1L, 64)
+      .select(col("id").as("media_id"), kinds.as("kind"),
+        mediaSynth(col("id")).as("bytes"),
+        lit(null).cast("string").as("meta"))
+      // synthesis materialized OUTSIDE the timed stage: the medians
+      // measure decode, not fixture generation (~1 GB resident)
+      .localCheckpoint(true)
+    tmMedian(s"header decode, ${headerN / 1000}k mixed media (extractFeatures)") {
+      val feats = Multimodal.extractFeatures(media)
+      val decoded = feats.agg(
+        sum(when(col("width").isNotNull || col("duration_ms").isNotNull, 1L)
+          .otherwise(0L))).collect()(0).getLong(0)
+      require(decoded == headerN,
+        s"$decoded of $headerN payloads decoded — every container is spec-conforming")
+    }
+
+    // ---- 2. pixel decode + resize + re-encode at 200k ---------------
+    val pngSynth = udf { (id: Long) => bigFixturePng(id, perturb = false) }
+    val images = spark.range(0L, resizeN, 1L, 64)
+      .select(col("id").as("media_id"), lit("image").as("kind"),
+        pngSynth(col("id")).as("bytes"), lit(null).cast("string").as("meta"))
+      .localCheckpoint(true)
+    tmMedian(s"pixel decode + bilinear resize + PNG re-encode, ${resizeN / 1000}k 64x48 images") {
+      val resized = Multimodal.resizeImages(images, 32, 32)
+      val n = resized.filter(col("resized")).count()
+      require(n == resizeN, s"$n of $resizeN resized")
+    }
+
+    // ---- 3. perceptual dedup at >=100k images ------------------------
+    val dupSynth = udf { (id: Long, perturb: Boolean) => bigFixturePng(id, perturb) }
+    val base = spark.range(0L, dhashN, 1L, 64)
+      .select(col("id").as("media_id"), dupSynth(col("id"), lit(false)).as("bytes"))
+    val planted = spark.range(0L, dhashN, 1L, 64).filter(col("id") % 10 === 0)
+      .select((col("id") + 1000000000L).as("media_id"),
+        dupSynth(col("id"), lit(true)).as("bytes"))
+    val all = base.unionByName(planted).localCheckpoint(true)
+    val expectedPairs = dhashN / 10 + (if (dhashN % 10 != 0) 1 else 0)
+    tmMedian(s"dHash + Hamming-ball near-dup pass, ${dhashN / 1000}k images + 1-in-10 planted dups") {
+      val pairs = ImageHash.nearDuplicates(all).localCheckpoint(true)
+      val total = pairs.count()
+      val plantedHits = pairs
+        .filter(col("id_b") - col("id_a") === 1000000000L).count()
+      require(plantedHits == expectedPairs,
+        s"recall: $plantedHits of $expectedPairs planted pairs found")
+      println(s"[probe]   pairs: $total total, $plantedHits planted, " +
+        s"${total - plantedHits} cross-image extras")
+    }
+    spark.stop()
+  }
+}
