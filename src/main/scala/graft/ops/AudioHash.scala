@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perceptual audio near-duplication: a 64-bit energy-envelope
+  * fingerprint over REAL PCM decode — the audio member of the
+  * perceptual-dedup family ([[ImageHash]] is the image member; both
+  * feed the shared [[Dedup.hammingNearDupPairs]] Hamming-ball
+  * machinery). A re-encoded, re-normalized or lightly-trimmed copy of
+  * a recording keeps its loudness CONTOUR even when every byte
+  * changes, so the fingerprint is the direction of envelope change:
+  * split the waveform into 65 equal frames, take the integer mean
+  * absolute amplitude of each, and set bit k iff frame k+1 is louder
+  * than frame k — the exact dHash construction with "brighter" read as
+  * "louder". (A production fingerprint adds a spectral axis —
+  * chromaprint-style; the envelope variant is the deterministic,
+  * codec-free core that exercises the same decode→frame→bits→block
+  * pipeline and is exactly replayable by a SQL oracle, the q130
+  * convention.)
+  *
+  * Scale shape: identical to image hashing — one UDF projection per
+  * corpus for the fingerprint (decode parallelism = frame
+  * partitioning), one (block, key) shuffle for candidates, in-bucket
+  * verification. Nothing quadratic in the corpus.
+  */
+object AudioHash {
+
+  /** 16-bit mono PCM samples from a WAV container (the RIFF walk of
+    * [[Multimodal.parseWavDurationMs]], but extracting the data chunk);
+    * None when the bytes are not a mono 16-bit PCM WAV — undecodable
+    * rows pass through as null fingerprints, the family convention. */
+  def pcmSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+    if (bytes == null || bytes.length < 44) return None
+    def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var fmtOk = false
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= bytes.length && (!fmtOk || data.isEmpty)) {
+      val id = ascii(pos)
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = bb.getShort(pos + 8)
+        val channels = bb.getShort(pos + 10)
+        val bits = bb.getShort(pos + 22)
+        if (audioFormat != 1 || channels != 1 || bits != 16) return None
+        fmtOk = true
+      } else if (id == "data") data = Some((pos + 8, size))
+      pos += 8 + size + (size & 1)
+    }
+    (if (fmtOk) data else None).map { case (off, len) =>
+      val n = len / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(off + 2 * i); i += 1 }
+      out
+    }
+  }
+
+  /** Integer mean absolute amplitude per frame: frame f covers samples
+    * [f·n/frames, (f+1)·n/frames) (boxes forced non-empty — the
+    * [[ImageHash.boxDownscale]] partition), floor division. Exact when
+    * n is a multiple of `frames` and each frame is constant — what the
+    * oracle fixtures arrange. */
+  def envelope(samples: Array[Short], frames: Int): Array[Long] = {
+    val n = samples.length
+    val out = new Array[Long](frames)
+    var f = 0
+    while (f < frames) {
+      val s0 = f * n / frames
+      val s1 = math.max(s0 + 1, (f + 1) * n / frames)
+      var acc = 0L
+      var i = s0
+      while (i < s1 && i < n) { acc += math.abs(samples(i).toLong); i += 1 }
+      out(f) = if (s1 > s0 && s0 < n) acc / (math.min(s1, n) - s0) else 0L
+      f += 1
+    }
+    out
+  }
+
+  /** 64-bit envelope fingerprint of a WAV payload; None when the bytes
+    * do not decode. Bit k = frame k+1 strictly louder than frame k,
+    * packed LSB-first — byte-identical construction to
+    * [[ImageHash.dHash64]] with 65 frames in place of 9 columns. */
+  def envelopeHash64(bytes: Array[Byte]): Option[Long] =
+    pcmSamples(bytes).filter(_.length >= 65).map { samples =>
+      val e = envelope(samples, 65)
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (e(k + 1) > e(k)) hash |= 1L << k
+        k += 1
+      }
+      hash
+    }
+
+  /** [[envelopeHash64]] as a column function — a UDF for the same
+    * reason as [[ImageHash.dHashUdf]]: decode is irreducibly JVM work
+    * and a projection keeps the scan codegen-fused. */
+  val envelopeHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => envelopeHash64(bytes))
+
+  /** Fingerprints over a media frame: (media_id, ahash), null for
+    * undecodable payloads. */
+  def fingerprintFrame(media: DataFrame, idCol: String = "media_id",
+                       bytesCol: String = "bytes", partitions: Int = 0): DataFrame = {
+    val src = if (partitions > 0) media.repartition(partitions) else media
+    src.select(col(idCol).cast("long").as("media_id"),
+      envelopeHashUdf(col(bytesCol)).as("ahash"))
+  }
+
+  /** Near-duplicate recordings from a (media_id, ahash) frame — the
+    * shared 16-bit-block machinery, exact for Hamming ≤ 3. */
+  def nearDupPairs(hashes: DataFrame, maxDistance: Int = 3,
+                   maxBucketSize: Int = 0): DataFrame =
+    Dedup.hammingNearDupPairs(hashes.filter(col("ahash").isNotNull),
+      "media_id", "ahash", maxDistance, maxBucketSize)
+
+  /** One-call form: fingerprint, then pair — checkpointing the skinny
+    * hash frame for the same project-collapse reason as
+    * [[ImageHash.nearDuplicates]] (the block keys would clone the
+    * decode UDF ~5×). */
+  def nearDuplicates(media: DataFrame, idCol: String = "media_id",
+                     bytesCol: String = "bytes", maxDistance: Int = 3,
+                     maxBucketSize: Int = 0): DataFrame =
+    nearDupPairs(fingerprintFrame(media, idCol, bytesCol).localCheckpoint(true),
+      maxDistance, maxBucketSize)
+
+  // ---- Deterministic PCM fixtures (test/oracle harness) ------------
+  // 65 frames of 160 constant-amplitude samples each: the frame mean
+  // IS the amplitude, so the fingerprint is pure integer arithmetic in
+  // (doc_id, frame) and DuckDB replays WAV encode -> RIFF walk -> PCM
+  // read -> envelope -> bit packing without touching a byte of audio.
+
+  val FixtureFrames = 65
+  val FixtureSamplesPerFrame = 160 // 10 ms at 16 kHz
+
+  /** Fixture amplitude of frame f for a document id — coprime-moduli
+    * CUBIC mixing folded mod a small prime so consecutive-frame
+    * comparisons wrap many times across 65 frames (a quadratic mod a
+    * large range produced near-monotone envelopes whose bits were
+    * mostly 1s — hundreds of accidental ≤3-bit collisions; measured
+    * zero cross pairs with this form at 5k recordings). The ×31 scale
+    * makes values amplitude-like without touching any comparison.
+    * `perturb` re-levels one id-chosen frame by half the modulus — a
+    * copy whose fingerprint differs in at most 2 bits. */
+  def fixtureAmp(id: Long, f: Int, perturb: Boolean): Int = {
+    val a = (id % 97 + 1).toInt
+    val b = (id % 89 + 2).toInt
+    val c = (id / 97 % 101).toInt
+    val base = (a * f * f + b * f * f * f + c * f) % 251
+    val v = if (perturb && f == (id % FixtureFrames).toInt) (base + 125) % 251 else base
+    v * 31
+  }
+
+  /** Encode the fixture as a real 16 kHz mono 16-bit PCM WAV. */
+  def fixtureWav(id: Long, perturb: Boolean = false): Array[Byte] = {
+    val pcm = new Array[Byte](FixtureFrames * FixtureSamplesPerFrame * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var f = 0
+    while (f < FixtureFrames) {
+      val amp = fixtureAmp(id, f, perturb).toShort
+      var i = 0
+      while (i < FixtureSamplesPerFrame) { bb.putShort(amp); i += 1 }
+      f += 1
+    }
+    Multimodal.wavBytes(pcm)
+  }
+
+  /** The fixture as a column UDF (id, perturb) → WAV bytes. */
+  val fixtureWavUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long, perturb: Boolean) => fixtureWav(id, perturb))
+}

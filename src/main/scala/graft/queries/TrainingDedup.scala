@@ -253,6 +253,42 @@ private[queries] object TrainingDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Perceptual AUDIO fingerprinting over REAL PCM decode: 65-frame
+    // constant-amplitude WAV fixtures (frame mean = the arithmetic
+    // amplitude), RIFF-walked, envelope-hashed (bit k = frame k+1
+    // louder than frame k — dHash with "brighter" read as "louder"),
+    // emitted as the 4 Hamming blocks. The oracle replays WAV encode →
+    // RIFF walk → PCM read → envelope → bit packing from arithmetic
+    // alone — the q130 convention for the audio column.
+    "q132_audio_fingerprint" -> ((s, d) => {
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.ops.AudioHash.fixtureWavUdf(col("doc_id"), lit(false)).as("bytes"))
+      graft.ops.AudioHash.fingerprintFrame(media)
+        .select(col("media_id"),
+          col("ahash").bitwiseAND(lit(0xFFFFL)).as("b0"),
+          shiftright(col("ahash"), 16).bitwiseAND(lit(0xFFFFL)).as("b1"),
+          shiftright(col("ahash"), 32).bitwiseAND(lit(0xFFFFL)).as("b2"),
+          shiftright(col("ahash"), 48).bitwiseAND(lit(0xFFFFL)).as("b3"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Perceptual audio NEAR-DUP pairs: every 17th recording gets a
+    // re-levelled copy (one perturbed frame → ≤ 2 envelope bits), the
+    // corpus screened with the SAME 16-bit-block Hamming-ball
+    // machinery as text SimHash and image dHash. Measured accidental
+    // pairs between distinct recordings: zero at both SFs.
+    "q133_audio_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val base = docs.select(col("doc_id").as("media_id"),
+        graft.ops.AudioHash.fixtureWavUdf(col("doc_id"), lit(false)).as("bytes"))
+      val variants = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("media_id"),
+          graft.ops.AudioHash.fixtureWavUdf(col("doc_id"), lit(true)).as("bytes"))
+      graft.ops.AudioHash.nearDuplicates(base.unionByName(variants))
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Cross-source exact-duplication matrix: which source pairs share
     // verbatim texts, and how much document mass sits on each side —
     // the provenance/priority table before a cross-source dedup run.
@@ -794,6 +830,60 @@ private[queries] object TrainingDedup {
          |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
          |  FROM px l JOIN px r ON r.media_id = l.media_id AND r.y = l.y AND r.x = l.x + 1
          |  WHERE l.x < 8),
+         |blocks AS (
+         |  SELECT media_id, k // 16 AS blk,
+         |    sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v
+         |    AND a.media_id < b.media_id),
+         |ham AS (
+         |  SELECT c.id_a, c.id_b,
+         |    sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+         |  FROM cand c
+         |  JOIN bits ba ON ba.media_id = c.id_a
+         |  JOIN bits bb ON bb.media_id = c.id_b AND bb.k = ba.k
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q132/q133: the audio twins of q130/q131 — envelope amplitudes
+    // are integer arithmetic in (doc_id, frame)
+    // (ops/AudioHash.fixtureAmp), so every fingerprint bit is a SQL
+    // comparison of consecutive frames.
+    "q132_audio_fingerprint" ->
+      s"""WITH env AS (
+         |  SELECT d.doc_id, f.f, (${fixtureAmpBaseSql("d.doc_id")}) * 31 AS amp
+         |  FROM documents d, generate_series(0,64) f(f)),
+         |bits AS (
+         |  SELECT l.doc_id, l.f AS k,
+         |    CASE WHEN r.amp > l.amp THEN 1 ELSE 0 END AS bit
+         |  FROM env l JOIN env r ON r.doc_id = l.doc_id AND r.f = l.f + 1
+         |  WHERE l.f < 64)
+         |SELECT doc_id AS media_id,
+         |  sum(CASE WHEN k // 16 = 0 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b0,
+         |  sum(CASE WHEN k // 16 = 1 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b1,
+         |  sum(CASE WHEN k // 16 = 2 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b2,
+         |  sum(CASE WHEN k // 16 = 3 THEN bit * (1 << (k % 16)) ELSE 0 END)::BIGINT AS b3
+         |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q133_audio_neardup" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id AS pid, FALSE AS perturb FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, doc_id, TRUE FROM documents WHERE doc_id % 17 = 0),
+         |env AS (
+         |  SELECT m.media_id, f.f,
+         |    (CASE WHEN m.perturb AND f.f = m.pid % 65
+         |      THEN ((${fixtureAmpBaseSql("m.pid")}) + 125) % 251
+         |      ELSE ${fixtureAmpBaseSql("m.pid")} END) * 31 AS amp
+         |  FROM media m, generate_series(0,64) f(f)),
+         |bits AS (
+         |  SELECT l.media_id, l.f AS k,
+         |    CASE WHEN r.amp > l.amp THEN 1 ELSE 0 END AS bit
+         |  FROM env l JOIN env r ON r.media_id = l.media_id AND r.f = l.f + 1
+         |  WHERE l.f < 64),
          |blocks AS (
          |  SELECT media_id, k // 16 AS blk,
          |    sum(bit * (1 << (k % 16)))::BIGINT AS v

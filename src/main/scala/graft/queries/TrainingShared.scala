@@ -49,6 +49,14 @@ private[queries] object TrainingShared {
     s"(($id % 97 + 1)*x.x*x.x + ($id % 89 + 2)*y.y*y.y + ($id % 83 + 3)*x.x*y.y" +
       s" + (($id // 97) % 101)*x.x + (($id // 89) % 103)*y.y) % 256"
 
+  /** [[graft.ops.AudioHash.fixtureAmp]]'s PRE-SCALE frame value as
+    * DuckDB SQL over a generate_series alias f.f — the q132/q133
+    * oracles apply the perturbation CASE and the ×31 amplitude scale
+    * on top (the scale never changes a comparison). */
+  def fixtureAmpBaseSql(id: String): String =
+    s"(($id % 97 + 1)*f.f*f.f + ($id % 89 + 2)*f.f*f.f*f.f" +
+      s" + (($id // 97) % 101)*f.f) % 251"
+
   val CjkIdBase = 1000000L
   val CjkDocs: Seq[(Long, String)] = Seq(
     1000001L -> "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳云腾致雨露结为霜",

@@ -1758,6 +1758,47 @@ class MultimodalSpec extends SparkTestBase {
       ImageHash.dHash64(ImageHash.fixturePng(id)))
   }
 
+  test("audio envelope fingerprint: real WAV decode reproduces the arithmetic fixture bit-for-bit") {
+    (Seq(0L, 1L, 97L, 4242L, 999983L) ++ (1 to 20).map(_ * 251L)).foreach { id =>
+      val expected = {
+        var h = 0L
+        for (k <- 0 until 64)
+          if (AudioHash.fixtureAmp(id, k + 1, false) >
+              AudioHash.fixtureAmp(id, k, false)) h |= 1L << k
+        h
+      }
+      assert(AudioHash.envelopeHash64(AudioHash.fixtureWav(id)) === Some(expected),
+        s"id=$id: decoded envelope hash diverged from the arithmetic prediction")
+    }
+    // non-WAV / stereo / junk payloads yield no fingerprint, not a crash
+    assert(AudioHash.envelopeHash64("junk".getBytes) === None)
+    assert(AudioHash.envelopeHash64(
+      Multimodal.wavBytes(new Array[Byte](1000), channels = 2)) === None)
+  }
+
+  test("audio near-dup: re-levelled copies found within Hamming 3, distinct recordings not") {
+    val ids = (1L to 300L).map(_ * 37L)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(id => org.apache.spark.sql.Row(id, AudioHash.fixtureWav(id))) ++
+          ids.filter(_ % 5 == 0).map(id =>
+            org.apache.spark.sql.Row(id + 1000000000L, AudioHash.fixtureWav(id, perturb = true))), 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    val pairs = AudioHash.nearDuplicates(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    ids.filter(_ % 5 == 0).foreach { id =>
+      assert(found.contains((id, id + 1000000000L)), s"planted copy of $id not found")
+    }
+    assert(pairs.forall(_._3 <= 3))
+    assert(pairs.forall { case (a, b, _) => b - a == 1000000000L },
+      s"unexpected cross-recording pair among ${pairs.take(5).mkString(", ")}")
+  }
+
   test("image near-dup: planted perturbed copies found within Hamming 3, distinct images not") {
     val ids = (1L to 400L).map(_ * 31L)
     val base = ids.map(id => (id, ImageHash.fixturePng(id)))
