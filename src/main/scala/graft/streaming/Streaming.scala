@@ -358,6 +358,127 @@ object Streaming {
       }
   }
 
+  /** Empty hash-block frame — the initial state for
+    * [[hammingNearDupSink]]; (id, sim) plus the 16-bit block key rows.
+    * `withTs = true` adds the epoch-millis event-time column the
+    * retention-enabled sink stamps. */
+  def emptyBlockTable(spark: SparkSession, withTs: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = Seq(StructField("id", LongType), StructField("sim", LongType),
+      StructField("blk", IntegerType), StructField("key", LongType))
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(if (withTs) base :+ StructField("ts", LongType) else base))
+  }
+
+  /** Streaming PERCEPTUAL/Hamming near-duplicate detection — the
+    * incremental twin of [[graft.ops.Dedup.hammingNearDupPairs]], and
+    * therefore of text SimHash, image dHash
+    * ([[graft.ops.ImageHash]]) and audio envelope fingerprints
+    * ([[graft.ops.AudioHash]]) alike: the stream carries a precomputed
+    * 64-bit hash column (decode is an upstream projection — media
+    * bytes never enter the state store), each micro-batch explodes the
+    * 4×16-bit block keys, probes the persisted block table for
+    * collisions, and — unlike [[nearDupSink]]'s candidate detection —
+    * emits VERIFIED pairs: both hashes are 8 bytes, so they ride the
+    * block rows and the exact Hamming check (`bit_count(xor)` —
+    * codegen-native) runs inside the probe join. Exact for
+    * `maxDistance` ≤ 3 by the pigeonhole argument of the batch
+    * operator; within-batch pairs emit alongside prior-history pairs.
+    *
+    * Output per micro-batch: (id, partner_id, hamming) — every
+    * verified pair where `id` is in the current batch and partner is
+    * an earlier doc (prior batch, or smaller id within the batch).
+    * State: 4 rows × 16 bytes per document ever seen — bucketed by
+    * (blk, key) at scale ([[HashBlockStore]]), probed Exchange-free.
+    * Save contract is APPEND-ONLY and batch-sized, retention/horizon
+    * semantics identical to [[nearDupSink]] (tsCol + retentionMillis;
+    * the observed-event-time high-water clock, null-ts rows exempt). */
+  def hammingNearDupSink(idCol: String, hashCol: String,
+                         loadBlocks: SparkSession => DataFrame,
+                         saveBlocks: DataFrame => Unit,
+                         emit: DataFrame => Unit,
+                         maxDistance: Int = 3,
+                         tsCol: String = "", retentionMillis: Long = 0L)
+                        (stream: DataFrame): DataStreamWriter[Row] = {
+    val retain = tsCol.nonEmpty && retentionMillis > 0L
+    val highWater = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = if (retain)
+          graft.core.Timestamps.normalize(batch0, tsCol) else batch0
+        val spark = batch.sparkSession
+        val hashes = batch
+          .select(col(idCol).cast("long").as("id"),
+            col(hashCol).cast("long").as("sim"),
+            (if (retain) unix_millis(col(tsCol)) else lit(null).cast("long")).as("ts"))
+          .filter(col("sim").isNotNull) // undecodable media: no identity
+        val keys = hashes.select(col("id"), col("sim"), col("ts"),
+            explode(array((0 until 4).map { blk =>
+              struct(lit(blk).as("blk"),
+                shiftright(col("sim"), blk * 16).bitwiseAND(0xFFFFL).as("key"))
+            }: _*)).as("b"))
+          .select(col("id"), col("sim"), col("b.blk").as("blk"),
+            col("b.key").as("key"), col("ts"))
+        val batchBlocks =
+          (if (retain) keys else keys.drop("ts")).localCheckpoint(true)
+        val horizon = if (!retain) Long.MinValue else {
+          val batchMax = batch.agg(max(unix_millis(col(tsCol)))).head()
+          if (!batchMax.isNullAt(0))
+            highWater.accumulateAndGet(batchMax.getLong(0), math.max(_, _))
+          highWater.get() match {
+            case Long.MinValue => Long.MinValue
+            case hw => hw - retentionMillis
+          }
+        }
+        val prior0 = loadBlocks(spark)
+        val prior = if (retain)
+          prior0.filter(col("ts").isNull || col("ts") >= lit(horizon))
+        else prior0
+        def partnerSide(df: DataFrame) = df.select(
+          col("id").as("partner_id"), col("sim").as("partner_sim"),
+          col("blk"), col("key"))
+        val ham = bit_count(col("sim").bitwiseXOR(col("partner_sim")))
+        val fromPrior = batchBlocks
+          .join(partnerSide(prior), Seq("blk", "key"))
+          .filter(col("partner_id") =!= col("id"))
+        val withinBatch = batchBlocks
+          .join(partnerSide(batchBlocks), Seq("blk", "key"))
+          .filter(col("partner_id") < col("id"))
+        emit(fromPrior.unionByName(withinBatch
+            .select(fromPrior.columns.map(col): _*))
+          .filter(ham <= maxDistance)
+          .select(col("id"), col("partner_id"), ham.cast("int").as("hamming"))
+          .distinct() // several shared blocks → one pair row
+          .localCheckpoint(true))
+        saveBlocks(batchBlocks)
+      }
+  }
+
+  /** The production block-table store for [[hammingNearDupSink]]:
+    * bucketed by (blk, key), append-only batch-sized saves, distinct
+    * (and horizon-bounded) compaction — [[BandStore]] with the hash
+    * block schema. */
+  class HashBlockStore(spark: SparkSession, table: String = "graft_hash_blocks",
+                       buckets: Int = 32) {
+    import graft.sources.Bucketed
+    private def exists: Boolean = spark.catalog.tableExists(table)
+    def load(s: SparkSession): DataFrame =
+      if (exists) s.table(table) else emptyBlockTable(s)
+    def save(batchBlocks: DataFrame): Unit =
+      Bucketed.writeKeys(batchBlocks, table, Seq("blk", "key"), buckets,
+        mode = "append")
+    def compact(horizonMillis: Long = Long.MinValue): Unit = if (exists) {
+      val current = spark.table(table)
+      val kept =
+        if (horizonMillis > Long.MinValue && current.columns.contains("ts"))
+          current.filter(col("ts").isNull || col("ts") >= lit(horizonMillis))
+        else current
+      val compacted = kept.distinct().localCheckpoint(true)
+      Bucketed.writeKeys(compacted, table, Seq("blk", "key"), buckets)
+    }
+  }
+
   /** The production band-table store for [[nearDupSink]]: a parquet
     * table bucketed by (band, bucket) ([[graft.sources.Bucketed]]), so
     * the per-batch probe join co-locates — the store side of the join

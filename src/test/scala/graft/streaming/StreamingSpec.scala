@@ -227,6 +227,52 @@ class StreamingSpec extends SparkTestBase {
     assert(saveSizes.toSeq === Seq(2 * 4, 4 * 4), s"saves must be batch-sized: $saveSizes")
   }
 
+  test("streaming Hamming near-dup: verified image-dHash pairs accumulate to the batch operator's") {
+    import graft.ops.ImageHash
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (media_id, dhash) — decode upstream
+    val stream = input.toDF().toDF("media_id", "dhash")
+
+    var blocks = Streaming.emptyBlockTable(spark)
+    val saveSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val writer = Streaming.hammingNearDupSink("media_id", "dhash",
+        _ => blocks,
+        b => { val c = b.localCheckpoint(true); saveSizes += c.count()
+          blocks = blocks.unionByName(c) },
+        f => emitted ++= f.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2))))(stream)
+      .option("checkpointLocation", Files.createTempDirectory("graft-hamming").toString)
+      .start()
+
+    // real dHashes of the image fixtures: ids 31..310 step 31, every
+    // 62nd gets a perturbed copy (<= 2 bit flips) in a LATER batch
+    def h(id: Long, p: Boolean = false): Long =
+      ImageHash.dHash64(ImageHash.fixturePng(id, p)).get
+    val ids = (1L to 10L).map(_ * 31L)
+    input.addData(ids.take(5).map(id => (id, h(id))): _*)
+    writer.processAllAvailable()
+    assert(emitted.isEmpty, s"distinct images must not pair, got $emitted")
+    // batch 2: rest of the bases + a perturbed copy of id 62 (prior
+    // batch) — and a within-batch copy pair (93's copy arrives with it)
+    input.addData((ids.drop(5).map(id => (id, h(id))) ++ Seq(
+      (1000000062L, h(62L, p = true)), (1000000093L, h(93L, p = true)))): _*)
+    writer.processAllAvailable()
+    writer.stop()
+    // the streamed pairs, normalized to unordered, equal the batch twin
+    val batchHashes = (ids.map(id => (id, h(id))) ++
+      Seq((1000000062L, h(62L, p = true)), (1000000093L, h(93L, p = true))))
+      .toDF("media_id", "dhash")
+    val expected = ImageHash.nearDupPairs(batchHashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = emitted.map { case (id, p, d) =>
+      (math.min(id, p), math.max(id, p), d) }.toSet
+    assert(got === expected, s"streamed $got != batch $expected")
+    assert(expected.nonEmpty && expected.forall(_._3 <= 3))
+    // append-only, batch-sized saves: 5 docs x 4 blocks, then 7 x 4
+    assert(saveSizes.toSeq === Seq(5 * 4, 7 * 4))
+  }
+
   test("streaming near-dup retention: expired bands stop flagging and compact away") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
@@ -400,6 +446,51 @@ class StreamingSpec extends SparkTestBase {
       val agg = store.load(spark).groupBy("band", "bucket").count()
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
         "post-compact table keeps Exchange-free bucket-keyed aggregation")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("HashBlockStore: bucketed block table, Exchange-free probe side, horizon compaction") {
+    import graft.ops.ImageHash
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS graft_hash_block_test")
+    val store = new Streaming.HashBlockStore(spark, "graft_hash_block_test", buckets = 4)
+
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("media_id", "dhash")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val writer = Streaming.hammingNearDupSink("media_id", "dhash",
+        store.load, store.save,
+        f => emitted ++= f.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2))))(stream)
+      .option("checkpointLocation", Files.createTempDirectory("graft-hashstore").toString)
+      .start()
+    def h(id: Long, p: Boolean = false): Long =
+      ImageHash.dHash64(ImageHash.fixturePng(id, p)).get
+    input.addData((62L, h(62L)), (93L, h(93L)))
+    writer.processAllAvailable()
+    input.addData((1000000062L, h(62L, p = true)))
+    writer.processAllAvailable()
+    writer.stop()
+    assert(emitted.map(e => (e._1, e._2)).toSet === Set((1000000062L, 62L)),
+      s"near-dup must flag through the store, got $emitted")
+    assert(store.load(spark).count() === 3 * 4, "both batches' blocks persisted")
+
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = (10L until 20L).map(i => (i, i * 7L, i.toInt % 4, i % 65536L))
+        .toDF("id", "sim", "blk", "key")
+      val joined = probe.join(
+        store.load(spark).select(col("id").as("partner_id"),
+          col("sim").as("partner_sim"), col("blk"), col("key")),
+        Seq("blk", "key"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+      assert(exchanges === 1, s"block-table side must not reshuffle:\n$plan")
+      store.save(store.load(spark)) // full re-ingestion
+      assert(store.load(spark).count() === 6 * 4)
+      store.compact()
+      assert(store.load(spark).count() === 3 * 4, "compact restores one row per key")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
