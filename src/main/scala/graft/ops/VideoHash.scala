@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perceptual video near-duplication — the third member of the
+  * perceptual-dedup family ([[ImageHash]], [[AudioHash]]): a video's
+  * identity is its SET of frame dHashes, and two videos are near-dups
+  * when those sets overlap (a re-encoded, re-muxed or lightly-trimmed
+  * copy keeps most of its frames' visual content, so their per-frame
+  * dHashes — already robust to re-encode/resize — collide exactly).
+  * This is the frame-set Jaccard design every video-dedup pipeline
+  * uses, expressed over the engine's existing pieces: per-frame dHash
+  * ([[ImageHash]] bit construction over a gray plane), shared-hash
+  * blocking (the q22 shared-shingle shape with a frame hash in place
+  * of a shingle), exact set Jaccard in one groupBy.
+  *
+  * Frame access: the container walk is REAL (the ISO-BMFF box walk of
+  * [[Multimodal.parseMp4]], extended to locate the `mdat` payload);
+  * FRAME DECODE is where a production codec plugs in — here frames are
+  * raw 9×8 grayscale planes packed back-to-back in mdat (what the
+  * fixture writer emits), the deterministic stand-in this container
+  * allows (no codec libraries ship here; the Spark-side plumbing —
+  * explode shape, blocking, Jaccard — is the real, tested artifact,
+  * the [[Multimodal.StubDecoder]] doctrine).
+  *
+  * Scale shape: one UDF projection + explode per corpus (frames ×
+  * docs rows, each 16 bytes), ONE shuffle on the frame-hash key for
+  * blocking (hot-hash cap against degenerate intros/logos — the q22
+  * cap rationale verbatim), pair aggregation bounded by shared-frame
+  * count. Nothing quadratic in the corpus.
+  */
+object VideoHash {
+
+  val FrameBytes = 72 // 9×8 gray plane
+  val FixtureFrameCount = 16
+
+  /** dHash of one raw 9×8 grayscale plane (unsigned bytes) — the
+    * [[ImageHash.dHash64]] bit construction without the image decode:
+    * bit k = y·8+x set iff pixel (x+1, y) is strictly brighter. */
+  def planeDHash(plane: Array[Byte]): Long = {
+    require(plane.length >= FrameBytes, s"plane needs $FrameBytes bytes")
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((plane(y * 9 + x + 1) & 0xFF) > (plane(y * 9 + x) & 0xFF))
+          hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** The `mdat` payload of an ISO-BMFF container — a real box walk
+    * (size-prefixed type cells, the [[Multimodal.parseMp4]] layout);
+    * None when no parseable mdat exists. */
+  def mdatPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var pos = 0
+    while (pos + 8 <= bytes.length) {
+      val size = bb.getInt(pos)
+      if (size < 8 || pos + size > bytes.length) return None
+      if (new String(bytes, pos + 4, 4, "US-ASCII") == "mdat")
+        return Some(java.util.Arrays.copyOfRange(bytes, pos + 8, pos + size))
+      pos += size
+    }
+    None
+  }
+
+  /** Per-frame dHashes of a video payload: mdat located by the box
+    * walk, split into raw 9×8 planes, each hashed. None when the
+    * container does not parse; videos whose mdat is not a whole number
+    * of frames hash the complete frames only. */
+  def frameDHashes(bytes: Array[Byte]): Option[Seq[Long]] =
+    mdatPayload(bytes).map { payload =>
+      (0 until payload.length / FrameBytes).map { f =>
+        planeDHash(java.util.Arrays.copyOfRange(
+          payload, f * FrameBytes, (f + 1) * FrameBytes))
+      }
+    }
+
+  /** [[frameDHashes]] as a column UDF. */
+  val frameDHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => frameDHashes(bytes))
+
+  /** Exploded per-frame hash frame: (media_id, fhash) DISTINCT — set
+    * semantics (a repeated frame counts once, exactly as a repeated
+    * shingle does in q22's set Jaccard). Undecodable rows drop out. */
+  def frameHashFrame(media: DataFrame, idCol: String = "media_id",
+                     bytesCol: String = "bytes"): DataFrame =
+    media.select(col(idCol).cast("long").as("media_id"),
+        frameDHashesUdf(col(bytesCol)).as("fh"))
+      .filter(col("fh").isNotNull)
+      .select(col("media_id"), explode(col("fh")).as("fhash"))
+      .distinct()
+
+  /** Near-duplicate videos from a distinct (media_id, fhash) frame:
+    * shared-hash blocking → per-pair intersection counts → exact set
+    * Jaccard ≥ `threshold`. `maxHashFreq` (0 = off) drops frame hashes
+    * shared by more than that many videos — the q22 hot-shingle cap:
+    * a logo/intro frame shared by f videos contributes f² pair rows,
+    * and a hash that common identifies nothing. Output:
+    * (id_a, id_b, n_shared, jaccard), id_a < id_b. */
+  def nearDupVideos(frameHashes: DataFrame, threshold: Double = 0.8,
+                    maxHashFreq: Int = 1000): DataFrame = {
+    val sizes = frameHashes.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val byHash = frameHashes.groupBy(col("fhash"))
+      .agg(sort_array(collect_list(col("media_id"))).as("ids"))
+    val capped =
+      if (maxHashFreq > 0) byHash.filter(size(col("ids")) <= maxHashFreq)
+      else byHash
+    capped
+      .select(explode(Dedup.pairsFromSortedIds(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("media_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("media_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+  }
+
+  /** One-call form over a media frame. */
+  def nearDuplicates(media: DataFrame, idCol: String = "media_id",
+                     bytesCol: String = "bytes", threshold: Double = 0.8,
+                     maxHashFreq: Int = 1000): DataFrame =
+    nearDupVideos(frameHashFrame(media, idCol, bytesCol), threshold, maxHashFreq)
+
+  // ---- Deterministic fixtures (test/oracle harness) -----------------
+  // Frame f of video id is the ImageHash pixel fixture at
+  // pid = id*131 + f, so every frame hash — and therefore every
+  // Jaccard — is integer arithmetic a SQL oracle replays. The perturbed
+  // variant replaces one id-chosen frame with pid = id*131 + 777777
+  // (131 ∤ 777777−f for f < 131, so a collision with another video's
+  // frame needs id' = id + 5937 — outside any test corpus), modeling a
+  // copy with one re-edited scene: Jaccard 15/17 ≈ 0.882.
+
+  /** Frame pattern id for (video, frame). */
+  def framePid(id: Long, f: Int, perturb: Boolean): Long =
+    if (perturb && f == (id % FixtureFrameCount).toInt) id * 131L + 777777L
+    else id * 131L + f
+
+  /** Encode the fixture as a real ISO-BMFF container: 16 raw 9×8 gray
+    * planes in mdat, 40 ms per frame. */
+  def fixtureMp4(id: Long, perturb: Boolean = false): Array[Byte] = {
+    val payload = new Array[Byte](FixtureFrameCount * FrameBytes)
+    var f = 0
+    while (f < FixtureFrameCount) {
+      val pid = framePid(id, f, perturb)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          payload(f * FrameBytes + y * 9 + x) =
+            ImageHash.fixtureGray(pid, x, y, perturb = false).toByte
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    Multimodal.mp4Bytes(payload, FixtureFrameCount * 40L,
+      (id % 1280 + 16).toInt, (id % 720 + 16).toInt)
+  }
+
+  /** The fixture as a column UDF (id, perturb) → MP4 bytes. */
+  val fixtureMp4Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long, perturb: Boolean) => fixtureMp4(id, perturb))
+}

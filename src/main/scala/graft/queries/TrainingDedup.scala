@@ -289,6 +289,27 @@ private[queries] object TrainingDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Perceptual VIDEO near-dup: a video's identity is its SET of
+    // per-frame dHashes (real ISO-BMFF mdat walk; frames are raw 9x8
+    // gray planes at arithmetic pattern ids pid = vid*131 + f), two
+    // videos near-dup when frame-set Jaccard >= 0.8 — the q22
+    // shared-shingle machinery with a frame hash as the shingle.
+    // Every 17th video gets a one-scene-replaced copy (15/17 = 0.882);
+    // accidental cross-video overlaps share one hash (1/31 = 0.032)
+    // and filter out. The oracle replays container walk -> frame hash
+    // -> set Jaccard from arithmetic alone.
+    "q134_video_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val base = docs.select(col("doc_id").as("media_id"),
+        graft.ops.VideoHash.fixtureMp4Udf(col("doc_id"), lit(false)).as("bytes"))
+      val variants = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("media_id"),
+          graft.ops.VideoHash.fixtureMp4Udf(col("doc_id"), lit(true)).as("bytes"))
+      graft.ops.VideoHash.nearDuplicates(base.unionByName(variants), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Cross-source exact-duplication matrix: which source pairs share
     // verbatim texts, and how much document mass sits on each side —
     // the provenance/priority table before a cross-source dedup run.
@@ -846,6 +867,47 @@ private[queries] object TrainingDedup {
          |  JOIN bits bb ON bb.media_id = c.id_b AND bb.k = ba.k
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q134: frame hashes as 4-block strings (no 64-bit shift needed),
+    // set semantics via DISTINCT, exact Jaccard over shared-hash
+    // intersections — the same blocking the Spark side runs.
+    "q134_video_neardup" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id AS vid, FALSE AS perturb FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, doc_id, TRUE FROM documents WHERE doc_id % 17 = 0),
+         |frames AS (
+         |  SELECT m.media_id,
+         |    CASE WHEN m.perturb AND fr.f = m.vid % 16 THEN m.vid*131 + 777777
+         |         ELSE m.vid*131 + fr.f END AS pid
+         |  FROM media m, generate_series(0,15) fr(f)),
+         |px AS (
+         |  SELECT fm.media_id, fm.pid, x.x, y.y, ${fixtureGraySql("fm.pid")} AS g
+         |  FROM frames fm, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |bits AS (
+         |  SELECT l.media_id, l.pid, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.media_id = l.media_id AND r.pid = l.pid
+         |    AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |blocks AS (
+         |  SELECT media_id, pid, k // 16 AS blk, sum(bit * (1 << (k % 16))) AS v
+         |  FROM bits GROUP BY 1, 2, 3),
+         |fh AS (
+         |  SELECT DISTINCT media_id,
+         |    (SELECT string_agg(v::VARCHAR, '|' ORDER BY blk)) AS h
+         |  FROM blocks GROUP BY media_id, pid),
+         |fhd AS (SELECT DISTINCT media_id, h FROM fh),
+         |sizes AS (SELECT media_id, count(*) AS n FROM fhd GROUP BY 1),
+         |inter AS (
+         |  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*)::BIGINT AS n_shared
+         |  FROM fhd a JOIN fhd b ON a.h = b.h AND a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.media_id = id_a JOIN sizes sb ON sb.media_id = id_b
+         |WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
     // q132/q133: the audio twins of q130/q131 — envelope amplitudes

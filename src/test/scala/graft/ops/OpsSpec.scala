@@ -1799,6 +1799,47 @@ class MultimodalSpec extends SparkTestBase {
       s"unexpected cross-recording pair among ${pairs.take(5).mkString(", ")}")
   }
 
+  test("video frame hashes: real mdat box walk reproduces the arithmetic fixture bit-for-bit") {
+    Seq(0L, 17L, 97L, 4242L).foreach { id =>
+      def expectedFrame(pid: Long): Long = {
+        var h = 0L
+        for (y <- 0 until 8; x <- 0 until 8)
+          if (ImageHash.fixtureGray(pid, x + 1, y, false) >
+              ImageHash.fixtureGray(pid, x, y, false)) h |= 1L << (y * 8 + x)
+        h
+      }
+      val got = VideoHash.frameDHashes(VideoHash.fixtureMp4(id))
+      assert(got === Some((0 until 16).map(f => expectedFrame(id * 131L + f))),
+        s"id=$id: container-walked frame hashes diverged")
+    }
+    assert(VideoHash.frameDHashes("junk".getBytes) === None)
+    assert(VideoHash.mdatPayload(Multimodal.mp4Bytes("abc".getBytes, 1000L, 16, 16))
+      .map(_.toSeq) === Some("abc".getBytes.toSeq))
+  }
+
+  test("video near-dup: one-scene-replaced copies found at Jaccard 15/17, distinct videos filtered") {
+    val ids = (1L to 200L).map(_ * 23L)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(id => org.apache.spark.sql.Row(id, VideoHash.fixtureMp4(id))) ++
+          ids.filter(_ % 3 == 0).map(id => org.apache.spark.sql.Row(
+            id + 1000000000L, VideoHash.fixtureMp4(id, perturb = true))), 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    val pairs = VideoHash.nearDuplicates(media, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val planted = ids.filter(_ % 3 == 0)
+    planted.foreach { id =>
+      assert(found.contains((id, id + 1000000000L)), s"planted copy of $id not found")
+    }
+    assert(pairs.length === planted.size, s"only planted pairs survive 0.8: ${pairs.length}")
+    assert(pairs.forall(p => p._3 === 15L && p._4 === 0.882353))
+  }
+
   test("image near-dup: planted perturbed copies found within Hamming 3, distinct images not") {
     val ids = (1L to 400L).map(_ * 31L)
     val base = ids.map(id => (id, ImageHash.fixturePng(id)))
