@@ -688,15 +688,69 @@ object Dedup {
     * bits across 4 disjoint 16-bit blocks leave at least one block
     * identical), larger distances degrade to candidate recall like
     * every LSH. Output (id_a, id_b, hamming), id_a < id_b. */
-  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-                          maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
-    val sims = hashes.select(col(idCol).as("id"), col(hashCol).as("sim"))
-    val buckets = sims.select(col("id"), col("sim"),
+  /** (id, sim, blk, key) block rows of a 64-bit hash frame — THE
+    * block-derivation shape every Hamming consumer shares (in-corpus
+    * pairs, the published hash index, the streaming sink): one
+    * definition, so blocking cannot drift between artifact, sink and
+    * operator (the [[bandRowsFromSigs]] doctrine for hashes). */
+  def hashBlockRows(hashes: DataFrame, idCol: String, hashCol: String): DataFrame =
+    hashes.select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("sim"),
         explode(array((0 until 4).map { blk =>
           struct(lit(blk).as("blk"),
-            shiftright(col("sim"), blk * 16).bitwiseAND(0xFFFFL).as("key"))
+            shiftright(col(hashCol).cast("long"), blk * 16)
+              .bitwiseAND(0xFFFFL).as("key"))
         }: _*)).as("b"))
-      .groupBy(col("b.blk").as("blk"), col("b.key").as("key"))
+      .select(col("id"), col("sim"), col("b.blk").as("blk"), col("b.key").as("key"))
+
+  /** Incremental Hamming screening of a NEW batch's hashes against a
+    * PUBLISHED hash-block index ([[hashBlockRows]] rows — persist them
+    * bucketed by (blk, key), [[graft.sources.HashIndexStore]]) — the
+    * q117 ingestion-gate story for PERCEPTUAL media dedup: yesterday's
+    * corpus is represented only by 4×16-byte block rows per doc, so
+    * screening a day's images/audio costs one hash pass over the batch
+    * plus one co-located join, never a re-decode of history. The
+    * 8-byte hashes ride the index rows, so verification (exact
+    * `bit_count(xor)` ≤ maxDistance) happens inside the probe join.
+    *
+    * Output: one row per new doc (absence is not silence) —
+    * (new_id, n_dup_matches = distinct old docs within distance,
+    * dup_of = smallest such old id or null, min_hamming, is_dup).
+    * Replay defense as in [[dedupAgainstIndex]]: old_id == new_id
+    * candidates are dropped, so a crash-replay against an index
+    * already holding the batch re-emits original verdicts. */
+  def hammingDedupAgainstIndex(newHashes: DataFrame, indexBlocks: DataFrame,
+                               idCol: String, hashCol: String,
+                               maxDistance: Int = 3): DataFrame = {
+    val newRows = hashBlockRows(newHashes.filter(col(hashCol).isNotNull),
+      idCol, hashCol)
+      .select(col("id").as("new_id"), col("sim").as("new_sim"),
+        col("blk"), col("key"))
+    val ham = bit_count(col("new_sim").bitwiseXOR(col("old_sim")))
+    val hits = newRows
+      .join(indexBlocks.select(col("blk"), col("key"),
+        col("id").as("old_id"), col("sim").as("old_sim")), Seq("blk", "key"))
+      .filter(col("new_id") =!= col("old_id"))
+      .filter(ham <= maxDistance)
+      // same pair via several blocks → one row; hamming is
+      // pair-determined, min() just deduplicates it
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(min(ham).as("h"))
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_dup_matches"), min(col("old_id")).as("dup_of"),
+        min(col("h")).cast("int").as("min_hamming"))
+    newHashes.select(col(idCol).cast("long").as("new_id"))
+      .join(hits, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        col("dup_of"), col("min_hamming"),
+        (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
+  }
+
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                          maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    val buckets = hashBlockRows(hashes, idCol, hashCol)
+      .groupBy(col("blk"), col("key"))
       .agg(sort_array(collect_list(struct(col("id"), col("sim")))).as("members"))
     val bounded =
       if (maxBucketSize > 0) buckets.filter(size(col("members")) <= maxBucketSize)

@@ -310,6 +310,36 @@ private[queries] object TrainingDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Incremental PERCEPTUAL dedup — the q117 ingestion gate for
+    // media: history is represented only by its published hash-block
+    // rows (sources/HashIndexStore; 4 x 16 bytes per doc), a new
+    // batch screens with one hash pass + one co-located join, and the
+    // 8-byte hashes riding the index rows make verification exact
+    // IN-join. Batch docs at doc_id % 10 == 0 carry a perturbed copy
+    // of an indexed image (id+1, always indexed since id+1 % 5 == 1);
+    // the rest are novel. Absence is not silence.
+    "q135_image_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val idx = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("media_id"),
+          graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("media_id"),
+          graft.ops.ImageHash.fixturePngUdf(
+            when(col("doc_id") % 10 === 0, col("doc_id") + 1)
+              .otherwise(col("doc_id")),
+            col("doc_id") % 10 === 0).as("bytes"))
+      // checkpoints keep the decode UDF out of the block expressions
+      // (project-collapse would clone it ~5x — the q131 lesson)
+      val indexBlocks = Dedup.hashBlockRows(
+        graft.ops.ImageHash.dhashFrame(idx).localCheckpoint(false),
+        "media_id", "dhash")
+      Dedup.hammingDedupAgainstIndex(
+          graft.ops.ImageHash.dhashFrame(batch).localCheckpoint(false),
+          indexBlocks, "media_id", "dhash")
+        .orderBy(col("new_id"))
+    }),
+
     // Cross-source exact-duplication matrix: which source pairs share
     // verbatim texts, and how much document mass sits on each side —
     // the provenance/priority table before a cross-source dedup run.
@@ -909,6 +939,58 @@ private[queries] object TrainingDedup {
          |FROM inter JOIN sizes sa ON sa.media_id = id_a JOIN sizes sb ON sb.media_id = id_b
          |WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q135: the incremental gate — index side unperturbed, batch side
+    // optionally a perturbed copy of (id+1); candidates by shared
+    // block, verified per-bit, verdict row per batch doc.
+    "q135_image_incremental_dedup" ->
+      s"""WITH idx AS (
+         |  SELECT doc_id AS id, doc_id AS pid, FALSE AS pert
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |new AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 10 = 0 THEN doc_id + 1 ELSE doc_id END AS pid,
+         |    doc_id % 10 = 0 AS pert
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |sides AS (
+         |  SELECT 'old' AS side, id, pid, pert FROM idx
+         |  UNION ALL SELECT 'new', id, pid, pert FROM new),
+         |px AS (
+         |  SELECT m.side, m.id, x.x, y.y,
+         |    CASE WHEN m.pert AND x.x = m.pid % 9 AND y.y = m.pid % 8
+         |      THEN ((${fixtureGraySql("m.pid")}) + 128) % 256
+         |      ELSE ${fixtureGraySql("m.pid")} END AS g
+         |  FROM sides m, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |bits AS (
+         |  SELECT l.side, l.id, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.side = l.side AND r.id = l.id
+         |    AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |blocks AS (
+         |  SELECT side, id, k // 16 AS blk, sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM bits GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT DISTINCT n.id AS new_id, o.id AS old_id
+         |  FROM blocks n JOIN blocks o ON o.side = 'old' AND n.side = 'new'
+         |    AND n.blk = o.blk AND n.v = o.v
+         |  WHERE n.id <> o.id),
+         |ham AS (
+         |  SELECT c.new_id, c.old_id,
+         |    sum(CASE WHEN bn.bit <> bo.bit THEN 1 ELSE 0 END)::BIGINT AS h
+         |  FROM cand c
+         |  JOIN bits bn ON bn.side = 'new' AND bn.id = c.new_id
+         |  JOIN bits bo ON bo.side = 'old' AND bo.id = c.old_id AND bo.k = bn.k
+         |  GROUP BY 1, 2),
+         |hits AS (
+         |  SELECT new_id, count(*)::BIGINT AS n_dup_matches,
+         |    min(old_id)::BIGINT AS dup_of, min(h)::INT AS min_hamming
+         |  FROM ham WHERE h <= 3 GROUP BY new_id)
+         |SELECT d.doc_id AS new_id,
+         |  coalesce(n_dup_matches, 0)::BIGINT AS n_dup_matches,
+         |  dup_of, min_hamming, coalesce(n_dup_matches, 0) > 0 AS is_dup
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
 
     // q132/q133: the audio twins of q130/q131 — envelope amplitudes
     // are integer arithmetic in (doc_id, frame)

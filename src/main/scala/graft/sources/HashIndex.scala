@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The PUBLISHED perceptual-hash index as a (blk, key)-BUCKETED table —
+  * the q117 ingestion-gate artifact for MEDIA dedup
+  * ([[graft.ops.Dedup.hashBlockRows]] rows: id, sim, blk, key [, ts]):
+  * tomorrow's image/audio batch screens against yesterday's corpus
+  * with one hash pass + one co-located join
+  * ([[graft.ops.Dedup.hammingDedupAgainstIndex]]) — history is never
+  * re-decoded, and the 8-byte hashes riding the block rows make the
+  * screen's verification exact in-join (no second lookup; contrast the
+  * split MinHash layout, whose k-hash signatures are too wide to
+  * ride).
+  *
+  * Storage contract mirrors every store here: bucketed by (blk, key)
+  * so the screen's probe join consumes the on-disk layout
+  * Exchange-free; `publish` APPENDS batch-sized block rows (optionally
+  * event-time-stamped); `compact()` rewrites distinct; `expireBefore`
+  * is the retention valve ([[BandIndexStore.expireBefore]] semantics —
+  * unstamped rows exempt). The streaming twin is
+  * [[graft.streaming.Streaming.HashBlockStore]], whose table this
+  * class can read directly (same schema, same bucketing). */
+class HashIndexStore(spark: SparkSession,
+                     val table: String = "graft_hash_index",
+                     buckets: Int = 32,
+                     maxDistance: Int = 3) {
+  import org.apache.spark.sql.functions._
+
+  def exists: Boolean = spark.catalog.tableExists(table)
+
+  /** Current block rows; empty before the first publish (day one
+    * screens clean). */
+  def load(): DataFrame =
+    if (exists) spark.table(table) else HashIndexStore.emptyIndex(spark)
+
+  /** Append pre-derived block rows (schema of
+    * [[graft.ops.Dedup.hashBlockRows]], optional ts). */
+  def append(blockRows: DataFrame): Unit = {
+    val withTs =
+      if (blockRows.columns.contains("ts")) blockRows
+      else blockRows.withColumn("ts", lit(null).cast("long"))
+    Bucketed.writeKeys(
+      withTs.repartition(buckets, col("blk"), col("key")),
+      table, Seq("blk", "key"), buckets,
+      sortCols = Seq("blk", "key"), mode = "append")
+  }
+
+  /** Index a (id, hash [, ts]) frame — the "admit the batch" half of
+    * the gate. With `tsCol` set, rows are stamped with epoch millis
+    * for [[expireBefore]]. */
+  def publish(hashes: DataFrame, idCol: String, hashCol: String,
+              tsCol: Option[String] = None): Unit = {
+    val rows = graft.ops.Dedup.hashBlockRows(
+      hashes.filter(col(hashCol).isNotNull), idCol, hashCol)
+    append(tsCol match {
+      case Some(t) => rows.join(
+        hashes.select(col(idCol).cast("long").as("id"),
+          BandIndexStore.epochMillis(hashes, t).as("ts")).distinct(), Seq("id"))
+      case None => rows
+    })
+  }
+
+  /** Screen a new (id, hash) batch against the published index —
+    * verdict frame of [[graft.ops.Dedup.hammingDedupAgainstIndex]];
+    * the index side of the (blk, key) join consumes the bucketing. */
+  def screen(newHashes: DataFrame, idCol: String, hashCol: String): DataFrame =
+    graft.ops.Dedup.hammingDedupAgainstIndex(newHashes, load(),
+      idCol, hashCol, maxDistance)
+
+  /** The full gate round: screen the batch against history, then admit
+    * it. Verdicts are materialized BEFORE the admit (and the screen
+    * drops old == new candidates), so a crash-replay re-emits original
+    * verdicts — the [[SplitBandIndexStore.ingest]] contract. */
+  def ingest(newHashes: DataFrame, idCol: String, hashCol: String,
+             tsCol: Option[String] = None): DataFrame = {
+    val verdicts = screen(newHashes, idCol, hashCol).localCheckpoint(true)
+    publish(newHashes, idCol, hashCol, tsCol)
+    verdicts
+  }
+
+  /** Rewrite the append log distinct, restoring one sorted file per
+    * bucket. */
+  def compact(): Unit = if (exists) {
+    val compacted = spark.table(table).distinct().localCheckpoint(true)
+    Bucketed.writeKeys(
+      compacted.repartition(buckets, col("blk"), col("key")),
+      table, Seq("blk", "key"), buckets, sortCols = Seq("blk", "key"))
+  }
+
+  /** RETENTION: drop rows whose event time fell before `cutoffMillis`
+    * (null-ts rows exempt); returns rows dropped. */
+  def expireBefore(cutoffMillis: Long): Long = {
+    if (!exists) return 0L
+    val cur = spark.table(table)
+    if (!cur.columns.contains("ts")) return 0L
+    val kept = cur.filter(col("ts").isNull || col("ts") >= cutoffMillis)
+      .distinct().localCheckpoint(true)
+    val dropped = cur.count() - kept.count()
+    Bucketed.writeKeys(kept.repartition(buckets, col("blk"), col("key")),
+      table, Seq("blk", "key"), buckets, sortCols = Seq("blk", "key"))
+    dropped
+  }
+}
+
+object HashIndexStore {
+  /** Empty block-row frame matching [[graft.ops.Dedup.hashBlockRows]]
+    * plus the nullable retention stamp. */
+  def emptyIndex(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("id", LongType),
+        StructField("sim", LongType), StructField("blk", IntegerType),
+        StructField("key", LongType), StructField("ts", LongType))))
+  }
+}

@@ -413,15 +413,13 @@ object Streaming {
             col(hashCol).cast("long").as("sim"),
             (if (retain) unix_millis(col(tsCol)) else lit(null).cast("long")).as("ts"))
           .filter(col("sim").isNotNull) // undecodable media: no identity
-        val keys = hashes.select(col("id"), col("sim"), col("ts"),
-            explode(array((0 until 4).map { blk =>
-              struct(lit(blk).as("blk"),
-                shiftright(col("sim"), blk * 16).bitwiseAND(0xFFFFL).as("key"))
-            }: _*)).as("b"))
-          .select(col("id"), col("sim"), col("b.blk").as("blk"),
-            col("b.key").as("key"), col("ts"))
+        // ONE block-derivation definition across operator, index and
+        // sink (Dedup.hashBlockRows); the retention stamp joins back
+        // batch-sized
+        val keys = graft.ops.Dedup.hashBlockRows(hashes, "id", "sim")
         val batchBlocks =
-          (if (retain) keys else keys.drop("ts")).localCheckpoint(true)
+          (if (retain) keys.join(hashes.select(col("id"), col("ts")).distinct(), Seq("id"))
+           else keys).localCheckpoint(true)
         val horizon = if (!retain) Long.MinValue else {
           val batchMax = batch.agg(max(unix_millis(col(tsCol)))).head()
           if (!batchMax.isNullAt(0))

@@ -310,6 +310,52 @@ class BucketedSpec extends SparkTestBase {
     assert(sv === Map(10L -> false, 20L -> true))
   }
 
+  test("HashIndexStore: perceptual ingestion gate — screen/ingest/replay/expiry over a bucketed block table") {
+    import graft.ops.{Dedup, ImageHash}
+    def h(id: Long, p: Boolean = false): Long =
+      ImageHash.dHash64(ImageHash.fixturePng(id, p)).get
+    val store = new graft.sources.HashIndexStore(spark,
+      table = "bspec_hash_index", buckets = 4)
+    // day one: clean screens before any publish
+    val day0 = store.screen(Seq((9L, h(62L))).toDF("media_id", "dhash"),
+      "media_id", "dhash").collect()
+    assert(day0.map(r => r.getLong(0) -> r.getBoolean(4)).toMap === Map(9L -> false))
+    // publish history (stamped), then screen a batch holding one
+    // perturbed copy of an indexed image and one novel image
+    val history = Seq((62L, h(62L), 1000L), (93L, h(93L), 5000L))
+      .toDF("media_id", "dhash", "ts")
+    store.publish(history, "media_id", "dhash", tsCol = Some("ts"))
+    val batch = Seq((1000L, h(62L, p = true)), (2000L, h(7777L)))
+      .toDF("media_id", "dhash")
+    val v = store.screen(batch, "media_id", "dhash").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(v(1000L) === ((Some(62L), true)), s"perturbed copy must flag: $v")
+    assert(v(2000L) === ((None, false)))
+    // verdict parity with the in-memory operator over the same frames
+    val op = Dedup.hammingDedupAgainstIndex(batch,
+        Dedup.hashBlockRows(history, "media_id", "dhash"), "media_id", "dhash")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(op === v)
+    // ingest admits the batch; a REPLAY of the same batch against an
+    // index now holding its own rows must not self-match (old==new
+    // dropped) and still reports the true prior duplicate
+    store.ingest(batch, "media_id", "dhash")
+    val replay = store.screen(batch, "media_id", "dhash").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(replay(1000L) === ((Some(62L), true)), "replay keeps the real dup")
+    assert(replay(2000L) === ((None, false)), "replay must not self-match")
+    // expiry: drop history older than ts 2000 — the aged doc 62 stops
+    // flagging its copies, doc 93 survives (batch rows are unstamped
+    // and exempt)
+    assert(store.expireBefore(2000L) === 4L) // 4 block rows of doc 62
+    val after = store.screen(Seq((3000L, h(62L, p = true)), (4000L, h(93L)))
+        .toDF("media_id", "dhash"), "media_id", "dhash").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // 3000 still matches batch doc 1000 (same perturbed hash, unstamped)
+    assert(after(4000L) === true, "unexpired doc still screens")
+    assert(store.load().filter(col("id") === 62L).count() === 0, "aged doc gone")
+  }
+
   test("SplitBandIndexStore: sigs write before bands; compact() detects and drops orphan band rows") {
     import graft.ops.Dedup
     val store = new SplitBandIndexStore(spark,
