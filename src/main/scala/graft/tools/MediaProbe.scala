@@ -59,8 +59,15 @@ object MediaProbe {
     val headerN = args.headOption.map(_.toLong).getOrElse(1000000L)
     val resizeN = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
     val dhashN = args.drop(2).headOption.map(_.toLong).getOrElse(100000L)
+    val wh = new java.io.File("/tmp/graft_mediaprobe_wh")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    if (wh.exists) rmrf(wh)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.warehouse.dir", wh.getAbsolutePath)
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
@@ -126,6 +133,64 @@ object MediaProbe {
         s"recall: $plantedHits of $expectedPairs planted pairs found")
       println(s"[probe]   pairs: $total total, $plantedHits planted, " +
         s"${total - plantedHits} cross-image extras")
+    }
+
+    // ---- 4. incremental perceptual gate at 1M indexed images --------
+    // The q135 design claim as a number: screening a day's batch costs
+    // one hash pass over the BATCH plus one co-located join — history
+    // is 4×16-byte block rows, never re-decoded. Hashes here come
+    // straight from the fixture arithmetic (the decode path's
+    // bit-for-bit parity is pinned by spec + stage 3); this stage
+    // measures the INDEX machinery at 10× the dedup-pass corpus.
+    def fixtureHash(id: Long): Long = {
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (ImageHash.fixtureGray(id, x + 1, y, false) >
+              ImageHash.fixtureGray(id, x, y, false)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+    val hashUdf = udf((id: Long, perturb: Boolean) =>
+      if (perturb) ImageHash.dHash64(ImageHash.fixturePng(id, perturb = true)).get
+      else fixtureHash(id))
+    val indexN = 10L * dhashN
+    val store = new graft.sources.HashIndexStore(spark,
+      table = "probe_hash_index", buckets = 64)
+    ProbeTiming.tm(s"publish hash index over ${indexN / 1000}k images (stamped ts = id)") {
+      store.publish(spark.range(0L, indexN, 1L, 64)
+        .select(col("id").as("media_id"),
+          hashUdf(col("id"), lit(false)).as("dhash"), col("id").as("ts")),
+        "media_id", "dhash", tsCol = Some("ts"))
+    }
+    // batch: ids above the index range; every 10th is a perturbed copy
+    // of an indexed image
+    val gateBatch = spark.range(0L, dhashN, 1L, 64)
+      .select((col("id") + 2000000000L).as("media_id"),
+        hashUdf(
+          when(col("id") % 10 === 0, col("id") * 97L % indexN).otherwise(col("id") + 2000000000L),
+          col("id") % 10 === 0).as("dhash"))
+      .localCheckpoint(true)
+    tmMedian(s"screen ${dhashN / 1000}k batch against the ${indexN / 1000}k index") {
+      val v = store.screen(gateBatch, "media_id", "dhash")
+      val planted = v.filter((col("new_id") - 2000000000L) % 10 === 0 &&
+        col("is_dup")).count()
+      require(planted == dhashN / 10,
+        s"gate recall: $planted of ${dhashN / 10} planted copies flagged")
+    }
+    ProbeTiming.tm(s"expireBefore drops the older half (${indexN / 2000}k images)") {
+      val dropped = store.expireBefore(indexN / 2)
+      println(s"[probe] expired $dropped block rows")
+    }
+    tmMedian(s"screen ${dhashN / 1000}k batch, post-expiry ${indexN / 2000}k index") {
+      store.screen(gateBatch, "media_id", "dhash")
+        .agg(sum(when(col("is_dup"), 1).otherwise(0))).collect()
+      ()
     }
     spark.stop()
   }
