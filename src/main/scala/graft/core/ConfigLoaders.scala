@@ -135,9 +135,28 @@ object ConfigLoaders {
           s"environment override '$value' is numeric but outside Int range " +
             "for an Int-typed default — use a smaller value or widen the " +
             "default to Long")
-      } catch { case _: NumberFormatException => value }
+      } catch {
+        case _: NumberFormatException =>
+          // a numeric string too large even for Long is STILL a numeric
+          // out-of-range override, not an opaque raw string — without
+          // this check 2^63 silently slipped past the fail-fast the
+          // in-Long-range branch enforces
+          if (value.trim.matches("[+-]?\\d+"))
+            throw new IllegalArgumentException(
+              s"environment override '$value' is numeric but outside Int range " +
+                "for an Int-typed default — use a smaller value or widen the " +
+                "default to Long")
+          else value
+      }
     case _: Long =>
-      try value.trim.toLong catch { case _: NumberFormatException => value }
+      try value.trim.toLong catch {
+        case _: NumberFormatException =>
+          if (value.trim.matches("[+-]?\\d+"))
+            throw new IllegalArgumentException(
+              s"environment override '$value' is numeric but outside Long " +
+                "range for a Long-typed default")
+          else value
+      }
     case _: Double =>
       try value.trim.toDouble catch { case _: NumberFormatException => value }
     case _: Float =>

@@ -70,8 +70,11 @@ object AudioHash {
     val out = new Array[Long](frames)
     var f = 0
     while (f < frames) {
-      val s0 = f * n / frames
-      val s1 = math.max(s0 + 1, (f + 1) * n / frames)
+      // Long math: f*n overflows Int beyond ~33.5M samples (a ~35 min
+      // 16 kHz recording) and a negative s0 would crash the whole job
+      // on one long file instead of fingerprinting it
+      val s0 = (f.toLong * n / frames).toInt
+      val s1 = math.max(s0 + 1, ((f + 1).toLong * n / frames).toInt)
       var acc = 0L
       var i = s0
       while (i < s1 && i < n) { acc += math.abs(samples(i).toLong); i += 1 }

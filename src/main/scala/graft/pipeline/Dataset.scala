@@ -100,19 +100,37 @@ class VersionStore(val root: String, spark: SparkSession,
   def transact[T](sig: String)(f: Seq[VersionMeta] => (Seq[VersionMeta], T)): T = {
     Files.createDirectories(sigDir(sig))
     val lock = lockPath(sig)
+    // ownership token: written into the lock on acquire, checked on
+    // release — a holder whose lock was stale-broken must NOT delete
+    // the next holder's fresh lock (delete-by-path is delete-whatever-
+    // is-there; delete-if-mine closes that cascade)
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.nanoTime() + lockWaitMs * 1000000L
     var acquired = false
     while (!acquired) {
-      try { Files.createFile(lock); acquired = true }
-      catch {
+      try {
+        Files.write(lock, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        acquired = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val age =
             try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
             catch { case _: Exception => 0L } // holder released between check and stat
           if (age > lockStaleMs) {
-            // break a crashed holder's lock; the subsequent loop pass
-            // races for the fresh lock through createFile as usual
-            try { Files.deleteIfExists(lock); () } catch { case _: Exception => }
+            // break a crashed holder's lock by ATOMIC RENAME to a
+            // unique grave: exactly ONE breaker wins the rename (the
+            // losers get NoSuchFileException and loop) — a plain
+            // delete here would let every waiter that observed the
+            // stale lock delete "the" lock in turn, including the
+            // fresh one the first winner just created (two writers in
+            // the critical section: the lost update returns)
+            val grave = lock.resolveSibling(s".manifest.lock.broken.$token")
+            try {
+              Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(grave); ()
+            } catch { case _: Exception => () } // someone else broke or released it
           } else if (System.nanoTime() > deadline) {
             throw new IllegalStateException(
               s"timed out after ${lockWaitMs}ms waiting for manifest lock $lock " +
@@ -124,7 +142,17 @@ class VersionStore(val root: String, spark: SparkSession,
       val (updated, result) = f(versions(sig))
       writeManifest(sig, updated)
       result
-    } finally { Files.deleteIfExists(lock); () }
+    } finally {
+      // release ONLY if the lock is still ours: if we stalled past
+      // lockStaleMs and a breaker re-acquired, the file now carries
+      // their token and deleting it would unlock their critical section
+      try {
+        if (Files.exists(lock) &&
+            new String(Files.readAllBytes(lock), "UTF-8") == token)
+          Files.deleteIfExists(lock)
+        ()
+      } catch { case _: Exception => () }
+    }
   }
   def collectionPath(sig: String, v: Int, name: String): String =
     sigDir(sig).resolve(s"v$v").resolve(s"collection=$name").toString

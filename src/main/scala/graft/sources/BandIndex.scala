@@ -48,19 +48,12 @@ class BandIndexStore(spark: SparkSession,
     * file per bucket). Repeated appends accumulate files per bucket —
     * co-location still holds (no Exchange), the reader just re-sorts —
     * until [[compact]] restores the one-file layout. */
-  def append(indexRows: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
-    // one on-disk schema regardless of whether the caller stamps event
-    // time: unstamped rows carry ts = null (exempt from expiry, the
-    // BandStore convention)
-    val withTs =
-      if (indexRows.columns.contains("ts")) indexRows
-      else indexRows.withColumn("ts", lit(null).cast("long"))
-    Bucketed.writeKeys(
-      withTs.repartition(buckets, col("band"), col("bucket")),
-      table, Seq("band", "bucket"), buckets,
-      sortCols = Seq("band", "bucket"), mode = "append")
-  }
+  def append(indexRows: DataFrame): Unit =
+    // ts alignment (fresh tables expiry-ready, legacy ts-less tables
+    // still appendable, stamped-into-legacy refused loudly) is the
+    // shared [[Bucketed.appendAligned]] contract
+    Bucketed.appendAligned(spark, indexRows, table,
+      Seq("band", "bucket"), buckets, sortCols = Seq("band", "bucket"))
 
   /** Index a document frame and append its band rows — the "admit the
     * batch" half of the ingestion gate. With `tsCol` set, every index
@@ -88,20 +81,9 @@ class BandIndexStore(spark: SparkSession,
     * history are the accepted miss — that tail belongs to the periodic
     * full-corpus compaction pass (q23/q50), exactly like the streaming
     * retention contract. */
-  def expireBefore(cutoffMillis: Long): Long = {
-    import org.apache.spark.sql.functions.col
-    if (!exists) return 0L
-    val cur = spark.table(table)
-    if (!cur.columns.contains("ts")) return 0L // pre-retention table
-    val kept = cur.filter(col("ts").isNull || col("ts") >= cutoffMillis)
-      .distinct().localCheckpoint(true)
-    val dropped = cur.count() - kept.count()
-    Bucketed.writeKeys(
-      kept.repartition(buckets, col("band"), col("bucket")),
-      table, Seq("band", "bucket"), buckets,
-      sortCols = Seq("band", "bucket"))
-    dropped
-  }
+  def expireBefore(cutoffMillis: Long): Long =
+    Bucketed.compactRewrite(spark, table, Seq("band", "bucket"), buckets,
+      sortCols = Seq("band", "bucket"), horizonMillis = cutoffMillis)
 
   /** Screen a new batch against the published index — verdict frame of
     * [[graft.ops.Dedup.dedupAgainstIndex]]; the index side of its
@@ -113,13 +95,10 @@ class BandIndexStore(spark: SparkSession,
 
   /** Rewrite the append log distinct, restoring the one-file-per-bucket
     * sorted layout. */
-  def compact(): Unit = if (exists) {
-    import org.apache.spark.sql.functions.col
-    val compacted = spark.table(table).distinct().localCheckpoint(true)
-    Bucketed.writeKeys(
-      compacted.repartition(buckets, col("band"), col("bucket")),
-      table, Seq("band", "bucket"), buckets,
+  def compact(): Unit = {
+    Bucketed.compactRewrite(spark, table, Seq("band", "bucket"), buckets,
       sortCols = Seq("band", "bucket"))
+    ()
   }
 }
 
@@ -185,16 +164,12 @@ class SplitBandIndexStore(spark: SparkSession,
     * [[compact]]), and [[compact]] additionally verifies the
     * bands⊆sigs invariant. */
   def publishSigs(sigs: DataFrame): Unit = {
-    // one on-disk sig schema: unstamped rows carry ts = null (exempt
-    // from expiry); the bands table never carries ts — expiry reaches
-    // it through the bands⊆sigs semi-join
-    val withTs =
-      if (sigs.columns.contains("ts")) sigs
-      else sigs.withColumn("ts", lit(null).cast("long"))
-    Bucketed.writeKeys(
-      withTs.repartition(buckets, col("doc_id")),
-      sigsTable, Seq("doc_id"), buckets,
-      sortCols = Seq("doc_id"), mode = "append")
+    // sigs carry the (aligned) retention stamp — unstamped rows ts =
+    // null, legacy ts-less tables handled by appendAligned; the bands
+    // table never carries ts — expiry reaches it through the
+    // bands⊆sigs semi-join
+    Bucketed.appendAligned(spark, sigs, sigsTable,
+      Seq("doc_id"), buckets, sortCols = Seq("doc_id"))
     Bucketed.writeKeys(
       graft.ops.Dedup.bandRowsFromSigs(
           sigs.select(col("doc_id"), col("sig")), bands, k / bands)
@@ -210,16 +185,12 @@ class SplitBandIndexStore(spark: SparkSession,
     * callers. Returns the number of signature rows dropped. */
   def expireBefore(cutoffMillis: Long): Long = {
     if (!exists) return 0L
-    val cur = spark.table(sigsTable)
-    if (!cur.columns.contains("ts")) return 0L // pre-retention table
-    val kept = cur.filter(col("ts").isNull || col("ts") >= cutoffMillis)
-      .distinct().localCheckpoint(true)
-    val dropped = cur.count() - kept.count()
-    Bucketed.writeKeys(kept.repartition(buckets, col("doc_id")),
-      sigsTable, Seq("doc_id"), buckets, sortCols = Seq("doc_id"))
+    val dropped = Bucketed.compactRewrite(spark, sigsTable, Seq("doc_id"),
+      buckets, sortCols = Seq("doc_id"), horizonMillis = cutoffMillis)
     if (dropped > 0) {
       val bandsKept = spark.table(bandsTable)
-        .join(kept.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .join(spark.table(sigsTable).select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
         .distinct().localCheckpoint(true)
       Bucketed.writeKeys(bandsKept.repartition(buckets, col("band"), col("bucket")),
         bandsTable, Seq("band", "bucket"), buckets,

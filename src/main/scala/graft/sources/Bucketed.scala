@@ -38,4 +38,80 @@ object Bucketed {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Append rows to a bucketed store whose schema may carry an optional
+    * retention-stamp column `ts` — ONE alignment definition for every
+    * stamped store (band index, split sigs, hash index): a naive
+    * always-add-ts append breaks every table published before stamps
+    * existed (saveAsTable append fails on schema mismatch — precisely
+    * the long-lived artifacts retention was built for).
+    *
+    *  - fresh table → written WITH ts (null when unstamped), so new
+    *    stores are expiry-ready from day one;
+    *  - existing table with ts → rows aligned (null ts added if absent);
+    *  - legacy table without ts, unstamped rows → appended as-is;
+    *  - legacy table without ts, STAMPED rows → refuse loudly: silently
+    *    dropping the stamps would disable [[expire]]/compact-horizon
+    *    without a trace, and appending would throw a schema error
+    *    anyway. The one-time migration is a compact() on the stamped
+    *    schema (or recreating the table). */
+  def appendAligned(spark: SparkSession, rows: DataFrame, table: String,
+                    keys: Seq[String], buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val exists = spark.catalog.tableExists(table)
+    val tableHasTs = exists && spark.table(table).columns.contains("ts")
+    val rowsHaveTs = rows.columns.contains("ts")
+    val aligned =
+      if (!exists || tableHasTs) {
+        if (rowsHaveTs) rows else rows.withColumn("ts", lit(null).cast("long"))
+      } else if (!rowsHaveTs) rows
+      else throw new IllegalArgumentException(
+        s"table '$table' predates retention stamps (no ts column) but this " +
+          "publish carries event times — appending would fail on schema " +
+          "mismatch, and silently dropping the stamps would disable expiry " +
+          "without a trace. Migrate once: rewrite the table with a null ts " +
+          "column (the store's compact() on the stamped schema), then retry.")
+    writeKeys(aligned.repartition(buckets, keys.map(col): _*),
+      table, keys, buckets, sortCols, mode = "append")
+    // the schema probe above read the table through `spark`, populating
+    // THAT session's relation cache with the pre-append file listing;
+    // the write may run through a DIFFERENT session (a foreachBatch
+    // micro-batch clone) whose saveAsTable refreshes only its own cache
+    // — without this refresh the probing session keeps serving the
+    // stale list and every post-append read silently misses the batch
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Distinct-rewrite of a bucketed append log, optionally dropping
+    * rows whose event time fell before `horizonMillis` — ONE retention
+    * mechanic for every store's compact()/expireBefore() (rows with
+    * null ts, or tables without a ts column, are exempt: deletion of
+    * unstamped history must be an explicit caller decision). The
+    * rewrite also MIGRATES a legacy ts-less table to the stamped
+    * schema (null ts — still exempt from every horizon), so "run
+    * compact() once" is the whole upgrade path before the first
+    * stamped publish. Returns the number of rows the HORIZON dropped
+    * (0 when no horizon applied; duplicate collapse is not counted —
+    * it removes redundancy, not history). */
+  def compactRewrite(spark: SparkSession, table: String, keys: Seq[String],
+                     buckets: Int, sortCols: Seq[String] = Nil,
+                     horizonMillis: Long = Long.MinValue): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!spark.catalog.tableExists(table)) return 0L
+    val cur = spark.table(table)
+    val applyHorizon =
+      horizonMillis > Long.MinValue && cur.columns.contains("ts")
+    val kept0 =
+      if (applyHorizon)
+        cur.filter(col("ts").isNull || col("ts") >= horizonMillis)
+      else cur
+    val expired = if (applyHorizon) cur.count() - kept0.count() else 0L
+    val kept = (if (kept0.columns.contains("ts")) kept0
+                else kept0.withColumn("ts", lit(null).cast("long")))
+      .distinct().localCheckpoint(true)
+    writeKeys(kept.repartition(buckets, keys.map(col): _*),
+      table, keys, buckets, sortCols)
+    expired
+  }
 }

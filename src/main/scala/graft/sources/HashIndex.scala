@@ -35,16 +35,11 @@ class HashIndexStore(spark: SparkSession,
     if (exists) spark.table(table) else HashIndexStore.emptyIndex(spark)
 
   /** Append pre-derived block rows (schema of
-    * [[graft.ops.Dedup.hashBlockRows]], optional ts). */
-  def append(blockRows: DataFrame): Unit = {
-    val withTs =
-      if (blockRows.columns.contains("ts")) blockRows
-      else blockRows.withColumn("ts", lit(null).cast("long"))
-    Bucketed.writeKeys(
-      withTs.repartition(buckets, col("blk"), col("key")),
-      table, Seq("blk", "key"), buckets,
-      sortCols = Seq("blk", "key"), mode = "append")
-  }
+    * [[graft.ops.Dedup.hashBlockRows]], optional ts — alignment with
+    * the table's schema is [[Bucketed.appendAligned]]'s contract). */
+  def append(blockRows: DataFrame): Unit =
+    Bucketed.appendAligned(spark, blockRows, table,
+      Seq("blk", "key"), buckets, sortCols = Seq("blk", "key"))
 
   /** Index a (id, hash [, ts]) frame — the "admit the batch" half of
     * the gate. With `tsCol` set, rows are stamped with epoch millis
@@ -81,26 +76,17 @@ class HashIndexStore(spark: SparkSession,
 
   /** Rewrite the append log distinct, restoring one sorted file per
     * bucket. */
-  def compact(): Unit = if (exists) {
-    val compacted = spark.table(table).distinct().localCheckpoint(true)
-    Bucketed.writeKeys(
-      compacted.repartition(buckets, col("blk"), col("key")),
-      table, Seq("blk", "key"), buckets, sortCols = Seq("blk", "key"))
+  def compact(): Unit = {
+    Bucketed.compactRewrite(spark, table, Seq("blk", "key"), buckets,
+      sortCols = Seq("blk", "key"))
+    ()
   }
 
   /** RETENTION: drop rows whose event time fell before `cutoffMillis`
     * (null-ts rows exempt); returns rows dropped. */
-  def expireBefore(cutoffMillis: Long): Long = {
-    if (!exists) return 0L
-    val cur = spark.table(table)
-    if (!cur.columns.contains("ts")) return 0L
-    val kept = cur.filter(col("ts").isNull || col("ts") >= cutoffMillis)
-      .distinct().localCheckpoint(true)
-    val dropped = cur.count() - kept.count()
-    Bucketed.writeKeys(kept.repartition(buckets, col("blk"), col("key")),
-      table, Seq("blk", "key"), buckets, sortCols = Seq("blk", "key"))
-    dropped
-  }
+  def expireBefore(cutoffMillis: Long): Long =
+    Bucketed.compactRewrite(spark, table, Seq("blk", "key"), buckets,
+      sortCols = Seq("blk", "key"), horizonMillis = cutoffMillis)
 }
 
 object HashIndexStore {

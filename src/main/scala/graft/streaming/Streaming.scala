@@ -337,13 +337,25 @@ object Streaming {
           }
         }
         val prior0 = loadBands(spark)
-        val prior = if (retain)
-          // null ts (rows persisted before retention was enabled) never
-          // expires — deletion must be an explicit compact decision
+        // null ts (rows persisted before retention was enabled) never
+        // expires — deletion must be an explicit compact decision; a
+        // prior frame WITHOUT a ts column at all (a pre-retention table,
+        // or the store's empty day-one frame) is all-exempt, not an
+        // AnalysisException on the first micro-batch
+        val prior = if (retain && prior0.columns.contains("ts"))
           prior0.filter(col("ts").isNull || col("ts") >= lit(horizon))
         else prior0
+        // prior partners that are members of the CURRENT batch are
+        // excluded (batch-sized anti-join): after a crash-replay the
+        // store already holds this batch's rows, and without the
+        // exclusion every within-batch pair (a, b) would re-emit
+        // REVERSED as (a, partner = b) alongside the original (b, a) —
+        // a brand-new key to any consumer deduping on (id, partner_id).
+        // With it, replays re-emit exactly the original rows.
+        val batchIds = batchBands.select(col("id").as("partner_id")).distinct()
         val fromPrior = batchBands
-          .join(prior.select(col("id").as("partner_id"), col("band"), col("bucket")),
+          .join(prior.select(col("id").as("partner_id"), col("band"), col("bucket"))
+            .join(batchIds, Seq("partner_id"), "left_anti"),
             Seq("band", "bucket"))
           .filter(col("partner_id") =!= col("id"))
         val withinBatch = batchBands
@@ -430,15 +442,24 @@ object Streaming {
           }
         }
         val prior0 = loadBlocks(spark)
-        val prior = if (retain)
+        // ts-less prior (pre-retention table / day-one empty frame) is
+        // all-exempt — same contract as nearDupSink
+        val prior = if (retain && prior0.columns.contains("ts"))
           prior0.filter(col("ts").isNull || col("ts") >= lit(horizon))
         else prior0
         def partnerSide(df: DataFrame) = df.select(
           col("id").as("partner_id"), col("sim").as("partner_sim"),
           col("blk"), col("key"))
         val ham = bit_count(col("sim").bitwiseXOR(col("partner_sim")))
+        // crash-replay contract (same as nearDupSink): prior partners
+        // that are members of the current batch are excluded, so a
+        // replay against a store already holding this batch's rows
+        // re-emits the ORIGINAL pairs — never a reversed
+        // (a, partner = b) duplicate of the within-batch (b, a)
+        val batchIds = batchBlocks.select(col("id").as("partner_id")).distinct()
         val fromPrior = batchBlocks
-          .join(partnerSide(prior), Seq("blk", "key"))
+          .join(partnerSide(prior)
+            .join(batchIds, Seq("partner_id"), "left_anti"), Seq("blk", "key"))
           .filter(col("partner_id") =!= col("id"))
         val withinBatch = batchBlocks
           .join(partnerSide(batchBlocks), Seq("blk", "key"))
@@ -464,16 +485,11 @@ object Streaming {
     def load(s: SparkSession): DataFrame =
       if (exists) s.table(table) else emptyBlockTable(s)
     def save(batchBlocks: DataFrame): Unit =
-      Bucketed.writeKeys(batchBlocks, table, Seq("blk", "key"), buckets,
-        mode = "append")
-    def compact(horizonMillis: Long = Long.MinValue): Unit = if (exists) {
-      val current = spark.table(table)
-      val kept =
-        if (horizonMillis > Long.MinValue && current.columns.contains("ts"))
-          current.filter(col("ts").isNull || col("ts") >= lit(horizonMillis))
-        else current
-      val compacted = kept.distinct().localCheckpoint(true)
-      Bucketed.writeKeys(compacted, table, Seq("blk", "key"), buckets)
+      Bucketed.appendAligned(spark, batchBlocks, table, Seq("blk", "key"), buckets)
+    def compact(horizonMillis: Long = Long.MinValue): Unit = {
+      Bucketed.compactRewrite(spark, table, Seq("blk", "key"), buckets,
+        horizonMillis = horizonMillis)
+      ()
     }
   }
 
@@ -493,21 +509,17 @@ object Streaming {
     def load(s: SparkSession): DataFrame =
       if (exists) s.table(table) else emptyBandTable(s)
     def save(batchBands: DataFrame): Unit =
-      Bucketed.writeKeys(batchBands, table, Seq("band", "bucket"), buckets,
-        mode = "append")
+      Bucketed.appendAligned(spark, batchBands, table, Seq("band", "bucket"), buckets)
     /** Rewrite the append log distinct; with `horizonMillis` set (and a
       * `ts` column present — the retention-enabled sink stamps one),
       * also DROP rows whose event time fell behind the sink's probe
       * horizon — the state-size release valve that makes the band table
-      * plateau instead of growing with the stream's lifetime. */
-    def compact(horizonMillis: Long = Long.MinValue): Unit = if (exists) {
-      val current = spark.table(table)
-      val kept =
-        if (horizonMillis > Long.MinValue && current.columns.contains("ts"))
-          current.filter(col("ts").isNull || col("ts") >= lit(horizonMillis))
-        else current
-      val compacted = kept.distinct().localCheckpoint(true)
-      Bucketed.writeKeys(compacted, table, Seq("band", "bucket"), buckets)
+      * plateau instead of growing with the stream's lifetime. One
+      * retention mechanic repo-wide ([[graft.sources.Bucketed.compactRewrite]]). */
+    def compact(horizonMillis: Long = Long.MinValue): Unit = {
+      Bucketed.compactRewrite(spark, table, Seq("band", "bucket"), buckets,
+        horizonMillis = horizonMillis)
+      ()
     }
   }
 }

@@ -100,6 +100,16 @@ class ConfigLoadersSpec extends AnyFunSuite {
         "GRAFT_GLOBAL_BATCH_SIZE" -> "3000000000"))
     }
     assert(e.getMessage.contains("outside Int range"))
+    // ... including numerics too large even for LONG (2^63): toLong's
+    // NumberFormatException must not smuggle them past the fail-fast
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigLoaders.coerceEnvValue("9223372036854775808", 5)
+    }
+    assert(e2.getMessage.contains("outside Int range"))
+    val e3 = intercept[IllegalArgumentException] {
+      ConfigLoaders.coerceEnvValue("9223372036854775808", 5L)
+    }
+    assert(e3.getMessage.contains("outside Long range"))
     // a NON-numeric string still falls back raw, reference-style
     assert(ConfigLoaders.coerceEnvValue("not-a-number", 5) === "not-a-number")
     val ok = ConfigLoaders.buildDefaultConfiguration(env = Map(

@@ -1776,6 +1776,17 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.wavBytes(new Array[Byte](1000), channels = 2)) === None)
   }
 
+  test("audio envelope survives recordings past the Int-overflow length (~33.5M samples)") {
+    // 35 minutes at 16 kHz: f*n in Int arithmetic wraps negative and
+    // crashed with ArrayIndexOutOfBounds; Long frame boxes must not
+    val n = 34000000
+    val samples = new Array[Short](n)
+    java.util.Arrays.fill(samples, 100.toShort)
+    val env = AudioHash.envelope(samples, 65)
+    assert(env.length === 65 && env.forall(_ === 100L),
+      "constant amplitude must survive the frame boxes at any length")
+  }
+
   test("audio near-dup: re-levelled copies found within Hamming 3, distinct recordings not") {
     val ids = (1L to 300L).map(_ * 37L)
     val media = spark.createDataFrame(

@@ -356,6 +356,41 @@ class BucketedSpec extends SparkTestBase {
     assert(store.load().filter(col("id") === 62L).count() === 0, "aged doc gone")
   }
 
+  test("appendAligned: legacy ts-less tables stay appendable unstamped; stamped publishes into them refuse loudly") {
+    import graft.ops.Dedup
+    // simulate a pre-retention-era published index: band rows WITHOUT
+    // a ts column, written directly (what round-9 append produced)
+    val legacy = "bspec_legacy_index"
+    val text1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows1 = Dedup.minhashBandIndex(
+      Seq((1L, text1)).toDF("doc_id", "text"), "doc_id", "text")
+    graft.sources.Bucketed.writeKeys(
+      rows1.repartition(4, col("band"), col("bucket")),
+      legacy, Seq("band", "bucket"), 4, sortCols = Seq("band", "bucket"))
+    assert(!spark.table(legacy).columns.contains("ts"))
+    val store = new BandIndexStore(spark, table = legacy, buckets = 4)
+    // unstamped publish into the legacy table must append, not throw
+    // on schema mismatch (the naive always-add-ts append did)
+    store.publish(Seq((2L, "nu xi omicron pi rho sigma tau upsilon phi chi"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(store.load().select("doc_id").distinct().count() === 2)
+    // STAMPED publish must refuse loudly: dropping the stamps silently
+    // would disable expiry without a trace
+    val e = intercept[IllegalArgumentException] {
+      store.publish(Seq((3L, text1, 1000L)).toDF("doc_id", "text", "ts"),
+        "doc_id", "text", tsCol = Some("ts"))
+    }
+    assert(e.getMessage.contains("predates retention stamps"))
+    // the documented migration: ONE compact() — compactRewrite adds the
+    // null ts column (still horizon-exempt), then stamped publishes work
+    store.compact()
+    assert(spark.table(legacy).columns.contains("ts"), "compact migrates schema")
+    store.publish(Seq((3L, text1, 1000L)).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", tsCol = Some("ts"))
+    assert(store.load().select("doc_id").distinct().count() === 3)
+    assert(store.expireBefore(2000L) === 4L, "migrated stamps drive expiry")
+  }
+
   test("SplitBandIndexStore: sigs write before bands; compact() detects and drops orphan band rows") {
     import graft.ops.Dedup
     val store = new SplitBandIndexStore(spark,

@@ -494,6 +494,64 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("retention-enabled Hamming sink over a FRESH HashBlockStore: first micro-batch must not crash on the ts-less empty frame") {
+    import graft.ops.ImageHash
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS graft_hash_fresh_ret")
+    val store = new Streaming.HashBlockStore(spark, "graft_hash_fresh_ret", buckets = 4)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("media_id", "dhash", "ts")
+    def h(id: Long, p: Boolean = false): Long =
+      ImageHash.dHash64(ImageHash.fixturePng(id, p)).get
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val writer = Streaming.hammingNearDupSink("media_id", "dhash",
+        store.load, store.save,
+        f => emitted ++= f.collect().map(r => (r.getLong(0), r.getLong(1))),
+        tsCol = "ts", retentionMillis = 1000000L)(stream)
+      .option("checkpointLocation", Files.createTempDirectory("graft-freshret").toString)
+      .start()
+    // batch 1 against the store's EMPTY (ts-less) day-one frame: the
+    // retention filter must treat it as all-exempt, not throw
+    input.addData((62L, h(62L), new java.sql.Timestamp(1000L)))
+    writer.processAllAvailable()
+    input.addData((1000000062L, h(62L, p = true), new java.sql.Timestamp(2000L)))
+    writer.processAllAvailable()
+    writer.stop()
+    assert(emitted.toSet === Set((1000000062L, 62L)),
+      s"retention-enabled fresh-store sink must flag the copy, got $emitted")
+    assert(store.load(spark).columns.contains("ts"), "saved blocks carry stamps")
+  }
+
+  test("Hamming sink crash-replay: a store already holding the batch emits the ORIGINAL pairs, never reversed duplicates") {
+    import graft.ops.ImageHash
+    implicit val sqlCtx = spark.sqlContext
+    def h(id: Long, p: Boolean = false): Long =
+      ImageHash.dHash64(ImageHash.fixturePng(id, p)).get
+    // batch: within-batch near-dup pair (93, 1000000093); the store
+    // ALREADY holds the batch's own rows (the crash-after-save,
+    // before-checkpoint window)
+    val batchRows = Seq((93L, h(93L)), (1000000093L, h(93L, p = true)))
+    val ownBlocks = graft.ops.Dedup.hashBlockRows(
+      batchRows.toDF("media_id", "dhash"), "media_id", "dhash")
+      .localCheckpoint(true)
+    val input = MemoryStream[(Long, Long)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val writer = Streaming.hammingNearDupSink("media_id", "dhash",
+        _ => ownBlocks, _ => (),
+        f => emitted ++= f.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2))))(
+        input.toDF().toDF("media_id", "dhash"))
+      .option("checkpointLocation", Files.createTempDirectory("graft-replay").toString)
+      .start()
+    input.addData(batchRows: _*)
+    writer.processAllAvailable()
+    writer.stop()
+    // exactly the original within-batch emission — no reversed
+    // (93, partner = 1000000093) twin from the prior side
+    assert(emitted.toList === List((1000000093L, 93L, emitted.head._3)),
+      s"replay must re-emit the original pair only, got $emitted")
+  }
+
   test("streaming indexed dedup: verdicts == batch dedupAgainstIndex; streamed index == batch minhashBandIndex") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
