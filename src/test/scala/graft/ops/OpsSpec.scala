@@ -1851,6 +1851,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.forall(p => p._3 === 15L && p._4 === 0.882353))
   }
 
+  test("MediaDedup facade: one call over a mixed frame finds planted dups in every modality, labeled by kind") {
+    val rows =
+      (1L to 40L).map(i => (i, "image", ImageHash.fixturePng(i * 31L))) ++
+        Seq((1001L, "image", ImageHash.fixturePng(10 * 31L, perturb = true))) ++
+        (1L to 40L).map(i => (100L + i, "audio", AudioHash.fixtureWav(i * 37L))) ++
+        Seq((1002L, "audio", AudioHash.fixtureWav(10 * 37L, perturb = true))) ++
+        (1L to 20L).map(i => (200L + i, "video", VideoHash.fixtureMp4(i * 23L))) ++
+        Seq((1003L, "video", VideoHash.fixtureMp4(10 * 23L, perturb = true))) ++
+        Seq((1004L, "image", "junk".getBytes)) // undecodable: no pairs, no crash
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, k, b) =>
+        org.apache.spark.sql.Row(id, k, b) }, 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    val pairs = MediaDedup.nearDuplicates(media).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(pairs.toSet === Set(
+      ("image", 10L, 1001L, "hamming"), // media_id 10 carries pattern 310
+      ("audio", 110L, 1002L, "hamming"),
+      ("video", 210L, 1003L, "jaccard")),
+      s"exactly the three planted cross-modal dups, got ${pairs.mkString(", ")}")
+  }
+
   test("image near-dup: planted perturbed copies found within Hamming 3, distinct images not") {
     val ids = (1L to 400L).map(_ * 31L)
     val base = ids.map(id => (id, ImageHash.fixturePng(id)))
