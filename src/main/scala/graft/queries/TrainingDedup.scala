@@ -310,6 +310,32 @@ private[queries] object TrainingDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // END-TO-END media dedup — the q50 story for images: dHash pairs
+    // (Hamming-ball blocking + in-bucket verify) → connected components
+    // → keep the smallest id per cluster. Every 17th doc gets TWO
+    // perturbed copies (identical to each other), so clusters are
+    // triangles {base, v1, v2} — CC closure beyond single edges — and
+    // the survivor frame reports n_dups_removed per surviving image
+    // (absence is not silence: unclustered docs survive with 0).
+    "q136_image_dedup_end2end" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val base = docs.select(col("doc_id").as("media_id"),
+        graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
+      def variants(offset: Long) = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(offset)).as("media_id"),
+          graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(true)).as("bytes"))
+      val media = base.unionByName(variants(1000000000L))
+        .unionByName(variants(2000000000L))
+      val pairs = graft.ops.ImageHash.nearDuplicates(media)
+        .select(col("id_a"), col("id_b"))
+      Dedup.resolveClusters(media.select(col("media_id")), "media_id", pairs)
+        .groupBy(col("cluster_id"))
+        .agg(min(col("media_id")).as("media_id"),
+          (count(lit(1)) - 1).as("n_dups_removed"))
+        .select(col("media_id"), col("n_dups_removed"))
+        .orderBy(col("media_id"))
+    }),
+
     // Incremental PERCEPTUAL dedup — the q117 ingestion gate for
     // media: history is represented only by its published hash-block
     // rows (sources/HashIndexStore; 4 x 16 bytes per doc), a new
@@ -939,6 +965,60 @@ private[queries] object TrainingDedup {
          |FROM inter JOIN sizes sa ON sa.media_id = id_a JOIN sizes sb ON sb.media_id = id_b
          |WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q136: pairs exactly as q131 (over base + two identical variants),
+    // then the q50 recursive-CTE connected components and min-id
+    // survivors with cluster sizes.
+    "q136_image_dedup_end2end" ->
+      s"""WITH RECURSIVE media AS (
+         |  SELECT doc_id AS media_id, doc_id AS pid, FALSE AS perturb FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, doc_id, TRUE FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000, doc_id, TRUE FROM documents WHERE doc_id % 17 = 0),
+         |gx AS (
+         |  SELECT m.media_id, m.pid, m.perturb, x.x, y.y,
+         |    ${fixtureGraySql("m.pid")} AS g0
+         |  FROM media m, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |px AS (
+         |  SELECT media_id, x, y,
+         |    CASE WHEN perturb AND x = pid % 9 AND y = pid % 8
+         |      THEN (g0 + 128) % 256 ELSE g0 END AS g
+         |  FROM gx),
+         |bits AS (
+         |  SELECT l.media_id, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.media_id = l.media_id AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |blocks AS (
+         |  SELECT media_id, k // 16 AS blk,
+         |    sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.v = b.v
+         |    AND a.media_id < b.media_id),
+         |verified AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN bits ba ON ba.media_id = c.id_a
+         |  JOIN bits bb ON bb.media_id = c.id_b AND bb.k = ba.k
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |labels AS (SELECT n AS media_id, min(m) AS cluster FROM reach GROUP BY n),
+         |clustered AS (
+         |  SELECT m.media_id, COALESCE(l.cluster, m.media_id) AS cluster
+         |  FROM media m LEFT JOIN labels l ON m.media_id = l.media_id)
+         |SELECT min(media_id)::BIGINT AS media_id,
+         |  (count(*) - 1)::BIGINT AS n_dups_removed
+         |FROM clustered GROUP BY cluster ORDER BY media_id""".stripMargin,
 
     // q135: the incremental gate — index side unperturbed, batch side
     // optionally a perturbed copy of (id+1); candidates by shared
