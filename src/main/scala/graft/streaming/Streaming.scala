@@ -478,6 +478,146 @@ object Streaming {
     * bucketed by (blk, key), append-only batch-sized saves, distinct
     * (and horizon-bounded) compaction — [[BandStore]] with the hash
     * block schema. */
+  /** Empty frame-hash frame — the initial state for
+    * [[frameSetNearDupSink]]: one row per (video, distinct frame hash),
+    * the video's total distinct-frame count `n` denormalized onto every
+    * row (12 bytes buys Jaccard without a second sizes table), plus the
+    * optional retention stamp. */
+  def emptyFrameSetTable(spark: SparkSession, withTs: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = Seq(StructField("id", LongType), StructField("fhash", LongType),
+      StructField("n", LongType))
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(if (withTs) base :+ StructField("ts", LongType) else base))
+  }
+
+  /** Streaming VIDEO near-duplicate detection — the incremental twin of
+    * [[graft.ops.VideoHash.nearDupVideos]]: the stream carries each
+    * video's per-frame dHash ARRAY (decode upstream, e.g.
+    * `VideoHash.frameDHashesUdf` — media bytes never enter state), each
+    * micro-batch explodes DISTINCT (id, fhash) rows and probes the
+    * persisted frame-hash table; pairs sharing frames are verified with
+    * EXACT set Jaccard inside the pass (|new| is batch-side, |old|
+    * rides the store rows, |∩| is the join count) and emitted when
+    * ≥ `threshold`. Within-batch pairs emit alongside prior-history
+    * pairs; replay defense and the retention horizon follow
+    * [[hammingNearDupSink]] exactly (prior partners in the current
+    * batch are excluded, null/absent ts never expires).
+    *
+    * Output per micro-batch: (id, partner_id, n_shared, jaccard) — the
+    * batch operator's columns with id/partner orientation. State:
+    * `distinct frames` rows × 24 bytes per video, bucketed by (fhash)
+    * at scale ([[FrameSetStore]]); `maxHashFreq` (0 = off) drops frame
+    * hashes shared by more than that many videos at probe time — the
+    * q22 hot-key cap for logo/intro frames. */
+  def frameSetNearDupSink(idCol: String, hashesCol: String,
+                          loadFrames: SparkSession => DataFrame,
+                          saveFrames: DataFrame => Unit,
+                          emit: DataFrame => Unit,
+                          threshold: Double = 0.8, maxHashFreq: Int = 1000,
+                          tsCol: String = "", retentionMillis: Long = 0L)
+                         (stream: DataFrame): DataStreamWriter[Row] = {
+    val retain = tsCol.nonEmpty && retentionMillis > 0L
+    val highWater = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = if (retain)
+          graft.core.Timestamps.normalize(batch0, tsCol) else batch0
+        val rows0 = batch
+          .select(col(idCol).cast("long").as("id"),
+            explode(col(hashesCol)).as("fhash"),
+            (if (retain) unix_millis(col(tsCol)) else lit(null).cast("long")).as("ts"))
+          .groupBy(col("id"), col("fhash"))
+          .agg(max(col("ts")).as("ts")) // distinct frames, set semantics
+        val sized = rows0
+          .join(rows0.groupBy(col("id")).agg(count(lit(1)).as("n")), Seq("id"))
+        val batchRows =
+          (if (retain) sized else sized.drop("ts"))
+            .select(Seq(col("id"), col("fhash"), col("n")) ++
+              (if (retain) Seq(col("ts")) else Nil): _*)
+            .localCheckpoint(true)
+        val horizon = if (!retain) Long.MinValue else {
+          val batchMax = batch.agg(max(unix_millis(col(tsCol)))).head()
+          if (!batchMax.isNullAt(0))
+            highWater.accumulateAndGet(batchMax.getLong(0), math.max(_, _))
+          highWater.get() match {
+            case Long.MinValue => Long.MinValue
+            case hw => hw - retentionMillis
+          }
+        }
+        val prior0 = loadFrames(spark0(batch))
+        val prior = if (retain && prior0.columns.contains("ts"))
+          prior0.filter(col("ts").isNull || col("ts") >= lit(horizon))
+        else prior0
+        def partnerSide(df: DataFrame) = df.select(
+          col("id").as("partner_id"), col("fhash"), col("n").as("partner_n"))
+        val batchIds = batchRows.select(col("id").as("partner_id")).distinct()
+        // the prior rows this batch can touch: replay-excluded, then
+        // pruned to the batch's frame hashes (the bucketed store makes
+        // this a co-located semi-join — linear in the overlap, never a
+        // prior-table scan). Checkpointed: it feeds the hot-frame
+        // frequency count AND the pairing join.
+        val relevantPrior = partnerSide(prior)
+          .join(batchIds, Seq("partner_id"), "left_anti")
+          .join(batchRows.select(col("fhash")).distinct(), Seq("fhash"), "left_semi")
+          // the documented at-least-once append state: a re-ingested
+          // video's duplicate store rows would double-count n_shared
+          .distinct()
+          .localCheckpoint(true)
+        // hot-frame cap, measured over the TOUCHED rows (batch ∪
+        // matched prior): a logo frame in f videos is f² pair rows
+        // without it; pulling its f linear rows to count them is the
+        // acceptable cost of knowing
+        def capped(df: DataFrame): DataFrame =
+          if (maxHashFreq <= 0) df
+          else {
+            val freq = relevantPrior.select(col("fhash"))
+              .unionByName(batchRows.select(col("fhash")))
+              .groupBy(col("fhash")).agg(count(lit(1)).as("__f"))
+              .filter(col("__f") <= maxHashFreq).select(col("fhash"))
+            df.join(freq, Seq("fhash"), "left_semi")
+          }
+        val fromPrior = capped(batchRows)
+          .join(capped(relevantPrior), Seq("fhash"))
+          .filter(col("partner_id") =!= col("id"))
+        val withinBatch = capped(batchRows)
+          .join(capped(partnerSide(batchRows)), Seq("fhash"))
+          .filter(col("partner_id") < col("id"))
+        val pairs = fromPrior.unionByName(withinBatch
+            .select(fromPrior.columns.map(col): _*))
+          .groupBy(col("id"), col("partner_id"))
+          .agg(count(lit(1)).as("n_shared"),
+            first(col("n")).as("n"), first(col("partner_n")).as("pn"))
+          .withColumn("jaccard", round(col("n_shared").cast("double") /
+            (col("n") + col("pn") - col("n_shared")), 6))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id"), col("partner_id"), col("n_shared"), col("jaccard"))
+        emit(pairs.localCheckpoint(true))
+        saveFrames(batchRows)
+      }
+  }
+
+  private def spark0(batch: DataFrame): SparkSession = batch.sparkSession
+
+  /** The production frame-hash store for [[frameSetNearDupSink]]:
+    * bucketed by (fhash) so the probe join co-locates; append-only
+    * batch-sized saves; distinct (and horizon-bounded) compaction. */
+  class FrameSetStore(spark: SparkSession, table: String = "graft_frame_sets",
+                      buckets: Int = 32) {
+    import graft.sources.Bucketed
+    private def exists: Boolean = spark.catalog.tableExists(table)
+    def load(s: SparkSession): DataFrame =
+      if (exists) s.table(table) else emptyFrameSetTable(s)
+    def save(batchRows: DataFrame): Unit =
+      Bucketed.appendAligned(spark, batchRows, table, Seq("fhash"), buckets)
+    def compact(horizonMillis: Long = Long.MinValue): Unit = {
+      Bucketed.compactRewrite(spark, table, Seq("fhash"), buckets,
+        horizonMillis = horizonMillis)
+      ()
+    }
+  }
+
   class HashBlockStore(spark: SparkSession, table: String = "graft_hash_blocks",
                        buckets: Int = 32) {
     import graft.sources.Bucketed

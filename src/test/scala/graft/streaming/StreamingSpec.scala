@@ -494,6 +494,60 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("streaming frame-set near-dup: verified video pairs accumulate to the batch operator's; duplicate store rows don't inflate") {
+    import graft.ops.VideoHash
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Long])] // (media_id, frame hashes) — decode upstream
+    val stream = input.toDF().toDF("media_id", "fhashes")
+    var frames = Streaming.emptyFrameSetTable(spark)
+    val saveSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val writer = Streaming.frameSetNearDupSink("media_id", "fhashes",
+        _ => frames,
+        b => { val c = b.localCheckpoint(true); saveSizes += c.count()
+          // at-least-once simulation: every batch's rows append TWICE
+          frames = frames.unionByName(c).unionByName(c) },
+        f => emitted ++= f.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))(stream)
+      .option("checkpointLocation", Files.createTempDirectory("graft-frameset").toString)
+      .start()
+    def fh(id: Long, p: Boolean = false): Seq[Long] =
+      VideoHash.frameDHashes(VideoHash.fixtureMp4(id, p)).get
+    val ids = (1L to 8L).map(_ * 23L)
+    input.addData(ids.take(4).map(id => (id, fh(id))): _*)
+    writer.processAllAvailable()
+    assert(emitted.isEmpty, s"distinct videos must not pair, got $emitted")
+    // batch 2: rest of the bases + a one-scene-replaced copy of a
+    // PRIOR video (46) and a WITHIN-batch copy pair (69's copy)
+    input.addData((ids.drop(4).map(id => (id, fh(id))) ++ Seq(
+      (1000000046L, fh(46L, p = true)), (1000000069L, fh(69L, p = true)))): _*)
+    writer.processAllAvailable()
+    writer.stop()
+    val batchTwin = graft.ops.VideoHash.nearDupVideos(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (ids.map(id => (id, fh(id))) ++ Seq(
+          (1000000046L, fh(46L, p = true)), (1000000069L, fh(69L, p = true))))
+          .flatMap { case (id, hs) => hs.distinct.map(h =>
+            org.apache.spark.sql.Row(id, h)) }, 4),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("media_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("fhash",
+            org.apache.spark.sql.types.LongType, nullable = false)))),
+      threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = emitted.map { case (id, p, s, j) =>
+      (math.min(id, p), math.max(id, p), s, j) }.toSet
+    assert(got === batchTwin, s"streamed $got != batch $batchTwin")
+    assert(batchTwin.nonEmpty && batchTwin.forall(_._4 === 0.882353),
+      "planted copies at 15/17")
+    // duplicate store rows (simulated double-append) did not inflate
+    // n_shared: every emitted intersection is exactly 15
+    assert(emitted.forall(_._3 === 15L), s"n_shared inflated: $emitted")
+    // saves are batch-sized distinct frame rows (16 per video)
+    assert(saveSizes.toSeq === Seq(4 * 16, 6 * 16))
+  }
+
   test("retention-enabled Hamming sink over a FRESH HashBlockStore: first micro-batch must not crash on the ts-less empty frame") {
     import graft.ops.ImageHash
     implicit val sqlCtx = spark.sqlContext
