@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * score_type = "hamming" (image/audio; smaller is closer, exact ≤
   * `maxDistance` by the 4×16-bit pigeonhole) or "jaccard" (video;
   * larger is closer, ≥ `videoThreshold`). Each branch is one decode
-  * projection + one blocking shuffle; the facade adds NO pass of its
-  * own. */
+  * projection + one blocking shuffle over ITS kind's rows; the three
+  * branches each re-evaluate the input plan (one filtered scan per
+  * modality) — reading a media table that is three scans of parquet;
+  * if `media` is an expensive upstream computation, persist or
+  * checkpoint it before calling (the facade deliberately does not
+  * force a corpus-sized bytes materialization on the caller). */
 object MediaDedup {
 
   def nearDuplicates(media: DataFrame, idCol: String = "media_id",

@@ -327,24 +327,9 @@ object Streaming {
             .agg(max(unix_millis(col(tsCol))).as("ts"))
           keys.join(times, Seq("id"), "left")
         }).localCheckpoint(true)
-        val horizon = if (!retain) Long.MinValue else {
-          val batchMax = batch.agg(max(unix_millis(col(tsCol)))).head()
-          if (!batchMax.isNullAt(0))
-            highWater.accumulateAndGet(batchMax.getLong(0), math.max(_, _))
-          highWater.get() match {
-            case Long.MinValue => Long.MinValue
-            case hw => hw - retentionMillis
-          }
-        }
-        val prior0 = loadBands(spark)
-        // null ts (rows persisted before retention was enabled) never
-        // expires — deletion must be an explicit compact decision; a
-        // prior frame WITHOUT a ts column at all (a pre-retention table,
-        // or the store's empty day-one frame) is all-exempt, not an
-        // AnalysisException on the first micro-batch
-        val prior = if (retain && prior0.columns.contains("ts"))
-          prior0.filter(col("ts").isNull || col("ts") >= lit(horizon))
-        else prior0
+        val horizon = retentionHorizon(batch, tsCol, retain, highWater,
+          retentionMillis)
+        val prior = horizonFiltered(loadBands(spark), retain, horizon)
         // prior partners that are members of the CURRENT batch are
         // excluded (batch-sized anti-join): after a crash-replay the
         // store already holds this batch's rows, and without the
@@ -432,21 +417,9 @@ object Streaming {
         val batchBlocks =
           (if (retain) keys.join(hashes.select(col("id"), col("ts")).distinct(), Seq("id"))
            else keys).localCheckpoint(true)
-        val horizon = if (!retain) Long.MinValue else {
-          val batchMax = batch.agg(max(unix_millis(col(tsCol)))).head()
-          if (!batchMax.isNullAt(0))
-            highWater.accumulateAndGet(batchMax.getLong(0), math.max(_, _))
-          highWater.get() match {
-            case Long.MinValue => Long.MinValue
-            case hw => hw - retentionMillis
-          }
-        }
-        val prior0 = loadBlocks(spark)
-        // ts-less prior (pre-retention table / day-one empty frame) is
-        // all-exempt — same contract as nearDupSink
-        val prior = if (retain && prior0.columns.contains("ts"))
-          prior0.filter(col("ts").isNull || col("ts") >= lit(horizon))
-        else prior0
+        val horizon = retentionHorizon(batch, tsCol, retain, highWater,
+          retentionMillis)
+        val prior = horizonFiltered(loadBlocks(spark), retain, horizon)
         def partnerSide(df: DataFrame) = df.select(
           col("id").as("partner_id"), col("sim").as("partner_sim"),
           col("blk"), col("key"))
@@ -474,10 +447,38 @@ object Streaming {
       }
   }
 
-  /** The production block-table store for [[hammingNearDupSink]]:
-    * bucketed by (blk, key), append-only batch-sized saves, distinct
-    * (and horizon-bounded) compaction — [[BandStore]] with the hash
-    * block schema. */
+  /** The retention clock shared by every stateful near-dup sink: a
+    * driver-side high-water mark of OBSERVED event time (the same
+    * clock a watermark uses — replays age deterministically, wall
+    * clock never enters), minus the retention window. Long.MinValue =
+    * retention off or no event time observed yet. */
+  private def retentionHorizon(batch: DataFrame, tsCol: String,
+                               retain: Boolean,
+                               highWater: java.util.concurrent.atomic.AtomicLong,
+                               retentionMillis: Long): Long =
+    if (!retain) Long.MinValue
+    else {
+      val batchMax = batch.agg(max(unix_millis(col(tsCol)))).head()
+      if (!batchMax.isNullAt(0))
+        highWater.accumulateAndGet(batchMax.getLong(0), math.max(_, _))
+      highWater.get() match {
+        case Long.MinValue => Long.MinValue
+        case hw => hw - retentionMillis
+      }
+    }
+
+  /** The prior-state horizon filter shared by every stateful near-dup
+    * sink: null ts (rows persisted before retention was enabled) never
+    * expires — deletion must be an explicit compact decision — and a
+    * prior WITHOUT a ts column at all (a pre-retention table, or the
+    * store's empty day-one frame) is all-exempt, not an
+    * AnalysisException on the first micro-batch. */
+  private def horizonFiltered(prior0: DataFrame, retain: Boolean,
+                              horizon: Long): DataFrame =
+    if (retain && prior0.columns.contains("ts"))
+      prior0.filter(col("ts").isNull || col("ts") >= lit(horizon))
+    else prior0
+
   /** Empty frame-hash frame — the initial state for
     * [[frameSetNearDupSink]]: one row per (video, distinct frame hash),
     * the video's total distinct-frame count `n` denormalized onto every
@@ -508,8 +509,20 @@ object Streaming {
     * batch operator's columns with id/partner orientation. State:
     * `distinct frames` rows × 24 bytes per video, bucketed by (fhash)
     * at scale ([[FrameSetStore]]); `maxHashFreq` (0 = off) drops frame
-    * hashes shared by more than that many videos at probe time — the
-    * q22 hot-key cap for logo/intro frames. */
+    * hashes shared by more than that many TOUCHED rows at probe time —
+    * the q22 hot-key cap for logo/intro frames, scoped per batch (the
+    * batch operator's cap is corpus-wide; with the cap off or
+    * non-binding the two are identical).
+    *
+    * Id contract: re-ingesting a CHANGED video under the same id is
+    * the caller's contract to avoid (the [[indexedDedupSink]] family
+    * rule) — the append-only store cannot know which frame set is
+    * current, so stale rows would mix with fresh ones. Defense in
+    * depth caps the damage if it happens anyway: duplicate
+    * (partner, fhash) rows collapse before counting and the
+    * intersection is clamped to min(|new|, |partner|), so a violated
+    * contract degrades to a conservative ≤ 1 score, never a
+    * mathematically invalid one. */
   def frameSetNearDupSink(idCol: String, hashesCol: String,
                           loadFrames: SparkSession => DataFrame,
                           saveFrames: DataFrame => Unit,
@@ -530,26 +543,19 @@ object Streaming {
             (if (retain) unix_millis(col(tsCol)) else lit(null).cast("long")).as("ts"))
           .groupBy(col("id"), col("fhash"))
           .agg(max(col("ts")).as("ts")) // distinct frames, set semantics
-        val sized = rows0
-          .join(rows0.groupBy(col("id")).agg(count(lit(1)).as("n")), Seq("id"))
+        // size via a window over the aggregated rows — a self-join here
+        // would run the explode-aggregation twice per micro-batch
+        val sized = rows0.withColumn("n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id"))))
         val batchRows =
           (if (retain) sized else sized.drop("ts"))
             .select(Seq(col("id"), col("fhash"), col("n")) ++
               (if (retain) Seq(col("ts")) else Nil): _*)
             .localCheckpoint(true)
-        val horizon = if (!retain) Long.MinValue else {
-          val batchMax = batch.agg(max(unix_millis(col(tsCol)))).head()
-          if (!batchMax.isNullAt(0))
-            highWater.accumulateAndGet(batchMax.getLong(0), math.max(_, _))
-          highWater.get() match {
-            case Long.MinValue => Long.MinValue
-            case hw => hw - retentionMillis
-          }
-        }
-        val prior0 = loadFrames(spark0(batch))
-        val prior = if (retain && prior0.columns.contains("ts"))
-          prior0.filter(col("ts").isNull || col("ts") >= lit(horizon))
-        else prior0
+        val horizon = retentionHorizon(batch, tsCol, retain, highWater,
+          retentionMillis)
+        val prior = horizonFiltered(loadFrames(batch.sparkSession), retain, horizon)
         def partnerSide(df: DataFrame) = df.select(
           col("id").as("partner_id"), col("fhash"), col("n").as("partner_n"))
         val batchIds = batchRows.select(col("id").as("partner_id")).distinct()
@@ -558,37 +564,47 @@ object Streaming {
         // this a co-located semi-join — linear in the overlap, never a
         // prior-table scan). Checkpointed: it feeds the hot-frame
         // frequency count AND the pairing join.
-        val relevantPrior = partnerSide(prior)
+        val relevantPrior0 = partnerSide(prior)
           .join(batchIds, Seq("partner_id"), "left_anti")
           .join(batchRows.select(col("fhash")).distinct(), Seq("fhash"), "left_semi")
-          // the documented at-least-once append state: a re-ingested
-          // video's duplicate store rows would double-count n_shared
-          .distinct()
-          .localCheckpoint(true)
+          // contract-violation defense (a re-ingested CHANGED video
+          // leaves same-(id, fhash) rows with diverging n): collapse
+          // per (partner, fhash) taking max(n), so intersections are
+          // never double-counted — plain distinct() would keep both
+          .groupBy(col("partner_id"), col("fhash"))
+          .agg(max(col("partner_n")).as("partner_n"))
+          .localCheckpoint(true) // feeds the hot count AND the pairing join
         // hot-frame cap, measured over the TOUCHED rows (batch ∪
         // matched prior): a logo frame in f videos is f² pair rows
         // without it; pulling its f linear rows to count them is the
-        // acceptable cost of knowing
-        def capped(df: DataFrame): DataFrame =
-          if (maxHashFreq <= 0) df
+        // acceptable cost of knowing. Computed ONCE; capping the batch
+        // side of each equi-join suffices (a hash dropped from one
+        // side emits no pairs on it).
+        val cappedBatch =
+          if (maxHashFreq <= 0) batchRows
           else {
-            val freq = relevantPrior.select(col("fhash"))
+            val hot = relevantPrior0.select(col("fhash"))
               .unionByName(batchRows.select(col("fhash")))
               .groupBy(col("fhash")).agg(count(lit(1)).as("__f"))
               .filter(col("__f") <= maxHashFreq).select(col("fhash"))
-            df.join(freq, Seq("fhash"), "left_semi")
+              .localCheckpoint(true)
+            batchRows.join(hot, Seq("fhash"), "left_semi")
           }
-        val fromPrior = capped(batchRows)
-          .join(capped(relevantPrior), Seq("fhash"))
+        val fromPrior = cappedBatch
+          .join(relevantPrior0, Seq("fhash"))
           .filter(col("partner_id") =!= col("id"))
-        val withinBatch = capped(batchRows)
-          .join(capped(partnerSide(batchRows)), Seq("fhash"))
+        val withinBatch = cappedBatch
+          .join(partnerSide(batchRows), Seq("fhash"))
           .filter(col("partner_id") < col("id"))
         val pairs = fromPrior.unionByName(withinBatch
             .select(fromPrior.columns.map(col): _*))
           .groupBy(col("id"), col("partner_id"))
           .agg(count(lit(1)).as("n_shared"),
-            first(col("n")).as("n"), first(col("partner_n")).as("pn"))
+            first(col("n")).as("n"), max(col("partner_n")).as("pn"))
+          // clamp: under a violated id contract stale store rows can
+          // push the raw count past min(|new|, |partner|) — the score
+          // degrades conservatively instead of exceeding 1
+          .withColumn("n_shared", least(col("n_shared"), col("n"), col("pn")))
           .withColumn("jaccard", round(col("n_shared").cast("double") /
             (col("n") + col("pn") - col("n_shared")), 6))
           .filter(col("jaccard") >= threshold)
@@ -598,7 +614,6 @@ object Streaming {
       }
   }
 
-  private def spark0(batch: DataFrame): SparkSession = batch.sparkSession
 
   /** The production frame-hash store for [[frameSetNearDupSink]]:
     * bucketed by (fhash) so the probe join co-locates; append-only
@@ -618,6 +633,10 @@ object Streaming {
     }
   }
 
+  /** The production block-table store for [[hammingNearDupSink]]:
+    * bucketed by (blk, key), append-only batch-sized saves, distinct
+    * (and horizon-bounded) compaction — [[BandStore]] with the hash
+    * block schema. */
   class HashBlockStore(spark: SparkSession, table: String = "graft_hash_blocks",
                        buckets: Int = 32) {
     import graft.sources.Bucketed

@@ -548,6 +548,33 @@ class StreamingSpec extends SparkTestBase {
     assert(saveSizes.toSeq === Seq(4 * 16, 6 * 16))
   }
 
+  test("frame-set sink contract-violation defense: diverging store rows for one video never double-count or exceed Jaccard 1") {
+    import graft.ops.VideoHash
+    implicit val sqlCtx = spark.sqlContext
+    // the violated id contract: video 46 was re-ingested CHANGED, so
+    // the store holds its 16 hashes twice with diverging n (16 and 17)
+    val hs = VideoHash.frameDHashes(VideoHash.fixtureMp4(46L)).get.distinct
+    val poisoned = (hs.map(h => (46L, h, 16L)) ++ hs.map(h => (46L, h, 17L)))
+      .toDF("id", "fhash", "n").localCheckpoint(true)
+    val input = MemoryStream[(Long, Seq[Long])]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val writer = Streaming.frameSetNearDupSink("media_id", "fhashes",
+        _ => poisoned, _ => (),
+        f => emitted ++= f.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))(
+        input.toDF().toDF("media_id", "fhashes"))
+      .option("checkpointLocation", Files.createTempDirectory("graft-poison").toString)
+      .start()
+    input.addData((1000000046L,
+      VideoHash.frameDHashes(VideoHash.fixtureMp4(46L, perturb = true)).get))
+    writer.processAllAvailable()
+    writer.stop()
+    // without the per-(partner, fhash) collapse the intersection would
+    // read 30 and the "jaccard" 30/(16+16-30) = 15.0
+    assert(emitted.toList === List((1000000046L, 46L, 15L, 0.833333)),
+      s"poisoned store must degrade conservatively, got $emitted")
+  }
+
   test("retention-enabled Hamming sink over a FRESH HashBlockStore: first micro-batch must not crash on the ts-less empty frame") {
     import graft.ops.ImageHash
     implicit val sqlCtx = spark.sqlContext
