@@ -41,7 +41,11 @@ object AudioHash {
     while (pos + 8 <= bytes.length && (!fmtOk || data.isEmpty)) {
       val id = ascii(pos)
       val size = bb.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // bounds math in LONG: a positive chunk size near Int.MaxValue
+      // would wrap pos + 8 + size negative in Int, pass this check and
+      // walk pos negative — the RIFF walk must yield a null
+      // fingerprint on corrupt containers, never crash the job
+      if (size < 0 || pos.toLong + 8 + size > bytes.length) return None
       if (id == "fmt " && size >= 16) {
         val audioFormat = bb.getShort(pos + 8)
         val channels = bb.getShort(pos + 10)
@@ -89,16 +93,20 @@ object AudioHash {
     * packed LSB-first — byte-identical construction to
     * [[ImageHash.dHash64]] with 65 frames in place of 9 columns. */
   def envelopeHash64(bytes: Array[Byte]): Option[Long] =
-    pcmSamples(bytes).filter(_.length >= 65).map { samples =>
-      val e = envelope(samples, 65)
-      var hash = 0L
-      var k = 0
-      while (k < 64) {
-        if (e(k + 1) > e(k)) hash |= 1L << k
-        k += 1
+    // catch-all belt to the walk's Long-math suspenders: any residual
+    // malformed-container surprise yields None, never a failed job
+    try {
+      pcmSamples(bytes).filter(_.length >= 65).map { samples =>
+        val e = envelope(samples, 65)
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (e(k + 1) > e(k)) hash |= 1L << k
+          k += 1
+        }
+        hash
       }
-      hash
-    }
+    } catch { case _: Exception => None }
 
   /** [[envelopeHash64]] as a column function — a UDF for the same
     * reason as [[ImageHash.dHashUdf]]: decode is irreducibly JVM work

@@ -98,29 +98,60 @@ object ImageHash {
     out
   }
 
+  /** Decompression-bomb ceiling: web-crawl input contains PNGs whose
+    * HEADER declares multi-gigapixel dimensions from a few KB of
+    * payload — decoding one allocates multi-GB rasters and takes the
+    * executor down with an uncatchable OutOfMemoryError. 64 Mpx
+    * (8k×8k) is far above any legitimate photo this pipeline hashes
+    * (the hash target is 9×8) while capping the per-core decode
+    * allocation at ~256 MB of gray plane. Checked from the header
+    * BEFORE any pixel is allocated. */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
   /** 64-bit dHash of an encoded image payload; None when the bytes do
     * not decode (the undecodable-rows-pass-through convention of every
-    * multimodal op here). Bit k = y·8+x is set iff the 9×8 grayscale's
-    * pixel (x+1, y) is strictly brighter than (x, y). */
+    * multimodal op here) or when the header declares more than
+    * [[MaxPixels]] pixels (a decompression bomb has no perceptual
+    * identity worth its raster). Bit k = y·8+x is set iff the 9×8
+    * grayscale's pixel (x+1, y) is strictly brighter than (x, y). */
   def dHash64(bytes: Array[Byte]): Option[Long] = {
     if (bytes == null) return None
-    val decoded =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: Exception => None }
-    decoded.map { img =>
-      val g = boxDownscale(grayPlane(img), img.getWidth, img.getHeight, 9, 8)
-      var hash = 0L
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << (y * 8 + x)
-          x += 1
+    // the WHOLE computation sits inside the try: a decoded-but-corrupt
+    // image (w*h overflowing the Int plane size, a raster lying about
+    // its bands) must yield None, never an uncaught UDF exception
+    // failing the job on one bad payload
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // dimensions come from the HEADER — no pixel decoded yet
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+            else {
+              val img = reader.read(0)
+              val g = boxDownscale(grayPlane(img), img.getWidth, img.getHeight, 9, 8)
+              var hash = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << (y * 8 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              Some(hash)
+            }
+          } finally reader.dispose()
         }
-        y += 1
-      }
-      hash
-    }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
   }
 
   val dhashSchema: StructType = StructType(Seq(

@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
   * of a shingle), exact set Jaccard in one groupBy.
   *
   * Frame access: the container walk is REAL (the ISO-BMFF box walk of
-  * [[Multimodal.parseMp4]], extended to locate the `mdat` payload);
-  * FRAME DECODE is where a production codec plugs in — here frames are
-  * raw 9×8 grayscale planes packed back-to-back in mdat (what the
-  * fixture writer emits), the deterministic stand-in this container
-  * allows (no codec libraries ship here; the Spark-side plumbing —
-  * explode shape, blocking, Jaccard — is the real, tested artifact,
-  * the [[Multimodal.StubDecoder]] doctrine).
+  * [[Multimodal.parseMp4]], extended to locate the `mdat` payload),
+  * and TWO frame layouts decode: Motion-JPEG (back-to-back JPEG
+  * frames in mdat — real encoded frames, ImageIO-decoded through the
+  * SAME [[ImageHash.dHash64]] path still images take) and raw 9×8
+  * grayscale planes packed back-to-back (the deterministic stand-in
+  * the arithmetic fixtures emit). Inter-frame codecs (H.264…) are
+  * where a production decoder plugs in at [[frameDHashes]] — no codec
+  * libraries ship here; the Spark-side plumbing — explode shape,
+  * blocking, Jaccard — is the real, tested artifact, the
+  * [[Multimodal.StubDecoder]] doctrine.
   *
   * Scale shape: one UDF projection + explode per corpus (frames ×
   * docs rows, each 16 bytes), ONE shuffle on the frame-hash key for
@@ -63,7 +66,11 @@ object VideoHash {
     var pos = 0
     while (pos + 8 <= bytes.length) {
       val size = bb.getInt(pos)
-      if (size < 8 || pos + size > bytes.length) return None
+      // bounds math in LONG: a crafted/corrupt size near Int.MaxValue
+      // would wrap pos + size negative in Int, slip past this check and
+      // throw inside the UDF — the walk must REJECT corrupt containers
+      // (return None), never crash the job on one bad payload
+      if (size < 8 || pos.toLong + size > bytes.length) return None
       if (new String(bytes, pos + 4, 4, "US-ASCII") == "mdat")
         return Some(java.util.Arrays.copyOfRange(bytes, pos + 8, pos + size))
       pos += size
@@ -76,12 +83,47 @@ object VideoHash {
     * container does not parse; videos whose mdat is not a whole number
     * of frames hash the complete frames only. */
   def frameDHashes(bytes: Array[Byte]): Option[Seq[Long]] =
-    mdatPayload(bytes).map { payload =>
-      (0 until payload.length / FrameBytes).map { f =>
-        planeDHash(java.util.Arrays.copyOfRange(
-          payload, f * FrameBytes, (f + 1) * FrameBytes))
+    // catch-all belt to the walk's Long-math suspenders: whatever a
+    // malformed container manages to throw, the row yields None
+    // (the undecodable-rows contract), never a failed job
+    try {
+      mdatPayload(bytes).map { payload =>
+        if (isJpegStream(payload)) jpegFrameDHashes(payload)
+        else (0 until payload.length / FrameBytes).map { f =>
+          planeDHash(java.util.Arrays.copyOfRange(
+            payload, f * FrameBytes, (f + 1) * FrameBytes))
+        }
       }
+    } catch { case _: Exception => None }
+
+  /** An mdat payload that is a Motion-JPEG frame stream: raw-plane
+    * payloads always start 0x00 (fixture pixel (0,0) is the zero
+    * polynomial term), JPEG frames start with the SOI marker. */
+  def isJpegStream(payload: Array[Byte]): Boolean =
+    payload.length >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte
+
+  /** Per-frame dHashes of a Motion-JPEG mdat payload: frames are
+    * back-to-back JPEGs (the real MJPEG-in-BMFF layout), split on the
+    * EOI marker (FF D9 — encoders escape 0xFF inside entropy data as
+    * FF 00, so EOI does not occur mid-frame; frames with embedded EXIF
+    * thumbnails are out of contract), each decoded through the SAME
+    * [[ImageHash.dHash64]] path still images take — one hash space, so
+    * a real encoded frame and a still of it collide. Frames that fail
+    * to decode are skipped (partial-tail convention of the raw path). */
+  def jpegFrameDHashes(payload: Array[Byte]): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var start = 0
+    var i = 0
+    while (i + 1 < payload.length) {
+      if (payload(i) == 0xFF.toByte && payload(i + 1) == 0xD9.toByte) {
+        ImageHash.dHash64(java.util.Arrays.copyOfRange(payload, start, i + 2))
+          .foreach(out += _)
+        start = i + 2
+        i += 2
+      } else i += 1
     }
+    out.toSeq
+  }
 
   /** [[frameDHashes]] as a column UDF. */
   val frameDHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =

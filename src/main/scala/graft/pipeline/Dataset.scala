@@ -145,13 +145,27 @@ class VersionStore(val root: String, spark: SparkSession,
     } finally {
       // release ONLY if the lock is still ours: if we stalled past
       // lockStaleMs and a breaker re-acquired, the file now carries
-      // their token and deleting it would unlock their critical section
+      // their token. Read-compare-DELETE was racy (a breaker could
+      // swap in a fresh lock between the read and the delete, and the
+      // delete would unlock the new holder's critical section);
+      // instead RENAME the lock to a unique grave — atomic, so exactly
+      // one party ever moves it — then verify ownership from the moved
+      // file: ours → released; a stolen fresh lock → put it back.
       try {
-        if (Files.exists(lock) &&
-            new String(Files.readAllBytes(lock), "UTF-8") == token)
-          Files.deleteIfExists(lock)
+        val grave = lock.resolveSibling(s".manifest.lock.release.$token")
+        Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
+        if (new String(Files.readAllBytes(grave), "UTF-8") == token)
+          Files.delete(grave)
+        else {
+          // we stalled past lockStaleMs AND a breaker's new holder
+          // acquired between our loop and this rename: restore their
+          // lock (atomic move fails only if yet another lock appeared
+          // — then drop the grave; that holder's own release no-ops)
+          try Files.move(grave, lock, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: Exception => Files.deleteIfExists(grave); () }
+        }
         ()
-      } catch { case _: Exception => () }
+      } catch { case _: Exception => () } // already broken/renamed away — nothing ours to release
     }
   }
   def collectionPath(sig: String, v: Int, name: String): String =

@@ -1828,6 +1828,77 @@ class MultimodalSpec extends SparkTestBase {
       .map(_.toSeq) === Some("abc".getBytes.toSeq))
   }
 
+  test("corrupt containers: near-Int.MaxValue box/chunk sizes yield None, never a UDF crash") {
+    // video: after one valid box, a size of 0x7FFFFFFC makes pos + size
+    // wrap negative in Int — the old check passed it and copyOfRange
+    // threw, failing the whole job on one bad payload
+    val vid = java.nio.ByteBuffer.allocate(16)
+    vid.putInt(8); vid.put("ftyp".getBytes("US-ASCII"))
+    vid.putInt(0x7FFFFFFC); vid.put("mdat".getBytes("US-ASCII"))
+    assert(VideoHash.frameDHashes(vid.array()) === None,
+      "corrupt mdat size must reject, not throw")
+    // audio: same wrap in the RIFF chunk walk (pos + 8 + size)
+    val wav = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")); wav.putInt(40)
+    wav.put("WAVE".getBytes("US-ASCII"))
+    wav.put("junk".getBytes("US-ASCII")); wav.putInt(0x7FFFFFF0)
+    assert(AudioHash.envelopeHash64(wav.array()) === None,
+      "corrupt RIFF chunk size must yield a null fingerprint, not throw")
+  }
+
+  test("decompression-bomb PNG: gigapixel header rejected before any raster is allocated") {
+    // a REAL PNG header (valid CRCs) declaring 100k x 100k = 10 Gpx
+    // from ~60 bytes of payload — the old path handed it to
+    // ImageIO.read, which allocates the raster the header promises
+    def pngHeader(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+        val td = typ.getBytes("US-ASCII") ++ data
+        out.write(td)
+        val crc = new java.util.zip.CRC32(); crc.update(td)
+        out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      }
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array())
+      chunk("IEND", Array.empty[Byte])
+      out.toByteArray
+    }
+    assert(ImageHash.dHash64(pngHeader(100000, 100000)) === None,
+      "10 Gpx header must be rejected from the header, not decoded")
+    // a legitimate large-ish header under the cap still routes to decode
+    // (truncated payload -> decode fails -> None, but no bomb rejection
+    // is involved; the fixture round-trip test pins the happy path)
+    assert(ImageHash.MaxPixels > 8000L * 8000L, "cap must clear real photos")
+  }
+
+  test("Motion-JPEG mdat: real encoded frames hash through the still-image dHash path") {
+    // three fixture patterns, JPEG-encoded (lossy — expectations come
+    // from hashing the SAME jpeg bytes as stills, not from arithmetic)
+    val jpegs = Seq(11L, 22L, 33L).map { pid =>
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 9)
+        img.getRaster.setSample(x, y, 0, ImageHash.fixtureGray(pid, x, y, false))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val mjpeg = Multimodal.mp4Bytes(jpegs.reduce(_ ++ _), 120L, 9, 8)
+    val expected = jpegs.map(b => ImageHash.dHash64(b).get)
+    assert(VideoHash.frameDHashes(mjpeg) === Some(expected),
+      "MJPEG frames must hash exactly as their stills do")
+    // raw-plane twin: embed each frame's DECODED gray plane as a raw
+    // 9x8 plane — the two layouts must land on identical hashes
+    val rawPayload = jpegs.flatMap { b =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      ImageHash.grayPlane(img).map(_.toByte)
+    }.toArray
+    assert(VideoHash.frameDHashes(Multimodal.mp4Bytes(rawPayload, 120L, 9, 8))
+      === Some(expected), "raw-plane twin must hash identically to its MJPEG")
+  }
+
   test("video near-dup: one-scene-replaced copies found at Jaccard 15/17, distinct videos filtered") {
     val ids = (1L to 200L).map(_ * 23L)
     val media = spark.createDataFrame(

@@ -135,6 +135,30 @@ class DatasetLifecycleSpec extends SparkTestBase {
     assert(vs.map(_.version).sorted === (1 to threads * perThread))
   }
 
+  test("release: a lock re-acquired by another holder survives our release (rename-verify, not read-delete)") {
+    val store = newStore()
+    val lock = java.nio.file.Paths.get(store.root, "sig", ".manifest.lock")
+    store.transact("sig") { vs =>
+      // simulate the ADVICE r10 race: we stalled past lockStaleMs, a
+      // breaker moved our lock away and a fresh holder wrote THEIR
+      // token — the release must detect the foreign token and leave
+      // (restore) the lock, never delete it out from under them
+      Files.write(lock, "foreign-token".getBytes("UTF-8"))
+      (vs, ())
+    }
+    assert(Files.exists(lock) &&
+      new String(Files.readAllBytes(lock), "UTF-8") == "foreign-token",
+      "release deleted a lock it no longer owned")
+    // no grave litter left behind by the rename-verify dance
+    assert(!lock.getParent.toFile.list().exists(_.startsWith(".manifest.lock.")),
+      "release must clean up its grave files")
+    Files.delete(lock) // the simulated holder releases
+    store.createVersion("sig", "reset") // store remains functional
+    assert(store.versions("sig").size === 1)
+    // and the normal path still removes the lock entirely
+    assert(!Files.exists(lock))
+  }
+
   test("multi-collection dataset: one collection per seeding factory (dataset.py:148-164)") {
     def phase(entity: String) = Seq(PhaseSpec(
       phase = entity, strategy = "initial", batchSize = 5,
