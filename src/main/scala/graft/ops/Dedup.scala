@@ -747,6 +747,40 @@ object Dedup {
         (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
   }
 
+  /** Exact SET-Jaccard near-dup pairs over a distinct (id, hash) frame
+    * — THE shared-hash blocking + one-groupBy-Jaccard kernel behind
+    * video frame sets ([[VideoHash.nearDupVideos]]) and windowed audio
+    * fingerprints ([[AudioHash.windowedNearDupPairs]]): one definition,
+    * so the q22-style hot-hash cap and the pair math cannot drift
+    * between modalities (the [[hashBlockRows]] doctrine for sets).
+    * `maxHashFreq` (0 = off) drops hashes shared by more than that
+    * many ids — a hash that common (logo frame, silence window)
+    * contributes f² pair rows and identifies nothing. Output:
+    * (id_a, id_b, n_shared, jaccard), id_a < id_b, jaccard ≥
+    * `threshold`. ONE shuffle on the hash key; nothing quadratic in
+    * the corpus. */
+  def setJaccardPairs(rows: DataFrame, idCol: String, hashCol: String,
+                      threshold: Double, maxHashFreq: Int): DataFrame = {
+    val ided = rows.select(col(idCol).cast("long").as("__sid"),
+      col(hashCol).as("__sh"))
+    val sizes = ided.groupBy(col("__sid")).agg(count(lit(1)).as("n"))
+    val byHash = ided.groupBy(col("__sh"))
+      .agg(sort_array(collect_list(col("__sid"))).as("ids"))
+    val capped =
+      if (maxHashFreq > 0) byHash.filter(size(col("ids")) <= maxHashFreq)
+      else byHash
+    capped
+      .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("__sid").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("__sid").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+  }
+
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                           maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val buckets = hashBlockRows(hashes, idCol, hashCol)

@@ -9,38 +9,116 @@ import org.apache.spark.sql.functions._
   * ([[ImageHash]]), audio energy envelope ([[AudioHash]]), video
   * frame-set Jaccard ([[VideoHash]]) — and unioning the pair frames
   * under one schema. Pairs are intrinsically WITHIN-kind (a waveform
-  * has no Hamming distance to a pixel grid); rows that decode under no
-  * modality simply surface no pairs, per the family convention.
+  * has no Hamming distance to a pixel grid) — EXCEPT image↔video,
+  * where both sides hash into the same 64-bit dHash space and
+  * [[imageVideoPairs]] screens stills against frames. Rows that decode
+  * under no modality simply surface no pairs, per the family
+  * convention.
   *
   * Output: (kind, id_a, id_b, score_type, score) with id_a < id_b —
   * score_type = "hamming" (image/audio; smaller is closer, exact ≤
   * `maxDistance` by the 4×16-bit pigeonhole) or "jaccard" (video;
-  * larger is closer, ≥ `videoThreshold`). Each branch is one decode
-  * projection + one blocking shuffle over ITS kind's rows; the three
-  * branches each re-evaluate the input plan (one filtered scan per
-  * modality) — reading a media table that is three scans of parquet;
-  * if `media` is an expensive upstream computation, persist or
-  * checkpoint it before calling (the facade deliberately does not
-  * force a corpus-sized bytes materialization on the caller). */
+  * larger is closer, ≥ `videoThreshold`).
+  *
+  * Scale shape: ONE decode projection over the media frame — the
+  * three modality hashes are `when`-gated on `kind` inside a single
+  * select (CaseWhen evaluates lazily, so each row runs exactly its
+  * kind's decode UDF), and the skinny (id, kind, 3 hash columns)
+  * result is checkpointed once. The media BYTES are therefore read
+  * and decoded exactly once per row no matter how many modalities are
+  * present — at 100 TB of mixed media, the two extra corpus scans the
+  * per-modality facade cost are the difference (MultimodalSpec pins
+  * evaluate-once with an accumulator source). Downstream, each
+  * modality's blocking runs over its kind's hash rows only. */
 object MediaDedup {
 
   def nearDuplicates(media: DataFrame, idCol: String = "media_id",
                      kindCol: String = "kind", bytesCol: String = "bytes",
                      maxDistance: Int = 3, videoThreshold: Double = 0.8,
                      maxBucketSize: Int = 0, maxHashFreq: Int = 1000): DataFrame = {
-    def branch(kind: String) = media.filter(col(kindCol) === kind)
-    val images = ImageHash.nearDuplicates(branch("image"), idCol, bytesCol,
+    // one scan, one decode per row: the when-branches are lazy, so a
+    // row evaluates only its own kind's UDF; the checkpoint stops
+    // project-collapse from cloning the decode into the block keys
+    // (the q131 lesson) AND pins the single evaluation of `media`
+    val hashed = media.select(
+        col(idCol).cast("long").as("media_id"), col(kindCol).as("kind"),
+        when(col(kindCol) === "image", ImageHash.dHashUdf(col(bytesCol))).as("dhash"),
+        when(col(kindCol) === "audio", AudioHash.envelopeHashUdf(col(bytesCol))).as("ahash"),
+        when(col(kindCol) === "video", VideoHash.frameDHashesUdf(col(bytesCol))).as("fh"))
+      .localCheckpoint(true)
+    val images = ImageHash.nearDupPairs(
+        hashed.filter(col("kind") === "image").select(col("media_id"), col("dhash")),
         maxDistance, maxBucketSize)
       .select(lit("image").as("kind"), col("id_a"), col("id_b"),
         lit("hamming").as("score_type"), col("hamming").cast("double").as("score"))
-    val audio = AudioHash.nearDuplicates(branch("audio"), idCol, bytesCol,
+    val audio = AudioHash.nearDupPairs(
+        hashed.filter(col("kind") === "audio").select(col("media_id"), col("ahash")),
         maxDistance, maxBucketSize)
       .select(lit("audio").as("kind"), col("id_a"), col("id_b"),
         lit("hamming").as("score_type"), col("hamming").cast("double").as("score"))
-    val video = VideoHash.nearDuplicates(branch("video"), idCol, bytesCol,
+    val video = VideoHash.nearDupVideos(
+        hashed.filter(col("kind") === "video" && col("fh").isNotNull)
+          .select(col("media_id"), explode(col("fh")).as("fhash")).distinct(),
         videoThreshold, maxHashFreq)
       .select(lit("video").as("kind"), col("id_a"), col("id_b"),
         lit("jaccard").as("score_type"), col("jaccard").as("score"))
     images.unionByName(audio).unionByName(video)
+  }
+
+  /** CROSS-modality near-dup: which still images appear (lightly
+    * edited or verbatim) as frames of which videos — the screen a
+    * training pipeline runs before admitting stills into a corpus
+    * that already ingested video (and vice versa). Both sides hash
+    * into the SAME 64-bit dHash space ([[ImageHash.dHash64]] for
+    * stills, [[VideoHash.frameDHashes]] per frame — Motion-JPEG
+    * frames literally route through `dHash64`), so the pairing is the
+    * shared 16-bit-block Hamming machinery ([[Dedup.hashBlockRows]]),
+    * exact for `maxDistance` ≤ 3 by pigeonhole and verified in-join
+    * on the riding 8-byte hashes.
+    *
+    * Output: (image_id, video_id, min_hamming, n_frames_hit) —
+    * `n_frames_hit` counts the video's DISTINCT frame hashes within
+    * distance (a still matching a stable scene hits many frames).
+    * `maxBucketSize` (0 = off) drops (blk, key) buckets holding more
+    * than that many FRAME rows — the hot-frame cap for logo/intro
+    * frames shared across a corpus's videos.
+    *
+    * Scale shape: one decode projection per side (image hashes
+    * checkpointed skinny — the block keys would clone the decode UDF;
+    * the frame side explodes a generator output, which is
+    * collapse-safe), ONE shuffle on (blk, key), pair aggregation
+    * bounded by real collisions. Nothing quadratic in either corpus. */
+  def imageVideoPairs(images: DataFrame, videos: DataFrame,
+                      idCol: String = "media_id", bytesCol: String = "bytes",
+                      maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    val imgHashes = ImageHash.dhashFrame(images, idCol, bytesCol)
+      .filter(col("dhash").isNotNull).localCheckpoint(true)
+    val imgBlocks = Dedup.hashBlockRows(imgHashes, "media_id", "dhash")
+      .select(col("id").as("image_id"), col("sim").as("img_sim"),
+        col("blk"), col("key"))
+    val frameBlocks = Dedup.hashBlockRows(
+        VideoHash.frameHashFrame(videos, idCol, bytesCol), "media_id", "fhash")
+      .select(col("id").as("video_id"), col("sim").as("frame_sim"),
+        col("blk"), col("key"))
+    val capped =
+      if (maxBucketSize <= 0) frameBlocks
+      else {
+        val cool = frameBlocks.groupBy(col("blk"), col("key"))
+          .agg(count(lit(1)).as("__f"))
+          .filter(col("__f") <= maxBucketSize).select(col("blk"), col("key"))
+        frameBlocks.join(cool, Seq("blk", "key"), "left_semi")
+      }
+    val ham = bit_count(col("img_sim").bitwiseXOR(col("frame_sim")))
+    imgBlocks.join(capped, Seq("blk", "key"))
+      .filter(ham <= maxDistance)
+      // several shared blocks → one (image, frame) row; hamming is
+      // pair-determined, min() just deduplicates it
+      .groupBy(col("image_id"), col("video_id"), col("frame_sim"))
+      .agg(min(ham).as("h"))
+      .groupBy(col("image_id"), col("video_id"))
+      .agg(min(col("h")).cast("int").as("min_hamming"),
+        count(lit(1)).as("n_frames_hit"))
+      .select(col("image_id"), col("video_id"), col("min_hamming"),
+        col("n_frames_hit"))
   }
 }

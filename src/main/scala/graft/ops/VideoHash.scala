@@ -148,24 +148,8 @@ object VideoHash {
     * and a hash that common identifies nothing. Output:
     * (id_a, id_b, n_shared, jaccard), id_a < id_b. */
   def nearDupVideos(frameHashes: DataFrame, threshold: Double = 0.8,
-                    maxHashFreq: Int = 1000): DataFrame = {
-    val sizes = frameHashes.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
-    val byHash = frameHashes.groupBy(col("fhash"))
-      .agg(sort_array(collect_list(col("media_id"))).as("ids"))
-    val capped =
-      if (maxHashFreq > 0) byHash.filter(size(col("ids")) <= maxHashFreq)
-      else byHash
-    capped
-      .select(explode(Dedup.pairsFromSortedIds(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("media_id").as("id_a"), col("n").as("na")), Seq("id_a"))
-      .join(sizes.select(col("media_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
-      .withColumn("jaccard", round(col("n_shared").cast("double") /
-        (col("na") + col("nb") - col("n_shared")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
-  }
+                    maxHashFreq: Int = 1000): DataFrame =
+    Dedup.setJaccardPairs(frameHashes, "media_id", "fhash", threshold, maxHashFreq)
 
   /** One-call form over a media frame. */
   def nearDuplicates(media: DataFrame, idCol: String = "media_id",

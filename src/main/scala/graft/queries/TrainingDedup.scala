@@ -366,6 +366,54 @@ private[queries] object TrainingDedup {
         .orderBy(col("new_id"))
     }),
 
+    // CROSS-MODALITY near-dup: still images screened against VIDEO
+    // FRAMES — both sides hash into the same 64-bit dHash space, so
+    // the pairing is the shared Hamming-block machinery. Videos carry
+    // frames at pattern ids (doc+1e7)*131 + f (the offset keeps plain
+    // image patterns out of the frame-pattern space except where
+    // planted); every 17th doc plants a one-pixel-edited still of its
+    // video's frame doc%16. Accidental few-bit pattern coincidences
+    // exist (139 at sf0.1 — measured) and are DETERMINISTIC: the
+    // oracle replays the identical arithmetic, so they are pinned
+    // rows, not noise.
+    "q137_image_video_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val videos = docs.select(col("doc_id").as("media_id"),
+        graft.ops.VideoHash.fixtureMp4Udf(col("doc_id") + lit(10000000L),
+          lit(false)).as("bytes"))
+      val images = docs.select(col("doc_id").as("media_id"),
+          graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("media_id"),
+            graft.ops.ImageHash.fixturePngUdf(
+              (col("doc_id") + lit(10000000L)) * lit(131L) + col("doc_id") % 16,
+              lit(true)).as("bytes")))
+      graft.ops.MediaDedup.imageVideoPairs(images, videos)
+        .orderBy(col("image_id"), col("video_id"))
+    }),
+
+    // TIME-SHIFT-ROBUST audio near-dup: the whole-file envelope hash
+    // (q132/q133) misses trimmed copies — every frame boundary
+    // shifts. The windowed fingerprint hashes hop-1 windows of 65
+    // fixed 10 ms frames, so a copy trimmed by whole frames keeps all
+    // interior window hashes; identity = window-hash SET, near-dup =
+    // exact set Jaccard (the video frame-set kernel). Every 17th
+    // recording gets a copy with its first doc%8+1 frames cut →
+    // Jaccard (64−k)/64 ∈ [0.875, 0.984]. Measured at 5 k recordings:
+    // zero accidental pairs, zero within-file duplicate windows.
+    "q138_audio_windowed_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val base = docs.select(col("doc_id").as("media_id"),
+        graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id"), lit(0)).as("bytes"))
+      val trimmed = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("media_id"),
+          graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id"),
+            (col("doc_id") % 8 + 1).cast("int")).as("bytes"))
+      graft.ops.AudioHash.nearDuplicatesWindowed(base.unionByName(trimmed),
+          threshold = 0.85)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Cross-source exact-duplication matrix: which source pairs share
     // verbatim texts, and how much document mass sits on each side —
     // the provenance/priority table before a cross-source dedup run.
@@ -1071,6 +1119,116 @@ private[queries] object TrainingDedup {
          |  dup_of, min_hamming, coalesce(n_dup_matches, 0) > 0 AS is_dup
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
          |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
+
+    // q137: images and video frames hashed from the shared arithmetic
+    // (image side as q131, frame side as q134 with the +1e7 pattern
+    // offset), candidates by shared 16-bit block, per-bit Hamming
+    // verification, frame DISTINCT via min-pid representatives (the
+    // q134 fhd trick) so hashes repeated within a video count once.
+    "q137_image_video_neardup" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id AS image_id, doc_id AS pid, FALSE AS pert FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, (doc_id + 10000000)*131 + doc_id % 16, TRUE
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |ipx AS (
+         |  SELECT i.image_id, x.x, y.y,
+         |    CASE WHEN i.pert AND x.x = i.pid % 9 AND y.y = i.pid % 8
+         |      THEN ((${fixtureGraySql("i.pid")}) + 128) % 256
+         |      ELSE ${fixtureGraySql("i.pid")} END AS g
+         |  FROM imgs i, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |ibits AS (
+         |  SELECT l.image_id, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM ipx l JOIN ipx r ON r.image_id = l.image_id AND r.y = l.y
+         |    AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |iblocks AS (
+         |  SELECT image_id, k // 16 AS blk, sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM ibits GROUP BY 1, 2),
+         |frames AS (
+         |  SELECT d.doc_id AS video_id, (d.doc_id + 10000000)*131 + fr.f AS pid
+         |  FROM documents d, generate_series(0,15) fr(f)),
+         |fpx AS (
+         |  SELECT fm.video_id, fm.pid, x.x, y.y, ${fixtureGraySql("fm.pid")} AS g
+         |  FROM frames fm, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |fbits AS (
+         |  SELECT l.video_id, l.pid, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM fpx l JOIN fpx r ON r.video_id = l.video_id AND r.pid = l.pid
+         |    AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |fblocks AS (
+         |  SELECT video_id, pid, k // 16 AS blk, sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM fbits GROUP BY 1, 2, 3),
+         |fhstr AS (
+         |  SELECT video_id, pid, string_agg(v::VARCHAR, '|' ORDER BY blk) AS h
+         |  FROM fblocks GROUP BY video_id, pid),
+         |frep AS (SELECT video_id, h, min(pid) AS pid FROM fhstr GROUP BY 1, 2),
+         |fblocksr AS (
+         |  SELECT fb.* FROM fblocks fb
+         |  JOIN frep f ON f.video_id = fb.video_id AND f.pid = fb.pid),
+         |cand AS (
+         |  SELECT DISTINCT i.image_id, fb.video_id, fb.pid
+         |  FROM iblocks i JOIN fblocksr fb ON fb.blk = i.blk AND fb.v = i.v),
+         |ham AS (
+         |  SELECT c.image_id, c.video_id, c.pid,
+         |    sum(CASE WHEN bi.bit <> bf.bit THEN 1 ELSE 0 END)::BIGINT AS h
+         |  FROM cand c
+         |  JOIN ibits bi ON bi.image_id = c.image_id
+         |  JOIN fbits bf ON bf.video_id = c.video_id AND bf.pid = c.pid
+         |    AND bf.k = bi.k
+         |  GROUP BY 1, 2, 3)
+         |SELECT image_id, video_id, min(h)::INT AS min_hamming,
+         |  count(*)::BIGINT AS n_frames_hit
+         |FROM ham WHERE h <= 3 GROUP BY 1, 2
+         |ORDER BY image_id, video_id""".stripMargin,
+
+    // q138: the windowed-fingerprint replay — envelope frames from the
+    // SAME arithmetic as q132 evaluated at the ORIGINAL frame index
+    // (f.f; trimmed copies keep amp(f) but re-index locally as
+    // j = f - trim), hop-1 window hashes as 4-block strings (the q134
+    // convention), DISTINCT window sets, exact set Jaccard.
+    "q138_audio_windowed_neardup" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id AS pid, 0 AS trim FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, doc_id, (doc_id % 8 + 1)::INT
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |env AS (
+         |  SELECT m.media_id, f.f - m.trim AS j,
+         |    (${fixtureAmpBaseSql("m.pid")}) * 31 AS amp
+         |  FROM media m, generate_series(0,127) f(f)
+         |  WHERE f.f >= m.trim),
+         |cmp AS (
+         |  SELECT l.media_id, l.j, CASE WHEN r.amp > l.amp THEN 1 ELSE 0 END AS bit
+         |  FROM env l JOIN env r ON r.media_id = l.media_id AND r.j = l.j + 1),
+         |wbits AS (
+         |  SELECT c.media_id, c.j - o.o AS p, o.o AS k, c.bit
+         |  FROM (SELECT c0.*, x.mj FROM cmp c0
+         |        JOIN (SELECT media_id, max(j) AS mj FROM cmp GROUP BY 1) x
+         |          USING (media_id)) c,
+         |       generate_series(0,63) o(o)
+         |  WHERE c.j - o.o >= 0 AND c.j - o.o <= c.mj - 63),
+         |wblocks AS (
+         |  SELECT media_id, p, k // 16 AS blk,
+         |    sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM wbits GROUP BY 1, 2, 3),
+         |wh AS (
+         |  SELECT media_id, p, string_agg(v::VARCHAR, '|' ORDER BY blk) AS h
+         |  FROM wblocks GROUP BY 1, 2),
+         |whd AS (SELECT DISTINCT media_id, h FROM wh),
+         |sizes AS (SELECT media_id, count(*) AS n FROM whd GROUP BY 1),
+         |inter AS (
+         |  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*)::BIGINT AS n_shared
+         |  FROM whd a JOIN whd b ON a.h = b.h AND a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.media_id = id_a
+         |JOIN sizes sb ON sb.media_id = id_b
+         |WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.85
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // q132/q133: the audio twins of q130/q131 — envelope amplitudes
     // are integer arithmetic in (doc_id, frame)

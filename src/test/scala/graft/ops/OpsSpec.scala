@@ -1810,6 +1810,38 @@ class MultimodalSpec extends SparkTestBase {
       s"unexpected cross-recording pair among ${pairs.take(5).mkString(", ")}")
   }
 
+  test("windowed audio fingerprint: trimmed copies found by window-set Jaccard; whole-file hash misses them") {
+    val ids = (1L to 150L).map(_ * 41L)
+    val trims = ids.filter(_ % 4 == 0)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(id => org.apache.spark.sql.Row(id, AudioHash.fixtureWavTrimmed(id, 0))) ++
+          trims.map(id => org.apache.spark.sql.Row(
+            id + 1000000000L, AudioHash.fixtureWavTrimmed(id, (id % 8 + 1).toInt))), 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    val pairs = AudioHash.nearDuplicatesWindowed(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    trims.foreach { id =>
+      val k = id % 8 + 1
+      val hit = pairs.get((id, id + 1000000000L))
+      assert(hit.contains((64L - k,
+        BigDecimal((64.0 - k) / 64).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)),
+        s"trimmed copy of $id (k=$k) not found at (64-k)/64: $hit")
+    }
+    assert(pairs.size === trims.size,
+      s"only planted trimmed pairs survive 0.85, got ${pairs.size}")
+    // the gap this operator closes: the whole-file envelope hash
+    // spans the recording, so the same trimmed copies are MISSED
+    val whole = AudioHash.nearDuplicates(media).collect()
+    assert(whole.isEmpty,
+      s"whole-file hash unexpectedly caught trimmed copies: ${whole.take(3).mkString(", ")}")
+  }
+
   test("video frame hashes: real mdat box walk reproduces the arithmetic fixture bit-for-bit") {
     Seq(0L, 17L, 97L, 4242L).foreach { id =>
       def expectedFrame(pid: Long): Long = {
@@ -1948,6 +1980,76 @@ class MultimodalSpec extends SparkTestBase {
       ("audio", 110L, 1002L, "hamming"),
       ("video", 210L, 1003L, "jaccard")),
       s"exactly the three planted cross-modal dups, got ${pairs.mkString(", ")}")
+  }
+
+  test("MediaDedup facade scans the media frame ONCE for all three modalities") {
+    // an RDD-backed source counts every row materialization: the
+    // per-modality facade cost three full scans of the media bytes
+    // (one filtered scan per kind); the single-projection facade must
+    // evaluate each row exactly once
+    val acc = spark.sparkContext.longAccumulator("mediaRowEvals")
+    val rdd = spark.sparkContext.parallelize(1L to 60L, 6).map { id =>
+      acc.add(1)
+      val (kind, bytes) = (id % 3) match {
+        case 0L => ("image", ImageHash.fixturePng(id))
+        case 1L => ("audio", AudioHash.fixtureWav(id))
+        case _  => ("video", VideoHash.fixtureMp4(id))
+      }
+      org.apache.spark.sql.Row(id, kind, bytes)
+    }
+    val media = spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    MediaDedup.nearDuplicates(media).collect()
+    assert(acc.value === 60L,
+      s"media frame must be scanned once (60 rows), got ${acc.value} row evaluations")
+  }
+
+  test("imageVideoPairs: stills planted as (edited) video frames found across modalities") {
+    // videos 1000..1049 carry frames at pattern ids vid*131 + f;
+    // planted stills are exact or one-pixel-perturbed copies of a
+    // chosen frame; background stills (pattern ids 1..80, disjoint
+    // from every frame pattern) must match nothing
+    val vids = (1000L until 1050L)
+    val videos = spark.createDataFrame(
+      spark.sparkContext.parallelize(vids.map(v =>
+        org.apache.spark.sql.Row(v, VideoHash.fixtureMp4(v))), 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    val exact = vids.filter(_ % 5 == 0).map(v =>       // still IS frame 3
+      (v * 10L + 1L, ImageHash.fixturePng(v * 131L + 3L)))
+    val edited = vids.filter(_ % 5 == 1).map(v =>      // lightly edited frame 7
+      (v * 10L + 2L, ImageHash.fixturePng(v * 131L + 7L, perturb = true)))
+    val background = (1L to 80L).map(i => (i, ImageHash.fixturePng(i)))
+    val images = spark.createDataFrame(
+      spark.sparkContext.parallelize((exact ++ edited ++ background).map {
+        case (id, png) => org.apache.spark.sql.Row(id, png) }, 4),
+      videos.schema)
+    val pairs = MediaDedup.imageVideoPairs(images, videos).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    vids.filter(_ % 5 == 0).foreach { v =>
+      val hit = pairs.get((v * 10L + 1L, v))
+      assert(hit.exists(_._1 == 0), s"exact still of video $v frame 3 not found: $hit")
+    }
+    vids.filter(_ % 5 == 1).foreach { v =>
+      val hit = pairs.get((v * 10L + 2L, v))
+      // a perturbed pixel flips at most 2 comparisons — and may flip 0
+      // when it lands in the last column with an unchanged ordering
+      assert(hit.exists(_._1 <= 2),
+        s"edited still of video $v frame 7 not found within 2 bits: $hit")
+    }
+    assert(pairs.keySet.map(_._1).forall(_ > 1000L),
+      s"background stills must match no video: ${pairs.keySet.filter(_._1 <= 1000L)}")
+    assert(pairs.size === vids.count(_ % 5 == 0) + vids.count(_ % 5 == 1),
+      s"exactly the planted pairs: ${pairs.size}")
   }
 
   test("image near-dup: planted perturbed copies found within Hamming 3, distinct images not") {
