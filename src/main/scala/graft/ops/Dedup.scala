@@ -781,6 +781,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
 
+  /** Incremental FRAME-SET screening of a new batch's videos against a
+    * PUBLISHED frame-hash index — the q135/q117 ingestion-gate story
+    * for frame-set identities ([[graft.sources.FrameSetIndexStore]];
+    * index rows (id, fhash, n) — one row per distinct frame hash with
+    * the video's set size denormalized on, the
+    * [[graft.streaming.Streaming.FrameSetStore]] layout, so batch gate
+    * and streaming sink share one table). History is never re-decoded:
+    * the screen is one explode over the batch plus one co-located
+    * probe join pruned to the batch's hashes.
+    *
+    * `newFrames` = (idCol, hashCol) rows for the batch (deduplicated
+    * here — set semantics). Output: one row per distinct batch video —
+    * (new_id, n_dup_matches = prior videos with set Jaccard ≥
+    * `threshold`, dup_of = smallest such id or null, best_jaccard,
+    * is_dup). Replay defense: prior rows whose id is in the batch are
+    * excluded, so re-screening an already-admitted batch re-emits
+    * original verdicts. Contract-violation defense as in the streaming
+    * sink: duplicate (old_id, fhash) rows collapse on max(n) and the
+    * intersection clamps to min(|new|, |old|). `maxHashFreq` caps
+    * hot frames over the TOUCHED rows (batch ∪ matched prior). */
+  def frameSetDedupAgainstIndex(newFrames: DataFrame, indexRows: DataFrame,
+                                idCol: String = "media_id",
+                                hashCol: String = "fhash",
+                                threshold: Double = 0.8,
+                                maxHashFreq: Int = 1000): DataFrame = {
+    val newRows = newFrames.select(col(idCol).cast("long").as("id"),
+        col(hashCol).cast("long").as("fhash"))
+      .filter(col("fhash").isNotNull).distinct()
+    val sized = newRows.withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))))
+    val batchIds = sized.select(col("id").as("old_id")).distinct()
+    // batch-pruned probe: replay-excluded, then semi-joined to the
+    // batch's hashes (co-located on the bucketed store — linear in the
+    // overlap, never an index scan); checkpointed because it feeds the
+    // hot-frame count AND the pairing join
+    val relevant = indexRows
+      .select(col("id").as("old_id"), col("fhash"), col("n").as("old_n"))
+      .join(batchIds, Seq("old_id"), "left_anti")
+      .join(sized.select(col("fhash")).distinct(), Seq("fhash"), "left_semi")
+      .groupBy(col("old_id"), col("fhash"))
+      .agg(max(col("old_n")).as("old_n"))
+      .localCheckpoint(true)
+    val cappedNew =
+      if (maxHashFreq <= 0) sized
+      else {
+        val cool = relevant.select(col("fhash"))
+          .unionByName(sized.select(col("fhash")))
+          .groupBy(col("fhash")).agg(count(lit(1)).as("__f"))
+          .filter(col("__f") <= maxHashFreq).select(col("fhash"))
+        sized.join(cool, Seq("fhash"), "left_semi")
+      }
+    val hits = cappedNew.join(relevant, Seq("fhash"))
+      .groupBy(col("id"), col("old_id"))
+      .agg(count(lit(1)).as("n_shared"), first(col("n")).as("n"),
+        max(col("old_n")).as("on"))
+      .withColumn("n_shared", least(col("n_shared"), col("n"), col("on")))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("n") + col("on") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_matches"), min(col("old_id")).as("dup_of"),
+        max(col("jaccard")).as("best_jaccard"))
+    sized.select(col("id")).distinct()
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as("new_id"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        col("dup_of"), col("best_jaccard"),
+        (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
+  }
+
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                           maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val buckets = hashBlockRows(hashes, idCol, hashCol)

@@ -414,6 +414,35 @@ private[queries] object TrainingDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Incremental FRAME-SET dedup — the q135 ingestion gate for VIDEO:
+    // history is represented only by its published (id, fhash, n)
+    // rows (sources/FrameSetIndexStore — the streaming FrameSetStore
+    // layout, so batch gate and streaming sink share one table); a
+    // new batch screens with one decode pass + one batch-pruned
+    // co-located probe join. Batch docs at doc_id % 10 == 0 carry a
+    // one-scene-replaced copy of indexed video id+1 (J = 15/17); the
+    // rest are novel (accidental overlaps ≤ 1 shared frame, J ≤ 1/31,
+    // filtered). Absence is not silence.
+    "q139_video_index_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val idx = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("media_id"),
+          graft.ops.VideoHash.fixtureMp4Udf(col("doc_id"), lit(false)).as("bytes"))
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("media_id"),
+          graft.ops.VideoHash.fixtureMp4Udf(
+            when(col("doc_id") % 10 === 0, col("doc_id") + 1)
+              .otherwise(col("doc_id")),
+            col("doc_id") % 10 === 0).as("bytes"))
+      val indexRows = graft.ops.VideoHash.frameHashFrame(idx)
+        .withColumn("n", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))))
+        .select(col("media_id").as("id"), col("fhash"), col("n"))
+      Dedup.frameSetDedupAgainstIndex(
+          graft.ops.VideoHash.frameHashFrame(batch), indexRows)
+        .orderBy(col("new_id"))
+    }),
+
     // Cross-source exact-duplication matrix: which source pairs share
     // verbatim texts, and how much document mass sits on each side —
     // the provenance/priority table before a cross-source dedup run.
@@ -1229,6 +1258,64 @@ private[queries] object TrainingDedup {
          |JOIN sizes sb ON sb.media_id = id_b
          |WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.85
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q139: the video gate — frame hashes per side exactly as q134
+    // (4-block strings, DISTINCT per video), new-vs-old shared-hash
+    // intersections, rounded Jaccard filtered at the SAME rounded
+    // value the Spark side filters, verdict row per batch video.
+    "q139_video_index_dedup" ->
+      s"""WITH idx AS (
+         |  SELECT doc_id AS id, doc_id AS vid, FALSE AS pert
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |new AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 10 = 0 THEN doc_id + 1 ELSE doc_id END AS vid,
+         |    doc_id % 10 = 0 AS pert
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |sides AS (
+         |  SELECT 'old' AS side, id, vid, pert FROM idx
+         |  UNION ALL SELECT 'new', id, vid, pert FROM new),
+         |frames AS (
+         |  SELECT m.side, m.id,
+         |    CASE WHEN m.pert AND fr.f = m.vid % 16 THEN m.vid*131 + 777777
+         |         ELSE m.vid*131 + fr.f END AS pid
+         |  FROM sides m, generate_series(0,15) fr(f)),
+         |px AS (
+         |  SELECT fm.side, fm.id, fm.pid, x.x, y.y, ${fixtureGraySql("fm.pid")} AS g
+         |  FROM frames fm, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |bits AS (
+         |  SELECT l.side, l.id, l.pid, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.side = l.side AND r.id = l.id
+         |    AND r.pid = l.pid AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |blocks AS (
+         |  SELECT side, id, pid, k // 16 AS blk, sum(bit * (1 << (k % 16))) AS v
+         |  FROM bits GROUP BY 1, 2, 3, 4),
+         |fh AS (
+         |  SELECT side, id, pid, string_agg(v::VARCHAR, '|' ORDER BY blk) AS h
+         |  FROM blocks GROUP BY 1, 2, 3),
+         |fhd AS (SELECT DISTINCT side, id, h FROM fh),
+         |sizes AS (SELECT side, id, count(*) AS n FROM fhd GROUP BY 1, 2),
+         |inter AS (
+         |  SELECT n.id AS new_id, o.id AS old_id, count(*)::BIGINT AS ns
+         |  FROM fhd n JOIN fhd o ON o.side = 'old' AND n.side = 'new' AND n.h = o.h
+         |  WHERE n.id <> o.id
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT new_id, old_id, round(ns::DOUBLE / (sn.n + so.n - ns), 6) AS j
+         |  FROM inter
+         |  JOIN sizes sn ON sn.side = 'new' AND sn.id = new_id
+         |  JOIN sizes so ON so.side = 'old' AND so.id = old_id),
+         |hits AS (
+         |  SELECT new_id, count(*)::BIGINT AS n_dup_matches,
+         |    min(old_id)::BIGINT AS dup_of, max(j) AS best_jaccard
+         |  FROM jac WHERE j >= 0.8 GROUP BY 1)
+         |SELECT d.doc_id AS new_id,
+         |  coalesce(n_dup_matches, 0)::BIGINT AS n_dup_matches,
+         |  dup_of, best_jaccard, coalesce(n_dup_matches, 0) > 0 AS is_dup
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
 
     // q132/q133: the audio twins of q130/q131 — envelope amplitudes
     // are integer arithmetic in (doc_id, frame)

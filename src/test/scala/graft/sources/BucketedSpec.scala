@@ -356,6 +356,58 @@ class BucketedSpec extends SparkTestBase {
     assert(store.load().filter(col("id") === 62L).count() === 0, "aged doc gone")
   }
 
+  test("FrameSetIndexStore: batch frame-set gate — screen/ingest/replay over the STREAMING FrameSetStore table") {
+    import graft.ops.Dedup
+    val table = "bspec_frame_sets"
+    // history written by the streaming sink's store (same table
+    // layout: id, fhash, n bucketed by fhash) — the parity the split
+    // batch/streaming stack promises
+    val sinkStore = new graft.streaming.Streaming.FrameSetStore(spark, table, buckets = 4)
+    def rows(id: Long, fs: Seq[Long]) = fs.map(f => (id, f, fs.size.toLong))
+    sinkStore.save((rows(62L, 1L to 16L) ++ rows(93L, 101L to 116L))
+      .toDF("id", "fhash", "n"))
+    val gate = new FrameSetIndexStore(spark, table, buckets = 4)
+    // batch: 1000 shares 15 of video 62's 16 frames plus one new
+    // (J = 15/17 = 0.882); 2000 is disjoint
+    val batch = ((1L to 15L) :+ 999L).map(f => (1000L, f)) ++
+      (201L to 216L).map(f => (2000L, f))
+    val v = gate.screen(batch.toDF("media_id", "fhash"), "media_id", "fhash")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getBoolean(4)))).toMap
+    assert(v(1000L) === ((Some(62L), Some(0.882353), true)), s"got $v")
+    assert(v(2000L) === ((None, None, false)))
+    // operator parity straight over the loaded table rows
+    val op = Dedup.frameSetDedupAgainstIndex(
+        batch.toDF("media_id", "fhash"), gate.load())
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getBoolean(4)))).toMap
+    assert(op === v)
+    // ingest admits the batch; a REPLAY against an index now holding
+    // its own rows re-emits the ORIGINAL verdicts (no self-match)
+    gate.ingest(batch.toDF("media_id", "fhash"), "media_id", "fhash")
+    val replay = gate.screen(batch.toDF("media_id", "fhash"), "media_id", "fhash")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getBoolean(4)))).toMap
+    assert(replay === v, "replay must re-emit original verdicts")
+  }
+
+  test("FrameSetIndexStore: stamped publishes age out whole videos atomically") {
+    val gate = new FrameSetIndexStore(spark, "bspec_frame_sets_ts", buckets = 4)
+    def frames(id: Long, base: Long, ts: Long) =
+      (1L to 16L).map(f => (id, base + f, ts))
+    gate.publish(frames(77L, 0L, 1000L).toDF("media_id", "fhash", "ts"),
+      "media_id", "fhash", tsCol = Some("ts"))
+    gate.publish(frames(88L, 500L, 5000L).toDF("media_id", "fhash", "ts"),
+      "media_id", "fhash", tsCol = Some("ts"))
+    assert(gate.expireBefore(2000L) === 16L, "all 16 rows of video 77 age together")
+    def screenIds(base: Long) = gate.screen(
+        (1L to 16L).map(f => (9000L + base, base + f)).toDF("media_id", "fhash"),
+        "media_id", "fhash")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(screenIds(0L) === Map(9000L -> false), "aged video stops flagging copies")
+    assert(screenIds(500L) === Map(9500L -> true), "unexpired video still screens")
+  }
+
   test("appendAligned: legacy ts-less tables stay appendable unstamped; stamped publishes into them refuse loudly") {
     import graft.ops.Dedup
     // simulate a pre-retention-era published index: band rows WITHOUT
