@@ -192,6 +192,108 @@ object MediaProbe {
         .agg(sum(when(col("is_dup"), 1).otherwise(0))).collect()
       ()
     }
+
+    // ---- 5. video frame-set Jaccard at 100k videos x 16 frames ------
+    // Frame hashes come from the fixture arithmetic (decode parity is
+    // spec-pinned; stage 3 measures the decode path) — this measures
+    // the SET machinery: explode + distinct + shared-hash blocking +
+    // one-groupBy Jaccard over 1.6M+ frame-hash rows with 1-in-10
+    // planted one-scene-replaced copies (J = 15/17 = 0.882).
+    val videoN = dhashN
+    val frameHashUdf = udf { (vid: Long, perturb: Boolean) =>
+      (0 until 16).map { f =>
+        val pid = if (perturb && f == (vid % 16).toInt) vid * 131L + 777777L
+                  else vid * 131L + f
+        fixtureHash(pid)
+      }
+    }
+    def videoFrames(ids: org.apache.spark.sql.DataFrame, offset: Long,
+                    perturb: Boolean) =
+      ids.select((col("id") + offset).as("media_id"),
+          explode(frameHashUdf(col("id"), lit(perturb))).as("fhash"))
+        .distinct()
+    val vids = spark.range(0L, videoN, 1L, 64).toDF()
+    val vFrames = videoFrames(vids, 0L, perturb = false)
+      .unionByName(videoFrames(vids.filter(col("id") % 10 === 0), 1000000000L,
+        perturb = true))
+      .localCheckpoint(true)
+    tmMedian(s"video frame-set Jaccard, ${videoN / 1000}k videos x 16 frames + 1-in-10 planted") {
+      val pairs = graft.ops.VideoHash.nearDupVideos(vFrames, threshold = 0.8)
+        .localCheckpoint(true)
+      val total = pairs.count()
+      val plantedHits = pairs
+        .filter(col("id_b") - col("id_a") === 1000000000L).count()
+      require(plantedHits == videoN / 10,
+        s"recall: $plantedHits of ${videoN / 10} planted pairs found")
+      println(s"[probe]   pairs: $total total, $plantedHits planted, " +
+        s"${total - plantedHits} cross-video extras")
+    }
+
+    // ---- 6. video gate: screen 100k videos against a 1M-video index --
+    // The q139 claim at 10x the corpus: history is (id, fhash, n) rows
+    // (16M for 1M videos), the screen is one explode + one batch-pruned
+    // co-located probe join.
+    val vIndexN = 10L * videoN
+    val fsStore = new graft.sources.FrameSetIndexStore(spark,
+      table = "probe_frame_sets", buckets = 64)
+    ProbeTiming.tm(s"publish frame-set index over ${vIndexN / 1000}k videos (${vIndexN * 16 / 1000000}M rows)") {
+      fsStore.publish(
+        videoFrames(spark.range(0L, vIndexN, 1L, 64).toDF(), 0L, perturb = false),
+        "media_id", "fhash")
+    }
+    // batch: every 10th is a one-scene-replaced copy of an indexed
+    // video, the rest live far outside the indexed pattern space
+    val vBatch = videoFrames(
+        spark.range(0L, videoN, 1L, 64).filter(col("id") % 10 === 0).toDF(),
+        1000000000L, perturb = true)
+      .unionByName(videoFrames(
+        spark.range(3000000000L, 3000000000L + videoN - videoN / 10, 1L, 64)
+          .toDF(), 0L, perturb = false))
+      .localCheckpoint(true)
+    tmMedian(s"screen ${videoN / 1000}k videos against the ${vIndexN / 1000}k-video frame-set index") {
+      val v = fsStore.screen(vBatch, "media_id", "fhash")
+      val planted = v.filter(col("new_id") >= 1000000000L &&
+        col("new_id") < 2000000000L && col("is_dup")).count()
+      require(planted == videoN / 10,
+        s"gate recall: $planted of ${videoN / 10} planted copies flagged")
+    }
+
+    // ---- 7. windowed audio fingerprints at 100k recordings ----------
+    // 128 frames -> 64 hop-1 window hashes per recording (6.4M+ rows);
+    // 1-in-10 planted copies trimmed by id%8+1 whole frames
+    // (J = (64-k)/64 >= 0.875, threshold 0.85).
+    val audioN = dhashN
+    val winUdf = udf { (id: Long, trim: Int) =>
+      val env = (trim until 128).map(f =>
+        graft.ops.AudioHash.fixtureAmp(id, f, perturb = false))
+      (0 to env.length - 65).map { p =>
+        var h = 0L
+        var k = 0
+        while (k < 64) { if (env(p + k + 1) > env(p + k)) h |= 1L << k; k += 1 }
+        h
+      }
+    }
+    def windows(ids: org.apache.spark.sql.DataFrame, offset: Long, trimmed: Boolean) =
+      ids.select((col("id") + offset).as("media_id"),
+          explode(winUdf(col("id"),
+            if (trimmed) (col("id") % 8 + 1).cast("int") else lit(0))).as("whash"))
+        .distinct()
+    val aids = spark.range(0L, audioN, 1L, 64).toDF()
+    val wFrames = windows(aids, 0L, trimmed = false)
+      .unionByName(windows(aids.filter(col("id") % 10 === 0), 1000000000L,
+        trimmed = true))
+      .localCheckpoint(true)
+    tmMedian(s"windowed audio near-dup, ${audioN / 1000}k recordings x 64 windows + 1-in-10 trimmed") {
+      val pairs = graft.ops.AudioHash.windowedNearDupPairs(wFrames, threshold = 0.85)
+        .localCheckpoint(true)
+      val total = pairs.count()
+      val plantedHits = pairs
+        .filter(col("id_b") - col("id_a") === 1000000000L).count()
+      require(plantedHits == audioN / 10,
+        s"recall: $plantedHits of ${audioN / 10} planted trimmed copies found")
+      println(s"[probe]   pairs: $total total, $plantedHits planted, " +
+        s"${total - plantedHits} cross-recording extras")
+    }
     spark.stop()
   }
 }
