@@ -71,7 +71,10 @@ object Multimodal {
     * (PNG, JPEG, GIF, BMP; the reference opens images with Pillow,
     * resources/http/files.py:179-191). Undecodable bytes → None. */
   def imageDims(payload: Array[Byte]): Option[(Int, Int)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // memory-cached stream: ImageIO's default stream cache spools the
+    // (already in-memory) payload to a temp FILE per call — measured
+    // 5-10x slower under disk noise (ImageHash.dHash64's DecodeBench)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -656,6 +659,29 @@ object Multimodal {
     }
   }
 
+  /** Full pixel decode from an in-memory payload via a MEMORY-cached
+    * ImageIO stream — `ImageIO.read` wraps the input in the default
+    * FileCacheImageInputStream, spooling every (already in-memory)
+    * payload to a temp file: measured 5-10x slower and disk-noise-
+    * dependent ([[ImageHash.dHash64]]'s DecodeBench A/B). None on
+    * undecodable bytes. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null) return None
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try { reader.setInput(iis); Option(reader.read(0)) }
+          finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Feature extraction over the media frame: mapPartitions batch
     * decode. Partition count is capped so each decode batch fits decoder
     * memory (the `maxPartitionBytes` knob of the binary path). */
@@ -702,10 +728,7 @@ object Multimodal {
         def passthrough(w: Integer, h: Integer) = Row(id, kind, bytes, w, h, false)
         if (kind != "image" || bytes == null) passthrough(null, null)
         else {
-          val decoded =
-            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: Exception => None }
-          decoded match {
+          decodeImage(bytes) match {
             case None => passthrough(null, null) // undecodable: keep the bytes
             case Some(img) =>
               val (w, h) = (img.getWidth, img.getHeight)
