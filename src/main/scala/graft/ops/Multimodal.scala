@@ -675,8 +675,14 @@ object Multimodal {
         if (!readers.hasNext) None
         else {
           val reader = readers.next()
-          try { reader.setInput(iis); Option(reader.read(0)) }
-          finally reader.dispose()
+          try {
+            reader.setInput(iis)
+            // decompression-bomb defense from the header, before any
+            // raster is allocated (the ImageHash.dHash64 ceiling)
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w <= 0 || h <= 0 || w.toLong * h > ImageHash.MaxPixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case _: Exception => None }
