@@ -408,6 +408,50 @@ class BucketedSpec extends SparkTestBase {
     assert(screenIds(500L) === Map(9500L -> true), "unexpired video still screens")
   }
 
+  test("gates are modality-agnostic: windowed audio screens through FrameSetIndexStore") {
+    import graft.ops.AudioHash
+    val gate = new FrameSetIndexStore(spark, "bspec_audio_windows",
+      buckets = 4, threshold = 0.85)
+    def wh(id: Long, trim: Int): Seq[Long] =
+      AudioHash.windowHashes(AudioHash.fixtureWavTrimmed(id, trim)).get
+    gate.publish(
+      (wh(5L, 0).map(h => (5L, h)) ++ wh(6L, 0).map(h => (6L, h)))
+        .toDF("media_id", "fhash"), "media_id", "fhash")
+    // a copy of recording 5 trimmed by 3 frames shares 61 of its 64
+    // windows (J = 61/64 = 0.953); recording 900 is novel
+    val v = gate.screen(
+        (wh(5L, 3).map(h => (300L, h)) ++ wh(900L, 0).map(h => (901L, h)))
+          .toDF("media_id", "fhash"), "media_id", "fhash")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(v(300L) === ((Some(5L), true)), s"trimmed copy must flag: $v")
+    assert(v(901L) === ((None, false)))
+  }
+
+  test("gates are modality-agnostic: stills screen against a published video FRAME-hash index") {
+    import graft.ops.{ImageHash, VideoHash}
+    // the q137 pairing as an INCREMENTAL gate: publish per-frame video
+    // hashes into the ordinary HashIndexStore (multiple hashes per id
+    // is just more block rows), screen still images against it — one
+    // 64-bit hash space end to end
+    val xstore = new graft.sources.HashIndexStore(spark,
+      table = "bspec_xmodal_index", buckets = 4)
+    val frameRows = Seq(7L, 8L).flatMap(v =>
+      VideoHash.frameDHashes(VideoHash.fixtureMp4(v)).get.distinct.map(h => (v, h)))
+    xstore.publish(frameRows.toDF("media_id", "dhash"), "media_id", "dhash")
+    val still = ImageHash.dHash64(ImageHash.fixturePng(7L * 131 + 3)).get   // IS frame 3 of video 7
+    val edited = ImageHash.dHash64(
+      ImageHash.fixturePng(8L * 131 + 5, perturb = true)).get               // edited frame 5 of video 8
+    val novel = ImageHash.dHash64(ImageHash.fixturePng(999L)).get
+    val v = xstore.screen(
+        Seq((1L, still), (2L, edited), (3L, novel)).toDF("media_id", "dhash"),
+        "media_id", "dhash")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getBoolean(4)))).toMap
+    assert(v(1L) === ((Some(7L), Some(0), true)), s"exact still must flag at 0 bits: $v")
+    assert(v(2L)._1 === Some(8L) && v(2L)._3 === true, s"edited still must flag: $v")
+    assert(v(3L) === ((None, None, false)))
+  }
+
   test("appendAligned: legacy ts-less tables stay appendable unstamped; stamped publishes into them refuse loudly") {
     import graft.ops.Dedup
     // simulate a pre-retention-era published index: band rows WITHOUT
