@@ -179,7 +179,12 @@ object AudioHash {
     * vs p+k (the [[envelopeHash64]] construction, windowed). None when
     * the bytes do not decode or are shorter than one window. */
   def windowHashes(bytes: Array[Byte], frameSamples: Int = 160,
-                   windowFrames: Int = 65): Option[Seq[Long]] =
+                   windowFrames: Int = 65): Option[Seq[Long]] = {
+    // 64 bits hold at most 64 comparisons; a larger window would wrap
+    // the shift mod 64 and silently alias bits — refuse loudly
+    require(windowFrames >= 2 && windowFrames <= 65,
+      s"windowFrames must be in [2, 65], got $windowFrames")
+    require(frameSamples > 0, s"frameSamples must be positive, got $frameSamples")
     try {
       pcmSamples(bytes).map { samples =>
         val env = frameEnvelope(samples, frameSamples)
@@ -193,7 +198,8 @@ object AudioHash {
           hash
         }
       }.filter(_.nonEmpty)
-    } catch { case _: Exception => None }
+    } catch { case _: Exception => None } // corrupt containers → None (requires sit OUTSIDE the try)
+  }
 
   /** [[windowHashes]] as a column UDF (default framing). */
   val windowHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
