@@ -210,10 +210,12 @@ object AudioHash {
     * or shorter-than-one-window recordings drop out. */
   def windowHashFrame(media: DataFrame, idCol: String = "media_id",
                       bytesCol: String = "bytes"): DataFrame =
+    // no isNotNull filter: explode (non-outer) already drops null
+    // arrays, and a deterministic-UDF predicate would be pushed below
+    // the projection — running decode + windowing TWICE per row
+    // ([[VideoHash.frameHashFrame]]'s rationale)
     media.select(col(idCol).cast("long").as("media_id"),
-        windowHashesUdf(col(bytesCol)).as("wh"))
-      .filter(col("wh").isNotNull)
-      .select(col("media_id"), explode(col("wh")).as("whash"))
+        explode(windowHashesUdf(col(bytesCol))).as("whash"))
       .distinct()
 
   /** Near-duplicate recordings from a distinct (media_id, whash)

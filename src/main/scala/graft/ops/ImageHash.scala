@@ -108,25 +108,29 @@ object ImageHash {
     * BEFORE any pixel is allocated. */
   val MaxPixels: Long = 64L * 1024 * 1024
 
-  /** 64-bit dHash of an encoded image payload; None when the bytes do
-    * not decode (the undecodable-rows-pass-through convention of every
-    * multimodal op here) or when the header declares more than
-    * [[MaxPixels]] pixels (a decompression bomb has no perceptual
-    * identity worth its raster). Bit k = y·8+x is set iff the 9×8
-    * grayscale's pixel (x+1, y) is strictly brighter than (x, y). */
-  def dHash64(bytes: Array[Byte]): Option[Long] = {
+  /** THE bounded in-memory image decode — one definition for every
+    * pixel consumer (this hash, [[Multimodal.decodeImage]]'s resize
+    * path), so the security-sensitive decode dance cannot drift:
+    *
+    *  - MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+    *    the default is a FileCacheImageInputStream that spools every
+    *    in-memory payload to a temp file — measured 5-10x slower and
+    *    wildly disk-noise-dependent (DecodeBench A/B: 1.6 s vs 8-17 s
+    *    per 50k single-threaded decodes);
+    *  - `setInput(iis, seekForwardOnly = true, ignoreMetadata = true)` —
+    *    the exact semantics `ImageIO.read` uses, so corrupt-but-
+    *    ignorable metadata segments do not fail payloads that always
+    *    decoded, and the forward-only cache is flushable;
+    *  - dimensions come from the HEADER before any raster is
+    *    allocated: more than `maxPixels` pixels rejects (decompression
+    *    bombs declare gigapixels from a few KB; decoding one is an
+    *    uncatchable executor OOM);
+    *  - the whole dance sits inside the try — a corrupt payload yields
+    *    None, never an uncaught UDF exception failing the job. */
+  def decodeBounded(bytes: Array[Byte],
+                    maxPixels: Long): Option[java.awt.image.BufferedImage] = {
     if (bytes == null) return None
-    // the WHOLE computation sits inside the try: a decoded-but-corrupt
-    // image (w*h overflowing the Int plane size, a raster lying about
-    // its bands) must yield None, never an uncaught UDF exception
-    // failing the job on one bad payload
     try {
-      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
-      // the default is a FileCacheImageInputStream that spools every
-      // in-memory payload to a temp file — measured 5-10x slower and
-      // wildly disk-noise-dependent (DecodeBench A/B: 1.6 s vs 8-17 s
-      // per 50k single-threaded decodes); the payload is already a
-      // byte array, a disk cache buys nothing
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -135,30 +139,39 @@ object ImageHash {
         else {
           val reader = readers.next()
           try {
-            reader.setInput(iis)
-            // dimensions come from the HEADER — no pixel decoded yet
+            reader.setInput(iis, true, true)
             val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
-            else {
-              val img = reader.read(0)
-              val g = boxDownscale(grayPlane(img), img.getWidth, img.getHeight, 9, 8)
-              var hash = 0L
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << (y * 8 + x)
-                  x += 1
-                }
-                y += 1
-              }
-              Some(hash)
-            }
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+            else Option(reader.read(0))
           } finally reader.dispose()
         }
       } finally if (iis != null) iis.close()
     } catch { case _: Exception => None }
   }
+
+  /** 64-bit dHash of an encoded image payload; None when the bytes do
+    * not decode (the undecodable-rows-pass-through convention of every
+    * multimodal op here) or when the header declares more than
+    * [[MaxPixels]] pixels (a decompression bomb has no perceptual
+    * identity worth its raster). Bit k = y·8+x is set iff the 9×8
+    * grayscale's pixel (x+1, y) is strictly brighter than (x, y). */
+  def dHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      decodeBounded(bytes, MaxPixels).map { img =>
+        val g = boxDownscale(grayPlane(img), img.getWidth, img.getHeight, 9, 8)
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        hash
+      }
+    } catch { case _: Exception => None } // corrupt raster mid-hash → None
 
   val dhashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -659,34 +659,21 @@ object Multimodal {
     }
   }
 
-  /** Full pixel decode from an in-memory payload via a MEMORY-cached
-    * ImageIO stream — `ImageIO.read` wraps the input in the default
-    * FileCacheImageInputStream, spooling every (already in-memory)
-    * payload to a temp file: measured 5-10x slower and disk-noise-
-    * dependent ([[ImageHash.dHash64]]'s DecodeBench A/B). None on
-    * undecodable bytes. */
-  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
-    if (bytes == null) return None
-    try {
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            // decompression-bomb defense from the header, before any
-            // raster is allocated (the ImageHash.dHash64 ceiling)
-            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-            if (w <= 0 || h <= 0 || w.toLong * h > ImageHash.MaxPixels) None
-            else Option(reader.read(0))
-          } finally reader.dispose()
-        }
-      } finally iis.close()
-    } catch { case _: Exception => None }
-  }
+  /** Ceiling for the RESIZE decode, deliberately higher than
+    * [[ImageHash.MaxPixels]]: a 100+ Mpx panorama is a legitimate
+    * input the resize pass exists to shrink (rejecting it would pass
+    * the full payload through unresized), while a true bomb declares
+    * GIGApixels. 256 Mpx ≈ 1 GB of ARGB raster per in-flight frame —
+    * the row-at-a-time mapPartitions shape holds one per core. */
+  val ResizeMaxPixels: Long = 256L * 1024 * 1024
+
+  /** Full pixel decode from an in-memory payload —
+    * [[ImageHash.decodeBounded]] (memory-cached stream, ImageIO.read's
+    * setInput semantics, header-checked pixel ceiling, catch-all
+    * None): ONE definition of the decode dance repo-wide. */
+  def decodeImage(bytes: Array[Byte],
+                  maxPixels: Long = ImageHash.MaxPixels): Option[java.awt.image.BufferedImage] =
+    ImageHash.decodeBounded(bytes, maxPixels)
 
   /** Feature extraction over the media frame: mapPartitions batch
     * decode. Partition count is capped so each decode batch fits decoder
@@ -723,7 +710,8 @@ object Multimodal {
     StructField("resized", BooleanType, nullable = false)))
 
   def resizeImages(media: DataFrame, maxWidth: Int, maxHeight: Int,
-                   partitions: Int = 0): DataFrame = {
+                   partitions: Int = 0,
+                   maxPixels: Long = ResizeMaxPixels): DataFrame = {
     require(maxWidth > 0 && maxHeight > 0, "bounds must be positive")
     val spark = media.sparkSession
     val src = if (partitions > 0) media.repartition(partitions) else media
@@ -734,7 +722,7 @@ object Multimodal {
         def passthrough(w: Integer, h: Integer) = Row(id, kind, bytes, w, h, false)
         if (kind != "image" || bytes == null) passthrough(null, null)
         else {
-          decodeImage(bytes) match {
+          decodeImage(bytes, maxPixels) match {
             case None => passthrough(null, null) // undecodable: keep the bytes
             case Some(img) =>
               val (w, h) = (img.getWidth, img.getHeight)

@@ -103,26 +103,72 @@ object VideoHash {
     payload.length >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte
 
   /** Per-frame dHashes of a Motion-JPEG mdat payload: frames are
-    * back-to-back JPEGs (the real MJPEG-in-BMFF layout), split on the
-    * EOI marker (FF D9 — encoders escape 0xFF inside entropy data as
-    * FF 00, so EOI does not occur mid-frame; frames with embedded EXIF
-    * thumbnails are out of contract), each decoded through the SAME
+    * back-to-back JPEGs (the real MJPEG-in-BMFF layout), split by a
+    * MARKER-AWARE walk — length-prefixed segments (DQT/DHT/APPn/COM…)
+    * are SKIPPED by their declared length, because a raw byte scan for
+    * FF D9 splits mid-segment whenever a table or comment happens to
+    * contain those two bytes (only ENTROPY data escapes 0xFF as FF 00;
+    * segment payloads do not). Each frame decodes through the SAME
     * [[ImageHash.dHash64]] path still images take — one hash space, so
     * a real encoded frame and a still of it collide. Frames that fail
-    * to decode are skipped (partial-tail convention of the raw path). */
+    * to decode are skipped; a malformed frame ends the walk (the
+    * partial-tail convention of the raw path). */
   def jpegFrameDHashes(payload: Array[Byte]): Seq[Long] = {
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var start = 0
-    var i = 0
-    while (i + 1 < payload.length) {
-      if (payload(i) == 0xFF.toByte && payload(i + 1) == 0xD9.toByte) {
-        ImageHash.dHash64(java.util.Arrays.copyOfRange(payload, start, i + 2))
+    var ok = true
+    while (ok && start + 1 < payload.length) {
+      val end = jpegFrameEnd(payload, start)
+      if (end < 0) ok = false
+      else {
+        ImageHash.dHash64(java.util.Arrays.copyOfRange(payload, start, end))
           .foreach(out += _)
-        start = i + 2
-        i += 2
-      } else i += 1
+        start = end
+      }
     }
     out.toSeq
+  }
+
+  /** End (exclusive) of the JPEG frame starting at `start` (which must
+    * be SOI), or -1 on malformed input: a real JPEG segment walk —
+    * standalone markers advance 2, length-prefixed segments skip their
+    * declared length, SOS enters entropy scanning (FF 00 stuffing and
+    * FF D0-D7 restarts skipped; another real marker — progressive SOS,
+    * DNL — re-enters the segment walk) until EOI. */
+  private[ops] def jpegFrameEnd(b: Array[Byte], start: Int): Int = {
+    val n = b.length
+    var i = start
+    if (i + 1 >= n || b(i) != 0xFF.toByte || b(i + 1) != 0xD8.toByte) return -1
+    i += 2
+    var inEntropy = false
+    while (i < n) {
+      if (!inEntropy) {
+        if (b(i) != 0xFF.toByte) return -1
+        while (i + 1 < n && b(i + 1) == 0xFF.toByte) i += 1 // fill bytes
+        if (i + 1 >= n) return -1
+        val m = b(i + 1) & 0xFF
+        if (m == 0xD9) return i + 2 // EOI
+        else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2
+        else {
+          if (i + 3 >= n) return -1
+          val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+          if (len < 2 || i + 2 + len > n) return -1
+          inEntropy = m == 0xDA // SOS: entropy-coded data follows
+          i += 2 + len
+        }
+      } else {
+        if (b(i) != 0xFF.toByte) i += 1
+        else if (i + 1 >= n) return -1
+        else {
+          val m = b(i + 1) & 0xFF
+          if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) i += 2 // stuffed FF / restart
+          else if (m == 0xFF) i += 1 // fill
+          else if (m == 0xD9) return i + 2 // EOI
+          else inEntropy = false // real marker (progressive SOS, DNL) — segment walk
+        }
+      }
+    }
+    -1
   }
 
   /** [[frameDHashes]] as a column UDF. */
@@ -134,10 +180,12 @@ object VideoHash {
     * shingle does in q22's set Jaccard). Undecodable rows drop out. */
   def frameHashFrame(media: DataFrame, idCol: String = "media_id",
                      bytesCol: String = "bytes"): DataFrame =
+    // no isNotNull filter: explode (non-outer) already drops null
+    // arrays, and a deterministic-UDF predicate would be pushed below
+    // the projection — running the whole container decode TWICE per
+    // row (the q131 project-collapse lesson, filter edition)
     media.select(col(idCol).cast("long").as("media_id"),
-        frameDHashesUdf(col(bytesCol)).as("fh"))
-      .filter(col("fh").isNotNull)
-      .select(col("media_id"), explode(col("fh")).as("fhash"))
+        explode(frameDHashesUdf(col(bytesCol))).as("fhash"))
       .distinct()
 
   /** Near-duplicate videos from a distinct (media_id, fhash) frame:

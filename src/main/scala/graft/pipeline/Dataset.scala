@@ -97,6 +97,24 @@ class VersionStore(val root: String, spark: SparkSession,
     * versions it returns, release. `f` throwing aborts the transaction
     * (nothing written, lock released) — how [[DatasetRunner.grow]]'s
     * claim step rejects a second concurrent grower. */
+  /** Put a mistakenly-moved LIVE lock back on the lock path without
+    * ever clobbering: CREATE_NEW re-creation of the holder's bytes —
+    * if a third party acquired into the vacancy, leave their lock
+    * (the displaced holder's own release then no-ops on the foreign
+    * token). A rename here would silently REPLACE the new lock
+    * (POSIX rename(2) semantics), reopening the two-writers window. */
+  private def restoreLock(lock: java.nio.file.Path,
+                          grave: java.nio.file.Path): Unit = {
+    try {
+      Files.write(lock, Files.readAllBytes(grave),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      ()
+    } catch { case _: Exception => () }
+    Files.deleteIfExists(grave)
+    ()
+  }
+
   def transact[T](sig: String)(f: Seq[VersionMeta] => (Seq[VersionMeta], T)): T = {
     Files.createDirectories(sigDir(sig))
     val lock = lockPath(sig)
@@ -129,7 +147,15 @@ class VersionStore(val root: String, spark: SparkSession,
             val grave = lock.resolveSibling(s".manifest.lock.broken.$token")
             try {
               Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
-              Files.deleteIfExists(grave); ()
+              // re-verify staleness from the GRAVE (rename preserves
+              // mtime): between our stat and the move, the stale
+              // holder may have released and a FRESH holder acquired —
+              // deleting that would unlock a live critical section
+              val graveAge =
+                System.currentTimeMillis() - Files.getLastModifiedTime(grave).toMillis
+              if (graveAge > lockStaleMs) Files.deleteIfExists(grave)
+              else restoreLock(lock, grave) // we moved a live lock — put it back
+              ()
             } catch { case _: Exception => () } // someone else broke or released it
           } else if (System.nanoTime() > deadline) {
             throw new IllegalStateException(
@@ -145,24 +171,23 @@ class VersionStore(val root: String, spark: SparkSession,
     } finally {
       // release ONLY if the lock is still ours: if we stalled past
       // lockStaleMs and a breaker re-acquired, the file now carries
-      // their token. Read-compare-DELETE was racy (a breaker could
-      // swap in a fresh lock between the read and the delete, and the
-      // delete would unlock the new holder's critical section);
-      // instead RENAME the lock to a unique grave — atomic, so exactly
-      // one party ever moves it — then verify ownership from the moved
-      // file: ours → released; a stolen fresh lock → put it back.
+      // their token. The dance: (1) cheap READ — foreign token means
+      // nothing of ours remains, touch nothing; (2) if ours, ATOMIC
+      // RENAME to a unique grave (exactly one party ever moves a given
+      // lock file) and re-verify ownership from the moved bytes — a
+      // breaker + fresh holder can land between the read and the
+      // rename; (3) a stolen live lock is restored via CREATE_NEW
+      // (never a rename, which on POSIX silently REPLACES any lock a
+      // third party acquired into the vacancy). The residual window is
+      // two adjacent syscalls wide and requires us to have already
+      // overrun lockStaleMs — the stall the staleness clock exists for.
       try {
-        val grave = lock.resolveSibling(s".manifest.lock.release.$token")
-        Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
-        if (new String(Files.readAllBytes(grave), "UTF-8") == token)
-          Files.delete(grave)
-        else {
-          // we stalled past lockStaleMs AND a breaker's new holder
-          // acquired between our loop and this rename: restore their
-          // lock (atomic move fails only if yet another lock appeared
-          // — then drop the grave; that holder's own release no-ops)
-          try Files.move(grave, lock, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: Exception => Files.deleteIfExists(grave); () }
+        if (new String(Files.readAllBytes(lock), "UTF-8") == token) {
+          val grave = lock.resolveSibling(s".manifest.lock.release.$token")
+          Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
+          if (new String(Files.readAllBytes(grave), "UTF-8") == token)
+            Files.delete(grave)
+          else restoreLock(lock, grave)
         }
         ()
       } catch { case _: Exception => () } // already broken/renamed away — nothing ours to release

@@ -1931,6 +1931,48 @@ class MultimodalSpec extends SparkTestBase {
       === Some(expected), "raw-plane twin must hash identically to its MJPEG")
   }
 
+  test("MJPEG split is marker-aware: FF D9 inside a COM segment must not split the frame") {
+    // a naive byte scan for the EOI pair splits mid-segment whenever a
+    // table/comment contains those two bytes; the segment walk skips
+    // length-prefixed segments
+    def jpeg(pid: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 9)
+        img.getRaster.setSample(x, y, 0, ImageHash.fixtureGray(pid, x, y, false))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    def withComment(j: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      j.take(2) ++ Array(0xFF.toByte, 0xFE.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload ++ j.drop(2)
+    }
+    val poisoned = withComment(jpeg(44L),
+      Array(0xFF.toByte, 0xD9.toByte, 'x'.toByte)) // EOI bytes inside COM
+    val clean = jpeg(55L)
+    // the doctored frame still decodes as a still (ImageIO tolerates COM)
+    val expected = Seq(ImageHash.dHash64(poisoned).get, ImageHash.dHash64(clean).get)
+    assert(VideoHash.frameDHashes(Multimodal.mp4Bytes(poisoned ++ clean, 80L, 9, 8))
+      === Some(expected),
+      "a COM segment containing FF D9 must not truncate the frame stream")
+  }
+
+  test("resize ceiling is independent of the dHash bomb ceiling and rejection means passthrough") {
+    import spark.implicits._
+    val png = ImageHash.fixturePng(123L) // 9x8 = 72 px
+    val media = Seq((1L, "image", png)).toDF("media_id", "kind", "bytes")
+    // a ceiling below the image's pixel count: passthrough, not resized
+    val tiny = Multimodal.resizeImages(media, 4, 4, maxPixels = 50L).collect()(0)
+    assert(!tiny.getBoolean(5) && tiny.getAs[Array[Byte]]("bytes").sameElements(png),
+      "over-ceiling image must pass through with original bytes")
+    // the default resize ceiling admits it (and is wider than dHash's)
+    val ok = Multimodal.resizeImages(media, 4, 4).collect()(0)
+    assert(ok.getBoolean(5), "default ceiling must admit the image")
+    assert(Multimodal.ResizeMaxPixels > ImageHash.MaxPixels)
+  }
+
   test("video near-dup: one-scene-replaced copies found at Jaccard 15/17, distinct videos filtered") {
     val ids = (1L to 200L).map(_ * 23L)
     val media = spark.createDataFrame(
