@@ -1078,6 +1078,58 @@ object Dedup {
     parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
   }
 
+  /** INCREMENTAL connected-components maintenance: fold a new batch's
+    * pairs into a PUBLISHED (id, cluster) labeling without relabeling
+    * the corpus — the cluster-assignment counterpart of the ingestion
+    * gates (q117/q135/q139 tell you WHICH new docs duplicate history;
+    * this keeps the dedup clusters current as batches land). Exactly
+    * equivalent to a full recompute: `updateClusters(cc(E1), E2) ≡
+    * cc(E1 ∪ E2)` because a labeling with member-id clusters preserves
+    * E1's connectivity (every member is connected to its cluster id) —
+    * DedupSpec pins the equivalence including merges of several old
+    * clusters through one new edge.
+    *
+    * Cost is bounded by the TOUCHED components, never the corpus: two
+    * semi-joins against the label table (co-located when labels are
+    * stored bucketed by cluster) pull the members of clusters the new
+    * pairs touch; CC runs on new pairs + one (member → cluster) edge
+    * per touched member; untouched labels pass through unread. At
+    * 100 TB this is the difference between a daily relabel of billions
+    * of docs and a job sized by the day's batch.
+    *
+    * Contract: `labels` cluster ids must be MEMBER ids (the min-id
+    * labeling every CC here emits) — a synthetic cluster key would
+    * enter the subgraph as a phantom node and could win the min.
+    * Output: (id, cluster) for every previously-labeled id and every
+    * id in `newPairs`; new singletons (both endpoints novel) label
+    * by their pair component as usual. */
+  def updateClusters(labels: DataFrame, newPairs: DataFrame,
+                     idCol: String = "id", clusterCol: String = "cluster",
+                     idA: String = "id_a", idB: String = "id_b",
+                     maxIterations: Int = 20,
+                     driverEdgeLimit: Long = 1000000L,
+                     algorithm: String = "star"): DataFrame = {
+    val lbl = labels.select(col(idCol).cast("long").as("id"),
+      col(clusterCol).cast("long").as("cluster"))
+    val pairs = newPairs.select(col(idA).cast("long").as("id_a"),
+      col(idB).cast("long").as("id_b"))
+    val touchedIds = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val touchedClusters = lbl.join(touchedIds, Seq("id"), "left_semi")
+      .select(col("cluster")).distinct().localCheckpoint(true)
+    // members of touched clusters enter the subgraph as (member →
+    // cluster) edges — connectivity of the old component in one edge
+    // per member, no old pair list needed
+    val memberEdges = lbl.join(touchedClusters, Seq("cluster"), "left_semi")
+      .select(col("id").as("id_a"), col("cluster").as("id_b"))
+    val relabeled = connectedComponents(pairs.unionByName(memberEdges),
+      maxIterations = maxIterations, driverEdgeLimit = driverEdgeLimit,
+      algorithm = algorithm)
+    lbl.join(touchedClusters, Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+      .unionByName(relabeled.select(col("id"), col("cluster")))
+  }
+
   /** Connected components by large-star/small-star alternation (Kiveris
     * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
     * each round rewires every node's larger neighbors (large-star) and

@@ -443,6 +443,24 @@ private[queries] object TrainingDedup {
         .orderBy(col("new_id"))
     }),
 
+    // INCREMENTAL cluster maintenance — the q117/q135/q139 gates tell
+    // you WHICH new docs duplicate history; this keeps the cluster
+    // ASSIGNMENT current: fold the batch's pairs (any endpoint at
+    // doc_id % 5 == 0) into the published labeling of the old corpus'
+    // pairs without relabeling it. Cost bounds by touched components;
+    // the oracle is the FULL recompute over all pairs — the identity
+    // updateClusters(cc(E1), E2) ≡ cc(E1 ∪ E2) checked end-to-end on
+    // real simhash pairs (the q24 edge set).
+    "q140_incremental_clusters" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDuplicates(t(s, d, "documents"),
+          "doc_id", "text", maxDistance = 3)
+        .select(col("id_a"), col("id_b")).localCheckpoint(false)
+      val oldPairs = pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+      val newPairs = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      Dedup.updateClusters(Dedup.connectedComponents(oldPairs), newPairs)
+        .orderBy(col("id"))
+    }),
+
     // Cross-source exact-duplication matrix: which source pairs share
     // verbatim texts, and how much document mass sits on each side —
     // the provenance/priority table before a cross-source dedup run.
@@ -1316,6 +1334,36 @@ private[queries] object TrainingDedup {
          |  dup_of, best_jaccard, coalesce(n_dup_matches, 0) > 0 AS is_dup
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
          |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
+
+    // q140: the q24 simhash pair derivation feeding the q50 recursive
+    // reachability closure over ALL pairs — the full-recompute identity
+    // the incremental operator must reproduce.
+    "q140_incremental_clusters" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest($tokensSql) AS tk FROM documents),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS h FROM tok),
+         |votes AS (
+         |  SELECT d.doc_id, i, SUM(CASE WHEN (th.h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM documents d CROSS JOIN range(64) t(i)
+         |  LEFT JOIN th ON th.doc_id = d.doc_id
+         |  GROUP BY d.doc_id, i),
+         |packed AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN v > 0 AND i < 32 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS lo,
+         |    SUM(CASE WHEN v > 0 AND i >= 32 THEN (1::BIGINT << (i::INT - 32)) ELSE 0 END)::BIGINT AS hi
+         |  FROM votes GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.lo, b.lo))::INT + bit_count(xor(a.hi, b.hi))::INT <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m)
+         |SELECT n AS id, min(m)::BIGINT AS cluster FROM reach GROUP BY n
+         |ORDER BY id""".stripMargin,
 
     // q132/q133: the audio twins of q130/q131 — envelope amplitudes
     // are integer arithmetic in (doc_id, frame)

@@ -326,6 +326,45 @@ class DedupSpec extends SparkTestBase {
     assert(star === prop, "star must label the self-loop node like propagation does")
   }
 
+  test("updateClusters: incremental fold-in equals full recompute (merges, attachments, novel components)") {
+    // old graph: three 2-clusters; the batch merges two of them through
+    // a fresh doc, attaches to a NON-min member, and adds a fully novel
+    // pair — cluster 10/11 must pass through untouched-except-attach
+    val e1 = Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("id_a", "id_b")
+    val base = Dedup.connectedComponents(e1)
+    val e2 = Seq((2L, 100L), (100L, 6L), (11L, 200L), (300L, 301L)).toDF("id_a", "id_b")
+    val got = Dedup.updateClusters(base, e2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(e1.unionByName(e2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full, "incremental must equal the full recompute")
+    assert(got(100L) === 1L && got(6L) === 1L, "merge through the fresh doc")
+    assert(got(200L) === 10L, "attachment via the non-min member")
+    assert(got(301L) === 300L, "novel component labels by its own min")
+    // truly untouched clusters pass through without relabeling
+    val e2b = Seq((300L, 301L)).toDF("id_a", "id_b")
+    val untouched = Dedup.updateClusters(base, e2b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(untouched === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 300L -> 300L, 301L -> 300L))
+    // random equivalence, driver AND distributed relabel paths
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val (a, b) = edges.splitAt(edges.length / 2)
+      val base2 = Dedup.connectedComponents(a.toDF("id_a", "id_b"))
+      val fullG = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (limit <- Seq(1000000L, 0L)) {
+        val inc = Dedup.updateClusters(base2, b.toDF("id_a", "id_b"),
+            driverEdgeLimit = limit)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(inc === fullG, s"driverEdgeLimit=$limit edges=$edges")
+      }
+    }
+  }
+
   test("connectedComponents rejects an unknown algorithm") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException] {
