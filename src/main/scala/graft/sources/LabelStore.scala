@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The published CLUSTER-LABEL log — the persistence layer under
+  * incremental cluster maintenance ([[graft.ops.Dedup.updateClusters]],
+  * q140): an append-only (id, cluster) log whose reads resolve by
+  * MIN-PER-ID, stored twice — bucketed by id (the "what is this doc's
+  * cluster?" probe) and by cluster (the "who is in this cluster?"
+  * member pull) — so both of the fold's semi-joins consume an on-disk
+  * layout co-located with their key, the [[SplitBandIndexStore]]
+  * two-table doctrine.
+  *
+  * Why min-per-id is THE read resolution (not last-writer-wins, which
+  * would need a sequence column): under pure pair addition components
+  * only MERGE, and cluster ids are member minima — so a doc's label
+  * can only ever decrease, and the smallest label ever written for an
+  * id is its current one. The same monotonicity makes stale rows
+  * harmless to the member pull: a dead cluster id (one whose component
+  * merged into a smaller min) can never be a live cluster id again
+  * (its doc now shares a component with a smaller id forever), so a
+  * semi-join on LIVE cluster ids touches only current rows.
+  *
+  * Contract: labels enter exclusively through [[ingest]]/[[append]]
+  * with min-id cluster labels (what every CC here emits); hand-written
+  * cluster keys break both arguments above. Retention/unlinking docs
+  * is deliberately out of scope — removing a member can SPLIT a
+  * component, which an append-only log cannot express; that is a
+  * recompute decision. */
+class LabelStore(spark: SparkSession,
+                 val idTable: String = "graft_labels_by_id",
+                 val clusterTable: String = "graft_labels_by_cluster",
+                 buckets: Int = 32) {
+  import org.apache.spark.sql.functions._
+
+  def exists: Boolean = spark.catalog.tableExists(idTable)
+
+  private def emptyLabels: DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("id", LongType), StructField("cluster", LongType))))
+  }
+
+  /** Every doc's CURRENT label — min per id over the log. Corpus-sized;
+    * audits and compaction only, never the per-batch path. */
+  def loadAll(): DataFrame =
+    if (!exists) emptyLabels
+    else spark.table(idTable).groupBy(col("id"))
+      .agg(min(col("cluster")).as("cluster"))
+
+  /** Current labels of the given ids — semi-join on the id-bucketed
+    * log (co-located), then min per id. Batch-sized. */
+  def currentFor(ids: DataFrame): DataFrame =
+    if (!exists) emptyLabels
+    else spark.table(idTable)
+      .join(ids.select(col("id")), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+
+  /** Members of the given LIVE clusters — semi-join on the
+    * cluster-bucketed log (co-located). Monotonicity makes every
+    * matching row current (see class doc); duplicates collapse.
+    * Touched-components-sized. */
+  def membersOf(clusters: DataFrame): DataFrame =
+    if (!exists) emptyLabels
+    else spark.table(clusterTable)
+      .join(clusters.select(col("cluster")), Seq("cluster"), "left_semi")
+      .select(col("id"), col("cluster")).distinct()
+
+  /** Append relabeled rows to BOTH layouts (batch-sized files). */
+  def append(labels: DataFrame): Unit = {
+    val rows = labels.select(col("id").cast("long").as("id"),
+      col("cluster").cast("long").as("cluster"))
+    Bucketed.appendAligned(spark, rows, idTable, Seq("id"), buckets,
+      sortCols = Seq("id"))
+    Bucketed.appendAligned(spark, rows, clusterTable, Seq("cluster"), buckets,
+      sortCols = Seq("cluster"))
+  }
+
+  /** Fold a batch of pairs into the published labeling WITHOUT writing:
+    * the store-backed [[graft.ops.Dedup.updateClusters]] — current
+    * labels of touched ids (id-bucketed probe), members of their live
+    * clusters (cluster-bucketed pull) as member→cluster edges, CC over
+    * new pairs + member edges. Returns the relabeled rows: every
+    * member of a touched component plus every new id. Cost bounds by
+    * the touched components, never the corpus. */
+  def fold(newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+           driverEdgeLimit: Long = 1000000L,
+           algorithm: String = "star"): DataFrame = {
+    val pairs = newPairs.select(col(idA).cast("long").as("id_a"),
+      col(idB).cast("long").as("id_b"))
+    val touchedIds = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val touchedClusters = currentFor(touchedIds)
+      .select(col("cluster")).distinct().localCheckpoint(true)
+    val memberEdges = membersOf(touchedClusters)
+      .select(col("id").as("id_a"), col("cluster").as("id_b"))
+    graft.ops.Dedup.connectedComponents(pairs.unionByName(memberEdges),
+      driverEdgeLimit = driverEdgeLimit, algorithm = algorithm)
+  }
+
+  /** The full maintenance round: fold, then append. Relabels
+    * materialize BEFORE the append (the gate-family replay contract);
+    * a crash-replay of the same batch reproduces identical labels —
+    * merges are idempotent and min-per-id reads absorb the duplicate
+    * rows. */
+  def ingest(newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+             driverEdgeLimit: Long = 1000000L,
+             algorithm: String = "star"): DataFrame = {
+    val relabeled = fold(newPairs, idA, idB, driverEdgeLimit, algorithm)
+      .localCheckpoint(true)
+    append(relabeled)
+    relabeled
+  }
+
+  /** Rewrite both layouts to one CURRENT row per id (min-per-id), one
+    * sorted file per bucket — the append log's compaction. */
+  def compact(): Unit = {
+    if (!exists) return
+    val kept = loadAll().localCheckpoint(true)
+    Bucketed.writeKeys(kept.repartition(buckets, col("id")),
+      idTable, Seq("id"), buckets, sortCols = Seq("id"))
+    Bucketed.writeKeys(kept.repartition(buckets, col("cluster")),
+      clusterTable, Seq("cluster"), buckets, sortCols = Seq("cluster"))
+  }
+}

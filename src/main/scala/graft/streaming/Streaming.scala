@@ -615,6 +615,37 @@ object Streaming {
   }
 
 
+  /** Streaming CLUSTER MAINTENANCE — the stateful closer of the
+    * incremental dedup stack: upstream sinks emit VERIFIED near-dup
+    * pairs ([[hammingNearDupSink]], [[frameSetNearDupSink]],
+    * [[indexedDedupSink]]'s verdicts joined back); this sink folds each
+    * micro-batch of pairs into the published cluster labeling
+    * ([[graft.sources.LabelStore.ingest]] — the q140 operator run
+    * continuously), so "which cluster does this doc belong to?" is
+    * always current without ever relabeling the corpus.
+    *
+    * Emits each batch's RELABELED rows (every member of a touched
+    * component plus every new id — downstream consumers see exactly
+    * the labels that changed). State: the append-only min-per-id label
+    * log, bucketed by id AND by cluster so both of the fold's
+    * semi-joins are co-located; merges are idempotent and labels
+    * monotone, so a crash-replay reproduces identical labels and the
+    * duplicate appends collapse at read (the store's class doc carries
+    * the monotonicity argument). Compact with
+    * [[graft.sources.LabelStore.compact]] when the log outgrows its
+    * current rows. */
+  def clusterMaintenanceSink(idACol: String, idBCol: String,
+                             store: graft.sources.LabelStore,
+                             emit: DataFrame => Unit,
+                             driverEdgeLimit: Long = 1000000L,
+                             algorithm: String = "star")
+                            (stream: DataFrame): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(store.ingest(batch, idACol, idBCol, driverEdgeLimit, algorithm))
+      }
+
   /** The production frame-hash store for [[frameSetNearDupSink]]:
     * bucketed by (fhash) so the probe join co-locates; append-only
     * batch-sized saves; distinct (and horizon-bounded) compaction. */

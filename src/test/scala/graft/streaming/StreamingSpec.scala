@@ -132,6 +132,51 @@ class StreamingSpec extends SparkTestBase {
     assert(n === 40L, s"running distinct mins across batches, got $n")
   }
 
+  test("cluster maintenance sink: streamed pair batches == one-shot CC; merges, compaction, replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("id_a", "id_b")
+    val store = new graft.sources.LabelStore(spark,
+      idTable = "sspec_labels_id", clusterTable = "sspec_labels_cluster",
+      buckets = 4)
+    val emitted = scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val writer = graft.streaming.Streaming.clusterMaintenanceSink(
+        "id_a", "id_b", store,
+        df => { emitted += df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap; () })(stream)
+      .option("checkpointLocation", Files.createTempDirectory("graft-cm").toString)
+      .start()
+    val b1 = Seq((1L, 2L), (5L, 6L), (10L, 11L))
+    val b2 = Seq((2L, 100L), (100L, 6L)) // merges clusters 1 and 5 through a fresh doc
+    val b3 = Seq((11L, 200L), (300L, 301L)) // attach via non-min member + novel pair
+    input.addData(b1: _*); writer.processAllAvailable()
+    input.addData(b2: _*); writer.processAllAvailable()
+    input.addData(b3: _*); writer.processAllAvailable()
+    writer.stop()
+    val full = graft.ops.Dedup.connectedComponents(
+        (b1 ++ b2 ++ b3).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = store.loadAll()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === full, "streamed labels must equal the one-shot CC")
+    // batch 2 relabeled exactly the merged component (both old clusters'
+    // members + the fresh doc), batch 3 touched cluster 10 + the novel
+    // pair and NOTHING of the (already merged) cluster 1
+    assert(emitted(1) === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 100L -> 1L))
+    assert(emitted(2) === Map(10L -> 10L, 11L -> 10L, 200L -> 10L,
+      300L -> 300L, 301L -> 300L))
+    // compaction: one current row per id, labels preserved
+    store.compact()
+    assert(spark.table("sspec_labels_id").count() === full.size.toLong)
+    assert(store.loadAll().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === full)
+    // crash-replay: re-ingesting batch 2 reproduces identical labels and
+    // leaves the log's read state unchanged (merges are idempotent)
+    val replay = store.ingest(b2.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replay === emitted(1), "replay must re-emit the original relabels")
+    assert(store.loadAll().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === full)
+  }
+
   test("streaming HLL register maintenance: running registers == batch registers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
