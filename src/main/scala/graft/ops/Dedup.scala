@@ -1111,23 +1111,41 @@ object Dedup {
                      algorithm: String = "star"): DataFrame = {
     val lbl = labels.select(col(idCol).cast("long").as("id"),
       col(clusterCol).cast("long").as("cluster"))
-    val pairs = newPairs.select(col(idA).cast("long").as("id_a"),
-      col(idB).cast("long").as("id_b"))
+    val (relabeled, touchedClusters) = foldPairsIntoLabels(
+      newPairs.select(col(idA).cast("long").as("id_a"),
+        col(idB).cast("long").as("id_b")),
+      ids => lbl.join(ids, Seq("id"), "left_semi"),
+      clusters => lbl.join(clusters, Seq("cluster"), "left_semi"),
+      maxIterations, driverEdgeLimit, algorithm)
+    lbl.join(touchedClusters, Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+      .unionByName(relabeled.select(col("id"), col("cluster")))
+  }
+
+  /** THE incremental-fold core shared by [[updateClusters]] (in-memory
+    * labels) and [[graft.sources.LabelStore.fold]] (published label
+    * log) — one definition of touched-ids → touched-clusters →
+    * member→cluster edges → CC, parameterized by the two label probes,
+    * so the fold semantics cannot drift between the operator and the
+    * store. Returns (relabeled rows, touched cluster ids). Members of
+    * touched clusters enter the subgraph as (member → cluster) edges —
+    * connectivity of the old component in one edge per member, no old
+    * pair list needed. */
+  private[graft] def foldPairsIntoLabels(pairs: DataFrame,
+      currentFor: DataFrame => DataFrame,
+      membersOf: DataFrame => DataFrame,
+      maxIterations: Int, driverEdgeLimit: Long,
+      algorithm: String): (DataFrame, DataFrame) = {
     val touchedIds = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-    val touchedClusters = lbl.join(touchedIds, Seq("id"), "left_semi")
+    val touchedClusters = currentFor(touchedIds)
       .select(col("cluster")).distinct().localCheckpoint(true)
-    // members of touched clusters enter the subgraph as (member →
-    // cluster) edges — connectivity of the old component in one edge
-    // per member, no old pair list needed
-    val memberEdges = lbl.join(touchedClusters, Seq("cluster"), "left_semi")
+    val memberEdges = membersOf(touchedClusters)
       .select(col("id").as("id_a"), col("cluster").as("id_b"))
     val relabeled = connectedComponents(pairs.unionByName(memberEdges),
       maxIterations = maxIterations, driverEdgeLimit = driverEdgeLimit,
       algorithm = algorithm)
-    lbl.join(touchedClusters, Seq("cluster"), "left_anti")
-      .select(col("id"), col("cluster"))
-      .unionByName(relabeled.select(col("id"), col("cluster")))
+    (relabeled, touchedClusters)
   }
 
   /** Connected components by large-star/small-star alternation (Kiveris

@@ -111,16 +111,25 @@ object VideoHash {
     * segment payloads do not). Each frame decodes through the SAME
     * [[ImageHash.dHash64]] path still images take — one hash space, so
     * a real encoded frame and a still of it collide. Frames that fail
-    * to decode are skipped; a malformed frame ends the walk (the
-    * partial-tail convention of the raw path). */
+    * to decode are skipped; a malformed frame loses only ITSELF — the
+    * walk resyncs at the next SOI (bit rot or inter-frame padding must
+    * not silently discard the rest of the stream's hashes). */
   def jpegFrameDHashes(payload: Array[Byte]): Seq[Long] = {
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var start = 0
-    var ok = true
-    while (ok && start + 1 < payload.length) {
+    while (start + 1 < payload.length) {
       val end = jpegFrameEnd(payload, start)
-      if (end < 0) ok = false
-      else {
+      if (end < 0) {
+        // RESYNC to the next SOI instead of aborting: one corrupt or
+        // padded frame must cost ITS hash, not every later frame's
+        // (a missed near-duplicate is silent; `start` strictly
+        // advances, so the walk always terminates)
+        var j = start + 2
+        while (j + 1 < payload.length &&
+               !(payload(j) == 0xFF.toByte && payload(j + 1) == 0xD8.toByte)) j += 1
+        if (j + 1 >= payload.length) return out.toSeq
+        start = j
+      } else {
         ImageHash.dHash64(java.util.Arrays.copyOfRange(payload, start, end))
           .foreach(out += _)
         start = end

@@ -102,13 +102,21 @@ class VersionStore(val root: String, spark: SparkSession,
     * if a third party acquired into the vacancy, leave their lock
     * (the displaced holder's own release then no-ops on the foreign
     * token). A rename here would silently REPLACE the new lock
-    * (POSIX rename(2) semantics), reopening the two-writers window. */
+    * (POSIX rename(2) semantics), reopening the two-writers window.
+    * The restored file keeps the grave's ORIGINAL mtime: if the
+    * displaced holder released during the vacancy, the restoration is
+    * an orphan, and preserving the mtime lets the staleness clock
+    * break it on its original schedule instead of granting it a fresh
+    * lease (waiters fail loud at lockWaitMs in the interim — degraded,
+    * never corrupt). */
   private def restoreLock(lock: java.nio.file.Path,
                           grave: java.nio.file.Path): Unit = {
     try {
+      val mtime = Files.getLastModifiedTime(grave)
       Files.write(lock, Files.readAllBytes(grave),
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
+      Files.setLastModifiedTime(lock, mtime)
       ()
     } catch { case _: Exception => () }
     Files.deleteIfExists(grave)
@@ -150,7 +158,14 @@ class VersionStore(val root: String, spark: SparkSession,
               // re-verify staleness from the GRAVE (rename preserves
               // mtime): between our stat and the move, the stale
               // holder may have released and a FRESH holder acquired —
-              // deleting that would unlock a live critical section
+              // deleting that would unlock a live critical section.
+              // HONEST LIMIT: the lock path is vacant from the move to
+              // the restore — a waiter acquiring in that two-syscall
+              // window while the displaced holder is mid-section is
+              // the residual two-writers race these primitives (no
+              // compare-and-rename in POSIX) cannot close; the
+              // re-verify narrows it from "every stale break" to
+              // "stale break racing a release+acquire"
               val graveAge =
                 System.currentTimeMillis() - Files.getLastModifiedTime(grave).toMillis
               if (graveAge > lockStaleMs) Files.deleteIfExists(grave)
@@ -178,9 +193,11 @@ class VersionStore(val root: String, spark: SparkSession,
       // breaker + fresh holder can land between the read and the
       // rename; (3) a stolen live lock is restored via CREATE_NEW
       // (never a rename, which on POSIX silently REPLACES any lock a
-      // third party acquired into the vacancy). The residual window is
-      // two adjacent syscalls wide and requires us to have already
-      // overrun lockStaleMs — the stall the staleness clock exists for.
+      // third party acquired into the vacancy). THIS path's residual
+      // window is two adjacent syscalls wide and requires us to have
+      // already overrun lockStaleMs — the stall the staleness clock
+      // exists for; the breaker path's own (overrun-free) residual is
+      // documented at the break site above.
       try {
         if (new String(Files.readAllBytes(lock), "UTF-8") == token) {
           val grave = lock.resolveSibling(s".manifest.lock.release.$token")

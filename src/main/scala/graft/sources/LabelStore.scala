@@ -59,21 +59,32 @@ class LabelStore(spark: SparkSession,
   /** Members of the given LIVE clusters — semi-join on the
     * cluster-bucketed log (co-located). Monotonicity makes every
     * matching row current (see class doc); duplicates collapse.
-    * Touched-components-sized. */
+    * Touched-components-sized. Guarded on ITS table: a crash between
+    * the two appends of the very first batch must not leave a store
+    * that throws on every replay. */
   def membersOf(clusters: DataFrame): DataFrame =
-    if (!exists) emptyLabels
+    if (!spark.catalog.tableExists(clusterTable)) emptyLabels
     else spark.table(clusterTable)
       .join(clusters.select(col("cluster")), Seq("cluster"), "left_semi")
       .select(col("id"), col("cluster")).distinct()
 
-  /** Append relabeled rows to BOTH layouts (batch-sized files). */
+  /** Append relabeled rows to BOTH layouts (batch-sized files) —
+    * CLUSTER layout FIRST, deliberately: a crash between the two
+    * appends then leaves the cluster layout AHEAD of the id layout,
+    * which the monotonicity argument makes harmless (the replay's
+    * member pull sees extra rows whose smaller cluster keys are either
+    * live — true connectivity — or die like any other), whereas the
+    * reverse order can permanently lose a co-member from the member
+    * pull: currentFor would already see the merged label, so the dead
+    * old cluster's rows stop matching and a member that is not a pair
+    * endpoint never gets its cluster-layout row written. */
   def append(labels: DataFrame): Unit = {
     val rows = labels.select(col("id").cast("long").as("id"),
       col("cluster").cast("long").as("cluster"))
-    Bucketed.appendAligned(spark, rows, idTable, Seq("id"), buckets,
-      sortCols = Seq("id"))
     Bucketed.appendAligned(spark, rows, clusterTable, Seq("cluster"), buckets,
       sortCols = Seq("cluster"))
+    Bucketed.appendAligned(spark, rows, idTable, Seq("id"), buckets,
+      sortCols = Seq("id"))
   }
 
   /** Fold a batch of pairs into the published labeling WITHOUT writing:
@@ -84,19 +95,13 @@ class LabelStore(spark: SparkSession,
     * member of a touched component plus every new id. Cost bounds by
     * the touched components, never the corpus. */
   def fold(newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-           driverEdgeLimit: Long = 1000000L,
-           algorithm: String = "star"): DataFrame = {
-    val pairs = newPairs.select(col(idA).cast("long").as("id_a"),
-      col(idB).cast("long").as("id_b"))
-    val touchedIds = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-    val touchedClusters = currentFor(touchedIds)
-      .select(col("cluster")).distinct().localCheckpoint(true)
-    val memberEdges = membersOf(touchedClusters)
-      .select(col("id").as("id_a"), col("cluster").as("id_b"))
-    graft.ops.Dedup.connectedComponents(pairs.unionByName(memberEdges),
-      driverEdgeLimit = driverEdgeLimit, algorithm = algorithm)
-  }
+           maxIterations: Int = 20, driverEdgeLimit: Long = 1000000L,
+           algorithm: String = "star"): DataFrame =
+    graft.ops.Dedup.foldPairsIntoLabels(
+      newPairs.select(col(idA).cast("long").as("id_a"),
+        col(idB).cast("long").as("id_b")),
+      currentFor, membersOf,
+      maxIterations, driverEdgeLimit, algorithm)._1
 
   /** The full maintenance round: fold, then append. Relabels
     * materialize BEFORE the append (the gate-family replay contract);
@@ -104,19 +109,25 @@ class LabelStore(spark: SparkSession,
     * merges are idempotent and min-per-id reads absorb the duplicate
     * rows. */
   def ingest(newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-             driverEdgeLimit: Long = 1000000L,
+             maxIterations: Int = 20, driverEdgeLimit: Long = 1000000L,
              algorithm: String = "star"): DataFrame = {
-    val relabeled = fold(newPairs, idA, idB, driverEdgeLimit, algorithm)
+    val relabeled = fold(newPairs, idA, idB, maxIterations, driverEdgeLimit,
+        algorithm)
       .localCheckpoint(true)
     append(relabeled)
     relabeled
   }
 
   /** Rewrite both layouts to one CURRENT row per id (min-per-id), one
-    * sorted file per bucket — the append log's compaction. */
+    * sorted file per bucket — the append log's compaction. The null
+    * `ts` column appendAligned stamps fresh tables with is preserved
+    * (dropping it would flip the store to the legacy ts-less schema,
+    * making later stamped publishes refuse — the compactRewrite
+    * convention). */
   def compact(): Unit = {
     if (!exists) return
-    val kept = loadAll().localCheckpoint(true)
+    val kept = loadAll().withColumn("ts", lit(null).cast("long"))
+      .localCheckpoint(true)
     Bucketed.writeKeys(kept.repartition(buckets, col("id")),
       idTable, Seq("id"), buckets, sortCols = Seq("id"))
     Bucketed.writeKeys(kept.repartition(buckets, col("cluster")),

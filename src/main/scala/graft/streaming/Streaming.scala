@@ -643,7 +643,8 @@ object Streaming {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        emit(store.ingest(batch, idACol, idBCol, driverEdgeLimit, algorithm))
+        emit(store.ingest(batch, idACol, idBCol,
+          driverEdgeLimit = driverEdgeLimit, algorithm = algorithm))
       }
 
   /** The production frame-hash store for [[frameSetNearDupSink]]:

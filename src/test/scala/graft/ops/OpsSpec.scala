@@ -1998,6 +1998,25 @@ class MultimodalSpec extends SparkTestBase {
       "a COM segment containing FF D9 must not truncate the frame stream")
   }
 
+  test("MJPEG walk resyncs after inter-frame padding: a bad region loses only itself") {
+    def jpeg(pid: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 9)
+        img.getRaster.setSample(x, y, 0, ImageHash.fixtureGray(pid, x, y, false))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val (j1, j2) = (jpeg(11L), jpeg(22L))
+    // zero padding between frames (even-offset muxer style): the walk
+    // must resync at the next SOI, not abort the remaining stream
+    val padded = j1 ++ Array.fill(8)(0.toByte) ++ j2
+    assert(VideoHash.frameDHashes(Multimodal.mp4Bytes(padded, 80L, 9, 8)) ===
+      Some(Seq(ImageHash.dHash64(j1).get, ImageHash.dHash64(j2).get)),
+      "padding between frames must cost nothing downstream")
+  }
+
   test("resize ceiling is independent of the dHash bomb ceiling and rejection means passthrough") {
     import spark.implicits._
     val png = ImageHash.fixturePng(123L) // 9x8 = 72 px

@@ -452,6 +452,39 @@ class BucketedSpec extends SparkTestBase {
     assert(v(3L) === ((None, None, false)))
   }
 
+  test("LabelStore: a torn dual append cannot strand a co-member (cluster layout writes first)") {
+    val store = new LabelStore(spark, "bspec_lbl_id", "bspec_lbl_cluster", buckets = 4)
+    store.ingest(Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b"))
+    // simulate the torn batch: the merge (2,100),(100,6) relabeled
+    // {1,2,5,6,100}→1 but crashed AFTER the cluster append, BEFORE the
+    // id append — the replay must converge, not strand member 5
+    val relabel = Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (100L, 1L))
+      .toDF("id", "cluster")
+    Bucketed.appendAligned(spark, relabel, store.clusterTable,
+      Seq("cluster"), 4, sortCols = Seq("cluster"))
+    val replay = store.ingest(Seq((2L, 100L), (100L, 6L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replay === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 100L -> 1L))
+    // a later merge must relabel EVERYONE, including the co-member the
+    // torn write could have stranded under id-first ordering
+    val merged = store.ingest(Seq((0L, 1L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L,
+      6L -> 0L, 100L -> 0L), s"co-member 5 must follow the merge: $merged")
+    // compaction preserves the expiry-ready schema appendAligned set up
+    store.compact()
+    assert(spark.table(store.idTable).columns.contains("ts"),
+      "compact must not downgrade to the legacy ts-less schema")
+    // first-batch torn write: only the cluster table exists — replay
+    // must not throw (membersOf guards on ITS table), just converge
+    val store2 = new LabelStore(spark, "bspec_lbl2_id", "bspec_lbl2_cluster", 4)
+    Bucketed.appendAligned(spark, Seq((7L, 7L), (8L, 7L)).toDF("id", "cluster"),
+      store2.clusterTable, Seq("cluster"), 4, sortCols = Seq("cluster"))
+    val r2 = store2.ingest(Seq((7L, 8L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(7L -> 7L, 8L -> 7L))
+  }
+
   test("appendAligned: legacy ts-less tables stay appendable unstamped; stamped publishes into them refuse loudly") {
     import graft.ops.Dedup
     // simulate a pre-retention-era published index: band rows WITHOUT
