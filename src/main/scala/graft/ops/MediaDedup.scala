@@ -29,7 +29,13 @@ import org.apache.spark.sql.functions._
   * present — at 100 TB of mixed media, the two extra corpus scans the
   * per-modality facade cost are the difference (MultimodalSpec pins
   * evaluate-once with an accumulator source). Downstream, each
-  * modality's blocking runs over its kind's hash rows only. */
+  * modality's blocking runs over its kind's hash rows only.
+  *
+  * NOTE the facade is EAGER: the eager `localCheckpoint(true)` that
+  * pins the single decode runs the full corpus decode AT CALL TIME,
+  * even if the returned pairs are never materialized — callers
+  * composing a lazy plan should reach for the per-modality operators
+  * instead. */
 object MediaDedup {
 
   def nearDuplicates(media: DataFrame, idCol: String = "media_id",

@@ -863,7 +863,7 @@ object Similarity {
     // k-means discipline at any scale (spill-backed blocks, never
     // driver memory); lazy, so the seed TakeOrdered doubles as the
     // materializing action
-    val src = df.select(col(idCol), col(embCol)).localCheckpoint()
+    val src = df.select(col(idCol), col(embCol)).localCheckpoint(false)
     var codebook: Seq[(Long, Seq[Float])] = src.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long"), col(embCol))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -877,7 +877,7 @@ object Similarity {
       // corpus pass per round either way, one fewer scheduled job
       val assigned = ivfAssign(src, cbDf, idCol, embCol)
         .select(col(idCol), col(embCol), col("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val cb = broadcast(cbDf.select(col("cid").as("cluster"),
         col(embCol).as("__c")))
       val d2 = dotUdf(col(embCol), col(embCol)) -

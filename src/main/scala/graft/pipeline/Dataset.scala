@@ -111,16 +111,28 @@ class VersionStore(val root: String, spark: SparkSession,
     * never corrupt). */
   private def restoreLock(lock: java.nio.file.Path,
                           grave: java.nio.file.Path): Unit = {
+    // the grave is deleted ONLY when the live bytes are safe again —
+    // restored (success) or superseded (a foreign lock already holds
+    // the path, so the grave is a dead orphan). Any OTHER write
+    // failure (transient IO, disk full) keeps the grave on disk: an
+    // unconditional delete there would destroy the live lock's only
+    // copy while the displaced holder is mid-critical-section —
+    // a wider two-writer window than the third-party race this
+    // routine exists to close. A surviving grave costs nothing: the
+    // next restore attempt (or a human) can still replay it.
     try {
       val mtime = Files.getLastModifiedTime(grave)
       Files.write(lock, Files.readAllBytes(grave),
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
       Files.setLastModifiedTime(lock, mtime)
+      Files.deleteIfExists(grave)
       ()
-    } catch { case _: Exception => () }
-    Files.deleteIfExists(grave)
-    ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(grave); ()
+      case _: Exception => ()
+    }
   }
 
   def transact[T](sig: String)(f: Seq[VersionMeta] => (Seq[VersionMeta], T)): T = {
