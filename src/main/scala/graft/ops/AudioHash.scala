@@ -237,6 +237,69 @@ object AudioHash {
     windowedNearDupPairs(windowHashFrame(media, idCol, bytesCol),
       threshold, maxHashFreq)
 
+  /** RIFF/WAVE sniff — the audio-track marker of the mdat-per-track
+    * container contract ([[VideoHash.mdatPayload]]): a video
+    * container's audio track travels as a complete RIFF/WAVE payload
+    * in its own mdat, so the box walk can route tracks by sniffing
+    * each mdat's leading bytes (no sample tables needed). */
+  def isRiffWave(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' &&
+      payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+
+  /** The embedded audio TRACK of a video container: the first
+    * RIFF/WAVE mdat payload of the box walk
+    * ([[VideoHash.mdatPayloads]]) — a complete WAV, so every audio
+    * operator downstream ([[pcmSamples]], [[windowHashes]]) consumes
+    * it unchanged. None when the container has no audio track (or
+    * does not parse) — the undecodable-rows contract. */
+  def soundtrack(bytes: Array[Byte]): Option[Array[Byte]] =
+    try VideoHash.mdatPayloads(bytes).find(isRiffWave)
+    catch { case _: Exception => None }
+
+  /** Windowed fingerprints of a video's SOUNDTRACK (default framing)
+    * as a column UDF — null when no audio track decodes. */
+  val soundtrackWindowHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => soundtrack(bytes).flatMap(windowHashes(_)))
+
+  /** Exploded per-window soundtrack hash frame of a VIDEO corpus:
+    * (media_id, whash) DISTINCT — the [[windowHashFrame]] shape with
+    * the track extraction fused into the decode UDF (one container
+    * read per row; non-outer explode drops trackless videos). */
+  def soundtrackWindowHashFrame(videos: DataFrame, idCol: String = "media_id",
+                                bytesCol: String = "bytes"): DataFrame =
+    videos.select(col(idCol).cast("long").as("media_id"),
+        explode(soundtrackWindowHashesUdf(col(bytesCol))).as("whash"))
+      .distinct()
+
+  /** CROSS-modality audio near-dup: which standalone recordings are
+    * (trim-robustly) the soundtrack of which videos — the
+    * [[graft.ops.MediaDedup.imageVideoPairs]] story for SOUND, run
+    * before admitting recordings into a corpus that already ingested
+    * video (or vice versa). Both sides fingerprint through the SAME
+    * windowed-hash arithmetic ([[windowHashes]] — the extracted track
+    * IS a WAV), so the pairing is the shared cross-side set-Jaccard
+    * kernel ([[Dedup.setJaccardAcross]]), robust to whole-frame trims
+    * by the hop-1 window construction.
+    *
+    * Output: (video_id, audio_id, n_shared, jaccard), jaccard ≥
+    * `threshold`. Scale shape: one decode projection per side, ONE
+    * shuffle on the window-hash key with the hot-hash cap, pair
+    * aggregation bounded by real collisions — nothing quadratic. */
+  def soundtrackNearDupPairs(videos: DataFrame, recordings: DataFrame,
+                             idCol: String = "media_id",
+                             bytesCol: String = "bytes",
+                             threshold: Double = 0.85,
+                             maxHashFreq: Int = 1000): DataFrame =
+    Dedup.setJaccardAcross(
+        soundtrackWindowHashFrame(videos, idCol, bytesCol),
+        windowHashFrame(recordings, idCol, bytesCol),
+        "media_id", "whash", threshold, maxHashFreq)
+      .select(col("left_id").as("video_id"), col("right_id").as("audio_id"),
+        col("n_shared"), col("jaccard"))
+
   // ---- Deterministic PCM fixtures (test/oracle harness) ------------
   // 65 frames of 160 constant-amplitude samples each: the frame mean
   // IS the amplitude, so the fingerprint is pure integer arithmetic in

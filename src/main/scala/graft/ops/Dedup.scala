@@ -781,6 +781,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
 
+  /** Exact set Jaccard ACROSS two corpora — the cross-side form of
+    * [[setJaccardPairs]] (one definition of the pair math per shape,
+    * the [[hashBlockRows]] doctrine): left and right ids live in
+    * INDEPENDENT id spaces, every qualifying (left, right) pair
+    * surfaces, within-side pairs never form. Set sizes are identities
+    * (computed before the cap, as in [[setJaccardPairs]]); the
+    * hot-hash cap counts a hash's holders across BOTH sides — a
+    * silence window or logo frame common anywhere identifies nothing.
+    * Output: (left_id, right_id, n_shared, jaccard ≥ `threshold`).
+    * ONE shuffle on the hash key; nothing quadratic in either corpus. */
+  def setJaccardAcross(left: DataFrame, right: DataFrame,
+                       idCol: String, hashCol: String,
+                       threshold: Double, maxHashFreq: Int): DataFrame = {
+    val l = left.select(col(idCol).cast("long").as("left_id"),
+      col(hashCol).as("__h")).distinct()
+    val r = right.select(col(idCol).cast("long").as("right_id"),
+      col(hashCol).as("__h")).distinct()
+    val ln = l.groupBy(col("left_id")).agg(count(lit(1)).as("na"))
+    val rn = r.groupBy(col("right_id")).agg(count(lit(1)).as("nb"))
+    val (lc, rc) =
+      if (maxHashFreq <= 0) (l, r)
+      else {
+        val cool = l.select(col("__h")).unionByName(r.select(col("__h")))
+          .groupBy(col("__h")).agg(count(lit(1)).as("__f"))
+          .filter(col("__f") <= maxHashFreq).select(col("__h"))
+        (l.join(cool, Seq("__h"), "left_semi"),
+          r.join(cool, Seq("__h"), "left_semi"))
+      }
+    lc.join(rc, Seq("__h"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(ln, Seq("left_id")).join(rn, Seq("right_id"))
+      .withColumn("jaccard", round(col("n_shared").cast("double") /
+        (col("na") + col("nb") - col("n_shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("n_shared"), col("jaccard"))
+  }
+
   /** Incremental FRAME-SET screening of a new batch's videos against a
     * PUBLISHED frame-hash index — the q135/q117 ingestion-gate story
     * for frame-set identities ([[graft.sources.FrameSetIndexStore]];

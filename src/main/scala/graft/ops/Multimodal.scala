@@ -405,6 +405,32 @@ object Multimodal {
     bb.array()
   }
 
+  /** Minimal FRAGMENTED ISO-BMFF container (the DASH/CMAF delivery
+    * shape): the [[mp4Bytes]] ftyp+moov header followed by one
+    * moof(mfhd)+mdat pair per fragment — most web video arrives this
+    * way, so the box walk must see EVERY fragment's mdat, not just the
+    * first ([[VideoHash.mdatPayloads]]). Fragment payloads are
+    * caller-split (real fragmentation splits at sample boundaries);
+    * sequence numbers run from 1 as the spec requires. */
+  def fmp4Bytes(fragments: Seq[Array[Byte]], durationMs: Long,
+                width: Int, height: Int): Array[Byte] = {
+    // mp4Bytes ends with its (here empty, 8-byte) mdat box — drop it;
+    // the fragments carry all media data
+    val header0 = mp4Bytes(Array.emptyByteArray, durationMs, width, height)
+    val header = java.util.Arrays.copyOfRange(header0, 0, header0.length - 8)
+    val bb = java.nio.ByteBuffer.allocate(
+      header.length + fragments.map(f => 24 + 8 + f.length).sum)
+    bb.put(header)
+    fragments.zipWithIndex.foreach { case (data, i) =>
+      bb.putInt(24); bb.put("moof".getBytes("US-ASCII"))
+      bb.putInt(16); bb.put("mfhd".getBytes("US-ASCII"))
+      bb.putInt(0); bb.putInt(i + 1) // version/flags, sequence_number
+      bb.putInt(8 + data.length); bb.put("mdat".getBytes("US-ASCII"))
+      bb.put(data)
+    }
+    bb.array()
+  }
+
   /** ISO-BMFF box walk: (duration_ms, width, height) from
     * moov/mvhd + moov/trak/tkhd. Handles version 0 and 1 boxes; width
     * and height are 0 when no video track is present; None when no

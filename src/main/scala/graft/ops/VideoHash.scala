@@ -57,31 +57,72 @@ object VideoHash {
     hash
   }
 
-  /** The `mdat` payload of an ISO-BMFF container — a real box walk
-    * (size-prefixed type cells, the [[Multimodal.parseMp4]] layout);
-    * None when no parseable mdat exists. */
-  def mdatPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
-    if (bytes == null || bytes.length < 16) return None
+  /** ALL `mdat` payloads of an ISO-BMFF container in file order — a
+    * real box walk (size-prefixed type cells, the
+    * [[Multimodal.parseMp4]] layout) that handles the spec's three
+    * size encodings: 32-bit size, size == 1 → 64-bit largesize
+    * (multi-GB mdats), size == 0 → box extends to end of file (a
+    * common mdat shape in practice). FRAGMENTED containers (DASH/CMAF
+    * moof/mdat pairs — most delivered web video) surface one payload
+    * per fragment; a first-mdat-only read would silently drop every
+    * later fragment's frames. Empty when the container is corrupt or
+    * holds no mdat. */
+  def mdatPayloads(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 16) return Nil
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    var pos = 0
-    while (pos + 8 <= bytes.length) {
-      val size = bb.getInt(pos)
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val n = bytes.length.toLong
+    var pos = 0L
+    while (pos + 8 <= n) {
       // bounds math in LONG: a crafted/corrupt size near Int.MaxValue
       // would wrap pos + size negative in Int, slip past this check and
       // throw inside the UDF — the walk must REJECT corrupt containers
-      // (return None), never crash the job on one bad payload
-      if (size < 8 || pos.toLong + size > bytes.length) return None
-      if (new String(bytes, pos + 4, 4, "US-ASCII") == "mdat")
-        return Some(java.util.Arrays.copyOfRange(bytes, pos + 8, pos + size))
+      // (return Nil), never crash the job on one bad payload
+      val size32 = bb.getInt(pos.toInt).toLong & 0xFFFFFFFFL
+      var header = 8L
+      val size =
+        if (size32 == 0L) n - pos // last box: extends to EOF
+        else if (size32 == 1L) {  // 64-bit largesize follows the type
+          if (pos + 16 > n) return Nil
+          header = 16L
+          bb.getLong(pos.toInt + 8)
+        } else size32
+      if (size < header || pos + size > n) return Nil
+      if (new String(bytes, pos.toInt + 4, 4, "US-ASCII") == "mdat")
+        out += java.util.Arrays.copyOfRange(
+          bytes, (pos + header).toInt, (pos + size).toInt)
       pos += size
     }
-    None
+    out.toSeq
   }
 
-  /** Per-frame dHashes of a video payload: mdat located by the box
-    * walk, split into raw 9×8 planes, each hashed. None when the
-    * container does not parse; videos whose mdat is not a whole number
-    * of frames hash the complete frames only. */
+  /** The VIDEO payload of an ISO-BMFF container: the concatenation of
+    * every non-audio mdat payload (fragment boundaries sit at sample
+    * boundaries, so concatenation restores the contiguous frame
+    * stream; RIFF/WAVE mdats are the container contract's audio track
+    * — [[AudioHash.soundtrack]] reads those). None when no video mdat
+    * exists. */
+  def mdatPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val parts = mdatPayloads(bytes).filterNot(AudioHash.isRiffWave)
+    if (parts.isEmpty) None
+    else if (parts.lengthCompare(1) == 0) Some(parts.head)
+    else {
+      val out = new Array[Byte](parts.iterator.map(_.length).sum)
+      var off = 0
+      parts.foreach { p =>
+        System.arraycopy(p, 0, out, off, p.length); off += p.length
+      }
+      Some(out)
+    }
+  }
+
+  /** Per-frame dHashes of a video payload: the video mdat stream
+    * located by the box walk ([[mdatPayload]] — fragmented containers
+    * concatenate to the same stream, so a 3-fragment copy hashes
+    * identically to its single-mdat twin), split into raw 9×8 planes
+    * (or walked as Motion-JPEG), each hashed. None when the container
+    * does not parse; videos whose stream is not a whole number of
+    * frames hash the complete frames only. */
   def frameDHashes(bytes: Array[Byte]): Option[Seq[Long]] =
     // catch-all belt to the walk's Long-math suspenders: whatever a
     // malformed container manages to throw, the row yields None
@@ -96,11 +137,20 @@ object VideoHash {
       }
     } catch { case _: Exception => None }
 
-  /** An mdat payload that is a Motion-JPEG frame stream: raw-plane
-    * payloads always start 0x00 (fixture pixel (0,0) is the zero
-    * polynomial term), JPEG frames start with the SOI marker. */
+  /** An mdat payload that is a Motion-JPEG frame stream: the SOI
+    * marker opens it AND the first frame survives the real segment
+    * walk ([[jpegFrameEnd]]) — the 2-byte sniff alone would misroute a
+    * raw-plane payload whose first two pixels happen to be 255,216,
+    * silently losing every frame hash; pixel data almost surely fails
+    * the walk (the bytes after SOI must parse as marker segments).
+    * The residual edge runs the other way and is the cheaper loss: an
+    * MJPEG stream whose FIRST frame is corrupt routes raw and hashes
+    * noise — wasted rows in a 2^64 hash space, not missed recall on a
+    * well-formed stream (the in-walk resync still covers corruption in
+    * any LATER frame). */
   def isJpegStream(payload: Array[Byte]): Boolean =
-    payload.length >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte
+    payload.length >= 2 && payload(0) == 0xFF.toByte &&
+      payload(1) == 0xD8.toByte && jpegFrameEnd(payload, 0) >= 0
 
   /** Per-frame dHashes of a Motion-JPEG mdat payload: frames are
     * back-to-back JPEGs (the real MJPEG-in-BMFF layout), split by a
@@ -228,9 +278,8 @@ object VideoHash {
     if (perturb && f == (id % FixtureFrameCount).toInt) id * 131L + 777777L
     else id * 131L + f
 
-  /** Encode the fixture as a real ISO-BMFF container: 16 raw 9×8 gray
-    * planes in mdat, 40 ms per frame. */
-  def fixtureMp4(id: Long, perturb: Boolean = false): Array[Byte] = {
+  /** The fixture's raw frame stream: 16 back-to-back 9×8 gray planes. */
+  private def fixturePayload(id: Long, perturb: Boolean): Array[Byte] = {
     val payload = new Array[Byte](FixtureFrameCount * FrameBytes)
     var f = 0
     while (f < FixtureFrameCount) {
@@ -247,11 +296,58 @@ object VideoHash {
       }
       f += 1
     }
-    Multimodal.mp4Bytes(payload, FixtureFrameCount * 40L,
+    payload
+  }
+
+  /** Encode the fixture as a real ISO-BMFF container: 16 raw 9×8 gray
+    * planes in mdat, 40 ms per frame. */
+  def fixtureMp4(id: Long, perturb: Boolean = false): Array[Byte] =
+    Multimodal.mp4Bytes(fixturePayload(id, perturb), FixtureFrameCount * 40L,
+      (id % 1280 + 16).toInt, (id % 720 + 16).toInt)
+
+  /** The fixture as a real FRAGMENTED container — the SAME frames
+    * split across `fragments` moof/mdat pairs at frame boundaries
+    * ([[Multimodal.fmp4Bytes]]), so its hash set must equal its
+    * single-mdat twin's exactly (the multi-mdat walk's contract). */
+  def fixtureFragmentedMp4(id: Long, fragments: Int,
+                           perturb: Boolean = false): Array[Byte] = {
+    require(fragments >= 1 && fragments <= FixtureFrameCount,
+      s"fragments must be in [1, $FixtureFrameCount], got $fragments")
+    val payload = fixturePayload(id, perturb)
+    val per = FixtureFrameCount / fragments
+    val parts = (0 until fragments).map { i =>
+      val from = i * per * FrameBytes
+      val until = if (i == fragments - 1) payload.length
+                  else (i + 1) * per * FrameBytes
+      java.util.Arrays.copyOfRange(payload, from, until)
+    }
+    Multimodal.fmp4Bytes(parts, FixtureFrameCount * 40L,
       (id % 1280 + 16).toInt, (id % 720 + 16).toInt)
   }
+
+  /** The fixture WITH an embedded audio track: video frames in the
+    * first mdat, the soundtrack ([[AudioHash.fixtureWavTrimmed]] at
+    * `audioPid`, untrimmed) as a RIFF/WAVE mdat — the mdat-per-track
+    * container contract. Frame hashes must equal [[fixtureMp4]]'s
+    * (the audio mdat is invisible to the video walk);
+    * [[AudioHash.soundtrack]] recovers the WAV byte-identically. */
+  def fixtureMp4WithAudio(id: Long, audioPid: Long,
+                          perturb: Boolean = false): Array[Byte] =
+    Multimodal.fmp4Bytes(
+      Seq(fixturePayload(id, perturb), AudioHash.fixtureWavTrimmed(audioPid, 0)),
+      FixtureFrameCount * 40L, (id % 1280 + 16).toInt, (id % 720 + 16).toInt)
 
   /** The fixture as a column UDF (id, perturb) → MP4 bytes. */
   val fixtureMp4Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((id: Long, perturb: Boolean) => fixtureMp4(id, perturb))
+
+  /** The fragmented fixture as a column UDF (id, fragments, perturb). */
+  val fixtureFragmentedMp4Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long, fragments: Int, perturb: Boolean) =>
+      fixtureFragmentedMp4(id, fragments, perturb))
+
+  /** The audio-track fixture as a column UDF (id, audioPid, perturb). */
+  val fixtureMp4WithAudioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long, audioPid: Long, perturb: Boolean) =>
+      fixtureMp4WithAudio(id, audioPid, perturb))
 }

@@ -300,8 +300,15 @@ private[queries] object TrainingDedup {
     // -> set Jaccard from arithmetic alone.
     "q134_video_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
+      // every third video ships FRAGMENTED (DASH/CMAF moof/mdat pairs,
+      // 2-5 fragments) — the multi-mdat walk makes the fragment split
+      // invisible to the hash set, so the oracle replay is unchanged
       val base = docs.select(col("doc_id").as("media_id"),
-        graft.ops.VideoHash.fixtureMp4Udf(col("doc_id"), lit(false)).as("bytes"))
+        when(col("doc_id") % 3 === 0,
+            graft.ops.VideoHash.fixtureFragmentedMp4Udf(col("doc_id"),
+              (col("doc_id") % 4 + 2).cast("int"), lit(false)))
+          .otherwise(graft.ops.VideoHash.fixtureMp4Udf(col("doc_id"),
+            lit(false))).as("bytes"))
       val variants = docs.filter(col("doc_id") % 17 === 0)
         .select((col("doc_id") + lit(1000000000L)).as("media_id"),
           graft.ops.VideoHash.fixtureMp4Udf(col("doc_id"), lit(true)).as("bytes"))
@@ -459,6 +466,33 @@ private[queries] object TrainingDedup {
       val newPairs = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
       Dedup.updateClusters(Dedup.connectedComponents(oldPairs), newPairs)
         .orderBy(col("id"))
+    }),
+
+    // CROSS-modality audio near-dup — the q137 story for SOUND: which
+    // standalone recordings are (trim-robustly) the soundtrack of
+    // which videos. Videos carry their audio track as a RIFF mdat
+    // (the mdat-per-track container contract); the track extracts
+    // byte-identical and fingerprints through the SAME windowed-hash
+    // arithmetic standalone recordings use, so the pairing is the
+    // shared cross-side set-Jaccard kernel. Every 17th doc's
+    // soundtrack reappears as a standalone recording trimmed by
+    // doc%8+1 frames → J = (64−k)/64 ≥ 0.875; every doc also has an
+    // unrelated recording (pid +7e6) as the noise population.
+    "q141_soundtrack_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val videos = docs.select(col("doc_id").as("media_id"),
+        graft.ops.VideoHash.fixtureMp4WithAudioUdf(col("doc_id"),
+          col("doc_id") + lit(5000000L), lit(false)).as("bytes"))
+      val recordings = docs.select(col("doc_id").as("media_id"),
+          graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id") + lit(7000000L),
+            lit(0)).as("bytes"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("media_id"),
+            graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id") + lit(5000000L),
+              (col("doc_id") % 8 + 1).cast("int")).as("bytes")))
+      graft.ops.AudioHash.soundtrackNearDupPairs(videos, recordings,
+          threshold = 0.85)
+        .orderBy(col("video_id"), col("audio_id"))
     }),
 
     // Cross-source exact-duplication matrix: which source pairs share
@@ -1276,6 +1310,61 @@ private[queries] object TrainingDedup {
          |JOIN sizes sb ON sb.media_id = id_b
          |WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.85
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q141: the q138 windowed-fingerprint replay run CROSS-side — the
+    // video side's soundtrack is the untrimmed windowed fixture at
+    // pid = doc+5e6 (the track extracts byte-identical, so its window
+    // hashes ARE the fixture's), the recording side unions the noise
+    // population (pid +7e6) with the trimmed extracted copies; a side
+    // marker rides every CTE because a video id and a recording id
+    // share the raw doc_id value.
+    "q141_soundtrack_neardup" ->
+      s"""WITH media AS (
+         |  SELECT 'v' AS side, doc_id AS media_id, doc_id + 5000000 AS pid,
+         |    0 AS trim FROM documents
+         |  UNION ALL
+         |  SELECT 'r', doc_id, doc_id + 7000000, 0 FROM documents
+         |  UNION ALL
+         |  SELECT 'r', doc_id + 1000000000, doc_id + 5000000, (doc_id % 8 + 1)::INT
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |env AS (
+         |  SELECT m.side, m.media_id, f.f - m.trim AS j,
+         |    (${fixtureAmpBaseSql("m.pid")}) * 31 AS amp
+         |  FROM media m, generate_series(0,127) f(f)
+         |  WHERE f.f >= m.trim),
+         |cmp AS (
+         |  SELECT l.side, l.media_id, l.j, CASE WHEN r.amp > l.amp THEN 1 ELSE 0 END AS bit
+         |  FROM env l JOIN env r ON r.side = l.side AND r.media_id = l.media_id
+         |    AND r.j = l.j + 1),
+         |wbits AS (
+         |  SELECT c.side, c.media_id, c.j - o.o AS p, o.o AS k, c.bit
+         |  FROM (SELECT c0.*, x.mj FROM cmp c0
+         |        JOIN (SELECT side, media_id, max(j) AS mj FROM cmp GROUP BY 1, 2) x
+         |          USING (side, media_id)) c,
+         |       generate_series(0,63) o(o)
+         |  WHERE c.j - o.o >= 0 AND c.j - o.o <= c.mj - 63),
+         |wblocks AS (
+         |  SELECT side, media_id, p, k // 16 AS blk,
+         |    sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM wbits GROUP BY 1, 2, 3, 4),
+         |wh AS (
+         |  SELECT side, media_id, p, string_agg(v::VARCHAR, '|' ORDER BY blk) AS h
+         |  FROM wblocks GROUP BY 1, 2, 3),
+         |whd AS (SELECT DISTINCT side, media_id, h FROM wh),
+         |sizes AS (SELECT side, media_id, count(*) AS n FROM whd GROUP BY 1, 2),
+         |inter AS (
+         |  SELECT v.media_id AS video_id, r.media_id AS audio_id,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM whd v JOIN whd r ON v.h = r.h
+         |  WHERE v.side = 'v' AND r.side = 'r'
+         |  GROUP BY 1, 2)
+         |SELECT video_id, audio_id, n_shared,
+         |  round(n_shared::DOUBLE / (sv.n + sr.n - n_shared), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sv ON sv.side = 'v' AND sv.media_id = video_id
+         |JOIN sizes sr ON sr.side = 'r' AND sr.media_id = audio_id
+         |WHERE n_shared::DOUBLE / (sv.n + sr.n - n_shared) >= 0.85
+         |ORDER BY video_id, audio_id""".stripMargin,
 
     // q139: the video gate — frame hashes per side exactly as q134
     // (4-block strings, DISTINCT per video), new-vs-old shared-hash

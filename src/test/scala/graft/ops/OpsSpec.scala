@@ -1899,6 +1899,119 @@ class MultimodalSpec extends SparkTestBase {
       .map(_.toSeq) === Some("abc".getBytes.toSeq))
   }
 
+  test("fragmented MP4: every fragment's frames hash — 3-fragment fixture == single-mdat twin") {
+    Seq(0L, 17L, 97L, 4242L).foreach { id =>
+      val single = VideoHash.frameDHashes(VideoHash.fixtureMp4(id))
+      assert(single.exists(_.nonEmpty))
+      Seq(1, 3, 5, 16).foreach { k =>
+        assert(VideoHash.frameDHashes(VideoHash.fixtureFragmentedMp4(id, k)) ===
+          single, s"id=$id fragments=$k: fragmented hashes diverged from twin")
+      }
+      // perturbed twin too — the perturbation must survive fragmentation
+      assert(VideoHash.frameDHashes(VideoHash.fixtureFragmentedMp4(id, 4, perturb = true)) ===
+        VideoHash.frameDHashes(VideoHash.fixtureMp4(id, perturb = true)))
+    }
+  }
+
+  test("ISO size encodings: size==0 (to-EOF mdat) and size==1 (64-bit largesize) both walk") {
+    val data = "frame-bytes".getBytes("US-ASCII")
+    // mdat with size==0: extends to end of file
+    val eof = java.nio.ByteBuffer.allocate(16 + 8 + data.length)
+    eof.putInt(16); eof.put("ftyp".getBytes("US-ASCII")); eof.putLong(0L)
+    eof.putInt(0); eof.put("mdat".getBytes("US-ASCII")); eof.put(data)
+    assert(VideoHash.mdatPayloads(eof.array()).map(_.toSeq) === Seq(data.toSeq))
+    // mdat with size==1: 64-bit largesize follows the type
+    val ls = java.nio.ByteBuffer.allocate(16 + 16 + data.length)
+    ls.putInt(16); ls.put("ftyp".getBytes("US-ASCII")); ls.putLong(0L)
+    ls.putInt(1); ls.put("mdat".getBytes("US-ASCII")); ls.putLong(16L + data.length)
+    ls.put(data)
+    assert(VideoHash.mdatPayloads(ls.array()).map(_.toSeq) === Seq(data.toSeq))
+    // corrupt largesize (smaller than its own header) rejects the container
+    val bad = java.nio.ByteBuffer.allocate(16 + 16)
+    bad.putInt(16); bad.put("ftyp".getBytes("US-ASCII")); bad.putLong(0L)
+    bad.putInt(1); bad.put("mdat".getBytes("US-ASCII")); bad.putLong(8L)
+    assert(VideoHash.mdatPayloads(bad.array()) === Nil)
+  }
+
+  test("audio-track container: video hashes ignore the RIFF mdat; soundtrack recovers the WAV byte-identically") {
+    Seq(3L, 42L).foreach { id =>
+      val pid = id + 5000000L
+      val withAudio = VideoHash.fixtureMp4WithAudio(id, pid)
+      assert(VideoHash.frameDHashes(withAudio) ===
+        VideoHash.frameDHashes(VideoHash.fixtureMp4(id)),
+        s"id=$id: audio mdat leaked into the video frame stream")
+      assert(AudioHash.soundtrack(withAudio).map(_.toSeq) ===
+        Some(AudioHash.fixtureWavTrimmed(pid, 0).toSeq),
+        s"id=$id: extracted soundtrack not byte-identical")
+      assert(AudioHash.soundtrack(VideoHash.fixtureMp4(id)) === None,
+        "a trackless video must surface no soundtrack")
+      assert(AudioHash.soundtrack("junk".getBytes) === None)
+    }
+  }
+
+  test("MJPEG sniff: a raw-plane stream starting 0xFF 0xD8 routes raw, not MJPEG") {
+    // craft planes whose first two pixels are 255,216 — the 2-byte SOI
+    // sniff alone would misroute this to the MJPEG walk and silently
+    // lose every frame hash; the first-frame segment-walk validation
+    // must reject it (pixel bytes after SOI do not parse as segments)
+    val planes = new Array[Byte](2 * VideoHash.FrameBytes)
+    planes(0) = 0xFF.toByte; planes(1) = 0xD8.toByte
+    planes(2) = 0x11 // NOT 0xFF: the segment walk fails immediately
+    for (i <- 3 until planes.length) planes(i) = ((i * 37) % 200).toByte
+    val got = VideoHash.frameDHashes(Multimodal.mp4Bytes(planes, 80L, 9, 8))
+    val expected = (0 until 2).map { f =>
+      VideoHash.planeDHash(java.util.Arrays.copyOfRange(
+        planes, f * VideoHash.FrameBytes, (f + 1) * VideoHash.FrameBytes))
+    }
+    assert(got === Some(expected),
+      "SOI-lookalike raw planes must hash as raw planes")
+  }
+
+  test("setJaccardAcross: independent id spaces, cross pairs only, both-side hot-hash cap") {
+    // left 1 holds {10,11,12,13,77}; right 1 holds {10,11,12,99,77};
+    // hash 77 is on EVERY id — capped out at maxHashFreq 3, so the
+    // intersection is {10,11,12} but sizes stay the identities (5,5):
+    // J = 3/7. right 2 holds {13,77} → J with left 1 below threshold.
+    val left = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 77L),
+      (2L, 50L), (2L, 77L)).toDF("media_id", "whash")
+    val right = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 99L), (1L, 77L),
+      (2L, 13L), (2L, 77L)).toDF("media_id", "whash")
+    val got = Dedup.setJaccardAcross(left, right, "media_id", "whash",
+      threshold = 0.4, maxHashFreq = 3).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === (1L, 1L, 3L))
+    assert(math.abs(r.getDouble(3) - math.rint(3.0 / 7.0 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("soundtrack near-dup: extracted soundtracks pair with standalone recordings, trim-robust both directions") {
+    val spark = this.spark
+    // videos 1..6 carry soundtracks pid = id + 5000000; recordings:
+    // id 101/102 are videos 1/2's soundtracks trimmed by 3 and 0
+    // frames; id 103 is unrelated
+    val videos = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(1L, 2L, 3L, 4L, 5L, 6L).map(id =>
+        org.apache.spark.sql.Row(id, VideoHash.fixtureMp4WithAudio(id, id + 5000000L))), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType))))
+    val recordings = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(101L, AudioHash.fixtureWavTrimmed(5000001L, 3)),
+        org.apache.spark.sql.Row(102L, AudioHash.fixtureWavTrimmed(5000002L, 0)),
+        org.apache.spark.sql.Row(103L, AudioHash.fixtureWavTrimmed(9999999L, 0))), 2),
+      videos.schema)
+    val got = AudioHash.soundtrackNearDupPairs(videos, recordings)
+      .orderBy(col("video_id")).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 101L), (2L, 102L)))
+    // trimmed by 3 whole frames → J = (64-3)/64; untrimmed → identical sets
+    assert(math.abs(got(0).getDouble(3) - math.rint(61.0 / 64.0 * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(got(1).getDouble(3) - 1.0) < 1e-9)
+  }
+
   test("corrupt containers: near-Int.MaxValue box/chunk sizes yield None, never a UDF crash") {
     // video: after one valid box, a size of 0x7FFFFFFC makes pos + size
     // wrap negative in Int — the old check passed it and copyOfRange
