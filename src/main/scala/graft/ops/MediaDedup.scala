@@ -10,15 +10,18 @@ import org.apache.spark.sql.functions._
   * frame-set Jaccard ([[VideoHash]]) — and unioning the pair frames
   * under one schema. Pairs are intrinsically WITHIN-kind (a waveform
   * has no Hamming distance to a pixel grid) — EXCEPT image↔video,
-  * where both sides hash into the same 64-bit dHash space and
-  * [[imageVideoPairs]] screens stills against frames. Rows that decode
-  * under no modality simply surface no pairs, per the family
-  * convention.
+  * where both sides hash into the same 64-bit dHash space: the facade
+  * ALSO emits kind = "image-video" rows (stills appearing as video
+  * frames) from the same single scan, the [[imageVideoPairs]] screen
+  * fed by the already-decoded hash frame. Rows that decode under no
+  * modality simply surface no pairs, per the family convention.
   *
-  * Output: (kind, id_a, id_b, score_type, score) with id_a < id_b —
-  * score_type = "hamming" (image/audio; smaller is closer, exact ≤
-  * `maxDistance` by the 4×16-bit pigeonhole) or "jaccard" (video;
-  * larger is closer, ≥ `videoThreshold`).
+  * Output: (kind, id_a, id_b, score_type, score) — id_a < id_b for
+  * within-kind rows; for kind = "image-video", id_a is the image and
+  * id_b the video (independent id spaces). score_type = "hamming"
+  * (image/audio/image-video; smaller is closer, exact ≤ `maxDistance`
+  * by the 4×16-bit pigeonhole) or "jaccard" (video; larger is closer,
+  * ≥ `videoThreshold`).
   *
   * Scale shape: ONE decode projection over the media frame — the
   * three modality hashes are `when`-gated on `kind` inside a single
@@ -62,13 +65,27 @@ object MediaDedup {
         maxDistance, maxBucketSize)
       .select(lit("audio").as("kind"), col("id_a"), col("id_b"),
         lit("hamming").as("score_type"), col("hamming").cast("double").as("score"))
-    val video = VideoHash.nearDupVideos(
-        hashed.filter(col("kind") === "video" && col("fh").isNotNull)
-          .select(col("media_id"), explode(col("fh")).as("fhash")).distinct(),
-        videoThreshold, maxHashFreq)
+    // one frame explosion feeds BOTH the within-video Jaccard and the
+    // cross-modality screen (hashed is checkpoint-pinned, so the fan
+    // -out re-reads blocks, never re-decodes)
+    val videoFrames = hashed
+      .filter(col("kind") === "video" && col("fh").isNotNull)
+      .select(col("media_id"), explode(col("fh")).as("fhash")).distinct()
+    val video = VideoHash.nearDupVideos(videoFrames, videoThreshold, maxHashFreq)
       .select(lit("video").as("kind"), col("id_a"), col("id_b"),
         lit("jaccard").as("score_type"), col("jaccard").as("score"))
-    images.unionByName(audio).unionByName(video)
+    // CROSS-modality rows from the SAME single scan: stills and frames
+    // hash into one 64-bit dHash space, so the facade also surfaces
+    // which images appear as video frames — id_a = image, id_b = video
+    // (independent id spaces; the id_a < id_b ordering is within-kind)
+    val imageVideo = imageVideoPairsFromHashes(
+        hashed.filter(col("kind") === "image" && col("dhash").isNotNull)
+          .select(col("media_id"), col("dhash")),
+        videoFrames, maxDistance, maxBucketSize)
+      .select(lit("image-video").as("kind"), col("image_id").as("id_a"),
+        col("video_id").as("id_b"), lit("hamming").as("score_type"),
+        col("min_hamming").cast("double").as("score"))
+    images.unionByName(audio).unionByName(video).unionByName(imageVideo)
   }
 
   /** CROSS-modality near-dup: which still images appear (lightly
@@ -96,14 +113,28 @@ object MediaDedup {
     * bounded by real collisions. Nothing quadratic in either corpus. */
   def imageVideoPairs(images: DataFrame, videos: DataFrame,
                       idCol: String = "media_id", bytesCol: String = "bytes",
-                      maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
-    val imgHashes = ImageHash.dhashFrame(images, idCol, bytesCol)
-      .filter(col("dhash").isNotNull).localCheckpoint(true)
+                      maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame =
+    imageVideoPairsFromHashes(
+      ImageHash.dhashFrame(images, idCol, bytesCol)
+        .filter(col("dhash").isNotNull).localCheckpoint(true),
+      VideoHash.frameHashFrame(videos, idCol, bytesCol),
+      maxDistance, maxBucketSize)
+
+  /** The [[imageVideoPairs]] pairing stage over ALREADY-HASHED sides:
+    * `imgHashes` = (media_id, dhash) stills, `frameRows` = distinct
+    * (media_id, fhash) video frames — the facade feeds both from its
+    * single decode projection. Callers handing in a LIVE decode plan
+    * must pin the image side first (the 4 block keys clone whatever
+    * expression produces `dhash` — the q131 project-collapse lesson;
+    * the frame side explodes a generator output, which is
+    * collapse-safe). */
+  def imageVideoPairsFromHashes(imgHashes: DataFrame, frameRows: DataFrame,
+                                maxDistance: Int = 3,
+                                maxBucketSize: Int = 0): DataFrame = {
     val imgBlocks = Dedup.hashBlockRows(imgHashes, "media_id", "dhash")
       .select(col("id").as("image_id"), col("sim").as("img_sim"),
         col("blk"), col("key"))
-    val frameBlocks = Dedup.hashBlockRows(
-        VideoHash.frameHashFrame(videos, idCol, bytesCol), "media_id", "fhash")
+    val frameBlocks = Dedup.hashBlockRows(frameRows, "media_id", "fhash")
       .select(col("id").as("video_id"), col("sim").as("frame_sim"),
         col("blk"), col("key"))
     val capped =

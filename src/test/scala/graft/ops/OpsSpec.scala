@@ -2223,6 +2223,40 @@ class MultimodalSpec extends SparkTestBase {
       s"media frame must be scanned once (60 rows), got ${acc.value} row evaluations")
   }
 
+  test("MediaDedup facade emits image-video rows from the same single scan") {
+    // stills 5001/5002 are frames 3 of videos 301/302; still 5003 is
+    // unrelated — the facade must surface exactly the planted cross
+    // -modality pairs, identical to the standalone imageVideoPairs
+    // screen, while the scan-once accumulator contract (previous
+    // test) keeps holding
+    val vids = Seq(301L, 302L, 303L)
+    val rows =
+      vids.map(v => (v, "video", VideoHash.fixtureMp4(v))) ++ Seq(
+        (5001L, "image", ImageHash.fixturePng(301L * 131L + 3L)),
+        (5002L, "image", ImageHash.fixturePng(302L * 131L + 3L, perturb = true)),
+        (5003L, "image", ImageHash.fixturePng(77L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, k, b) =>
+        org.apache.spark.sql.Row(id, k, b) }, 4), schema)
+    val facade = MediaDedup.nearDuplicates(media)
+      .filter(col("kind") === "image-video")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(4))).toSet
+    val standalone = MediaDedup.imageVideoPairs(
+        media.filter(col("kind") === "image").select(col("media_id"), col("bytes")),
+        media.filter(col("kind") === "video").select(col("media_id"), col("bytes")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toDouble)).toSet
+    assert(facade === standalone,
+      s"facade image-video rows must equal the standalone screen: $facade vs $standalone")
+    assert(facade.map(p => (p._1, p._2)) === Set((5001L, 301L), (5002L, 302L)))
+  }
+
   test("imageVideoPairs: stills planted as (edited) video frames found across modalities") {
     // videos 1000..1049 carry frames at pattern ids vid*131 + f;
     // planted stills are exact or one-pixel-perturbed copies of a
