@@ -128,9 +128,39 @@ class LabelStore(spark: SparkSession,
     if (!exists) return
     val kept = loadAll().withColumn("ts", lit(null).cast("long"))
       .localCheckpoint(true)
+    // the checkpoint makes this count a block-metadata read — capture
+    // the post-compact row count as the auto-compaction baseline
+    compactBaseline = kept.count()
     Bucketed.writeKeys(kept.repartition(buckets, col("id")),
       idTable, Seq("id"), buckets, sortCols = Seq("id"))
     Bucketed.writeKeys(kept.repartition(buckets, col("cluster")),
       clusterTable, Seq("cluster"), buckets, sortCols = Seq("cluster"))
+  }
+
+  // ---- auto-compaction (the streaming sink's release valve) ---------
+  // Ids only ever MERGE here (the class doc's monotonicity), so the
+  // current-row count at the last compaction is a LOWER bound on the
+  // current-row count now — `log > ratio × baseline` therefore implies
+  // the log genuinely outgrew its current rows, the LSM trigger shape.
+  private var compactBaseline: Long = -1L // -1: not measured yet
+
+  /** Compact when the append log outgrew its current rows by `ratio` —
+    * the [[graft.streaming.Streaming.clusterMaintenanceSink]] release
+    * valve (the BandStore horizon-knob pattern with a growth ratio in
+    * place of a time horizon). Per call: one columnless count of the
+    * id-layout log (parquet-footer cheap); the current-row baseline is
+    * measured once per handle (fresh handles over an existing store)
+    * and thereafter maintained by [[compact]] itself, so steady-state
+    * batches never pay an aggregation scan. `floor` suppresses churn
+    * while the store is small (a tiny store compacts in microseconds
+    * but each rewrite still costs two table commits). Returns whether
+    * a compaction ran. */
+  def maybeCompact(ratio: Double = 4.0, floor: Long = 1000000L): Boolean = {
+    require(ratio > 1.0, s"ratio must exceed 1 (log/current), got $ratio")
+    if (!exists) return false
+    val log = spark.table(idTable).count()
+    if (log <= floor) return false
+    if (compactBaseline < 0L) compactBaseline = loadAll().count()
+    if (log > ratio * compactBaseline) { compact(); true } else false
   }
 }

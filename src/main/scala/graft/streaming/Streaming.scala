@@ -631,20 +631,30 @@ object Streaming {
     * semi-joins are co-located; merges are idempotent and labels
     * monotone, so a crash-replay reproduces identical labels and the
     * duplicate appends collapse at read (the store's class doc carries
-    * the monotonicity argument). Compact with
-    * [[graft.sources.LabelStore.compact]] when the log outgrows its
-    * current rows. */
+    * the monotonicity argument).
+    *
+    * The append log grows per batch forever; `compactRatio` > 0 turns
+    * on the release valve ([[graft.sources.LabelStore.maybeCompact]]):
+    * after each fold the store rewrites itself to one current row per
+    * id whenever the log exceeds `compactRatio` × its current rows
+    * (and `compactFloor` rows) — so a long-lived stream's state
+    * plateaus at O(current) instead of O(appends), labels unchanged
+    * (min-per-id reads are compaction-invariant). 0 keeps compaction
+    * manual. */
   def clusterMaintenanceSink(idACol: String, idBCol: String,
                              store: graft.sources.LabelStore,
                              emit: DataFrame => Unit,
                              driverEdgeLimit: Long = 1000000L,
-                             algorithm: String = "star")
+                             algorithm: String = "star",
+                             compactRatio: Double = 0.0,
+                             compactFloor: Long = 1000000L)
                             (stream: DataFrame): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         emit(store.ingest(batch, idACol, idBCol,
           driverEdgeLimit = driverEdgeLimit, algorithm = algorithm))
+        if (compactRatio > 0.0) { store.maybeCompact(compactRatio, compactFloor); () }
       }
 
   /** The production frame-hash store for [[frameSetNearDupSink]]:

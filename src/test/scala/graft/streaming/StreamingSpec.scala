@@ -177,6 +177,42 @@ class StreamingSpec extends SparkTestBase {
     assert(store.loadAll().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === full)
   }
 
+  test("cluster maintenance auto-compaction: a long stream's label log plateaus at O(current), labels unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("id_a", "id_b")
+    val store = new graft.sources.LabelStore(spark,
+      idTable = "sspec_ac_labels_id", clusterTable = "sspec_ac_labels_cluster",
+      buckets = 4)
+    // the worst case for an append log: every batch extends ONE
+    // component downward (a new smaller min), so the WHOLE component
+    // relabels every batch — without compaction the log is quadratic
+    // in the component (2+3+...+17 = 135 rows for 16 batches)
+    val ratio = 2.0
+    val writer = graft.streaming.Streaming.clusterMaintenanceSink(
+        "id_a", "id_b", store, _ => (),
+        compactRatio = ratio, compactFloor = 20L)(stream)
+      .option("checkpointLocation", Files.createTempDirectory("graft-ac").toString)
+      .start()
+    val pairs = (0 until 16).map(b => (1000L - b, 1001L - b))
+    pairs.foreach { p => input.addData(p); writer.processAllAvailable() }
+    writer.stop()
+    val full = graft.ops.Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(store.loadAll().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === full, "auto-compaction must never change the labels")
+    val current = full.size.toLong // 17
+    val log = spark.table("sspec_ac_labels_id").count()
+    // invariant at every batch end: log <= max(floor, ratio x current)
+    // + the one batch appended since the last trigger check ran BEFORE
+    // it (the trigger fires after each fold, so the slack is one
+    // component-sized append)
+    assert(log <= (ratio * current).toLong + current,
+      s"log must plateau near ratio x current, got $log rows for $current ids")
+    assert(log < 135L, s"the un-compacted quadratic growth (135) must not survive, got $log")
+  }
+
   test("streaming HLL register maintenance: running registers == batch registers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
