@@ -407,6 +407,257 @@ case class TokensExpression(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** RFC 3986 §6.2.2 percent-encoding normalization, shared by
+  * [[PctNormExpression]] and the URL-canonicalization spec twins:
+  * `%XX` escapes of UNRESERVED characters (ALPHA / DIGIT / `-` `.`
+  * `_` `~`) are decoded (`%41` → `A`, `%7e` → `~`); every other valid
+  * escape keeps its percent form but with UPPERCASE hex (`%2f` →
+  * `%2F`); a `%` not followed by two hex digits is copied verbatim
+  * (crawl URLs are full of bare percent signs — normalization must
+  * never throw). Decoding an unreserved escape can never introduce a
+  * URL delimiter, so the pass is safe to run on the WHOLE url before
+  * any structural parsing, and it is idempotent (decoded output has
+  * no unreserved escapes left; surviving escapes are already
+  * uppercase). */
+object PctNorm {
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+  private def unreserved(code: Int): Boolean =
+    (code >= '0' && code <= '9') || (code >= 'A' && code <= 'Z') ||
+      (code >= 'a' && code <= 'z') ||
+      code == '-' || code == '.' || code == '_' || code == '~'
+  def normalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s // common case: no escapes at all
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n) {
+        val h = hexVal(s.charAt(i + 1))
+        val l = hexVal(s.charAt(i + 2))
+        if (h >= 0 && l >= 0) {
+          val code = (h << 4) | l
+          if (unreserved(code)) sb.append(code.toChar)
+          else sb.append('%')
+            .append(Character.toUpperCase(s.charAt(i + 1)))
+            .append(Character.toUpperCase(s.charAt(i + 2)))
+          i += 3
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+/** `graft_pct_norm(url)` — [[PctNorm.normalize]] as a native
+  * single-pass expression. Exists because the composed form (tokenize
+  * on `%[0-9A-Fa-f]{2}|%|[^%]+` + `transform` + `array_join`) pays a
+  * regex scan plus an array allocation per URL on the hottest dedup
+  * path a crawl corpus runs (q115's canonicalizer is pure column
+  * composition otherwise); the DuckDB oracle replays the composed
+  * form rule for rule. */
+case class PctNormExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pct_norm"
+  def compute(url: UTF8String): UTF8String = {
+    val s = url.toString
+    val out = PctNorm.normalize(s)
+    if (out eq s) url else UTF8String.fromString(out)
+  }
+  override protected def nullSafeEval(url: Any): Any =
+    compute(url.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pctNormExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** IDN host → ASCII (punycode) normalization shared by
+  * [[IdnAsciiExpression]]: an all-ASCII host (the overwhelmingly
+  * common case, checked in one char scan) is returned UNCHANGED —
+  * byte-identical, so ASCII-only oracles never observe this rule; a
+  * host with non-ASCII labels goes through `java.net.IDN.toASCII`
+  * (RFC 3490 ToASCII with Nameprep) and is lowercased, so
+  * `BÜCHER.example` and `xn--bcher-kva.example` key identically. A
+  * trailing `:port` is split off first (IDN rejects `:`), and a host
+  * IDN cannot encode (empty labels, overlong) falls back to the input
+  * — canonicalization must never throw on crawl garbage. */
+object IdnAscii {
+  def toAscii(hostPort: String): String = {
+    var i = 0
+    val n = hostPort.length
+    var ascii = true
+    while (ascii && i < n) {
+      if (hostPort.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) return hostPort
+    val colon = hostPort.lastIndexOf(':')
+    val (host, port) =
+      if (colon >= 0) (hostPort.substring(0, colon), hostPort.substring(colon))
+      else (hostPort, "")
+    try java.net.IDN.toASCII(host).toLowerCase(java.util.Locale.ROOT) + port
+    catch { case scala.util.control.NonFatal(_) => hostPort }
+  }
+}
+
+/** The URL-canonicalization kernel shared by
+  * [[CanonicalUrlExpression]]: the full rule chain of
+  * `graft.ops.TextOps.canonicalUrl` (percent-escape normalization,
+  * scheme/host lowering, userinfo/default-port/www/fragment
+  * stripping, IDN punycoding, trailing-slash trim, tracking-param
+  * drop + bytewise param sort) in ONE string pass per URL. Semantics
+  * are pinned equal to the composed regexp/split/array twin
+  * (`TextOps.canonicalUrlComposed`, the shape the q115 DuckDB oracle
+  * replays) by CorpusOpsSpec — every branch below cites the composed
+  * rule it mirrors. */
+object CanonicalUrl {
+  /** `array_sort` on strings is UTF8String order = unsigned UTF-8
+    * byte order (code-point order), NOT java's UTF-16 `compareTo` —
+    * they diverge for supplementary characters vs U+E000–U+FFFF. */
+  private val Utf8Order = new java.util.Comparator[String] {
+    override def compare(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private def schemeChar(c: Char, first: Boolean): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (!first && ((c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'))
+  def canonicalize(url: String, drop: Array[String]): String = {
+    val u = PctNorm.normalize(url)
+    // scheme: ^[A-Za-z][A-Za-z0-9+.-]*:// — the class excludes ':'
+    // and '/', so a regex match always ends at the FIRST "://";
+    // validating every char before that occurrence is equivalent
+    val si = u.indexOf("://")
+    var schemeOk = si > 0
+    var i = 0
+    while (schemeOk && i < si) {
+      schemeOk = schemeChar(u.charAt(i), i == 0); i += 1
+    }
+    val scheme = if (schemeOk) u.substring(0, si).toLowerCase else ""
+    val rest = if (schemeOk) u.substring(si + 3) else u
+    val hi = rest.indexOf('#') // substring_index(rest, "#", 1)
+    val noFrag = if (hi >= 0) rest.substring(0, hi) else rest
+    val qi = noFrag.indexOf('?') // split at the FIRST '?'
+    val base = if (qi >= 0) noFrag.substring(0, qi) else noFrag
+    val query = if (qi >= 0) noFrag.substring(qi + 1) else ""
+    val slash = base.indexOf('/')
+    val auth = if (slash >= 0) base.substring(0, slash) else base
+    val path = if (slash >= 0) base.substring(slash) else ""
+    val at = auth.indexOf('@') // ^[^@]*@ strips to the FIRST '@'
+    val hostPort = (if (at >= 0) auth.substring(at + 1) else auth).toLowerCase
+    val noPort =
+      if (scheme == "http" && hostPort.endsWith(":80"))
+        hostPort.substring(0, hostPort.length - 3)
+      else if (scheme == "https" && hostPort.endsWith(":443"))
+        hostPort.substring(0, hostPort.length - 4)
+      else hostPort
+    val host = IdnAscii.toAscii(
+      if (noPort.startsWith("www.")) noPort.substring(4) else noPort)
+    var pe = path.length // regexp_replace(path, "/+$", "")
+    while (pe > 0 && path.charAt(pe - 1) == '/') pe -= 1
+    val sb = new java.lang.StringBuilder(u.length + 8)
+    sb.append(scheme).append("://").append(host)
+    if (pe == 0) sb.append('/') else sb.append(path, 0, pe)
+    if (query.nonEmpty) {
+      val parts = new java.util.ArrayList[String](8)
+      var s0 = 0
+      var j = 0
+      val qn = query.length
+      while (j <= qn) {
+        if (j == qn || query.charAt(j) == '&') {
+          if (j > s0) { // empty params are filtered, like the twin
+            val p = query.substring(s0, j)
+            var keep = true
+            var k = 0
+            while (keep && k < drop.length) {
+              if (p.startsWith(drop(k))) keep = false
+              k += 1
+            }
+            if (keep) parts.add(p)
+          }
+          s0 = j + 1
+        }
+        j += 1
+      }
+      if (!parts.isEmpty) {
+        val arr = parts.toArray(new Array[String](parts.size))
+        java.util.Arrays.sort(arr, Utf8Order)
+        sb.append('?')
+        var k = 0
+        while (k < arr.length) {
+          if (k > 0) sb.append('&')
+          sb.append(arr(k)); k += 1
+        }
+      }
+    }
+    sb.toString
+  }
+}
+
+/** `graft_canonical_url(url, prefixes)` — [[CanonicalUrl.canonicalize]]
+  * as a native expression; `prefixes` (the tracking-param drop list)
+  * must be a literal array<string>, parsed once at plan time. Exists
+  * because the composed twin duplicates its host/path/query subtrees
+  * at every conditional branch — a ~60-node tree per URL column whose
+  * analysis + codegen floor q115 measured; this is one call. */
+case class CanonicalUrlExpression(child: Expression, dropPrefixes: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_canonical_url"
+  private lazy val drop = dropPrefixes.toArray
+  def compute(url: UTF8String): UTF8String =
+    UTF8String.fromString(CanonicalUrl.canonicalize(url.toString, drop))
+  override protected def nullSafeEval(url: Any): Any =
+    compute(url.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("canonicalUrlExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `graft_idn_ascii(host)` — [[IdnAscii.toAscii]] as a native
+  * expression (self-fast-pathing on ASCII, so callers apply it
+  * unconditionally without an `rlike` pre-filter re-scanning the
+  * host). */
+case class IdnAsciiExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_idn_ascii"
+  def compute(host: UTF8String): UTF8String = {
+    val s = host.toString
+    val out = IdnAscii.toAscii(s)
+    if (out eq s) host else UTF8String.fromString(out)
+  }
+  override protected def nullSafeEval(host: Any): Any =
+    compute(host.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("idnAsciiExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `script_counts(text)` — code points per script class in ONE walk:
   * `[kana, hangul, thai, han]` (kana = Hiragana + Katakana). The
   * composed form spends four full `regexp_replace` passes per row
@@ -1530,6 +1781,19 @@ object GraftFunctions {
     "graft_cosine_pairs" -> (e => CosinePairsExpression(e(0), e(1))),
     "graft_ivf_nearest" -> (e => IvfNearestExpression(e(0), e(1), e(2), e(3))),
     "graft_tokens" -> (e => TokensExpression(e(0))),
+    "graft_pct_norm" -> (e => PctNormExpression(e(0))),
+    "graft_idn_ascii" -> (e => IdnAsciiExpression(e(0))),
+    "graft_canonical_url" -> (e => CanonicalUrlExpression(e(0), {
+      require(e(1).foldable,
+        "graft_canonical_url prefixes must be a literal array<string>")
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      e(1).eval() match {
+        case a: ArrayData =>
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"graft_canonical_url prefixes must be an array literal, got $other")
+      }
+    })),
     "graft_script_counts" -> (e => ScriptCountsExpression(e(0))),
     "graft_script_lang" -> (e => ScriptLangExpression(e(0), e(1))),
     "graft_shingles" -> (e => ShinglesExpression(e(0), e(1))),

@@ -227,14 +227,38 @@ object TextOps {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => acc * 31L + crc32(t))
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization as a native
+    * single-pass kernel ([[graft.functions.PctNormExpression]]):
+    * unreserved escapes decoded, surviving escapes' hex uppercased,
+    * malformed escapes copied verbatim. Idempotent; identity on
+    * percent-free input. */
+  def pctNormalize(s: Column): Column =
+    call_function("graft_pct_norm", s)
+
+  /** IDN host (optionally `host:port`) → lowercase punycode ASCII via
+    * `java.net.IDN.toASCII` ([[graft.functions.IdnAsciiExpression]]);
+    * all-ASCII input is returned byte-identical, un-encodable hosts
+    * fall back to the input (never throws on crawl garbage). */
+  def idnHost(host: Column): Column =
+    call_function("graft_idn_ascii", host)
+
   /** URL canonicalization — the key-normalization step of URL-level
     * dedup (the cheapest dedup a web corpus runs, before any content
     * hashing: the same page crawled via `HTTP://WWW.Site.com:80/a/?utm_
     * source=feed#top` and `http://site.com/a` must collide). Rules, in
     * order:
+    *  - percent-encoding normalized FIRST, over the whole URL (RFC
+    *    3986 §6.2.2, [[graft.functions.PctNorm]]): unreserved escapes
+    *    decoded (`%41` → `A`, `%7e` → `~`), surviving escapes'
+    *    hex uppercased (`%2f` → `%2F`) — safe before parsing because
+    *    unreserved characters are never delimiters;
     *  - scheme and host lowercase; userinfo (`user@`) stripped;
     *  - default port stripped (`:80` for http, `:443` for https);
     *  - leading `www.` stripped;
+    *  - IDN hosts punycoded ([[graft.functions.IdnAscii]]): a host
+    *    with non-ASCII labels goes through `java.net.IDN.toASCII`, so
+    *    `bücher.example` keys as `xn--bcher-kva.example`; all-ASCII
+    *    hosts are returned byte-identical (one-scan fast path);
     *  - fragment (`#…`) stripped;
     *  - trailing slashes trimmed from the path; empty path → `/`;
     *  - query parameters: tracking params dropped (any param matching
@@ -242,12 +266,30 @@ object TextOps {
     *    `ref=…` by default), the rest SORTED bytewise and rejoined, so
     *    parameter order never splits a dup group.
     *
-    * Pure column composition (regexp / split / array built-ins — stays
-    * inside whole-stage codegen); non-URL input degrades gracefully
-    * (no scheme → empty scheme, the rest of the rules still apply). */
-  def canonicalUrl(url: Column,
+    * ONE native expression call per row
+    * ([[graft.functions.CanonicalUrlExpression]]) — the composed
+    * regexp/split/array form below textually duplicates its
+    * host/path/query subtrees at every `when` branch (a ~60-node
+    * expression tree per URL column that q115's bench measured as
+    * plan-compile floor, not row work), while the native kernel is
+    * one string pass; [[canonicalUrlComposed]] stays as the
+    * independent spec-pinned twin whose rules the DuckDB oracle
+    * replays. Non-URL input degrades gracefully (no scheme → empty
+    * scheme, the rest of the rules still apply). */
+  def canonicalUrl(rawUrl: Column,
                    dropParamPrefixes: Seq[String] =
-                     Seq("utm_", "fbclid=", "gclid=", "ref=")): Column = {
+                     Seq("utm_", "fbclid=", "gclid=", "ref=")): Column =
+    call_function("graft_canonical_url", rawUrl,
+      array(dropParamPrefixes.map(lit): _*))
+
+  /** [[canonicalUrl]] as composed built-ins — the reference twin the
+    * equivalence spec pins against the native kernel and the shape
+    * the q115 DuckDB oracle replays rule for rule. */
+  private[ops] def canonicalUrlComposed(
+      rawUrl: Column,
+      dropParamPrefixes: Seq[String] =
+        Seq("utm_", "fbclid=", "gclid=", "ref=")): Column = {
+    val url = pctNormalize(rawUrl)
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val noFrag = substring_index(rest, "#", 1)
@@ -260,7 +302,7 @@ object TextOps {
       when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
         .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
         .otherwise(hostPort)
-    val host = regexp_replace(noPort, "^www\\.", "")
+    val host = idnHost(regexp_replace(noPort, "^www\\.", ""))
     val trimmed = regexp_replace(path, "/+$", "")
     val cPath = when(trimmed === "", lit("/")).otherwise(trimmed)
     val params = filter(split(query, "&"), p =>

@@ -153,12 +153,19 @@ private[queries] object TrainingDedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // URL-level dedup: canonicalization (scheme/host case, default
-    // port, www, fragment, trailing slash, tracking params, param
-    // order) collapses crawl-variant URLs into dup groups. The
-    // documents table has no URL column, so both engines BUILD the
-    // same messy synthetic URL from doc_id — the canonicalizer, not
-    // the data, is what the oracle checks.
+    // URL-level dedup: canonicalization (percent-escape decode +
+    // hex-case, scheme/host case, default port, www, fragment,
+    // trailing slash, tracking params, param order) collapses
+    // crawl-variant URLs into dup groups. The documents table has no
+    // URL column, so both engines BUILD the same messy synthetic URL
+    // from doc_id — the canonicalizer, not the data, is what the
+    // oracle checks. Escape variants: `/p%61th/` spells `/path/` for
+    // id%8==0 rows (unreserved decode) and the constant `z` param
+    // alternates `%2f`/`%2F` spellings (reserved escapes keep the
+    // percent form but normalize hex case) — either rule missing
+    // splits a dup group. IDN hosts are exercised in CorpusOpsSpec,
+    // not here: punycode is not replayable in the oracle's SQL, and
+    // the all-ASCII fast path guarantees these hosts byte-identical.
     "q115_url_dedup" -> ((s, d) => {
       val id = col("doc_id")
       val url = concat(
@@ -166,9 +173,11 @@ private[queries] object TrainingDedup {
         when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
         lit("Example-"), (id % 7).cast("string"), lit(".COM"),
         when(id % 2 === 0, lit(":80")).otherwise(lit("")),
-        lit("/path/"), (id % 50).cast("string"),
+        when(id % 8 === 0, lit("/p%61th/")).otherwise(lit("/path/")),
+        (id % 50).cast("string"),
         when(id % 4 === 0, lit("/")).otherwise(lit("")),
         lit("?utm_source=feed&b="), (id % 5).cast("string"), lit("&a=1"),
+        when(id % 2 === 0, lit("&z=%2f")).otherwise(lit("&z=%2F")),
         when(id % 6 === 0, lit("&fbclid=xyz")).otherwise(lit("")),
         lit("#frag"))
       val canon = t(s, d, "documents")
@@ -868,21 +877,30 @@ private[queries] object TrainingDedup {
          |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
 
     // q115: the same synthetic URL built from doc_id, then the
-    // canonicalization replayed rule for rule (scheme/host lowering,
-    // userinfo/default-port/www/fragment stripping, trailing-slash
-    // trim, tracking-param drop + bytewise param sort).
+    // canonicalization replayed rule for rule (percent-escape
+    // normalization — unreserved decode + hex uppercase, pctNormSql —
+    // then scheme/host lowering, userinfo/default-port/www/fragment
+    // stripping, trailing-slash trim, tracking-param drop + bytewise
+    // param sort). The IDN rule has no SQL replay (punycode) and is
+    // pinned in CorpusOpsSpec; these hosts are ASCII, where the rule
+    // is byte-identity by contract.
     "q115_url_dedup" ->
-      s"""WITH u AS (
+      s"""WITH u0 AS (
          |  SELECT doc_id,
          |    'HTTP://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
          |    'Example-' || (doc_id % 7)::VARCHAR || '.COM' ||
          |    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
-         |    '/path/' || (doc_id % 50)::VARCHAR ||
+         |    CASE WHEN doc_id % 8 = 0 THEN '/p%61th/' ELSE '/path/' END ||
+         |    (doc_id % 50)::VARCHAR ||
          |    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
          |    '?utm_source=feed&b=' || (doc_id % 5)::VARCHAR || '&a=1' ||
+         |    CASE WHEN doc_id % 2 = 0 THEN '&z=%2f' ELSE '&z=%2F' END ||
          |    CASE WHEN doc_id % 6 = 0 THEN '&fbclid=xyz' ELSE '' END ||
          |    '#frag' AS url
          |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, ${pctNormSql("url")} AS url
+         |  FROM u0),
          |p1 AS (
          |  SELECT doc_id,
          |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,

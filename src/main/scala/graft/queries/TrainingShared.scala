@@ -196,4 +196,25 @@ FROM documents LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
        |  SELECT doc_id, unnest(list_transform(range(len($tokensSql)-2),
        |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
        |  FROM documents)) $alias""".stripMargin
+
+  /** SQL twin of graft.functions.PctNorm (RFC 3986 §6.2.2): tokenize
+    * on `%XX` escape | bare `%` | percent-free run, decode escapes of
+    * UNRESERVED characters (ALPHA / DIGIT / - . _ ~), uppercase the
+    * hex of every other escape, rejoin. The hex value is computed
+    * arithmetically (strpos into the hex alphabet) so the replay
+    * needs no blob casts; the code expression is repeated textually
+    * per branch — constant work for the oracle engine, rule-for-rule
+    * legibility for the reader. */
+  def pctNormSql(col: String): String = {
+    def code = "((strpos('0123456789abcdef', substr(lower(t), 2, 1)) - 1) * 16" +
+      " + strpos('0123456789abcdef', substr(lower(t), 3, 1)) - 1)"
+    s"""array_to_string(list_transform(
+       |      regexp_extract_all($col, '%[0-9A-Fa-f]{2}|%|[^%]+'),
+       |      t -> CASE
+       |        WHEN NOT (starts_with(t, '%') AND length(t) = 3) THEN t
+       |        WHEN $code BETWEEN 48 AND 57 OR $code BETWEEN 65 AND 90
+       |          OR $code BETWEEN 97 AND 122 OR $code IN (45, 46, 95, 126)
+       |          THEN chr(($code)::INT)
+       |        ELSE '%' || upper(substr(t, 2, 2)) END), '')""".stripMargin
+  }
 }

@@ -45,14 +45,88 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(pair === 1L)
   }
 
+  test("canonicalUrl: percent-escape normalization — unreserved decode, hex uppercase, malformed verbatim") {
+    val cases = Seq(
+      // unreserved decode (%61 -> a) + reserved escape hex uppercased
+      "http://ex.com/p%61th?z=%2f" -> "http://ex.com/path?z=%2F",
+      // both hex cases of an unreserved escape decode identically
+      "http://ex.com/a%7E" -> "http://ex.com/a~",
+      "http://ex.com/a%7e" -> "http://ex.com/a~",
+      // reserved escapes stay ENCODED: %2F is data, not a separator
+      "http://ex.com/a%2Fb" -> "http://ex.com/a%2Fb",
+      // %25 (escaped percent) must never decode — decoding it would
+      // break idempotence (a second pass would see new escapes)
+      "http://ex.com/x%25y" -> "http://ex.com/x%25y",
+      // escapes in the HOST decode, then the host lowercases
+      "http://EX%41MPLE.com/" -> "http://example.com/",
+      // bare % / truncated / non-hex escapes copied verbatim, no throw
+      "http://ex.com/100%?x=%zz&y=%1" -> "http://ex.com/100%?x=%zz&y=%1")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+    // the two escape spellings of one page collide
+    val pair = Seq("http://ex.com/p%61th?z=%2f", "http://ex.com/path?z=%2F")
+      .toDF("url").select(TextOps.canonicalUrl(col("url")).as("c"))
+      .distinct().count()
+    assert(pair === 1L)
+  }
+
+  test("pctNormalize native kernel == composed oracle-replay twin") {
+    // the DuckDB q115 replay tokenizes on escape|%|run and rebuilds;
+    // the same composition in Spark built-ins must agree with the
+    // native single-pass expression on every input shape
+    def composed(c: org.apache.spark.sql.Column) = {
+      val toks = regexp_extract_all(c, lit("%[0-9A-Fa-f]{2}|%|[^%]+"), lit(0))
+      array_join(transform(toks, t => {
+        val code = conv(substring(t, 2, 2), 16, 10).cast("int")
+        val isEsc = substring(t, 1, 1) === "%" && length(t) === 3
+        when(!isEsc, t)
+          .when(code.between(48, 57) || code.between(65, 90) ||
+            code.between(97, 122) || code.isin(45, 46, 95, 126),
+            call_function("char", code))
+          .otherwise(concat(lit("%"), upper(substring(t, 2, 2))))
+      }), "")
+    }
+    val atoms = Seq("%61", "%7E", "%7e", "%2f", "%2F", "%25", "%zz", "%",
+      "%1", "a", "path", "100%", "ü", "/", "?x=", "%41%42", "%%41")
+    val inputs = atoms ++ (for (a <- atoms; b <- atoms) yield a + b)
+    val bad = inputs.toDF("s")
+      .select(TextOps.pctNormalize(col("s")).as("native"),
+        composed(col("s")).as("twin"))
+      .filter(col("native") =!= col("twin")).collect()
+    assert(bad.isEmpty, s"diverging cases: ${bad.take(5).mkString(", ")}")
+  }
+
+  test("canonicalUrl: IDN hosts punycode via IDN.toASCII; ASCII hosts byte-identical") {
+    val got = Seq(
+      "http://BÜCHER.example/x",            // uppercase unicode host
+      "http://xn--bcher-kva.example/x",     // its already-punycode twin
+      "https://пример.испытание/",          // multi-label IDN
+      "http://bücher.example:8080/x")       // non-default port kept
+      .toDF("url").select(TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(got(0) === "http://xn--bcher-kva.example/x")
+    assert(got(0) === got(1)) // unicode and punycode spellings collide
+    assert(got(2) === "https://xn--e1afmkfd.xn--80akhbyknj4f/")
+    assert(got(3) === "http://xn--bcher-kva.example:8080/x")
+    // a host IDN cannot encode falls back to the input (never throws);
+    // empty labels are the canonical un-encodable shape
+    val garbage = Seq("http://ü..example/x").toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c")).collect()
+    assert(garbage.length === 1)
+  }
+
   test("canonicalUrl is idempotent over generated URL variants") {
     // a canonical form must be a fixed point: canonical(canonical(u))
     // == canonical(u), else the same page keys differently depending
     // on how many normalization passes it went through
     val schemes = Seq("http", "HTTPS", "ftp")
-    val hosts = Seq("WWW.Ex.COM", "ex.com", "User@ex.com:80", "ex.com:443")
-    val paths = Seq("", "/", "/a/b/", "/a//")
-    val queries = Seq("", "?b=2&a=1", "?utm_source=x", "?z=1&utm_a=2&y=3#f")
+    val hosts = Seq("WWW.Ex.COM", "ex.com", "User@ex.com:80", "ex.com:443",
+      "BÜCHER.example", "ex%41.com")
+    val paths = Seq("", "/", "/a/b/", "/a//", "/p%61th%2Fq%7e%25/")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=x", "?z=1&utm_a=2&y=3#f",
+      "?z=%2f&a=%61")
     val urls = for (s <- schemes; h <- hosts; p <- paths; q <- queries)
       yield s"$s://$h$p$q"
     val once = urls.toDF("url")
@@ -63,6 +137,20 @@ class CorpusOpsSpec extends SparkTestBase {
       .collect()
     assert(twice.isEmpty,
       s"non-idempotent cases: ${twice.take(5).mkString(", ")}")
+    // the native kernel IS the composed oracle-replay twin, over the
+    // variant matrix PLUS degenerate non-URL inputs (which are not
+    // idempotency fixed points — garbage in, stable-garbage out —
+    // but on which both forms must still agree byte for byte)
+    val twinInputs = urls ++
+      Seq("oops", "", "100%", "a$b://x", "a//b://x", "ab:x://y",
+        "http://ex.com?", "http://#f", "HTTP://ex.com/?&&a=1&")
+    val diverged = twinInputs.toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("native"),
+        TextOps.canonicalUrlComposed(col("url")).as("twin"))
+      .filter(col("native") =!= col("twin"))
+      .collect()
+    assert(diverged.isEmpty,
+      s"native != composed: ${diverged.take(5).mkString(", ")}")
   }
 
   test("balanceAudit: hand-computed Lorenz curve, Gini and micro-nat entropy; partition-invariant") {
