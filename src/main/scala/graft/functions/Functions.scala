@@ -534,6 +534,37 @@ object CanonicalUrl {
   private def schemeChar(c: Char, first: Boolean): Boolean =
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
       (!first && ((c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'))
+  /** Spark's `lower()` (UTF8String.toLowerCase): an ASCII fast path,
+    * default-locale `String.toLowerCase` otherwise. Mirrored here —
+    * NOT a bare `s.toLowerCase` — because on a tr/az-locale JVM the
+    * latter maps ASCII 'I' to dotless 'ı' while the composed twin's
+    * `lower()` takes the ASCII path and yields 'i': the pinned
+    * native == composed == oracle equivalence would split on every
+    * host containing 'I'. */
+  private def lowerLikeSpark(s: String): String = {
+    var i = 0
+    val n = s.length
+    var ascii = true
+    var anyUpper = false
+    while (ascii && i < n) {
+      val c = s.charAt(i)
+      if (c >= 0x80) ascii = false
+      else if (c >= 'A' && c <= 'Z') anyUpper = true
+      i += 1
+    }
+    if (!ascii) s.toLowerCase // non-ASCII: same fallback Spark takes
+    else if (!anyUpper) s
+    else {
+      val a = s.toCharArray
+      var j = 0
+      while (j < a.length) {
+        val c = a(j)
+        if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar
+        j += 1
+      }
+      new String(a)
+    }
+  }
   def canonicalize(url: String, drop: Array[String]): String = {
     val u = PctNorm.normalize(url)
     // scheme: ^[A-Za-z][A-Za-z0-9+.-]*:// — the class excludes ':'
@@ -545,7 +576,7 @@ object CanonicalUrl {
     while (schemeOk && i < si) {
       schemeOk = schemeChar(u.charAt(i), i == 0); i += 1
     }
-    val scheme = if (schemeOk) u.substring(0, si).toLowerCase else ""
+    val scheme = if (schemeOk) lowerLikeSpark(u.substring(0, si)) else ""
     val rest = if (schemeOk) u.substring(si + 3) else u
     val hi = rest.indexOf('#') // substring_index(rest, "#", 1)
     val noFrag = if (hi >= 0) rest.substring(0, hi) else rest
@@ -556,7 +587,7 @@ object CanonicalUrl {
     val auth = if (slash >= 0) base.substring(0, slash) else base
     val path = if (slash >= 0) base.substring(slash) else ""
     val at = auth.indexOf('@') // ^[^@]*@ strips to the FIRST '@'
-    val hostPort = (if (at >= 0) auth.substring(at + 1) else auth).toLowerCase
+    val hostPort = lowerLikeSpark(if (at >= 0) auth.substring(at + 1) else auth)
     val noPort =
       if (scheme == "http" && hostPort.endsWith(":80"))
         hostPort.substring(0, hostPort.length - 3)

@@ -790,14 +790,21 @@ object Dedup {
     * hot-hash cap counts a hash's holders across BOTH sides — a
     * silence window or logo frame common anywhere identifies nothing.
     * Output: (left_id, right_id, n_shared, jaccard ≥ `threshold`).
-    * ONE shuffle on the hash key; nothing quadratic in either corpus. */
+    * ONE shuffle on the hash key; nothing quadratic in either corpus.
+    *
+    * Caller contract (the [[setJaccardPairs]] doctrine): both inputs
+    * are DISTINCT (id, hash) frames — the producers
+    * ([[graft.ops.AudioHash.windowHashFrame]] and friends) end in
+    * `.distinct()` already, and re-deduplicating here would re-shuffle
+    * both exploded hash frames, the largest intermediates of the job.
+    * Duplicate rows would inflate both the sizes and `n_shared`. */
   def setJaccardAcross(left: DataFrame, right: DataFrame,
                        idCol: String, hashCol: String,
                        threshold: Double, maxHashFreq: Int): DataFrame = {
     val l = left.select(col(idCol).cast("long").as("left_id"),
-      col(hashCol).as("__h")).distinct()
+      col(hashCol).as("__h"))
     val r = right.select(col(idCol).cast("long").as("right_id"),
-      col(hashCol).as("__h")).distinct()
+      col(hashCol).as("__h"))
     val ln = l.groupBy(col("left_id")).agg(count(lit(1)).as("na"))
     val rn = r.groupBy(col("right_id")).agg(count(lit(1)).as("nb"))
     val (lc, rc) =

@@ -294,16 +294,22 @@ object TextOps {
     val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val noFrag = substring_index(rest, "#", 1)
     val base = substring_index(noFrag, "?", 1)
-    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    // \z (end of TEXT), not $: Java's non-MULTILINE $ also matches
+    // before a trailing newline, so 'http://x/a/?b=1\n' would quietly
+    // drop the \n from the query (and trim the slash of '/a/\n')
+    // while the native kernel's substring pass keeps garbage verbatim
+    // — \z + (?s) makes twin, native and the RE2 oracle agree on
+    // newline-bearing crawl garbage
+    val query = regexp_extract(noFrag, "(?s)\\?(.*)\\z", 1)
     val auth = substring_index(base, "/", 1)
     val path = base.substr(length(auth) + 1, length(base))
     val hostPort = lower(regexp_replace(auth, "^[^@]*@", ""))
     val noPort =
-      when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
-        .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      when(scheme === "http", regexp_replace(hostPort, ":80\\z", ""))
+        .when(scheme === "https", regexp_replace(hostPort, ":443\\z", ""))
         .otherwise(hostPort)
     val host = idnHost(regexp_replace(noPort, "^www\\.", ""))
-    val trimmed = regexp_replace(path, "/+$", "")
+    val trimmed = regexp_replace(path, "/+\\z", "")
     val cPath = when(trimmed === "", lit("/")).otherwise(trimmed)
     val params = filter(split(query, "&"), p =>
       p =!= "" && dropParamPrefixes.map(pre => !p.startsWith(pre)).reduce(_ && _))

@@ -65,8 +65,14 @@ object VideoHash {
     * common mdat shape in practice). FRAGMENTED containers (DASH/CMAF
     * moof/mdat pairs — most delivered web video) surface one payload
     * per fragment; a first-mdat-only read would silently drop every
-    * later fragment's frames. Empty when the container is corrupt or
-    * holds no mdat. */
+    * later fragment's frames. The walk is BEST-EFFORT on corruption:
+    * a malformed box STOPS the walk but keeps every payload already
+    * collected — a truncated download or trailing garbage after a
+    * complete mdat (both common in crawls) must not zero the video's
+    * identity (the old first-mdat read hashed such files fine; an
+    * all-or-nothing walk would be a silent recall regression).
+    * Empty when the container is corrupt before any mdat or holds
+    * none. */
   def mdatPayloads(bytes: Array[Byte]): Seq[Array[Byte]] = {
     if (bytes == null || bytes.length < 16) return Nil
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -76,18 +82,18 @@ object VideoHash {
     while (pos + 8 <= n) {
       // bounds math in LONG: a crafted/corrupt size near Int.MaxValue
       // would wrap pos + size negative in Int, slip past this check and
-      // throw inside the UDF — the walk must REJECT corrupt containers
-      // (return Nil), never crash the job on one bad payload
+      // throw inside the UDF — the walk must STOP at corrupt boxes
+      // (keeping prior payloads), never crash the job on one bad row
       val size32 = bb.getInt(pos.toInt).toLong & 0xFFFFFFFFL
       var header = 8L
       val size =
         if (size32 == 0L) n - pos // last box: extends to EOF
         else if (size32 == 1L) {  // 64-bit largesize follows the type
-          if (pos + 16 > n) return Nil
+          if (pos + 16 > n) return out.toSeq
           header = 16L
           bb.getLong(pos.toInt + 8)
         } else size32
-      if (size < header || pos + size > n) return Nil
+      if (size < header || pos + size > n) return out.toSeq
       if (new String(bytes, pos.toInt + 4, 4, "US-ASCII") == "mdat")
         out += java.util.Arrays.copyOfRange(
           bytes, (pos + header).toInt, (pos + size).toInt)

@@ -909,7 +909,7 @@ private[queries] object TrainingDedup {
          |p2 AS (
          |  SELECT doc_id, scheme,
          |    split_part(nofrag, '?', 1) AS base,
-         |    regexp_extract(nofrag, '\\?(.*)$$', 1) AS query
+         |    regexp_extract(nofrag, '(?s)\\?(.*)\\z', 1) AS query
          |  FROM p1),
          |p3 AS (
          |  SELECT doc_id, scheme, query,
@@ -919,16 +919,16 @@ private[queries] object TrainingDedup {
          |p4 AS (
          |  SELECT doc_id, scheme, query, path,
          |    CASE WHEN scheme = 'http'
-         |           THEN regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), ':80$$', '')
+         |           THEN regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), ':80\\z', '')
          |         WHEN scheme = 'https'
-         |           THEN regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), ':443$$', '')
+         |           THEN regexp_replace(lower(regexp_replace(auth, '^[^@]*@', '')), ':443\\z', '')
          |         ELSE lower(regexp_replace(auth, '^[^@]*@', '')) END AS np
          |  FROM p3),
          |p5 AS (
          |  SELECT doc_id, scheme,
          |    regexp_replace(np, '^www\\.', '') AS host,
-         |    CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
-         |         ELSE regexp_replace(path, '/+$$', '') END AS cpath,
+         |    CASE WHEN regexp_replace(path, '/+\\z', '') = '' THEN '/'
+         |         ELSE regexp_replace(path, '/+\\z', '') END AS cpath,
          |    array_to_string(list_sort(list_filter(string_split(query, '&'),
          |      p -> p <> '' AND NOT starts_with(p, 'utm_')
          |        AND NOT starts_with(p, 'fbclid=')

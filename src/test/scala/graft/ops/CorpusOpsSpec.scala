@@ -143,7 +143,12 @@ class CorpusOpsSpec extends SparkTestBase {
     // but on which both forms must still agree byte for byte)
     val twinInputs = urls ++
       Seq("oops", "", "100%", "a$b://x", "a//b://x", "ab:x://y",
-        "http://ex.com?", "http://#f", "HTTP://ex.com/?&&a=1&")
+        "http://ex.com?", "http://#f", "HTTP://ex.com/?&&a=1&",
+        // trailing-newline crawl garbage: Java's non-MULTILINE '$'
+        // matches BEFORE a final \n, so composed regexes must anchor
+        // with \z to agree with the native substring pass
+        "http://ex.com/a/?b=1\n", "http://ex.com:80\n",
+        "https://ex.com:443/x/\n", "http://ex.com/a/\n?b=1")
     val diverged = twinInputs.toDF("url")
       .select(TextOps.canonicalUrl(col("url")).as("native"),
         TextOps.canonicalUrlComposed(col("url")).as("twin"))

@@ -1933,6 +1933,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(VideoHash.mdatPayloads(bad.array()) === Nil)
   }
 
+  test("mdat walk is best-effort: corruption AFTER a complete mdat keeps the collected payloads") {
+    // a complete mdat followed by trailing garbage (truncated download,
+    // appended junk — both common crawl shapes): the old first-mdat
+    // read hashed such files fine, so the multi-mdat walk must not
+    // turn them into Nil (that would be a silent recall regression for
+    // q134/q137/q141 and the facade)
+    val data = "frame-bytes".getBytes("US-ASCII")
+    val t = java.nio.ByteBuffer.allocate(16 + 8 + data.length + 12)
+    t.putInt(16); t.put("ftyp".getBytes("US-ASCII")); t.putLong(0L)
+    t.putInt(8 + data.length); t.put("mdat".getBytes("US-ASCII")); t.put(data)
+    t.putInt(999999) // box claiming to run far past EOF
+    t.put("junk".getBytes("US-ASCII")); t.putInt(0)
+    assert(VideoHash.mdatPayloads(t.array()).map(_.toSeq) === Seq(data.toSeq),
+      "trailing corruption destroyed a valid mdat payload")
+    // corruption BEFORE any mdat still rejects (nothing to salvage)
+    val pre = java.nio.ByteBuffer.allocate(8 + 8 + data.length)
+    pre.putInt(999999); pre.put("junk".getBytes("US-ASCII"))
+    pre.putInt(8 + data.length); pre.put("mdat".getBytes("US-ASCII")); pre.put(data)
+    assert(VideoHash.mdatPayloads(pre.array()) === Nil)
+  }
+
+  test("CanonicalUrl lowercases like Spark's lower() under a Turkish default locale") {
+    // a tr/az JVM maps ASCII 'I' -> dotless 'ı' via String.toLowerCase;
+    // Spark's lower() takes an ASCII fast path that does not — the
+    // native kernel must match Spark (and the oracle), not the locale
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val got = graft.functions.CanonicalUrl.canonicalize(
+        "HTTP://WWW.SITE.COM:80/I?b=1", Array("utm_"))
+      assert(got === "http://site.com/I?b=1",
+        s"turkish-locale lowering leaked into the canonical form: $got")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("audio-track container: video hashes ignore the RIFF mdat; soundtrack recovers the WAV byte-identically") {
     Seq(3L, 42L).foreach { id =>
       val pid = id + 5000000L
