@@ -26,19 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object AudioHash {
 
-  /** 16-bit mono PCM samples from a WAV container (the RIFF walk of
-    * [[Multimodal.parseWavDurationMs]], but extracting the data chunk);
-    * None when the bytes are not a mono 16-bit PCM WAV — undecodable
-    * rows pass through as null fingerprints, the family convention. */
-  def pcmSamples(bytes: Array[Byte]): Option[Array[Short]] = {
+  /** 16-bit mono PCM samples AND the declared sample rate from a WAV
+    * container (the RIFF walk of [[Multimodal.parseWavDurationMs]],
+    * but extracting the fmt rate and the data chunk); None when the
+    * bytes are not a mono 16-bit PCM WAV — undecodable rows pass
+    * through as null fingerprints, the family convention. The rate is
+    * what makes TIME-fixed framing possible downstream
+    * ([[windowHashes]]' resample-invariant 10 ms grid). */
+  def pcmSamplesWithRate(bytes: Array[Byte]): Option[(Array[Short], Int)] = {
     if (bytes == null || bytes.length < 44) return None
     def ascii(off: Int) = new String(bytes, off, 4, "US-ASCII")
     if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var pos = 12
-    var fmtOk = false
+    var rate = 0
     var data: Option[(Int, Int)] = None
-    while (pos + 8 <= bytes.length && (!fmtOk || data.isEmpty)) {
+    while (pos + 8 <= bytes.length && (rate == 0 || data.isEmpty)) {
       val id = ascii(pos)
       val size = bb.getInt(pos + 4)
       // bounds math in LONG: a positive chunk size near Int.MaxValue
@@ -51,18 +54,23 @@ object AudioHash {
         val channels = bb.getShort(pos + 10)
         val bits = bb.getShort(pos + 22)
         if (audioFormat != 1 || channels != 1 || bits != 16) return None
-        fmtOk = true
+        rate = bb.getInt(pos + 12)
+        if (rate <= 0) return None
       } else if (id == "data") data = Some((pos + 8, size))
       pos += 8 + size + (size & 1)
     }
-    (if (fmtOk) data else None).map { case (off, len) =>
+    (if (rate > 0) data else None).map { case (off, len) =>
       val n = len / 2
       val out = new Array[Short](n)
       var i = 0
       while (i < n) { out(i) = bb.getShort(off + 2 * i); i += 1 }
-      out
+      (out, rate)
     }
   }
+
+  /** [[pcmSamplesWithRate]] without the rate. */
+  def pcmSamples(bytes: Array[Byte]): Option[Array[Short]] =
+    pcmSamplesWithRate(bytes).map(_._1)
 
   /** Integer mean absolute amplitude per frame: frame f covers samples
     * [f·n/frames, (f+1)·n/frames) (boxes forced non-empty — the
@@ -143,17 +151,20 @@ object AudioHash {
   // ---- Time-shift-robust WINDOWED fingerprints ---------------------
   // The whole-file envelope hash spans the entire recording, so a
   // 5%-trimmed copy shifts every frame boundary and is missed. The
-  // windowed variant fingerprints FIXED-duration frames (default
-  // 160 samples = 10 ms at 16 kHz) and emits one 64-bit hash per
-  // hop-1 window of 65 consecutive frames — a recording's identity
-  // becomes its SET of window hashes, and a copy trimmed by any whole
-  // number of frames keeps every interior window hash intact (the
-  // video frame-set design with a window in place of a frame; trims
-  // finer than one frame — 10 ms — remain out of contract, as does
-  // resampling). Near-dup = exact set Jaccard via the shared kernel
-  // ([[Dedup.setJaccardPairs]]). Scale: a 1-minute file emits ~5.9k
-  // window hashes (one per 10 ms hop) — the winnowing-fingerprint
-  // order of magnitude, bounded by the hot-hash cap downstream.
+  // windowed variant fingerprints FIXED-DURATION frames — 10 ms at
+  // the container's declared rate (rate/100 samples, so the grid is
+  // the same wall-clock grid at EVERY rate) — and emits one 64-bit
+  // hash per hop-1 window of 65 consecutive frames: a recording's
+  // identity becomes its SET of window hashes, a copy trimmed by any
+  // whole number of frames keeps every interior window hash intact
+  // (the video frame-set design with a window in place of a frame),
+  // and a RESAMPLED copy frames the same 10 ms intervals, so its
+  // means — and hashes — survive (q143; trims finer than one frame —
+  // 10 ms — remain out of contract). Near-dup = exact set Jaccard via
+  // the shared kernel ([[Dedup.setJaccardPairs]]). Scale: a 1-minute
+  // file emits ~5.9k window hashes (one per 10 ms hop) — the
+  // winnowing-fingerprint order of magnitude, bounded by the hot-hash
+  // cap downstream.
 
   /** Integer mean absolute amplitude over fixed-length frames
     * (`frameSamples` each, COMPLETE frames only — the tail remainder
@@ -176,26 +187,44 @@ object AudioHash {
 
   /** Windowed fingerprints of a WAV payload: one 64-bit hash per hop-1
     * position — bit k of the window at frame p compares frames p+k+1
-    * vs p+k (the [[envelopeHash64]] construction, windowed). None when
-    * the bytes do not decode or are shorter than one window. */
-  def windowHashes(bytes: Array[Byte], frameSamples: Int = 160,
+    * vs p+k (the [[envelopeHash64]] construction, windowed).
+    *
+    * Framing is TIME-fixed by default (`frameSamples` = 0): a frame
+    * is 10 ms at the container's DECLARED rate (rate/100 samples), so
+    * a resampled copy frames the same wall-clock intervals and its
+    * per-frame means — and therefore its window hashes — survive
+    * (ideal resampling maps constant 10 ms segments to constant 10 ms
+    * segments; real resampler ringing perturbs boundary samples, ~1
+    * part in rate/100 of a frame mean, which only matters when two
+    * neighboring frames are near-equal — within the set-Jaccard
+    * threshold's tolerance). Rates below 100 Hz reject (no full 10 ms
+    * frame). Pass `frameSamples` > 0 to pin a fixed sample grid (the
+    * pre-round-12 behavior: 160 samples = 10 ms at 16 kHz ONLY).
+    * None when the bytes do not decode or are shorter than one
+    * window. */
+  def windowHashes(bytes: Array[Byte], frameSamples: Int = 0,
                    windowFrames: Int = 65): Option[Seq[Long]] = {
     // 64 bits hold at most 64 comparisons; a larger window would wrap
     // the shift mod 64 and silently alias bits — refuse loudly
     require(windowFrames >= 2 && windowFrames <= 65,
       s"windowFrames must be in [2, 65], got $windowFrames")
-    require(frameSamples > 0, s"frameSamples must be positive, got $frameSamples")
+    require(frameSamples >= 0,
+      s"frameSamples must be >= 0 (0 = 10 ms at the declared rate), got $frameSamples")
     try {
-      pcmSamples(bytes).map { samples =>
-        val env = frameEnvelope(samples, frameSamples)
-        (0 to env.length - windowFrames).map { p =>
-          var hash = 0L
-          var k = 0
-          while (k < windowFrames - 1) {
-            if (env(p + k + 1) > env(p + k)) hash |= 1L << k
-            k += 1
+      pcmSamplesWithRate(bytes).flatMap { case (samples, rate) =>
+        val fs = if (frameSamples > 0) frameSamples else rate / 100
+        if (fs <= 0) None
+        else Some {
+          val env = frameEnvelope(samples, fs)
+          (0 to env.length - windowFrames).map { p =>
+            var hash = 0L
+            var k = 0
+            while (k < windowFrames - 1) {
+              if (env(p + k + 1) > env(p + k)) hash |= 1L << k
+              k += 1
+            }
+            hash
           }
-          hash
         }
       }.filter(_.nonEmpty)
     } catch { case _: Exception => None } // corrupt containers → None (requires sit OUTSIDE the try)
@@ -370,4 +399,34 @@ object AudioHash {
   /** The trimmed fixture as a column UDF (id, trimFrames) → WAV. */
   val fixtureWavTrimmedUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((id: Long, trimFrames: Int) => fixtureWavTrimmed(id, trimFrames))
+
+  /** [[fixtureWavTrimmed]] rendered at an arbitrary sample rate: the
+    * SAME per-frame amplitude sequence with rate/100 samples per
+    * 10 ms frame — the IDEAL resample of the 16 kHz fixture (a
+    * constant 10 ms segment resamples to a constant 10 ms segment
+    * bit-exactly, so the time-fixed window hashes are IDENTICAL; real
+    * resampler boundary ringing is the documented contract edge).
+    * Rates must be whole multiples of 100 Hz so frames are whole
+    * samples. */
+  def fixtureWavResampled(id: Long, trimFrames: Int, rate: Int): Array[Byte] = {
+    require(rate >= 100 && rate % 100 == 0,
+      s"rate must be a positive multiple of 100, got $rate")
+    val spf = rate / 100
+    val nf = WindowFixtureFrames - trimFrames
+    val pcm = new Array[Byte](nf * spf * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var j = 0
+    while (j < nf) {
+      val amp = fixtureAmp(id, j + trimFrames, perturb = false).toShort
+      var i = 0
+      while (i < spf) { bb.putShort(amp); i += 1 }
+      j += 1
+    }
+    Multimodal.wavBytes(pcm, sampleRate = rate)
+  }
+
+  /** The resampled fixture as a column UDF (id, trimFrames, rate). */
+  val fixtureWavResampledUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long, trimFrames: Int, rate: Int) =>
+      fixtureWavResampled(id, trimFrames, rate))
 }

@@ -253,6 +253,66 @@ object VideoHash {
         explode(frameDHashesUdf(col(bytesCol))).as("fhash"))
       .distinct()
 
+  /** One scene segment of [[sceneWalk]]: contiguous frames whose
+    * consecutive dHash distance stays ≤ the cut threshold. `key_hash`
+    * is the FIRST frame's hash — the keyframe a content-aware sampler
+    * keeps per scene. */
+  case class SceneSeg(scene: Int, start_frame: Int, n_frames: Int,
+                      key_hash: Long)
+
+  /** Scene segmentation of an ORDERED frame-hash sequence: a cut
+    * opens a new scene wherever consecutive frames' dHash Hamming
+    * distance exceeds `threshold` (within a scene the camera barely
+    * moves — re-encode-robust hashes drift a bit or two; a cut swaps
+    * the whole composition — typically tens of bits). This is the
+    * standard dHash scene detector, and it is what makes frame
+    * SAMPLING content-aware: one keyframe per scene instead of one
+    * frame per N covers every composition without over-sampling
+    * static shots. */
+  def sceneWalk(hashes: Seq[Long], threshold: Int): Seq[SceneSeg] = {
+    if (hashes.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[SceneSeg]()
+    var start = 0
+    var i = 1
+    while (i <= hashes.length) {
+      if (i == hashes.length ||
+        java.lang.Long.bitCount(hashes(i - 1) ^ hashes(i)) > threshold) {
+        out += SceneSeg(out.length, start, i - start, hashes(start))
+        start = i
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** [[sceneWalk]] fused into the container decode — the
+    * [[graft.ops.AudioHash.soundtrackWindowHashesUdf]] doctrine: the
+    * scene walk is per-video-LOCAL, so fusing it into the (already
+    * unavoidable) decode UDF makes the whole operator shuffle-FREE —
+    * a lag/running-sum window over exploded frames would shuffle
+    * every frame row by media_id for a computation the decoding task
+    * already holds in its hand. */
+  def sceneSegmentsUdf(threshold: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) =>
+      frameDHashes(bytes).map(sceneWalk(_, threshold)))
+
+  /** Scene segments of a video corpus: (media_id, scene, start_frame,
+    * n_frames, key_hash) — one row per detected scene, frame order
+    * preserved inside the decode (never through a DISTINCT set).
+    * Undecodable rows drop out (non-outer explode of the null array).
+    * Scale shape: ONE UDF projection + explode, no shuffle at all —
+    * every scene row is produced by the task that decoded its video. */
+  def sceneSegments(media: DataFrame, idCol: String = "media_id",
+                    bytesCol: String = "bytes",
+                    threshold: Int = 4): DataFrame =
+    media.select(col(idCol).cast("long").as("media_id"),
+        explode(sceneSegmentsUdf(threshold)(col(bytesCol))).as("s"))
+      .select(col("media_id"), col("s.scene").as("scene"),
+        col("s.start_frame").as("start_frame"),
+        col("s.n_frames").as("n_frames"),
+        col("s.key_hash").as("key_hash"))
+
   /** Near-duplicate videos from a distinct (media_id, fhash) frame:
     * shared-hash blocking → per-pair intersection counts → exact set
     * Jaccard ≥ `threshold`. `maxHashFreq` (0 = off) drops frame hashes
@@ -331,6 +391,43 @@ object VideoHash {
       (id % 1280 + 16).toInt, (id % 720 + 16).toInt)
   }
 
+  /** Scene count planted by [[fixtureSceneMp4]]: 2..5, id-derived. */
+  def fixtureSceneCount(id: Long): Int = 2 + (id % 4).toInt
+
+  /** A fixture WITH SCENE STRUCTURE for the q142 segmentation oracle:
+    * 16 frames split evenly into [[fixtureSceneCount]] contiguous
+    * scenes (frame f belongs to scene f·nScenes/16). Every frame of
+    * scene s renders the SAME pattern pid = id·131 + s·29 + 7, except
+    * odd frames carry the single-pixel jitter
+    * ([[ImageHash.fixtureGray]] perturb — ≤ 2 dHash bits), modeling a
+    * static shot under re-encode drift; scene boundaries swap the
+    * whole pattern (typically tens of bits). All arithmetic in
+    * (id, f) — the SQL oracle replays pixels → bits → hashes →
+    * consecutive Hamming → cuts → segments. */
+  def fixtureSceneMp4(id: Long): Array[Byte] = {
+    val nScenes = fixtureSceneCount(id)
+    val payload = new Array[Byte](FixtureFrameCount * FrameBytes)
+    var f = 0
+    while (f < FixtureFrameCount) {
+      val s = f * nScenes / FixtureFrameCount
+      val pid = id * 131L + s * 29L + 7L
+      val jitter = f % 2 == 1
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          payload(f * FrameBytes + y * 9 + x) =
+            ImageHash.fixtureGray(pid, x, y, perturb = jitter).toByte
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    Multimodal.mp4Bytes(payload, FixtureFrameCount * 40L,
+      (id % 1280 + 16).toInt, (id % 720 + 16).toInt)
+  }
+
   /** The fixture WITH an embedded audio track: video frames in the
     * first mdat, the soundtrack ([[AudioHash.fixtureWavTrimmed]] at
     * `audioPid`, untrimmed) as a RIFF/WAVE mdat — the mdat-per-track
@@ -356,4 +453,8 @@ object VideoHash {
   val fixtureMp4WithAudioUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((id: Long, audioPid: Long, perturb: Boolean) =>
       fixtureMp4WithAudio(id, audioPid, perturb))
+
+  /** The scene-structured fixture as a column UDF (id) → MP4 bytes. */
+  val fixtureSceneMp4Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long) => fixtureSceneMp4(id))
 }

@@ -504,6 +504,59 @@ private[queries] object TrainingDedup {
         .orderBy(col("video_id"), col("audio_id"))
     }),
 
+    // RESAMPLE-robust audio near-dup: the q138 windowed fingerprint
+    // with TIME-fixed framing (10 ms = rate/100 samples at the
+    // container's DECLARED rate) — a 44.1 kHz re-encode of a 16 kHz
+    // recording frames the same wall-clock intervals, so its window
+    // hashes are identical. Every 13th doc's recording reappears
+    // resampled to 8 k/32 k/44.1 kHz (by doc%3) AND trimmed by doc%4
+    // frames → J = (64−k)/64 ∈ {1, .98, .97, .95}. The ORACLE never
+    // sees a rate: time-fixed framing makes the hash rate-invariant,
+    // so the replay is pure frame-amplitude arithmetic while the
+    // Spark side really decodes three different containers.
+    "q143_resampled_audio_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val base = docs.select(col("doc_id").as("media_id"),
+        graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id"), lit(0)).as("bytes"))
+      val rate = when(col("doc_id") % 3 === 0, lit(8000))
+        .when(col("doc_id") % 3 === 1, lit(32000))
+        .otherwise(lit(44100))
+      val variants = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("media_id"),
+          graft.ops.AudioHash.fixtureWavResampledUdf(col("doc_id"),
+            (col("doc_id") % 4).cast("int"), rate).as("bytes"))
+      graft.ops.AudioHash.nearDuplicatesWindowed(base.unionByName(variants),
+          threshold = 0.85)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // CONTENT-AWARE frame sampling: scene segmentation by consecutive
+    // frame-dHash Hamming distance (cut when > 4 bits; within a scene
+    // the fixture's single-pixel jitter drifts ≤ 2 bits — re-encode
+    // drift; a cut swaps the whole pattern). One keyframe per scene
+    // replaces one-frame-per-N sampling: static shots stop
+    // over-contributing and every composition survives. The scene
+    // walk is FUSED into the decode UDF, so the operator is
+    // shuffle-free — scene rows are emitted by the task that decoded
+    // the video. The oracle replays pixels → bits → per-frame hashes
+    // → consecutive Hamming → cuts → running-sum scene ids →
+    // segments, entirely from (doc_id, frame) arithmetic.
+    "q142_scene_segments" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val media = docs.select(col("doc_id").as("media_id"),
+        graft.ops.VideoHash.fixtureSceneMp4Udf(col("doc_id")).as("bytes"))
+      graft.ops.VideoHash.sceneSegments(media, threshold = 4)
+        .select(col("media_id"),
+          col("scene").cast("long").as("scene"),
+          col("start_frame").cast("long").as("start_frame"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("key_hash").bitwiseAND(lit(0xFFFFL)).as("b0"),
+          shiftright(col("key_hash"), 16).bitwiseAND(lit(0xFFFFL)).as("b1"),
+          shiftright(col("key_hash"), 32).bitwiseAND(lit(0xFFFFL)).as("b2"),
+          shiftright(col("key_hash"), 48).bitwiseAND(lit(0xFFFFL)).as("b3"))
+        .orderBy(col("media_id"), col("scene"))
+    }),
+
     // Cross-source exact-duplication matrix: which source pairs share
     // verbatim texts, and how much document mass sits on each side —
     // the provenance/priority table before a cross-source dedup run.
@@ -1383,6 +1436,111 @@ private[queries] object TrainingDedup {
          |JOIN sizes sr ON sr.side = 'r' AND sr.media_id = audio_id
          |WHERE n_shared::DOUBLE / (sv.n + sr.n - n_shared) >= 0.85
          |ORDER BY video_id, audio_id""".stripMargin,
+
+    // q143: the q138 replay with the q143 populations (every 13th,
+    // trim doc%4). The sample rate appears NOWHERE: time-fixed 10 ms
+    // framing makes window hashes rate-invariant, so the oracle is
+    // the same frame-amplitude arithmetic for all three container
+    // rates the Spark side decodes — that invariance IS the property
+    // under test.
+    "q143_resampled_audio_neardup" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id AS pid, 0 AS trim FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, doc_id, (doc_id % 4)::INT
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |env AS (
+         |  SELECT m.media_id, f.f - m.trim AS j,
+         |    (${fixtureAmpBaseSql("m.pid")}) * 31 AS amp
+         |  FROM media m, generate_series(0,127) f(f)
+         |  WHERE f.f >= m.trim),
+         |cmp AS (
+         |  SELECT l.media_id, l.j, CASE WHEN r.amp > l.amp THEN 1 ELSE 0 END AS bit
+         |  FROM env l JOIN env r ON r.media_id = l.media_id AND r.j = l.j + 1),
+         |wbits AS (
+         |  SELECT c.media_id, c.j - o.o AS p, o.o AS k, c.bit
+         |  FROM (SELECT c0.*, x.mj FROM cmp c0
+         |        JOIN (SELECT media_id, max(j) AS mj FROM cmp GROUP BY 1) x
+         |          USING (media_id)) c,
+         |       generate_series(0,63) o(o)
+         |  WHERE c.j - o.o >= 0 AND c.j - o.o <= c.mj - 63),
+         |wblocks AS (
+         |  SELECT media_id, p, k // 16 AS blk,
+         |    sum(bit * (1 << (k % 16)))::BIGINT AS v
+         |  FROM wbits GROUP BY 1, 2, 3),
+         |wh AS (
+         |  SELECT media_id, p, string_agg(v::VARCHAR, '|' ORDER BY blk) AS h
+         |  FROM wblocks GROUP BY 1, 2),
+         |whd AS (SELECT DISTINCT media_id, h FROM wh),
+         |sizes AS (SELECT media_id, count(*) AS n FROM whd GROUP BY 1),
+         |inter AS (
+         |  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*)::BIGINT AS n_shared
+         |  FROM whd a JOIN whd b ON a.h = b.h AND a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.media_id = id_a
+         |JOIN sizes sb ON sb.media_id = id_b
+         |WHERE n_shared::DOUBLE / (sa.n + sb.n - n_shared) >= 0.85
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q142: the scene fixture replayed pixel-for-pixel — frame f's
+    // pattern is id*131 + scene*29 + 7 with the single-pixel jitter
+    // on odd frames; per-frame 64-bit hashes as the q134 bit/block
+    // arithmetic, consecutive-frame Hamming via a (media, f, k) self
+    // join, cut when f = 0 or distance > 4, scene = running sum of
+    // cuts − 1, segment rows grouped per (media, scene) with the
+    // start frame's 4 hash blocks as the keyframe identity.
+    "q142_scene_segments" ->
+      s"""WITH frames AS (
+         |  SELECT doc_id AS media_id, f.f AS f, f.f % 2 = 1 AS jitter,
+         |    doc_id*131 + ((f.f * (2 + doc_id % 4)) // 16)*29 + 7 AS pid
+         |  FROM documents, generate_series(0,15) f(f)),
+         |gx AS (
+         |  SELECT fm.media_id, fm.f, fm.pid, fm.jitter, x.x, y.y,
+         |    ${fixtureGraySql("fm.pid")} AS g0
+         |  FROM frames fm, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |px AS (
+         |  SELECT media_id, f, x, y,
+         |    CASE WHEN jitter AND x = pid % 9 AND y = pid % 8
+         |      THEN (g0 + 128) % 256 ELSE g0 END AS g
+         |  FROM gx),
+         |bits AS (
+         |  SELECT l.media_id, l.f, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.media_id = l.media_id AND r.f = l.f
+         |    AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |ham AS (
+         |  SELECT a.media_id, a.f,
+         |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hd
+         |  FROM bits a JOIN bits b ON b.media_id = a.media_id
+         |    AND b.f = a.f - 1 AND b.k = a.k
+         |  GROUP BY 1, 2),
+         |cuts AS (
+         |  SELECT fr.media_id, fr.f,
+         |    CASE WHEN fr.f = 0 OR h.hd > 4 THEN 1 ELSE 0 END AS cut
+         |  FROM frames fr
+         |  LEFT JOIN ham h ON h.media_id = fr.media_id AND h.f = fr.f),
+         |scn AS (
+         |  SELECT media_id, f,
+         |    sum(cut) OVER (PARTITION BY media_id ORDER BY f) - 1 AS scene
+         |  FROM cuts),
+         |seg AS (
+         |  SELECT media_id, scene::BIGINT AS scene, min(f)::BIGINT AS start_frame,
+         |    count(*)::BIGINT AS n_frames
+         |  FROM scn GROUP BY 1, 2),
+         |blocks AS (
+         |  SELECT media_id, f, k // 16 AS blk, sum(bit * (1 << (k % 16))) AS v
+         |  FROM bits GROUP BY 1, 2, 3)
+         |SELECT s.media_id, s.scene, s.start_frame, s.n_frames,
+         |  max(CASE WHEN b.blk = 0 THEN b.v END)::BIGINT AS b0,
+         |  max(CASE WHEN b.blk = 1 THEN b.v END)::BIGINT AS b1,
+         |  max(CASE WHEN b.blk = 2 THEN b.v END)::BIGINT AS b2,
+         |  max(CASE WHEN b.blk = 3 THEN b.v END)::BIGINT AS b3
+         |FROM seg s JOIN blocks b ON b.media_id = s.media_id AND b.f = s.start_frame
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY s.media_id, s.scene""".stripMargin,
 
     // q139: the video gate — frame hashes per side exactly as q134
     // (4-block strings, DISTINCT per video), new-vs-old shared-hash

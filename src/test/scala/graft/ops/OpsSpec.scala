@@ -1899,6 +1899,65 @@ class MultimodalSpec extends SparkTestBase {
       .map(_.toSeq) === Some("abc".getBytes.toSeq))
   }
 
+  test("windowHashes is resample-invariant: time-fixed 10 ms framing at every declared rate") {
+    import AudioHash._
+    Seq(3L, 42L, 4242L).foreach { id =>
+      Seq(0, 1, 3, 7).foreach { trim =>
+        val ref = windowHashes(fixtureWavTrimmed(id, trim)).get
+        Seq(8000, 16000, 32000, 44100).foreach { rate =>
+          assert(windowHashes(fixtureWavResampled(id, trim, rate)).get === ref,
+            s"id=$id trim=$trim rate=$rate: resample changed the window hashes")
+        }
+        // the pre-round-12 fixed grid breaks at any other rate — the
+        // failure mode the time-fixed default exists to close
+        assert(windowHashes(fixtureWavResampled(id, trim, 32000),
+          frameSamples = 160).get !== ref)
+      }
+    }
+    // rates below one sample per 10 ms frame reject as undecodable
+    val tiny = graft.ops.Multimodal.wavBytes(new Array[Byte](400), sampleRate = 50)
+    assert(windowHashes(tiny) === None)
+  }
+
+  test("sceneWalk: cuts strictly above threshold, first-frame keyframes, empty/degenerate inputs") {
+    import VideoHash.{sceneWalk, SceneSeg}
+    assert(sceneWalk(Nil, 4) === Nil)
+    // one hash -> one scene of one frame, keyed by itself
+    assert(sceneWalk(Seq(7L), 4) === Seq(SceneSeg(0, 0, 1, 7L)))
+    // identical frames never cut
+    assert(sceneWalk(Seq(5L, 5L, 5L), 4) === Seq(SceneSeg(0, 0, 3, 5L)))
+    // distance EQUAL to the threshold stays in-scene (cut is strict >)
+    val h0 = 0L
+    val h4 = 0xFL          // 4 bits from h0
+    val h5 = 0x1FL         // 5 bits from h0, 1 bit from h4
+    assert(sceneWalk(Seq(h0, h4), 4) === Seq(SceneSeg(0, 0, 2, h0)))
+    // 5 bits opens a scene; the keyframe is the scene's FIRST frame
+    assert(sceneWalk(Seq(h0, h5, h5), 4) ===
+      Seq(SceneSeg(0, 0, 1, h0), SceneSeg(1, 1, 2, h5)))
+    // drift is judged between CONSECUTIVE frames, not against the
+    // keyframe: a slow pan that moves 3 bits per frame never cuts
+    // even though frame 3 is far from frame 0
+    val pan = Seq(0L, 7L, 0x3FL, 0x1FFL) // 3 bits per step
+    assert(sceneWalk(pan, 4) === Seq(SceneSeg(0, 0, 4, 0L)))
+  }
+
+  test("scene fixture: planted scene structure recovered exactly — count, boundaries, keyframes") {
+    Seq(0L, 1L, 2L, 3L, 17L, 42L, 97L, 4242L).foreach { id =>
+      val n = VideoHash.fixtureSceneCount(id)
+      val hashes = VideoHash.frameDHashes(VideoHash.fixtureSceneMp4(id)).get
+      val segs = VideoHash.sceneWalk(hashes, 4)
+      assert(segs.length === n, s"id=$id: expected $n scenes, got $segs")
+      assert(segs.map(_.n_frames).sum === VideoHash.FixtureFrameCount)
+      segs.foreach { g =>
+        // boundaries at the planted even split: frame f belongs to
+        // scene f*n/16, so scene s starts at the first such f
+        assert(g.start_frame ===
+          (0 until 16).find(f => f * n / 16 == g.scene).get)
+        assert(g.key_hash === hashes(g.start_frame))
+      }
+    }
+  }
+
   test("fragmented MP4: every fragment's frames hash — 3-fragment fixture == single-mdat twin") {
     Seq(0L, 17L, 97L, 4242L).foreach { id =>
       val single = VideoHash.frameDHashes(VideoHash.fixtureMp4(id))
