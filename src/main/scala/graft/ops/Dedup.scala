@@ -1167,6 +1167,65 @@ object Dedup {
       .unionByName(relabeled.select(col("id"), col("cluster")))
   }
 
+  /** MEMBER REMOVAL from a published clustering — the takedown /
+    * retention counterpart of [[updateClusters]], and the operation
+    * the append-only label log deliberately does NOT support in
+    * place: new edges only MERGE components (labels only decrease —
+    * the log's min-per-id read rests on that), but removing a member
+    * can SPLIT its component and can remove the very min id the
+    * cluster is named after, so labels may INCREASE. Removal is
+    * therefore a recompute of the touched components followed by a
+    * REWRITE of their rows ([[graft.sources.LabelStore.compact]]'s
+    * shape), never an append.
+    *
+    * `pairsAmong` re-derives the near-dup pairs among a given member
+    * frame — in production from the published hash/band index (the
+    * q135/q139 stores hold every member's hashes, so no payload is
+    * re-read, let alone re-decoded); in tests, a filter of the
+    * original edge list. Because removing nodes never CREATES edges,
+    * pairs among survivors are a subset of the original component's
+    * edges — two different touched clusters can never merge, and
+    * untouched clusters are provably unchanged (none of their
+    * members, hence none of their edges, is removed), so their labels
+    * pass through unread.
+    *
+    * Exactly equivalent to the one-shot recompute:
+    * `removeMembers(cc(E), R, E ∩ (S×S)) ≡ cc(E restricted to
+    * survivors S)` — DedupSpec pins the equivalence on random graphs,
+    * including splits and removed-min relabeling. Cost bounds by the
+    * touched components (one semi-join to find them, one to pull
+    * survivors), never the corpus. Output: (id, cluster) for every
+    * previously-labeled id not removed; survivors whose component
+    * shrank to themselves keep a self-labeled row (absence means
+    * REMOVED, never "forgotten"). */
+  def removeMembers(labels: DataFrame, removedIds: DataFrame,
+                    pairsAmong: DataFrame => DataFrame,
+                    idCol: String = "id", clusterCol: String = "cluster",
+                    maxIterations: Int = 20,
+                    driverEdgeLimit: Long = 1000000L,
+                    algorithm: String = "star"): DataFrame = {
+    val lbl = labels.select(col(idCol).cast("long").as("id"),
+      col(clusterCol).cast("long").as("cluster"))
+    val rem = removedIds.select(
+      col(removedIds.columns.head).cast("long").as("id"))
+    val touchedClusters = lbl.join(rem, Seq("id"), "left_semi")
+      .select(col("cluster")).distinct().localCheckpoint(true)
+    val survivors = lbl.join(touchedClusters, Seq("cluster"), "left_semi")
+      .join(rem, Seq("id"), "left_anti")
+      .select(col("id")).localCheckpoint(true)
+    val relabeled = connectedComponents(pairsAmong(survivors),
+      maxIterations = maxIterations, driverEdgeLimit = driverEdgeLimit,
+      algorithm = algorithm)
+    // pairless survivors become singletons — self-labeled, not dropped
+    val singletons = survivors
+      .join(relabeled.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    lbl.join(touchedClusters, Seq("cluster"), "left_anti")
+      .select(col("id"), col("cluster"))
+      .unionByName(relabeled.select(col("id"), col("cluster")))
+      .unionByName(singletons)
+  }
+
   /** THE incremental-fold core shared by [[updateClusters]] (in-memory
     * labels) and [[graft.sources.LabelStore.fold]] (published label
     * log) — one definition of touched-ids → touched-clusters →

@@ -504,6 +504,31 @@ private[queries] object TrainingDedup {
         .orderBy(col("video_id"), col("audio_id"))
     }),
 
+    // MEMBER REMOVAL (takedown/retention) from a published clustering
+    // — the split q140 cannot express: removing doc_id % 7 == 3 docs
+    // can break a component apart and can remove the min id a cluster
+    // is named after, so labels may INCREASE (which is why the
+    // append-only LabelStore handles removal as a compact-style
+    // rewrite, never an append). removeMembers relabels only the
+    // TOUCHED components from pairs re-derived among survivors (here
+    // the checkpointed edge list filtered to surviving endpoints; in
+    // production the published hash index — no payload re-read);
+    // untouched clusters pass through unread. Output ≡ the one-shot
+    // cc over survivor-only pairs, self-labels for survivors whose
+    // component dissolved.
+    "q144_member_removal" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDuplicates(t(s, d, "documents"),
+          "doc_id", "text", maxDistance = 3)
+        .select(col("id_a"), col("id_b")).localCheckpoint(false)
+      val labels = Dedup.connectedComponents(pairs)
+      val removed = t(s, d, "documents").filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"))
+      Dedup.removeMembers(labels, removed, ms =>
+          pairs.join(ms.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+            .join(ms.select(col("id").as("id_b")), Seq("id_b"), "left_semi"))
+        .orderBy(col("id"))
+    }),
+
     // RESAMPLE-robust audio near-dup: the q138 windowed fingerprint
     // with TIME-fixed framing (10 ms = rate/100 samples at the
     // container's DECLARED rate) — a 44.1 kHz re-encode of a 16 kHz
@@ -1436,6 +1461,45 @@ private[queries] object TrainingDedup {
          |JOIN sizes sr ON sr.side = 'r' AND sr.media_id = audio_id
          |WHERE n_shared::DOUBLE / (sv.n + sr.n - n_shared) >= 0.85
          |ORDER BY video_id, audio_id""".stripMargin,
+
+    // q144: q140's simhash-pair replay, edges filtered to surviving
+    // endpoints (doc % 7 <> 3), recursive CC over the survivor graph;
+    // previously-clustered survivors with no surviving pair fall back
+    // to self labels (COALESCE) — absence means removed, not
+    // forgotten.
+    "q144_member_removal" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest($tokensSql) AS tk FROM documents),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 16))::UBIGINT AS h FROM tok),
+         |votes AS (
+         |  SELECT d.doc_id, i, SUM(CASE WHEN (th.h >> i::INT) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM documents d CROSS JOIN range(64) t(i)
+         |  LEFT JOIN th ON th.doc_id = d.doc_id
+         |  GROUP BY d.doc_id, i),
+         |packed AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN v > 0 AND i < 32 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS lo,
+         |    SUM(CASE WHEN v > 0 AND i >= 32 THEN (1::BIGINT << (i::INT - 32)) ELSE 0 END)::BIGINT AS hi
+         |  FROM votes GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.lo, b.lo))::INT + bit_count(xor(a.hi, b.hi))::INT <= 3),
+         |surv_pairs AS (
+         |  SELECT id_a, id_b FROM pairs WHERE id_a % 7 <> 3 AND id_b % 7 <> 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM surv_pairs
+         |  UNION SELECT id_b, id_a FROM surv_pairs),
+         |reach(n, m) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.n, e.dst FROM reach r JOIN edges e ON e.src = r.m),
+         |cc1 AS (SELECT n AS id, min(m)::BIGINT AS cluster FROM reach GROUP BY n),
+         |orig AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)),
+         |surv AS (SELECT id FROM orig WHERE id % 7 <> 3)
+         |SELECT s.id, COALESCE(c.cluster, s.id)::BIGINT AS cluster
+         |FROM surv s LEFT JOIN cc1 c USING (id) ORDER BY s.id""".stripMargin,
 
     // q143: the q138 replay with the q143 populations (every 13th,
     // trim doc%4). The sample rate appears NOWHERE: time-fixed 10 ms

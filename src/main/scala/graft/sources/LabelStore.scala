@@ -24,9 +24,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * Contract: labels enter exclusively through [[ingest]]/[[append]]
   * with min-id cluster labels (what every CC here emits); hand-written
   * cluster keys break both arguments above. Retention/unlinking docs
-  * is deliberately out of scope — removing a member can SPLIT a
-  * component, which an append-only log cannot express; that is a
-  * recompute decision. */
+  * is deliberately NOT an append — removing a member can SPLIT a
+  * component and can remove the min id itself, so labels may
+  * INCREASE, which the min-per-id read cannot express. Compute the
+  * touched components' new labeling with
+  * [[graft.ops.Dedup.removeMembers]] (q144) and publish it as a
+  * [[compact]]-style rewrite of the store. */
 class LabelStore(spark: SparkSession,
                  val idTable: String = "graft_labels_by_id",
                  val clusterTable: String = "graft_labels_by_cluster",

@@ -365,6 +365,53 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("removeMembers: takedown equals one-shot recompute (splits, removed-min relabel, dissolution)") {
+    // chain 1-2-3-4-5 plus pair 10-11: removing 3 SPLITS the chain
+    // into {1,2} and {4,5}; removing the min (1) of another run must
+    // RAISE the surviving labels — the append-log monotonicity
+    // violation that makes removal a rewrite
+    def pairsAmong(pairs: Seq[(Long, Long)]) = (ms: org.apache.spark.sql.DataFrame) =>
+      pairs.toDF("id_a", "id_b")
+        .join(ms.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(ms.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val labels = Dedup.connectedComponents(e.toDF("id_a", "id_b"))
+    val split = Dedup.removeMembers(labels, Seq(3L).toDF("id"), pairsAmong(e))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L), "untouched 10-11 passes through; chain splits")
+    val minGone = Dedup.removeMembers(labels, Seq(1L).toDF("id"), pairsAmong(e))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minGone(2L) === 2L && minGone(5L) === 2L,
+      "removing the cluster's min must raise the label to the new min")
+    // component dissolves to singletons: both 10 and 11's pair endpoints
+    val dissolved = Dedup.removeMembers(labels, Seq(10L).toDF("id"), pairsAmong(e))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dissolved(11L) === 11L, "pairless survivor keeps a self-labeled row")
+    assert(!dissolved.contains(10L), "removed ids must be ABSENT, not relabeled")
+    // random equivalence vs one-shot cc over survivor-only edges,
+    // driver AND distributed paths
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(x => x._1 != x._2)
+      val base = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      val baseIds = base.collect().map(_.getLong(0)).toSet
+      val removed = baseIds.filter(_ % 3 == 0)
+      val survEdges = edges.filter(x => !removed(x._1) && !removed(x._2))
+      val oneShot = Dedup.connectedComponents(survEdges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (baseIds -- removed).map(id =>
+        id -> oneShot.getOrElse(id, id)).toMap
+      for (limit <- Seq(1000000L, 0L)) {
+        val got = Dedup.removeMembers(base, removed.toSeq.toDF("id"),
+            pairsAmong(edges), driverEdgeLimit = limit)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"driverEdgeLimit=$limit edges=$edges removed=$removed")
+      }
+    }
+  }
+
   test("connectedComponents rejects an unknown algorithm") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException] {
