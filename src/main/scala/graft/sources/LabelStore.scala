@@ -140,6 +140,39 @@ class LabelStore(spark: SparkSession,
       clusterTable, Seq("cluster"), buckets, sortCols = Seq("cluster"))
   }
 
+  /** MEMBER REMOVAL — the one maintenance operation the append log
+    * cannot express (a removed member can split its component and can
+    * be the min id its cluster is named after, so labels may INCREASE
+    * — see the class doc): compute the new labeling with
+    * [[graft.ops.Dedup.removeMembers]] over the store's CURRENT
+    * labels (touched components relabeled from `pairsAmong` survivors,
+    * untouched rows carried as-is, removed ids ABSENT), then publish
+    * it as a full [[compact]]-shape rewrite of both layouts — same
+    * write order (id layout first), same ts-column convention, and
+    * the rewrite doubles as a compaction (the baseline updates).
+    * Corpus-sized like [[compact]]: removal is a batch/compliance
+    * decision, not a per-micro-batch path. Returns the published
+    * labeling. */
+  def removeMembers(removedIds: DataFrame,
+                    pairsAmong: DataFrame => DataFrame,
+                    maxIterations: Int = 20,
+                    driverEdgeLimit: Long = 1000000L,
+                    algorithm: String = "star"): DataFrame = {
+    if (!exists) return emptyLabels
+    val current = loadAll().localCheckpoint(true)
+    val newLabels = graft.ops.Dedup.removeMembers(current, removedIds,
+        pairsAmong, maxIterations = maxIterations,
+        driverEdgeLimit = driverEdgeLimit, algorithm = algorithm)
+      .localCheckpoint(true)
+    compactBaseline = newLabels.count()
+    val kept = newLabels.withColumn("ts", lit(null).cast("long"))
+    Bucketed.writeKeys(kept.repartition(buckets, col("id")),
+      idTable, Seq("id"), buckets, sortCols = Seq("id"))
+    Bucketed.writeKeys(kept.repartition(buckets, col("cluster")),
+      clusterTable, Seq("cluster"), buckets, sortCols = Seq("cluster"))
+    newLabels
+  }
+
   // ---- auto-compaction (the streaming sink's release valve) ---------
   // Ids only ever MERGE here (the class doc's monotonicity), so the
   // current-row count at the last compaction is a LOWER bound on the

@@ -485,6 +485,36 @@ class BucketedSpec extends SparkTestBase {
     assert(r2 === Map(7L -> 7L, 8L -> 7L))
   }
 
+  test("LabelStore.removeMembers: rewrite publishes the takedown labeling, removed ids leave BOTH layouts, store stays maintainable") {
+    val store = new LabelStore(spark, "bspec_rm_id", "bspec_rm_cluster", buckets = 4)
+    // chain 1-2-3-4-5 + pair 10-11, built through the normal fold path
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    store.ingest(edges.toDF("id_a", "id_b"))
+    def pairsAmong(ms: org.apache.spark.sql.DataFrame) =
+      edges.toDF("id_a", "id_b")
+        .join(ms.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(ms.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    // removing 3 splits the chain; removing 1 deletes the cluster's
+    // min — labels must INCREASE, which only a rewrite can publish
+    val got = store.removeMembers(Seq(1L, 3L).toDF("id"), pairsAmong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 2L, 4L -> 4L, 5L -> 4L, 10L -> 10L, 11L -> 10L))
+    // the published store reads back the same labeling
+    assert(store.loadAll().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === got)
+    // removed ids are gone from BOTH physical layouts — min-per-id
+    // could not have hidden a stale smaller label anyway, but a
+    // compliance wipe must not leave rows behind
+    assert(spark.table(store.idTable).filter(col("id").isin(1L, 3L)).count() === 0)
+    assert(spark.table(store.clusterTable).filter(col("id").isin(1L, 3L)).count() === 0)
+    // the rewrite preserves the expiry-ready schema and the store
+    // stays maintainable: a later merge folds normally
+    assert(spark.table(store.idTable).columns.contains("ts"))
+    val merged = store.ingest(Seq((2L, 4L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(2L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
   test("appendAligned: legacy ts-less tables stay appendable unstamped; stamped publishes into them refuse loudly") {
     import graft.ops.Dedup
     // simulate a pre-retention-era published index: band rows WITHOUT
