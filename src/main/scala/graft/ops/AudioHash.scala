@@ -185,21 +185,60 @@ object AudioHash {
     out
   }
 
+  /** [[frameEnvelope]] on the exact 10 ms grid of a given rate: frame
+    * j covers samples [⌊j·rate/100⌋, ⌊(j+1)·rate/100⌋) — CUMULATIVE
+    * boundaries, not a truncated fixed size, because a truncated
+    * rate/100 drifts off the wall clock for rates not divisible by
+    * 100 (11025 Hz: 110 vs the true 110.25 samples — a full frame of
+    * drift every ~4.4 s, which would zero the hash overlap of longer
+    * recordings and silently break the resample contract). For
+    * rate % 100 == 0 this is bit-identical to
+    * `frameEnvelope(samples, rate/100)`. COMPLETE frames only, like
+    * the fixed-grid form. */
+  def frameEnvelopeAtRate(samples: Array[Short], rate: Int): Array[Long] = {
+    // complete frames: the largest m with ⌊m·rate/100⌋ ≤ n, i.e.
+    // ⌊(100(n+1)−1)/rate⌋ — NOT ⌊100n/rate⌋, which undercounts when
+    // the last boundary lands on n by flooring (rate 150, n = 4:
+    // frames end at 1, 3, 4 — three complete frames, not two)
+    val nf = ((100L * (samples.length + 1L) - 1L) / rate).toInt
+    val out = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      val s0 = (f.toLong * rate / 100L).toInt
+      val s1 = ((f + 1).toLong * rate / 100L).toInt
+      var acc = 0L
+      var i = s0
+      while (i < s1) { acc += math.abs(samples(i).toLong); i += 1 }
+      out(f) = if (s1 > s0) acc / (s1 - s0) else 0L
+      f += 1
+    }
+    out
+  }
+
   /** Windowed fingerprints of a WAV payload: one 64-bit hash per hop-1
     * position — bit k of the window at frame p compares frames p+k+1
     * vs p+k (the [[envelopeHash64]] construction, windowed).
     *
     * Framing is TIME-fixed by default (`frameSamples` = 0): a frame
-    * is 10 ms at the container's DECLARED rate (rate/100 samples), so
-    * a resampled copy frames the same wall-clock intervals and its
-    * per-frame means — and therefore its window hashes — survive
-    * (ideal resampling maps constant 10 ms segments to constant 10 ms
-    * segments; real resampler ringing perturbs boundary samples, ~1
-    * part in rate/100 of a frame mean, which only matters when two
-    * neighboring frames are near-equal — within the set-Jaccard
-    * threshold's tolerance). Rates below 100 Hz reject (no full 10 ms
-    * frame). Pass `frameSamples` > 0 to pin a fixed sample grid (the
-    * pre-round-12 behavior: 160 samples = 10 ms at 16 kHz ONLY).
+    * is 10 ms at the container's DECLARED rate, on CUMULATIVE
+    * boundaries ⌊j·rate/100⌋ ([[frameEnvelopeAtRate]] — exact at
+    * every rate, including 11025/22050 Hz, where a truncated rate/100
+    * grid drifts a full frame every few seconds), so a resampled copy
+    * frames the same wall-clock intervals and its per-frame means —
+    * and therefore its window hashes — survive (ideal resampling maps
+    * constant 10 ms segments to constant 10 ms segments; real
+    * resampler ringing perturbs boundary samples, ~1 part in rate/100
+    * of a frame mean, which only matters when two neighboring frames
+    * are near-equal — within the set-Jaccard threshold's tolerance).
+    * Rates below 100 Hz reject (no full 10 ms frame). Pass
+    * `frameSamples` > 0 to pin a fixed sample grid (the pre-round-12
+    * behavior: 160 samples = 10 ms at 16 kHz ONLY).
+    *
+    * MIGRATION: window-hash INDEXES published under the old fixed-160
+    * default from non-16 kHz recordings hash differently now — a
+    * re-submitted copy would sail through such a gate as novel.
+    * Re-publish those stores (16 kHz-only corpora — every fixture and
+    * store shipped here — are bit-identical, no action needed).
     * None when the bytes do not decode or are shorter than one
     * window. */
   def windowHashes(bytes: Array[Byte], frameSamples: Int = 0,
@@ -212,10 +251,11 @@ object AudioHash {
       s"frameSamples must be >= 0 (0 = 10 ms at the declared rate), got $frameSamples")
     try {
       pcmSamplesWithRate(bytes).flatMap { case (samples, rate) =>
-        val fs = if (frameSamples > 0) frameSamples else rate / 100
-        if (fs <= 0) None
+        if (frameSamples <= 0 && rate < 100) None
         else Some {
-          val env = frameEnvelope(samples, fs)
+          val env =
+            if (frameSamples > 0) frameEnvelope(samples, frameSamples)
+            else frameEnvelopeAtRate(samples, rate)
           (0 to env.length - windowFrames).map { p =>
             var hash = 0L
             var k = 0
@@ -382,44 +422,35 @@ object AudioHash {
     * = (64−k)/64 ≥ 0.875 for k ≤ 8. */
   val WindowFixtureFrames = 128
 
-  def fixtureWavTrimmed(id: Long, trimFrames: Int): Array[Byte] = {
-    val nf = WindowFixtureFrames - trimFrames
-    val pcm = new Array[Byte](nf * FixtureSamplesPerFrame * 2)
-    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var j = 0
-    while (j < nf) {
-      val amp = fixtureAmp(id, j + trimFrames, perturb = false).toShort
-      var i = 0
-      while (i < FixtureSamplesPerFrame) { bb.putShort(amp); i += 1 }
-      j += 1
-    }
-    Multimodal.wavBytes(pcm)
-  }
+  def fixtureWavTrimmed(id: Long, trimFrames: Int): Array[Byte] =
+    fixtureWavResampled(id, trimFrames, 16000) // 16000/100 == FixtureSamplesPerFrame
 
   /** The trimmed fixture as a column UDF (id, trimFrames) → WAV. */
   val fixtureWavTrimmedUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((id: Long, trimFrames: Int) => fixtureWavTrimmed(id, trimFrames))
 
-  /** [[fixtureWavTrimmed]] rendered at an arbitrary sample rate: the
-    * SAME per-frame amplitude sequence with rate/100 samples per
-    * 10 ms frame — the IDEAL resample of the 16 kHz fixture (a
-    * constant 10 ms segment resamples to a constant 10 ms segment
-    * bit-exactly, so the time-fixed window hashes are IDENTICAL; real
-    * resampler boundary ringing is the documented contract edge).
-    * Rates must be whole multiples of 100 Hz so frames are whole
-    * samples. */
+  /** The windowed fixture rendered at an arbitrary sample rate: the
+    * SAME per-frame amplitude sequence on the exact 10 ms grid —
+    * frame j spans samples [⌊j·rate/100⌋, ⌊(j+1)·rate/100⌋), the
+    * [[frameEnvelopeAtRate]] boundaries, so non-multiple-of-100 rates
+    * (11025, 22050) render exactly too. This is the IDEAL resample of
+    * the 16 kHz fixture (a constant 10 ms segment resamples to a
+    * constant 10 ms segment bit-exactly, so the time-fixed window
+    * hashes are IDENTICAL; real resampler boundary ringing is the
+    * documented contract edge). [[fixtureWavTrimmed]] is this at
+    * 16 kHz. */
   def fixtureWavResampled(id: Long, trimFrames: Int, rate: Int): Array[Byte] = {
-    require(rate >= 100 && rate % 100 == 0,
-      s"rate must be a positive multiple of 100, got $rate")
-    val spf = rate / 100
+    require(rate >= 100, s"rate must be at least 100 Hz (one 10 ms frame), got $rate")
     val nf = WindowFixtureFrames - trimFrames
-    val pcm = new Array[Byte](nf * spf * 2)
+    val totalSamples = (nf.toLong * rate / 100L).toInt
+    val pcm = new Array[Byte](totalSamples * 2)
     val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var j = 0
     while (j < nf) {
       val amp = fixtureAmp(id, j + trimFrames, perturb = false).toShort
-      var i = 0
-      while (i < spf) { bb.putShort(amp); i += 1 }
+      var i = (j.toLong * rate / 100L).toInt
+      val end = ((j + 1).toLong * rate / 100L).toInt
+      while (i < end) { bb.putShort(amp); i += 1 }
       j += 1
     }
     Multimodal.wavBytes(pcm, sampleRate = rate)

@@ -1206,6 +1206,11 @@ object Dedup {
                     algorithm: String = "star"): DataFrame = {
     val lbl = labels.select(col(idCol).cast("long").as("id"),
       col(clusterCol).cast("long").as("cluster"))
+    // a single id column only: reading one column of a wider frame
+    // positionally could silently take down the WRONG documents (a
+    // (cluster, id)-shaped frame would remove by cluster id)
+    require(removedIds.columns.length == 1,
+      s"removedIds must be a single-column id frame, got (${removedIds.columns.mkString(", ")})")
     val rem = removedIds.select(
       col(removedIds.columns.head).cast("long").as("id"))
     val touchedClusters = lbl.join(rem, Seq("id"), "left_semi")

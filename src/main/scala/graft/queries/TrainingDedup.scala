@@ -530,21 +530,24 @@ private[queries] object TrainingDedup {
     }),
 
     // RESAMPLE-robust audio near-dup: the q138 windowed fingerprint
-    // with TIME-fixed framing (10 ms = rate/100 samples at the
-    // container's DECLARED rate) — a 44.1 kHz re-encode of a 16 kHz
-    // recording frames the same wall-clock intervals, so its window
-    // hashes are identical. Every 13th doc's recording reappears
-    // resampled to 8 k/32 k/44.1 kHz (by doc%3) AND trimmed by doc%4
-    // frames → J = (64−k)/64 ∈ {1, .98, .97, .95}. The ORACLE never
-    // sees a rate: time-fixed framing makes the hash rate-invariant,
-    // so the replay is pure frame-amplitude arithmetic while the
-    // Spark side really decodes three different containers.
+    // with TIME-fixed framing (10 ms on cumulative ⌊j·rate/100⌋
+    // boundaries at the container's DECLARED rate) — a 44.1 kHz
+    // re-encode of a 16 kHz recording frames the same wall-clock
+    // intervals, so its window hashes are identical; 22.05 kHz is the
+    // drift rate a truncated rate/100 grid would miss. Every 13th
+    // doc's recording reappears resampled to 8 k/22.05 k/32 k/
+    // 44.1 kHz (by doc%4) AND trimmed by doc%4 frames →
+    // J = (64−k)/64 ∈ {1, .98, .97, .95}. The ORACLE never sees a
+    // rate: time-fixed framing makes the hash rate-invariant, so the
+    // replay is pure frame-amplitude arithmetic while the Spark side
+    // really decodes four different containers.
     "q143_resampled_audio_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
       val base = docs.select(col("doc_id").as("media_id"),
         graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id"), lit(0)).as("bytes"))
-      val rate = when(col("doc_id") % 3 === 0, lit(8000))
-        .when(col("doc_id") % 3 === 1, lit(32000))
+      val rate = when(col("doc_id") % 4 === 0, lit(8000))
+        .when(col("doc_id") % 4 === 1, lit(22050))
+        .when(col("doc_id") % 4 === 2, lit(32000))
         .otherwise(lit(44100))
       val variants = docs.filter(col("doc_id") % 13 === 0)
         .select((col("doc_id") + lit(1000000000L)).as("media_id"),

@@ -99,12 +99,19 @@ class LabelStore(spark: SparkSession,
     * the touched components, never the corpus. */
   def fold(newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
            maxIterations: Int = 20, driverEdgeLimit: Long = 1000000L,
-           algorithm: String = "star"): DataFrame =
+           algorithm: String = "star"): DataFrame = {
+    // a torn removal leaves layouts that DISAGREE (labels may have
+    // increased in one but not the other) — folding over that state
+    // can permanently strand a co-member, so refuse until healed
+    if (removalPending) throw new IllegalStateException(
+      s"unfinished member removal on $idTable: re-run " +
+        "removeMembers(pendingRemovalIds, pairsAmong) to heal, then retry")
     graft.ops.Dedup.foldPairsIntoLabels(
       newPairs.select(col(idA).cast("long").as("id_a"),
         col(idB).cast("long").as("id_b")),
       currentFor, membersOf,
       maxIterations, driverEdgeLimit, algorithm)._1
+  }
 
   /** The full maintenance round: fold, then append. Relabels
     * materialize BEFORE the append (the gate-family replay contract);
@@ -129,10 +136,18 @@ class LabelStore(spark: SparkSession,
     * convention). */
   def compact(): Unit = {
     if (!exists) return
-    val kept = loadAll().withColumn("ts", lit(null).cast("long"))
+    publishRewrite(loadAll())
+  }
+
+  /** THE rewrite publish shared by [[compact]] and [[removeMembers]]
+    * — one definition of the ts-column convention, bucket/sort spec,
+    * id-first write order and baseline maintenance, so the two
+    * "compact-shape rewrites" the docs equate cannot drift apart. */
+  private def publishRewrite(labels: DataFrame): Unit = {
+    val kept = labels.withColumn("ts", lit(null).cast("long"))
       .localCheckpoint(true)
     // the checkpoint makes this count a block-metadata read — capture
-    // the post-compact row count as the auto-compaction baseline
+    // the post-rewrite row count as the auto-compaction baseline
     compactBaseline = kept.count()
     Bucketed.writeKeys(kept.repartition(buckets, col("id")),
       idTable, Seq("id"), buckets, sortCols = Seq("id"))
@@ -147,31 +162,55 @@ class LabelStore(spark: SparkSession,
     * [[graft.ops.Dedup.removeMembers]] over the store's CURRENT
     * labels (touched components relabeled from `pairsAmong` survivors,
     * untouched rows carried as-is, removed ids ABSENT), then publish
-    * it as a full [[compact]]-shape rewrite of both layouts — same
-    * write order (id layout first), same ts-column convention, and
-    * the rewrite doubles as a compaction (the baseline updates).
+    * it as a full [[compact]]-shape rewrite of both layouts.
     * Corpus-sized like [[compact]]: removal is a batch/compliance
     * decision, not a per-micro-batch path. Returns the published
-    * labeling. */
+    * labeling.
+    *
+    * Crash contract: unlike [[append]] (cluster-first order provably
+    * safe) and [[compact]] (label-preserving, so either torn half is
+    * consistent), a label-CHANGING rewrite has no safe write order —
+    * a crash between the two table writes leaves layouts that
+    * disagree, and a fold over that state can permanently strand a
+    * co-member. So removal brackets the rewrite with a PENDING MARKER
+    * (a third table holding the removed ids): [[ingest]]/[[fold]]
+    * refuse while it exists, and re-running removeMembers with
+    * [[pendingRemovalIds]] HEALS every torn shape — whichever layout
+    * survived, the recompute runs off the id layout's min-per-id read
+    * and republishes both layouts consistently (removed ids are
+    * either still present → same recompute, or already gone → a pure
+    * re-publish of current labels). */
   def removeMembers(removedIds: DataFrame,
                     pairsAmong: DataFrame => DataFrame,
                     maxIterations: Int = 20,
                     driverEdgeLimit: Long = 1000000L,
                     algorithm: String = "star"): DataFrame = {
     if (!exists) return emptyLabels
+    val rem = removedIds.localCheckpoint(true)
+    // marker FIRST: a crash anywhere after this line leaves the store
+    // refusing maintenance until the removal is re-run to completion
+    rem.write.mode("overwrite").saveAsTable(pendingTable)
     val current = loadAll().localCheckpoint(true)
-    val newLabels = graft.ops.Dedup.removeMembers(current, removedIds,
+    val newLabels = graft.ops.Dedup.removeMembers(current, rem,
         pairsAmong, maxIterations = maxIterations,
         driverEdgeLimit = driverEdgeLimit, algorithm = algorithm)
       .localCheckpoint(true)
-    compactBaseline = newLabels.count()
-    val kept = newLabels.withColumn("ts", lit(null).cast("long"))
-    Bucketed.writeKeys(kept.repartition(buckets, col("id")),
-      idTable, Seq("id"), buckets, sortCols = Seq("id"))
-    Bucketed.writeKeys(kept.repartition(buckets, col("cluster")),
-      clusterTable, Seq("cluster"), buckets, sortCols = Seq("cluster"))
+    publishRewrite(newLabels)
+    spark.sql(s"DROP TABLE IF EXISTS $pendingTable")
     newLabels
   }
+
+  /** The pending-removal marker table ([[removeMembers]]' crash
+    * bracket). */
+  def pendingTable: String = idTable + "_removal_pending"
+
+  /** Whether a [[removeMembers]] crashed mid-rewrite — maintenance
+    * refuses until the removal is re-run with [[pendingRemovalIds]]. */
+  def removalPending: Boolean = spark.catalog.tableExists(pendingTable)
+
+  /** The removed ids of an unfinished [[removeMembers]], for the
+    * healing re-run. */
+  def pendingRemovalIds: DataFrame = spark.table(pendingTable)
 
   // ---- auto-compaction (the streaming sink's release valve) ---------
   // Ids only ever MERGE here (the class doc's monotonicity), so the

@@ -1951,7 +1951,10 @@ class MultimodalSpec extends SparkTestBase {
     Seq(3L, 42L, 4242L).foreach { id =>
       Seq(0, 1, 3, 7).foreach { trim =>
         val ref = windowHashes(fixtureWavTrimmed(id, trim)).get
-        Seq(8000, 16000, 32000, 44100).foreach { rate =>
+        // 11025/22050 are the drift rates: a truncated rate/100 grid
+        // (110 samples vs the true 110.25) slides a full frame every
+        // ~4.4 s — the cumulative-boundary framing must hold exactly
+        Seq(8000, 11025, 16000, 22050, 32000, 44100).foreach { rate =>
           assert(windowHashes(fixtureWavResampled(id, trim, rate)).get === ref,
             s"id=$id trim=$trim rate=$rate: resample changed the window hashes")
         }

@@ -513,6 +513,43 @@ class BucketedSpec extends SparkTestBase {
     val merged = store.ingest(Seq((2L, 4L)).toDF("id_a", "id_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged === Map(2L -> 2L, 4L -> 2L, 5L -> 2L))
+    // the completed removal left no pending marker behind
+    assert(!store.removalPending)
+  }
+
+  test("LabelStore.removeMembers: a torn rewrite refuses maintenance and heals on re-run") {
+    val store = new LabelStore(spark, "bspec_rm2_id", "bspec_rm2_cluster", buckets = 4)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    store.ingest(edges.toDF("id_a", "id_b"))
+    def pairsAmong(ms: org.apache.spark.sql.DataFrame) =
+      edges.toDF("id_a", "id_b")
+        .join(ms.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(ms.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    // simulate the torn removal of id 1 (the cluster's MIN): the
+    // pending marker was written and the ID layout rewritten, but the
+    // crash hit before the cluster layout — layouts now DISAGREE
+    // (id layout says cluster 2; cluster layout still keys cluster 1)
+    Seq(1L).toDF("id").write.mode("overwrite").saveAsTable(store.pendingTable)
+    val torn = Seq((2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster").withColumn("ts", lit(null).cast("long"))
+    Bucketed.writeKeys(torn.repartition(4, col("id")), store.idTable,
+      Seq("id"), 4, sortCols = Seq("id"))
+    // maintenance over the torn state must refuse, not strand member 3
+    assert(store.removalPending)
+    val e = intercept[IllegalStateException] {
+      store.ingest(Seq((2L, 100L)).toDF("id_a", "id_b"))
+    }
+    assert(e.getMessage.contains("unfinished member removal"))
+    // the healing re-run with the marker's own ids republishes BOTH
+    // layouts consistently and clears the marker
+    val healed = store.removeMembers(store.pendingRemovalIds, pairsAmong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(healed === Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+    assert(!store.removalPending)
+    // and the previously-refused merge now folds, pulling co-member 3
+    val merged = store.ingest(Seq((2L, 100L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(2L -> 2L, 3L -> 2L, 100L -> 2L))
   }
 
   test("appendAligned: legacy ts-less tables stay appendable unstamped; stamped publishes into them refuse loudly") {
