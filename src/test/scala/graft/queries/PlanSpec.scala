@@ -526,6 +526,29 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_kmv_mins"), "sketches built by the bounded aggregate")
     assert(!p.contains("Window"), "no rank pass anywhere — set ops on arrays")
   }
+
+  test("q142 scene segmentation: the OPERATOR is shuffle-free (walk fused into the decode)") {
+    import org.apache.spark.sql.functions._
+    // the registered query appends an orderBy (a range exchange, for
+    // the oracle compare) — the claim is about the OPERATOR: scene
+    // rows are emitted by the task that decoded the video, no
+    // Exchange, no Window, no join anywhere in its plan
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"))
+    val media = docs.select(col("doc_id").as("media_id"),
+      graft.ops.VideoHash.fixtureSceneMp4Udf(col("doc_id")).as("bytes"))
+    val p = graft.ops.VideoHash.sceneSegments(media)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scene segmentation must not shuffle:\n${p.take(800)}")
+    assert(!p.contains("Window"), "no window formulation — the walk is in the decode")
+    assert(!p.contains("Join"), "no join anywhere")
+  }
+
+  test("q144 member removal: semi/anti label probes, no corpus self-join, no window") {
+    val p = plan("q144_member_removal")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(!p.contains("Window"), "no window pass")
+  }
 }
 
 class FileResourcesSpec extends SparkTestBase {
