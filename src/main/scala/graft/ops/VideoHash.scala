@@ -313,6 +313,25 @@ object VideoHash {
         col("s.n_frames").as("n_frames"),
         col("s.key_hash").as("key_hash"))
 
+  /** The scene-KEYFRAME set of each video: (media_id, fhash) DISTINCT
+    * — a video identity ~4.5× smaller than the full frame set (one
+    * hash per scene instead of one per frame, mean 3.5 scenes per
+    * 16-frame fixture), with the same robustness inside each scene
+    * (the keyframe is a dHash — re-encode drift lands within the
+    * Hamming ball; static-shot frames past the first contribute
+    * nothing to identity anyway). Published through the SAME
+    * (fhash)-bucketed stores and screened by the SAME
+    * [[graft.ops.Dedup.frameSetDedupAgainstIndex]] gate as full frame
+    * sets — at 100 TB, a 4.5× smaller index is the difference in the
+    * probe-join's co-located side. Contract: set Jaccard over
+    * keyframes moves per EDITED SCENE ((n−1)/(n+1) for one replaced
+    * scene of n), so gate thresholds sit lower than frame-set ones
+    * (q145 uses 0.3 against the 2-scene worst case of 1/3). */
+  def keyframeSet(media: DataFrame, idCol: String = "media_id",
+                  bytesCol: String = "bytes", threshold: Int = 4): DataFrame =
+    sceneSegments(media, idCol, bytesCol, threshold)
+      .select(col("media_id"), col("key_hash").as("fhash")).distinct()
+
   /** Near-duplicate videos from a distinct (media_id, fhash) frame:
     * shared-hash blocking → per-pair intersection counts → exact set
     * Jaccard ≥ `threshold`. `maxHashFreq` (0 = off) drops frame hashes
@@ -404,13 +423,17 @@ object VideoHash {
     * whole pattern (typically tens of bits). All arithmetic in
     * (id, f) — the SQL oracle replays pixels → bits → hashes →
     * consecutive Hamming → cuts → segments. */
-  def fixtureSceneMp4(id: Long): Array[Byte] = {
+  def fixtureSceneMp4(id: Long, replaceScene: Boolean = false): Array[Byte] = {
     val nScenes = fixtureSceneCount(id)
     val payload = new Array[Byte](FixtureFrameCount * FrameBytes)
     var f = 0
     while (f < FixtureFrameCount) {
       val s = f * nScenes / FixtureFrameCount
-      val pid = id * 131L + s * 29L + 7L
+      // the one-scene-replaced copy swaps scene id % nScenes for a
+      // fresh pattern (+13: 131a + 29b = 13 has no small solution, so
+      // the variant pid space cannot collide with any corpus scene)
+      val pid = id * 131L + s * 29L + 7L +
+        (if (replaceScene && s == (id % nScenes).toInt) 13L else 0L)
       val jitter = f % 2 == 1
       var y = 0
       while (y < 8) {
@@ -457,4 +480,8 @@ object VideoHash {
   /** The scene-structured fixture as a column UDF (id) → MP4 bytes. */
   val fixtureSceneMp4Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((id: Long) => fixtureSceneMp4(id))
+
+  /** The one-scene-replaced variant as a column UDF (id) → MP4. */
+  val fixtureSceneVariantUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((id: Long) => fixtureSceneMp4(id, replaceScene = true))
 }

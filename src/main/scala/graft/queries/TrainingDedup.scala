@@ -504,6 +504,36 @@ private[queries] object TrainingDedup {
         .orderBy(col("video_id"), col("audio_id"))
     }),
 
+    // KEYFRAME-SET ingestion gate — q142's sampling feeding q139's
+    // gate: video identity = scene KEYFRAMES (~4.5× fewer rows than
+    // the frame set at the same scene-level robustness), screened by
+    // the SAME frameSetDedupAgainstIndex machinery. Every 10th batch
+    // doc is a one-scene-replaced copy of indexed video doc+1 →
+    // keyframe Jaccard (n−1)/(n+1) ∈ [1/3, 2/3] (n = 2..5 scenes), so
+    // the gate threshold is 0.3 (a replaced scene moves a WHOLE
+    // keyframe, unlike one frame of sixteen). The oracle replays
+    // scene structure → keyframe pids (+13 for the replaced scene) →
+    // hashes → verdicts.
+    "q145_keyframe_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val idx = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("media_id"),
+          graft.ops.VideoHash.fixtureSceneMp4Udf(col("doc_id")).as("bytes"))
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 10 === 0,
+            graft.ops.VideoHash.fixtureSceneVariantUdf(col("doc_id") + 1))
+          .otherwise(graft.ops.VideoHash.fixtureSceneMp4Udf(col("doc_id")))
+          .as("bytes"))
+      val indexRows = graft.ops.VideoHash.keyframeSet(idx)
+        .withColumn("n", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))))
+        .select(col("media_id").as("id"), col("fhash"), col("n"))
+      Dedup.frameSetDedupAgainstIndex(
+          graft.ops.VideoHash.keyframeSet(batch), indexRows, threshold = 0.3)
+        .orderBy(col("new_id"))
+    }),
+
     // MEMBER REMOVAL (takedown/retention) from a published clustering
     // — the split q140 cannot express: removing doc_id % 7 == 3 docs
     // can break a component apart and can remove the min id a cluster
@@ -1464,6 +1494,77 @@ private[queries] object TrainingDedup {
          |JOIN sizes sr ON sr.side = 'r' AND sr.media_id = audio_id
          |WHERE n_shared::DOUBLE / (sv.n + sr.n - n_shared) >= 0.85
          |ORDER BY video_id, audio_id""".stripMargin,
+
+    // q145: the q139 verdict shape over scene KEYFRAMES — scene
+    // structure replayed as in q142 (nScenes = 2 + vid%4, scene of
+    // frame f = f·n/16, keyframe = the scene's first frame, jitter on
+    // odd start frames), the replaced scene's pid offset by +13 on
+    // perturbed batch videos, Jaccard over keyframe-hash sets at 0.3.
+    "q145_keyframe_gate" ->
+      s"""WITH idx AS (
+         |  SELECT doc_id AS id, doc_id AS vid, FALSE AS pert
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |new AS (
+         |  SELECT doc_id AS id,
+         |    CASE WHEN doc_id % 10 = 0 THEN doc_id + 1 ELSE doc_id END AS vid,
+         |    doc_id % 10 = 0 AS pert
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |sides AS (
+         |  SELECT 'old' AS side, id, vid, pert FROM idx
+         |  UNION ALL SELECT 'new', id, vid, pert FROM new),
+         |sframes AS (
+         |  SELECT m.side, m.id, m.vid, m.pert,
+         |    (f.f * (2 + m.vid % 4)) // 16 AS s, min(f.f) AS f0
+         |  FROM sides m, generate_series(0,15) f(f)
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |keys AS (
+         |  SELECT side, id,
+         |    vid*131 + s*29 + 7 +
+         |      CASE WHEN pert AND s = vid % (2 + vid % 4) THEN 13 ELSE 0 END AS pid,
+         |    f0 % 2 = 1 AS jitter
+         |  FROM sframes),
+         |gx AS (
+         |  SELECT k.side, k.id, k.pid, k.jitter, x.x, y.y,
+         |    ${fixtureGraySql("k.pid")} AS g0
+         |  FROM keys k, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |px AS (
+         |  SELECT side, id, pid, x, y,
+         |    CASE WHEN jitter AND x = pid % 9 AND y = pid % 8
+         |      THEN (g0 + 128) % 256 ELSE g0 END AS g
+         |  FROM gx),
+         |bits AS (
+         |  SELECT l.side, l.id, l.pid, l.y*8 + l.x AS k,
+         |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+         |  FROM px l JOIN px r ON r.side = l.side AND r.id = l.id
+         |    AND r.pid = l.pid AND r.y = l.y AND r.x = l.x + 1
+         |  WHERE l.x < 8),
+         |blocks AS (
+         |  SELECT side, id, pid, k // 16 AS blk, sum(bit * (1 << (k % 16))) AS v
+         |  FROM bits GROUP BY 1, 2, 3, 4),
+         |fh AS (
+         |  SELECT side, id, pid, string_agg(v::VARCHAR, '|' ORDER BY blk) AS h
+         |  FROM blocks GROUP BY 1, 2, 3),
+         |fhd AS (SELECT DISTINCT side, id, h FROM fh),
+         |sizes AS (SELECT side, id, count(*) AS n FROM fhd GROUP BY 1, 2),
+         |inter AS (
+         |  SELECT n.id AS new_id, o.id AS old_id, count(*)::BIGINT AS ns
+         |  FROM fhd n JOIN fhd o ON o.side = 'old' AND n.side = 'new' AND n.h = o.h
+         |  WHERE n.id <> o.id
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT new_id, old_id, round(ns::DOUBLE / (sn.n + so.n - ns), 6) AS j
+         |  FROM inter
+         |  JOIN sizes sn ON sn.side = 'new' AND sn.id = new_id
+         |  JOIN sizes so ON so.side = 'old' AND so.id = old_id),
+         |hits AS (
+         |  SELECT new_id, count(*)::BIGINT AS n_dup_matches,
+         |    min(old_id)::BIGINT AS dup_of, max(j) AS best_jaccard
+         |  FROM jac WHERE j >= 0.3 GROUP BY 1)
+         |SELECT d.doc_id AS new_id,
+         |  coalesce(n_dup_matches, 0)::BIGINT AS n_dup_matches,
+         |  dup_of, best_jaccard, coalesce(n_dup_matches, 0) > 0 AS is_dup
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.new_id
+         |WHERE d.doc_id % 5 = 0 ORDER BY new_id""".stripMargin,
 
     // q144: q140's simhash-pair replay, edges filtered to surviving
     // endpoints (doc % 7 <> 3), recursive CC over the survivor graph;

@@ -2008,6 +2008,46 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("keyframe gate: scene keyframes are the identity; one replaced scene moves exactly one keyframe") {
+    val spark = this.spark
+    def mediaDf(rows: Seq[(Long, Array[Byte])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, b) =>
+        org.apache.spark.sql.Row(id, b) }, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType))))
+    // id 11: nScenes = 2 + 11%4 = 5 — keyframe set has 5 hashes
+    val kf = VideoHash.keyframeSet(mediaDf(Seq(11L -> VideoHash.fixtureSceneMp4(11L))))
+      .collect().map(_.getLong(1)).toSet
+    assert(kf.size === 5)
+    // the one-scene-replaced variant shares exactly 4 of 5 keyframes
+    val kfVar = VideoHash.keyframeSet(
+        mediaDf(Seq(11L -> VideoHash.fixtureSceneMp4(11L, replaceScene = true))))
+      .collect().map(_.getLong(1)).toSet
+    assert((kf intersect kfVar).size === 4 && kfVar.size === 5)
+    // gate verdict: the variant flags against the indexed original at
+    // J = (n-1)/(n+1) = 4/6; an unrelated video does not flag
+    val idx = VideoHash.keyframeSet(mediaDf(Seq(
+        11L -> VideoHash.fixtureSceneMp4(11L),
+        12L -> VideoHash.fixtureSceneMp4(12L))))
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))))
+      .select(col("media_id").as("id"), col("fhash"), col("n"))
+    val batch = VideoHash.keyframeSet(mediaDf(Seq(
+      100L -> VideoHash.fixtureSceneMp4(11L, replaceScene = true),
+      101L -> VideoHash.fixtureSceneMp4(999L))))
+    val v = Dedup.frameSetDedupAgainstIndex(batch, idx, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(r.fieldIndex("is_dup")),
+          if (r.isNullAt(r.fieldIndex("best_jaccard"))) 0.0
+          else r.getDouble(r.fieldIndex("best_jaccard"))))).toMap
+    assert(v(100L)._1 && math.abs(v(100L)._2 - math.rint(4.0 / 6.0 * 1e6) / 1e6) < 1e-9,
+      s"variant must flag at 4/6: $v")
+    assert(!v(101L)._1, s"unrelated video must pass: $v")
+  }
+
   test("fragmented MP4: every fragment's frames hash — 3-fragment fixture == single-mdat twin") {
     Seq(0L, 17L, 97L, 4242L).foreach { id =>
       val single = VideoHash.frameDHashes(VideoHash.fixtureMp4(id))
