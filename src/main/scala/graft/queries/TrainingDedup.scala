@@ -508,10 +508,12 @@ private[queries] object TrainingDedup {
     // gate: video identity = scene KEYFRAMES (~4.5× fewer rows than
     // the frame set at the same scene-level robustness), screened by
     // the SAME frameSetDedupAgainstIndex machinery. Every 10th batch
-    // doc is a one-scene-replaced copy of indexed video doc+1 →
-    // keyframe Jaccard (n−1)/(n+1) ∈ [1/3, 2/3] (n = 2..5 scenes), so
-    // the gate threshold is 0.3 (a replaced scene moves a WHOLE
-    // keyframe, unlike one frame of sixteen). The oracle replays
+    // doc is a one-scene-replaced copy of indexed video doc+1 —
+    // always ODD, so n ∈ {3, 5} here and planted J = (n−1)/(n+1) ∈
+    // {1/2, 2/3}; the 0.3 threshold is set against the 2-scene worst
+    // case J = 1/3, which the OpsSpec gate test exercises explicitly
+    // (a replaced scene moves a WHOLE keyframe, unlike one frame of
+    // sixteen). The oracle replays
     // scene structure → keyframe pids (+13 for the replaced scene) →
     // hashes → verdicts.
     "q145_keyframe_gate" -> ((s, d) => {

@@ -305,9 +305,9 @@ object MediaProbe {
     // an adjacent-scene pattern pair lands within 4 dHash bits
     // (never observed at sf0.1; report, and tolerate <= 0.1%).
     val sceneN = args.drop(3).headOption.map(_.toLong).getOrElse(headerN)
-    val sceneSynth = udf { (id: Long) => graft.ops.VideoHash.fixtureSceneMp4(id) }
     val sceneMedia = spark.range(0L, sceneN, 1L, 64)
-      .select(col("id").as("media_id"), sceneSynth(col("id")).as("bytes"))
+      .select(col("id").as("media_id"),
+        graft.ops.VideoHash.fixtureSceneMp4Udf(col("id")).as("bytes"))
       .localCheckpoint(true)
     val plantedScenes = (0L until sceneN)
       .view.map(id => 2L + id % 4).sum // exact, any sceneN

@@ -2046,6 +2046,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(v(100L)._1 && math.abs(v(100L)._2 - math.rint(4.0 / 6.0 * 1e6) / 1e6) < 1e-9,
       s"variant must flag at 4/6: $v")
     assert(!v(101L)._1, s"unrelated video must pass: $v")
+    // the THRESHOLD-RATIONALE boundary: a 2-scene video (the worst
+    // case the 0.3 threshold is set against — q145's perturbed vids
+    // are always odd, n ∈ {3, 5}, so only this spec exercises it) —
+    // one replaced scene of two leaves J = 1/3 = 0.333333 after the
+    // round-to-6 discipline, a 0.033 margin that must stay >= 0.3
+    val idx2 = VideoHash.keyframeSet(
+        mediaDf(Seq(12L -> VideoHash.fixtureSceneMp4(12L)))) // 12 % 4 = 0 -> n = 2
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))))
+      .select(col("media_id").as("id"), col("fhash"), col("n"))
+    val v2 = Dedup.frameSetDedupAgainstIndex(
+        VideoHash.keyframeSet(mediaDf(Seq(
+          200L -> VideoHash.fixtureSceneMp4(12L, replaceScene = true)))),
+        idx2, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(r.fieldIndex("is_dup")),
+          r.getDouble(r.fieldIndex("best_jaccard"))))).toMap
+    assert(v2(200L)._1 && math.abs(v2(200L)._2 - 0.333333) < 1e-9,
+      s"2-scene worst case must flag at round(1/3, 6): $v2")
   }
 
   test("fragmented MP4: every fragment's frames hash — 3-fragment fixture == single-mdat twin") {
