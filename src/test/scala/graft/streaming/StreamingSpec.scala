@@ -656,6 +656,44 @@ class StreamingSpec extends SparkTestBase {
       s"poisoned store must degrade conservatively, got $emitted")
   }
 
+  test("streaming keyframe near-dup: scene keyframes flow through the frame-set sink unchanged") {
+    // the q145 composition on a STREAM: keyframe arrays (one hash per
+    // scene, q142's sampling) ride the SAME frameSetNearDupSink the
+    // full frame sets use — no new streaming code, only a lower
+    // threshold (a replaced scene moves a whole keyframe: J =
+    // (n−1)/(n+1)); completes the batch/streaming × frames/keyframes
+    // matrix
+    import graft.ops.VideoHash
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Long])]
+    var frames = Streaming.emptyFrameSetTable(spark)
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val writer = Streaming.frameSetNearDupSink("media_id", "khashes",
+        _ => frames,
+        b => { frames = frames.unionByName(b.localCheckpoint(true)) },
+        f => emitted ++= f.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))),
+        threshold = 0.3)(input.toDF().toDF("media_id", "khashes"))
+      .option("checkpointLocation", Files.createTempDirectory("graft-kfsink").toString)
+      .start()
+    def kf(id: Long, rep: Boolean = false): Seq[Long] =
+      VideoHash.sceneWalk(
+        VideoHash.frameDHashes(VideoHash.fixtureSceneMp4(id, rep)).get, 4)
+        .map(_.key_hash)
+    input.addData((1L to 4L).map(id => (id, kf(id))): _*)
+    writer.processAllAvailable()
+    assert(emitted.isEmpty, s"distinct videos must not pair, got $emitted")
+    // batch 2: a one-scene-replaced copy of PRIOR video 3 (5 scenes →
+    // J = 4/6) and an unrelated newcomer
+    input.addData((1000000003L, kf(3L, rep = true)), (99L, kf(99L)))
+    writer.processAllAvailable()
+    writer.stop()
+    val got = emitted.map(e => (math.min(e._1, e._2), math.max(e._1, e._2),
+      e._3, e._4)).toSet
+    assert(got === Set((3L, 1000000003L, 4L, 0.666667)),
+      s"streamed keyframe verdicts diverged: $emitted")
+  }
+
   test("retention-enabled Hamming sink over a FRESH HashBlockStore: first micro-batch must not crash on the ts-less empty frame") {
     import graft.ops.ImageHash
     implicit val sqlCtx = spark.sqlContext
