@@ -1820,7 +1820,11 @@ object GraftFunctions {
       import org.apache.spark.sql.catalyst.util.ArrayData
       e(1).eval() match {
         case a: ArrayData =>
-          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+          (0 until a.numElements()).map { i =>
+            require(!a.isNullAt(i),
+              s"graft_canonical_url prefixes must not contain NULL (element $i)")
+            a.getUTF8String(i).toString
+          }
         case other => throw new IllegalArgumentException(
           s"graft_canonical_url prefixes must be an array literal, got $other")
       }
@@ -1837,9 +1841,11 @@ object GraftFunctions {
       e(1).eval() match {
         case a: ArrayData =>
           (0 until a.numElements()).map { i =>
+            require(!a.isNullAt(i),
+              s"graft_bpe_segment merges must not contain NULL (element $i)")
             val p = a.getArray(i)
-            require(p.numElements() == 2,
-              "each merge must be a 2-element [lhs, rhs] array")
+            require(p.numElements() == 2 && !p.isNullAt(0) && !p.isNullAt(1),
+              "each merge must be a 2-element non-null [lhs, rhs] array")
             (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
           }
         case other => throw new IllegalArgumentException(

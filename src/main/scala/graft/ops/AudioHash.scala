@@ -270,6 +270,19 @@ object AudioHash {
     } catch { case _: Exception => None } // corrupt containers → None (requires sit OUTSIDE the try)
   }
 
+  /** The CONSTRUCTION TAG a published window-hash store should carry
+    * ([[graft.sources.FrameSetIndexStore]]'s `contentTag`): framing
+    * and window width pin the fingerprint identity, so a gate run
+    * against an index built under a different framing — the exact
+    * fail-open the round-12 MIGRATION note could only document —
+    * refuses loudly instead of silently missing dups. `t10ms` is the
+    * time-fixed default; `s<N>` the fixed-sample legacy framing
+    * (pre-round-12 stores are `audio-window:s160:w65`). */
+  def windowFramingTag(frameSamples: Int = 0, windowFrames: Int = 65): String = {
+    val framing = if (frameSamples <= 0) "t10ms" else s"s$frameSamples"
+    s"audio-window:$framing:w$windowFrames"
+  }
+
   /** [[windowHashes]] as a column UDF (default framing). */
   val windowHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((bytes: Array[Byte]) => windowHashes(bytes))

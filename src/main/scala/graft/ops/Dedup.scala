@@ -747,6 +747,28 @@ object Dedup {
         (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
   }
 
+  /** DEBUG VALVE for the set-Jaccard caller contract: when
+    * `spark.graft.debug.assertDistinct` is `true`, verify the input
+    * really is a DISTINCT (id, hash) frame — a duplicated row silently
+    * inflates set sizes and `n_shared` instead of failing, which is
+    * exactly the bug class this catches. Off by default: the check is
+    * one extra aggregation over the exploded hash frame (often the
+    * job's largest intermediate), so production runs never pay it. */
+  private def assertDistinctIfDebug(rows: DataFrame, idCol: String,
+                                    hashCol: String, who: String): Unit = {
+    val debug = rows.sparkSession.conf
+      .getOption("spark.graft.debug.assertDistinct").exists(_.toBoolean)
+    if (debug) {
+      val dup = rows.groupBy(col(idCol), col(hashCol))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"$who: input (${idCol}, ${hashCol}) frame is not distinct — e.g. " +
+          s"${dup.head} — callers own distinctness (see setJaccardAcross " +
+          "scaladoc); end the producer in .distinct()")
+    }
+  }
+
   /** Exact SET-Jaccard near-dup pairs over a distinct (id, hash) frame
     * — THE shared-hash blocking + one-groupBy-Jaccard kernel behind
     * video frame sets ([[VideoHash.nearDupVideos]]) and windowed audio
@@ -761,6 +783,7 @@ object Dedup {
     * the corpus. */
   def setJaccardPairs(rows: DataFrame, idCol: String, hashCol: String,
                       threshold: Double, maxHashFreq: Int): DataFrame = {
+    assertDistinctIfDebug(rows, idCol, hashCol, "setJaccardPairs")
     val ided = rows.select(col(idCol).cast("long").as("__sid"),
       col(hashCol).as("__sh"))
     val sizes = ided.groupBy(col("__sid")).agg(count(lit(1)).as("n"))
@@ -797,10 +820,21 @@ object Dedup {
     * ([[graft.ops.AudioHash.windowHashFrame]] and friends) end in
     * `.distinct()` already, and re-deduplicating here would re-shuffle
     * both exploded hash frames, the largest intermediates of the job.
-    * Duplicate rows would inflate both the sizes and `n_shared`. */
+    * Duplicate rows would inflate both the sizes and `n_shared`.
+    * Violations are detectable cheaply: set
+    * `spark.graft.debug.assertDistinct=true` and both inputs are
+    * verified before the pair pass (a one-extra-aggregation debug
+    * valve, off by default so production jobs never pay it).
+    *
+    * @param left  DISTINCT (id, hash) rows of the left corpus — the
+    *              caller owns distinctness (see above)
+    * @param right DISTINCT (id, hash) rows of the right corpus — same
+    *              contract */
   def setJaccardAcross(left: DataFrame, right: DataFrame,
                        idCol: String, hashCol: String,
                        threshold: Double, maxHashFreq: Int): DataFrame = {
+    assertDistinctIfDebug(left, idCol, hashCol, "setJaccardAcross left")
+    assertDistinctIfDebug(right, idCol, hashCol, "setJaccardAcross right")
     val l = left.select(col(idCol).cast("long").as("left_id"),
       col(hashCol).as("__h"))
     val r = right.select(col(idCol).cast("long").as("right_id"),

@@ -513,9 +513,10 @@ private[queries] object TrainingDedup {
     // {1/2, 2/3}; the 0.3 threshold is set against the 2-scene worst
     // case J = 1/3, which the OpsSpec gate test exercises explicitly
     // (a replaced scene moves a WHOLE keyframe, unlike one frame of
-    // sixteen). The oracle replays
-    // scene structure → keyframe pids (+13 for the replaced scene) →
-    // hashes → verdicts.
+    // sixteen). The oracle replays the REAL consecutive-Hamming cut
+    // walk (q142's machinery) before deriving keyframes, so an
+    // adjacent-scene collision within the cut threshold merges
+    // identically on both sides.
     "q145_keyframe_gate" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
       val idx = docs.filter(col("doc_id") % 5 =!= 0)
@@ -1497,11 +1498,16 @@ private[queries] object TrainingDedup {
          |WHERE n_shared::DOUBLE / (sv.n + sr.n - n_shared) >= 0.85
          |ORDER BY video_id, audio_id""".stripMargin,
 
-    // q145: the q139 verdict shape over scene KEYFRAMES — scene
-    // structure replayed as in q142 (nScenes = 2 + vid%4, scene of
-    // frame f = f·n/16, keyframe = the scene's first frame, jitter on
-    // odd start frames), the replaced scene's pid offset by +13 on
-    // perturbed batch videos, Jaccard over keyframe-hash sets at 0.3.
+    // q145: the q139 verdict shape over scene KEYFRAMES — the oracle
+    // replays the REAL consecutive-Hamming cut walk (q142's CTE
+    // stack: per-frame hashes with odd-frame jitter, frame-to-frame
+    // Hamming, cut when f = 0 or distance > 4, scene = running cut
+    // sum), NOT the planted scene structure, so an adjacent-scene
+    // pattern pair landing within the 4-bit threshold merges on BOTH
+    // sides identically (MediaProbe documents such merges as possible
+    // at scale). Keyframe = each walked scene's first frame's hash;
+    // the replaced scene's pid offset by +13 on perturbed batch
+    // videos; Jaccard over keyframe-hash sets gated at 0.3.
     "q145_keyframe_gate" ->
       s"""WITH idx AS (
          |  SELECT doc_id AS id, doc_id AS vid, FALSE AS pert
@@ -1514,39 +1520,54 @@ private[queries] object TrainingDedup {
          |sides AS (
          |  SELECT 'old' AS side, id, vid, pert FROM idx
          |  UNION ALL SELECT 'new', id, vid, pert FROM new),
-         |sframes AS (
-         |  SELECT m.side, m.id, m.vid, m.pert,
-         |    (f.f * (2 + m.vid % 4)) // 16 AS s, min(f.f) AS f0
-         |  FROM sides m, generate_series(0,15) f(f)
-         |  GROUP BY 1, 2, 3, 4, 5),
-         |keys AS (
-         |  SELECT side, id,
-         |    vid*131 + s*29 + 7 +
-         |      CASE WHEN pert AND s = vid % (2 + vid % 4) THEN 13 ELSE 0 END AS pid,
-         |    f0 % 2 = 1 AS jitter
-         |  FROM sframes),
+         |frames AS (
+         |  SELECT m.side, m.id, f.f AS f, f.f % 2 = 1 AS jitter,
+         |    m.vid*131 + ((f.f * (2 + m.vid % 4)) // 16)*29 + 7 +
+         |      CASE WHEN m.pert
+         |        AND (f.f * (2 + m.vid % 4)) // 16 = m.vid % (2 + m.vid % 4)
+         |        THEN 13 ELSE 0 END AS pid
+         |  FROM sides m, generate_series(0,15) f(f)),
          |gx AS (
-         |  SELECT k.side, k.id, k.pid, k.jitter, x.x, y.y,
-         |    ${fixtureGraySql("k.pid")} AS g0
-         |  FROM keys k, generate_series(0,8) x(x), generate_series(0,7) y(y)),
+         |  SELECT fm.side, fm.id, fm.f, fm.pid, fm.jitter, x.x, y.y,
+         |    ${fixtureGraySql("fm.pid")} AS g0
+         |  FROM frames fm, generate_series(0,8) x(x), generate_series(0,7) y(y)),
          |px AS (
-         |  SELECT side, id, pid, x, y,
+         |  SELECT side, id, f, x, y,
          |    CASE WHEN jitter AND x = pid % 9 AND y = pid % 8
          |      THEN (g0 + 128) % 256 ELSE g0 END AS g
          |  FROM gx),
          |bits AS (
-         |  SELECT l.side, l.id, l.pid, l.y*8 + l.x AS k,
+         |  SELECT l.side, l.id, l.f, l.y*8 + l.x AS k,
          |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
          |  FROM px l JOIN px r ON r.side = l.side AND r.id = l.id
-         |    AND r.pid = l.pid AND r.y = l.y AND r.x = l.x + 1
+         |    AND r.f = l.f AND r.y = l.y AND r.x = l.x + 1
          |  WHERE l.x < 8),
+         |ham AS (
+         |  SELECT a.side, a.id, a.f,
+         |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hd
+         |  FROM bits a JOIN bits b ON b.side = a.side AND b.id = a.id
+         |    AND b.f = a.f - 1 AND b.k = a.k
+         |  GROUP BY 1, 2, 3),
+         |cuts AS (
+         |  SELECT fr.side, fr.id, fr.f,
+         |    CASE WHEN fr.f = 0 OR h.hd > 4 THEN 1 ELSE 0 END AS cut
+         |  FROM frames fr
+         |  LEFT JOIN ham h ON h.side = fr.side AND h.id = fr.id AND h.f = fr.f),
+         |scn AS (
+         |  SELECT side, id, f,
+         |    sum(cut) OVER (PARTITION BY side, id ORDER BY f) - 1 AS scene
+         |  FROM cuts),
+         |kf AS (SELECT side, id, scene, min(f) AS f0 FROM scn GROUP BY 1, 2, 3),
          |blocks AS (
-         |  SELECT side, id, pid, k // 16 AS blk, sum(bit * (1 << (k % 16))) AS v
+         |  SELECT side, id, f, k // 16 AS blk, sum(bit * (1 << (k % 16))) AS v
          |  FROM bits GROUP BY 1, 2, 3, 4),
          |fh AS (
-         |  SELECT side, id, pid, string_agg(v::VARCHAR, '|' ORDER BY blk) AS h
+         |  SELECT side, id, f, string_agg(v::VARCHAR, '|' ORDER BY blk) AS h
          |  FROM blocks GROUP BY 1, 2, 3),
-         |fhd AS (SELECT DISTINCT side, id, h FROM fh),
+         |fhd AS (
+         |  SELECT DISTINCT k.side, k.id, fh.h
+         |  FROM kf k JOIN fh ON fh.side = k.side AND fh.id = k.id
+         |    AND fh.f = k.f0),
          |sizes AS (SELECT side, id, count(*) AS n FROM fhd GROUP BY 1, 2),
          |inter AS (
          |  SELECT n.id AS new_id, o.id AS old_id, count(*)::BIGINT AS ns

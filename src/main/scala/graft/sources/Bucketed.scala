@@ -83,6 +83,64 @@ object Bucketed {
     spark.catalog.refreshTable(table)
   }
 
+  // ---- store-level metadata tags (provenance valve) -----------------
+  // A fingerprint construction that can change across library versions
+  // (audio window framing, hash grain, codec identity) must be recorded
+  // ON the published store: a gate screened against an index built
+  // under a DIFFERENT construction fails OPEN — re-submitted copies
+  // hash differently and sail through as novel, silently. Tags ride
+  // the catalog table's properties, so they survive appends and are
+  // re-applied by [[compactRewrite]] across overwrites.
+
+  /** Record `value` under `key` on `table` (catalog table property). */
+  def setTag(spark: SparkSession, table: String, key: String,
+             value: String): Unit = {
+    require(!key.contains("'") && !value.contains("'"),
+      "tag keys/values must not contain quotes")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$key' = '$value')")
+    ()
+  }
+
+  /** The recorded tag, or None when the table or the tag is absent. */
+  def getTag(spark: SparkSession, table: String, key: String): Option[String] =
+    if (!spark.catalog.tableExists(table)) None
+    else spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .find(_.getString(0) == key).map(_.getString(1))
+
+  /** All `graft.`-prefixed tags of `table` (empty when absent) — the
+    * set [[compactRewrite]] preserves across its overwrite. */
+  def graftTags(spark: SparkSession, table: String): Seq[(String, String)] =
+    if (!spark.catalog.tableExists(table)) Nil
+    else spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .filter(_.getString(0).startsWith("graft."))
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** REFUSE-LOUDLY check that `table` was built under `expected`:
+    * absent table passes (the first publish will stamp it); a matching
+    * tag passes; a DIFFERENT tag throws naming both constructions; an
+    * UNTAGGED existing table throws too — it cannot prove which
+    * construction produced it, and "probably fine" is exactly the
+    * silent fail-open this tag exists to prevent. Migration for a
+    * verified legacy store: [[setTag]] once, then retry. */
+  def requireTag(spark: SparkSession, table: String, key: String,
+                 expected: String, who: String): Unit = {
+    if (!spark.catalog.tableExists(table)) return
+    getTag(spark, table, key) match {
+      case Some(t) if t == expected => ()
+      case Some(t) => throw new IllegalStateException(
+        s"$who: store '$table' was built under $key='$t' but this run " +
+          s"expects '$expected' — screening across constructions fails " +
+          "OPEN (dups hash differently and pass as novel). Re-publish the " +
+          "store under the new construction, or run with the old one.")
+      case None => throw new IllegalStateException(
+        s"$who: store '$table' predates construction tags — it cannot " +
+          s"prove it was built under $key='$expected', and assuming so " +
+          "fails OPEN if it wasn't. After verifying its provenance, adopt " +
+          s"it once with Bucketed.setTag(spark, \"$table\", \"$key\", " +
+          s"\"$expected\"), then retry.")
+    }
+  }
+
   /** Distinct-rewrite of a bucketed append log, optionally dropping
     * rows whose event time fell before `horizonMillis` — ONE retention
     * mechanic for every store's compact()/expireBefore() (rows with
@@ -110,8 +168,14 @@ object Bucketed {
     val kept = (if (kept0.columns.contains("ts")) kept0
                 else kept0.withColumn("ts", lit(null).cast("long")))
       .distinct().localCheckpoint(true)
+    // an overwrite saveAsTable RECREATES the catalog entry, dropping
+    // its properties — losing a construction tag here would turn every
+    // compaction into the untagged-legacy refusal (or worse, let a
+    // later run re-stamp a different construction unchallenged)
+    val tags = graftTags(spark, table)
     writeKeys(kept.repartition(buckets, keys.map(col): _*),
       table, keys, buckets, sortCols)
+    tags.foreach { case (k, v) => setTag(spark, table, k, v) }
     expired
   }
 }

@@ -136,6 +136,15 @@ class LabelStore(spark: SparkSession,
     * convention). */
   def compact(): Unit = {
     if (!exists) return
+    // same refusal as fold/ingest: compact recomputes from the id
+    // layout's min-per-id read, which happens to be safe over today's
+    // torn shapes, but that safety is an accident of publishRewrite's
+    // current write order — a label-preserving rewrite racing an
+    // unfinished label-CHANGING one is exactly the ambiguity the
+    // pending marker exists to freeze, so hold the line here too
+    if (removalPending) throw new IllegalStateException(
+      s"unfinished member removal on $idTable: re-run " +
+        "removeMembers(pendingRemovalIds, pairsAmong) to heal, then retry")
     publishRewrite(loadAll())
   }
 
@@ -233,6 +242,11 @@ class LabelStore(spark: SparkSession,
   def maybeCompact(ratio: Double = 4.0, floor: Long = 1000000L): Boolean = {
     require(ratio > 1.0, s"ratio must exceed 1 (log/current), got $ratio")
     if (!exists) return false
+    // auto-compaction must not race an unfinished removal either, but
+    // unlike compact() it reports rather than throws: the streaming
+    // sink's ingest already refused loudly this batch, and a release
+    // valve that crashes the valve-check is no release valve
+    if (removalPending) return false
     val log = spark.table(idTable).count()
     if (log <= floor) return false
     if (compactBaseline < 0L) compactBaseline = loadAll().count()

@@ -661,13 +661,30 @@ object Streaming {
     * bucketed by (fhash) so the probe join co-locates; append-only
     * batch-sized saves; distinct (and horizon-bounded) compaction. */
   class FrameSetStore(spark: SparkSession, table: String = "graft_frame_sets",
-                      buckets: Int = 32) {
-    import graft.sources.Bucketed
+                      buckets: Int = 32,
+                      contentTag: Option[String] = None) {
+    import graft.sources.{Bucketed, FrameSetIndexStore}
     private def exists: Boolean = spark.catalog.tableExists(table)
-    def load(s: SparkSession): DataFrame =
+    // same construction-versioning contract as the batch
+    // FrameSetIndexStore (same tag key, so either handle verifies a
+    // store the other published): a windowed-audio sink writing under
+    // one framing into an index built under another would make every
+    // later gate fail OPEN — refuse at the first save instead
+    private def checkTag(who: String): Unit =
+      contentTag.foreach(t => Bucketed.requireTag(
+        spark, table, FrameSetIndexStore.TagKey, t, who))
+    def load(s: SparkSession): DataFrame = {
+      checkTag(s"load of '$table'")
       if (exists) s.table(table) else emptyFrameSetTable(s)
-    def save(batchRows: DataFrame): Unit =
+    }
+    def save(batchRows: DataFrame): Unit = {
+      checkTag(s"save to '$table'")
       Bucketed.appendAligned(spark, batchRows, table, Seq("fhash"), buckets)
+      contentTag.foreach { t =>
+        if (Bucketed.getTag(spark, table, FrameSetIndexStore.TagKey).isEmpty)
+          Bucketed.setTag(spark, table, FrameSetIndexStore.TagKey, t)
+      }
+    }
     def compact(horizonMillis: Long = Long.MinValue): Unit = {
       Bucketed.compactRewrite(spark, table, Seq("fhash"), buckets,
         horizonMillis = horizonMillis)

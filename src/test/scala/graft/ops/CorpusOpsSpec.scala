@@ -45,6 +45,22 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(pair === 1L)
   }
 
+  test("canonicalUrl: a NULL element in the prefixes literal is a diagnostic error, not an NPE") {
+    val e = intercept[Exception] {
+      Seq("http://a.com/p").toDF("url")
+        .select(call_function("graft_canonical_url", col("url"),
+          array(lit("utm_"), lit(null).cast("string"))).as("c"))
+        .collect()
+    }
+    // the build-time require names the function and the offending
+    // element (the error may arrive wrapped in an analysis exception)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("graft_canonical_url") && m.contains("NULL")),
+      s"got: ${messages(e)}")
+  }
+
   test("canonicalUrl: percent-escape normalization — unreserved decode, hex uppercase, malformed verbatim") {
     val cases = Seq(
       // unreserved decode (%61 -> a) + reserved escape hex uppercased

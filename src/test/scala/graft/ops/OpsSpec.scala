@@ -2187,6 +2187,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(3) - math.rint(3.0 / 7.0 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("set-Jaccard caller contract: the debug valve catches non-distinct inputs; production path never pays it") {
+    // a duplicated (id, hash) row inflates sizes and n_shared instead
+    // of failing — the exact bug class spark.graft.debug.assertDistinct
+    // exists to catch before the pair math runs
+    val clean = Seq((1L, 10L), (1L, 11L)).toDF("media_id", "whash")
+    val dirty = Seq((1L, 10L), (1L, 10L), (1L, 11L)).toDF("media_id", "whash")
+    spark.conf.set("spark.graft.debug.assertDistinct", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.setJaccardAcross(dirty, clean, "media_id", "whash",
+          threshold = 0.1, maxHashFreq = 0)
+      }
+      assert(e.getMessage.contains("not distinct")
+        && e.getMessage.contains("setJaccardAcross"))
+      intercept[IllegalArgumentException] {
+        Dedup.setJaccardPairs(dirty, "media_id", "whash",
+          threshold = 0.1, maxHashFreq = 0)
+      }
+      // distinct inputs pass under the valve
+      assert(Dedup.setJaccardAcross(clean, clean, "media_id", "whash",
+        threshold = 0.1, maxHashFreq = 0).count() === 1L)
+    } finally spark.conf.unset("spark.graft.debug.assertDistinct")
+    // valve off (default): the contract violation is the caller's —
+    // the kernel must not add a corpus-sized aggregation to check it
+    assert(Dedup.setJaccardAcross(dirty, clean, "media_id", "whash",
+      threshold = 0.1, maxHashFreq = 0).count() === 1L)
+  }
+
   test("soundtrack near-dup: extracted soundtracks pair with standalone recordings, trim-robust both directions") {
     val spark = this.spark
     // videos 1..6 carry soundtracks pid = id + 5000000; recordings:

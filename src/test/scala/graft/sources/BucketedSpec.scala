@@ -617,4 +617,102 @@ class BucketedSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(v === Map(11L -> true), "healthy doc still screens as dup after repair")
   }
+  test("construction tags: a gate refuses an index built under a different window framing") {
+    import graft.ops.AudioHash
+    val table = "bspec_tagged_windows"
+    val tagged = new FrameSetIndexStore(spark, table, buckets = 4,
+      threshold = 0.85, contentTag = Some(AudioHash.windowFramingTag()))
+    def wh(id: Long): Seq[Long] =
+      AudioHash.windowHashes(AudioHash.fixtureWavTrimmed(id, 0)).get
+    // first publish stamps the fresh table with the construction
+    tagged.publish(wh(5L).map(h => (5L, h)).toDF("media_id", "fhash"),
+      "media_id", "fhash")
+    assert(Bucketed.getTag(spark, table, FrameSetIndexStore.TagKey)
+      === Some("audio-window:t10ms:w65"))
+    // a same-construction handle keeps working (publish AND screen)
+    val again = new FrameSetIndexStore(spark, table, buckets = 4,
+      threshold = 0.85, contentTag = Some(AudioHash.windowFramingTag()))
+    again.publish(wh(6L).map(h => (6L, h)).toDF("media_id", "fhash"),
+      "media_id", "fhash")
+    assert(again.screen(wh(5L).map(h => (300L, h)).toDF("media_id", "fhash"),
+      "media_id", "fhash").collect().map(r => r.getLong(0) -> r.getBoolean(4))
+      .toMap === Map(300L -> true))
+    // a LEGACY-framing handle refuses both directions — the old
+    // fixed-160 fingerprints hash differently, so screening across
+    // the constructions would fail OPEN (copies pass as novel)
+    val legacyFraming = new FrameSetIndexStore(spark, table, buckets = 4,
+      threshold = 0.85,
+      contentTag = Some(AudioHash.windowFramingTag(frameSamples = 160)))
+    val eScreen = intercept[IllegalStateException] {
+      legacyFraming.screen(wh(5L).map(h => (301L, h)).toDF("media_id", "fhash"),
+        "media_id", "fhash")
+    }
+    assert(eScreen.getMessage.contains("audio-window:s160:w65")
+      && eScreen.getMessage.contains("audio-window:t10ms:w65"))
+    intercept[IllegalStateException] {
+      legacyFraming.publish(wh(7L).map(h => (7L, h)).toDF("media_id", "fhash"),
+        "media_id", "fhash")
+    }
+    // compaction must not drop the stamp (overwrite recreates the
+    // catalog entry) — and an untagged handle still reads the store
+    tagged.compact()
+    assert(Bucketed.getTag(spark, table, FrameSetIndexStore.TagKey)
+      === Some("audio-window:t10ms:w65"))
+    assert(new FrameSetIndexStore(spark, table, buckets = 4)
+      .load().count() > 0)
+  }
+
+  test("construction tags: an untagged legacy store refuses a tagged gate until adopted") {
+    import graft.ops.AudioHash
+    val table = "bspec_untagged_windows"
+    // legacy store: published before construction tags existed
+    new FrameSetIndexStore(spark, table, buckets = 4).publish(
+      (1L to 70L).map(h => (5L, h)).toDF("media_id", "fhash"),
+      "media_id", "fhash")
+    val tagged = new FrameSetIndexStore(spark, table, buckets = 4,
+      contentTag = Some(AudioHash.windowFramingTag()))
+    val e = intercept[IllegalStateException] {
+      tagged.screen((1L to 70L).map(h => (300L, h)).toDF("media_id", "fhash"),
+        "media_id", "fhash")
+    }
+    assert(e.getMessage.contains("predates construction tags"))
+    // the one-time migration after out-of-band verification
+    tagged.adoptTag()
+    assert(tagged.screen((1L to 70L).map(h => (300L, h)).toDF("media_id", "fhash"),
+        "media_id", "fhash")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      === Map(300L -> true))
+  }
+
+  test("construction tags: the streaming FrameSetStore verifies the same stamp as the batch gate") {
+    import graft.ops.AudioHash
+    val table = "bspec_stream_tagged"
+    val sink = new graft.streaming.Streaming.FrameSetStore(spark, table,
+      buckets = 4, contentTag = Some(AudioHash.windowFramingTag()))
+    sink.save((1L to 70L).map(h => (5L, h, 70L)).toDF("id", "fhash", "n"))
+    // the batch handle sees the streaming sink's stamp
+    assert(Bucketed.getTag(spark, table, FrameSetIndexStore.TagKey)
+      === Some("audio-window:t10ms:w65"))
+    val mismatched = new graft.streaming.Streaming.FrameSetStore(spark, table,
+      buckets = 4, contentTag = Some(AudioHash.windowFramingTag(160)))
+    intercept[IllegalStateException] {
+      mismatched.save((1L to 70L).map(h => (6L, h, 70L)).toDF("id", "fhash", "n"))
+    }
+    intercept[IllegalStateException] { mismatched.load(spark) }
+  }
+
+  test("LabelStore.compact and maybeCompact hold the removal-pending line") {
+    val store = new LabelStore(spark, "bspec_cpend_id", "bspec_cpend_cluster",
+      buckets = 4)
+    store.ingest(Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"))
+    Seq(1L).toDF("id").write.mode("overwrite").saveAsTable(store.pendingTable)
+    val e = intercept[IllegalStateException] { store.compact() }
+    assert(e.getMessage.contains("unfinished member removal"))
+    // the streaming release valve reports "no compaction" rather than
+    // crashing the valve check
+    assert(store.maybeCompact(ratio = 1.5, floor = 0L) === false)
+    spark.sql(s"DROP TABLE IF EXISTS ${store.pendingTable}")
+    store.compact() // healed store compacts normally
+    assert(store.loadAll().count() === 4L)
+  }
 }
