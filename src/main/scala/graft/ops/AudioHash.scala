@@ -100,35 +100,50 @@ object AudioHash {
     * do not decode. Bit k = frame k+1 strictly louder than frame k,
     * packed LSB-first — byte-identical construction to
     * [[ImageHash.dHash64]] with 65 frames in place of 9 columns. */
-  def envelopeHash64(bytes: Array[Byte]): Option[Long] =
-    // catch-all belt to the walk's Long-math suspenders: any residual
-    // malformed-container surprise yields None, never a failed job
-    try {
-      pcmSamples(bytes).filter(_.length >= 65).map { samples =>
-        val e = envelope(samples, 65)
-        var hash = 0L
-        var k = 0
-        while (k < 64) {
-          if (e(k + 1) > e(k)) hash |= 1L << k
-          k += 1
-        }
-        hash
+  def envelopeHash64(bytes: Array[Byte],
+                     codec: MediaCodec = MediaCodec.Default): Option[Long] =
+    // decode through the INJECTABLE codec ([[MediaCodec]] — RIFF/WAVE
+    // by default), hash through the engine's one envelope
+    // construction. Catch-all belt to the walk's Long-math
+    // suspenders: any residual malformed-container surprise yields
+    // None, never a failed job.
+    try codec.audioPcm(bytes).map(_._1).flatMap(envelopeHashOfPcm)
+    catch { case _: Exception => None }
+
+  /** The PCM-level core of [[envelopeHash64]] — codec-independent, so
+    * two codecs decoding the same samples hash identically. */
+  def envelopeHashOfPcm(samples: Array[Short]): Option[Long] =
+    if (samples.length < 65) None
+    else Some {
+      val e = envelope(samples, 65)
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (e(k + 1) > e(k)) hash |= 1L << k
+        k += 1
       }
-    } catch { case _: Exception => None }
+      hash
+    }
 
   /** [[envelopeHash64]] as a column function — a UDF for the same
     * reason as [[ImageHash.dHashUdf]]: decode is irreducibly JVM work
     * and a projection keeps the scan codegen-fused. */
   val envelopeHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((bytes: Array[Byte]) => envelopeHash64(bytes))
+    envelopeHashUdfWith(MediaCodec.Default)
+
+  /** [[envelopeHashUdf]] over an injected codec. */
+  def envelopeHashUdfWith(codec: MediaCodec)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => envelopeHash64(bytes, codec))
 
   /** Fingerprints over a media frame: (media_id, ahash), null for
     * undecodable payloads. */
   def fingerprintFrame(media: DataFrame, idCol: String = "media_id",
-                       bytesCol: String = "bytes", partitions: Int = 0): DataFrame = {
+                       bytesCol: String = "bytes", partitions: Int = 0,
+                       codec: MediaCodec = MediaCodec.Default): DataFrame = {
     val src = if (partitions > 0) media.repartition(partitions) else media
     src.select(col(idCol).cast("long").as("media_id"),
-      envelopeHashUdf(col(bytesCol)).as("ahash"))
+      envelopeHashUdfWith(codec)(col(bytesCol)).as("ahash"))
   }
 
   /** Near-duplicate recordings from a (media_id, ahash) frame — the
@@ -144,8 +159,11 @@ object AudioHash {
     * decode UDF ~5×). */
   def nearDuplicates(media: DataFrame, idCol: String = "media_id",
                      bytesCol: String = "bytes", maxDistance: Int = 3,
-                     maxBucketSize: Int = 0): DataFrame =
-    nearDupPairs(fingerprintFrame(media, idCol, bytesCol).localCheckpoint(true),
+                     maxBucketSize: Int = 0,
+                     codec: MediaCodec = MediaCodec.Default): DataFrame =
+    nearDupPairs(
+      fingerprintFrame(media, idCol, bytesCol, codec = codec)
+        .localCheckpoint(true),
       maxDistance, maxBucketSize)
 
   // ---- Time-shift-robust WINDOWED fingerprints ---------------------
@@ -242,32 +260,45 @@ object AudioHash {
     * None when the bytes do not decode or are shorter than one
     * window. */
   def windowHashes(bytes: Array[Byte], frameSamples: Int = 0,
-                   windowFrames: Int = 65): Option[Seq[Long]] = {
+                   windowFrames: Int = 65,
+                   codec: MediaCodec = MediaCodec.Default): Option[Seq[Long]] = {
+    validateWindowParams(frameSamples, windowFrames)
+    try codec.audioPcm(bytes).flatMap { case (samples, rate) =>
+      windowHashesOfPcm(samples, rate, frameSamples, windowFrames)
+    } catch { case _: Exception => None } // corrupt containers → None (requires sit OUTSIDE the try)
+  }
+
+  private def validateWindowParams(frameSamples: Int, windowFrames: Int): Unit = {
     // 64 bits hold at most 64 comparisons; a larger window would wrap
     // the shift mod 64 and silently alias bits — refuse loudly
     require(windowFrames >= 2 && windowFrames <= 65,
       s"windowFrames must be in [2, 65], got $windowFrames")
     require(frameSamples >= 0,
       s"frameSamples must be >= 0 (0 = 10 ms at the declared rate), got $frameSamples")
-    try {
-      pcmSamplesWithRate(bytes).flatMap { case (samples, rate) =>
-        if (frameSamples <= 0 && rate < 100) None
-        else Some {
-          val env =
-            if (frameSamples > 0) frameEnvelope(samples, frameSamples)
-            else frameEnvelopeAtRate(samples, rate)
-          (0 to env.length - windowFrames).map { p =>
-            var hash = 0L
-            var k = 0
-            while (k < windowFrames - 1) {
-              if (env(p + k + 1) > env(p + k)) hash |= 1L << k
-              k += 1
-            }
-            hash
-          }
+  }
+
+  /** The PCM-level core of [[windowHashes]] — codec-independent, so
+    * two codecs decoding the same samples fingerprint identically
+    * (the [[envelopeHashOfPcm]] doctrine, windowed). */
+  def windowHashesOfPcm(samples: Array[Short], rate: Int,
+                        frameSamples: Int = 0,
+                        windowFrames: Int = 65): Option[Seq[Long]] = {
+    validateWindowParams(frameSamples, windowFrames)
+    if (frameSamples <= 0 && rate < 100) None
+    else Some {
+      val env =
+        if (frameSamples > 0) frameEnvelope(samples, frameSamples)
+        else frameEnvelopeAtRate(samples, rate)
+      (0 to env.length - windowFrames).map { p =>
+        var hash = 0L
+        var k = 0
+        while (k < windowFrames - 1) {
+          if (env(p + k + 1) > env(p + k)) hash |= 1L << k
+          k += 1
         }
-      }.filter(_.nonEmpty)
-    } catch { case _: Exception => None } // corrupt containers → None (requires sit OUTSIDE the try)
+        hash
+      }
+    }.filter(_.nonEmpty)
   }
 
   /** The CONSTRUCTION TAG a published window-hash store should carry
@@ -285,19 +316,25 @@ object AudioHash {
 
   /** [[windowHashes]] as a column UDF (default framing). */
   val windowHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((bytes: Array[Byte]) => windowHashes(bytes))
+    windowHashesUdfWith(MediaCodec.Default)
+
+  /** [[windowHashesUdf]] over an injected codec (default framing). */
+  def windowHashesUdfWith(codec: MediaCodec)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => windowHashes(bytes, codec = codec))
 
   /** Exploded per-window hash frame: (media_id, whash) DISTINCT — set
     * semantics, the [[VideoHash.frameHashFrame]] shape. Undecodable
     * or shorter-than-one-window recordings drop out. */
   def windowHashFrame(media: DataFrame, idCol: String = "media_id",
-                      bytesCol: String = "bytes"): DataFrame =
+                      bytesCol: String = "bytes",
+                      codec: MediaCodec = MediaCodec.Default): DataFrame =
     // no isNotNull filter: explode (non-outer) already drops null
     // arrays, and a deterministic-UDF predicate would be pushed below
     // the projection — running decode + windowing TWICE per row
     // ([[VideoHash.frameHashFrame]]'s rationale)
     media.select(col(idCol).cast("long").as("media_id"),
-        explode(windowHashesUdf(col(bytesCol))).as("whash"))
+        explode(windowHashesUdfWith(codec)(col(bytesCol))).as("whash"))
       .distinct()
 
   /** Near-duplicate recordings from a distinct (media_id, whash)
@@ -315,8 +352,9 @@ object AudioHash {
   def nearDuplicatesWindowed(media: DataFrame, idCol: String = "media_id",
                              bytesCol: String = "bytes",
                              threshold: Double = 0.85,
-                             maxHashFreq: Int = 1000): DataFrame =
-    windowedNearDupPairs(windowHashFrame(media, idCol, bytesCol),
+                             maxHashFreq: Int = 1000,
+                             codec: MediaCodec = MediaCodec.Default): DataFrame =
+    windowedNearDupPairs(windowHashFrame(media, idCol, bytesCol, codec),
       threshold, maxHashFreq)
 
   /** RIFF/WAVE sniff — the audio-track marker of the mdat-per-track
@@ -344,16 +382,29 @@ object AudioHash {
   /** Windowed fingerprints of a video's SOUNDTRACK (default framing)
     * as a column UDF — null when no audio track decodes. */
   val soundtrackWindowHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((bytes: Array[Byte]) => soundtrack(bytes).flatMap(windowHashes(_)))
+    soundtrackWindowHashesUdfWith(MediaCodec.Default)
+
+  /** [[soundtrackWindowHashesUdf]] over an injected codec: the track
+    * extraction is the codec's ([[MediaCodec.soundtrackPcm]]), the
+    * fingerprint arithmetic the engine's — so the extracted track and
+    * a standalone recording of the same audio hash identically BY
+    * CONSTRUCTION, whatever containers either travelled in. */
+  def soundtrackWindowHashesUdfWith(codec: MediaCodec)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) =>
+      try codec.soundtrackPcm(bytes).flatMap { case (samples, rate) =>
+        windowHashesOfPcm(samples, rate)
+      } catch { case _: Exception => None })
 
   /** Exploded per-window soundtrack hash frame of a VIDEO corpus:
     * (media_id, whash) DISTINCT — the [[windowHashFrame]] shape with
     * the track extraction fused into the decode UDF (one container
     * read per row; non-outer explode drops trackless videos). */
   def soundtrackWindowHashFrame(videos: DataFrame, idCol: String = "media_id",
-                                bytesCol: String = "bytes"): DataFrame =
+                                bytesCol: String = "bytes",
+                                codec: MediaCodec = MediaCodec.Default): DataFrame =
     videos.select(col(idCol).cast("long").as("media_id"),
-        explode(soundtrackWindowHashesUdf(col(bytesCol))).as("whash"))
+        explode(soundtrackWindowHashesUdfWith(codec)(col(bytesCol))).as("whash"))
       .distinct()
 
   /** CROSS-modality audio near-dup: which standalone recordings are
@@ -374,10 +425,11 @@ object AudioHash {
                              idCol: String = "media_id",
                              bytesCol: String = "bytes",
                              threshold: Double = 0.85,
-                             maxHashFreq: Int = 1000): DataFrame =
+                             maxHashFreq: Int = 1000,
+                             codec: MediaCodec = MediaCodec.Default): DataFrame =
     Dedup.setJaccardAcross(
-        soundtrackWindowHashFrame(videos, idCol, bytesCol),
-        windowHashFrame(recordings, idCol, bytesCol),
+        soundtrackWindowHashFrame(videos, idCol, bytesCol, codec),
+        windowHashFrame(recordings, idCol, bytesCol, codec),
         "media_id", "whash", threshold, maxHashFreq)
       .select(col("left_id").as("video_id"), col("right_id").as("audio_id"),
         col("n_shared"), col("jaccard"))

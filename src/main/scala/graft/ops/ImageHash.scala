@@ -155,23 +155,12 @@ object ImageHash {
     * [[MaxPixels]] pixels (a decompression bomb has no perceptual
     * identity worth its raster). Bit k = y·8+x is set iff the 9×8
     * grayscale's pixel (x+1, y) is strictly brighter than (x, y). */
-  def dHash64(bytes: Array[Byte]): Option[Long] =
-    try {
-      decodeBounded(bytes, MaxPixels).map { img =>
-        val g = boxDownscale(grayPlane(img), img.getWidth, img.getHeight, 9, 8)
-        var hash = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << (y * 8 + x)
-            x += 1
-          }
-          y += 1
-        }
-        hash
-      }
-    } catch { case _: Exception => None } // corrupt raster mid-hash → None
+  def dHash64(bytes: Array[Byte],
+              codec: MediaCodec = MediaCodec.Default): Option[Long] =
+    // decode through the INJECTABLE codec ([[MediaCodec]] — ImageIO by
+    // default), hash through the engine's one gray-plane construction
+    try codec.imagePixels(bytes).map(MediaCodec.grayDHash)
+    catch { case _: Exception => None } // corrupt raster mid-hash → None
 
   val dhashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -184,17 +173,24 @@ object ImageHash {
     * ONE plan (no DataFrame→RDD→DataFrame re-analysis barrier, scans
     * and downstream blocking stay codegen-fused). */
   val dHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((bytes: Array[Byte]) => dHash64(bytes))
+    dHashUdfWith(MediaCodec.Default)
+
+  /** [[dHashUdf]] over an injected codec (the production-decoder
+    * plug point — the codec serializes into the UDF closure). */
+  def dHashUdfWith(codec: MediaCodec)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => dHash64(bytes, codec))
 
   /** dHash over a media frame: one projection — decode parallelism is
     * the frame's partitioning (`partitions` > 0 repartitions first,
     * the [[Multimodal.extractFeatures]] batch-sizing knob). Output
     * (media_id, dhash); dhash null for undecodable payloads. */
   def dhashFrame(media: DataFrame, idCol: String = "media_id",
-                 bytesCol: String = "bytes", partitions: Int = 0): DataFrame = {
+                 bytesCol: String = "bytes", partitions: Int = 0,
+                 codec: MediaCodec = MediaCodec.Default): DataFrame = {
     val src = if (partitions > 0) media.repartition(partitions) else media
     src.select(col(idCol).cast("long").as("media_id"),
-      dHashUdf(col(bytesCol)).as("dhash"))
+      dHashUdfWith(codec)(col(bytesCol)).as("dhash"))
   }
 
   /** Near-duplicate image pairs from a (media_id, dhash) frame:
@@ -218,8 +214,10 @@ object ImageHash {
     * artifact you'd persist anyway). */
   def nearDuplicates(media: DataFrame, idCol: String = "media_id",
                      bytesCol: String = "bytes", maxDistance: Int = 3,
-                     maxBucketSize: Int = 0): DataFrame =
-    nearDupPairs(dhashFrame(media, idCol, bytesCol).localCheckpoint(true),
+                     maxBucketSize: Int = 0,
+                     codec: MediaCodec = MediaCodec.Default): DataFrame =
+    nearDupPairs(
+      dhashFrame(media, idCol, bytesCol, codec = codec).localCheckpoint(true),
       maxDistance, maxBucketSize)
 
   // ---- Deterministic pixel fixtures (test/oracle harness) ----------

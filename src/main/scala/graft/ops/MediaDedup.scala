@@ -44,16 +44,23 @@ object MediaDedup {
   def nearDuplicates(media: DataFrame, idCol: String = "media_id",
                      kindCol: String = "kind", bytesCol: String = "bytes",
                      maxDistance: Int = 3, videoThreshold: Double = 0.8,
-                     maxBucketSize: Int = 0, maxHashFreq: Int = 1000): DataFrame = {
+                     maxBucketSize: Int = 0, maxHashFreq: Int = 1000,
+                     codec: MediaCodec = MediaCodec.Default): DataFrame = {
     // one scan, one decode per row: the when-branches are lazy, so a
     // row evaluates only its own kind's UDF; the checkpoint stops
     // project-collapse from cloning the decode into the block keys
-    // (the q131 lesson) AND pins the single evaluation of `media`
+    // (the q131 lesson) AND pins the single evaluation of `media`.
+    // ONE codec serves all three modalities (the injectable-decode
+    // contract — swap in a production H.264/AAC codec here and every
+    // downstream stage is untouched).
     val hashed = media.select(
         col(idCol).cast("long").as("media_id"), col(kindCol).as("kind"),
-        when(col(kindCol) === "image", ImageHash.dHashUdf(col(bytesCol))).as("dhash"),
-        when(col(kindCol) === "audio", AudioHash.envelopeHashUdf(col(bytesCol))).as("ahash"),
-        when(col(kindCol) === "video", VideoHash.frameDHashesUdf(col(bytesCol))).as("fh"))
+        when(col(kindCol) === "image",
+          ImageHash.dHashUdfWith(codec)(col(bytesCol))).as("dhash"),
+        when(col(kindCol) === "audio",
+          AudioHash.envelopeHashUdfWith(codec)(col(bytesCol))).as("ahash"),
+        when(col(kindCol) === "video",
+          VideoHash.frameDHashesUdfWith(codec)(col(bytesCol))).as("fh"))
       .localCheckpoint(true)
     val images = ImageHash.nearDupPairs(
         hashed.filter(col("kind") === "image").select(col("media_id"), col("dhash")),
@@ -113,11 +120,12 @@ object MediaDedup {
     * bounded by real collisions. Nothing quadratic in either corpus. */
   def imageVideoPairs(images: DataFrame, videos: DataFrame,
                       idCol: String = "media_id", bytesCol: String = "bytes",
-                      maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame =
+                      maxDistance: Int = 3, maxBucketSize: Int = 0,
+                      codec: MediaCodec = MediaCodec.Default): DataFrame =
     imageVideoPairsFromHashes(
-      ImageHash.dhashFrame(images, idCol, bytesCol)
+      ImageHash.dhashFrame(images, idCol, bytesCol, codec = codec)
         .filter(col("dhash").isNotNull).localCheckpoint(true),
-      VideoHash.frameHashFrame(videos, idCol, bytesCol),
+      VideoHash.frameHashFrame(videos, idCol, bytesCol, codec),
       maxDistance, maxBucketSize)
 
   /** The [[imageVideoPairs]] pairing stage over ALREADY-HASHED sides:

@@ -129,19 +129,17 @@ object VideoHash {
     * (or walked as Motion-JPEG), each hashed. None when the container
     * does not parse; videos whose stream is not a whole number of
     * frames hash the complete frames only. */
-  def frameDHashes(bytes: Array[Byte]): Option[Seq[Long]] =
-    // catch-all belt to the walk's Long-math suspenders: whatever a
-    // malformed container manages to throw, the row yields None
-    // (the undecodable-rows contract), never a failed job
-    try {
-      mdatPayload(bytes).map { payload =>
-        if (isJpegStream(payload)) jpegFrameDHashes(payload)
-        else (0 until payload.length / FrameBytes).map { f =>
-          planeDHash(java.util.Arrays.copyOfRange(
-            payload, f * FrameBytes, (f + 1) * FrameBytes))
-        }
-      }
-    } catch { case _: Exception => None }
+  def frameDHashes(bytes: Array[Byte],
+                   codec: MediaCodec = MediaCodec.Default): Option[Seq[Long]] =
+    // decode through the INJECTABLE codec ([[MediaCodec]] — the
+    // ISO-BMFF/MJPEG/raw-plane [[ContainerCodec]] by default; a
+    // production H.264 decoder plugs in here without touching any
+    // operator downstream), hash through the engine's one gray-plane
+    // construction. Catch-all belt: whatever a malformed container
+    // manages to throw, the row yields None (the undecodable-rows
+    // contract), never a failed job.
+    try codec.videoFrames(bytes).map(_.map(MediaCodec.grayDHash))
+    catch { case _: Exception => None }
 
   /** An mdat payload that is a Motion-JPEG frame stream: the SOI
     * marker opens it AND the first frame survives the real segment
@@ -170,29 +168,11 @@ object VideoHash {
     * to decode are skipped; a malformed frame loses only ITSELF — the
     * walk resyncs at the next SOI (bit rot or inter-frame padding must
     * not silently discard the rest of the stream's hashes). */
-  def jpegFrameDHashes(payload: Array[Byte]): Seq[Long] = {
-    val out = scala.collection.mutable.ArrayBuffer[Long]()
-    var start = 0
-    while (start + 1 < payload.length) {
-      val end = jpegFrameEnd(payload, start)
-      if (end < 0) {
-        // RESYNC to the next SOI instead of aborting: one corrupt or
-        // padded frame must cost ITS hash, not every later frame's
-        // (a missed near-duplicate is silent; `start` strictly
-        // advances, so the walk always terminates)
-        var j = start + 2
-        while (j + 1 < payload.length &&
-               !(payload(j) == 0xFF.toByte && payload(j + 1) == 0xD8.toByte)) j += 1
-        if (j + 1 >= payload.length) return out.toSeq
-        start = j
-      } else {
-        ImageHash.dHash64(java.util.Arrays.copyOfRange(payload, start, end))
-          .foreach(out += _)
-        start = end
-      }
-    }
-    out.toSeq
-  }
+  def jpegFrameDHashes(payload: Array[Byte]): Seq[Long] =
+    // the RESYNC walk lives in [[ContainerCodec.jpegFrames]] (one
+    // corrupt or padded frame costs ITS hash, not every later
+    // frame's); hashing stays the engine's shared construction
+    ContainerCodec.jpegFrames(payload).map(MediaCodec.grayDHash)
 
   /** End (exclusive) of the JPEG frame starting at `start` (which must
     * be SOI), or -1 on malformed input: a real JPEG segment walk —
@@ -238,19 +218,26 @@ object VideoHash {
 
   /** [[frameDHashes]] as a column UDF. */
   val frameDHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((bytes: Array[Byte]) => frameDHashes(bytes))
+    frameDHashesUdfWith(MediaCodec.Default)
+
+  /** [[frameDHashesUdf]] over an injected codec (the
+    * production-decoder plug point). */
+  def frameDHashesUdfWith(codec: MediaCodec)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => frameDHashes(bytes, codec))
 
   /** Exploded per-frame hash frame: (media_id, fhash) DISTINCT — set
     * semantics (a repeated frame counts once, exactly as a repeated
     * shingle does in q22's set Jaccard). Undecodable rows drop out. */
   def frameHashFrame(media: DataFrame, idCol: String = "media_id",
-                     bytesCol: String = "bytes"): DataFrame =
+                     bytesCol: String = "bytes",
+                     codec: MediaCodec = MediaCodec.Default): DataFrame =
     // no isNotNull filter: explode (non-outer) already drops null
     // arrays, and a deterministic-UDF predicate would be pushed below
     // the projection — running the whole container decode TWICE per
     // row (the q131 project-collapse lesson, filter edition)
     media.select(col(idCol).cast("long").as("media_id"),
-        explode(frameDHashesUdf(col(bytesCol))).as("fhash"))
+        explode(frameDHashesUdfWith(codec)(col(bytesCol))).as("fhash"))
       .distinct()
 
   /** One scene segment of [[sceneWalk]]: contiguous frames whose
@@ -292,10 +279,11 @@ object VideoHash {
     * a lag/running-sum window over exploded frames would shuffle
     * every frame row by media_id for a computation the decoding task
     * already holds in its hand. */
-  def sceneSegmentsUdf(threshold: Int)
+  def sceneSegmentsUdf(threshold: Int,
+                       codec: MediaCodec = MediaCodec.Default)
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((bytes: Array[Byte]) =>
-      frameDHashes(bytes).map(sceneWalk(_, threshold)))
+      frameDHashes(bytes, codec).map(sceneWalk(_, threshold)))
 
   /** Scene segments of a video corpus: (media_id, scene, start_frame,
     * n_frames, key_hash) — one row per detected scene, frame order
@@ -305,9 +293,10 @@ object VideoHash {
     * every scene row is produced by the task that decoded its video. */
   def sceneSegments(media: DataFrame, idCol: String = "media_id",
                     bytesCol: String = "bytes",
-                    threshold: Int = 4): DataFrame =
+                    threshold: Int = 4,
+                    codec: MediaCodec = MediaCodec.Default): DataFrame =
     media.select(col(idCol).cast("long").as("media_id"),
-        explode(sceneSegmentsUdf(threshold)(col(bytesCol))).as("s"))
+        explode(sceneSegmentsUdf(threshold, codec)(col(bytesCol))).as("s"))
       .select(col("media_id"), col("s.scene").as("scene"),
         col("s.start_frame").as("start_frame"),
         col("s.n_frames").as("n_frames"),
@@ -328,8 +317,9 @@ object VideoHash {
     * scene of n), so gate thresholds sit lower than frame-set ones
     * (q145 uses 0.3 against the 2-scene worst case of 1/3). */
   def keyframeSet(media: DataFrame, idCol: String = "media_id",
-                  bytesCol: String = "bytes", threshold: Int = 4): DataFrame =
-    sceneSegments(media, idCol, bytesCol, threshold)
+                  bytesCol: String = "bytes", threshold: Int = 4,
+                  codec: MediaCodec = MediaCodec.Default): DataFrame =
+    sceneSegments(media, idCol, bytesCol, threshold, codec)
       .select(col("media_id"), col("key_hash").as("fhash")).distinct()
 
   /** Near-duplicate videos from a distinct (media_id, fhash) frame:
@@ -346,8 +336,10 @@ object VideoHash {
   /** One-call form over a media frame. */
   def nearDuplicates(media: DataFrame, idCol: String = "media_id",
                      bytesCol: String = "bytes", threshold: Double = 0.8,
-                     maxHashFreq: Int = 1000): DataFrame =
-    nearDupVideos(frameHashFrame(media, idCol, bytesCol), threshold, maxHashFreq)
+                     maxHashFreq: Int = 1000,
+                     codec: MediaCodec = MediaCodec.Default): DataFrame =
+    nearDupVideos(frameHashFrame(media, idCol, bytesCol, codec),
+      threshold, maxHashFreq)
 
   // ---- Deterministic fixtures (test/oracle harness) -----------------
   // Frame f of video id is the ImageHash pixel fixture at

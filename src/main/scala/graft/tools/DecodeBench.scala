@@ -59,7 +59,7 @@ object DecodeBench {
       } finally iis.close()
     }
     bench("old ImageIO.read")(oldStyle)
-    bench("new reader-based")(ImageHash.dHash64)
+    bench("new reader-based")(b => ImageHash.dHash64(b))
     bench("memory-cached stream")(memStyle)
     // parity sanity
     require((0 until 1000).forall(i => oldStyle(pngs(i)) == ImageHash.dHash64(pngs(i))))

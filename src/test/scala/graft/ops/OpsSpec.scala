@@ -2560,6 +2560,190 @@ class MultimodalSpec extends SparkTestBase {
     val withJunk = media.unionByName(Seq((999L, "junk".getBytes)).toDF("media_id", "bytes"))
     assert(ImageHash.nearDuplicates(withJunk).count() === pairs.length)
   }
+
+  test("injectable codec: the whole perceptual family yields identical results through a fake non-RIFF/non-BMFF codec") {
+    import graft.ops.{ContainerCodec, MediaCodec}
+    val fake = FakeMediaCodec
+    // re-wrap each default fixture's decoded CONTENT in the fake
+    // format — same pixels/PCM, alien container
+    def fakeImage(png: Array[Byte]): Array[Byte] =
+      fake.encodeImage(ContainerCodec.imagePixels(png).get)
+    def fakeAudio(wav: Array[Byte]): Array[Byte] = {
+      val (s, r) = AudioHash.pcmSamplesWithRate(wav).get
+      fake.encodeAudio(s, r)
+    }
+    def fakeVideo(mp4: Array[Byte]): Array[Byte] =
+      fake.encodeVideo(ContainerCodec.videoFrames(mp4).get,
+        ContainerCodec.soundtrackPcm(mp4))
+    // the fake format really is alien to the default codec, and the
+    // fake codec really rejects the default containers — no silent
+    // pass-through could fake the equivalences below
+    assert(ContainerCodec.imagePixels(fakeImage(ImageHash.fixturePng(1L))).isEmpty)
+    assert(fake.audioPcm(AudioHash.fixtureWavTrimmed(1L, 0)).isEmpty)
+    assert(fake.videoFrames(VideoHash.fixtureMp4(1L)).isEmpty)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    // IMAGES: 6 bases + 3 perturbed copies (near-dup pairs)
+    val pngs = (1L to 6L).map(id => (id, ImageHash.fixturePng(id))) ++
+      (1L to 3L).map(id => (id + 10L, ImageHash.fixturePng(id, perturb = true)))
+    val dImg = ImageHash.nearDuplicates(pngs.toDF("media_id", "bytes"))
+    val fImg = ImageHash.nearDuplicates(
+      pngs.map { case (id, b) => (id, fakeImage(b)) }.toDF("media_id", "bytes"),
+      codec = fake)
+    assert(pairSet(dImg).nonEmpty && pairSet(dImg) === pairSet(fImg))
+
+    // AUDIO whole-file + WINDOWED (trim-robust) forms
+    val wavs = (1L to 4L).map(id => (id, AudioHash.fixtureWavTrimmed(id, 0))) ++
+      Seq((21L, AudioHash.fixtureWavTrimmed(1L, 3)),
+        (22L, AudioHash.fixtureWavTrimmed(2L, 0)))
+    val fWavs = wavs.map { case (id, b) => (id, fakeAudio(b)) }
+    val dAud = AudioHash.nearDuplicates(wavs.toDF("media_id", "bytes"))
+    val fAud = AudioHash.nearDuplicates(fWavs.toDF("media_id", "bytes"),
+      codec = fake)
+    assert(pairSet(dAud).nonEmpty && pairSet(dAud) === pairSet(fAud))
+    val dWin = AudioHash.nearDuplicatesWindowed(wavs.toDF("media_id", "bytes"))
+    val fWin = AudioHash.nearDuplicatesWindowed(fWavs.toDF("media_id", "bytes"),
+      codec = fake)
+    assert(pairSet(dWin).nonEmpty && pairSet(dWin) === pairSet(fWin))
+
+    // VIDEO frame-set Jaccard + SCENES + KEYFRAMES
+    val mp4s = (1L to 4L).map(id => (id, VideoHash.fixtureMp4(id))) ++
+      Seq((11L, VideoHash.fixtureMp4(1L, perturb = true)))
+    val fMp4s = mp4s.map { case (id, b) => (id, fakeVideo(b)) }
+    val dVid = VideoHash.nearDuplicates(mp4s.toDF("media_id", "bytes"))
+    val fVid = VideoHash.nearDuplicates(fMp4s.toDF("media_id", "bytes"),
+      codec = fake)
+    assert(pairSet(dVid).nonEmpty && pairSet(dVid) === pairSet(fVid))
+    val scenes = (1L to 4L).map(id => (id, VideoHash.fixtureSceneMp4(id)))
+    val dScn = VideoHash.sceneSegments(scenes.toDF("media_id", "bytes"))
+    val fScn = VideoHash.sceneSegments(
+      scenes.map { case (id, b) => (id, fakeVideo(b)) }.toDF("media_id", "bytes"),
+      codec = fake)
+    assert(pairSet(dScn).nonEmpty && pairSet(dScn) === pairSet(fScn))
+    val dKf = VideoHash.keyframeSet(scenes.toDF("media_id", "bytes"))
+    val fKf = VideoHash.keyframeSet(
+      scenes.map { case (id, b) => (id, fakeVideo(b)) }.toDF("media_id", "bytes"),
+      codec = fake)
+    assert(pairSet(dKf).nonEmpty && pairSet(dKf) === pairSet(fKf))
+
+    // SOUNDTRACK <-> recording pairing (track extraction is the codec's)
+    val avs = (1L to 3L).map(id =>
+      (id, VideoHash.fixtureMp4WithAudio(id, id + 5000000L)))
+    val recs = Seq((101L, AudioHash.fixtureWavTrimmed(5000001L, 3)),
+      (103L, AudioHash.fixtureWavTrimmed(9999999L, 0)))
+    val dSt = AudioHash.soundtrackNearDupPairs(
+      avs.toDF("media_id", "bytes"), recs.toDF("media_id", "bytes"))
+    val fSt = AudioHash.soundtrackNearDupPairs(
+      avs.map { case (id, b) => (id, fakeVideo(b)) }.toDF("media_id", "bytes"),
+      recs.map { case (id, b) => (id, fakeAudio(b)) }.toDF("media_id", "bytes"),
+      codec = fake)
+    assert(pairSet(dSt).nonEmpty && pairSet(dSt) === pairSet(fSt))
+
+    // the single-scan FACADE, one injected codec across all modalities
+    def facade(img: Seq[(Long, Array[Byte])], aud: Seq[(Long, Array[Byte])],
+               vid: Seq[(Long, Array[Byte])], codec: MediaCodec) =
+      MediaDedup.nearDuplicates(
+        (img.map { case (i, b) => (i, "image", b) } ++
+          aud.map { case (i, b) => (i, "audio", b) } ++
+          vid.map { case (i, b) => (i, "video", b) })
+          .toDF("media_id", "kind", "bytes"),
+        codec = codec)
+    val dAll = facade(pngs, wavs, mp4s, MediaCodec.Default)
+    val fAll = facade(pngs.map { case (id, b) => (id, fakeImage(b)) },
+      fWavs, fMp4s, fake)
+    assert(pairSet(dAll).nonEmpty && pairSet(dAll) === pairSet(fAll))
+  }
+}
+
+/** A deliberately NON-RIFF / non-ISO-BMFF / non-ImageIO media format
+  * ("GF*1" big-endian blocks) + its [[MediaCodec]] — the equivalence
+  * harness proving the perceptual operators depend on decoded CONTENT
+  * only, never on the default containers: re-wrap the same pixels/PCM
+  * in this format, inject the codec, get identical results. This is
+  * the shape a production H.264/AAC codec drops into. */
+object FakeMediaCodec extends graft.ops.MediaCodec {
+  import graft.ops.MediaCodec.GrayFrame
+  private val I = "GFI1".getBytes("US-ASCII")
+  private val V = "GFV1".getBytes("US-ASCII")
+  private val A = "GFA1".getBytes("US-ASCII")
+  private def bb(b: Array[Byte]) =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.BIG_ENDIAN)
+  private def hasMagic(b: Array[Byte], m: Array[Byte]) =
+    b != null && b.length >= 4 && b(0) == m(0) && b(1) == m(1) &&
+      b(2) == m(2) && b(3) == m(3)
+
+  def encodeImage(f: GrayFrame): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + f.width * f.height)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.put(I).putInt(f.width).putInt(f.height)
+    f.pixels.take(f.width * f.height).foreach(p => out.put(p.toByte))
+    out.array()
+  }
+  def encodeAudio(samples: Array[Short], rate: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + 2 * samples.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.put(A).putInt(rate).putInt(samples.length)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+  def encodeVideo(frames: Seq[GrayFrame],
+                  track: Option[(Array[Short], Int)] = None): Array[Byte] = {
+    val audio = track.map { case (s, r) => encodeAudio(s, r) }
+    val sz = 8 + frames.map(f => 8 + f.width * f.height).sum +
+      audio.map(_.length).getOrElse(0)
+    val out = java.nio.ByteBuffer.allocate(sz)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.put(V).putInt(frames.length)
+    frames.foreach { f =>
+      out.putInt(f.width).putInt(f.height)
+      f.pixels.take(f.width * f.height).foreach(p => out.put(p.toByte))
+    }
+    audio.foreach(out.put)
+    out.array()
+  }
+
+  def imagePixels(bytes: Array[Byte]): Option[GrayFrame] =
+    if (!hasMagic(bytes, I)) None
+    else try {
+      val b = bb(bytes)
+      val (w, h) = (b.getInt(4), b.getInt(8))
+      Some(GrayFrame(
+        (0 until w * h).map(i => bytes(12 + i) & 0xFF).toArray, w, h))
+    } catch { case _: Exception => None }
+
+  private def videoParts(bytes: Array[Byte]): Option[(Seq[GrayFrame], Int)] =
+    if (!hasMagic(bytes, V)) None
+    else try {
+      val b = bb(bytes)
+      val n = b.getInt(4)
+      var pos = 8
+      val frames = (0 until n).map { _ =>
+        val (w, h) = (b.getInt(pos), b.getInt(pos + 4))
+        val f = GrayFrame(
+          (0 until w * h).map(i => bytes(pos + 8 + i) & 0xFF).toArray, w, h)
+        pos += 8 + w * h
+        f
+      }
+      Some((frames, pos))
+    } catch { case _: Exception => None }
+
+  def videoFrames(bytes: Array[Byte]): Option[Seq[GrayFrame]] =
+    videoParts(bytes).map(_._1)
+
+  def audioPcm(bytes: Array[Byte]): Option[(Array[Short], Int)] =
+    if (!hasMagic(bytes, A)) None
+    else try {
+      val b = bb(bytes)
+      val (rate, n) = (b.getInt(4), b.getInt(8))
+      Some(((0 until n).map(i => b.getShort(12 + 2 * i)).toArray, rate))
+    } catch { case _: Exception => None }
+
+  def soundtrackPcm(bytes: Array[Byte]): Option[(Array[Short], Int)] =
+    videoParts(bytes).flatMap { case (_, end) =>
+      audioPcm(java.util.Arrays.copyOfRange(bytes, end, bytes.length))
+    }
 }
 
 class RelevanceSpec extends SparkTestBase {
