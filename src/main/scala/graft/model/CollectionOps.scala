@@ -86,19 +86,37 @@ object CollectionOps {
     * Scale shape: the update batch is broadcast twice (merged-updates
     * join + anti-join key probe); the target frame streams through
     * without a shuffle.
-    */
+    *
+    * Same-key ORDER: by default, arrival order via
+    * `monotonically_increasing_id` — PARTITION-LOCAL input order,
+    * which matches the reference's list order for the single-partition
+    * ≤100-row batches its contract describes, but is not guaranteed
+    * for a multi-partition update frame whose partitioning isn't
+    * deterministic. Callers who need airtight ordering at scale pass
+    * `orderCol`: an explicit long-castable, NON-NULL column on the
+    * update frame (a null order raises, naming the row — silently
+    * sorting nulls first would reorder merges without a trace). */
   def upsert(target: DataFrame, updates: DataFrame, byProperty: String,
-             spec: CollectionSpec): DataFrame = {
+             spec: CollectionSpec, orderCol: Option[String] = None): DataFrame = {
     val spark = target.sparkSession
     import spark.implicits._
     val keyPath = "$." + byProperty
 
-    // Updates with their arrival order (per-key order is what matters;
-    // monotonically_increasing_id preserves partition-local input order).
-    val u = Documents.fromProperties(updates)
+    // Updates with their per-key application order (see scaladoc).
+    val uSrc = orderCol match {
+      case Some(c) =>
+        require(updates.columns.contains(c),
+          s"upsert orderCol '$c' is not a column of the update frame")
+        updates.withColumn("__ord",
+          when(col(c).isNotNull, col(c).cast("long"))
+            .otherwise(raise_error(concat(
+              lit(s"upsert orderCol '$c' must be non-null; got null for "),
+              col("properties")))))
+      case None => updates.withColumn("__ord", monotonically_increasing_id())
+    }
+    val u = Documents.fromProperties(uSrc, keep = Seq("__ord"))
       .withColumn("__key", GraftFunctions.reach(col("properties"), keyPath))
       .filter(col("__key").isNotNull)
-      .withColumn("__ord", monotonically_increasing_id())
 
     // One merged update per key: ordered shallow merge of the batch.
     val mergeOrdered = udf { (props: Seq[Row]) =>

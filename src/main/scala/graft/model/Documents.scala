@@ -40,9 +40,11 @@ object Documents {
     * the full document schema (missing system columns filled with
     * defaults; `pending_at` = now, mirroring DataStorage defaults).
     */
-  def fromProperties(df: DataFrame): DataFrame = {
+  def fromProperties(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     var out = df
     val has = df.columns.toSet
+    require(keep.forall(has),
+      s"fromProperties keep columns ${keep.filterNot(has)} missing from input")
     if (!has("id")) out = out.withColumn("id", lit(null).cast(LongType))
     if (!has("identity")) out = out.withColumn("identity", lit(null).cast(StringType))
     if (!has("reference")) out = out.withColumn("reference", lit(null).cast(StringType))
@@ -53,7 +55,7 @@ object Documents {
     if (!has("modified_at")) out = out.withColumn("modified_at", current_timestamp())
     if (!has("pending_at")) out = out.withColumn("pending_at", current_timestamp())
     if (!has("finished_at")) out = out.withColumn("finished_at", lit(null).cast(TimestampType))
-    out.select(columns.map(col): _*)
+    out.select((columns ++ keep).map(col): _*)
   }
 
   /** Build a documents DataFrame from raw JSON property strings. */

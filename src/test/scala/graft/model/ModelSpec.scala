@@ -137,6 +137,33 @@ class CollectionOpsSpec extends SparkTestBase {
       .contains("\"v\":\"c\""))
   }
 
+  test("upsert orderCol: multi-partition same-key batch applies in DECLARED order; null order raises") {
+    import spark.implicits._
+    val target = CollectionOps.add(Documents.empty(spark), docs("""{"id":1,"v":"a"}"""), spec)
+    // an 8-partition update frame whose partition order INVERTS the
+    // declared order — partition-local arrival order (the default
+    // monotonically_increasing_id path) would apply "last" first;
+    // the explicit order column must win regardless of partitioning
+    val updates = Seq(
+      ("""{"id":1,"v":"last"}""", 30L), ("""{"id":1,"v":"mid"}""", 20L),
+      ("""{"id":1,"v":"first"}""", 10L))
+      .toDF("properties", "seq").repartition(8, col("seq")).sortWithinPartitions(desc("seq"))
+    val out = CollectionOps.upsert(target, updates, "id", spec,
+      orderCol = Some("seq"))
+    assert(out.filter(col("identity") === "1").head.getAs[String]("properties")
+      .contains("\"v\":\"last\""))
+    // null order must raise naming the row, not silently sort first
+    val bad = Seq(("""{"id":1,"v":"x"}""", Some(1L)),
+      ("""{"id":1,"v":"y"}""", None: Option[Long])).toDF("properties", "seq")
+    val e = intercept[Exception] {
+      CollectionOps.upsert(target, bad, "id", spec, orderCol = Some("seq"))
+        .collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("must be non-null"))
+  }
+
   test("group_by groups documents by property value (test_collection.test_group_by)") {
     val df = CollectionOps.add(Documents.empty(spark),
       docs("""{"id":1,"state":"a"}""", """{"id":2,"state":"b"}""", """{"id":3,"state":"a"}"""), spec)
