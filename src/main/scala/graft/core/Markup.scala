@@ -513,4 +513,106 @@ object Markup {
       Some((s.substring(i + 1, close), close + 1 - start))
     }
   }
+
+  // ---- Main-content extraction (boilerplate removal) ----------------
+  // The trafilatura/boilerpipe move over this parser's DOM: drop the
+  // structurally-non-content subtrees (script/nav/footer/... tags and
+  // boilerplate-named id/class values), split what remains into LEAF
+  // BLOCKS (elements with only inline children), and keep a block when
+  // it carries enough text at a low enough LINK DENSITY — navigation
+  // and "related links" read as text too, but their text lives inside
+  // anchors, which is exactly what the density threshold sees. The
+  // corpus-level complement is the shingle-frequency boilerplate
+  // operator (q41): that one finds REPEATED boilerplate across a
+  // crawl; this one finds STRUCTURAL boilerplate inside one page,
+  // with no second pass over the corpus.
+
+  /** Subtrees that are never main content, whatever their text. */
+  val DroppedTags: Set[String] = Set("script", "style", "noscript",
+    "nav", "header", "footer", "aside", "form", "iframe", "svg",
+    "button", "select", "option", "template", "head", "figure",
+    "figcaption", "label")
+
+  /** Tags that do NOT break a text block (flow-inline content). */
+  val InlineTags: Set[String] = Set("a", "b", "i", "em", "strong",
+    "span", "code", "u", "s", "small", "sup", "sub", "abbr", "time",
+    "mark", "br", "img", "wbr", "q", "cite", "kbd", "var", "samp")
+
+  private val BoilerAttrPattern = java.util.regex.Pattern.compile(
+    "(?i)(?:^|[\\s_-])(nav|menu|sidebar|footer|comment|comments|share|" +
+      "social|ad|ads|advert|banner|promo|related|breadcrumb|widget)" +
+      "(?:$|[\\s_-])")
+
+  private def isBoilerAttr(e: Elem): Boolean =
+    Seq("id", "class").exists(a =>
+      e.attr(a).exists(v => BoilerAttrPattern.matcher(v).find()))
+
+  /** Whitespace-collapse: runs of whitespace → one space, trimmed. */
+  def normalizeSpace(s: String): String = {
+    val sb = new java.lang.StringBuilder
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pendingSpace = sb.length > 0
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Text and anchor-text length of a subtree, skipping dropped /
+    * boilerplate-named descendants. Link length is counted on
+    * normalized runs so density compares like with like. */
+  private def textAndLink(e: Elem): (String, Int) = {
+    val sb = new java.lang.StringBuilder
+    var link = 0
+    def go(x: Elem, inA: Boolean): Unit =
+      if (!DroppedTags(x.tag) && !isBoilerAttr(x))
+        x.children.foreach {
+          case Right(s) =>
+            sb.append(s)
+            if (inA) link += normalizeSpace(s).length
+          case Left(c) => go(c, inA || c.tag == "a")
+        }
+    go(e, e.tag == "a")
+    (sb.toString, link)
+  }
+
+  /** MAIN-CONTENT text of an HTML page — the body text a training
+    * pipeline wants, with navigation/ads/footers removed. Scope:
+    * `<article>` or `<main>` when present (the page declared its
+    * content), else `<body>`, else the whole tree. Kept blocks join
+    * with a newline, each whitespace-normalized. A block survives
+    * when its text is at least `minBlockChars` AND its link density
+    * (anchor chars / total chars) is at most `maxLinkDensity` — a
+    * "related articles" list is mostly anchor text and dies here even
+    * when its classes look innocent. Deterministic and per-row local:
+    * as a column op this is one UDF projection, no shuffle. */
+  def mainContent(html: String, minBlockChars: Int = 25,
+                  maxLinkDensity: Double = 0.33): String = {
+    if (html == null) return ""
+    val root = parseHtml(html)
+    val scope = root.find("article").orElse(root.find("main"))
+      .orElse(root.find("body")).getOrElse(root)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def isLeafBlock(e: Elem): Boolean =
+      e.childElems.forall(c =>
+        InlineTags(c.tag) || DroppedTags(c.tag) || isBoilerAttr(c))
+    def collect(e: Elem): Unit =
+      if (!DroppedTags(e.tag) && !isBoilerAttr(e)) {
+        if (isLeafBlock(e)) {
+          val (txt, link) = textAndLink(e)
+          val norm = normalizeSpace(txt)
+          if (norm.length >= minBlockChars &&
+              link.toDouble <= maxLinkDensity * norm.length)
+            out += norm
+        } else e.childElems.foreach(collect)
+      }
+    collect(scope)
+    out.mkString("\n")
+  }
 }

@@ -317,4 +317,21 @@ object TextOps {
     concat(scheme, lit("://"), host, cPath,
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
+
+  /** DOM-aware MAIN-CONTENT extraction as a column op
+    * ([[graft.core.Markup.mainContent]]): parse the HTML, drop
+    * structural boilerplate (script/nav/footer/... subtrees and
+    * boilerplate-named classes), keep leaf text blocks that clear the
+    * length floor at low link density, join with newlines. A UDF,
+    * deliberately — the DOM walk is irreducibly JVM-object work, and
+    * one projection keeps the scan codegen-fused with no shuffle
+    * (the [[graft.ops.ImageHash.dHashUdf]] rationale). The
+    * corpus-frequency complement is the shingle-df boilerplate
+    * operator (q41); this one needs no second corpus pass. */
+  def mainContent(html: Column, minBlockChars: Int = 25,
+                  maxLinkDensity: Double = 0.33): Column = {
+    val u = udf((s: String) =>
+      graft.core.Markup.mainContent(s, minBlockChars, maxLinkDensity))
+    u(html)
+  }
 }

@@ -254,6 +254,43 @@ private[queries] object TrainingText {
     "q122_novelty" -> ((s, d) => {
       Relevance.noveltyScores(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // DOM-aware main-content extraction: each doc's text wrapped in a
+    // full boilerplate page (nav, sidebar, link-dense "see also" +
+    // related blocks, footer) — REAL tolerant-HTML parse + leaf-block
+    // text/link-density scoring recovers exactly the article text plus
+    // a planted link-free appendix. Even ids declare <article> (scope
+    // rule); odd ids have no landmark, so the body walk must DROP the
+    // boilerplate structurally — both paths, one oracle. The corpus-df
+    // complement is q41; this needs no second corpus pass.
+    "q146_main_content" -> ((s, d) => {
+      val article = concat(
+        lit("<html><head><title>Doc</title><script>track()</script></head>" +
+          "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">Archive</a> " +
+          "<a href=\"/c\">Contact</a></nav>" +
+          "<div class=\"sidebar\"><a>Latest</a> <a>Popular</a> <a>Tags</a>" +
+          "</div><article><p>"),
+        col("text"),
+        lit("</p><p>Appendix "), col("doc_id"),
+        lit(" carries deterministic replay filler prose for density " +
+          "scoring.</p><p><a href=\"/r1\">See also one</a> " +
+          "<a href=\"/r2\">See also two</a> " +
+          "<a href=\"/r3\">See also three</a></p>" +
+          "<div class=\"related\"><a>More one</a> <a>More two</a></div>" +
+          "</article><footer><p><a>About</a> <a>Terms</a> <a>Privacy</a> " +
+          "boilerplate footer text</p></footer></body></html>"))
+      // same page without the <article>/<main> landmark: scope falls
+      // back to <body>, so nav/sidebar/footer must die structurally
+      val bare = regexp_replace(regexp_replace(article,
+        lit("<article>"), lit("<div id=\"page\">")),
+        lit("</article>"), lit("</div>"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextOps.mainContent(
+            when(col("doc_id") % 2 === 0, article).otherwise(bare))
+            .as("main_text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -579,6 +616,22 @@ private[queries] object TrainingText {
          |SELECT d.doc_id, coalesce(n_shingles, 0)::BIGINT AS n_shingles,
          |  coalesce(n_unique, 0)::BIGINT AS n_unique,
          |  round(n_unique::DOUBLE / n_shingles, 6) AS novelty
-         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q146: by construction the extractor must return exactly the
+    // article text (whitespace-normalized) plus the planted appendix
+    // paragraph — every boilerplate block is either tag-dropped
+    // (nav/footer/script), class-dropped (sidebar/related) or
+    // link-density-dropped (the all-anchor "see also" paragraph), on
+    // BOTH the <article>-scoped (even ids) and body-walk (odd ids)
+    // paths. The oracle replays that contract, not the DOM walk: the
+    // page synthesis is deterministic arithmetic around `text`.
+    "q146_main_content" ->
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10) ||
+         |  'Appendix ' || doc_id ||
+         |  ' carries deterministic replay filler prose for density scoring.'
+         |  AS main_text
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

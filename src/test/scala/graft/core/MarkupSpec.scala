@@ -236,4 +236,72 @@ class MarkupSpec extends AnyFunSuite {
       Objective.extractByContentType(json, "text/html", MockHtml)
     }
   }
+
+  // ---- mainContent: block scoring over the tolerant DOM ------------
+
+  test("mainContent: drops nav/footer/aside/script structurally, keeps content paragraphs in order") {
+    val html = """<html><head><script>x()</script><style>p{}</style></head>
+      |<body><nav><a>Home</a> <a>About us here</a></nav>
+      |<p>First paragraph with enough characters to clear the floor.</p>
+      |<aside>A sidebar note long enough to pass the length floor.</aside>
+      |<p>Second paragraph also long enough to clear the floor.</p>
+      |<footer>Copyright boilerplate footer text long enough to count.</footer>
+      |</body></html>""".stripMargin
+    assert(Markup.mainContent(html) ===
+      "First paragraph with enough characters to clear the floor.\n" +
+      "Second paragraph also long enough to clear the floor.")
+  }
+
+  test("mainContent: boilerplate-named classes and ids die whatever their tag") {
+    val html = """<body>
+      |<div class="sidebar left">Sidebar prose long enough to pass the length floor.</div>
+      |<div id="main-menu">Menu prose long enough to pass the length floor too.</div>
+      |<div class="content">Real content prose long enough to clear the floor.</div>
+      |</body>"""
+      .stripMargin
+    assert(Markup.mainContent(html) ===
+      "Real content prose long enough to clear the floor.")
+  }
+
+  test("mainContent: link-dense blocks die; low-density blocks with some links survive") {
+    val html = """<body>
+      |<p><a>Related link one here</a> <a>Related link two here</a> <a>Related link three</a></p>
+      |<p>Prose sentence that cites <a>one link</a> among plenty of ordinary words around it.</p>
+      |</body>""".stripMargin
+    assert(Markup.mainContent(html) ===
+      "Prose sentence that cites one link among plenty of ordinary words around it.")
+  }
+
+  test("mainContent: short blocks die; whitespace normalizes; blocks join with newline") {
+    val html = "<body><p>Too short.</p><p>  A   kept\tparagraph\n with messy   " +
+      "whitespace inside it. </p><div>Another kept block with plenty of " +
+      "characters.</div></body>"
+    assert(Markup.mainContent(html) ===
+      "A kept paragraph with messy whitespace inside it.\n" +
+      "Another kept block with plenty of characters.")
+  }
+
+  test("mainContent: an <article> landmark scopes extraction; outside-article prose is ignored") {
+    val html = """<body>
+      |<p>Body-level teaser prose long enough to clear the floor.</p>
+      |<article><p>The declared article body text long enough to keep.</p></article>
+      |</body>""".stripMargin
+    assert(Markup.mainContent(html) ===
+      "The declared article body text long enough to keep.")
+  }
+
+  test("mainContent: a dropped subtree INSIDE a kept block costs only itself") {
+    val html = "<body><p>Leading prose with enough characters to pass" +
+      "<script>tracker()</script> and trailing prose after the script.</p></body>"
+    assert(Markup.mainContent(html) ===
+      "Leading prose with enough characters to pass and trailing prose after the script.")
+  }
+
+  test("mainContent: entities decode; null and junk input degrade to empty") {
+    val html = "<body><p>Fish &amp; chips cost &lt;5 groats in this long sentence.</p></body>"
+    assert(Markup.mainContent(html) ===
+      "Fish & chips cost <5 groats in this long sentence.")
+    assert(Markup.mainContent(null) === "")
+    assert(Markup.mainContent("no tags at all") === "") // short stray text
+  }
 }
