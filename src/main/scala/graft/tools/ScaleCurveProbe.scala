@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-curve audit (dev tool, run-once evidence for NOTES): the
+  * direct measurement behind the "would this plan survive a 100×
+  * scale-up" claim — run the suite's heaviest queries at three scale
+  * points (the driver's sf0.01 and sf0.1 plus a synthetic sf1.0 from
+  * `tools/gen_scale_data.py`, 10× sf0.1's documents) and report, per
+  * query:
+  *
+  *  - wall time per SF (Bench's `.count()` action protocol, min of
+  *    `reps` runs after a small-SF JIT warmup);
+  *  - the LOG-LOG SLOPE over the top decade, log10(t_sf1 / t_sf0.1) —
+  *    1.0 is perfectly linear scaling, 2.0 is quadratic; the probe
+  *    FAILS (exit 1) on any slope ≥ 2 (a quadratic operator is a
+  *    100 TB disqualifier, whatever its sf0.1 time);
+  *  - Exchange counts in the initial physical plan per SF; the probe
+  *    FAILS on a plan that grows NEW Exchanges at sf1.0 — shuffle
+  *    STRUCTURE must be size-independent (sizes may re-tune under
+  *    AQE; topology may not).
+  *
+  * Fixed per-job overhead (scheduling, codegen, the ~0.1-0.4 s floor)
+  * dominates the small SFs and DEFLATES the bottom-decade slope, so
+  * the verdict uses the top decade only — at 50k docs the real work
+  * is large enough to dwarf the floor.
+  *
+  * Usage: runMain graft.tools.ScaleCurveProbe [sf1Dir] [reps] [q,q,...]
+  * (sf1Dir default /tmp/graft_scale/sf1.0 — generate it first). */
+object ScaleCurveProbe {
+
+  /** The 12 most expensive suite queries by sf0.1 bench time (all
+    * documents-table readers, which is what the synthetic sf1.0
+    * provides). */
+  val DefaultQueries: Seq[String] = Seq(
+    "q50_deduplicate", "q39_dedup_clusters", "q71_leakage_split",
+    "q124_quality_dedup", "q141_soundtrack_neardup", "q78_pagerank",
+    "q79_pagerank_dangling", "q91_lsh_audit", "q22_ngram_jaccard",
+    "q103_containment", "q138_audio_windowed_neardup", "q47_cjk_curation")
+
+  def countExchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange"))
+
+  def main(args: Array[String]): Unit = {
+    val sf1Dir = args.headOption.getOrElse("/tmp/graft_scale/sf1.0")
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val queries = args.lift(2)
+      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1Dir)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val registry = graft.SparkEntry.queries
+    var failures = List.empty[String]
+
+    println(f"${"query"}%-28s ${"t_sf0.01"}%9s ${"t_sf0.1"}%9s ${"t_sf1.0"}%9s ${"slope"}%6s  exchanges")
+    queries.foreach { name =>
+      val fn = registry.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown query $name"))
+      // JIT/codegen warmup at the smallest SF
+      fn(spark, dirs.head).count()
+      val exchanges = dirs.map(d => countExchanges(fn(spark, d)))
+      val times = dirs.map { d =>
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val slope = math.log10(times(2) / times(1))
+      val exchStr = exchanges.mkString("/")
+      println(f"$name%-28s ${times(0)}%9.2f ${times(1)}%9.2f ${times(2)}%9.2f $slope%6.2f  $exchStr")
+      if (slope >= 2.0)
+        failures ::= s"$name: top-decade slope $slope%.2f >= 2 (quadratic)"
+      if (exchanges(2) > exchanges(1))
+        failures ::= s"$name: sf1.0 plan grew Exchanges (${exchanges(1)} -> ${exchanges(2)})"
+    }
+    if (failures.nonEmpty) {
+      failures.reverse.foreach(f => System.err.println(s"[scale-curve] FAIL $f"))
+      sys.exit(1)
+    }
+    println("[scale-curve] all queries sub-quadratic with size-independent shuffle topology")
+    spark.stop()
+  }
+}
