@@ -1555,6 +1555,135 @@ object Dedup {
     (toks, wins.join(hot, Seq("h")).select(col("doc_id"), col("pos")))
   }
 
+  /** BYTE-grain ExactSubstr coverage — Lee et al.'s actual definition
+    * (a position is duplicated iff some `minRun`-byte substring
+    * starting there also appears in ≥ `minDocFreq` distinct
+    * documents), where [[duplicateSpans]] approximates at token-window
+    * grain: removal boundaries here match the paper's, byte for byte
+    * (grain is string chars; on ASCII corpora chars ≡ bytes).
+    *
+    * Suffix-array-free two-stage plan:
+    *  1. COARSE: robust-winnowing anchors over `k`-char rolling
+    *    hashes, window `w = minRun − k + 1` k-grams — the Schleimer
+    *    guarantee: every duplicated run of length ≥ minRun contains,
+    *    in EVERY copy, at least one selected anchor whose hash
+    *    matches (selection inside identical content is
+    *    content-determined: same min value, same rightmost-tie
+    *    relative position). Anchors are ~2/(w+1) of positions, so the
+    *    corpus-wide hot aggregation runs at ~1/18th of stride-1 cost.
+    *  2. REFINE: only within hot-anchor REGIONS
+    *    ([pos − (minRun − k), pos + minRun), clipped), emit stride-1
+    *    `minRun`-char window md5s and re-aggregate — the in-doc byte
+    *    extension: region bytes are bounded by real duplication, and
+    *    the second df equals the GLOBAL stride-1 df (any globally-hot
+    *    window is itself a duplicated run ≥ minRun, so every copy
+    *    carries a hot anchor and the window is emitted everywhere it
+    *    occurs). The oracle replays the global stride-1 definition
+    *    directly — hash equality of the outputs is the proof the
+    *    refinement loses nothing.
+    *
+    * Per doc: n_chars, n_dup_windows (hot stride-1 windows),
+    * covered_bytes (union of their [p, p+minRun) intervals — the
+    * paper's removable span mass), dup_frac. Scale shape: the anchor
+    * explode + one hash agg (coarse), a doc-keyed join back for
+    * region text, a bounded region explode + one hash agg (refine),
+    * one lag window per doc for the interval union. Nothing
+    * corpus-quadratic; driver sees nothing. */
+  def duplicateSpansBytes(df: DataFrame, idCol: String, textCol: String,
+                          minRun: Int = 50, k: Int = 16,
+                          minDocFreq: Int = 2): DataFrame = {
+    require(k >= 4, "k-gram size must be at least 4")
+    require(minRun > k, s"minRun must exceed the k-gram size $k")
+    require(minDocFreq >= 2,
+      "minDocFreq below 2 would mark every window duplicated")
+    val L = minRun
+    val winnowUdf = udf((text: String) => winnowAnchors(text, k, L - k + 1))
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    // stage 1: anchors -> corpus-hot anchor hashes -> clipped regions
+    val anchors = docs
+      .select(col("doc_id"), explode(winnowUdf(col("__text"))).as("a"))
+      .select(col("doc_id"), col("a._1").as("pos"), col("a._2").as("h"))
+    val hotAnchorHashes = anchors.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("adf"))
+      .filter(col("adf") >= minDocFreq).select(col("h"))
+    val regions = anchors.join(hotAnchorHashes, Seq("h"))
+      .select(col("doc_id"),
+        greatest(col("pos") - (L - k), lit(0)).as("s"),
+        (col("pos") + L).as("e"))
+    // stage 2: stride-1 window md5s INSIDE regions only (distinct
+    // (doc, p) — overlapping regions emit a window once)
+    val winRows = regions.join(docs, Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"),
+          least(col("e"), length(col("__text"))) - L)).as("p"),
+        col("__text"))
+      .filter(col("p") >= 0)
+      .select(col("doc_id"), col("p"),
+        md5(expr(s"substring(__text, p + 1, $L)")).as("h"))
+      .distinct()
+    val hotWindows = winRows.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("wdf"))
+      .filter(col("wdf") >= minDocFreq).select(col("h"))
+    val hotStarts = winRows.join(hotWindows, Seq("h"))
+      .select(col("doc_id"), col("p"))
+    // interval union: the duplicateSpans lag trick at byte grain
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val cov = hotStarts
+      .withColumn("prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("inc",
+        when(col("prev").isNull, lit(L.toLong))
+          .otherwise(least(lit(L.toLong), col("p") - col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(col("inc")).as("covered_bytes"))
+    docs.select(col("doc_id"), length(col("__text")).cast("long").as("n_chars"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_bytes"), lit(0L)).as("covered_bytes"),
+        round(coalesce(col("covered_bytes"), lit(0L)).cast("double") /
+          greatest(col("n_chars"), lit(1L)), 6).as("dup_frac"))
+  }
+
+  /** Robust winnowing over `k`-char polynomial rolling hashes, window
+    * `w` k-grams, rightmost-minimum tie-break: per sliding window the
+    * minimum hash position is selected; consecutive windows that
+    * re-select the same position emit once. Returns distinct
+    * (position, hash). Per-doc LOCAL (runs inside the decode task);
+    * the hash is a throwaway 64-bit poly — stage 2's md5 is the
+    * arbiter, so collisions can only add anchors, never lose runs. */
+  private[ops] def winnowAnchors(text: String, k: Int,
+                                 w: Int): Seq[(Int, Long)] = {
+    if (text == null || text.length < k + w - 1) return Nil
+    val n = text.length - k + 1 // k-gram count
+    val hs = new Array[Long](n)
+    val B = 1000003L
+    var h = 0L
+    var pw = 1L
+    var i = 0
+    while (i < k) { h = h * B + text.charAt(i); if (i > 0) pw *= B; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - text.charAt(i - 1) * pw) * B + text.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    var last = -1
+    var win = 0
+    while (win <= n - w) {
+      var best = win
+      var j = win + 1
+      while (j < win + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      if (best != last) { out += ((best, hs(best))); last = best }
+      win += 1
+    }
+    out.toSeq
+  }
+
   /** The rewrite half of [[duplicateSpans]] — Lee et al.'s actual
     * intervention: DELETE every token covered by a corpus-hot window
     * and reassemble the survivors in original order. A doc with NO

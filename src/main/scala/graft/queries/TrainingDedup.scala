@@ -14,6 +14,16 @@ import graft.ops.{Curation, Dedup, TextOps}
 private[queries] object TrainingDedup {
   import TrainingShared._
 
+  // q147 planted license blocks: A = P+Q, B = Q+R overlap only in the
+  // ≥50-char core Q; a third class flanks Q with per-doc-unique text.
+  private val ExactSubstrP =
+    "prelude words for the planted license block "
+  private val ExactSubstrQ =
+    "creative commons attribution share alike four point zero " +
+      "international license applies to this content"
+  private val ExactSubstrR =
+    " with an appended suffix naming the original author"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact n-gram Jaccard near-dups over shared-shingle candidates.
@@ -111,6 +121,31 @@ private[queries] object TrainingDedup {
     "q81_remove_dup_spans" -> ((s, d) => {
       Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
           windowTokens = 5, minDocFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // BYTE-grain ExactSubstr (Lee et al.'s actual 50-byte definition;
+    // q80 stays the token-grain approximation): planted license
+    // blocks exercise PARTIAL overlap — A = P+Q docs and B = Q+R docs
+    // share only the Q core; a third class carries Q between
+    // per-doc-unique flanks, so its covered_bytes must be exactly the
+    // shared region's, byte for byte. Spark runs the two-stage
+    // winnow-anchor + in-region stride-1 refinement; the oracle
+    // replays the GLOBAL stride-1 definition — equality is the proof
+    // the refinement loses nothing (the Dedup.duplicateSpansBytes
+    // scaladoc's theorem, tested).
+    "q147_exactsubstr_bytes" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + ExactSubstrP + ExactSubstrQ)))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" " + ExactSubstrQ + ExactSubstrR)))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit("zz"), col("doc_id"), lit(" " + ExactSubstrQ + " yy"),
+            col("doc_id")))
+        .otherwise(col("text")).as("text"))
+      Dedup.duplicateSpansBytes(aug, "doc_id", "text",
+          minRun = 50, k = 16, minDocFreq = 2)
         .orderBy(col("doc_id"))
     }),
 
@@ -868,6 +903,39 @@ private[queries] object TrainingDedup {
          |  CASE WHEN COALESCE(a.n_removed, 0) = 0 THEN COALESCE(d.text, '')
          |       ELSE a.text_clean END AS text_clean
          |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q147: the GLOBAL stride-1 byte definition — every 50-char
+    // window md5, cross-doc-hot set, interval union via lag (q80's
+    // machinery at byte grain). The Spark side's winnow-anchored
+    // two-stage refinement must land on identical rows.
+    "q147_exactsubstr_bytes" ->
+      s"""WITH aug AS MATERIALIZED (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 7 = 0 THEN text || ' $ExactSubstrP$ExactSubstrQ'
+         |    WHEN doc_id % 7 = 3 THEN text || ' $ExactSubstrQ$ExactSubstrR'
+         |    WHEN doc_id % 7 = 5 THEN 'zz' || doc_id || ' $ExactSubstrQ yy' || doc_id
+         |    ELSE text END AS text
+         |  FROM documents),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, i AS p, md5(substr(text, i + 1, 50)) AS h
+         |  FROM aug, unnest(generate_series(0, length(text) - 50)) AS u(i)),
+         |hot AS MATERIALIZED (
+         |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |hs AS (
+         |  SELECT w.doc_id, w.p,
+         |    lag(w.p) OVER (PARTITION BY w.doc_id ORDER BY w.p) AS prev
+         |  FROM w JOIN hot USING (h)),
+         |cov AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+         |    sum(CASE WHEN prev IS NULL THEN 50
+         |             ELSE least(50, p - prev) END)::BIGINT AS covered_bytes
+         |  FROM hs GROUP BY doc_id)
+         |SELECT a.doc_id, length(a.text)::BIGINT AS n_chars,
+         |  COALESCE(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |  COALESCE(c.covered_bytes, 0)::BIGINT AS covered_bytes,
+         |  round(COALESCE(c.covered_bytes, 0)::DOUBLE
+         |        / greatest(length(a.text), 1), 6) AS dup_frac
+         |FROM aug a LEFT JOIN cov c USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
     // q91: q22's capped exact-Jaccard truth + q23's minhash bands at
     // three configs; MATERIALIZED because truth/mh are read per config.
     "q91_lsh_audit" -> {
