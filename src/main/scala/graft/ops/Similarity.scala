@@ -802,7 +802,10 @@ object Similarity {
       col("ms").as("__ca"))
     val b = sums.select(col("label").as("label_b"), col("n_vecs").as("n_b"),
       col("ms").as("__cb"))
-    a.crossJoin(b).filter(col("label_a") < col("label_b"))
+    // both sides are label-sized by construction — hint the broadcast
+    // explicitly like every sibling cross shape (AQE would get there,
+    // but the plan should not depend on it)
+    a.crossJoin(broadcast(b)).filter(col("label_a") < col("label_b"))
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
         round(dot(col("__ca"), col("__cb")) /
           (sqrt(dot(col("__ca"), col("__ca"))) *

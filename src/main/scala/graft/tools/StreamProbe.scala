@@ -126,6 +126,117 @@ object StreamProbe {
         s"quota state is one row per domain: $state vs $nDomains domains")
     }
 
+    // --- SUSTAINED throughput: per-batch latency over ≥100 batches ---
+    // The equivalence pins prove the sinks are CORRECT; this measures
+    // whether they stay FAST as their published state grows: drive a
+    // fixed batch size for `susBatches` micro-batches and record every
+    // trigger's execution time from the engine's own progress
+    // accounting. The verdict is the latency PLATEAU — the median of
+    // the last quarter vs the first quarter after warmup. Appends are
+    // O(batch) by design; the screen side grows only in matching
+    // buckets, so steady-state latency must not trend with batch index.
+    val susBatches = sys.env.getOrElse("SPARK_GRAFT_SUS_BATCHES", "110").toInt
+    val susRows = sys.env.getOrElse("SPARK_GRAFT_SUS_ROWS", "2000").toInt
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (susBatches + 20).toString)
+
+    def batchDurations(q: StreamingQuery): Seq[Double] =
+      q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toDouble / 1e3)
+
+    def plateauReport(label: String, durs: Seq[Double]): Unit = {
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1 else xs.sorted.apply(xs.size / 2)
+      val warm = durs.drop(10) // JIT/codegen warmup batches excluded
+      val quarter = math.max(1, warm.size / 4)
+      val early = med(warm.take(quarter))
+      val late = med(warm.takeRight(quarter))
+      println(f"[stream] $label%-28s batches=${durs.size} " +
+        f"median=${med(warm)}%.2f s p95=${warm.sorted.apply(math.min(warm.size - 1, (warm.size * 0.95).toInt))}%.2f s " +
+        f"early-median=$early%.2f s late-median=$late%.2f s")
+      assert(late <= 2.5 * early,
+        s"$label: per-batch latency must plateau, not trend with " +
+          s"published-state size (early $early s -> late $late s)")
+    }
+
+    // 110 single-file micro-batches of 2000 docs: ~55x the state the
+    // last batch screens against vs the first. Every 10th doc is a
+    // copy of a doc from 5 batches earlier, so the screen keeps
+    // finding real cross-batch dups throughout.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+    def docText(id: Long): String = {
+      val base = if (id % 10 == 0 && id >= 5L * susRows) id - 5L * susRows
+        else id
+      val r = new scala.util.Random(base)
+      Seq.fill(30)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    }
+    val textUdf = udf(docText _)
+    val susDir = java.nio.file.Files.createTempDirectory("sp-sustained").toString
+    (0 until susBatches).foreach { b =>
+      spark.range(b.toLong * susRows, (b + 1L) * susRows)
+        .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
+        .coalesce(1).write.mode("append").parquet(s"$susDir/docs")
+    }
+
+    // indexed-dedup sink over the PRODUCTION split store (the sink's
+    // saveBands is a no-op here because publishSigs writes both
+    // tables in the store's safe sigs-first order)
+    {
+      val store = new graft.sources.SplitBandIndexStore(spark,
+        bandsTable = "sprobe_bands", sigsTable = "sprobe_sigs", buckets = 16)
+      var hits = 0L
+      val q = graft.streaming.Streaming.indexedDedupSinkSplit(
+          "doc_id", "text",
+          _ => store.loadBands(), _ => store.loadSigs(),
+          _ => (), sigs => store.publishSigs(sigs),
+          v => hits += v.filter(col("is_dup")).count())(
+          spark.readStream
+            .schema(spark.read.parquet(s"$susDir/docs").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$susDir/docs"))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sp-ixsus").toString)
+        .start()
+      q.processAllAvailable()
+      val durs = batchDurations(q)
+      q.stop()
+      assert(hits > 0, "cross-batch duplicates keep being found")
+      plateauReport(s"indexed-dedup ${susBatches}x$susRows", durs)
+    }
+
+    // cluster-maintenance sink over a real LabelStore: each batch
+    // folds 500 pairs touching earlier ids, so components keep
+    // merging against ever-larger published labelings
+    {
+      val store = new graft.sources.LabelStore(spark,
+        "sprobe_labels_id", "sprobe_labels_cluster", buckets = 16)
+      val pairDir = java.nio.file.Files.createTempDirectory("sp-clsus").toString
+      (0 until susBatches).foreach { b =>
+        spark.range(b * 500L, (b + 1) * 500L)
+          .select((col("id") * 7L).as("id_a"),
+            when(col("id") % 5 === 0 && col("id") >= 500L,
+              (col("id") - 500L) * 7L) // merge into an older component
+              .otherwise(col("id") * 7L + 3L).as("id_b"))
+          .coalesce(1).write.mode("append").parquet(s"$pairDir/pairs")
+      }
+      var relabeled = 0L
+      val q = graft.streaming.Streaming.clusterMaintenanceSink(
+          "id_a", "id_b", store, v => relabeled += v.count(),
+          compactRatio = 4.0, compactFloor = 1000L)(
+          spark.readStream
+            .schema(spark.read.parquet(s"$pairDir/pairs").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$pairDir/pairs"))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sp-clckpt").toString)
+        .start()
+      q.processAllAvailable()
+      val durs = batchDurations(q)
+      q.stop()
+      assert(relabeled > 0)
+      plateauReport(s"cluster-maint ${susBatches}x500", durs)
+    }
+
     spark.stop()
     println("[stream] all state-boundedness asserts passed")
   }
