@@ -1592,41 +1592,10 @@ object Dedup {
   def duplicateSpansBytes(df: DataFrame, idCol: String, textCol: String,
                           minRun: Int = 50, k: Int = 16,
                           minDocFreq: Int = 2): DataFrame = {
-    require(k >= 4, "k-gram size must be at least 4")
-    require(minRun > k, s"minRun must exceed the k-gram size $k")
-    require(minDocFreq >= 2,
-      "minDocFreq below 2 would mark every window duplicated")
     val L = minRun
-    val winnowUdf = udf((text: String) => winnowAnchors(text, k, L - k + 1))
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__text"))
-    // stage 1: anchors -> corpus-hot anchor hashes -> clipped regions
-    val anchors = docs
-      .select(col("doc_id"), explode(winnowUdf(col("__text"))).as("a"))
-      .select(col("doc_id"), col("a._1").as("pos"), col("a._2").as("h"))
-    val hotAnchorHashes = anchors.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("adf"))
-      .filter(col("adf") >= minDocFreq).select(col("h"))
-    val regions = anchors.join(hotAnchorHashes, Seq("h"))
-      .select(col("doc_id"),
-        greatest(col("pos") - (L - k), lit(0)).as("s"),
-        (col("pos") + L).as("e"))
-    // stage 2: stride-1 window md5s INSIDE regions only (distinct
-    // (doc, p) — overlapping regions emit a window once)
-    val winRows = regions.join(docs, Seq("doc_id"))
-      .select(col("doc_id"),
-        explode(sequence(col("s"),
-          least(col("e"), length(col("__text"))) - L)).as("p"),
-        col("__text"))
-      .filter(col("p") >= 0)
-      .select(col("doc_id"), col("p"),
-        md5(expr(s"substring(__text, p + 1, $L)")).as("h"))
-      .distinct()
-    val hotWindows = winRows.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("wdf"))
-      .filter(col("wdf") >= minDocFreq).select(col("h"))
-    val hotStarts = winRows.join(hotWindows, Seq("h"))
-      .select(col("doc_id"), col("p"))
+    val hotStarts = hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
     // interval union: the duplicateSpans lag trick at byte grain
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
@@ -1645,6 +1614,107 @@ object Dedup {
         coalesce(col("covered_bytes"), lit(0L)).as("covered_bytes"),
         round(coalesce(col("covered_bytes"), lit(0L)).cast("double") /
           greatest(col("n_chars"), lit(1L)), 6).as("dup_frac"))
+  }
+
+  /** The rewrite half of [[duplicateSpansBytes]] — Lee et al.'s
+    * intervention at the paper's own grain: DELETE every character
+    * covered by a cross-doc-hot `minRun`-char window and splice the
+    * survivors back together, byte-exact boundaries (where
+    * [[removeDuplicateSpans]] cuts at token grain and re-joins
+    * tokenizer-normalized, this rewrite never touches a kept byte —
+    * untouched docs return verbatim BY CONSTRUCTION, not as a special
+    * case). A fully-copied doc comes back empty and stays in the
+    * corpus — the caller's quality gate decides its fate.
+    *
+    * Scale shape: the [[duplicateSpansBytes]] two-stage hot-start
+    * pass, then pure-SQL gaps-and-islands over the hot starts (merge
+    * overlapping [p, p+minRun) intervals per doc: two windows over
+    * per-doc-bounded frames) and ONE substring splice per kept gap —
+    * no per-character explode anywhere (the q81 token rewrite pays
+    * one row per token; this pays one row per REMOVED SPAN). */
+  def removeDuplicateSpansBytes(df: DataFrame, idCol: String,
+                                textCol: String, minRun: Int = 50,
+                                k: Int = 16, minDocFreq: Int = 2): DataFrame = {
+    val L = minRun
+    val hotStarts = hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    // gaps-and-islands: a hot start more than L past its predecessor
+    // opens a new removed interval
+    val islands = hotStarts
+      .withColumn("prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("p") - col("prev") > L, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("p"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + L).as("e"))
+    // kept gap BEFORE each island: (prev island end, island start);
+    // the final tail past the last island is spliced in the rebuild
+    val byStart = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"))
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val gaps = islands
+      .withColumn("pe", coalesce(lag(col("e"), 1).over(byStart), lit(0L)))
+    val spliced = gaps.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("s"), col("e"),
+        expr("substring(__text, pe + 1, s - pe)").as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).as("n_removed_bytes"),
+        max(col("e")).as("last_e"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("s"), col("kept")))),
+          g => g.getField("kept")), "").as("head_kept"))
+    docs.join(spliced, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("__text")).cast("long").as("n_chars"),
+        coalesce(col("n_removed_bytes"), lit(0L)).as("n_removed_bytes"),
+        when(col("last_e").isNull, col("__text"))
+          .otherwise(concat(col("head_kept"),
+            expr("substring(__text, last_e + 1)"))).as("text_clean"))
+  }
+
+  /** Shared hot-start pass of [[duplicateSpansBytes]] /
+    * [[removeDuplicateSpansBytes]]: distinct (doc_id, p) starts of
+    * cross-doc-hot `L`-char windows, found by the winnow-anchored
+    * two-stage refinement (see [[duplicateSpansBytes]]'s scaladoc for
+    * the equivalence argument). */
+  private def hotByteWindowStarts(df: DataFrame, idCol: String,
+                                  textCol: String, L: Int, k: Int,
+                                  minDocFreq: Int): DataFrame = {
+    require(k >= 4, "k-gram size must be at least 4")
+    require(L > k, s"minRun must exceed the k-gram size $k")
+    require(minDocFreq >= 2,
+      "minDocFreq below 2 would mark every window duplicated")
+    val winnowUdf = udf((text: String) => winnowAnchors(text, k, L - k + 1))
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val anchors = docs
+      .select(col("doc_id"), explode(winnowUdf(col("__text"))).as("a"))
+      .select(col("doc_id"), col("a._1").as("pos"), col("a._2").as("h"))
+    val hotAnchorHashes = anchors.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("adf"))
+      .filter(col("adf") >= minDocFreq).select(col("h"))
+    val regions = anchors.join(hotAnchorHashes, Seq("h"))
+      .select(col("doc_id"),
+        greatest(col("pos") - (L - k), lit(0)).as("s"),
+        (col("pos") + L).as("e"))
+    val winRows = regions.join(docs, Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"),
+          least(col("e"), length(col("__text"))) - L)).as("p"),
+        col("__text"))
+      .filter(col("p") >= 0)
+      .select(col("doc_id"), col("p"),
+        md5(expr(s"substring(__text, p + 1, $L)")).as("h"))
+      .distinct()
+    val hotWindows = winRows.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("wdf"))
+      .filter(col("wdf") >= minDocFreq).select(col("h"))
+    winRows.join(hotWindows, Seq("h")).select(col("doc_id"), col("p"))
   }
 
   /** Robust winnowing over `k`-char polynomial rolling hashes, window

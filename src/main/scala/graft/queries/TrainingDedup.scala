@@ -149,6 +149,28 @@ private[queries] object TrainingDedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q147's signal turned into Lee et al.'s intervention at the
+    // paper's own grain: delete every character covered by a
+    // cross-doc-hot 50-char window and splice survivors byte-exactly
+    // (clean docs return VERBATIM by construction — no token-grain
+    // re-join normalization). Same planted corpus as q147, so the
+    // A-class loses its whole appended block, the B-class its block,
+    // and the unique-flank class exactly the shared core.
+    "q148_remove_exactsubstr" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + ExactSubstrP + ExactSubstrQ)))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" " + ExactSubstrQ + ExactSubstrR)))
+        .when(col("doc_id") % 7 === 5,
+          concat(lit("zz"), col("doc_id"), lit(" " + ExactSubstrQ + " yy"),
+            col("doc_id")))
+        .otherwise(col("text")).as("text"))
+      Dedup.removeDuplicateSpansBytes(aug, "doc_id", "text",
+          minRun = 50, k = 16, minDocFreq = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // LSH parameter audit: measured precision/recall of 2/4/8-band
     // MinHash candidates against exact-Jaccard ≥ 0.8 ground truth —
     // the band config for the 100 TB dedup run, chosen on data.
@@ -935,6 +957,53 @@ private[queries] object TrainingDedup {
          |  round(COALESCE(c.covered_bytes, 0)::DOUBLE
          |        / greatest(length(a.text), 1), 6) AS dup_frac
          |FROM aug a LEFT JOIN cov c USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
+    // q148: q147's global hot-start set, merged into removed islands
+    // (gaps-and-islands over hot starts: a start > 50 past its
+    // predecessor opens an interval), kept gaps spliced back with
+    // per-island substrings plus the tail — byte-identical rewrite.
+    "q148_remove_exactsubstr" ->
+      s"""WITH aug AS MATERIALIZED (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 7 = 0 THEN text || ' $ExactSubstrP$ExactSubstrQ'
+         |    WHEN doc_id % 7 = 3 THEN text || ' $ExactSubstrQ$ExactSubstrR'
+         |    WHEN doc_id % 7 = 5 THEN 'zz' || doc_id || ' $ExactSubstrQ yy' || doc_id
+         |    ELSE text END AS text
+         |  FROM documents),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, i AS p, md5(substr(text, i + 1, 50)) AS h
+         |  FROM aug, unnest(generate_series(0, length(text) - 50)) AS u(i)),
+         |hot AS MATERIALIZED (
+         |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |hs AS (SELECT DISTINCT w.doc_id, w.p FROM w JOIN hot USING (h)),
+         |brk AS (
+         |  SELECT doc_id, p,
+         |    CASE WHEN lag(p) OVER win IS NULL OR p - lag(p) OVER win > 50
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM hs WINDOW win AS (PARTITION BY doc_id ORDER BY p)),
+         |grp AS (
+         |  SELECT doc_id, p,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g
+         |  FROM brk),
+         |isl AS (
+         |  SELECT doc_id, g, min(p) AS s, max(p) + 50 AS e
+         |  FROM grp GROUP BY 1, 2),
+         |gaps AS (
+         |  SELECT doc_id, s, e,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+         |  FROM isl),
+         |spl AS (
+         |  SELECT g.doc_id, sum(g.e - g.s)::BIGINT AS n_removed_bytes,
+         |    max(g.e) AS last_e,
+         |    string_agg(substr(a.text, (g.pe + 1)::INT, (g.s - g.pe)::INT),
+         |      '' ORDER BY g.s) AS head_kept
+         |  FROM gaps g JOIN aug a USING (doc_id) GROUP BY g.doc_id)
+         |SELECT a.doc_id, length(a.text)::BIGINT AS n_chars,
+         |  coalesce(s.n_removed_bytes, 0)::BIGINT AS n_removed_bytes,
+         |  CASE WHEN s.last_e IS NULL THEN a.text
+         |       ELSE coalesce(s.head_kept, '') || substr(a.text, (s.last_e + 1)::INT)
+         |  END AS text_clean
+         |FROM aug a LEFT JOIN spl s USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     // q91: q22's capped exact-Jaccard truth + q23's minhash bands at
     // three configs; MATERIALIZED because truth/mh are read per config.

@@ -483,6 +483,63 @@ class DedupSpec extends SparkTestBase {
     assert(got(8L) === ((8L, 0L, "天地玄黄宇宙洪荒")))
   }
 
+  test("duplicateSpansBytes: byte-exact boundaries, two-stage ≡ global (hand-computed)") {
+    val S = "shared-core-20-chars" // exactly 20 chars
+    val docs = Seq(
+      // d1/d2 share exactly S between unique flanks: coverage must be
+      // exactly S's 20 bytes (windows fully inside the run)
+      (1L, "aaaa" + S + "bbbb"),
+      (2L, "cccc" + S + "dddd"),
+      (3L, "tiny"), // below one window
+      // d4/d5 byte-identical: fully covered
+      (4L, "identical-docs-pair-entirely-the-same!"),
+      (5L, "identical-docs-pair-entirely-the-same!"),
+      // within-doc repeat only: distinct-doc frequency 1, nothing hot
+      (6L, "unique-run-12!unique-run-12!")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpansBytes(docs, "doc_id", "text",
+        minRun = 12, k = 4, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((28L, 9L, 20L, 0.714286)))
+    assert(got(2L) === ((28L, 9L, 20L, 0.714286)))
+    assert(got(3L) === ((4L, 0L, 0L, 0.0)))
+    assert(got(4L) === ((38L, 27L, 38L, 1.0)))
+    assert(got(5L) === ((38L, 27L, 38L, 1.0)))
+    assert(got(6L) === ((28L, 0L, 0L, 0.0)))
+  }
+
+  test("removeDuplicateSpansBytes splices kept bytes verbatim around removed islands") {
+    val S1 = "first-shared-run-one"  // 20 chars
+    val S2 = "second-shared-run-2!"  // 20 chars
+    val docs = Seq(
+      (1L, "aaaa" + "shared-core-20-chars" + "bbbb"),
+      (2L, "cccc" + "shared-core-20-chars" + "dddd"),
+      (3L, "tiny"),
+      (4L, "identical-docs-pair-entirely-the-same!"),
+      (5L, "identical-docs-pair-entirely-the-same!"),
+      // TWO islands per doc with unique middles: the splice must keep
+      // flanks AND the middle byte-for-byte, in order. Boundary bytes
+      // DIVERGE between the docs ("1"/"2") — a shared boundary byte
+      // would legitimately extend the duplicated run past the planted
+      // block (Lee's definition is byte-maximal, as the first cut of
+      // this fixture taught)
+      (7L, "e1" + S1 + "1mid1" + S2 + "1end"),
+      (8L, "e2" + S1 + "2MID2" + S2 + "2end")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpansBytes(docs, "doc_id", "text",
+        minRun = 12, k = 4, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((28L, 20L, "aaaabbbb")))
+    assert(got(2L) === ((28L, 20L, "ccccdddd")))
+    assert(got(3L) === ((4L, 0L, "tiny")))
+    assert(got(4L) === ((38L, 38L, "")))
+    assert(got(5L) === ((38L, 38L, "")))
+    assert(got(7L) === ((51L, 40L, "e11mid11end")))
+    assert(got(8L) === ((51L, 40L, "e22MID22end")))
+  }
+
   test("connectedComponents handles string ids on the distributed default path") {
     // string ids can never take the integral-id driver fast path, so
     // they always hit the distributed default (star). The convergence
