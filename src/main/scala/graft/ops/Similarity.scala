@@ -113,6 +113,71 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** The (vec_id, t, bucket) SRP rows of a vector frame — `tables`
+    * independent plane families of `planes` sign bits, one native
+    * projection, embeddings left behind (the skinny probe-row shape
+    * every published index here stores). */
+  def srpBucketRows(vecs: DataFrame, idCol: String = "vec_id",
+                    embCol: String = "embedding", planes: Int = 8,
+                    tables: Int = 2): DataFrame =
+    vecs.select(col(idCol).cast("long").as("vec_id"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("t"),
+            srpBucket(col(embCol), planes, t * planes).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+  /** Incremental SEMANTIC screening of a new batch's embeddings
+    * against a PUBLISHED SRP index — the q117/q135/q139
+    * ingestion-gate story for MEANING: `oldBuckets` is the
+    * accumulated (vec_id, t, bucket) frame
+    * ([[srpBucketRows]] rows, at scale the
+    * [[graft.sources.SrpIndexStore]]'s (t, bucket)-bucketed table),
+    * `oldVecs` the (vec_id, emb) payloads (vec_id-bucketed). The
+    * batch SRP-projects once, candidates come from any shared
+    * (t, bucket), and EXACT cosine verifies every candidate — a
+    * verdict is never "same bucket". old_id == new_id candidates are
+    * dropped (the crash-replay belt: re-screening a batch an index
+    * already holds re-emits the original verdicts, not self-dups).
+    * Output: one row per batch vector — (new_id, n_dup_matches,
+    * dup_of = smallest matching old id, best_cosine, is_dup).
+    *
+    * Scale shape: tables × batch skinny rows, ONE join on (t, bucket)
+    * (co-located against the published store), candidate-bounded
+    * embedding joins, one aggregation. Recall is the multi-table SRP
+    * bound 1-(1-r)^tables — the [[nearDuplicates]] trade, incremental. */
+  def embeddingDedupAgainstIndex(newVecs: DataFrame, oldBuckets: DataFrame,
+                                 oldVecs: DataFrame,
+                                 idCol: String = "vec_id",
+                                 embCol: String = "embedding",
+                                 planes: Int = 8, tables: Int = 2,
+                                 threshold: Double = 0.9): DataFrame = {
+    val newK = newVecs.select(col(idCol).cast("long").as("new_id"),
+      col(embCol).as("__ne"))
+    val cands = srpBucketRows(newVecs, idCol, embCol, planes, tables)
+      .withColumnRenamed("vec_id", "new_id")
+      .join(oldBuckets.withColumnRenamed("vec_id", "old_id"), Seq("t", "bucket"))
+      .filter(col("old_id") =!= col("new_id"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val scored = cands
+      .join(oldVecs.select(col(oldVecs.columns.head).cast("long").as("old_id"),
+        col(oldVecs.columns(1)).as("__oe")), Seq("old_id"))
+      .join(newK, Seq("new_id"))
+      .withColumn("cosine", round(dotUdf(col("__ne"), col("__oe")) /
+        (sqrt(dotUdf(col("__ne"), col("__ne"))) *
+          sqrt(dotUdf(col("__oe"), col("__oe")))), 6))
+      .filter(col("cosine") >= threshold)
+    val hits = scored.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_dup_matches"), min(col("old_id")).as("dup_of"),
+        max(col("cosine")).as("best_cosine"))
+    newK.select(col("new_id"))
+      .join(hits, Seq("new_id"), "left")
+      .select(col("new_id"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        col("dup_of"), col("best_cosine"),
+        (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via
     * multi-table SRP LSH: `tables` independent plane families of
     * `planes` sign bits each; a pair is a candidate when ANY table

@@ -244,6 +244,32 @@ private[queries] object TrainingSimilarity {
       Similarity.labelCentroidMatrix(t(s, d, "embeddings"), "label",
           "embedding")
         .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // SEMANTIC ingestion gate — the q117/q135/q139 story for MEANING:
+    // a new batch of embeddings screens against the published SRP
+    // index (skinny (t, bucket) rows + vec payloads, the split-store
+    // layout) with exact-cosine verification at 0.9. Every 10th batch
+    // vector carries the embedding of indexed vector id+1 (cosine 1.0
+    // — a paraphrase-grade planted dup); the rest keep their own, so
+    // natural same-meaning hits surface too and the oracle replays
+    // them all.
+    "q149_embedding_gate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = emb.filter(col("vec_id") % 5 =!= 0)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("__donor"))
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+        .join(donors, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") % 10 === 0 && col("__donor").isNotNull,
+            col("__donor")).otherwise(col("embedding")).as("embedding"))
+      Similarity.embeddingDedupAgainstIndex(batch,
+          Similarity.srpBucketRows(idx, "vec_id", "embedding",
+            planes = 8, tables = 2),
+          idx.select(col("vec_id"), col("embedding")),
+          planes = 8, tables = 2, threshold = 0.9)
+        .orderBy(col("new_id"))
     })
   )
 
@@ -839,6 +865,48 @@ private[queries] object TrainingSimilarity {
         |    (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 6)
         |    AS cosine
         |FROM cent a JOIN cent b ON a.label < b.label
-        |ORDER BY label_a, label_b""".stripMargin
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    // q149: both sides' SRP buckets replayed with the md5-portable
+    // plane arithmetic (the q27 machinery), candidates from any
+    // shared (t, bucket) excluding self-ids, exact cosine at the same
+    // rounded threshold, one verdict row per batch vector.
+    "q149_embedding_gate" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |idx AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+         |bat AS (
+         |  SELECT b.vec_id,
+         |    CASE WHEN b.vec_id % 10 = 0 AND d.v IS NOT NULL THEN d.v
+         |         ELSE b.v END AS v
+         |  FROM e b LEFT JOIN e d ON d.vec_id = b.vec_id + 1
+         |  WHERE b.vec_id % 5 = 0),
+         |ib AS (
+         |  SELECT vec_id, 0 AS t, ${srpBucketSql(8, 0)} AS bk FROM idx
+         |  UNION ALL
+         |  SELECT vec_id, 1, ${srpBucketSql(8, 8)} FROM idx),
+         |bb AS (
+         |  SELECT vec_id, 0 AS t, ${srpBucketSql(8, 0)} AS bk FROM bat
+         |  UNION ALL
+         |  SELECT vec_id, 1, ${srpBucketSql(8, 8)} FROM bat),
+         |cand AS (
+         |  SELECT DISTINCT bb.vec_id AS new_id, ib.vec_id AS old_id
+         |  FROM bb JOIN ib ON bb.t = ib.t AND bb.bk = ib.bk
+         |  WHERE bb.vec_id <> ib.vec_id),
+         |sc AS (
+         |  SELECT c.new_id, c.old_id,
+         |    round(list_dot_product(b.v, i.v) /
+         |      (sqrt(list_dot_product(b.v, b.v)) *
+         |       sqrt(list_dot_product(i.v, i.v))), 6) AS cosine
+         |  FROM cand c JOIN bat b ON b.vec_id = c.new_id
+         |  JOIN idx i ON i.vec_id = c.old_id),
+         |hits AS (
+         |  SELECT new_id, count(*)::BIGINT AS n, min(old_id)::BIGINT AS dup_of,
+         |    max(cosine) AS best
+         |  FROM sc WHERE cosine >= 0.9 GROUP BY 1)
+         |SELECT b.vec_id AS new_id, coalesce(n, 0)::BIGINT AS n_dup_matches,
+         |  dup_of, best AS best_cosine, coalesce(n, 0) > 0 AS is_dup
+         |FROM bat b LEFT JOIN hits ON b.vec_id = hits.new_id
+         |ORDER BY new_id""".stripMargin
   )
 }

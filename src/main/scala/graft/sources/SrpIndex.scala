@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The PUBLISHED embedding index as SPLIT bucketed tables — the
+  * SEMANTIC member of the ingestion-gate family (text MinHash:
+  * [[SplitBandIndexStore]], 64-bit perceptual: [[HashIndexStore]],
+  * frame/window sets: [[FrameSetIndexStore]]): tomorrow's batch of
+  * embeddings screens against yesterday's corpus for NEAR-DUPLICATE
+  * MEANING — paraphrases, re-encodes and translations that no lexical
+  * or perceptual hash sees — with one bucket pass over the batch plus
+  * co-located joins. History is never re-embedded or re-scanned.
+  *
+  * Layout (the [[SplitBandIndexStore]] doctrine — skinny probe rows,
+  * payloads joined by id exactly once):
+  *  - `bucketsTable` (vec_id, t, bucket), bucketed by (t, bucket):
+  *    `tables` independent SRP plane families of `planes` sign bits
+  *    ([[graft.ops.Similarity.srpBucket]] — md5-portable planes, so
+  *    the construction is engine-reproducible); the screen's candidate
+  *    join consumes this bucketing Exchange-free. Embeddings never
+  *    ride the ×tables explosion.
+  *  - `vecsTable` (vec_id, emb [, ts]), bucketed by vec_id: the
+  *    verification payloads; candidates re-join them by id for EXACT
+  *    cosine — a gate verdict is never "same bucket", always a real
+  *    similarity ≥ `threshold`.
+  *
+  * CONSTRUCTION VERSIONING is built in, not optional: the bucket
+  * derivation is pinned by (planes, tables), and screening across
+  * constructions fails OPEN (different plane families bucket the same
+  * vector differently — re-submitted copies pass as novel). Every
+  * publish/screen verifies the store's recorded [[contentTag]]
+  * ([[Bucketed.requireTag]] on the buckets table; the vecs table is
+  * construction-independent).
+  *
+  * Torn-publish ordering: vecs are written FIRST. A vector without
+  * bucket rows is INERT (nothing probes it — the screen reaches
+  * vectors only through bucket candidates), while a bucket row
+  * without its vector would silently DROP a real near-dup at the
+  * embedding join. [[compact]] verifies/repairs the buckets⊆vecs
+  * invariant like the band store does.
+  *
+  * Scale shape per gate round: one native-SRP projection over the
+  * batch (tables × batch skinny rows), ONE co-located join on
+  * (t, bucket), candidate-bounded embedding joins, one aggregation to
+  * verdicts. Nothing corpus-quadratic; the driver sees nothing. */
+class SrpIndexStore(spark: SparkSession,
+                    val bucketsTable: String = "graft_srp_buckets",
+                    val vecsTable: String = "graft_srp_vecs",
+                    buckets: Int = 32,
+                    planes: Int = 8,
+                    tables: Int = 2,
+                    threshold: Double = 0.9) {
+  import org.apache.spark.sql.functions._
+
+  require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+  require(tables >= 1, s"at least one hash table, got $tables")
+
+  /** The construction identity recorded on the buckets table: plane
+    * count and table count pin the bucket derivation (the md5 plane
+    * family itself is engine-constant). */
+  def contentTag: String = s"srp:p$planes:t$tables"
+
+  def exists: Boolean =
+    spark.catalog.tableExists(bucketsTable) && spark.catalog.tableExists(vecsTable)
+
+  private def checkTag(who: String): Unit =
+    Bucketed.requireTag(spark, bucketsTable, FrameSetIndexStore.TagKey,
+      contentTag, who)
+
+  private def stampTagIfFresh(): Unit =
+    if (spark.catalog.tableExists(bucketsTable) &&
+        Bucketed.getTag(spark, bucketsTable, FrameSetIndexStore.TagKey).isEmpty)
+      Bucketed.setTag(spark, bucketsTable, FrameSetIndexStore.TagKey, contentTag)
+
+  /** Current bucket rows; empty before the first publish. */
+  def loadBuckets(): DataFrame =
+    if (spark.catalog.tableExists(bucketsTable)) spark.table(bucketsTable)
+    else SrpIndexStore.emptyBuckets(spark)
+
+  /** Current vector rows; empty before the first publish. */
+  def loadVecs(): DataFrame =
+    if (spark.catalog.tableExists(vecsTable)) spark.table(vecsTable)
+    else SrpIndexStore.emptyVecs(spark)
+
+  /** The batch's (vec_id, t, bucket) rows — one native SRP projection,
+    * `tables` rows per vector, embeddings left behind. */
+  private def bucketRows(vecs: DataFrame, idCol: String,
+                         embCol: String): DataFrame =
+    graft.ops.Similarity.srpBucketRows(vecs, idCol, embCol, planes, tables)
+
+  /** Index a (id, emb [, ts]) batch — the "admit the batch" half of
+    * the gate. Vecs write first (see the class doc's torn-publish
+    * argument); with `tsCol` set the VECTOR rows carry the retention
+    * stamp, the skinny bucket rows stay unstamped (expiry reaches
+    * them through the buckets⊆vecs invariant at [[compact]]). */
+  def publish(vecs: DataFrame, idCol: String, embCol: String,
+              tsCol: Option[String] = None): Unit = {
+    checkTag(s"publish to '$bucketsTable'")
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(embCol).as("emb"),
+      tsCol.map(t => BandIndexStore.epochMillis(vecs, t))
+        .getOrElse(lit(null).cast("long")).as("ts"))
+    Bucketed.appendAligned(spark, v, vecsTable, Seq("vec_id"), buckets,
+      sortCols = Seq("vec_id"))
+    Bucketed.appendAligned(spark,
+      bucketRows(vecs, idCol, embCol).select(col("vec_id"), col("t"),
+        col("bucket")),
+      bucketsTable, Seq("t", "bucket"), buckets, sortCols = Seq("t", "bucket"))
+    stampTagIfFresh()
+  }
+
+  /** Screen a new (id, emb) batch against the published index: SRP
+    * candidates from any shared (t, bucket), EXACT cosine verification
+    * on the candidate pairs, one verdict row per batch vector —
+    * (new_id, n_dup_matches, dup_of = smallest matching old id,
+    * best_cosine, is_dup). The index side of the candidate join and
+    * the old-embedding join both consume their tables' bucketing. */
+  def screen(newVecs: DataFrame, idCol: String, embCol: String): DataFrame = {
+    checkTag(s"screen against '$bucketsTable'")
+    graft.ops.Similarity.embeddingDedupAgainstIndex(newVecs, loadBuckets(),
+      loadVecs().select(col("vec_id"), col("emb")), idCol, embCol,
+      planes, tables, threshold)
+  }
+
+  /** The full gate round: screen the batch against history, then admit
+    * it. Verdicts materialize BEFORE the admit — the family's
+    * crash-replay contract. */
+  def ingest(newVecs: DataFrame, idCol: String, embCol: String,
+             tsCol: Option[String] = None): DataFrame = {
+    val verdicts = screen(newVecs, idCol, embCol).localCheckpoint(true)
+    publish(newVecs, idCol, embCol, tsCol)
+    verdicts
+  }
+
+  /** Rewrite both append logs distinct and verify/repair the
+    * buckets⊆vecs invariant (orphan bucket rows — a torn publish under
+    * an external writer — would silently lose candidates at the
+    * embedding join: detected, logged, dropped). Returns orphans
+    * removed. */
+  def compact(): Long = if (exists) {
+    val vecIds = spark.table(vecsTable).select(col("vec_id")).distinct()
+    val all = spark.table(bucketsTable).distinct().localCheckpoint(true)
+    val kept = all.join(vecIds, Seq("vec_id"), "left_semi").localCheckpoint(true)
+    val orphans = all.count() - kept.count()
+    if (orphans > 0)
+      System.err.println(s"[SrpIndexStore] compact: dropped $orphans bucket " +
+        s"rows with no vector in $vecsTable (torn publish) — re-publish " +
+        "the affected batch to restore their coverage")
+    val tags = Bucketed.graftTags(spark, bucketsTable)
+    Bucketed.writeKeys(kept.repartition(buckets, col("t"), col("bucket")),
+      bucketsTable, Seq("t", "bucket"), buckets, sortCols = Seq("t", "bucket"))
+    tags.foreach { case (k, v) => Bucketed.setTag(spark, bucketsTable, k, v) }
+    Bucketed.compactRewrite(spark, vecsTable, Seq("vec_id"), buckets,
+      sortCols = Seq("vec_id"))
+    orphans
+  } else 0L
+
+  /** RETENTION: drop vectors whose event time fell before
+    * `cutoffMillis` (null-ts rows exempt), then repair the
+    * buckets⊆vecs invariant so their bucket rows age out with them.
+    * Returns vector rows dropped. */
+  def expireBefore(cutoffMillis: Long): Long = {
+    val dropped = Bucketed.compactRewrite(spark, vecsTable, Seq("vec_id"),
+      buckets, sortCols = Seq("vec_id"), horizonMillis = cutoffMillis)
+    if (dropped > 0) compact()
+    dropped
+  }
+}
+
+object SrpIndexStore {
+  def emptyBuckets(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("t", IntegerType), StructField("bucket", LongType))))
+  }
+
+  def emptyVecs(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("emb", ArrayType(FloatType)),
+        StructField("ts", LongType))))
+  }
+}

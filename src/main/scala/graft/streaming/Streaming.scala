@@ -255,6 +255,43 @@ object Streaming {
         saveSigs(sigs)
       }
 
+  /** The SEMANTIC ingestion gate as a streaming sink —
+    * [[indexedDedupSinkSplit]]'s shape for EMBEDDINGS: each
+    * micro-batch screens against the published SRP index with
+    * [[graft.ops.Similarity.embeddingDedupAgainstIndex]] VERBATIM
+    * (one definition, two execution modes), emits exact-cosine
+    * verdicts, then admits the batch — VECTORS first, skinny bucket
+    * rows second (a vector without bucket rows is inert; a bucket row
+    * without its vector would silently drop candidates at the
+    * embedding join — [[graft.sources.SrpIndexStore]]'s torn-publish
+    * argument). Verdicts checkpoint BEFORE the saves, and the
+    * operator's old_id ≠ new_id filter makes crash-replays re-emit
+    * original verdicts — the family contract. Store callbacks receive
+    * batch-sized frames only (append-only O(batch) per micro-batch);
+    * [[graft.sources.SrpIndexStore]] is the bucketed implementation. */
+  def embeddingDedupSink(idCol: String, embCol: String,
+                         loadBuckets: SparkSession => DataFrame,
+                         loadVecs: SparkSession => DataFrame,
+                         saveVecs: DataFrame => Unit,
+                         saveBuckets: DataFrame => Unit,
+                         emit: DataFrame => Unit,
+                         planes: Int = 8, tables: Int = 2,
+                         threshold: Double = 0.9)
+                        (stream: DataFrame): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        emit(graft.ops.Similarity.embeddingDedupAgainstIndex(batch,
+          loadBuckets(spark), loadVecs(spark), idCol, embCol,
+          planes, tables, threshold).localCheckpoint(true))
+        saveVecs(batch.select(col(idCol).cast("long").as("vec_id"),
+          col(embCol).as("emb")).localCheckpoint(true))
+        saveBuckets(graft.ops.Similarity.srpBucketRows(batch, idCol, embCol,
+          planes, tables))
+      }
+
   /** Streaming NEAR-duplicate detection: each micro-batch computes the
     * SAME MinHash+LSH band keys as the batch operator
     * ([[graft.ops.Dedup.lshCandidatePairs]] — one definition, two

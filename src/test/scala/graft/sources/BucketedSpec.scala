@@ -715,4 +715,72 @@ class BucketedSpec extends SparkTestBase {
     store.compact() // healed store compacts normally
     assert(store.loadAll().count() === 4L)
   }
+
+  test("SrpIndexStore: semantic gate — screen/ingest/replay, construction tag, orphan repair, expiry") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // deterministic 8-dim embeddings: vec k = unit-ish vector leaning
+    // along axis k%4 with a k-dependent wobble; copies are exact
+    def vec(axis: Int, wobble: Float): Seq[Float] =
+      (0 until 8).map(d => if (d == axis) 1f else if (d == (axis + 4)) wobble else 0.01f * d)
+    def frame(rows: Seq[(Long, Seq[Float])]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }, 2),
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+    val store = new SrpIndexStore(spark, "bspec_srp_buckets", "bspec_srp_vecs",
+      buckets = 4, planes = 6, tables = 2, threshold = 0.95)
+    // day one: publish 8 distinct vectors
+    val history = (0L until 8L).map(k => (k, vec((k % 4).toInt, 0.1f * k)))
+    store.publish(frame(history), "vec_id", "embedding")
+    assert(Bucketed.getTag(spark, "bspec_srp_buckets",
+      FrameSetIndexStore.TagKey) === Some("srp:p6:t2"))
+    // batch: 100 is an exact copy of vector 3 (cosine 1.0); 200 is a
+    // fresh direction nothing indexed resembles
+    val batch = frame(Seq((100L, vec(3, 0.3f)),
+      (200L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))))
+    val v = store.screen(batch, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(v(100L) === ((1L, Some(3L), true)), s"exact copy must flag: $v")
+    assert(v(200L) === ((0L, None, false)))
+    // ingest admits; replay re-emits ORIGINAL verdicts (self-dup belt)
+    store.ingest(batch, "vec_id", "embedding")
+    val replay = store.screen(batch, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(replay === v, "replay must re-emit original verdicts")
+    // a DIFFERENT construction refuses loudly in both directions
+    val other = new SrpIndexStore(spark, "bspec_srp_buckets", "bspec_srp_vecs",
+      buckets = 4, planes = 8, tables = 2)
+    val e = intercept[IllegalStateException] {
+      other.screen(batch, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("srp:p8:t2")
+      && e.getMessage.contains("srp:p6:t2"))
+    intercept[IllegalStateException] {
+      other.publish(batch, "vec_id", "embedding")
+    }
+    // orphan repair: plant bucket rows with no vector; compact drops
+    // exactly them and keeps the gate's verdicts intact (+ the tag)
+    import org.apache.spark.sql.functions.col
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(999L, 0, 42L, null), Row(999L, 1, 43L, null)), 1),
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("t", IntegerType), StructField("bucket", LongType),
+          StructField("ts", LongType))))
+      .write.mode("append").format("parquet")
+      .insertInto("bspec_srp_buckets")
+    assert(store.compact() === 2L)
+    assert(Bucketed.getTag(spark, "bspec_srp_buckets",
+      FrameSetIndexStore.TagKey) === Some("srp:p6:t2"),
+      "compaction must preserve the construction tag")
+    // 100 still matches old vector 3; 200's own admitted copy is
+    // excluded by id (the self-dup belt) and nothing else resembles it
+    assert(store.screen(batch, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      === Map(100L -> true, 200L -> false),
+      "post-compact screen still verifies")
+  }
 }

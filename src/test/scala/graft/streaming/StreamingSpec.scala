@@ -862,4 +862,67 @@ class StreamingSpec extends SparkTestBase {
     assert(bandsT.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
       .toSet === batchBands)
   }
+
+  test("streaming SEMANTIC gate: verdicts == batch operator; streamed stores == batch frames") {
+    import graft.ops.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+
+    def vec(axis: Int, wobble: Float): Seq[Float] =
+      (0 until 8).map(d =>
+        if (d == axis) 1f else if (d == axis + 4) wobble else 0.01f * d)
+    var bucketsT = graft.sources.SrpIndexStore.emptyBuckets(spark)
+    var vecsT = graft.sources.SrpIndexStore.emptyVecs(spark)
+      .select(col("vec_id"), col("emb"))
+    val verdicts = scala.collection.mutable.Map
+      .empty[Long, (Long, Option[Long], Boolean)]
+    val writer = Streaming.embeddingDedupSink("vec_id", "embedding",
+        _ => bucketsT, _ => vecsT,
+        v => { vecsT = vecsT.unionByName(v.localCheckpoint(true)) },
+        b => { bucketsT = bucketsT.unionByName(b.localCheckpoint(true)) },
+        v => verdicts ++= v.collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            r.getBoolean(4))),
+        planes = 6, tables = 2, threshold = 0.95)(stream)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-embgate").toString)
+      .start()
+
+    val b1 = Seq((1L, vec(0, 0.1f)), (2L, vec(1, 0.2f)))
+    input.addData(b1: _*)
+    writer.processAllAvailable()
+    assert(verdicts(1L) === ((0L, None, false)) &&
+      verdicts(2L) === ((0L, None, false)))
+
+    // batch 2: 42 is an EXACT copy of vector 1 (cosine 1.0); 43 fresh
+    val b2 = Seq((42L, vec(0, 0.1f)),
+      (43L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f): Seq[Float]))
+    input.addData(b2: _*)
+    writer.processAllAvailable()
+    writer.stop()
+    assert(verdicts(42L) === ((1L, Some(1L), true)), s"got $verdicts")
+    assert(verdicts(43L) === ((0L, None, false)))
+
+    // streamed verdicts == the batch operator screening b2 against b1
+    val opV = Similarity.embeddingDedupAgainstIndex(
+        b2.toDF("vec_id", "embedding"),
+        Similarity.srpBucketRows(b1.toDF("vec_id", "embedding"),
+          planes = 6, tables = 2),
+        b1.toDF("vec_id", "embedding"),
+        planes = 6, tables = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4))).toMap
+    assert(opV === verdicts.filterKeys(Set(42L, 43L)).toMap)
+
+    // streamed stores == batch-built frames over the full corpus
+    val all = (b1 ++ b2).toDF("vec_id", "embedding")
+    assert(bucketsT.select(col("vec_id"), col("t"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ===
+      Similarity.srpBucketRows(all, planes = 6, tables = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    assert(vecsT.select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 42L, 43L))
+  }
 }
