@@ -37,8 +37,19 @@ object Bench {
     // definition shared with Verify (SparkEntry.pickedQueries).
     val picked = SparkEntry.pickedQueries
     val warmDir = "/root/testdata/sf0.001"
+    // FULL-materialization action, shared by warmup and the timed
+    // reps: a noop-format write executes every operator in the plan.
+    // `.count()` (the pre-r13 action) let Catalyst PRUNE work that
+    // does not affect the row count — the final projection (including
+    // UDF columns: q146's whole DOM parse vanished) and the output
+    // sort — while the DuckDB side always materializes full results
+    // (fetchall). Measuring less work than the oracle pays is a
+    // fairness bug, not a win; timings from r13 on include the
+    // projection and sort like-for-like.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     picked.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+      try run(fn(spark, warmDir)) catch { case _: Throwable => }
     }
     // Drop warmup residue before timing: operator-internal caches (e.g.
     // the simhash signature frame) and checkpoint blocks from the warm
@@ -111,7 +122,7 @@ object Bench {
         if (!ok) None
         else {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          try { run(fn(spark, sfDir)) } catch { case e: Throwable =>
             ok = false
             System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
           }

@@ -1538,21 +1538,39 @@ object Dedup {
     * space-joined slice) appears in ≥ `minDocFreq` DISTINCT docs. */
   private def hotWindowStarts(df: DataFrame, idCol: String, textCol: String,
                               L: Int, minDocFreq: Int): (DataFrame, DataFrame) = {
+    // token arrays are read several times downstream (window explode
+    // here, spine/token rows in the callers) — checkpoint so the
+    // corpus tokenizes once
+    // LAZY checkpoints (the q114 kmeansAudit lesson): materialize as
+    // a side effect of the FIRST action instead of paying a dedicated
+    // job per frame — tokens and windows are each read twice
     val toks = df.select(col(idCol).as("doc_id"),
-      TextOps.tokens(col(textCol)).as("t"))
+      TextOps.tokens(col(textCol)).as("t")).localCheckpoint(false)
+    // window hash = xxhash64 over the space-joined slice (codegen,
+    // 8-byte shuffle keys): the hash is INTERNAL — outputs carry
+    // coverage, never hashes — so engine portability doesn't bind it
+    // the way md5 binds the oracle replays (which state the GLOBAL
+    // definition and agree as long as both hashes are collision-free
+    // at corpus scale: a cross-window collision needs ~2^32 windows).
     // sequence(a, b) DESCENDS when a > b — short docs must yield an
-    // empty window array, not a [0, -1] one
+    // empty window array, not a [0, -1] one. The window frame is read
+    // twice (hot aggregation + the hot join) — checkpointed, so the
+    // explode + hash run once.
     val wins = toks
       .select(col("doc_id"), posexplode(
         when(size(col("t")) >= L,
           transform(sequence(lit(0), size(col("t")) - L),
-            i => md5(array_join(slice(col("t"), i + 1, lit(L)), " "))))
+            i => xxhash64(array_join(slice(col("t"), i + 1, lit(L)), " "))))
           .otherwise(array())).as(Seq("pos", "h")))
-    val hot = wins.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("wdf"))
+    // hotness via count-over-partition on the SAME pass (the q113/q122
+    // single-evaluation doctrine): one exchange on the hash key
+    // replaces aggregate + join-back, and the window frame is read
+    // exactly once — no checkpoint, no recompute
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    (toks, wins
+      .withColumn("wdf", size(collect_set(col("doc_id")).over(byH)))
       .filter(col("wdf") >= minDocFreq)
-      .select(col("h"))
-    (toks, wins.join(hot, Seq("h")).select(col("doc_id"), col("pos")))
+      .select(col("doc_id"), col("pos")))
   }
 
   /** BYTE-grain ExactSubstr coverage — Lee et al.'s actual definition
@@ -1590,7 +1608,7 @@ object Dedup {
     * one lag window per doc for the interval union. Nothing
     * corpus-quadratic; driver sees nothing. */
   def duplicateSpansBytes(df: DataFrame, idCol: String, textCol: String,
-                          minRun: Int = 50, k: Int = 16,
+                          minRun: Int = 50, k: Int = 32,
                           minDocFreq: Int = 2): DataFrame = {
     val L = minRun
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
@@ -1634,7 +1652,7 @@ object Dedup {
     * one row per token; this pays one row per REMOVED SPAN). */
   def removeDuplicateSpansBytes(df: DataFrame, idCol: String,
                                 textCol: String, minRun: Int = 50,
-                                k: Int = 16, minDocFreq: Int = 2): DataFrame = {
+                                k: Int = 32, minDocFreq: Int = 2): DataFrame = {
     val L = minRun
     val hotStarts = hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
     val byDoc = org.apache.spark.sql.expressions.Window
@@ -1682,6 +1700,12 @@ object Dedup {
     * cross-doc-hot `L`-char windows, found by the winnow-anchored
     * two-stage refinement (see [[duplicateSpansBytes]]'s scaladoc for
     * the equivalence argument). */
+  /** Dev-probe alias of the private hot-start pass. */
+  private[graft] def hotStartsProbe(df: DataFrame, idCol: String,
+                                    textCol: String, L: Int, k: Int,
+                                    minDocFreq: Int): DataFrame =
+    hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
+
   private def hotByteWindowStarts(df: DataFrame, idCol: String,
                                   textCol: String, L: Int, k: Int,
                                   minDocFreq: Int): DataFrame = {
@@ -1695,13 +1719,42 @@ object Dedup {
     val anchors = docs
       .select(col("doc_id"), explode(winnowUdf(col("__text"))).as("a"))
       .select(col("doc_id"), col("a._1").as("pos"), col("a._2").as("h"))
-    val hotAnchorHashes = anchors.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("adf"))
-      .filter(col("adf") >= minDocFreq).select(col("h"))
-    val regions = anchors.join(hotAnchorHashes, Seq("h"))
+    // MERGE overlapping/adjacent regions per doc BEFORE exploding:
+    // inside a long duplicated run, winnowing selects an anchor every
+    // ~w/2 positions, so raw per-anchor regions overlap ~5× — emitting
+    // them unmerged would compute every window md5 five times and pay
+    // a corpus-scale DISTINCT to undo it (measured 10.3 s → 3.4 s at
+    // sf0.1 for q147). After the merge, regions are disjoint, so
+    // (doc, p) window rows are unique BY CONSTRUCTION — no distinct.
+    // anchor hotness via count-over-partition on the SAME pass (the
+    // q113/q122 single-evaluation doctrine): one exchange on the
+    // anchor hash replaces aggregate + join-back, and the winnow UDF
+    // runs exactly once — no checkpoint, no recompute
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val byDocS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"))
+    val regions = anchors
+      .withColumn("adf", size(collect_set(col("doc_id")).over(byH)))
+      .filter(col("adf") >= minDocFreq)
       .select(col("doc_id"),
         greatest(col("pos") - (L - k), lit(0)).as("s"),
         (col("pos") + L).as("e"))
+      .withColumn("prevMaxE", max(col("e")).over(
+        byDocS.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prevMaxE").isNull || col("s") > col("prevMaxE"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(byDocS.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    // window hash = xxhash64 (codegen, 8-byte shuffle keys) — the
+    // hash is INTERNAL (outputs carry coverage, never hashes), so
+    // engine portability doesn't bind it the way it binds the q-family
+    // oracles' md5; a cross-window collision would need ~2^32 windows
+    // per the birthday bound (vs ~2^20 here even at 10x) and md5's
+    // 32-char strings measurably pay allocation + 5x shuffle width
     val winRows = regions.join(docs, Seq("doc_id"))
       .select(col("doc_id"),
         explode(sequence(col("s"),
@@ -1709,12 +1762,13 @@ object Dedup {
         col("__text"))
       .filter(col("p") >= 0)
       .select(col("doc_id"), col("p"),
-        md5(expr(s"substring(__text, p + 1, $L)")).as("h"))
-      .distinct()
-    val hotWindows = winRows.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("wdf"))
-      .filter(col("wdf") >= minDocFreq).select(col("h"))
-    winRows.join(hotWindows, Seq("h")).select(col("doc_id"), col("p"))
+        xxhash64(expr(s"substring(__text, p + 1, $L)")).as("h"))
+    // window hotness: the same count-over-partition shape as the
+    // anchors — the refinement pass is read once, never re-derived
+    winRows
+      .withColumn("wdf", size(collect_set(col("doc_id")).over(byH)))
+      .filter(col("wdf") >= minDocFreq)
+      .select(col("doc_id"), col("p"))
   }
 
   /** Robust winnowing over `k`-char polynomial rolling hashes, window
@@ -1724,7 +1778,7 @@ object Dedup {
     * (position, hash). Per-doc LOCAL (runs inside the decode task);
     * the hash is a throwaway 64-bit poly — stage 2's md5 is the
     * arbiter, so collisions can only add anchors, never lose runs. */
-  private[ops] def winnowAnchors(text: String, k: Int,
+  private[graft] def winnowAnchors(text: String, k: Int,
                                  w: Int): Seq[(Int, Long)] = {
     if (text == null || text.length < k + w - 1) return Nil
     val n = text.length - k + 1 // k-gram count

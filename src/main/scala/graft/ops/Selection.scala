@@ -63,7 +63,11 @@ object Selection {
     def bucketed(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tk"))
       .select(col("doc_id"), hashedBucket(col("tk"), buckets).as("bkt"))
-    val rawB = bucketed(raw)
+    // rawB is read twice (bucket counts + the per-token join) — LAZY
+    // checkpoint so the corpus tokenizes once, materializing as a side
+    // effect of the first action (the q114 lesson; an eager checkpoint
+    // would pay a dedicated job)
+    val rawB = bucketed(raw).localCheckpoint(false)
     val rawCounts = rawB.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
     val tgtCounts = bucketed(target).groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
     // corpus totals as ONE broadcast row (sums of the already-bucketed
@@ -71,8 +75,10 @@ object Selection {
     val totals = rawCounts.agg(sum(col("cr")).as("nr"))
       .crossJoin(tgtCounts.agg(sum(col("ct")).as("nt")))
     val perToken = rawB
-      .join(rawCounts, Seq("bkt"))                // every raw bucket exists: inner
-      .join(tgtCounts, Seq("bkt"), "left")        // unseen-in-target: count 0
+      // both count tables are ≤ `buckets` rows — broadcast explicitly
+      // so the 270k-token side never shuffles for these joins
+      .join(broadcast(rawCounts), Seq("bkt"))     // every raw bucket exists: inner
+      .join(broadcast(tgtCounts), Seq("bkt"), "left") // unseen-in-target: count 0
       .crossJoin(broadcast(totals))
       .withColumn("w_pico", round(
         (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(k)) /

@@ -371,14 +371,21 @@ object Sketches {
   def cmSketchGrouped(df: DataFrame, groupCol: String, valueCol: String,
                       depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    // pre-aggregate to (group, value, n) BEFORE the ×depth explode:
+    // counts are additive, so hashing value TYPES and summing their
+    // multiplicities is cell-for-cell identical to hashing every
+    // occurrence — and the exploded frame shrinks from depth×values
+    // to depth×TYPES (Zipf: types ≪ tokens)
     df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).cast("string").as("v"),
+      .groupBy(col(groupCol), col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("v"), col("n"),
         explode(sequence(lit(0), lit(depth - 1))).as("i"))
-      .select(col(groupCol), col("i"),
+      .select(col(groupCol), col("i"), col("n"),
         pmod(hash60(concat(col("i").cast("string"), lit("|"), col("v"))),
           lit(width.toLong)).as("bucket"))
       .groupBy(col(groupCol), col("i"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("n")).as("cnt"))
   }
 
   /** Merge per-group count-min cells into one global sketch: counts are

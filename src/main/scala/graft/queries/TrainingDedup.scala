@@ -145,7 +145,7 @@ private[queries] object TrainingDedup {
             col("doc_id")))
         .otherwise(col("text")).as("text"))
       Dedup.duplicateSpansBytes(aug, "doc_id", "text",
-          minRun = 50, k = 16, minDocFreq = 2)
+          minRun = 50, k = 32, minDocFreq = 2)
         .orderBy(col("doc_id"))
     }),
 
@@ -167,7 +167,7 @@ private[queries] object TrainingDedup {
             col("doc_id")))
         .otherwise(col("text")).as("text"))
       Dedup.removeDuplicateSpansBytes(aug, "doc_id", "text",
-          minRun = 50, k = 16, minDocFreq = 2)
+          minRun = 50, k = 32, minDocFreq = 2)
         .orderBy(col("doc_id"))
     }),
 

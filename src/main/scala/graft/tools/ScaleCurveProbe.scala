@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   * `tools/gen_scale_data.py`, 10× sf0.1's documents) and report, per
   * query:
   *
-  *  - wall time per SF (Bench's `.count()` action protocol, min of
-  *    `reps` runs after a small-SF JIT warmup);
+  *  - wall time per SF (Bench's full-materialization noop-write
+  *    action, min of `reps` runs after a small-SF JIT warmup);
   *  - the LOG-LOG SLOPE over the top decade, log10(t_sf1 / t_sf0.1) —
   *    1.0 is perfectly linear scaling, 2.0 is quadratic; the probe
   *    FAILS (exit 1) on any slope ≥ 2 (a quadratic operator is a
@@ -37,6 +37,12 @@ object ScaleCurveProbe {
     "q124_quality_dedup", "q141_soundtrack_neardup", "q78_pagerank",
     "q79_pagerank_dangling", "q91_lsh_audit", "q22_ngram_jaccard",
     "q103_containment", "q138_audio_windowed_neardup", "q47_cjk_curation")
+
+  /** Full-materialization action (Bench's r13 protocol): a noop write
+    * executes the whole plan — `.count()` would let Catalyst prune
+    * final projections (UDF columns!) and sorts out of the timing. */
+  def run(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
 
   def countExchanges(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.executedPlan.toString.linesIterator
@@ -66,12 +72,12 @@ object ScaleCurveProbe {
       val fn = registry.getOrElse(name,
         throw new IllegalArgumentException(s"unknown query $name"))
       // JIT/codegen warmup at the smallest SF
-      fn(spark, dirs.head).count()
+      run(fn(spark, dirs.head))
       val exchanges = dirs.map(d => countExchanges(fn(spark, d)))
       val times = dirs.map { d =>
         (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, d).count()
+          run(fn(spark, d))
           (System.nanoTime() - t0) / 1e9
         }.min
       }

@@ -61,6 +61,22 @@ def main():
     pq.write_table(table, os.path.join(out_dir, "documents.parquet"))
     print(f"[gen] {n} documents -> {out_dir}/documents.parquet")
 
+    # embeddings: 200 vectors per 500 docs in the driver testdata
+    # (2000 at sf0.1) — 64-dim float32 around 10 label centroids, the
+    # same shape the ANN/gate operators see
+    ne = max(200, int(round(sf * 20_000)))
+    labels = rng.integers(0, 10, size=ne)
+    centroids = rng.normal(0, 1, size=(10, 64)).astype(np.float32)
+    vecs = (centroids[labels] +
+            rng.normal(0, 0.35, size=(ne, 64))).astype(np.float32)
+    emb_table = pa.table({
+        "vec_id": pa.array(np.arange(ne, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32)),
+    })
+    pq.write_table(emb_table, os.path.join(out_dir, "embeddings.parquet"))
+    print(f"[gen] {ne} embeddings -> {out_dir}/embeddings.parquet")
+
 
 if __name__ == "__main__":
     main()
