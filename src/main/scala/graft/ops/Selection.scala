@@ -63,22 +63,27 @@ object Selection {
     def bucketed(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tk"))
       .select(col("doc_id"), hashedBucket(col("tk"), buckets).as("bkt"))
-    // rawB is read twice (bucket counts + the per-token join) — LAZY
-    // checkpoint so the corpus tokenizes once, materializing as a side
-    // effect of the first action (the q114 lesson; an eager checkpoint
-    // would pay a dedicated job)
-    val rawB = bucketed(raw).localCheckpoint(false)
-    val rawCounts = rawB.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+    // pre-aggregate raw tokens to (doc, bucket, n) BEFORE anything
+    // else: w_pico is a per-BUCKET value, so Σ_tokens w ≡ Σ_(doc,bkt)
+    // n·w exactly — and every downstream exchange (bucket counts, the
+    // weight join, the per-doc sum) now carries distinct (doc, bkt)
+    // pairs instead of every token occurrence, with the first shuffle
+    // map-side combined. No checkpoint: the pre-agg subplan is
+    // identical under both consumers, so ReuseExchange evaluates the
+    // corpus tokenize once — materializing it eagerly instead would
+    // charge composed pipelines (q88) a dedicated job for upstream
+    // frames they already evaluate (measured 0.59 s → 2.2 s).
+    val rawDocBkt = bucketed(raw)
+      .groupBy(col("doc_id"), col("bkt")).agg(count(lit(1)).as("n"))
+    val rawCounts = rawDocBkt.groupBy(col("bkt")).agg(sum(col("n")).as("cr"))
     val tgtCounts = bucketed(target).groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
     // corpus totals as ONE broadcast row (sums of the already-bucketed
     // count tables — no second corpus scan on either side)
     val totals = rawCounts.agg(sum(col("cr")).as("nr"))
       .crossJoin(tgtCounts.agg(sum(col("ct")).as("nt")))
-    val perToken = rawB
-      // both count tables are ≤ `buckets` rows — broadcast explicitly
-      // so the 270k-token side never shuffles for these joins
-      .join(broadcast(rawCounts), Seq("bkt"))     // every raw bucket exists: inner
-      .join(broadcast(tgtCounts), Seq("bkt"), "left") // unseen-in-target: count 0
+    val perToken = rawDocBkt
+      .join(rawCounts, Seq("bkt"))                // every raw bucket exists: inner
+      .join(tgtCounts, Seq("bkt"), "left")        // unseen-in-target: count 0
       .crossJoin(broadcast(totals))
       .withColumn("w_pico", round(
         (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(k)) /
@@ -87,8 +92,9 @@ object Selection {
             (col("nr").cast("double") + lit(k * buckets)))) * lit(1e12), 0)
         .cast("long"))
     val perDoc = perToken.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("w_pico")).cast("double") / lit(1e12), 6).as("log_weight"))
+      .agg(sum(col("n")).as("n_tokens"),
+        round(sum(col("w_pico") * col("n")).cast("double") / lit(1e12), 6)
+          .as("log_weight"))
     raw.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

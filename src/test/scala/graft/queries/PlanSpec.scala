@@ -82,31 +82,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"))
   }
 
-  test("q80 dup spans: doc-partitioned windows only; one explode; two-level distinct") {
+  test("q80 dup spans: partitioned windows only; SINGLE window-hash explode") {
     val p = plan("q80_dup_spans")
-    // every window function must be partitioned by doc (an unpartitioned
-    // window = all rows to ONE task — the 100 TB killer WindowExec warns about)
-    assert("windowspecdefinition\\((?!doc_id)".r.findAllIn(p).isEmpty,
-      "no window may be partitioned by anything but doc_id")
+    // every window function must be KEY-partitioned (an unpartitioned
+    // window = all rows to ONE task — the 100 TB killer WindowExec
+    // warns about): the lag/coverage windows ride doc_id, the hotness
+    // window rides the window-hash key (the q113/q122
+    // count-over-partition doctrine — it replaced the old
+    // aggregate + join-back, halving the explode count)
+    assert("windowspecdefinition\\((?!doc_id|h#)".r.findAllIn(p).isEmpty,
+      "every window must be partitioned by doc_id or the hash key")
     assert(p.contains("windowspecdefinition(doc_id"), "the lag window rides doc_id")
-    // window-hash explode appears twice — once deriving the hot set,
-    // once on the flag side — the q41 recompute-not-cache shape: at
-    // corpus scale re-running the explode beats pinning it in memory
-    assert("Generate posexplode".r.findAllIn(p).size === 2,
-      "hot-set derivation + flag side only — never a ×L position explode")
+    assert(p.contains("windowspecdefinition(h#"), "hotness rides the hash key")
+    // the window-hash explode runs EXACTLY once: hotness is computed
+    // on the same pass, so there is no hot-set/flag-side recompute
+    assert("Generate posexplode".r.findAllIn(p).size === 1,
+      "one single-evaluation window-hash explode — never a ×L position explode")
     assert(!p.contains("CartesianProduct"))
-    // count_distinct(doc_id) must be the two-level agg (dedup by (h, doc)
-    // first), not a single-node distinct
-    assert(p.contains("partial_count(distinct"), "map-side partial distinct count")
   }
 
-  test("q81 span removal: doc-partitioned windows; no cartesian; token+window explodes") {
+  test("q81 span removal: partitioned windows; no cartesian; token+window explodes") {
     val p = plan("q81_remove_dup_spans")
-    assert("windowspecdefinition\\((?!doc_id)".r.findAllIn(p).isEmpty,
-      "no window may be partitioned by anything but doc_id")
-    assert("Generate posexplode".r.findAllIn(p).size === 3,
-      "token explode + window-hash explode ×2 (hot set, flag side) — " +
-        "never a ×L position explode")
+    assert("windowspecdefinition\\((?!doc_id|h#)".r.findAllIn(p).isEmpty,
+      "every window must be partitioned by doc_id or the hash key")
+    assert("Generate posexplode".r.findAllIn(p).size === 2,
+      "token explode + ONE window-hash explode (hotness on the same " +
+        "pass) — never a ×L position explode")
     assert(!p.contains("CartesianProduct"))
   }
 
