@@ -1700,12 +1700,6 @@ object Dedup {
     * cross-doc-hot `L`-char windows, found by the winnow-anchored
     * two-stage refinement (see [[duplicateSpansBytes]]'s scaladoc for
     * the equivalence argument). */
-  /** Dev-probe alias of the private hot-start pass. */
-  private[graft] def hotStartsProbe(df: DataFrame, idCol: String,
-                                    textCol: String, L: Int, k: Int,
-                                    minDocFreq: Int): DataFrame =
-    hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
-
   private def hotByteWindowStarts(df: DataFrame, idCol: String,
                                   textCol: String, L: Int, k: Int,
                                   minDocFreq: Int): DataFrame = {
@@ -1776,9 +1770,10 @@ object Dedup {
     * minimum hash position is selected; consecutive windows that
     * re-select the same position emit once. Returns distinct
     * (position, hash). Per-doc LOCAL (runs inside the decode task);
-    * the hash is a throwaway 64-bit poly — stage 2's md5 is the
-    * arbiter, so collisions can only add anchors, never lose runs. */
-  private[graft] def winnowAnchors(text: String, k: Int,
+    * the hash is a throwaway 64-bit poly — stage 2's window hash is
+    * the arbiter, so collisions can only add anchors, never lose
+    * runs. */
+  private[ops] def winnowAnchors(text: String, k: Int,
                                  w: Int): Seq[(Int, Long)] = {
     if (text == null || text.length < k + w - 1) return Nil
     val n = text.length - k + 1 // k-gram count
