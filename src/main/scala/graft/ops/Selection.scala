@@ -77,10 +77,15 @@ object Selection {
       .groupBy(col("doc_id"), col("bkt")).agg(count(lit(1)).as("n"))
     val rawCounts = rawDocBkt.groupBy(col("bkt")).agg(sum(col("n")).as("cr"))
     val tgtCounts = bucketed(target).groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-    // corpus totals as ONE broadcast row (sums of the already-bucketed
-    // count tables — no second corpus scan on either side)
-    val totals = rawCounts.agg(sum(col("cr")).as("nr"))
-      .crossJoin(tgtCounts.agg(sum(col("ct")).as("nt")))
+    // corpus totals as ONE broadcast row of two LIGHT scans: token
+    // counts via sum(size(tokens)) — no explode, no shuffle, and no
+    // duplicated pre-agg lineage (summing the count tables re-derived
+    // the whole bucketed subplan when stage reuse didn't kick in —
+    // visible as a second explode+exchange chain in the q82 plan)
+    val totals = raw
+      .agg(sum(size(tokens(col(textCol)))).cast("long").as("nr"))
+      .crossJoin(target
+        .agg(sum(size(tokens(col(textCol)))).cast("long").as("nt")))
     val perToken = rawDocBkt
       .join(rawCounts, Seq("bkt"))                // every raw bucket exists: inner
       .join(tgtCounts, Seq("bkt"), "left")        // unseen-in-target: count 0
