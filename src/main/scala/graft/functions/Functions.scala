@@ -276,7 +276,7 @@ case class BpeSegmentExpression(child: Expression,
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       // first rank wins on duplicate pairs (the cascade would have
       // merged every occurrence at the lower rank already)
-      m.putIfAbsent(l + " " + r, i)
+      m.putIfAbsent(l + "\u0000" + r, i)
     }
     m
   }
@@ -339,7 +339,7 @@ case class BpeSegmentExpression(child: Expression,
         var bestR: String = null
         var j = 0
         while (j + 1 < syms.size) {
-          val rk = rank.get(syms.get(j) + " " + syms.get(j + 1))
+          val rk = rank.get(syms.get(j) + "\u0000" + syms.get(j + 1))
           if (rk != null && (best < 0 || rk < best)) {
             best = rk; bestL = syms.get(j); bestR = syms.get(j + 1)
           }

@@ -1565,12 +1565,47 @@ object Dedup {
     // hotness via count-over-partition on the SAME pass (the q113/q122
     // single-evaluation doctrine): one exchange on the hash key
     // replaces aggregate + join-back, and the window frame is read
-    // exactly once — no checkpoint, no recompute
-    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    (toks, wins
-      .withColumn("wdf", size(collect_set(col("doc_id")).over(byH)))
-      .filter(col("wdf") >= minDocFreq)
+    // exactly once — no checkpoint, no recompute. Bounded per-group
+    // state (min/max or first-flag sum, never a collected set): a
+    // corpus-common window — a license block in millions of docs — is
+    // the hash's full posting list, and set state would grow with the
+    // hottest key.
+    (toks, filterHotByDistinctDocs(wins, minDocFreq)
       .select(col("doc_id"), col("pos")))
+  }
+
+  /** Keeps rows whose `h`-key group spans ≥ `minDocFreq` DISTINCT
+    * `doc_id`s — the cross-doc hotness gate of the ExactSubstr family
+    * — with BOUNDED per-group aggregate state. For the ubiquitous
+    * minDocFreq=2 it is `min(doc_id) ≠ max(doc_id)` over the key
+    * partition (O(1) state, no sort); for general df it is the
+    * [[paragraphDedup]] first-occurrence-flag sum (row_number marks
+    * each (h, doc)'s first row, their per-h sum IS countDistinct(doc)
+    * — counter-sized state). Either way the hottest key costs a
+    * spillable WindowExec sort, never a per-key in-memory distinct
+    * set: `size(collect_set(doc_id))` holds EVERY distinct doc id of
+    * the hottest hash on the heap at once — exactly the skewed-key
+    * state that survives sf1.0 and dies at 100 TB. */
+  private def filterHotByDistinctDocs(rows: DataFrame,
+                                      minDocFreq: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byH = Window.partitionBy(col("h"))
+    if (minDocFreq <= 2) {
+      rows
+        .withColumn("__hot",
+          min(col("doc_id")).over(byH) =!= max(col("doc_id")).over(byH))
+        .filter(col("__hot"))
+        .drop("__hot")
+    } else {
+      val byHDoc = Window.partitionBy(col("h"), col("doc_id"))
+        .orderBy(col("doc_id"))
+      rows
+        .withColumn("__first",
+          when(row_number().over(byHDoc) === 1, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__hot", sum(col("__first")).over(byH) >= minDocFreq)
+        .filter(col("__hot"))
+        .drop("__first", "__hot")
+    }
   }
 
   /** BYTE-grain ExactSubstr coverage — Lee et al.'s actual definition
@@ -1723,13 +1758,13 @@ object Dedup {
     // anchor hotness via count-over-partition on the SAME pass (the
     // q113/q122 single-evaluation doctrine): one exchange on the
     // anchor hash replaces aggregate + join-back, and the winnow UDF
-    // runs exactly once — no checkpoint, no recompute
-    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    // runs exactly once — no checkpoint, no recompute. Gate state is
+    // bounded (filterHotByDistinctDocs): a corpus-universal anchor —
+    // boilerplate present in millions of docs — must cost a spillable
+    // sort, not a heap-resident distinct set.
     val byDocS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s"))
-    val regions = anchors
-      .withColumn("adf", size(collect_set(col("doc_id")).over(byH)))
-      .filter(col("adf") >= minDocFreq)
+    val regions = filterHotByDistinctDocs(anchors, minDocFreq)
       .select(col("doc_id"),
         greatest(col("pos") - (L - k), lit(0)).as("s"),
         (col("pos") + L).as("e"))
@@ -1758,10 +1793,9 @@ object Dedup {
       .select(col("doc_id"), col("p"),
         xxhash64(expr(s"substring(__text, p + 1, $L)")).as("h"))
     // window hotness: the same count-over-partition shape as the
-    // anchors — the refinement pass is read once, never re-derived
-    winRows
-      .withColumn("wdf", size(collect_set(col("doc_id")).over(byH)))
-      .filter(col("wdf") >= minDocFreq)
+    // anchors — the refinement pass is read once, never re-derived,
+    // and gate state stays bounded (filterHotByDistinctDocs)
+    filterHotByDistinctDocs(winRows, minDocFreq)
       .select(col("doc_id"), col("p"))
   }
 

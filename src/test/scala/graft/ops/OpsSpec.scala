@@ -540,6 +540,67 @@ class DedupSpec extends SparkTestBase {
     assert(got(8L) === ((51L, 40L, "e22MID22end")))
   }
 
+  test("ExactSubstr hotness gate survives a corpus-universal window (planted skew)") {
+    // ONE 60-char block in EVERY doc: the hot hash's posting list is
+    // the whole corpus. The gate must hold bounded per-group state
+    // (min/max over the key partition — never a collected doc-id set
+    // whose size grows with the hottest key) AND stay byte-exact.
+    // Adjacent bytes are unique per doc (chars 0x400+i / 0x500+i), so
+    // no duplicated run extends past the planted block.
+    val B = "0123456789" * 6 // 60 chars, in every doc
+    val docs = Seq.tabulate(120) { i =>
+      (i.toLong, s"u$i${(1024 + i).toChar}$B${(1280 + i).toChar}${i}v")
+    }.toDF("doc_id", "text").repartition(4)
+    val plan = Dedup.duplicateSpansBytes(docs, "doc_id", "text",
+      minRun = 12, k = 4, minDocFreq = 2)
+    assert(!plan.queryExecution.executedPlan.toString.contains("collect_set"),
+      "the hotness gate must never materialize a per-key distinct set")
+    val rows = plan.collect()
+    assert(rows.length === 120)
+    rows.foreach { r =>
+      assert(r.getLong(3) === 60L,
+        s"doc ${r.getLong(0)}: covered_bytes must be exactly the planted block")
+    }
+    // the rewrite half on the same skewed corpus: every doc loses
+    // exactly the block, keeps its unique flanks byte-for-byte
+    val cleaned = Dedup.removeDuplicateSpansBytes(docs, "doc_id", "text",
+        minRun = 12, k = 4, minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    (0L until 120L).foreach { i =>
+      val (removed, clean) = cleaned(i)
+      assert(removed === 60L)
+      assert(clean === s"u$i${(1024 + i).toInt.toChar}${(1280 + i).toInt.toChar}${i}v")
+    }
+  }
+
+  test("ExactSubstr gates honor minDocFreq > 2 (first-flag-sum branch)") {
+    // the shared window sits in 3 docs; with minDocFreq=3 it is hot,
+    // with minDocFreq=4 nothing is — and within-doc repeats never
+    // inflate the distinct-doc count on the general branch either
+    val S = "shared-core-20-chars"
+    val docs = Seq(
+      (1L, "aa" + S + "bb"),
+      (2L, "cc" + S + "dd"),
+      (3L, "ee" + S + "ff" + S + "gg"), // twice in ONE doc: counts once
+      (4L, "plain unrelated text here")
+    ).toDF("doc_id", "text")
+    val at3 = Dedup.duplicateSpansBytes(docs, "doc_id", "text",
+        minRun = 12, k = 4, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(at3(1L) === 20L && at3(2L) === 20L && at3(3L) === 40L && at3(4L) === 0L)
+    val at4 = Dedup.duplicateSpansBytes(docs, "doc_id", "text",
+        minRun = 12, k = 4, minDocFreq = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(at4.values.forall(_ === 0L), s"nothing reaches df 4, got $at4")
+    // token grain, same branch: the 5-token window in 3 docs
+    val tok = Seq((1L, "a b c d e x"), (2L, "a b c d e y"),
+      (3L, "a b c d e z"), (4L, "q r s t u v")).toDF("doc_id", "text")
+    val t3 = Dedup.duplicateSpans(tok, "doc_id", "text",
+        windowTokens = 5, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(t3 === Map(1L -> 5L, 2L -> 5L, 3L -> 5L, 4L -> 0L))
+  }
+
   test("connectedComponents handles string ids on the distributed default path") {
     // string ids can never take the integral-id driver fast path, so
     // they always hit the distributed default (star). The convergence

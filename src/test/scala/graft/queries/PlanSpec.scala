@@ -99,6 +99,11 @@ class PlanSpec extends SparkTestBase {
     assert("Generate posexplode".r.findAllIn(p).size === 1,
       "one single-evaluation window-hash explode — never a ×L position explode")
     assert(!p.contains("CartesianProduct"))
+    // hotness state is BOUNDED (min/max or first-flag sum): a per-key
+    // collected doc-id set grows with the hottest key — the skewed
+    // license-block posting list that kills a 100 TB run
+    assert(!p.contains("collect_set"),
+      "the hotness gate must never materialize a per-key distinct set")
   }
 
   test("q81 span removal: partitioned windows; no cartesian; token+window explodes") {
@@ -109,6 +114,26 @@ class PlanSpec extends SparkTestBase {
       "token explode + ONE window-hash explode (hotness on the same " +
         "pass) — never a ×L position explode")
     assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("collect_set"),
+      "the hotness gate must never materialize a per-key distinct set")
+  }
+
+  test("q147/q148 byte-grain ExactSubstr: partitioned windows, bounded hot-gate state") {
+    for (q <- Seq("q147_exactsubstr_bytes", "q148_remove_exactsubstr")) {
+      val p = plan(q)
+      // both hotness gates (anchor + refined window) and every per-doc
+      // pass ride a key partition — no unpartitioned window anywhere
+      assert("windowspecdefinition\\((?!doc_id|h#)".r.findAllIn(p).isEmpty,
+        s"$q: every window must be partitioned by doc_id or the hash key")
+      assert(p.contains("windowspecdefinition(h#"),
+        s"$q: hotness rides the hash key")
+      assert(!p.contains("CartesianProduct"), q)
+      // bounded hot-gate state: min/max (df=2 fast path) over the key
+      // partition, never a collected doc-id set — the one unbounded
+      // per-hot-key state the r13 audit flagged
+      assert(!p.contains("collect_set"),
+        s"$q: the hotness gate must never materialize a per-key distinct set")
+    }
   }
 
   test("q41 boilerplate: flag-join shape — shingles exploded twice, ONE doc-keyed agg") {
