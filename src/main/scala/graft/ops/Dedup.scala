@@ -1543,9 +1543,18 @@ object Dedup {
     // corpus tokenizes once
     // LAZY checkpoints (the q114 kmeansAudit lesson): materialize as
     // a side effect of the FIRST action instead of paying a dedicated
-    // job per frame — tokens and windows are each read twice
-    val toks = df.select(col(idCol).as("doc_id"),
-      TextOps.tokens(col(textCol)).as("t")).localCheckpoint(false)
+    // job per frame — tokens and windows are each read twice.
+    // Repartition the RAW text BEFORE tokenizing: a small
+    // single-row-group parquet scans as ONE task, so without the
+    // exchange the tokenizer and the window explode both run
+    // single-threaded. (Partitioning metadata does NOT survive
+    // localCheckpoint on this Spark build — AQE reports
+    // UnknownPartitioning — so this buys decode parallelism and
+    // single materialization, not downstream exchange elision.)
+    val toks = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.tokens(col("__text")).as("t"))
+      .localCheckpoint(false)
     // window hash = xxhash64 over the space-joined slice (codegen,
     // 8-byte shuffle keys): the hash is INTERNAL — outputs carry
     // coverage, never hashes — so engine portability doesn't bind it
@@ -1646,9 +1655,7 @@ object Dedup {
                           minRun: Int = 50, k: Int = 32,
                           minDocFreq: Int = 2): DataFrame = {
     val L = minRun
-    val docs = df.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("__text"))
-    val hotStarts = hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
+    val (docs, hotStarts) = hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
     // interval union: the duplicateSpans lag trick at byte grain
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
@@ -1689,7 +1696,7 @@ object Dedup {
                                 textCol: String, minRun: Int = 50,
                                 k: Int = 32, minDocFreq: Int = 2): DataFrame = {
     val L = minRun
-    val hotStarts = hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
+    val (docs, hotStarts) = hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
     // gaps-and-islands: a hot start more than L past its predecessor
@@ -1708,8 +1715,6 @@ object Dedup {
     // the final tail past the last island is spliced in the rebuild
     val byStart = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s"))
-    val docs = df.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("__text"))
     val gaps = islands
       .withColumn("pe", coalesce(lag(col("e"), 1).over(byStart), lit(0L)))
     val spliced = gaps.join(docs, Seq("doc_id"))
@@ -1731,20 +1736,34 @@ object Dedup {
   }
 
   /** Shared hot-start pass of [[duplicateSpansBytes]] /
-    * [[removeDuplicateSpansBytes]]: distinct (doc_id, p) starts of
-    * cross-doc-hot `L`-char windows, found by the winnow-anchored
+    * [[removeDuplicateSpansBytes]]: returns (the doc_id-partitioned
+    * lazily-checkpointed (doc_id, __text) corpus frame — callers join
+    * their per-doc tails against it exchange-free instead of
+    * re-scanning the source, distinct (doc_id, p) starts of
+    * cross-doc-hot `L`-char windows), found by the winnow-anchored
     * two-stage refinement (see [[duplicateSpansBytes]]'s scaladoc for
     * the equivalence argument). */
   private def hotByteWindowStarts(df: DataFrame, idCol: String,
                                   textCol: String, L: Int, k: Int,
-                                  minDocFreq: Int): DataFrame = {
+                                  minDocFreq: Int): (DataFrame, DataFrame) = {
     require(k >= 4, "k-gram size must be at least 4")
     require(L > k, s"minRun must exceed the k-gram size $k")
     require(minDocFreq >= 2,
       "minDocFreq below 2 would mark every window duplicated")
     val winnowUdf = udf((text: String) => winnowAnchors(text, k, L - k + 1))
+    // Repartition + LAZY checkpoint, and hand the frame back to the
+    // caller: the corpus text is read three times (winnow anchors
+    // here, region text for the refinement, the caller's final
+    // per-doc join) — without this, all three are separate scans of a
+    // single-row-group parquet and the winnow UDF runs on ONE task.
+    // The checkpoint makes the text materialize once for all three
+    // reads. (Partitioning metadata does not survive localCheckpoint
+    // on this Spark build — the doc-keyed tail still plans its own
+    // narrow exchanges.)
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__text"))
+      .repartition(col("doc_id"))
+      .localCheckpoint(false)
     val anchors = docs
       .select(col("doc_id"), explode(winnowUdf(col("__text"))).as("a"))
       .select(col("doc_id"), col("a._1").as("pos"), col("a._2").as("h"))
@@ -1795,8 +1814,8 @@ object Dedup {
     // window hotness: the same count-over-partition shape as the
     // anchors — the refinement pass is read once, never re-derived,
     // and gate state stays bounded (filterHotByDistinctDocs)
-    filterHotByDistinctDocs(winRows, minDocFreq)
-      .select(col("doc_id"), col("p"))
+    (docs, filterHotByDistinctDocs(winRows, minDocFreq)
+      .select(col("doc_id"), col("p")))
   }
 
   /** Robust winnowing over `k`-char polynomial rolling hashes, window

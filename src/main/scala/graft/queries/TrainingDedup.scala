@@ -287,8 +287,15 @@ private[queries] object TrainingDedup {
     // decode → raster → bit packing from arithmetic alone — the whole
     // real pipeline is pinned bit-for-bit.
     "q130_image_dhash" -> ((s, d) => {
-      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
-        graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
+      // repartition BEFORE the encode/decode UDFs: the single-row-group
+      // testdata parquet scans as ONE task, and without the exchange
+      // the whole PNG encode + ImageIO decode pass runs single-threaded
+      // (decode parallelism IS the frame's partitioning — the
+      // dhashFrame scaladoc's contract, exercised here)
+      val media = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("media_id"),
+          graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
       graft.ops.ImageHash.dhashFrame(media)
         .select(col("media_id"),
           col("dhash").bitwiseAND(lit(0xFFFFL)).as("b0"),
