@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.sources.{ResourceCache, Resources}
+
+/** The INJECTABLE model-scoring contract — the [[MediaCodec]] move
+  * applied to quality scoring, and the engine's shape for the
+  * reference's own declared direction (the v0.21 changelog announces
+  * an LLM version centered on a `PromptResource`;
+  * /root/reference/CHANGELOG.md:14-16): a scorer is a remote model
+  * judged one BATCH of texts at a time, its verdicts are resources —
+  * cached first, signature-keyed, fetched exactly once — and every
+  * gate downstream consumes scores through this interface, never a
+  * model client directly. A production scorer (an RPC to a model
+  * server) implements two members and drops in without touching the
+  * gating operators.
+  *
+  * Contract rules every implementation must keep:
+  *  - `scoreBatch` returns exactly one score per input text, in input
+  *    order, each a finite Double (gates compare against thresholds;
+  *    NaN would silently drop rows on either side of every gate);
+  *  - scores are DETERMINISTIC per (signature, text) — the cache
+  *    serves a score forever, so a drifting scorer must change its
+  *    `signature` (that is what makes cached scores safe to reuse);
+  *  - implementations are Serializable and thread-safe per instance
+  *    (they run inside task-side mapPartitions closures);
+  *  - batching is the unit of cost: a real scorer pays per REQUEST,
+  *    so implementations should expect `scoreBatch` sizes up to the
+  *    caller's `batchSize` and must not assume singleton batches.
+  */
+trait Scorer extends Serializable {
+
+  /** Stable identity of the model + scoring configuration. Part of
+    * every cache key: two scorers with different signatures NEVER
+    * share cached scores, and bumping the signature is how a
+    * retrained model invalidates its predecessor's verdicts. */
+  def signature: String
+
+  /** Score one batch of texts — one finite Double per text, same
+    * order. Called only for cache MISSES. */
+  def scoreBatch(texts: Seq[String]): Seq[Double]
+}
+
+object Scorer {
+
+  /** Deterministic closed-form default: a stand-in with a model
+    * scorer's SHAPE (batched, signature-keyed, cacheable) whose score
+    * is reproducible in any engine — the oracle replays it in SQL.
+    * Score = mean of an ASCII-letter-density signal (weighted 2×) and
+    * a saturating length signal: (2·alpha/len + min(len,2000)/2000)/3,
+    * 0 for empty text. The arithmetic ORDER matches the SQL replay
+    * exactly (same IEEE double ops), so raw doubles agree bit-for-bit;
+    * queries round for display like every other oracle row. */
+  object Default extends Scorer {
+    val signature: String = "graft-closed-form-v1"
+
+    def scoreBatch(texts: Seq[String]): Seq[Double] = texts.map(score)
+
+    def score(text: String): Double = {
+      if (text == null || text.isEmpty) return 0.0
+      val len = text.length
+      var alpha = 0
+      var i = 0
+      while (i < len) {
+        val c = text.charAt(i)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
+        i += 1
+      }
+      (2.0 * alpha / len + math.min(len, 2000) / 2000.0) / 3.0
+    }
+  }
+}
+
+/** Cache-first batched scoring over a corpus, riding the SAME durable
+  * resource machinery as every HTTP fetch ([[graft.sources.CacheStore]]
+  * / [[graft.sources.BucketedCacheStore]]): a score is a resource row
+  * `(uri = scorer://signature/sha1(text), body = score)`, appended
+  * after an eager checkpoint so the scorer runs exactly once per new
+  * text, served from the store forever after. The cache key rides the
+  * same canonical key functions as the fetch path
+  * ([[graft.core.Hashing.uriFromUrl]]/hashFromData), so scoring rows
+  * live in the same store as fetch rows without collision (the
+  * scorer:// scheme plus the signature segment namespace them).
+  *
+  * Scale shape: one distinct over (uri, data_hash) so a duplicated
+  * text costs ONE model call per corpus, a cache join that broadcasts
+  * (plain store) or co-locates (bucketed store) on the key columns,
+  * and a `mapPartitions` over misses with partition count capped by
+  * `maxConcurrency` — request parallelism is bounded the way the
+  * fetch kernel bounds it, and each partition groups its rows into
+  * `batchSize` batches (the per-request unit a real model server
+  * prices). Nothing collects; the returned frame is per-doc skinny
+  * (doc_id, score, from_cache).
+  */
+object ModelScoring {
+
+  /** Score every document, cache-first. Output: one row per input row
+    * — (doc_id (as `idCol`), score, from_cache). `cache = None` runs
+    * store-less (every text scored live — tests, ad-hoc runs). */
+  def scoreWithCache(docs: DataFrame, idCol: String, textCol: String,
+                     scorer: Scorer, cache: Option[ResourceCache] = None,
+                     batchSize: Int = 64, maxConcurrency: Int = 32,
+                     broadcastCache: Boolean = true): DataFrame = {
+    require(batchSize >= 1, "batchSize must be at least 1")
+    val spark = docs.sparkSession
+    val sig = scorer.signature
+    require(sig != null && sig.nonEmpty && !sig.contains("/"),
+      "scorer signature must be a non-empty path segment (no '/')")
+    val keyed = docs
+      .select(col(idCol).as("__doc_id"), col(textCol).as("__text"))
+      .withColumn("url",
+        concat(lit(s"scorer://$sig/"), sha1(coalesce(col("__text"), lit("")))))
+      .withColumn("request_body", coalesce(col("__text"), lit("")))
+      .withColumn("uri", call_function("graft_uri_from_url", col("url")))
+      .withColumn("data_hash",
+        call_function("graft_hash_from_data", col("request_body")))
+    val cached = cache.map(_.read()).getOrElse(Resources.emptyCache(spark))
+    val live = cached
+      .filter(Resources.successCol(col("status")))
+      .select(col("uri"), col("data_hash"), col("body").as("__c_body"))
+      .dropDuplicates("uri", "data_hash")
+    val joined = keyed.join(
+      if (broadcastCache) broadcast(live) else live,
+      Seq("uri", "data_hash"), "left_outer")
+    // one model call per DISTINCT text, not per row: the distinct is
+    // on the key columns, so a boilerplate text duplicated across a
+    // million docs costs one batch slot
+    val missKeys = joined.filter(col("__c_body").isNull)
+      .select(col("uri"), col("data_hash"), col("url"), col("request_body"))
+      .dropDuplicates("uri", "data_hash")
+    val parts = math.max(1, math.min(maxConcurrency,
+      spark.sparkContext.defaultParallelism))
+    val scoredRdd = missKeys.repartition(parts).rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val scores = scorer.scoreBatch(batch.map(_.getAs[String]("request_body")))
+        require(scores.length == batch.length,
+          s"scorer '$sig' returned ${scores.length} scores for ${batch.length} texts")
+        batch.zip(scores).map { case (row, s) =>
+          require(!s.isNaN && !s.isInfinite,
+            s"scorer '$sig' returned a non-finite score")
+          Row(row.getAs[String]("uri"), row.getAs[String]("data_hash"),
+            "SCORE", row.getAs[String]("url"), row.getAs[String]("request_body"),
+            200, s"""{"signature":"$sig"}""", s.toString, false,
+            new java.sql.Timestamp(System.currentTimeMillis()))
+        }
+      }
+    }
+    val scored = spark.createDataFrame(scoredRdd, Resources.schema)
+    val persisted = cache match {
+      case Some(store) =>
+        // score exactly once, BEFORE the append re-reads the frame —
+        // the CacheStore.fetch checkpoint-then-append discipline
+        val once = scored.localCheckpoint(true)
+        store.append(once)
+        once
+      case None => scored
+    }
+    val scoreRows = persisted
+      .select(col("uri"), col("data_hash"), col("body").as("__c_body"),
+        lit(false).as("from_cache"))
+      .unionByName(live.select(col("uri"), col("data_hash"), col("__c_body"))
+        .withColumn("from_cache", lit(true)))
+    joined
+      .select(col("__doc_id"), col("uri"), col("data_hash"))
+      .join(scoreRows, Seq("uri", "data_hash"), "inner")
+      .select(col("__doc_id").as(idCol),
+        col("__c_body").cast("double").as("score"), col("from_cache"))
+  }
+
+  /** The gate the scores exist for: every doc keeps its score and a
+    * `keep` verdict against `threshold`. Rows are never dropped here —
+    * the caller filters on `keep` (the filter_documents convention:
+    * verdicts are data, removal is the caller's explicit act). */
+  def gateByScore(docs: DataFrame, idCol: String, textCol: String,
+                  scorer: Scorer, threshold: Double,
+                  cache: Option[ResourceCache] = None,
+                  batchSize: Int = 64, maxConcurrency: Int = 32): DataFrame = {
+    val scores = scoreWithCache(docs, idCol, textCol, scorer, cache,
+      batchSize, maxConcurrency)
+    docs.join(scores.withColumnRenamed(idCol, "__s_id"),
+        docs(idCol) === col("__s_id"), "inner")
+      .drop("__s_id")
+      .withColumn("keep", col("score") >= threshold)
+  }
+}

@@ -358,6 +358,25 @@ private[queries] object TrainingCuration {
         .select(col("doc_id"), col("n_tokens"), col("stop_milli"),
           col("ttr_milli"), col("q_n_tokens"), col("q_stop_milli"),
           col("q_ttr_milli"), col("ensemble_score"))
+    }),
+
+    // Model-based quality gate through the INJECTABLE Scorer contract
+    // (ops/ModelScoring.scala — the reference's declared PromptResource
+    // direction): every doc scored by the batched cache-first scoring
+    // kernel with the deterministic closed-form default, gated at
+    // 0.596 (the corpus median, so the verdict column discriminates).
+    // The oracle replays the closed form in SQL (identical IEEE
+    // op order), so the verdicts pin the WHOLE scoring path — keying,
+    // batching, join-back — not just the default's arithmetic; the
+    // store-backed behavior (exactly-once, signature keying,
+    // cross-scorer verdict equivalence) is ModelScoringSpec's job.
+    "q150_model_quality_gate" -> ((s, d) => {
+      graft.ops.ModelScoring.gateByScore(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", graft.ops.Scorer.Default, threshold = 0.596,
+          batchSize = 64)
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -891,6 +910,19 @@ private[queries] object TrainingCuration {
          |SELECT doc_id, n_tokens, stop_milli, ttr_milli,
          |  q_n_tokens, q_stop_milli, q_ttr_milli,
          |  round((q_n_tokens + q_stop_milli + q_ttr_milli) / 3, 6) AS ensemble_score
-         |FROM q ORDER BY ensemble_score DESC, doc_id LIMIT 100""".stripMargin
+         |FROM q ORDER BY ensemble_score DESC, doc_id LIMIT 100""".stripMargin,
+    // q150: the closed-form default scorer replayed in SQL — same
+    // IEEE double op order as Scorer.Default.score, keep on the RAW
+    // score (bit-identical across engines), rounding for display only.
+    "q150_model_quality_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+        |         ELSE (2.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |                 / length(text)
+        |               + least(length(text), 2000) / 2000.0) / 3.0 END AS score
+        |  FROM documents)
+        |SELECT doc_id, round(score, 6) AS score, score >= 0.596 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,174 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.CacheStore
+
+/** The injectable-Scorer contract (ops/ModelScoring.scala): batching,
+  * cache-first exactly-once scoring, signature keying, and the
+  * MediaCodec-style equivalence pin — two scorer implementations with
+  * the same scores must produce IDENTICAL gate verdicts through the
+  * whole path. */
+class ModelScoringSpec extends SparkTestBase {
+  import spark.implicits._
+  import ModelScoringSpec._
+
+  private def corpus(n: Int) = (0 until n).map { i =>
+    (i.toLong, s"document $i with some alphabetic content ${"x" * (i % 40)}")
+  }.toDF("doc_id", "text")
+
+  test("default scorer closed form: hand-computed values, empty/null → 0") {
+    assert(Scorer.Default.score("") === 0.0)
+    assert(Scorer.Default.score(null) === 0.0)
+    // "ab cd": len 5, alpha 4 → (2*4/5 + 5/2000)/3
+    assert(Scorer.Default.score("ab cd") === (2.0 * 4 / 5 + 5 / 2000.0) / 3.0)
+  }
+
+  test("scoreWithCache batches (≤ batchSize, one call set) and dedupes repeated texts") {
+    RecordingScorer.reset()
+    val docs = corpus(100)
+      // plant the SAME text in 20 extra docs: one model slot, not 20
+      .unionByName((1000 until 1020).map(i => (i.toLong, "shared body")).toDF("doc_id", "text"))
+    val out = ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer("rec-v1"), cache = None, batchSize = 16)
+    val rows = out.collect()
+    assert(rows.length === 120)
+    assert(RecordingScorer.texts.get() === 101,
+      "distinct texts only: 100 unique + 1 shared")
+    assert(RecordingScorer.maxBatch.get() <= 16, "batches must respect batchSize")
+    assert(rows.forall(!_.getBoolean(2)), "store-less run: nothing from cache")
+    // the shared text scores identically everywhere
+    val shared = out.filter(col("doc_id") >= 1000).select("score")
+      .distinct().collect()
+    assert(shared.length === 1)
+  }
+
+  test("cache-first exactly-once: run 2 serves every score from the store") {
+    val dir = Files.createTempDirectory("graft-scorer").resolve("cache").toString
+    val store = new CacheStore(dir, spark)
+    val docs = corpus(50)
+    RecordingScorer.reset()
+    val first = ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer(Scorer.Default.signature), cache = Some(store),
+      batchSize = 8)
+    val f = first.collect()
+    assert(f.length === 50 && f.forall(!_.getBoolean(2)))
+    assert(RecordingScorer.texts.get() === 50)
+    // second run: a scorer that THROWS on contact — every row must be
+    // a cache hit, and scores must equal run 1 bit-for-bit
+    val second = ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      ThrowingScorer, cache = Some(store), batchSize = 8)
+    val s = second.collect()
+    assert(s.length === 50 && s.forall(_.getBoolean(2)), "all rows from cache")
+    val m1 = f.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m2 = s.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m1 === m2, "cached scores round-trip exactly")
+  }
+
+  test("signature keying: a different signature never shares cached scores") {
+    val dir = Files.createTempDirectory("graft-scorer").resolve("cache2").toString
+    val store = new CacheStore(dir, spark)
+    val docs = corpus(20)
+    RecordingScorer.reset()
+    ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer("model-a"), cache = Some(store), batchSize = 8).collect()
+    assert(RecordingScorer.texts.get() === 20)
+    // same store, same texts, DIFFERENT signature → full re-score
+    val out = ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer("model-b"), cache = Some(store), batchSize = 8).collect()
+    assert(RecordingScorer.texts.get() === 40, "model-b must not read model-a's rows")
+    assert(out.forall(!_.getBoolean(2)))
+    // and the store now serves BOTH signatures independently
+    val again = ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      ThrowingScorer2("model-a"), cache = Some(store), batchSize = 8).collect()
+    assert(again.forall(_.getBoolean(2)))
+  }
+
+  test("gate equivalence across scorer implementations (the MediaCodec move)") {
+    val docs = corpus(80)
+    val viaDefault = ModelScoring.gateByScore(docs, "doc_id", "text",
+        Scorer.Default, threshold = 0.55)
+      .select("doc_id", "score", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    // an "alien model client": same verdicts through a different
+    // implementation — batched differently, different signature
+    val viaAlien = ModelScoring.gateByScore(docs, "doc_id", "text",
+        AlienScorer, threshold = 0.55, batchSize = 7)
+      .select("doc_id", "score", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(viaDefault === viaAlien,
+      "gate verdicts must not depend on the scorer implementation")
+    assert(viaDefault.values.exists(_._2) && viaDefault.values.exists(!_._2),
+      "fixture must exercise both verdicts")
+  }
+
+  test("scorer contract violations surface, not corrupt: wrong arity and NaN") {
+    val docs = corpus(5)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      ModelScoring.scoreWithCache(docs, "doc_id", "text", ShortScorer,
+        batchSize = 8).collect()
+    }
+    assert(e1.getMessage.contains("scores") || e1.getCause != null)
+    intercept[org.apache.spark.SparkException] {
+      ModelScoring.scoreWithCache(docs, "doc_id", "text", NanScorer,
+        batchSize = 8).collect()
+    }
+  }
+}
+
+/** Scorer fixtures at FILE scope: a Scorer serializes into task-side
+  * closures, so fixtures must not capture the (non-serializable) spec
+  * instance. Counters are static — local mode shares the JVM. */
+object ModelScoringSpec {
+
+  /** Counts calls and texts; scores via the closed-form default —
+    * a stand-in "remote model" with an observable wire. */
+  class RecordingScorer(val signature: String) extends Scorer {
+    def scoreBatch(texts: Seq[String]): Seq[Double] = {
+      RecordingScorer.calls.incrementAndGet()
+      RecordingScorer.texts.addAndGet(texts.length)
+      RecordingScorer.maxBatch.accumulateAndGet(texts.length, math.max)
+      texts.map(Scorer.Default.score)
+    }
+  }
+  object RecordingScorer {
+    val calls = new AtomicInteger(0)
+    val texts = new AtomicLong(0)
+    val maxBatch = new AtomicInteger(0)
+    def reset(): Unit = { calls.set(0); texts.set(0); maxBatch.set(0) }
+  }
+
+  /** A scorer that must never be consulted — proves cache hits. */
+  object ThrowingScorer extends Scorer {
+    val signature: String = Scorer.Default.signature // SAME keys as Default
+    def scoreBatch(texts: Seq[String]): Seq[Double] =
+      throw new IllegalStateException("scorer consulted on a full cache hit")
+  }
+
+  /** [[ThrowingScorer]] under an arbitrary signature. */
+  case class ThrowingScorer2(signature: String) extends Scorer {
+    def scoreBatch(texts: Seq[String]): Seq[Double] =
+      throw new IllegalStateException("scorer consulted on a full cache hit")
+  }
+
+  /** Same scores as Default through a different implementation path
+    * and signature — the equivalence fixture. */
+  object AlienScorer extends Scorer {
+    val signature = "alien-rpc-v7"
+    def scoreBatch(texts: Seq[String]): Seq[Double] =
+      texts.toList.map(Scorer.Default.score)
+  }
+
+  object ShortScorer extends Scorer {
+    val signature = "broken-arity"
+    def scoreBatch(texts: Seq[String]): Seq[Double] = Seq(0.5)
+  }
+
+  object NanScorer extends Scorer {
+    val signature = "broken-nan"
+    def scoreBatch(texts: Seq[String]): Seq[Double] = texts.map(_ => Double.NaN)
+  }
+}
