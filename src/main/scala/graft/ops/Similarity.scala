@@ -178,6 +178,95 @@ object Similarity {
         (coalesce(col("n_dup_matches"), lit(0L)) > 0L).as("is_dup"))
   }
 
+  /** Measured recall of the SEMANTIC ingestion gate's SRP screen —
+    * the [[annRecallAudit]] discipline applied to the GATE path
+    * ([[embeddingDedupAgainstIndex]] / [[graft.sources.SrpIndexStore]],
+    * whose (planes=8, tables=2, threshold=0.9) defaults otherwise ship
+    * unaudited): ground truth is the exact all-pairs verdict set
+    * (every (new, old) pair at cosine ≥ threshold), each
+    * (planes, tables) construction screens with the gate's own bucket
+    * derivation and verifies with the gate's own rounded exact cosine,
+    * and the row reports what fraction of true duplicates the screen
+    * recovers (recall) plus what it costs (candidate count, precision).
+    *
+    * One shared pass for ALL constructions: each side projects its
+    * bucket rows once with a construction tag, candidates ride ONE
+    * (cons, t, bucket) join, verification joins embeddings once. The
+    * truth pass broadcasts the batch side (gate batches are
+    * probe-scale; the index side streams) — the same bound the gate
+    * itself relies on.
+    *
+    * Output: (planes, tables, n_true, n_candidates, n_found, recall,
+    * precision), one row per construction — the "which construction
+    * do we publish?" table, answered on data. */
+  def gateRecallAudit(newVecs: DataFrame, oldVecs: DataFrame,
+                      constructions: Seq[(Int, Int)],
+                      threshold: Double = 0.9,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    require(constructions.nonEmpty, "need at least one (planes, tables) construction")
+    require(constructions.forall { case (p, ts) => p >= 1 && p <= 63 && ts >= 1 },
+      "planes in [1, 63], tables >= 1")
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val n = broadcast(newVecs.select(col(idCol).cast("long").as("new_id"),
+      col(embCol).as("__ne"),
+      sqrt(dotUdf(col(embCol), col(embCol))).as("__nn")))
+    val o = oldVecs.select(col(idCol).cast("long").as("old_id"),
+      col(embCol).as("__oe"),
+      sqrt(dotUdf(col(embCol), col(embCol))).as("__on"))
+    // exact truth: one streamed pass of the index against the
+    // broadcast batch; feeds only a 1-row count, so no checkpoint
+    val truth = o.join(n, col("old_id") =!= col("new_id"))
+      .withColumn("cosine", round(dotUdf(col("__ne"), col("__oe")) /
+        (col("__nn") * col("__on")), 6))
+      .filter(col("cosine") >= threshold)
+      .agg(count(lit(1)).as("n_true"))
+    // every construction's bucket rows in ONE tagged projection per
+    // side (plane family p of construction c reuses the engine's
+    // md5-portable planes at offset t·planes, exactly as the gate
+    // derives them)
+    def bucketRows(vecs: DataFrame, id: String): DataFrame =
+      vecs.select(col(idCol).cast("long").as(id),
+          explode(array(constructions.zipWithIndex.flatMap { case ((p, ts), ci) =>
+            (0 until ts).map { t =>
+              struct(lit(ci).as("cons"), lit(t).as("t"),
+                srpBucket(col(embCol), p, t * p).as("bucket"))
+            }
+          }: _*)).as("tb"))
+        .select(col(id), col("tb.cons").as("cons"), col("tb.t").as("t"),
+          col("tb.bucket").as("bucket"))
+    val cands = bucketRows(newVecs, "new_id")
+      .join(bucketRows(oldVecs, "old_id"), Seq("cons", "t", "bucket"))
+      .filter(col("old_id") =!= col("new_id"))
+      .select(col("cons"), col("new_id"), col("old_id")).distinct()
+    val verified = cands
+      .join(o.select(col("old_id"), col("__oe"), col("__on")), Seq("old_id"))
+      .join(n, Seq("new_id"))
+      .withColumn("cosine", round(dotUdf(col("__ne"), col("__oe")) /
+        (col("__nn") * col("__on")), 6))
+      .groupBy(col("cons"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("cosine") >= threshold, lit(1))).as("n_found"))
+    // spine so a construction whose screen finds NOTHING still reports
+    val spine = constructions.zipWithIndex
+      .map { case ((p, ts), ci) => (ci, p, ts) }
+      .toDF("cons", "planes", "tables")
+    broadcast(spine).join(verified, Seq("cons"), "left")
+      .crossJoin(broadcast(truth))
+      .select(col("planes").cast("long").as("planes"),
+        col("tables").cast("long").as("tables"),
+        col("n_true"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        when(col("n_true") > 0L,
+          round(coalesce(col("n_found"), lit(0L)).cast("double") /
+            col("n_true"), 6)).as("recall"),
+        when(coalesce(col("n_candidates"), lit(0L)) > 0L,
+          round(coalesce(col("n_found"), lit(0L)).cast("double") /
+            col("n_candidates"), 6)).as("precision"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via
     * multi-table SRP LSH: `tables` independent plane families of
     * `planes` sign bits each; a pair is a candidate when ANY table

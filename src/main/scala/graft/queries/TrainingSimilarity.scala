@@ -270,6 +270,37 @@ private[queries] object TrainingSimilarity {
           idx.select(col("vec_id"), col("embedding")),
           planes = 8, tables = 2, threshold = 0.9)
         .orderBy(col("new_id"))
+    }),
+
+    // The semantic gate's SRP construction, AUDITED (the q94
+    // discipline for the gate path): q149's batch/index split PLUS a
+    // graded planting — every vec_id%10==5 batch vector becomes
+    // donor + 0.5·own (float-rounded once, both engines), landing its
+    // true cosine in [0.87, 0.93] — exactly the band where SRP sign
+    // agreement is probabilistic, so recall DISCRIMINATES between
+    // constructions instead of saturating on identical-copy pairs.
+    // The published SrpIndexStore default (planes=8, tables=2 —
+    // sources/SrpIndex.scala) ships with a measured recall row, not
+    // folklore; (4,2)/(8,1)/(8,4) bracket it on cost and recall.
+    "q151_gate_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = emb.filter(col("vec_id") % 5 =!= 0)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("__donor"))
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+        .join(donors, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") % 10 === 0 && col("__donor").isNotNull,
+            col("__donor"))
+          .when(col("vec_id") % 10 === 5 && col("__donor").isNotNull,
+            zip_with(col("__donor"), col("embedding"),
+              (dd, oo) => (dd.cast("double") + lit(0.5) * oo.cast("double"))
+                .cast("float")))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.gateRecallAudit(batch, idx.select(col("vec_id"), col("embedding")),
+          constructions = Seq((4, 2), (8, 1), (8, 2), (8, 4)),
+          threshold = 0.9)
+        .orderBy(col("planes"), col("tables"))
     })
   )
 
@@ -907,6 +938,69 @@ private[queries] object TrainingSimilarity {
          |SELECT b.vec_id AS new_id, coalesce(n, 0)::BIGINT AS n_dup_matches,
          |  dup_of, best AS best_cosine, coalesce(n, 0) > 0 AS is_dup
          |FROM bat b LEFT JOIN hits ON b.vec_id = hits.new_id
-         |ORDER BY new_id""".stripMargin
+         |ORDER BY new_id""".stripMargin,
+    // q151: q149's batch/index split; per construction the SAME
+    // md5-portable SRP bucket replay on both sides, exact-cosine
+    // verification at 0.9, vs the exact all-pairs truth.
+    "q151_gate_recall" -> {
+      val constructions = Seq((4, 2), (8, 1), (8, 2), (8, 4))
+      def sides(src: String, alias: String): String =
+        constructions.zipWithIndex.flatMap { case ((p, ts), ci) =>
+          (0 until ts).map { t =>
+            s"SELECT vec_id, $ci AS cons, $t AS t, ${srpBucketSql(p, t * p)} AS bk FROM $src"
+          }
+        }.mkString(s"$alias AS (\n", "\n  UNION ALL\n", "),")
+      val spineVals = constructions.zipWithIndex
+        .map { case ((p, ts), ci) => s"($ci, $p, $ts)" }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |idx AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+         |bat AS (
+         |  SELECT b.vec_id,
+         |    CASE WHEN b.vec_id % 10 = 0 AND d.embedding IS NOT NULL
+         |           THEN list_transform(d.embedding, x -> CAST(x AS DOUBLE))
+         |         WHEN b.vec_id % 10 = 5 AND d.embedding IS NOT NULL
+         |           THEN list_transform(range(1, len(d.embedding) + 1),
+         |                i -> CAST(CAST(CAST(d.embedding[i] AS DOUBLE)
+         |                  + 0.5 * CAST(b.embedding[i] AS DOUBLE) AS FLOAT) AS DOUBLE))
+         |         ELSE list_transform(b.embedding, x -> CAST(x AS DOUBLE)) END AS v
+         |  FROM embeddings b LEFT JOIN embeddings d ON d.vec_id = b.vec_id + 1
+         |  WHERE b.vec_id % 5 = 0),
+         |${sides("idx", "ib")}
+         |${sides("bat", "bb")}
+         |cand AS (
+         |  SELECT DISTINCT bb.cons, bb.vec_id AS new_id, ib.vec_id AS old_id
+         |  FROM bb JOIN ib ON bb.cons = ib.cons AND bb.t = ib.t AND bb.bk = ib.bk
+         |  WHERE bb.vec_id <> ib.vec_id),
+         |sc AS (
+         |  SELECT c.cons,
+         |    round(list_dot_product(b.v, i.v) /
+         |      (sqrt(list_dot_product(b.v, b.v)) *
+         |       sqrt(list_dot_product(i.v, i.v))), 6) AS cosine
+         |  FROM cand c JOIN bat b ON b.vec_id = c.new_id
+         |  JOIN idx i ON i.vec_id = c.old_id),
+         |per AS (
+         |  SELECT cons, count(*)::BIGINT AS n_candidates,
+         |    count(*) FILTER (WHERE cosine >= 0.9)::BIGINT AS n_found
+         |  FROM sc GROUP BY 1),
+         |tru AS (
+         |  SELECT count(*)::BIGINT AS n_true
+         |  FROM bat b CROSS JOIN idx i
+         |  WHERE b.vec_id <> i.vec_id
+         |    AND round(list_dot_product(b.v, i.v) /
+         |      (sqrt(list_dot_product(b.v, b.v)) *
+         |       sqrt(list_dot_product(i.v, i.v))), 6) >= 0.9),
+         |spine AS (SELECT * FROM (VALUES $spineVals) AS s(cons, planes, tables))
+         |SELECT spine.planes::BIGINT AS planes, spine.tables::BIGINT AS tables,
+         |  n_true,
+         |  coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+         |  coalesce(n_found, 0)::BIGINT AS n_found,
+         |  CASE WHEN n_true > 0
+         |       THEN round(coalesce(n_found, 0)::DOUBLE / n_true, 6) END AS recall,
+         |  CASE WHEN coalesce(n_candidates, 0) > 0
+         |       THEN round(coalesce(n_found, 0)::DOUBLE / n_candidates, 6) END AS precision
+         |FROM spine LEFT JOIN per ON spine.cons = per.cons CROSS JOIN tru
+         |ORDER BY planes, tables""".stripMargin
+    }
   )
 }
