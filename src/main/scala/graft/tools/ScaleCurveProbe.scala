@@ -89,6 +89,57 @@ object ScaleCurveProbe {
       if (exchanges(2) > exchanges(1))
         failures ::= s"$name: sf1.0 plan grew Exchanges (${exchanges(1)} -> ${exchanges(2)})"
     }
+    // ---- Candidate-pair audit of the shingle-blocked pair family ----
+    // (q22 ngramJaccardBlocked / q103 containmentPairsBlocked, the two
+    // measured super-linear rows): per SF, the GENERATED pair volume
+    // with and without the hot-shingle cap, from ONE group-size
+    // aggregation. Evidence the cap actually BINDS at scale (dropped
+    // groups > 0, uncapped ≫ capped) plus the executable form of the
+    // structural bound the 100 TB safety argument rests on: every
+    // (doc, shingle) row pairs with at most cap−1 group peers, so
+    // capped pairs ≤ rows × cap / 2 — LINEAR in corpus size for a
+    // fixed cap, whatever the group-size distribution does.
+    locally {
+      import org.apache.spark.sql.functions._
+      val cap = 1000   // q22/q103's production maxShingleFreq
+      val demoCap = 100 // tight enough to BIND at these SFs — shows the mechanism
+      println(f"\n${"candidates"}%-12s ${"docs"}%8s ${"rows"}%10s ${"uncapped"}%13s ${"cap1000"}%13s ${"cut1000"}%8s ${"cap100"}%13s ${"cut100"}%8s ${"hottest"}%8s")
+      val stats = dirs.map { d =>
+        val docs = graft.Tables.load(spark, d, "documents")
+        val groups = docs
+          .select(explode(graft.ops.TextOps.distinctShingles(col("text"), 3)).as("s"))
+          .groupBy(col("s")).agg(count(lit(1)).as("sz"))
+        // `/` is DOUBLE division in Spark SQL — per-group pair counts
+        // need integer DIV to stay Long
+        def cappedPairs(c: Int) =
+          sum(when(col("sz") <= c, expr("(sz * (sz - 1)) DIV 2")).otherwise(0L))
+        val r = groups.agg(
+          sum(col("sz")).as("rows"),
+          sum(expr("(sz * (sz - 1)) DIV 2")).as("uncapped"),
+          cappedPairs(cap).as("capped"),
+          count(when(col("sz") > cap, lit(1))).as("cut"),
+          cappedPairs(demoCap).as("cappedDemo"),
+          count(when(col("sz") > demoCap, lit(1))).as("cutDemo"),
+          max(col("sz")).as("hottest")).head
+        val nDocs = docs.count()
+        val (rows, unc, cappedP, cut) = (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))
+        val (cappedD, cutD, hot) = (r.getLong(4), r.getLong(5), r.getLong(6))
+        println(f"${d.split('/').last}%-12s $nDocs%8d $rows%10d $unc%13d $cappedP%13d $cut%8d $cappedD%13d $cutD%8d $hot%8d")
+        if (cappedP > rows * cap / 2 || cappedD > rows * demoCap / 2)
+          failures ::= s"$d: capped pairs exceed the rows×cap/2 bound"
+        (nDocs, cappedP, cappedD)
+      }
+      val (d1, p1, q1) = stats(1); val (d2, p2, q2) = stats(2)
+      def exponent(a: Long, b: Long): Double =
+        math.log10(math.max(b, 1L).toDouble / math.max(a, 1L)) /
+          math.log10(d2.toDouble / d1)
+      println(f"[scale-curve] candidate growth exponent sf0.1→sf1.0: " +
+        f"cap=$cap ${exponent(p1, p2)}%.2f, cap=$demoCap ${exponent(q1, q2)}%.2f " +
+        f"(1.0 linear; below the cap's binding point density drives the exponent, " +
+        f"above it the rows×cap/2 ceiling forces linear)")
+    }
+
     if (failures.nonEmpty) {
       failures.reverse.foreach(f => System.err.println(s"[scale-curve] FAIL $f"))
       sys.exit(1)

@@ -31,6 +31,11 @@ object StreamProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // fresh warehouse per run: the sprobe_* tables are per-run state,
+      // and a stale ./spark-warehouse/sprobe_* directory from an earlier
+      // probe fails saveAsTable with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("sp-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -235,6 +240,68 @@ object StreamProbe {
       q.stop()
       assert(relabeled > 0)
       plateauReport(s"cluster-maint ${susBatches}x500", durs)
+    }
+
+    // semantic-gate sink over a real SrpIndexStore: each batch screens
+    // its embeddings against the ever-growing published index, then
+    // publishes (vecs-first, via the store's own safe order — the
+    // sink's saveBuckets is the no-op, mirroring the indexed-dedup
+    // wiring above). 16 planes keep random-pair bucket collisions at
+    // 2^-16 per table, so the candidate join stays selective as the
+    // index grows ~55x — the construction a production gate would run
+    // (the q151 audit is where the planes/recall trade is measured).
+    {
+      val store = new graft.sources.SrpIndexStore(spark,
+        bucketsTable = "sprobe_srp_buckets", vecsTable = "sprobe_srp_vecs",
+        buckets = 16, planes = 16, tables = 2, threshold = 0.9)
+      val dim = 32
+      val embUdf = udf { (id: Long) =>
+        // every 10th vector copies one from 5 batches earlier — the
+        // screen keeps finding true cross-batch dups all the way out
+        val base = if (id % 10 == 0 && id >= 5L * susRows) id - 5L * susRows
+          else id
+        val r = new scala.util.Random(base)
+        Array.fill(dim)(r.nextFloat() - 0.5f)
+      }
+      val embDir = java.nio.file.Files.createTempDirectory("sp-embsus").toString
+      (0 until susBatches).foreach { b =>
+        spark.range(b.toLong * susRows, (b + 1L) * susRows)
+          .select(col("id").as("vec_id"), embUdf(col("id")).as("embedding"))
+          .coalesce(1).write.mode("append").parquet(s"$embDir/vecs")
+      }
+      var dups = 0L
+      var batchN = 0
+      val q = graft.streaming.Streaming.embeddingDedupSink(
+          "vec_id", "embedding",
+          _ => store.loadBuckets(),
+          _ => store.loadVecs().select(col("vec_id"), col("emb")),
+          v => {
+            store.publish(v, "vec_id", "emb")
+            batchN += 1
+            // periodic compaction is the append-log store's operating
+            // procedure (the CacheStore append + latest-wins design):
+            // without it every bucketed append adds `buckets` files per
+            // table and the DRIVER's per-trigger listing/footer work
+            // grows linearly with batches ingested — measured as a
+            // 1.3 s → 3.5 s latency trend over 110 batches, with the
+            // screen's actual candidate work flat. Compaction cost
+            // rides its own trigger (visible in p95), bounding steady
+            // state instead of letting the log grow without bound.
+            if (batchN % 20 == 0) store.compact()
+          }, _ => (),
+          v => dups += v.filter(col("is_dup")).count(),
+          planes = 16, tables = 2, threshold = 0.9)(
+          spark.readStream
+            .schema(spark.read.parquet(s"$embDir/vecs").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$embDir/vecs"))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sp-embckpt").toString)
+        .start()
+      q.processAllAvailable()
+      val durs = batchDurations(q)
+      q.stop()
+      assert(dups > 0, "cross-batch embedding duplicates keep being found")
+      plateauReport(s"embedding-gate ${susBatches}x$susRows", durs)
     }
 
     spark.stop()
