@@ -1544,17 +1544,14 @@ object Dedup {
     // LAZY checkpoints (the q114 kmeansAudit lesson): materialize as
     // a side effect of the FIRST action instead of paying a dedicated
     // job per frame — tokens and windows are each read twice.
-    // Repartition the RAW text BEFORE tokenizing: a small
-    // single-row-group parquet scans as ONE task, so without the
-    // exchange the tokenizer and the window explode both run
-    // single-threaded. (Partitioning metadata does NOT survive
-    // localCheckpoint on this Spark build — AQE reports
-    // UnknownPartitioning — so this buys decode parallelism and
-    // single materialization, not downstream exchange elision.)
-    val toks = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.tokens(col("__text")).as("t"))
-      .localCheckpoint(false)
+    // NO pre-tokenize repartition: measured A/B at sf0.1 (r14) — the
+    // single-task tokenize costs ~0.1 s while the extra exchange +
+    // stage costs the same or more (q80 0.81 → 0.89 s with it); at
+    // real scale the scan splits naturally and the exchange is pure
+    // waste. (Contrast q130's image decode, where per-row work is
+    // expensive enough that the repartition IS the win.)
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("t")).localCheckpoint(false)
     // window hash = xxhash64 over the space-joined slice (codegen,
     // 8-byte shuffle keys): the hash is INTERNAL — outputs carry
     // coverage, never hashes — so engine portability doesn't bind it
