@@ -74,6 +74,49 @@ object Scorer {
   }
 }
 
+/** A [[Scorer]] backed by the HTTP resource layer — the engine's
+  * concrete bridge to the reference's PromptResource direction: each
+  * batch POSTs a JSON array of texts to `endpoint` through an injected
+  * [[graft.sources.Fetcher]] (so the transport's robustness envelope —
+  * timeout, 0/2/4/8/16 backoff on 420/429/5xx, pacing, auth injection —
+  * is the SAME one every HTTP resource rides), and expects a JSON
+  * array of numbers back, one score per text in order. Model-server
+  * misbehavior surfaces as errors, never as silently-wrong verdicts:
+  * a non-2xx response, a non-array body, a wrong-arity array or a
+  * non-numeric element all throw (the [[ModelScoring.scoreWithCache]]
+  * kernel validates arity and finiteness again on its side).
+  *
+  * Note the division of labor: THIS class is one request-response
+  * exchange; caching, exactly-once persistence and distinct-text
+  * dedupe belong to [[ModelScoring.scoreWithCache]], which keys rows
+  * by `signature` — callers must bump the signature when the endpoint
+  * serves a retrained model. */
+final class HttpScorer(val signature: String, endpoint: String,
+                       fetcher: graft.sources.Fetcher,
+                       auth: graft.sources.AuthConfig =
+                         graft.sources.AuthConfig.none) extends Scorer {
+  def scoreBatch(texts: Seq[String]): Seq[Double] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    texts.foreach(arr.add)
+    val resp = fetcher.fetch("POST",
+      graft.sources.AuthConfig.withParameters(endpoint, auth.parameters),
+      mapper.writeValueAsString(arr), auth.headers)
+    require(resp.status >= 200 && resp.status < 300,
+      s"scorer endpoint $endpoint returned status ${resp.status}")
+    val node = graft.core.PyJson.parse(resp.body)
+    require(node.isArray && node.size == texts.length,
+      s"scorer endpoint $endpoint returned ${if (node.isArray) node.size
+        else "non-array"} scores for ${texts.length} texts")
+    (0 until node.size).map { i =>
+      val v = node.get(i)
+      require(v.isNumber, s"scorer endpoint $endpoint returned a " +
+        s"non-numeric score at index $i")
+      v.asDouble
+    }
+  }
+}
+
 /** Cache-first batched scoring over a corpus, riding the SAME durable
   * resource machinery as every HTTP fetch ([[graft.sources.CacheStore]]
   * / [[graft.sources.BucketedCacheStore]]): a score is a resource row
@@ -127,13 +170,19 @@ object ModelScoring {
       Seq("uri", "data_hash"), "left_outer")
     // one model call per DISTINCT text, not per row: the distinct is
     // on the key columns, so a boilerplate text duplicated across a
-    // million docs costs one batch slot
-    val missKeys = joined.filter(col("__c_body").isNull)
-      .select(col("uri"), col("data_hash"), col("url"), col("request_body"))
-      .dropDuplicates("uri", "data_hash")
+    // million docs costs one batch slot. The explicit hash-repartition
+    // BEFORE dropDuplicates serves both masters in ONE exchange: it
+    // satisfies the dedup aggregation's clustering requirement (no
+    // second exchange) and fixes the scoring parallelism at `parts`
+    // (an AQE-coalesced tiny frame would otherwise score on one task;
+    // an unbounded one would exceed the request-concurrency cap).
     val parts = math.max(1, math.min(maxConcurrency,
       spark.sparkContext.defaultParallelism))
-    val scoredRdd = missKeys.repartition(parts).rdd.mapPartitions { it =>
+    val missKeys = joined.filter(col("__c_body").isNull)
+      .select(col("uri"), col("data_hash"), col("url"), col("request_body"))
+      .repartition(parts, col("uri"), col("data_hash"))
+      .dropDuplicates("uri", "data_hash")
+    val scoredRdd = missKeys.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val scores = scorer.scoreBatch(batch.map(_.getAs[String]("request_body")))
         require(scores.length == batch.length,
@@ -163,7 +212,12 @@ object ModelScoring {
         lit(false).as("from_cache"))
       .unionByName(live.select(col("uri"), col("data_hash"), col("__c_body"))
         .withColumn("from_cache", lit(true)))
-    joined
+    // map scores back through the KEYED frame, not the cache join:
+    // the (doc, key) mapping never needed the cache columns, and
+    // re-deriving it from `keyed` drops the second evaluation of the
+    // cache join from the tail (sha1 over the corpus re-evaluates —
+    // cheap columnar work vs a whole join subtree)
+    keyed
       .select(col("__doc_id"), col("uri"), col("data_hash"))
       .join(scoreRows, Seq("uri", "data_hash"), "inner")
       .select(col("__doc_id").as(idCol),

@@ -105,6 +105,54 @@ class ModelScoringSpec extends SparkTestBase {
       "fixture must exercise both verdicts")
   }
 
+  test("bucketed store path: scores persist and serve from a BucketedCacheStore") {
+    // the at-scale layout — same store family the fetch kernel uses
+    // co-located; run 1 scores live and appends, run 2 through a
+    // THROWING scorer is served entirely from the bucketed table
+    val store = new graft.sources.BucketedCacheStore(spark,
+      table = "scoring_cache_spec", buckets = 4)
+    val docs = corpus(40)
+    RecordingScorer.reset()
+    val first = ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer(Scorer.Default.signature), cache = Some(store),
+      batchSize = 8, broadcastCache = false).collect()
+    assert(first.length === 40 && RecordingScorer.texts.get() === 40)
+    val second = ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      ThrowingScorer, cache = Some(store), batchSize = 8,
+      broadcastCache = false).collect()
+    assert(second.length === 40 && second.forall(_.getBoolean(2)))
+    assert(first.map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      second.map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+  }
+
+  test("HttpScorer: batched JSON POST through the Fetcher, verdicts ≡ Default") {
+    val docs = corpus(30)
+    val viaDefault = ModelScoring.gateByScore(docs, "doc_id", "text",
+        Scorer.Default, threshold = 0.55)
+      .select("doc_id", "score", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val viaHttp = ModelScoring.gateByScore(docs, "doc_id", "text",
+        new HttpScorer("model-server-v3", "http://scorer.test/v1/score",
+          FakeModelServer),
+        threshold = 0.55, batchSize = 7)
+      .select("doc_id", "score", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(viaHttp === viaDefault,
+      "verdicts through the HTTP transport must equal the local closed form")
+    assert(FakeModelServer.bodies.get() > 0)
+  }
+
+  test("HttpScorer surfaces model-server misbehavior: non-2xx, wrong arity, non-numeric") {
+    val docs = corpus(5)
+    for (mode <- Seq("503", "arity", "nonnum")) {
+      intercept[org.apache.spark.SparkException] {
+        ModelScoring.scoreWithCache(docs, "doc_id", "text",
+          new HttpScorer(s"broken-$mode", "http://scorer.test/s",
+            MisbehavingServer(mode)), batchSize = 8).collect()
+      }
+    }
+  }
+
   test("scorer contract violations surface, not corrupt: wrong arity and NaN") {
     val docs = corpus(5)
     val e1 = intercept[org.apache.spark.SparkException] {
@@ -170,5 +218,37 @@ object ModelScoringSpec {
   object NanScorer extends Scorer {
     val signature = "broken-nan"
     def scoreBatch(texts: Seq[String]): Seq[Double] = texts.map(_ => Double.NaN)
+  }
+
+  /** A model server misbehaving in a named way. */
+  case class MisbehavingServer(mode: String) extends graft.sources.Fetcher {
+    def fetch(method: String, url: String,
+              requestBody: String): graft.sources.FetchResponse = {
+      val n = graft.core.PyJson.parse(requestBody).size
+      mode match {
+        case "503" => graft.sources.FetchResponse(503, "{}", "")
+        case "arity" => graft.sources.FetchResponse(200, "{}", "[0.5]")
+        case "nonnum" => graft.sources.FetchResponse(200, "{}",
+          (1 to n).map(_ => "\"hi\"").mkString("[", ",", "]"))
+      }
+    }
+  }
+
+  /** A fake model server behind the Fetcher seam: parses the batch
+    * JSON, scores with the closed form, answers a JSON array — what a
+    * real scoring endpoint does, minus the network. */
+  object FakeModelServer extends graft.sources.Fetcher {
+    val bodies = new AtomicInteger(0)
+    def fetch(method: String, url: String,
+              requestBody: String): graft.sources.FetchResponse = {
+      bodies.incrementAndGet()
+      require(method == "POST" && url.startsWith("http://scorer.test/"))
+      val node = graft.core.PyJson.parse(requestBody)
+      require(node.isArray, "batch body must be a JSON array of texts")
+      val scores = (0 until node.size)
+        .map(i => Scorer.Default.score(node.get(i).asText))
+      graft.sources.FetchResponse(200, "{}",
+        scores.mkString("[", ",", "]"))
+    }
   }
 }
