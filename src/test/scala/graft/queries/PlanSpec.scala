@@ -168,6 +168,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "the benchmark shingle set broadcasts")
   }
 
+  test("q150 scoring: no cartesian; one bounded-parallelism exchange feeds the scorer") {
+    val p = plan("q150_model_quality_gate")
+    assert(!p.contains("CartesianProduct"))
+    // the distinct-text dedupe and the scoring parallelism share ONE
+    // hash exchange (repartition-then-dropDuplicates): no RoundRobin
+    // repartition stacked on top of the dedup's own exchange
+    assert(!p.contains("RoundRobinPartitioning"),
+      "scoring parallelism rides the dedup's hash exchange, not a second shuffle")
+    assert(p.contains("ExistingRDD"), "batched mapPartitions feeds the plan")
+    assert(!p.contains("collect_set") && !p.contains("collect_list"), p.take(200))
+  }
+
+  test("q151 gate recall: tagged single-pass constructions — no cartesian except the broadcast truth") {
+    val p = plan("q151_gate_recall")
+    // two deliberate broadcast crossings only: the truth pass (batch
+    // side broadcast, old_id != new_id condition) and the 1-row n_true
+    // spine cross (the q91 pattern); candidate generation must never
+    assert(!p.contains("CartesianProduct"), "only broadcast crossing allowed")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the truth pass and the 1-row n_true cross; candidates ride " +
+        "the (cons,t,bucket) join")
+    assert(p.contains("graft_srp_bucket"), "bucket rows come from the native kernel")
+  }
+
   test("q26 compact LSH: one bucket shuffle, in-group cosine kernel — no joins at all") {
     val p = plan("q26_embed_neardup")
     assert(!p.contains("Join"), "in-group verification — no embedding re-joins")
