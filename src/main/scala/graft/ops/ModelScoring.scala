@@ -160,14 +160,21 @@ object ModelScoring {
       .withColumn("uri", call_function("graft_uri_from_url", col("url")))
       .withColumn("data_hash",
         call_function("graft_hash_from_data", col("request_body")))
-    val cached = cache.map(_.read()).getOrElse(Resources.emptyCache(spark))
-    val live = cached
+    // store-less (cache = None) runs skip the cache join OUTRIGHT —
+    // joining against a provably-empty frame still plans and executes
+    // a join stage per run; the store-backed path is byte-identical
+    // from here on (the spec pins run-2 equality through the store)
+    val live = cache.map(_.read()
       .filter(Resources.successCol(col("status")))
       .select(col("uri"), col("data_hash"), col("body").as("__c_body"))
-      .dropDuplicates("uri", "data_hash")
-    val joined = keyed.join(
-      if (broadcastCache) broadcast(live) else live,
-      Seq("uri", "data_hash"), "left_outer")
+      .dropDuplicates("uri", "data_hash"))
+    val joined = live match {
+      case Some(l) => keyed.join(
+        if (broadcastCache) broadcast(l) else l,
+        Seq("uri", "data_hash"), "left_outer")
+      case None =>
+        keyed.withColumn("__c_body", lit(null).cast(StringType))
+    }
     // one model call per DISTINCT text, not per row: the distinct is
     // on the key columns, so a boilerplate text duplicated across a
     // million docs costs one batch slot. The explicit hash-repartition
@@ -207,11 +214,15 @@ object ModelScoring {
         once
       case None => scored
     }
-    val scoreRows = persisted
+    val freshRows = persisted
       .select(col("uri"), col("data_hash"), col("body").as("__c_body"),
         lit(false).as("from_cache"))
-      .unionByName(live.select(col("uri"), col("data_hash"), col("__c_body"))
-        .withColumn("from_cache", lit(true)))
+    val scoreRows = live match {
+      case Some(l) => freshRows.unionByName(
+        l.select(col("uri"), col("data_hash"), col("__c_body"))
+          .withColumn("from_cache", lit(true)))
+      case None => freshRows
+    }
     // map scores back through the KEYED frame, not the cache join:
     // the (doc, key) mapping never needed the cache columns, and
     // re-deriving it from `keyed` drops the second evaluation of the

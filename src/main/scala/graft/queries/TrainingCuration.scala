@@ -377,6 +377,26 @@ private[queries] object TrainingCuration {
           batchSize = 64)
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The scorer contract composed the way a corpus run uses it:
+    // model-score gate (q150's scorer + threshold) → exact dedup
+    // (q36's min-id-per-text-hash window) → balanced per-lang take
+    // (q44's stable md5 order). Every stage is an oracled operator;
+    // the composition — scores surviving two downstream stages with
+    // verdict-gated row loss in between — is the test.
+    "q152_scored_corpus" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val gated = graft.ops.ModelScoring.gateByScore(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "text", graft.ops.Scorer.Default, threshold = 0.596)
+        .filter(col("keep"))
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = gated.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      Curation.stratifiedTake(deduped, "lang", "doc_id", perStratum = 25)
+        .select(col("doc_id"), col("lang"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -923,6 +943,29 @@ private[queries] object TrainingCuration {
         |               + least(length(text), 2000) / 2000.0) / 3.0 END AS score
         |  FROM documents)
         |SELECT doc_id, round(score, 6) AS score, score >= 0.596 AS keep
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // q152: q150's closed-form gate → q36's exact-dedup window →
+    // q44's stable-md5 balanced take, replayed stage for stage.
+    "q152_scored_corpus" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+        |         ELSE (2.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |                 / length(text)
+        |               + least(length(text), 2000) / 2000.0) / 3.0 END AS score
+        |  FROM documents),
+        |kept AS (SELECT * FROM s WHERE score >= 0.596),
+        |dedup AS (
+        |  SELECT doc_id, lang, score,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dn
+        |  FROM kept),
+        |r AS (
+        |  SELECT doc_id, lang, score,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT,
+        |        doc_id) AS rn
+        |  FROM dedup WHERE dn = 1)
+        |SELECT doc_id, lang, round(score, 6) AS score
+        |FROM r WHERE rn <= 25 ORDER BY doc_id""".stripMargin
   )
 }
