@@ -153,25 +153,34 @@ object ModelScoring {
     require(sig != null && sig.nonEmpty && !sig.contains("/"),
       "scorer signature must be a non-empty path segment (no '/')")
     val keyed = docs
-      .select(col(idCol).as("__doc_id"), col(textCol).as("__text"))
+      .select(col(idCol).as("__doc_id"), coalesce(col(textCol), lit("")).as("request_body"))
       .withColumn("url",
-        concat(lit(s"scorer://$sig/"), sha1(coalesce(col("__text"), lit("")))))
-      .withColumn("request_body", coalesce(col("__text"), lit("")))
+        concat(lit(s"scorer://$sig/"), sha1(col("request_body"))))
       .withColumn("uri", call_function("graft_uri_from_url", col("url")))
       .withColumn("data_hash",
         call_function("graft_hash_from_data", col("request_body")))
     // store-less (cache = None) runs skip the cache join OUTRIGHT —
     // joining against a provably-empty frame still plans and executes
     // a join stage per run; the store-backed path is byte-identical
-    // from here on (the spec pins run-2 equality through the store)
+    // from the miss branch on (the spec pins run-2 equality through
+    // plain and bucketed stores)
     val live = cache.map(_.read()
       .filter(Resources.successCol(col("status")))
       .select(col("uri"), col("data_hash"), col("body").as("__c_body"))
       .dropDuplicates("uri", "data_hash"))
+    // the cache-join SNAPSHOT is eager and taken BEFORE the miss
+    // append lands: the store view is lazy, and BucketedCacheStore's
+    // append refreshes the relation cache — a tail action that
+    // re-listed the store post-append would see the batch's own fresh
+    // rows as hits and emit every new key TWICE (caught by the
+    // mixed-warm-store spec). The checkpoint is batch-bounded (one row
+    // per input doc), the same discipline as the fetch kernel's
+    // checkpoint-before-append.
     val joined = live match {
       case Some(l) => keyed.join(
-        if (broadcastCache) broadcast(l) else l,
-        Seq("uri", "data_hash"), "left_outer")
+          if (broadcastCache) broadcast(l) else l,
+          Seq("uri", "data_hash"), "left_outer")
+        .localCheckpoint(true)
       case None =>
         keyed.withColumn("__c_body", lit(null).cast(StringType))
     }
@@ -217,18 +226,21 @@ object ModelScoring {
     val freshRows = persisted
       .select(col("uri"), col("data_hash"), col("body").as("__c_body"),
         lit(false).as("from_cache"))
+    // hit rows come from the pre-append SNAPSHOT, never a re-read of
+    // the store (see the `joined` comment); keys dedupe because the
+    // same cached text may back many docs
     val scoreRows = live match {
-      case Some(l) => freshRows.unionByName(
-        l.select(col("uri"), col("data_hash"), col("__c_body"))
+      case Some(_) => freshRows.unionByName(
+        joined.filter(col("__c_body").isNotNull)
+          .select(col("uri"), col("data_hash"), col("__c_body"))
+          .dropDuplicates("uri", "data_hash")
           .withColumn("from_cache", lit(true)))
       case None => freshRows
     }
-    // map scores back through the KEYED frame, not the cache join:
-    // the (doc, key) mapping never needed the cache columns, and
-    // re-deriving it from `keyed` drops the second evaluation of the
-    // cache join from the tail (sha1 over the corpus re-evaluates —
-    // cheap columnar work vs a whole join subtree)
-    keyed
+    // the (doc, key) spine reads the snapshot too — for the
+    // store-backed path that frame is already materialized, so the
+    // tail costs no second evaluation of anything
+    joined
       .select(col("__doc_id"), col("uri"), col("data_hash"))
       .join(scoreRows, Seq("uri", "data_hash"), "inner")
       .select(col("__doc_id").as(idCol),

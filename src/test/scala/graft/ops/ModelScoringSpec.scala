@@ -125,6 +125,37 @@ class ModelScoringSpec extends SparkTestBase {
       second.map(r => r.getLong(0) -> r.getDouble(1)).toMap)
   }
 
+  test("mixed warm-store batch: hits and misses in ONE call, one row per doc") {
+    // the torn-read hazard: `live` is bound lazily, the miss append
+    // lands mid-call (and BucketedCacheStore.append refreshes the
+    // relation cache) — if the final action re-listed the store AFTER
+    // the append, every fresh key would surface twice (once
+    // from_cache=false from the scored frame, once =true from the
+    // re-read) and the verdict join would double rows
+    for (bucketed <- Seq(false, true)) {
+      val store: graft.sources.ResourceCache =
+        if (bucketed) new graft.sources.BucketedCacheStore(spark,
+          table = s"scoring_mixed_spec_$bucketed", buckets = 4)
+        else new graft.sources.CacheStore(
+          Files.createTempDirectory("graft-scorer").resolve("mixed").toString,
+          spark)
+      // warm the store with docs 0..19
+      ModelScoring.scoreWithCache(corpus(20), "doc_id", "text",
+        new RecordingScorer(Scorer.Default.signature), cache = Some(store),
+        batchSize = 8, broadcastCache = !bucketed).collect()
+      // mixed batch: 20 cached + 20 new
+      RecordingScorer.reset()
+      val out = ModelScoring.scoreWithCache(corpus(40), "doc_id", "text",
+        new RecordingScorer(Scorer.Default.signature), cache = Some(store),
+        batchSize = 8, broadcastCache = !bucketed).collect()
+      assert(out.length === 40,
+        s"bucketed=$bucketed: exactly one verdict per doc (no post-append re-read dup)")
+      assert(RecordingScorer.texts.get() === 20, "only the 20 new texts score")
+      val byCache = out.groupBy(_.getBoolean(2)).view.mapValues(_.length).toMap
+      assert(byCache === Map(true -> 20, false -> 20), s"got $byCache")
+    }
+  }
+
   test("HttpScorer: batched JSON POST through the Fetcher, verdicts ≡ Default") {
     val docs = corpus(30)
     val viaDefault = ModelScoring.gateByScore(docs, "doc_id", "text",
