@@ -255,6 +255,41 @@ object Streaming {
         saveSigs(sigs)
       }
 
+  /** The MODEL-SCORE quality gate as a streaming sink —
+    * [[graft.ops.ModelScoring]]'s streaming twin (one scoring kernel,
+    * two execution modes, like every other gate family here): each
+    * micro-batch scores CACHE-FIRST through the shared durable
+    * resource store and emits one verdict row per batch doc
+    * (idCol, score, from_cache, keep). The model is consulted once per
+    * text the store has never seen — cross-batch repeats and
+    * crash-replays serve from the store, so a replayed micro-batch
+    * re-emits its original score and keep verdicts (from_cache flips
+    * to true — provenance, not semantics) without re-paying the model.
+    * Exactly-once scoring and torn-read safety are the KERNEL's
+    * properties (checkpoint-before-append plus the pre-append
+    * cache-join snapshot); this sink adds only the verdict column and
+    * the emit-materialized-verdicts discipline. Rows are never dropped
+    * here — `emit` sees every doc with its verdict, and the caller's
+    * downstream decides removal (the filter_documents convention). */
+  def scoringGateSink(idCol: String, textCol: String,
+                      scorer: graft.ops.Scorer,
+                      cache: SparkSession => Option[graft.sources.ResourceCache],
+                      emit: DataFrame => Unit,
+                      threshold: Double,
+                      batchSize: Int = 64, maxConcurrency: Int = 32,
+                      broadcastCache: Boolean = true)
+                     (stream: DataFrame): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        emit(graft.ops.ModelScoring.scoreWithCache(batch, idCol, textCol,
+            scorer, cache(spark), batchSize, maxConcurrency, broadcastCache)
+          .withColumn("keep", col("score") >= lit(threshold))
+          .localCheckpoint(true))
+      }
+
   /** The SEMANTIC ingestion gate as a streaming sink —
     * [[indexedDedupSinkSplit]]'s shape for EMBEDDINGS: each
     * micro-batch screens against the published SRP index with

@@ -925,4 +925,51 @@ class StreamingSpec extends SparkTestBase {
     assert(vecsT.select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
       Set(1L, 2L, 42L, 43L))
   }
+
+  test("streaming MODEL-SCORE gate: verdicts == batch operator; cache serves repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val store = new graft.sources.CacheStore(
+      Files.createTempDirectory("graft-scoregate").resolve("c").toString, spark)
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Double, Boolean, Boolean)]
+    graft.ops.ModelScoringSpec.RecordingScorer.reset()
+    val writer = Streaming.scoringGateSink("doc_id", "text",
+        new graft.ops.ModelScoringSpec.RecordingScorer(
+          graft.ops.Scorer.Default.signature),
+        _ => Some(store),
+        v => verdicts ++= v.collect().map(r => r.getLong(0) ->
+          ((r.getDouble(1), r.getBoolean(2), r.getBoolean(3)))),
+        threshold = 0.55, batchSize = 4)(stream)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-scoregate-ckpt").toString)
+      .start()
+
+    val b1 = Seq((1L, "plain words here"), (2L, "x"), (3L, "a much longer alphabetic body of text"))
+    input.addData(b1: _*)
+    writer.processAllAvailable()
+    assert(graft.ops.ModelScoringSpec.RecordingScorer.texts.get() === 3)
+    assert(verdicts.keySet === Set(1L, 2L, 3L))
+    assert(verdicts.values.forall(!_._2), "batch 1: nothing from cache")
+
+    // batch 2: doc 4 repeats doc 1's text (served from the store —
+    // the model is NOT consulted for it), doc 5 is fresh
+    val b2 = Seq((4L, "plain words here"), (5L, "numbers 123 456 789"))
+    input.addData(b2: _*)
+    writer.processAllAvailable()
+    writer.stop()
+    assert(graft.ops.ModelScoringSpec.RecordingScorer.texts.get() === 4,
+      "only doc 5's text consulted the model in batch 2")
+    assert(verdicts(4L)._2 === true && verdicts(5L)._2 === false)
+    assert(verdicts(4L)._1 === verdicts(1L)._1, "cached score round-trips exactly")
+
+    // streamed verdicts == the batch gate over the same corpus
+    val batchV = graft.ops.ModelScoring.gateByScore(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+        graft.ops.Scorer.Default, threshold = 0.55)
+      .select(col("doc_id"), col("score"), col("keep")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(verdicts.view.mapValues(v => (v._1, v._3)).toMap === batchV,
+      "one scoring kernel, two execution modes")
+  }
 }
