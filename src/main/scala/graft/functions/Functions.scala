@@ -275,8 +275,14 @@ case class BpeSegmentExpression(child: Expression,
     val m = new java.util.HashMap[String, Integer](merges.length * 2)
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       // first rank wins on duplicate pairs (the cascade would have
-      // merged every occurrence at the lower rank already)
-      m.putIfAbsent(l + "\u0000" + r, i)
+      // merged every occurrence at the lower rank already).
+      // Delimiter is SPACE deliberately: the tokenizer strips all
+      // whitespace from symbols but passes U+0000 through, so a NUL
+      // delimiter could collide two distinct pairs into one rank key
+      // (("a", "\u0000b") vs ("a\u0000", "b")) while the wellFormed
+      // guard (space-keyed) waves them past — space cannot appear in
+      // any symbol, NUL can.
+      m.putIfAbsent(l + " " + r, i)
     }
     m
   }
@@ -339,7 +345,7 @@ case class BpeSegmentExpression(child: Expression,
         var bestR: String = null
         var j = 0
         while (j + 1 < syms.size) {
-          val rk = rank.get(syms.get(j) + "\u0000" + syms.get(j + 1))
+          val rk = rank.get(syms.get(j) + " " + syms.get(j + 1))
           if (rk != null && (best < 0 || rk < best)) {
             best = rk; bestL = syms.get(j); bestR = syms.get(j + 1)
           }

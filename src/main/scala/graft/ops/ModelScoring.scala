@@ -51,9 +51,13 @@ object Scorer {
     * is reproducible in any engine — the oracle replays it in SQL.
     * Score = mean of an ASCII-letter-density signal (weighted 2×) and
     * a saturating length signal: (2·alpha/len + min(len,2000)/2000)/3,
-    * 0 for empty text. The arithmetic ORDER matches the SQL replay
-    * exactly (same IEEE double ops), so raw doubles agree bit-for-bit;
-    * queries round for display like every other oracle row. */
+    * 0 for empty text, where len counts Unicode CODE POINTS — what SQL
+    * `length()` counts in DuckDB and Spark alike; a UTF-16-unit count
+    * would silently diverge on any supplementary character (the
+    * Bpe.scala surrogate-pair doctrine). The arithmetic ORDER matches
+    * the SQL replay exactly (same IEEE double ops), so raw doubles
+    * agree bit-for-bit; queries round for display like every other
+    * oracle row. */
   object Default extends Scorer {
     val signature: String = "graft-closed-form-v1"
 
@@ -61,10 +65,10 @@ object Scorer {
 
     def score(text: String): Double = {
       if (text == null || text.isEmpty) return 0.0
-      val len = text.length
+      val len = text.codePointCount(0, text.length)
       var alpha = 0
       var i = 0
-      while (i < len) {
+      while (i < text.length) {
         val c = text.charAt(i)
         if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
         i += 1
@@ -95,8 +99,13 @@ final class HttpScorer(val signature: String, endpoint: String,
                        fetcher: graft.sources.Fetcher,
                        auth: graft.sources.AuthConfig =
                          graft.sources.AuthConfig.none) extends Scorer {
+  // one mapper per task-side instance, not per batch: ObjectMapper
+  // construction is Jackson's expensive operation and is thread-safe
+  // once configured (the PyJson.mapper discipline)
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   def scoreBatch(texts: Seq[String]): Seq[Double] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = mapper.createArrayNode()
     texts.foreach(arr.add)
     val resp = fetcher.fetch("POST",
@@ -122,11 +131,12 @@ final class HttpScorer(val signature: String, endpoint: String,
   * / [[graft.sources.BucketedCacheStore]]): a score is a resource row
   * `(uri = scorer://signature/sha1(text), body = score)`, appended
   * after an eager checkpoint so the scorer runs exactly once per new
-  * text, served from the store forever after. The cache key rides the
-  * same canonical key functions as the fetch path
-  * ([[graft.core.Hashing.uriFromUrl]]/hashFromData), so scoring rows
-  * live in the same store as fetch rows without collision (the
-  * scorer:// scheme plus the signature segment namespace them).
+  * text, served from the store forever after. The uri keeps its
+  * `scorer://` scheme LITERALLY — the fetch path's canonical keys are
+  * scheme-stripped ([[graft.core.Hashing.uriFromUrl]]), so no fetch
+  * row's uri can contain `://` and collision between scoring rows and
+  * fetch rows in a shared store is structurally impossible; the
+  * data_hash rides the fetch path's own body-hash function.
   *
   * Scale shape: one distinct over (uri, data_hash) so a duplicated
   * text costs ONE model call per corpus, a cache join that broadcasts
@@ -149,14 +159,24 @@ object ModelScoring {
                      broadcastCache: Boolean = true): DataFrame = {
     require(batchSize >= 1, "batchSize must be at least 1")
     val spark = docs.sparkSession
+    // library entry point: the canonical key function must exist even
+    // on a session that never went through the queries/Tables layer
+    // (registration is idempotent — the streaming twin's discipline)
+    graft.functions.GraftFunctions.register(spark)
     val sig = scorer.signature
     require(sig != null && sig.nonEmpty && !sig.contains("/"),
       "scorer signature must be a non-empty path segment (no '/')")
+    // the stored uri keeps its scheme LITERALLY (no uriFromUrl pass):
+    // the fetch path's canonical keys are scheme-STRIPPED, so no fetch
+    // row's uri can ever contain "://" — keeping it makes collision
+    // with fetch rows structurally impossible rather than merely
+    // namespaced by the signature segment
     val keyed = docs
-      .select(col(idCol).as("__doc_id"), coalesce(col(textCol), lit("")).as("request_body"))
+      .select(col(idCol).as("__doc_id"),
+        coalesce(col(textCol), lit("")).as("request_body"))
       .withColumn("url",
         concat(lit(s"scorer://$sig/"), sha1(col("request_body"))))
-      .withColumn("uri", call_function("graft_uri_from_url", col("url")))
+      .withColumn("uri", col("url"))
       .withColumn("data_hash",
         call_function("graft_hash_from_data", col("request_body")))
     // store-less (cache = None) runs skip the cache join OUTRIGHT —
@@ -254,9 +274,10 @@ object ModelScoring {
   def gateByScore(docs: DataFrame, idCol: String, textCol: String,
                   scorer: Scorer, threshold: Double,
                   cache: Option[ResourceCache] = None,
-                  batchSize: Int = 64, maxConcurrency: Int = 32): DataFrame = {
+                  batchSize: Int = 64, maxConcurrency: Int = 32,
+                  broadcastCache: Boolean = true): DataFrame = {
     val scores = scoreWithCache(docs, idCol, textCol, scorer, cache,
-      batchSize, maxConcurrency)
+      batchSize, maxConcurrency, broadcastCache)
     docs.join(scores.withColumnRenamed(idCol, "__s_id"),
         docs(idCol) === col("__s_id"), "inner")
       .drop("__s_id")

@@ -138,14 +138,22 @@ object CodecConformance {
       ("video", "reject_wav_as_video", wav),
       ("audio", "reject_png_as_audio", png),
       ("audio", "reject_truncated_wav", wav.take(20)),
-      ("soundtrack", "reject_garbage", Array.tabulate[Byte](48)(i => (i * 91 + 3).toByte)))
+      // name must be unique across ALL kinds — payload files are keyed
+      // by name alone, and a duplicate silently clobbers the earlier
+      // vector's bytes on export (caught in review: an image-rejection
+      // vector shipped pointing at this row's payload)
+      ("soundtrack", "reject_garbage_soundtrack",
+        Array.tabulate[Byte](48)(i => (i * 91 + 3).toByte)))
     images ++ videos ++ audios ++ soundtracks ++ rejects
   }
 
   def export(dir: String): Seq[Vector] = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
-    val rows = payloads().map { case (kind, name, bytes) =>
+    val all = payloads()
+    require(all.map(_._2).distinct.size == all.size,
+      "vector names must be unique — payload files are keyed by name")
+    val rows = all.map { case (kind, name, bytes) =>
       val file = s"$name.bin"
       Files.write(root.resolve(file), bytes)
       Vector(kind, name, file, expectation(kind, bytes, MediaCodec.Default))

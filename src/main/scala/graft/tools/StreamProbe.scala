@@ -172,7 +172,13 @@ object StreamProbe {
       "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
       "omicron", "pi", "rho", "sigma", "tau", "upsilon")
     def docText(id: Long): String = {
-      val base = if (id % 10 == 0 && id >= 5L * susRows) id - 5L * susRows
+      // copy base resolves to the UNREMAPPED range [0, 5·susRows):
+      // `id - 5·susRows` would point at an id that is ITSELF remapped
+      // (every 10th id ≥ 5·susRows is), so the generated copy would
+      // match nothing actually stored and true dups would exist only
+      // in batches 5-9 — the modulo keeps real cross-batch dups
+      // arriving ALL the way out
+      val base = if (id % 10 == 0 && id >= 5L * susRows) id % (5L * susRows)
         else id
       val r = new scala.util.Random(base)
       Seq.fill(30)(vocab(r.nextInt(vocab.size))).mkString(" ")
@@ -256,9 +262,11 @@ object StreamProbe {
         buckets = 16, planes = 16, tables = 2, threshold = 0.9)
       val dim = 32
       val embUdf = udf { (id: Long) =>
-        // every 10th vector copies one from 5 batches earlier — the
-        // screen keeps finding true cross-batch dups all the way out
-        val base = if (id % 10 == 0 && id >= 5L * susRows) id - 5L * susRows
+        // every 10th vector copies one from the UNREMAPPED range (the
+        // docText comment above: an `id - 5·susRows` base would point
+        // at an id that is itself remapped, matching nothing stored) —
+        // the screen keeps finding true cross-batch dups all the way out
+        val base = if (id % 10 == 0 && id >= 5L * susRows) id % (5L * susRows)
           else id
         val r = new scala.util.Random(base)
         Array.fill(dim)(r.nextFloat() - 0.5f)
