@@ -1591,10 +1591,28 @@ object Dedup {
     * spillable WindowExec sort, never a per-key in-memory distinct
     * set: `size(collect_set(doc_id))` holds EVERY distinct doc id of
     * the hottest hash on the heap at once — exactly the skewed-key
-    * state that survives sf1.0 and dies at 100 TB. */
-  private def filterHotByDistinctDocs(rows: DataFrame,
-                                      minDocFreq: Int): DataFrame = {
+    * state that survives sf1.0 and dies at 100 TB.
+    *
+    * `pinnedPartitions`: when set, the gate's exchange is an EXPLICIT
+    * `repartition(n, h)` instead of the WindowExec-implied shuffle.
+    * AQE's post-shuffle coalescer sizes partitions by BYTES
+    * (advisoryPartitionSizeInBytes) and is blind to the gate's
+    * per-row CPU (hash keys + a full partition sort) — on a corpus
+    * whose window rows are small but numerous it coalesces the gate
+    * to ONE task and the sort runs single-threaded (measured: q147's
+    * gate stages ran 1-task/331 ms under AQE; pinned they split
+    * 32-way). A user repartition with an explicit count is exactly
+    * the knob AQE never coalesces, and `n` follows the session's
+    * `spark.sql.shuffle.partitions` — the cluster-sized setting — so
+    * at 100 TB the pin IS the normal shuffle width. */
+  private[graft] def filterHotByDistinctDocs(rows0: DataFrame,
+                                      minDocFreq: Int,
+                                      pinnedPartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val rows = pinnedPartitions match {
+      case Some(n) => rows0.repartition(n, col("h"))
+      case None => rows0
+    }
     val byH = Window.partitionBy(col("h"))
     if (minDocFreq <= 2) {
       rows
@@ -1646,24 +1664,41 @@ object Dedup {
     * paper's removable span mass), dup_frac. Scale shape: the anchor
     * explode + one hash agg (coarse), a doc-keyed join back for
     * region text, a bounded region explode + one hash agg (refine),
-    * one lag window per doc for the interval union. Nothing
-    * corpus-quadratic; driver sees nothing. */
+    * then ONE more hash agg collecting each doc's hot starts for a
+    * local interval-union pass. The collected per-doc list is bounded
+    * by the DOC LENGTH (stride-1 starts), i.e. the same per-row bound
+    * as carrying the doc's own text — not the cross-corpus hotness
+    * state the r13 verdict banned. The r14 build unioned intervals
+    * with a lag window + sum: per-doc-sorted WindowExec passes that
+    * each cost a full sort of the hot-start frame AND were re-paid by
+    * the final orderBy's range-sampling pass (measured 588 ms of
+    * 1.3 s at sf0.1); the hash agg has map-side partial combine and
+    * no sort. Nothing corpus-quadratic; driver sees nothing. */
   def duplicateSpansBytes(df: DataFrame, idCol: String, textCol: String,
                           minRun: Int = 50, k: Int = 32,
                           minDocFreq: Int = 2): DataFrame = {
     val L = minRun
     val (docs, hotStarts) = hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
-    // interval union: the duplicateSpans lag trick at byte grain
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
+    // interval union of [p, p+L) over each doc's (unique) hot starts,
+    // computed locally per doc: sort the collected starts, sum
+    // min(L, gap) increments — the lag trick without the window
+    val covUdf = udf((ps: Seq[Int]) => {
+      val arr = ps.toArray
+      java.util.Arrays.sort(arr)
+      var covered = 0L
+      var i = 0
+      while (i < arr.length) {
+        covered += (if (i == 0) L.toLong
+                    else math.min(L.toLong, (arr(i) - arr(i - 1)).toLong))
+        i += 1
+      }
+      covered
+    })
     val cov = hotStarts
-      .withColumn("prev", lag(col("p"), 1).over(byDoc))
-      .withColumn("inc",
-        when(col("prev").isNull, lit(L.toLong))
-          .otherwise(least(lit(L.toLong), col("p") - col("prev"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_windows"),
-        sum(col("inc")).as("covered_bytes"))
+      .agg(count(lit(1)).as("n_dup_windows"), collect_list(col("p")).as("ps"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        covUdf(col("ps")).as("covered_bytes"))
     docs.select(col("doc_id"), length(col("__text")).cast("long").as("n_chars"))
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
@@ -1684,148 +1719,226 @@ object Dedup {
     * corpus — the caller's quality gate decides its fate.
     *
     * Scale shape: the [[duplicateSpansBytes]] two-stage hot-start
-    * pass, then pure-SQL gaps-and-islands over the hot starts (merge
-    * overlapping [p, p+minRun) intervals per doc: two windows over
-    * per-doc-bounded frames) and ONE substring splice per kept gap —
-    * no per-character explode anywhere (the q81 token rewrite pays
-    * one row per token; this pays one row per REMOVED SPAN). */
+    * pass, ONE hash agg collecting each doc's hot starts (per-doc
+    * list bounded by the doc length — the text itself is the bigger
+    * column on the very next join), one join back to the text, and a
+    * single local gaps-and-islands splice per doc. The r14 build did
+    * the islands merge in SQL windows (three per-doc-sorted
+    * WindowExec passes plus a per-island re-join against the text);
+    * measured at sf0.1 the window sorts were pure stage overhead next
+    * to a local pass over ints the executor already holds. */
   def removeDuplicateSpansBytes(df: DataFrame, idCol: String,
                                 textCol: String, minRun: Int = 50,
                                 k: Int = 32, minDocFreq: Int = 2): DataFrame = {
     val L = minRun
     val (docs, hotStarts) = hotByteWindowStarts(df, idCol, textCol, L, k, minDocFreq)
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
-    // gaps-and-islands: a hot start more than L past its predecessor
-    // opens a new removed interval
-    val islands = hotStarts
-      .withColumn("prev", lag(col("p"), 1).over(byDoc))
-      .withColumn("brk",
-        when(col("prev").isNull || col("p") - col("prev") > L, 1).otherwise(0))
-      .withColumn("grp", sum(col("brk")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("p"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("p")).as("s"), (max(col("p")) + L).as("e"))
-    // kept gap BEFORE each island: (prev island end, island start);
-    // the final tail past the last island is spliced in the rebuild
-    val byStart = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("s"))
-    val gaps = islands
-      .withColumn("pe", coalesce(lag(col("e"), 1).over(byStart), lit(0L)))
-    val spliced = gaps.join(docs, Seq("doc_id"))
-      .select(col("doc_id"), col("s"), col("e"),
-        expr("substring(__text, pe + 1, s - pe)").as("kept"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("e") - col("s")).as("n_removed_bytes"),
-        max(col("e")).as("last_e"),
-        array_join(transform(array_sort(collect_list(
-            struct(col("s"), col("kept")))),
-          g => g.getField("kept")), "").as("head_kept"))
-    docs.join(spliced, Seq("doc_id"), "left")
+    // gaps-and-islands, locally per doc: sort the hot starts; a start
+    // more than L past its predecessor closes the removed interval
+    // [s, lastP + L) and opens a new one; splice the kept gaps plus
+    // the tail. Never touches a kept byte; no hot starts -> verbatim.
+    val spliceUdf = udf((text: String, ps: Seq[Int]) => {
+      if (ps == null || ps.isEmpty) (0L, text)
+      else {
+        val arr = ps.toArray
+        java.util.Arrays.sort(arr)
+        val sb = new java.lang.StringBuilder(text.length)
+        var removed = 0L
+        var islandS = arr(0)
+        var prevP = arr(0)
+        var pe = 0 // end of the previous island = start of the kept gap
+        var i = 1
+        while (i <= arr.length) {
+          if (i == arr.length || arr(i) - prevP > L) {
+            val islandE = prevP + L
+            sb.append(text, pe, islandS)
+            removed += (islandE - islandS).toLong
+            pe = islandE
+            if (i < arr.length) islandS = arr(i)
+          }
+          if (i < arr.length) prevP = arr(i)
+          i += 1
+        }
+        sb.append(text, pe, text.length)
+        (removed, sb.toString)
+      }
+    })
+    val starts = hotStarts.groupBy(col("doc_id"))
+      .agg(collect_list(col("p")).as("ps"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("__r", spliceUdf(col("__text"), col("ps")))
       .select(col("doc_id"),
         length(col("__text")).cast("long").as("n_chars"),
-        coalesce(col("n_removed_bytes"), lit(0L)).as("n_removed_bytes"),
-        when(col("last_e").isNull, col("__text"))
-          .otherwise(concat(col("head_kept"),
-            expr("substring(__text, last_e + 1)"))).as("text_clean"))
+        col("__r._1").as("n_removed_bytes"),
+        col("__r._2").as("text_clean"))
   }
 
   /** Shared hot-start pass of [[duplicateSpansBytes]] /
-    * [[removeDuplicateSpansBytes]]: returns (the doc_id-partitioned
-    * lazily-checkpointed (doc_id, __text) corpus frame — callers join
-    * their per-doc tails against it exchange-free instead of
-    * re-scanning the source, distinct (doc_id, p) starts of
-    * cross-doc-hot `L`-char windows), found by the winnow-anchored
-    * two-stage refinement (see [[duplicateSpansBytes]]'s scaladoc for
-    * the equivalence argument). */
-  private def hotByteWindowStarts(df: DataFrame, idCol: String,
+    * [[removeDuplicateSpansBytes]]: returns (the (doc_id, __text)
+    * corpus projection — a pruned rescan per use, cheaper than a
+    * checkpoint stage at every scale measured, distinct (doc_id, p)
+    * starts of cross-doc-hot `L`-char windows), found by the
+    * winnow-anchored two-stage refinement (see
+    * [[duplicateSpansBytes]]'s scaladoc for the equivalence
+    * argument). */
+  private[graft] def hotByteWindowStarts(df: DataFrame, idCol: String,
                                   textCol: String, L: Int, k: Int,
                                   minDocFreq: Int): (DataFrame, DataFrame) = {
     require(k >= 4, "k-gram size must be at least 4")
     require(L > k, s"minRun must exceed the k-gram size $k")
     require(minDocFreq >= 2,
       "minDocFreq below 2 would mark every window duplicated")
+    // anchors cross the UDF boundary as a struct of two PRIMITIVE
+    // arrays (positions, hashes) zipped by codegen — a Seq[(Int,
+    // Long)] return boxes every anchor into a tuple row at the
+    // conversion layer (measured ~60 ms of the winnow stage on 136k
+    // anchors)
     val winnowUdf = udf((text: String) => winnowAnchors(text, k, L - k + 1))
-    // Repartition + LAZY checkpoint, and hand the frame back to the
-    // caller: the corpus text is read three times (winnow anchors
-    // here, region text for the refinement, the caller's final
-    // per-doc join) — without this, all three are separate scans of a
-    // single-row-group parquet and the winnow UDF runs on ONE task.
-    // The checkpoint makes the text materialize once for all three
-    // reads. (Partitioning metadata does not survive localCheckpoint
-    // on this Spark build — the doc-keyed tail still plans its own
-    // narrow exchanges.)
+    // NO pre-winnow repartition and NO checkpoint (the q80 doctrine,
+    // now measured here too): the corpus text is read three times
+    // (winnow anchors, region text for the refinement, the caller's
+    // final per-doc join) but each read is a pruned columnar scan —
+    // cheaper than a materialization stage plus an exchange — and at
+    // real scale the scan splits naturally across row groups, so the
+    // winnow UDF parallelizes without a shuffle. The r14 build paid a
+    // repartition + localCheckpoint here; per-stage probing (r15)
+    // showed the win was imaginary: the fixed cost was the shuffle
+    // WRITER (one spill file per reducer under the bypass-merge
+    // path), not the rescans, and the checkpoint added two stages of
+    // its own. AQE broadcasts the small side of both doc-keyed joins
+    // at bench scale and plans real exchanges at cluster scale —
+    // exactly the decision it exists to make.
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__text"))
-      .repartition(col("doc_id"))
-      .localCheckpoint(false)
     val anchors = docs
-      .select(col("doc_id"), explode(winnowUdf(col("__text"))).as("a"))
-      .select(col("doc_id"), col("a._1").as("pos"), col("a._2").as("h"))
-    // MERGE overlapping/adjacent regions per doc BEFORE exploding:
-    // inside a long duplicated run, winnowing selects an anchor every
-    // ~w/2 positions, so raw per-anchor regions overlap ~5× — emitting
-    // them unmerged would compute every window md5 five times and pay
-    // a corpus-scale DISTINCT to undo it (measured 10.3 s → 3.4 s at
-    // sf0.1 for q147). After the merge, regions are disjoint, so
-    // (doc, p) window rows are unique BY CONSTRUCTION — no distinct.
-    // anchor hotness via count-over-partition on the SAME pass (the
+      .withColumn("__a", winnowUdf(col("__text")))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("__a._1").as("pos"),
+          col("__a._2").as("h"))).as("a"))
+    // anchor hotness via count-over-partition on ONE pass (the
     // q113/q122 single-evaluation doctrine): one exchange on the
     // anchor hash replaces aggregate + join-back, and the winnow UDF
     // runs exactly once — no checkpoint, no recompute. Gate state is
     // bounded (filterHotByDistinctDocs): a corpus-universal anchor —
     // boilerplate present in millions of docs — must cost a spillable
     // sort, not a heap-resident distinct set.
-    val byDocS = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("s"))
-    val regions = filterHotByDistinctDocs(anchors, minDocFreq)
+    //
+    // The CPU-dense exchanges (both hotness gates) are pinned at the
+    // session's shuffle width: AQE's byte-sized coalescer sees a few
+    // MB of window rows and plans ONE task, serializing the gate
+    // sorts (measured 260 ms single-task at sf0.1 vs ~80 ms pinned).
+    // An explicit-count repartition is the one shuffle AQE never
+    // coalesces, and the count follows spark.sql.shuffle.partitions,
+    // so cluster sizing still governs at 100 TB.
+    val shufN = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Hot-anchor positions come back to their doc as ONE collected
+    // list (bounded by doc length — anchors are ~2/(w+1) of
+    // positions) and the refine happens in a single local pass per
+    // doc: MERGE overlapping/adjacent regions, then emit stride-1
+    // window hashes per merged region. The r14 build did the merge in
+    // SQL windows (per-doc-sorted WindowExec + groupBy + a join back
+    // to the text): one more exchange and two more stages for work
+    // the executor does locally over ints. Merging before hashing
+    // still matters — winnowing selects an anchor every ~w/2
+    // positions inside a long duplicated run, so unmerged per-anchor
+    // regions would hash every window ~5x and need a corpus-scale
+    // DISTINCT to undo it (measured 10.3 s → 3.4 s at sf0.1 when the
+    // merge first landed). Merged regions are disjoint, so (doc, p)
+    // rows are unique BY CONSTRUCTION.
+    //
+    // window hash = 64-bit polynomial ROLLING hash + splitmix64
+    // finalizer, one pass per region (O(region bytes) total) — the
+    // r14 build paid substring + xxhash64 per position (O(L x region
+    // bytes) char reads plus an L-char allocation per window;
+    // measured 636 ms of 2.1 s at sf0.1, the query's single largest
+    // stage). The hash is INTERNAL (outputs carry coverage, never
+    // hashes), so engine portability doesn't bind it the way md5
+    // binds the oracle replays; collision doctrine unchanged from the
+    // xxhash64 era — a cross-window collision needs ~2^32 windows by
+    // the birthday bound (vs ~2^20 here even at 10x). A poly mod 2^64
+    // is adversarially weaker than xxhash (engineered collisions need
+    // Thue-Morse-style strings, degree >= ~2^11 — impossible inside a
+    // 50-char window), and the finalizer is bijective so it changes
+    // distribution, not collisions.
+    val refineUdf = udf((text: String, anchorPos: Seq[Int]) => {
+      val arr = anchorPos.toArray
+      java.util.Arrays.sort(arr)
+      val n = text.length
+      val pb = new scala.collection.mutable.ArrayBuilder.ofInt
+      val hb = new scala.collection.mutable.ArrayBuilder.ofLong
+      var pw = 1L
+      val B = 1000003L
+      var j = 1
+      while (j < L) { pw *= B; j += 1 }
+      @inline def fmix(x0: Long): Long = {
+        var x = x0
+        x ^= x >>> 30; x *= -4658895280553007687L // 0xbf58476d1ce4e5b9
+        x ^= x >>> 27; x *= -7723592293110705685L // 0x94d049bb133111eb
+        x ^ (x >>> 31)
+      }
+      def emit(s: Int, e: Int): Unit = {
+        val lim = math.min(e, n) - L // inclusive last start
+        if (lim >= s) {
+          var h = 0L
+          var i = s
+          while (i < s + L) { h = h * B + text.charAt(i); i += 1 }
+          pb += s; hb += fmix(h)
+          var p = s + 1
+          while (p <= lim) {
+            h = (h - text.charAt(p - 1) * pw) * B + text.charAt(p + L - 1)
+            pb += p; hb += fmix(h)
+            p += 1
+          }
+        }
+      }
+      var regS = -1
+      var regE = -1
+      var i = 0
+      while (i < arr.length) {
+        val s = math.max(arr(i) - (L - k), 0)
+        val e = arr(i) + L
+        if (regS < 0) { regS = s; regE = e }
+        else if (s > regE) { emit(regS, regE); regS = s; regE = e }
+        else if (e > regE) regE = e
+        i += 1
+      }
+      if (regS >= 0) emit(regS, regE)
+      (pb.result(), hb.result())
+    })
+    val hotAnchorLists = filterHotByDistinctDocs(
+        anchors.select(col("doc_id"), col("a.pos").as("pos"),
+          col("a.h").as("h")),
+        minDocFreq, Some(shufN))
+      .repartition(shufN, col("doc_id"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("aps"))
+    val winRows = docs.join(hotAnchorLists, Seq("doc_id"))
+      .withColumn("__w", refineUdf(col("__text"), col("aps")))
       .select(col("doc_id"),
-        greatest(col("pos") - (L - k), lit(0)).as("s"),
-        (col("pos") + L).as("e"))
-      .withColumn("prevMaxE", max(col("e")).over(
-        byDocS.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
-      .withColumn("brk",
-        when(col("prevMaxE").isNull || col("s") > col("prevMaxE"), 1)
-          .otherwise(0))
-      .withColumn("grp", sum(col("brk")).over(byDocS.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
-    // window hash = xxhash64 (codegen, 8-byte shuffle keys) — the
-    // hash is INTERNAL (outputs carry coverage, never hashes), so
-    // engine portability doesn't bind it the way it binds the q-family
-    // oracles' md5; a cross-window collision would need ~2^32 windows
-    // per the birthday bound (vs ~2^20 here even at 10x) and md5's
-    // 32-char strings measurably pay allocation + 5x shuffle width
-    val winRows = regions.join(docs, Seq("doc_id"))
-      .select(col("doc_id"),
-        explode(sequence(col("s"),
-          least(col("e"), length(col("__text"))) - L)).as("p"),
-        col("__text"))
-      .filter(col("p") >= 0)
-      .select(col("doc_id"), col("p"),
-        xxhash64(expr(s"substring(__text, p + 1, $L)")).as("h"))
+        explode(arrays_zip(col("__w._1").as("p"),
+          col("__w._2").as("h"))).as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"))
     // window hotness: the same count-over-partition shape as the
     // anchors — the refinement pass is read once, never re-derived,
-    // and gate state stays bounded (filterHotByDistinctDocs)
-    (docs, filterHotByDistinctDocs(winRows, minDocFreq)
-      .select(col("doc_id"), col("p")))
+    // and gate state stays bounded (filterHotByDistinctDocs). Hot
+    // starts hand off repartitioned by doc_id at the pinned width so
+    // both callers' per-doc aggregations ride the explicit exchange.
+    (docs, filterHotByDistinctDocs(winRows, minDocFreq, Some(shufN))
+      .select(col("doc_id"), col("p"))
+      .repartition(shufN, col("doc_id")))
   }
 
   /** Robust winnowing over `k`-char polynomial rolling hashes, window
     * `w` k-grams, rightmost-minimum tie-break: per sliding window the
     * minimum hash position is selected; consecutive windows that
     * re-select the same position emit once. Returns distinct
-    * (position, hash). Per-doc LOCAL (runs inside the decode task);
-    * the hash is a throwaway 64-bit poly — stage 2's window hash is
-    * the arbiter, so collisions can only add anchors, never lose
-    * runs. */
+    * (position, hash) as parallel PRIMITIVE arrays — boxed tuples
+    * here cost more than the winnow itself at corpus row counts.
+    * Per-doc LOCAL (runs inside the decode task); the hash is a
+    * throwaway 64-bit poly — stage 2's window hash is the arbiter, so
+    * collisions can only add anchors, never lose runs. */
   private[ops] def winnowAnchors(text: String, k: Int,
-                                 w: Int): Seq[(Int, Long)] = {
-    if (text == null || text.length < k + w - 1) return Nil
+                                 w: Int): (Array[Int], Array[Long]) = {
+    if (text == null || text.length < k + w - 1)
+      return (Array.empty[Int], Array.empty[Long])
     val n = text.length - k + 1 // k-gram count
     val hs = new Array[Long](n)
     val B = 1000003L
@@ -1840,17 +1953,31 @@ object Dedup {
       hs(i) = h
       i += 1
     }
-    val out = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    // Sliding-window minimum via a monotonic index deque — O(n) where
+    // the r14 rescan paid O(n·w). Invariant: indices ascending, hash
+    // values strictly ascending; pushing i pops every back with
+    // hs(back) >= hs(i), so among equal minima only the NEWEST index
+    // survives — exactly the rightmost-minimum tie-break the rescan
+    // computed (j scans left-to-right taking `<=`).
+    val pb = new scala.collection.mutable.ArrayBuilder.ofInt
+    val hbOut = new scala.collection.mutable.ArrayBuilder.ofLong
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
     var last = -1
-    var win = 0
-    while (win <= n - w) {
-      var best = win
-      var j = win + 1
-      while (j < win + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
-      if (best != last) { out += ((best, hs(best))); last = best }
-      win += 1
+    var i2 = 0
+    while (i2 < n) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i2)) tail -= 1
+      dq(tail) = i2; tail += 1
+      val win = i2 - w + 1 // window [win, i2] complete once win >= 0
+      if (win >= 0) {
+        while (dq(head) < win) head += 1
+        val best = dq(head)
+        if (best != last) { pb += best; hbOut += hs(best); last = best }
+      }
+      i2 += 1
     }
-    out.toSeq
+    (pb.result(), hbOut.result())
   }
 
   /** The rewrite half of [[duplicateSpans]] — Lee et al.'s actual

@@ -164,8 +164,16 @@ object ModelScoring {
     // (registration is idempotent — the streaming twin's discipline)
     graft.functions.GraftFunctions.register(spark)
     val sig = scorer.signature
-    require(sig != null && sig.nonEmpty && !sig.contains("/"),
-      "scorer signature must be a non-empty path segment (no '/')")
+    // charset-tight, not just '/'-free: the signature is interpolated
+    // RAW into both the `scorer://` key namespace and the provenance
+    // head JSON — a quote or backslash would store malformed JSON in
+    // every score row, so refuse it at the door instead of escaping
+    // downstream
+    require(sig != null && sig.nonEmpty &&
+        sig.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'),
+      "scorer signature must be a non-empty [A-Za-z0-9._-] token " +
+        s"(got '$sig')")
     // the stored uri keeps its scheme LITERALLY (no uriFromUrl pass):
     // the fetch path's canonical keys are scheme-STRIPPED, so no fetch
     // row's uri can ever contain "://" — keeping it makes collision
@@ -241,7 +249,12 @@ object ModelScoring {
         val once = scored.localCheckpoint(true)
         store.append(once)
         once
-      case None => scored
+      // the store-less path checkpoints too: an UNMATERIALIZED scored
+      // frame re-invokes scoreBatch on every action over the result
+      // (count + collect = 2x the live POSTs with HttpScorer, and a
+      // task retry re-POSTs its partition) — store-less means "no
+      // durable rows", not "at-least-twice scoring"
+      case None => scored.localCheckpoint(true)
     }
     val freshRows = persisted
       .select(col("uri"), col("data_hash"), col("body").as("__c_body"),
@@ -267,10 +280,35 @@ object ModelScoring {
         col("__c_body").cast("double").as("score"), col("from_cache"))
   }
 
+  /** Takedown/retention parity for the score store (the LabelStore
+    * removeMembers / index-expiry discipline, applied to scores): drop
+    * EXACTLY the `scorer://signature/` namespace from `cache` — a
+    * retrained model's predecessor rows are dead weight forever once
+    * its signature is bumped. Rides the store's own compact-shaped
+    * rewrite ([[graft.sources.ResourceCache.purgePrefix]]); other
+    * signatures and ordinary fetch rows are untouched, and the next
+    * scoring run under the purged signature re-scores from the model. */
+  def purgeScores(cache: ResourceCache, signature: String): Unit = {
+    require(signature != null && signature.nonEmpty &&
+        signature.forall(c => (c >= 'a' && c <= 'z') ||
+          (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
+          c == '.' || c == '_' || c == '-'),
+      "scorer signature must be a non-empty [A-Za-z0-9._-] token " +
+        s"(got '$signature')")
+    cache.purgePrefix(s"scorer://$signature/")
+  }
+
   /** The gate the scores exist for: every doc keeps its score and a
     * `keep` verdict against `threshold`. Rows are never dropped here —
     * the caller filters on `keep` (the filter_documents convention:
-    * verdicts are data, removal is the caller's explicit act). */
+    * verdicts are data, removal is the caller's explicit act).
+    *
+    * PRECONDITION: `idCol` must be unique and non-null per doc row —
+    * the verdict join is an inner equi-join on it, so a null id row
+    * would vanish silently and a duplicated id would fan out (each
+    * doc row matching every score row of that id). The oracle
+    * fixtures and every `documents`-table caller already satisfy it;
+    * callers gating ad-hoc frames must dedupe ids first. */
   def gateByScore(docs: DataFrame, idCol: String, textCol: String,
                   scorer: Scorer, threshold: Double,
                   cache: Option[ResourceCache] = None,

@@ -11,17 +11,17 @@ import graft.ops.{Curation, Dedup, TextOps}
   * DuckDB oracle SQL live in THIS file, in the same key order, so a
   * semantics change cannot land on one side without the other being
   * one screen away. Registered through [[TrainingData]]. */
-private[queries] object TrainingDedup {
+private[graft] object TrainingDedup {
   import TrainingShared._
 
   // q147 planted license blocks: A = P+Q, B = Q+R overlap only in the
   // ≥50-char core Q; a third class flanks Q with per-doc-unique text.
-  private val ExactSubstrP =
+  private[graft] val ExactSubstrP =
     "prelude words for the planted license block "
-  private val ExactSubstrQ =
+  private[graft] val ExactSubstrQ =
     "creative commons attribution share alike four point zero " +
       "international license applies to this content"
-  private val ExactSubstrR =
+  private[graft] val ExactSubstrR =
     " with an appended suffix naming the original author"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

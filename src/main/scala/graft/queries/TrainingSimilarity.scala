@@ -264,11 +264,13 @@ private[queries] object TrainingSimilarity {
         .select(col("vec_id"),
           when(col("vec_id") % 10 === 0 && col("__donor").isNotNull,
             col("__donor")).otherwise(col("embedding")).as("embedding"))
+      // (8,4) = the SHIPPED SrpIndexStore default (raised r15 after
+      // the q151 audit measured (8,2) at 0.851 recall; (8,4) 0.937)
       Similarity.embeddingDedupAgainstIndex(batch,
           Similarity.srpBucketRows(idx, "vec_id", "embedding",
-            planes = 8, tables = 2),
+            planes = 8, tables = 4),
           idx.select(col("vec_id"), col("embedding")),
-          planes = 8, tables = 2, threshold = 0.9)
+          planes = 8, tables = 4, threshold = 0.9)
         .orderBy(col("new_id"))
     }),
 
@@ -279,9 +281,10 @@ private[queries] object TrainingSimilarity {
     // true cosine in [0.87, 0.93] — exactly the band where SRP sign
     // agreement is probabilistic, so recall DISCRIMINATES between
     // constructions instead of saturating on identical-copy pairs.
-    // The published SrpIndexStore default (planes=8, tables=2 —
-    // sources/SrpIndex.scala) ships with a measured recall row, not
-    // folklore; (4,2)/(8,1)/(8,4) bracket it on cost and recall.
+    // The published SrpIndexStore default (planes=8, tables=4 —
+    // sources/SrpIndex.scala, raised from (8,2) in r15 BECAUSE of
+    // this audit's 0.851 row) ships with a measured recall row, not
+    // folklore; (4,2)/(8,1)/(8,2) bracket it on cost and recall.
     "q151_gate_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val idx = emb.filter(col("vec_id") % 5 =!= 0)
@@ -915,11 +918,19 @@ private[queries] object TrainingSimilarity {
          |ib AS (
          |  SELECT vec_id, 0 AS t, ${srpBucketSql(8, 0)} AS bk FROM idx
          |  UNION ALL
-         |  SELECT vec_id, 1, ${srpBucketSql(8, 8)} FROM idx),
+         |  SELECT vec_id, 1, ${srpBucketSql(8, 8)} FROM idx
+         |  UNION ALL
+         |  SELECT vec_id, 2, ${srpBucketSql(8, 16)} FROM idx
+         |  UNION ALL
+         |  SELECT vec_id, 3, ${srpBucketSql(8, 24)} FROM idx),
          |bb AS (
          |  SELECT vec_id, 0 AS t, ${srpBucketSql(8, 0)} AS bk FROM bat
          |  UNION ALL
-         |  SELECT vec_id, 1, ${srpBucketSql(8, 8)} FROM bat),
+         |  SELECT vec_id, 1, ${srpBucketSql(8, 8)} FROM bat
+         |  UNION ALL
+         |  SELECT vec_id, 2, ${srpBucketSql(8, 16)} FROM bat
+         |  UNION ALL
+         |  SELECT vec_id, 3, ${srpBucketSql(8, 24)} FROM bat),
          |cand AS (
          |  SELECT DISTINCT bb.vec_id AS new_id, ib.vec_id AS old_id
          |  FROM bb JOIN ib ON bb.t = ib.t AND bb.bk = ib.bk

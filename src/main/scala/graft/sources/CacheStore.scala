@@ -24,6 +24,14 @@ trait ResourceCache {
             auth: AuthConfig = AuthConfig.none): DataFrame
   /** Rewrite the append log into one row per key. */
   def compact(): Unit
+  /** Retention/takedown by key namespace: drop every row whose `uri`
+    * starts with `uriPrefix`, rewriting the log like [[compact]] (one
+    * row per surviving key). The scoring path's per-signature purge
+    * ([[graft.ops.ModelScoring.purgeScores]]) rides this — a retrained
+    * model's predecessor rows (`scorer://old-sig/...`) are dead weight
+    * forever without it — and any URL-prefixed fetch namespace can be
+    * evicted the same way. */
+  def purgePrefix(uriPrefix: String): Unit
 }
 
 object ResourceCache {
@@ -93,6 +101,14 @@ class CacheStore(val path: String, spark: SparkSession) extends ResourceCache {
     val compacted = read().localCheckpoint(true)
     compacted.write.mode("overwrite").parquet(path)
   }
+
+  /** Drop the `uriPrefix` namespace; the survivors rewrite compacted. */
+  def purgePrefix(uriPrefix: String): Unit = {
+    if (!exists) return
+    val kept = read().filter(!col("uri").startsWith(uriPrefix))
+      .localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(path)
+  }
 }
 
 /** [[CacheStore]] with the append log in a (uri, data_hash)-BUCKETED
@@ -147,5 +163,13 @@ class BucketedCacheStore(spark: SparkSession, val table: String = "graft_resourc
   def compact(): Unit = if (exists) {
     val compacted = read().localCheckpoint(true)
     Bucketed.writeKeys(compacted, table, Seq("uri", "data_hash"), buckets)
+  }
+
+  /** Drop the `uriPrefix` namespace; survivors rewrite compacted,
+    * keeping the bucketing. */
+  def purgePrefix(uriPrefix: String): Unit = if (exists) {
+    val kept = read().filter(!col("uri").startsWith(uriPrefix))
+      .localCheckpoint(true)
+    Bucketed.writeKeys(kept, table, Seq("uri", "data_hash"), buckets)
   }
 }

@@ -42,13 +42,26 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * Scale shape per gate round: one native-SRP projection over the
   * batch (tables × batch skinny rows), ONE co-located join on
   * (t, bucket), candidate-bounded embedding joins, one aggregation to
-  * verdicts. Nothing corpus-quadratic; the driver sees nothing. */
+  * verdicts. Nothing corpus-quadratic; the driver sees nothing.
+  *
+  * DEFAULT CONSTRUCTION (planes=8, tables=4) is the MEASURED choice,
+  * not folklore: the q151 recall audit ([[graft.ops.Similarity
+  * .gateRecallAudit]], NOTES_r14 §6 table) puts (8,2) at 0.851 recall
+  * against exact all-pairs truth at the gate's own 0.9 threshold — a
+  * gate that silently misses ~1 in 7 true near-dups — while (8,4)
+  * measures 0.937 at 2× candidate cost and (4,2) needs 13× the
+  * candidates for the same recall. r14 shipped (8,2); r15 raised the
+  * default to the ≥0.93 row. Existing (8,2) indexes are SAFE from the
+  * bump: the recorded contentTag makes a default-construction handle
+  * REFUSE them loudly (screen and publish) — reopen with explicit
+  * (planes=8, tables=2) to keep screening at the old construction, or
+  * re-publish to migrate. */
 class SrpIndexStore(spark: SparkSession,
                     val bucketsTable: String = "graft_srp_buckets",
                     val vecsTable: String = "graft_srp_vecs",
                     buckets: Int = 32,
                     planes: Int = 8,
-                    tables: Int = 2,
+                    tables: Int = 4,
                     threshold: Double = 0.9) {
   import org.apache.spark.sql.functions._
 

@@ -303,14 +303,18 @@ object Streaming {
     * operator's old_id ≠ new_id filter makes crash-replays re-emit
     * original verdicts — the family contract. Store callbacks receive
     * batch-sized frames only (append-only O(batch) per micro-batch);
-    * [[graft.sources.SrpIndexStore]] is the bucketed implementation. */
+    * [[graft.sources.SrpIndexStore]] is the bucketed implementation.
+    * Default construction (8,4) follows the store's measured-recall
+    * default (q151 audit: 0.937 vs 0.851 at the r14-era (8,2)) — the
+    * sink and the store MUST agree on (planes, tables) or the store's
+    * contentTag check refuses the publish. */
   def embeddingDedupSink(idCol: String, embCol: String,
                          loadBuckets: SparkSession => DataFrame,
                          loadVecs: SparkSession => DataFrame,
                          saveVecs: DataFrame => Unit,
                          saveBuckets: DataFrame => Unit,
                          emit: DataFrame => Unit,
-                         planes: Int = 8, tables: Int = 2,
+                         planes: Int = 8, tables: Int = 4,
                          threshold: Double = 0.9)
                         (stream: DataFrame): DataStreamWriter[Row] =
     stream.writeStream

@@ -168,7 +168,12 @@ object CodecConformance {
   def loadManifest(dir: String): Seq[Vector] =
     new String(Files.readAllBytes(Paths.get(dir).resolve("manifest.tsv")),
       StandardCharsets.UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      // tolerate CRLF checkouts: the kit's audience is EXTERNAL
+      // adapter authors, and a git autocrlf clone would otherwise
+      // fail every vector on an invisible trailing \r in `expect`
+      // (.gitattributes pins conformance/* -text as the first line of
+      // defense; this is the second)
+      .split("\r?\n").toSeq.filter(_.nonEmpty).map { line =>
         line.split("\t") match {
           case Array(kind, name, file, expect) => Vector(kind, name, file, expect)
           case _ => sys.error(s"malformed manifest line: $line")

@@ -252,14 +252,17 @@ object StreamProbe {
     // its embeddings against the ever-growing published index, then
     // publishes (vecs-first, via the store's own safe order — the
     // sink's saveBuckets is the no-op, mirroring the indexed-dedup
-    // wiring above). 16 planes keep random-pair bucket collisions at
-    // 2^-16 per table, so the candidate join stays selective as the
-    // index grows ~55x — the construction a production gate would run
-    // (the q151 audit is where the planes/recall trade is measured).
+    // wiring above). Probed at the SHIPPED default construction
+    // (planes=8, tables=4 — the q151-audited >=0.93-recall row the
+    // r15 default bump installed), so the plateau is evidence about
+    // what ships: 8 planes collide random pairs at 2^-8 per table,
+    // the worst-case candidate load the default gate pays while the
+    // index grows ~55x; every candidate still exits through exact
+    // cosine.
     {
       val store = new graft.sources.SrpIndexStore(spark,
         bucketsTable = "sprobe_srp_buckets", vecsTable = "sprobe_srp_vecs",
-        buckets = 16, planes = 16, tables = 2, threshold = 0.9)
+        buckets = 16, planes = 8, tables = 4, threshold = 0.9)
       val dim = 32
       val embUdf = udf { (id: Long) =>
         // every 10th vector copies one from the UNREMAPPED range (the
@@ -298,7 +301,7 @@ object StreamProbe {
             if (batchN % 20 == 0) store.compact()
           }, _ => (),
           v => dups += v.filter(col("is_dup")).count(),
-          planes = 16, tables = 2, threshold = 0.9)(
+          planes = 8, tables = 4, threshold = 0.9)(
           spark.readStream
             .schema(spark.read.parquet(s"$embDir/vecs").schema)
             .option("maxFilesPerTrigger", "1").parquet(s"$embDir/vecs"))

@@ -184,6 +184,95 @@ class ModelScoringSpec extends SparkTestBase {
     }
   }
 
+  test("transport retries end-to-end: 429,503,200 schedule lands every " +
+      "score exactly once; exhausted retries append NOTHING") {
+    FlakyTransport.reset()
+    val docs = corpus(12)
+    val dir = Files.createTempDirectory("graft-flaky").resolve("cache").toString
+    val store = new CacheStore(dir, spark)
+    val scorer = new HttpScorer("flaky-v1", "http://scorer.test/v1/score",
+      new FlakyTransport)
+    // maxConcurrency=1 → one scoring partition → sequential batches of
+    // 4 → exactly 3 requests, each surviving a 429-then-503 greeting
+    val out = ModelScoring.scoreWithCache(docs, "doc_id", "text", scorer,
+        cache = Some(store), batchSize = 4, maxConcurrency = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === corpus(12).collect()
+      .map(r => r.getLong(0) -> Scorer.Default.score(r.getString(1))).toMap,
+      "scores after transport retries must equal the closed form")
+    // the 0/2/4 schedule, per request: attempt 1 unslept (delay 0),
+    // then 2 s after the 429, 4 s after the 503 — recorded, not slept
+    import scala.jdk.CollectionConverters._
+    assert(FlakyTransport.sleeps.asScala.toSeq === Seq(2, 4, 2, 4, 2, 4),
+      s"got ${FlakyTransport.sleeps.asScala.toSeq}")
+    assert(FlakyTransport.sends.get() === 9, "3 requests x 3 attempts")
+    // exactly once DESPITE the retries: one stored row per distinct
+    // text, and a replay run never consults any scorer
+    val stored = store.read()
+      .filter(col("uri").startsWith("scorer://flaky-v1/"))
+    assert(stored.count() === 12)
+    assert(stored.select("uri").distinct().count() === 12,
+      "a retried batch must never append a key twice")
+    val replay = ModelScoring.scoreWithCache(docs, "doc_id", "text",
+        ThrowingScorer2("flaky-v1"), cache = Some(store))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(replay === out)
+    // a request that EXHAUSTS the envelope (503 on all 5 attempts,
+    // full 2/4/8/16 schedule slept-and-recorded) FAILS the run with
+    // no partial append: the checkpoint that makes scoring
+    // exactly-once sits BEFORE the store append
+    FlakyTransport.reset()
+    intercept[org.apache.spark.SparkException] {
+      ModelScoring.scoreWithCache(docs, "doc_id", "text",
+        new HttpScorer("dead-v1", "http://scorer.test/v1/score",
+          new DeadTransport),
+        cache = Some(store), batchSize = 4, maxConcurrency = 1).collect()
+    }
+    assert(FlakyTransport.sleeps.asScala.toSeq.take(4) === Seq(2, 4, 8, 16),
+      s"full backoff schedule must run: ${FlakyTransport.sleeps.asScala.toSeq}")
+    assert(store.read().filter(col("uri").startsWith("scorer://dead-v1/"))
+      .count() === 0, "an exhausted-retry batch must append nothing")
+  }
+
+  test("purgeScores removes exactly one signature's namespace; the " +
+      "next run re-scores; other signatures and fetch rows untouched") {
+    RecordingScorer.reset()
+    val docs = corpus(10)
+    val dir = Files.createTempDirectory("graft-purge").resolve("cache").toString
+    val store = new CacheStore(dir, spark)
+    ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer("model-a"), cache = Some(store)).collect()
+    ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer("model-b"), cache = Some(store)).collect()
+    // plus an ordinary FETCH row sharing the store — purge must not
+    // touch the non-scorer namespace
+    store.append(Seq(("example.org/page", "h1", "GET",
+        "http://example.org/page", null.asInstanceOf[String], 200, "{}",
+        "body!", false, new java.sql.Timestamp(1L)))
+      .toDF(graft.sources.Resources.schema.fieldNames: _*))
+    assert(store.read().filter(col("uri")
+      .startsWith("scorer://model-a/")).count() === 10)
+    ModelScoring.purgeScores(store, "model-a")
+    val after = store.read()
+    assert(after.filter(col("uri").startsWith("scorer://model-a/"))
+      .count() === 0, "purged namespace must be empty")
+    assert(after.filter(col("uri").startsWith("scorer://model-b/"))
+      .count() === 10, "other signatures must survive")
+    assert(after.filter(col("uri") === "example.org/page").count() === 1,
+      "fetch rows must survive a score purge")
+    // a replay under the purged signature RE-SCORES; model-b still
+    // serves from cache (ThrowingScorer2 proves zero model calls)
+    RecordingScorer.reset()
+    ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer("model-a"), cache = Some(store)).collect()
+    assert(RecordingScorer.calls.get() > 0, "purged scores must re-score")
+    ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      ThrowingScorer2("model-b"), cache = Some(store)).collect()
+    intercept[IllegalArgumentException] {
+      ModelScoring.purgeScores(store, "evil/../../sig")
+    }
+  }
+
   test("scorer contract violations surface, not corrupt: wrong arity and NaN") {
     val docs = corpus(5)
     val e1 = intercept[org.apache.spark.SparkException] {
@@ -263,6 +352,50 @@ object ModelScoringSpec {
           (1 to n).map(_ => "\"hi\"").mkString("[", ",", "]"))
       }
     }
+  }
+
+  /** [[graft.sources.HttpFetcher]] with transport + clock injected
+    * (its own test seams): every REQUEST is greeted by 429 then 503
+    * before the 200 with real closed-form scores, so a scoring run
+    * drives the full 0/2/4/8/16 backoff machinery end-to-end; sleeps
+    * are recorded, never slept. */
+  class FlakyTransport extends graft.sources.HttpFetcher {
+    override protected def sleep(seconds: Int): Unit =
+      FlakyTransport.sleeps.add(seconds)
+    override protected def fetchOnce(method: String, url: String,
+        requestBody: String,
+        headers: Map[String, String]): graft.sources.FetchResponse = {
+      FlakyTransport.sends.incrementAndGet()
+      val k: Int = FlakyTransport.attempts.merge(requestBody, 1,
+        (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      if (k == 1) graft.sources.FetchResponse(429, "{}", "")
+      else if (k == 2) graft.sources.FetchResponse(503, "{}", "")
+      else {
+        val node = graft.core.PyJson.parse(requestBody)
+        val scores = (0 until node.size)
+          .map(i => Scorer.Default.score(node.get(i).asText))
+        graft.sources.FetchResponse(200, "{}",
+          scores.mkString("[", ",", "]"))
+      }
+    }
+  }
+  object FlakyTransport {
+    val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val sends = new AtomicInteger(0)
+    val attempts =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    def reset(): Unit = { sleeps.clear(); sends.set(0); attempts.clear() }
+  }
+
+  /** Always-503 transport on the same recorded clock: the fetch
+    * envelope runs its FULL 0/2/4/8/16 schedule and still fails. */
+  class DeadTransport extends graft.sources.HttpFetcher {
+    override protected def sleep(seconds: Int): Unit =
+      FlakyTransport.sleeps.add(seconds)
+    override protected def fetchOnce(method: String, url: String,
+        requestBody: String,
+        headers: Map[String, String]): graft.sources.FetchResponse =
+      graft.sources.FetchResponse(503, "{}", "")
   }
 
   /** A fake model server behind the Fetcher seam: parses the batch

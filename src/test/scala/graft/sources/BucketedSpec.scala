@@ -761,6 +761,17 @@ class BucketedSpec extends SparkTestBase {
     intercept[IllegalStateException] {
       other.publish(batch, "vec_id", "embedding")
     }
+    // the r15 default bump's migration hazard, pinned: a store
+    // published under an OLD construction must refuse a handle opened
+    // at the current DEFAULTS (8,4) — never silently screen at the
+    // wrong construction; explicit old params remain the opt-in
+    val defHandle = new SrpIndexStore(spark, "bspec_srp_buckets",
+      "bspec_srp_vecs", buckets = 4)
+    val eDef = intercept[IllegalStateException] {
+      defHandle.screen(batch, "vec_id", "embedding")
+    }
+    assert(eDef.getMessage.contains("srp:p8:t4")
+      && eDef.getMessage.contains("srp:p6:t2"))
     // orphan repair: plant bucket rows with no vector; compact drops
     // exactly them and keeps the gate's verdicts intact (+ the tag)
     import org.apache.spark.sql.functions.col
