@@ -50,6 +50,28 @@ object Dedup {
         call_function("graft_minhash", col(textCol), lit(k), lit(shingleSize)).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** Hot-shingle cap DERIVED from a per-row pair budget — the
+    * scale-safety number with its justification attached, replacing
+    * the bare maxShingleFreq=1000 the r14 audit called a magic
+    * number. The arithmetic: a blocking group of size g emits
+    * g·(g−1)/2 candidate pairs across its g (doc, shingle) rows,
+    * i.e. (g−1)/2 pairs per row; keeping groups of size ≤ cap =
+    * 2·budget bounds that at (2·budget−1)/2 < budget, so TOTAL
+    * candidates ≤ exploded rows × budget — LINEAR in corpus size for
+    * a fixed budget, whatever the group-size distribution does (the
+    * executable rows×cap/2 bound ScaleCurveProbe's candidate audit
+    * asserts every run). The audit also measured the converse:
+    * UNCAPPED growth on a closed-vocabulary corpus is quadratic
+    * (exponent 2.01 sf0.1→1.0), so the budget is not hygiene — it is
+    * the thing standing between the pair explode and an O(n²) job at
+    * 100 TB. The q-family default budget 500 reproduces the audited
+    * cap of 1000 exactly (oracle HAVING clauses mirror it
+    * cap-exactly). */
+  def shingleCapForPairBudget(pairsPerRowBudget: Int): Int = {
+    require(pairsPerRowBudget >= 1, "pair budget must be positive")
+    2 * pairsPerRowBudget
+  }
+
   /** (a, b) pairs with a < b from a SORTED id array — the local
     * pair-generation step shared by every blocking dedup operator:
     * grouping by the blocking key and emitting pairs in place replaces

@@ -27,14 +27,15 @@ private[graft] object TrainingDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact n-gram Jaccard near-dups over shared-shingle candidates.
-    // maxShingleFreq = 1000 bounds the hot-shingle pair blow-up at
+    // the budget-derived cap (pairsPerRow 500 -> maxShingleFreq 1000,
+    // Dedup.shingleCapForPairBudget) bounds the hot-shingle pair blow-up at
     // scale (f² rows per shingle shared by f docs); the oracle mirrors
     // the cap (HAVING COUNT(*) <= 1000 on the shingle block), so parity
     // is cap-exact at ANY SF — not just while no trigram's
     // doc-frequency exceeds the cap (max observed at sf0.1 is 25).
     "q22_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardBlocked(t(s, d, "documents"), "doc_id", "text",
-          threshold = 0.8, shingleSize = 3, maxShingleFreq = 1000)
+          threshold = 0.8, shingleSize = 3, maxShingleFreq = Dedup.shingleCapForPairBudget(500))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -177,7 +178,7 @@ private[graft] object TrainingDedup {
     "q91_lsh_audit" -> ((s, d) => {
       Dedup.lshAudit(t(s, d, "documents"), "doc_id", "text",
           k = 16, bandConfigs = Seq(2, 4, 8), shingleSize = 3,
-          threshold = 0.8, maxShingleFreq = 1000)
+          threshold = 0.8, maxShingleFreq = Dedup.shingleCapForPairBudget(500))
         .orderBy(col("bands"))
     }),
 
@@ -730,7 +731,7 @@ private[graft] object TrainingDedup {
     "q22_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |-- mirror of the Spark side's maxShingleFreq = 1000 blocking
+         |-- mirror of the Spark side's budget-derived cap (pairsPerRow 500 -> 1000) blocking
          |-- cap (no-op at test SFs, cap-exact at any SF)
          |ok AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
          |pairs AS (

@@ -75,7 +75,7 @@ private[queries] object TrainingText {
         .withColumn("word_count", m.getField("word_count"))
         .filter(m.getField("keep"))
       val pairs = Dedup.ngramJaccardBlocked(quality, "doc_id", "text",
-        threshold = 0.8, shingleSize = 3, maxShingleFreq = 1000)
+        threshold = 0.8, shingleSize = 3, maxShingleFreq = Dedup.shingleCapForPairBudget(500))
       val partners = pairs
         .select(col("id_a").as("doc_id"), col("id_b").as("partner_id"), col("jaccard"))
         .unionByName(pairs
@@ -386,7 +386,7 @@ private[queries] object TrainingText {
          |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
          |  FROM quality)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |-- the Spark side caps blocking at maxShingleFreq = 1000: a
+         |-- the Spark side caps blocking at the budget-derived 1000: a
          |-- shingle shared by more docs joins no pairs and adds no
          |-- intersection counts (per-doc sizes stay FULL) — mirrored
          |-- here so parity is cap-exact at any SF, not just while no

@@ -55,7 +55,16 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * bump: the recorded contentTag makes a default-construction handle
   * REFUSE them loudly (screen and publish) — reopen with explicit
   * (planes=8, tables=2) to keep screening at the old construction, or
-  * re-publish to migrate. */
+  * re-publish to migrate.
+  *
+  * The trade the default buys: recall comes from FEW planes x MANY
+  * tables, selectivity from many planes (random-pair collision rate
+  * 2^-planes per table — the candidate join's growth term as the
+  * index fills). (8,4) is sized for gate-scale indexes; past ~1M
+  * vectors raise `planes` (and re-run the q151 audit at the new
+  * construction — StreamProbe's sustained stage measures the
+  * candidate-load trend at the default). The tag machinery makes the
+  * re-size an explicit migration, never a silent drift. */
 class SrpIndexStore(spark: SparkSession,
                     val bucketsTable: String = "graft_srp_buckets",
                     val vecsTable: String = "graft_srp_vecs",
@@ -181,6 +190,39 @@ class SrpIndexStore(spark: SparkSession,
 }
 
 object SrpIndexStore {
+
+  /** The q151-audited construction table: measured recall of each
+    * (planes, tables) against exact all-pairs truth at the gate's 0.9
+    * threshold on the graded-planting corpus (NOTES_r14 §6; q151
+    * re-measures every round). Ordered by candidate cost. */
+  val AuditedConstructions: Seq[(Int, Int, Double)] = Seq(
+    (8, 1, 0.788), // cheapest; misses ~1 in 5
+    (8, 2, 0.851), // the pre-r15 default
+    (8, 4, 0.937), // the shipped default
+    (4, 2, 0.933)) // same recall as (8,4) at ~13x the candidates
+
+  /** Recall-targeted construction: the CHEAPEST audited
+    * (planes, tables) whose measured recall meets `target` — the
+    * constructor-level alternative to hand-picking plane counts.
+    * Refuses a target the audited table can't meet rather than
+    * silently shipping a weaker gate; re-run the q151 audit (and
+    * extend [[AuditedConstructions]]) to certify stronger
+    * constructions. */
+  def forRecall(spark: SparkSession, target: Double,
+                bucketsTable: String = "graft_srp_buckets",
+                vecsTable: String = "graft_srp_vecs",
+                buckets: Int = 32,
+                threshold: Double = 0.9): SrpIndexStore = {
+    val pick = AuditedConstructions.find(_._3 >= target).getOrElse(
+      throw new IllegalArgumentException(
+        s"no audited SRP construction reaches recall $target " +
+          s"(best: ${AuditedConstructions.map(_._3).max} — run the " +
+          "gateRecallAudit on stronger constructions and extend " +
+          "AuditedConstructions)"))
+    new SrpIndexStore(spark, bucketsTable, vecsTable, buckets,
+      planes = pick._1, tables = pick._2, threshold = threshold)
+  }
+
   def emptyBuckets(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(new java.util.ArrayList[Row](),

@@ -31,12 +31,18 @@ object ScaleCurveProbe {
 
   /** The 12 most expensive suite queries by sf0.1 bench time (all
     * documents-table readers, which is what the synthetic sf1.0
-    * provides). */
+    * provides), plus the round-14 operators (model-score gate and
+    * semantic gate: q150/q152 read documents, q149/q151 embeddings —
+    * the scoring path's distinct-text dedupe and the gate's bucket
+    * join earn the same slope + flat-Exchange gates as the rest of
+    * the heavy family). */
   val DefaultQueries: Seq[String] = Seq(
     "q50_deduplicate", "q39_dedup_clusters", "q71_leakage_split",
     "q124_quality_dedup", "q141_soundtrack_neardup", "q78_pagerank",
     "q79_pagerank_dangling", "q91_lsh_audit", "q22_ngram_jaccard",
-    "q103_containment", "q138_audio_windowed_neardup", "q47_cjk_curation")
+    "q103_containment", "q138_audio_windowed_neardup", "q47_cjk_curation",
+    "q149_embedding_gate", "q150_model_quality_gate", "q151_gate_recall",
+    "q152_scored_corpus")
 
   /** Full-materialization action (Bench's r13 protocol): a noop write
     * executes the whole plan — `.count()` would let Catalyst prune
@@ -101,9 +107,18 @@ object ScaleCurveProbe {
     // fixed cap, whatever the group-size distribution does.
     locally {
       import org.apache.spark.sql.functions._
-      val cap = 1000   // q22/q103's production maxShingleFreq
-      val demoCap = 100 // tight enough to BIND at these SFs — shows the mechanism
-      println(f"\n${"candidates"}%-12s ${"docs"}%8s ${"rows"}%10s ${"uncapped"}%13s ${"cap1000"}%13s ${"cut1000"}%8s ${"cap100"}%13s ${"cut100"}%8s ${"hottest"}%8s")
+      // all three caps come from the SAME derivation the queries use
+      // (Dedup.shingleCapForPairBudget: cap = 2·budget → per-row pairs
+      // < budget, total ≤ rows × budget): the production budget 500
+      // (cap 1000 — the q22/q103 oracle-mirrored number), a
+      // partially-binding budget 50 (cap 100 — shows the mechanism
+      // engaging at these SFs), and a HARD-binding budget 10 (cap 20 —
+      // saturated at every SF here, so its growth exponent must sit on
+      // the rows×cap/2 linear ceiling; gated at ≤ 1.2 below)
+      val cap = graft.ops.Dedup.shingleCapForPairBudget(500)
+      val demoCap = graft.ops.Dedup.shingleCapForPairBudget(50)
+      val bindCap = graft.ops.Dedup.shingleCapForPairBudget(10)
+      println(f"\n${"candidates"}%-12s ${"docs"}%8s ${"rows"}%10s ${"uncapped"}%13s ${"cap" + cap}%13s ${"cut" + cap}%8s ${"cap" + demoCap}%13s ${"cut" + demoCap}%8s ${"cap" + bindCap}%13s ${"hottest"}%8s")
       val stats = dirs.map { d =>
         val docs = graft.Tables.load(spark, d, "documents")
         val groups = docs
@@ -120,24 +135,40 @@ object ScaleCurveProbe {
           count(when(col("sz") > cap, lit(1))).as("cut"),
           cappedPairs(demoCap).as("cappedDemo"),
           count(when(col("sz") > demoCap, lit(1))).as("cutDemo"),
+          cappedPairs(bindCap).as("cappedBind"),
           max(col("sz")).as("hottest")).head
         val nDocs = docs.count()
         val (rows, unc, cappedP, cut) = (r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3))
-        val (cappedD, cutD, hot) = (r.getLong(4), r.getLong(5), r.getLong(6))
-        println(f"${d.split('/').last}%-12s $nDocs%8d $rows%10d $unc%13d $cappedP%13d $cut%8d $cappedD%13d $cutD%8d $hot%8d")
-        if (cappedP > rows * cap / 2 || cappedD > rows * demoCap / 2)
+        val (cappedD, cutD, cappedB, hot) = (r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))
+        println(f"${d.split('/').last}%-12s $nDocs%8d $rows%10d $unc%13d $cappedP%13d $cut%8d $cappedD%13d $cutD%8d $cappedB%13d $hot%8d")
+        if (cappedP > rows * cap / 2 || cappedD > rows * demoCap / 2 ||
+            cappedB > rows * bindCap / 2)
           failures ::= s"$d: capped pairs exceed the rows×cap/2 bound"
-        (nDocs, cappedP, cappedD)
+        (nDocs, cappedP, cappedD, cappedB)
       }
-      val (d1, p1, q1) = stats(1); val (d2, p2, q2) = stats(2)
+      val (d1, p1, q1, b1) = stats(1); val (d2, p2, q2, b2) = stats(2)
       def exponent(a: Long, b: Long): Double =
         math.log10(math.max(b, 1L).toDouble / math.max(a, 1L)) /
           math.log10(d2.toDouble / d1)
+      val bindExp = exponent(b1, b2)
       println(f"[scale-curve] candidate growth exponent sf0.1→sf1.0: " +
-        f"cap=$cap ${exponent(p1, p2)}%.2f, cap=$demoCap ${exponent(q1, q2)}%.2f " +
+        f"cap=$cap ${exponent(p1, p2)}%.2f, cap=$demoCap ${exponent(q1, q2)}%.2f, " +
+        f"cap=$bindCap $bindExp%.2f " +
         f"(1.0 linear; below the cap's binding point density drives the exponent, " +
         f"above it the rows×cap/2 ceiling forces linear)")
+      // the GATE the derivation promises: once a budget's cap binds,
+      // candidate growth can NEVER run super-linear (uncapped here is
+      // 2.01). The exponent may legitimately fall BELOW 1 — groups
+      // past the cap are DROPPED, not truncated (a hot shingle carries
+      // no near-dup signal), so on this closed-vocabulary synthetic a
+      // hard-saturated cap sends pair mass toward zero (measured
+      // exponent strongly negative at cap=20) — the exact opposite of
+      // the uncapped quadratic, and still bounded by rows×cap/2.
+      if (bindExp > 1.2)
+        failures ::= f"hard-binding cap=$bindCap grows super-linearly " +
+          f"(exponent $bindExp%.2f > 1.2) — the rows×cap/2 ceiling is not holding"
     }
 
     if (failures.nonEmpty) {

@@ -315,6 +315,72 @@ object StreamProbe {
       plateauReport(s"embedding-gate ${susBatches}x$susRows", durs)
     }
 
+    // model-score gate sink over a real CacheStore: a REPEAT-HEAVY
+    // text stream (90% of each batch's texts cycle through a fixed
+    // 3-batch pool, 10% stay unique) so the evidence is twofold —
+    // per-batch latency must plateau while the score store grows, AND
+    // the cache-hit ratio must rise toward ~0.9 once the pool
+    // saturates (the rising ratio IS the proof the durable store
+    // engages across batches: a sink that silently re-scored would
+    // hold latency flat and hit-ratio at zero). The store is the
+    // same append-log CacheStore family whose file-count growth mode
+    // the embedding sink's first probe run caught — the periodic
+    // compact() is the documented operating procedure here too.
+    {
+      val dir = java.nio.file.Files
+        .createTempDirectory("sp-scoregate").resolve("cache").toString
+      val store = new graft.sources.CacheStore(dir, spark)
+      def scoreText(id: Long): String = {
+        val base = if (id % 10 == 0) id // unique tail: always-new texts
+          else id % (3L * susRows)      // pool: repeats after batch 3
+        val r = new scala.util.Random(base)
+        (0 until 12).map(_ => vocab(r.nextInt(vocab.length)))
+          .mkString(s"doc $base ", " ", "")
+      }
+      val textUdf = udf(scoreText _)
+      val scoreDir = java.nio.file.Files
+        .createTempDirectory("sp-scoresus").toString
+      (0 until susBatches).foreach { b =>
+        spark.range(b.toLong * susRows, (b + 1L) * susRows)
+          .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
+          .coalesce(1).write.mode("append").parquet(s"$scoreDir/docs")
+      }
+      var batchN = 0
+      val hitRatios = scala.collection.mutable.ArrayBuffer[Double]()
+      val q = graft.streaming.Streaming.scoringGateSink(
+          "doc_id", "text", graft.ops.Scorer.Default,
+          _ => Some(store),
+          v => {
+            val r = v.agg(count(lit(1)),
+              count(org.apache.spark.sql.functions.when(col("from_cache"), 1)))
+              .head
+            hitRatios += r.getLong(1).toDouble / math.max(1L, r.getLong(0))
+            batchN += 1
+            if (batchN % 20 == 0) store.compact()
+          },
+          threshold = 0.5)(
+          spark.readStream
+            .schema(spark.read.parquet(s"$scoreDir/docs").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$scoreDir/docs"))
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sp-scoreckpt").toString)
+        .start()
+      q.processAllAvailable()
+      val durs = batchDurations(q)
+      q.stop()
+      val quarter = math.max(1, hitRatios.size / 4)
+      val earlyHit = hitRatios.take(quarter).sum / quarter
+      val lateHit = hitRatios.takeRight(quarter).sum / quarter
+      println(f"[stream] scoring-gate hit-ratio: first-quarter " +
+        f"$earlyHit%.3f -> last-quarter $lateHit%.3f " +
+        f"(pool repeats must serve from the durable store)")
+      assert(lateHit > 0.85,
+        s"cache must engage cross-batch: late hit ratio $lateHit")
+      assert(lateHit > earlyHit,
+        "hit ratio must RISE as the pool saturates")
+      plateauReport(s"scoring-gate ${susBatches}x$susRows", durs)
+    }
+
     spark.stop()
     println("[stream] all state-boundedness asserts passed")
   }

@@ -271,6 +271,21 @@ class ModelScoringSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ModelScoring.purgeScores(store, "evil/../../sig")
     }
+    // the bucketed layout purges identically (compact-shaped rewrite
+    // keeps the bucketing)
+    val bStore = new graft.sources.BucketedCacheStore(spark,
+      table = "scoring_purge_spec", buckets = 4)
+    ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer("model-a"), cache = Some(bStore),
+      broadcastCache = false).collect()
+    ModelScoring.scoreWithCache(docs, "doc_id", "text",
+      new RecordingScorer("model-b"), cache = Some(bStore),
+      broadcastCache = false).collect()
+    ModelScoring.purgeScores(bStore, "model-a")
+    assert(bStore.read().filter(col("uri").startsWith("scorer://model-a/"))
+      .count() === 0)
+    assert(bStore.read().filter(col("uri").startsWith("scorer://model-b/"))
+      .count() === 10)
   }
 
   test("scorer contract violations surface, not corrupt: wrong arity and NaN") {

@@ -772,6 +772,13 @@ class BucketedSpec extends SparkTestBase {
     }
     assert(eDef.getMessage.contains("srp:p8:t4")
       && eDef.getMessage.contains("srp:p6:t2"))
+    // recall-targeted construction resolves from the audited table:
+    // cheapest row meeting the target, loud refusal past the table
+    assert(SrpIndexStore.forRecall(spark, 0.93).contentTag === "srp:p8:t4")
+    assert(SrpIndexStore.forRecall(spark, 0.80).contentTag === "srp:p8:t2")
+    intercept[IllegalArgumentException] {
+      SrpIndexStore.forRecall(spark, 0.99)
+    }
     // orphan repair: plant bucket rows with no vector; compact drops
     // exactly them and keeps the gate's verdicts intact (+ the tag)
     import org.apache.spark.sql.functions.col
