@@ -373,7 +373,7 @@ object Dedup {
   def lshAudit(df: DataFrame, idCol: String, textCol: String,
                k: Int = 16, bandConfigs: Seq[Int] = Seq(2, 4, 8),
                shingleSize: Int = 3, threshold: Double = 0.8,
-               maxShingleFreq: Int = 1024): DataFrame = {
+               maxShingleFreq: Int = shingleCapForPairBudget(512)): DataFrame = {
     require(bandConfigs.nonEmpty, "need at least one band configuration")
     bandConfigs.foreach(b => require(b > 0 && k % b == 0,
       s"bands=$b must divide k=$k"))
@@ -446,7 +446,8 @@ object Dedup {
     * explode pairs quadratically and never discriminate near-dups) are
     * dropped before pair generation.
     *
-    * The cap DEFAULTS ON (1024): one viral shingle shared by 100k docs
+    * The cap DEFAULTS ON ([[shingleCapForPairBudget]](512) = 1024 —
+    * ≤512 generated pairs per exploded row): one viral shingle shared by 100k docs
     * is ~5×10⁹ pairs from a single group — at corpus scale an uncapped
     * default is a silent job-killer, and a shingle present in >1024
     * docs carries no near-dup signal anyway (any true near-dup pair
@@ -454,7 +455,7 @@ object Dedup {
     * explicitly, e.g. for oracle-exact runs at probe scale. */
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleSize: Int = 3,
-                          maxShingleFreq: Int = 1024): DataFrame = {
+                          maxShingleFreq: Int = shingleCapForPairBudget(512)): DataFrame = {
     // per-doc shingle count is a PER-ROW property — no aggregation, no
     // shuffle, no cache; one extra native-shingles evaluation per doc.
     val sizes = df.select(col(idCol).as("id"),
@@ -499,7 +500,7 @@ object Dedup {
     * Output: (id_a, id_b, c_ab, c_ba), ratios round(…,6). */
   def containmentPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double, shingleSize: Int = 3,
-                              maxShingleFreq: Int = 1024): DataFrame = {
+                              maxShingleFreq: Int = shingleCapForPairBudget(512)): DataFrame = {
     val sizes = df.select(col(idCol).as("id"),
       size(TextOps.distinctShingles(col(textCol), shingleSize)).cast("long").as("n"))
     val flat = df.select(col(idCol).as("id"),

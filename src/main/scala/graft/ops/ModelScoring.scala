@@ -289,11 +289,16 @@ object ModelScoring {
     * signatures and ordinary fetch rows are untouched, and the next
     * scoring run under the purged signature re-scores from the model. */
   def purgeScores(cache: ResourceCache, signature: String): Unit = {
+    // DELIBERATELY looser than scoreWithCache's [A-Za-z0-9._-] gate
+    // (only the r14-era rule: non-empty, no '/'): the write path was
+    // tightened in r15, and purge must still reach namespaces written
+    // under the old rule — e.g. 'model:v2' — or their rows become the
+    // exact dead weight this function exists to remove. A '/' is still
+    // refused because it would cross the sha1(text) segment boundary
+    // and purge more than one namespace.
     require(signature != null && signature.nonEmpty &&
-        signature.forall(c => (c >= 'a' && c <= 'z') ||
-          (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') ||
-          c == '.' || c == '_' || c == '-'),
-      "scorer signature must be a non-empty [A-Za-z0-9._-] token " +
+        !signature.contains("/"),
+      "scorer signature must be a non-empty path segment (no '/') " +
         s"(got '$signature')")
     cache.purgePrefix(s"scorer://$signature/")
   }

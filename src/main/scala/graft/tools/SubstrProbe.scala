@@ -48,10 +48,6 @@ object SubstrProbe {
       }
     })
 
-    def aug(s: SparkSession): DataFrame = {
-      val fn = graft.SparkEntry.queries("q147_exactsubstr_bytes")
-      fn(s, dir) // full query; stage slices below rebuild the aug frame
-    }
     // the same planted corpus the q147/q148 queries build
     val P = graft.queries.TrainingDedup.ExactSubstrP
     val Q = graft.queries.TrainingDedup.ExactSubstrQ
@@ -80,10 +76,11 @@ object SubstrProbe {
       println(f"[substr] $label%-28s best ${best}%.3f s  stages ${times.head._2}")
     }
 
-    // warm the session on the smallest SF
-    graft.SparkEntry.queries("q147_exactsubstr_bytes")(spark, "/root/testdata/sf0.001")
+    // warm the session on the smallest SF (arg 3 overrides)
+    val warmDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
+    graft.SparkEntry.queries("q147_exactsubstr_bytes")(spark, warmDir)
       .write.mode("overwrite").format("noop").save()
-    graft.SparkEntry.queries("q148_remove_exactsubstr")(spark, "/root/testdata/sf0.001")
+    graft.SparkEntry.queries("q148_remove_exactsubstr")(spark, warmDir)
       .write.mode("overwrite").format("noop").save()
 
     val (docs, hotStarts) = Dedup.hotByteWindowStarts(docsRaw, "doc_id", "text", 50, 32, 2)
