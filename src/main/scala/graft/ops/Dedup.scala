@@ -199,10 +199,12 @@ object Dedup {
     * index ids are the caller's contract to avoid — and, as defense in
     * depth for the one legitimate way a collision arises (an
     * at-least-once replay screening a batch against an index that
-    * already contains the batch's own rows), candidates with
-    * old_id == new_id are dropped: a document is never its own
-    * duplicate, so a replayed batch re-emits its original verdicts
-    * instead of flagging every doc as a self-dup at est = 1.0. */
+    * already contains the batch's own rows), EVERY batch id is
+    * excluded from the index side: a replayed batch re-emits its
+    * original verdicts exactly — including for batch docs that are
+    * near-dups of EACH OTHER, which a weaker self-only
+    * (old_id == new_id) filter would flag against each other on
+    * replay and lose entirely downstream. */
   def dedupAgainstIndex(newBatch: DataFrame, index: DataFrame,
                         idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
@@ -214,13 +216,22 @@ object Dedup {
     val est = (aggregate(
       zip_with(col("new_sig"), col("old_sig"), (a, b) => (a === b).cast("int")),
       lit(0), (acc, v) => acc + v).cast("double") / lit(k)).as("est")
+    // replay defense: EVERY batch id is excluded from the candidates
+    // (the frameSetDedupAgainstIndex contract) — a crash-replay
+    // screens against an index that already holds the whole batch, and
+    // dropping only old_id == new_id would let two MUTUALLY-near-dup
+    // batch docs flag each other on replay (both clean originally →
+    // both is_dup on replay → a downstream that drops dups loses the
+    // content entirely). The exclusion runs POST-join over the
+    // batch-bounded candidates with the skinny batch ids broadcast —
+    // never against the index side, whose (band, bucket) bucketing
+    // the probe join must keep consuming Exchange-free.
+    val batchIds = newBatch.select(col(idCol).as("old_id"))
     val hits = newRows
       .join(index.select(col("band"), col("bucket"),
         col("doc_id").as("old_id"), col("sig").as("old_sig")),
         Seq("band", "bucket"))
-      // replay defense: a doc indexed by a previous (crashed) attempt
-      // must not match itself
-      .filter(col("new_id") =!= col("old_id"))
+      .join(broadcast(batchIds), Seq("old_id"), "left_anti")
       // same (new, old) pair via several bands → one candidate row;
       // est is pair-determined, so max() just deduplicates it
       .groupBy(col("new_id"), col("old_id"))
@@ -278,14 +289,19 @@ object Dedup {
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // candidate pairs dedupe BEFORE the signature lookup (several
     // shared bands → one row), so the sig table is probed once per pair
+    // replay defense (same contract as [[dedupAgainstIndex]]): every
+    // batch id is anti-joined off the CANDIDATES (post-join, batch ids
+    // broadcast — the index side must keep consuming its bucketing
+    // Exchange-free) — if a crash landed the batch's own bands/sigs
+    // but not the stream checkpoint, the replayed screen must re-emit
+    // ORIGINAL verdicts, including for mutually-near-dup batch docs
+    // (a new_id ≠ old_id filter alone would flag those against each
+    // other on replay)
+    val batchIds = newIds.select(col("new_id").as("old_id"))
     val cands = newRows
       .join(bandIndex.select(col("band"), col("bucket"),
         col("doc_id").as("old_id")), Seq("band", "bucket"))
-      // replay defense (same contract as [[dedupAgainstIndex]]): if a
-      // crash landed the batch's own bands/sigs but not the stream
-      // checkpoint, the replayed screen must not report every doc as
-      // its own est=1.0 duplicate
-      .filter(col("new_id") =!= col("old_id"))
+      .join(broadcast(batchIds), Seq("old_id"), "left_anti")
       .groupBy(col("new_id"), col("old_id"))
       .agg(first(col("new_sig")).as("new_sig"))
     val est = (aggregate(
@@ -739,9 +755,10 @@ object Dedup {
     * Output: one row per new doc (absence is not silence) —
     * (new_id, n_dup_matches = distinct old docs within distance,
     * dup_of = smallest such old id or null, min_hamming, is_dup).
-    * Replay defense as in [[dedupAgainstIndex]]: old_id == new_id
-    * candidates are dropped, so a crash-replay against an index
-    * already holding the batch re-emits original verdicts. */
+    * Replay defense as in [[dedupAgainstIndex]]: every batch id is
+    * excluded from the index side, so a crash-replay against an index
+    * already holding the batch re-emits original verdicts — including
+    * for batch members that are near-dups of each other. */
   def hammingDedupAgainstIndex(newHashes: DataFrame, indexBlocks: DataFrame,
                                idCol: String, hashCol: String,
                                maxDistance: Int = 3): DataFrame = {
@@ -750,10 +767,18 @@ object Dedup {
       .select(col("id").as("new_id"), col("sim").as("new_sim"),
         col("blk"), col("key"))
     val ham = bit_count(col("new_sim").bitwiseXOR(col("old_sim")))
+    // replay defense: every batch id anti-joined off the candidates
+    // (post-join, batch ids broadcast — the index side keeps its
+    // (blk, key) bucketing Exchange-free; the frameSetDedupAgainstIndex
+    // contract: a self-only filter would let mutually-near-dup batch
+    // members flag each other when a crash-replay screens against
+    // their own published rows)
+    val batchIds = newHashes
+      .select(col(idCol).cast("long").as("old_id"))
     val hits = newRows
       .join(indexBlocks.select(col("blk"), col("key"),
         col("id").as("old_id"), col("sim").as("old_sim")), Seq("blk", "key"))
-      .filter(col("new_id") =!= col("old_id"))
+      .join(broadcast(batchIds), Seq("old_id"), "left_anti")
       .filter(ham <= maxDistance)
       // same pair via several blocks → one row; hamming is
       // pair-determined, min() just deduplicates it

@@ -136,9 +136,11 @@ object Similarity {
     * `oldVecs` the (vec_id, emb) payloads (vec_id-bucketed). The
     * batch SRP-projects once, candidates come from any shared
     * (t, bucket), and EXACT cosine verifies every candidate — a
-    * verdict is never "same bucket". old_id == new_id candidates are
-    * dropped (the crash-replay belt: re-screening a batch an index
-    * already holds re-emits the original verdicts, not self-dups).
+    * verdict is never "same bucket". EVERY batch id is excluded from
+    * the candidates (the crash-replay belt: re-screening a batch an
+    * index already holds re-emits the original verdicts — including
+    * for batch vectors that are near-dups of each other, which a
+    * self-only filter would flag against each other on replay).
     * Output: one row per batch vector — (new_id, n_dup_matches,
     * dup_of = smallest matching old id, best_cosine, is_dup).
     *
@@ -154,10 +156,17 @@ object Similarity {
                                  threshold: Double = 0.9): DataFrame = {
     val newK = newVecs.select(col(idCol).cast("long").as("new_id"),
       col(embCol).as("__ne"))
+    // replay defense: every batch id anti-joined off the candidates
+    // (post-join, batch ids broadcast — the index side keeps its
+    // (t, bucket) bucketing Exchange-free; the
+    // frameSetDedupAgainstIndex contract: a self-only filter would
+    // let mutually-near-dup batch vectors flag each other when a
+    // crash-replay screens against their own published rows)
+    val batchIds = newK.select(col("new_id").as("old_id"))
     val cands = srpBucketRows(newVecs, idCol, embCol, planes, tables)
       .withColumnRenamed("vec_id", "new_id")
       .join(oldBuckets.withColumnRenamed("vec_id", "old_id"), Seq("t", "bucket"))
-      .filter(col("old_id") =!= col("new_id"))
+      .join(broadcast(batchIds), Seq("old_id"), "left_anti")
       .select(col("new_id"), col("old_id")).distinct()
     val scored = cands
       .join(oldVecs.select(col(oldVecs.columns.head).cast("long").as("old_id"),

@@ -155,16 +155,23 @@ object Bucketed {
   def compactRewrite(spark: SparkSession, table: String, keys: Seq[String],
                      buckets: Int, sortCols: Seq[String] = Nil,
                      horizonMillis: Long = Long.MinValue): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, count, lit, when}
     if (!spark.catalog.tableExists(table)) return 0L
     val cur = spark.table(table)
     val applyHorizon =
       horizonMillis > Long.MinValue && cur.columns.contains("ts")
-    val kept0 =
-      if (applyHorizon)
-        cur.filter(col("ts").isNull || col("ts") >= horizonMillis)
-      else cur
-    val expired = if (applyHorizon) cur.count() - kept0.count() else 0L
+    val keepPred = col("ts").isNull || col("ts") >= horizonMillis
+    val kept0 = if (applyHorizon) cur.filter(keepPred) else cur
+    // ONE ts-pruned aggregation computes total and surviving counts
+    // together (two separate .count() jobs cost two extra full-table
+    // scans per expiry — and a concurrent append landing between them
+    // skewed the reported number; a single scan is internally
+    // consistent by construction)
+    val expired =
+      if (applyHorizon) {
+        val r = cur.agg(count(lit(1)), count(when(keepPred, 1))).head
+        r.getLong(0) - r.getLong(1)
+      } else 0L
     val kept = (if (kept0.columns.contains("ts")) kept0
                 else kept0.withColumn("ts", lit(null).cast("long")))
       .distinct().localCheckpoint(true)

@@ -97,7 +97,7 @@ class FrameSetIndexStore(spark: SparkSession,
               tsCol: Option[String] = None): Unit = {
     checkTag(s"publish to '$table'")
     Bucketed.appendAligned(spark, frameRows(frames, idCol, hashCol, tsCol),
-      table, Seq("fhash"), buckets)
+      table, Seq("fhash"), buckets, sortCols = Seq("fhash"))
     stampTagIfFresh()
   }
 
@@ -124,7 +124,8 @@ class FrameSetIndexStore(spark: SparkSession,
   /** Rewrite the append log distinct, restoring one sorted file per
     * bucket. */
   def compact(): Unit = {
-    Bucketed.compactRewrite(spark, table, Seq("fhash"), buckets)
+    Bucketed.compactRewrite(spark, table, Seq("fhash"), buckets,
+      sortCols = Seq("fhash"))
     ()
   }
 
@@ -132,7 +133,7 @@ class FrameSetIndexStore(spark: SparkSession,
     * (null-ts rows exempt); returns rows dropped. */
   def expireBefore(cutoffMillis: Long): Long =
     Bucketed.compactRewrite(spark, table, Seq("fhash"), buckets,
-      horizonMillis = cutoffMillis)
+      sortCols = Seq("fhash"), horizonMillis = cutoffMillis)
 }
 
 object FrameSetIndexStore {

@@ -195,7 +195,21 @@ class LabelStore(spark: SparkSession,
                     driverEdgeLimit: Long = 1000000L,
                     algorithm: String = "star"): DataFrame = {
     if (!exists) return emptyLabels
-    val rem = removedIds.localCheckpoint(true)
+    // a crashed earlier removal left a pending marker — its ids are
+    // still (possibly) present in the layouts. UNION them into this
+    // removal instead of overwriting the marker: overwriting would
+    // heal the layouts for THIS removal while silently resurrecting
+    // the crashed one's members forever (the marker is the only
+    // record they were ever taken down). The recompute is a superset
+    // heal — already-removed ids subtract to a no-op.
+    val requested =
+      if (removalPending)
+        removedIds.select(removedIds.columns.head).toDF("id")
+          .unionByName(pendingRemovalIds.select(
+            pendingRemovalIds.columns.head).toDF("id"))
+          .distinct()
+      else removedIds
+    val rem = requested.localCheckpoint(true)
     // marker FIRST: a crash anywhere after this line leaves the store
     // refusing maintenance until the removal is re-run to completion
     rem.write.mode("overwrite").saveAsTable(pendingTable)

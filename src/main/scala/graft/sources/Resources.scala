@@ -101,9 +101,27 @@ object Resources {
             val url = row.getAs[String]("url")
             val body = row.getAs[String]("request_body")
             // credentials enter here and go nowhere else: the stored row
-            // keeps the credential-free url/body the keys were cut from
-            val resp = fetcher.fetch(method, AuthConfig.withParameters(url, auth.parameters),
-              body, auth.headers)
+            // keeps the credential-free url/body the keys were cut from.
+            // A THROWING Fetcher becomes a failed-resource row, never a
+            // task failure: the Fetcher trait is injectable and doesn't
+            // promise no-throw (only HttpFetcher catches internally), and
+            // a task death here makes Spark retry the whole partition —
+            // re-sending every side-effectful request already answered
+            // in it — before aborting the round after 4 attempts. 597 is
+            // a private "transport threw" status (the shell twin's
+            // status-1 convention): non-2xx, so never cached as live.
+            val resp =
+              try fetcher.fetch(method,
+                AuthConfig.withParameters(url, auth.parameters),
+                body, auth.headers)
+              catch {
+                case e: Exception => FetchResponse(597,
+                  graft.core.PyJson.canonical(graft.core.PyJson.mapper
+                    .createObjectNode()
+                    .put("error", e.getClass.getSimpleName)
+                    .put("message", Option(e.getMessage).getOrElse(""))),
+                  null)
+              }
             Row(row.getAs[String]("uri"), row.getAs[String]("data_hash"), method, url, body,
               resp.status, resp.head, resp.body, false,
               new java.sql.Timestamp(System.currentTimeMillis()))

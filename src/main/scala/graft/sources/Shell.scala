@@ -41,26 +41,52 @@ object Shell {
     filled ++ flags.toSeq.sortBy(_._1).map { case (f, v) => s"$f=$v" }
   }
 
-  /** One local execution (executor-side). */
+  /** One local execution (executor-side). stdout/stderr are drained
+    * on BACKGROUND threads while the main thread owns the timeout:
+    * a blocking `readAllBytes()` before `waitFor` would (a) never
+    * reach the timeout on a command that hangs without closing
+    * stdout, and (b) deadlock mutually with the child once either
+    * pipe fills at ~64KB (child blocked writing stderr, JVM blocked
+    * reading stdout — or the stdin write blocking against a child
+    * already blocked on output). On timeout the process is killed
+    * and whatever the drains collected is returned with status 1. */
   def runOne(cmd: Seq[String], stdin: String, timeoutSeconds: Int = 60): (Int, String, String) = {
     val pb = new ProcessBuilder(cmd.asJava)
     val proc = pb.start()
-    if (stdin != null && stdin.nonEmpty) {
-      proc.getOutputStream.write(stdin.getBytes("UTF-8"))
+    def drain(in: java.io.InputStream): java.util.concurrent.FutureTask[Array[Byte]] = {
+      val t = new java.util.concurrent.FutureTask(
+        new java.util.concurrent.Callable[Array[Byte]] {
+          def call(): Array[Byte] =
+            try in.readAllBytes() catch { case _: java.io.IOException => Array.empty }
+        })
+      val th = new Thread(t, "graft-shell-drain")
+      th.setDaemon(true)
+      th.start()
+      t
     }
-    proc.getOutputStream.close()
-    val out = proc.getInputStream.readAllBytes()
-    val err = proc.getErrorStream.readAllBytes()
+    val outF = drain(proc.getInputStream)
+    val errF = drain(proc.getErrorStream)
+    try {
+      if (stdin != null && stdin.nonEmpty)
+        proc.getOutputStream.write(stdin.getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () /* child closed stdin early */ }
+    finally { try proc.getOutputStream.close() catch { case _: java.io.IOException => () } }
     val finished = proc.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
     val status = if (finished) proc.exitValue() else { proc.destroyForcibly(); 1 }
-    (status, TextUtils.cleanOutput(out), TextUtils.cleanOutput(err))
+    // after exit/kill the pipes hit EOF, so the drains terminate; the
+    // short get() bound is a belt against a pathological FS
+    def got(f: java.util.concurrent.FutureTask[Array[Byte]]): Array[Byte] =
+      try f.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: Exception => Array.empty }
+    (status, TextUtils.cleanOutput(got(outF)), TextUtils.cleanOutput(got(errF)))
   }
 
   /** The cache-aware run operator — mirrors Resources.fetchWithCache
     * with the shell cache key (uri = sorted argv, data_hash = stdin). */
   def runWithCache(commands: DataFrame, cache: DataFrame,
                    cacheOnly: Boolean = false, maxConcurrency: Int = 8,
-                   timeoutSeconds: Int = 60): DataFrame = {
+                   timeoutSeconds: Int = 60,
+                   broadcastCache: Boolean = true): DataFrame = {
     val spark = commands.sparkSession
     val uriUdf = udf { (cmd: scala.collection.Seq[String]) => Hashing.uriFromCmd(cmd.toSeq) }
     val keyed = commands
@@ -71,7 +97,12 @@ object Shell {
         col("stdout").as("c_stdout"), col("stderr").as("c_stderr"),
         col("created_at").as("c_created"))
       .dropDuplicates("uri", "stdin")
-    val joined = keyed.join(broadcast(liveCache), Seq("uri", "stdin"), "left_outer")
+    // broadcastCache=false for caches past broadcast size — the
+    // fetchWithCache knob, mirrored (the shell cache is the same
+    // grow-forever append log)
+    val joined = keyed.join(
+      if (broadcastCache) broadcast(liveCache) else liveCache,
+      Seq("uri", "stdin"), "left_outer")
     val hits = joined.filter(col("c_status").isNotNull)
       .select(col("uri"), col("stdin"), col("cmd"), col("c_status").as("status"),
         col("c_stdout").as("stdout"), col("c_stderr").as("stderr"),

@@ -84,6 +84,12 @@ class SignatureStore(dataDir: String,
       s"Filename must be a relative path in the $what directory.")
     require(p.getNameCount == 1 && p.getFileName.toString == filename,
       s"Nested paths are not allowed in the $what directory.")
+    // '.' and '..' are single-name RELATIVE paths, so the guards above
+    // pass them: '..' would target the signature directory's PARENT
+    // and '.' the directory itself — the sigType validation already
+    // rejects both; match it here
+    require(filename != "." && filename != "..",
+      s"Filename '$filename' is not a valid $what entry.")
     require(filename != "data.json",
       "Filename 'data.json' is reserved for storage save()/load().")
   }

@@ -118,16 +118,38 @@ class SrpIndexStore(spark: SparkSession,
   def publish(vecs: DataFrame, idCol: String, embCol: String,
               tsCol: Option[String] = None): Unit = {
     checkTag(s"publish to '$bucketsTable'")
+    // ONE evaluation of the caller's (possibly expensive) embedding
+    // pipeline: the selected frame checkpoints, and both writes plus
+    // the bucket derivation read the materialized rows — the
+    // SplitBandIndexStore.publishSigs discipline ("the two writes
+    // must not recompute"); without it a nondeterministic upstream
+    // could store payloads that DISAGREE with their bucket rows,
+    // silently breaking the exact-cosine verification.
     val v = vecs.select(col(idCol).cast("long").as("vec_id"),
       col(embCol).as("emb"),
       tsCol.map(t => BandIndexStore.epochMillis(vecs, t))
         .getOrElse(lit(null).cast("long")).as("ts"))
+      .localCheckpoint(true)
     Bucketed.appendAligned(spark, v, vecsTable, Seq("vec_id"), buckets,
       sortCols = Seq("vec_id"))
-    Bucketed.appendAligned(spark,
-      bucketRows(vecs, idCol, embCol).select(col("vec_id"), col("t"),
-        col("bucket")),
-      bucketsTable, Seq("t", "bucket"), buckets, sortCols = Seq("t", "bucket"))
+    // the skinny bucket rows NEVER carry ts (the class doc's
+    // unstamped contract — appendAligned would stamp a fresh table
+    // with a dead 8-byte column riding the x-tables explosion, the
+    // exact weight the split layout exists to shed); written like the
+    // band store's bands table. Tables published by the r14-era code
+    // DO carry a null ts column — align to them so appends stay loud
+    // schema matches, not silent failures.
+    val skinny = bucketRows(v, "vec_id", "emb")
+      .select(col("vec_id"), col("t"), col("bucket"))
+    val aligned =
+      if (spark.catalog.tableExists(bucketsTable) &&
+          spark.table(bucketsTable).columns.contains("ts"))
+        skinny.withColumn("ts", lit(null).cast("long"))
+      else skinny
+    Bucketed.writeKeys(
+      aligned.repartition(buckets, col("t"), col("bucket")),
+      bucketsTable, Seq("t", "bucket"), buckets,
+      sortCols = Seq("t", "bucket"), mode = "append")
     stampTagIfFresh()
   }
 
@@ -149,8 +171,11 @@ class SrpIndexStore(spark: SparkSession,
     * crash-replay contract. */
   def ingest(newVecs: DataFrame, idCol: String, embCol: String,
              tsCol: Option[String] = None): DataFrame = {
-    val verdicts = screen(newVecs, idCol, embCol).localCheckpoint(true)
-    publish(newVecs, idCol, embCol, tsCol)
+    // one evaluation of the caller's pipeline for the WHOLE round:
+    // screen and publish both read the materialized batch
+    val batch = newVecs.localCheckpoint(true)
+    val verdicts = screen(batch, idCol, embCol).localCheckpoint(true)
+    publish(batch, idCol, embCol, tsCol)
     verdicts
   }
 

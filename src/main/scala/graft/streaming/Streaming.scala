@@ -753,9 +753,14 @@ object Streaming {
       checkTag(s"load of '$table'")
       if (exists) s.table(table) else emptyFrameSetTable(s)
     }
+    // sortCols matches the batch FrameSetIndexStore on every write —
+    // the two handles share ONE table (the class contract), and Spark
+    // refuses appends whose sort spec disagrees with the table's. A
+    // pre-r15 table (created unsorted) migrates with one compact().
     def save(batchRows: DataFrame): Unit = {
       checkTag(s"save to '$table'")
-      Bucketed.appendAligned(spark, batchRows, table, Seq("fhash"), buckets)
+      Bucketed.appendAligned(spark, batchRows, table, Seq("fhash"), buckets,
+        sortCols = Seq("fhash"))
       contentTag.foreach { t =>
         if (Bucketed.getTag(spark, table, FrameSetIndexStore.TagKey).isEmpty)
           Bucketed.setTag(spark, table, FrameSetIndexStore.TagKey, t)
@@ -763,7 +768,7 @@ object Streaming {
     }
     def compact(horizonMillis: Long = Long.MinValue): Unit = {
       Bucketed.compactRewrite(spark, table, Seq("fhash"), buckets,
-        horizonMillis = horizonMillis)
+        sortCols = Seq("fhash"), horizonMillis = horizonMillis)
       ()
     }
   }

@@ -552,6 +552,28 @@ class BucketedSpec extends SparkTestBase {
     assert(merged === Map(2L -> 2L, 3L -> 2L, 100L -> 2L))
   }
 
+  test("LabelStore.removeMembers: a NEW removal over a torn one UNIONS the pending ids, never overwrites them") {
+    val store = new LabelStore(spark, "bspec_rm3_id", "bspec_rm3_cluster", buckets = 4)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    store.ingest(edges.toDF("id_a", "id_b"))
+    def pairsAmong(ms: org.apache.spark.sql.DataFrame) =
+      edges.toDF("id_a", "id_b")
+        .join(ms.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(ms.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    // removal of id 1 crashed right after writing its marker (layouts
+    // untouched — id 1 is still stored)
+    Seq(1L).toDF("id").write.mode("overwrite").saveAsTable(store.pendingTable)
+    // an UNRELATED takedown arrives: it must also complete the
+    // crashed one — overwriting the marker would resurrect id 1
+    // forever (the marker is the only record of that takedown)
+    val got = store.removeMembers(Seq(10L).toDF("id"), pairsAmong)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 2L, 3L -> 2L, 11L -> 11L),
+      s"both the crashed removal's id 1 and the new id 10 must go: $got")
+    assert(spark.table(store.idTable).filter(col("id").isin(1L, 10L)).count() === 0)
+    assert(!store.removalPending)
+  }
+
   test("appendAligned: legacy ts-less tables stay appendable unstamped; stamped publishes into them refuse loudly") {
     import graft.ops.Dedup
     // simulate a pre-retention-era published index: band rows WITHOUT
@@ -750,6 +772,21 @@ class BucketedSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), Option(r.get(2)), r.getBoolean(4)))).toMap
     assert(replay === v, "replay must re-emit original verdicts")
+    // MUTUAL in-batch near-dups: the gate screens against HISTORY, so
+    // two identical batch vectors are both clean on first contact —
+    // and a crash-replay against their own published rows must
+    // re-emit clean, not flag them against each other (the batch-id
+    // anti-join, not just a self filter)
+    val twinVec: Seq[Float] = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 1f)
+    val twins = frame(Seq((300L, twinVec), (301L, twinVec)))
+    val vTwins = store.screen(twins, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(vTwins === Map(300L -> false, 301L -> false), s"got $vTwins")
+    store.ingest(twins, "vec_id", "embedding")
+    val replayTwins = store.screen(twins, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(replayTwins === vTwins,
+      s"mutual-twin replay must re-emit original verdicts: $replayTwins")
     // a DIFFERENT construction refuses loudly in both directions
     val other = new SrpIndexStore(spark, "bspec_srp_buckets", "bspec_srp_vecs",
       buckets = 4, planes = 8, tables = 2)
@@ -784,10 +821,9 @@ class BucketedSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.col
     spark.createDataFrame(
         spark.sparkContext.parallelize(
-          Seq(Row(999L, 0, 42L, null), Row(999L, 1, 43L, null)), 1),
+          Seq(Row(999L, 0, 42L), Row(999L, 1, 43L)), 1),
         StructType(Seq(StructField("vec_id", LongType),
-          StructField("t", IntegerType), StructField("bucket", LongType),
-          StructField("ts", LongType))))
+          StructField("t", IntegerType), StructField("bucket", LongType))))
       .write.mode("append").format("parquet")
       .insertInto("bspec_srp_buckets")
     assert(store.compact() === 2L)
