@@ -40,7 +40,14 @@ final case class Configuration(
 
   def getOption(rawKey: String): Option[Any] = {
     val key = Configuration.cleanKey(rawKey).toLowerCase
-    values.get("_" + key)
+    // direct hit first, raw key as given: the reference's attribute
+    // protocol — `config.batchSize` reads __dict__["batchSize"]
+    // (stored as-is by update) BEFORE __getattr__ falls back to the
+    // lowercased `_key`/`$key`/defaults chain (types.py:110,235-237);
+    // without this probe a value stored under a non-lowercase key is
+    // permanently unretrievable
+    values.get(rawKey)
+      .orElse(values.get("_" + key))
       .orElse(values.get("$" + key))
       .orElse(values.get(key))
       .orElse(defaults.get(key))

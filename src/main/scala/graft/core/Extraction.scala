@@ -193,15 +193,23 @@ object Objective {
   }
 
   /** Mimetype from a response-head JSON object (case-insensitive
-    * Content-Type lookup, parameters stripped); absent head or header
-    * defaults to JSON — the reference's `Resource.content` contract
-    * (generic.py:186-198). */
+    * Content-Type lookup, parameters stripped the way the reference's
+    * `HttpResource.content` strips them: `split(';')[0]`,
+    * generic.py:207 — NOT `parse_content_type`, whose
+    * `[A-Za-z]+/[A-Za-z]+` regex would truncate suffixed mimetypes
+    * like `application/vnd.api+json` to `application/vnd` and throw
+    * outright on a wildcard star-slash-star header). Absent head or
+    * header defaults
+    * to JSON — a documented lenience OVER the reference, which
+    * defaults to `unknown/unknown` and lets transform raise
+    * (generic.py:207, extraction.py:135); headless fixture responses
+    * in a distributed round are treated as the JSON they are. */
   def mimeFromHead(head: String): String =
     Option(head).flatMap { h =>
       PyJson.tryParse(h).flatMap { tree =>
         tree.properties().asScala
           .find(_.getKey.equalsIgnoreCase("content-type"))
-          .map(e => TextUtils.parseContentType(e.getValue.asText)._1)
+          .map(e => e.getValue.asText.split(";")(0))
       }
     }.getOrElse("application/json")
 

@@ -8,10 +8,12 @@ import scala.collection.mutable
   */
 object TextUtils {
 
-  /** `is_json_mimetype` (utils/data.py:7,92-93). */
+  /** `is_json_mimetype` (utils/data.py:7,92-93). Python's `re.match`
+    * is a PREFIX match, so `application/jsonp` is json-truthy there —
+    * `lookingAt` mirrors that, where a full `matches()` would not. */
   private val JsonMime = "application/(.*)json".r
   def isJsonMimetype(mime: String): Boolean =
-    mime != null && JsonMime.pattern.matcher(mime).matches()
+    mime != null && JsonMime.pattern.matcher(mime).lookingAt()
 
   /** `parse_content_type` (resources/http/generic.py:671-687):
     * (mime_type, encoding or default). */
@@ -47,8 +49,6 @@ object TextUtils {
     * 1970-01-01 (utils/datetime.py:138-162). Java pattern: the
     * microsecond field `%f` maps to 6 fraction digits. */
   val DatetimeFormat = "yyyyMMddHHmmssSSSSSS"
-  private val formatter = java.time.format.DateTimeFormatter.ofPattern(
-    "yyyyMMddHHmmss").withZone(java.time.ZoneOffset.UTC)
 
   def parseDatetimeString(s: String): java.time.LocalDateTime = {
     try {

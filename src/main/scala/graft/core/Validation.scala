@@ -27,13 +27,41 @@ object Validation {
   }
 
   def validateDocument(propertiesJson: String, schemaJson: String): Seq[ValidationError] = {
-    val data = PyJson.parse(propertiesJson)
+    // a malformed properties string is a VALIDATION failure, not a
+    // crash: this runs per-row inside distributed jobs, where one
+    // corrupt document aborting the whole pass is the wrong trade.
+    // (The schema is the CALLER's artifact — that one still throws.)
+    val data = PyJson.tryParse(propertiesJson).getOrElse(
+      return Seq(ValidationError("$", "properties is not valid JSON")))
     data match {
       case o: ObjectNode => o.remove("_id")
       case _ =>
     }
     validate(data, PyJson.parse(schemaJson), "$")
   }
+
+  /** Draft-4 enum equality: numbers compare by VALUE across JSON
+    * representations (`1` matches `1.0` — the jsonschema library's
+    * semantics, where Jackson node equality would type-split them),
+    * booleans only match booleans (no Python bool-is-int leak), and
+    * everything else falls back to structural node equality. Numeric
+    * compare goes through BigDecimal so 64-bit integers past 2^53
+    * don't collide through a double. */
+  private def enumEquals(a: JsonNode, b: JsonNode): Boolean =
+    if (a.isBoolean || b.isBoolean) a.isBoolean && b.isBoolean &&
+      a.asBoolean() == b.asBoolean()
+    else if (a.isNumber && b.isNumber)
+      a.decimalValue().compareTo(b.decimalValue()) == 0
+    else if (a.isArray && b.isArray)
+      a.size() == b.size() &&
+        a.elements.asScala.zip(b.elements.asScala).forall {
+          case (x, y) => enumEquals(x, y) }
+    else if (a.isObject && b.isObject)
+      a.size() == b.size() &&
+        a.properties().asScala.forall { e =>
+          val other = b.get(e.getKey)
+          other != null && enumEquals(e.getValue, other) }
+    else a == b
 
   private def typeMatches(t: String, node: JsonNode): Boolean = t match {
     case "object" => node.isObject
@@ -77,7 +105,7 @@ object Validation {
         errors += ValidationError(path, s"expected type ${types.mkString("/")}")
     }
     Option(schema.get("enum")).filter(_.isArray).foreach { e =>
-      if (!e.elements.asScala.contains(data))
+      if (!e.elements.asScala.exists(enumEquals(_, data)))
         errors += ValidationError(path, "value not in enum")
     }
 

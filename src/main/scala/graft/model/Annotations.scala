@@ -44,10 +44,12 @@ object Annotations {
   def annotate(annotations: DataFrame, user: String, reference: String,
                name: String, value: Any): DataFrame = {
     val spark = annotations.sparkSession
+    // the reference gate is `isinstance(value, (int, float))` — ANY
+    // numeric width goes to `value` (a Float or BigDecimal landing in
+    // `string` would silently vanish from every aggregation over the
+    // numeric column)
     val (num, str) = value match {
-      case d: Double => (java.lang.Double.valueOf(d), null)
-      case i: Int => (java.lang.Double.valueOf(i.toDouble), null)
-      case l: Long => (java.lang.Double.valueOf(l.toDouble), null)
+      case n: java.lang.Number => (java.lang.Double.valueOf(n.doubleValue()), null)
       case other => (null, if (other == null) null else other.toString)
     }
     val row = spark.createDataFrame(

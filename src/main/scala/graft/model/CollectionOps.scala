@@ -188,7 +188,10 @@ object CollectionOps {
     val testSize = math.ceil(n * test).toLong
     val validateSize = math.ceil(n * validate).toLong
     val shuffled = df.withColumn("__r", rand(seed))
-    val ranked = shuffled.sortWithinPartitions(col("__r")) // local pre-sort
+    // one global sort only: .sort range-partitions and locally sorts
+    // every partition itself, so a sortWithinPartitions before it is a
+    // full wasted O(n log n) pass
+    val ranked = shuffled
       .sort(col("__r")) // global range partitioning, stays distributed
       .rdd.zipWithIndex.map { case (row, ix) =>
         val label =

@@ -67,7 +67,15 @@ object Growth {
     val base = phaseSuccess.isNull || phaseSuccess =!= "true"
     spec.dependsOn match {
       case Some(dep) =>
-        base && GraftFunctions.reach(col("task_results"), s"$$.$dep.success") === "true"
+        // NULL-safe: a doc whose dependency has NOT run yields SQL NULL
+        // here (reach on a missing key), and growWith filters on BOTH
+        // this predicate and its negation — an un-coalesced NULL fails
+        // both, silently dropping the document from the round instead
+        // of parking it in `rest` (the prepareDatasetVersion
+        // weedPredicate discipline)
+        base && coalesce(
+          GraftFunctions.reach(col("task_results"), s"$$.$dep.success") === "true",
+          lit(false))
       case None => base
     }
   }

@@ -33,6 +33,17 @@ class ConfigurationSpec extends AnyFunSuite {
     val s = c.supplement(Map("a" -> 9, "b" -> 2))
     assert(s.get("a") === 1 && s.get("b") === 2)
   }
+
+  test("a value stored under a non-lowercase key is retrievable as stored (attribute protocol, types.py:110,235-237)") {
+    // update stores keys as given; the lookup's direct probe hits the
+    // exact key BEFORE the lowercased _/$/defaults chain — without it
+    // "batchSize" would be stored yet permanently unretrievable
+    val c = Configuration(namespace = Seq("test"))
+      .withValues(Map("batchSize" -> 50))
+    assert(c.get("batchSize") === 50)
+    // the lowercased chain still misses it, like Python __getattr__
+    intercept[Configuration.ConfigurationNotFound](c.get("batchsize"))
+  }
 }
 
 class TextUtilsSpec extends AnyFunSuite {
@@ -47,6 +58,23 @@ class TextUtilsSpec extends AnyFunSuite {
     assert(TextUtils.isJsonMimetype("application/json"))
     assert(TextUtils.isJsonMimetype("application/vnd.api+json"))
     assert(!TextUtils.isJsonMimetype("text/html"))
+    // Python re.match is a PREFIX match: jsonp is json-truthy there
+    assert(TextUtils.isJsonMimetype("application/jsonp"))
+  }
+
+  test("mimeFromHead: split-on-semicolon like HttpResource.content (generic.py:207), never parse_content_type's regex") {
+    import graft.core.Objective.mimeFromHead
+    // suffixed mimetype survives whole (the regex would truncate to
+    // application/vnd and misroute away from JSON)
+    assert(mimeFromHead("""{"Content-Type":"application/vnd.api+json"}""")
+      === "application/vnd.api+json")
+    // a wildcard header is an unsupported mimetype, not a crash
+    assert(mimeFromHead("""{"content-type":"*/*; q=0.8"}""") === "*/*")
+    assert(mimeFromHead("""{"content-type":"text/html; charset=utf-8"}""")
+      === "text/html")
+    // documented lenience: absent head or header defaults to JSON
+    assert(mimeFromHead(null) === "application/json")
+    assert(mimeFromHead("{}") === "application/json")
   }
 
   test("camel→snake (dataset.py:95-110)") {

@@ -28,6 +28,32 @@ class ValidationSpec extends AnyFunSuite {
     assert(paths.contains("$.tags[1]")) // item type
   }
 
+  test("enum compares numbers by value across JSON representations; booleans stay distinct") {
+    val numEnum = """{"enum":[1, 2.5]}"""
+    // 1.0 matches enum member 1 (JSON value equality — the jsonschema
+    // semantics; Jackson node equality would type-split them)
+    assert(Validation.validateDocument("""{"x":1.0}""",
+      s"""{"properties":{"x":$numEnum}}""").isEmpty)
+    assert(Validation.validateDocument("""{"x":2.5}""",
+      s"""{"properties":{"x":$numEnum}}""").isEmpty)
+    assert(Validation.validateDocument("""{"x":3}""",
+      s"""{"properties":{"x":$numEnum}}""").nonEmpty)
+    // true must NOT match 1 (no bool-is-int leak)
+    assert(Validation.validateDocument("""{"x":true}""",
+      s"""{"properties":{"x":$numEnum}}""").nonEmpty)
+    assert(Validation.validateDocument("""{"x":true}""",
+      """{"properties":{"x":{"enum":[true]}}}""").isEmpty)
+    // value equality recurses into containers
+    assert(Validation.validateDocument("""{"x":{"a":[1.0]}}""",
+      """{"properties":{"x":{"enum":[{"a":[1]}]}}}""").isEmpty)
+  }
+
+  test("malformed properties JSON is a validation error, not a crash; a malformed schema still throws") {
+    val errs = Validation.validateDocument("not json", schema)
+    assert(errs.exists(e => e.path == "$" && e.message.contains("not valid JSON")))
+    intercept[Exception](Validation.validateDocument("{}", "not json"))
+  }
+
   // tests/django_project/datatypes/tests/test_document.py:22-32
   val referenceDocSchema =
     """{"additionalProperties": false,

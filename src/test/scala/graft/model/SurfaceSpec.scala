@@ -25,6 +25,22 @@ class AnnotationsSpec extends SparkTestBase {
     assert(scoped.head.getAs[String]("reference") === "2")
   }
 
+  test("annotate routes EVERY numeric width to the value column (views.py isinstance(int, float) gate)") {
+    var ann = Annotations.empty(spark)
+    ann = Annotations.annotate(ann, "u1", "1", "score", 0.5f) // Float
+    ann = Annotations.annotate(ann, "u1", "2", "score", 3: Short)
+    ann = Annotations.annotate(ann, "u1", "3", "score", BigDecimal("2.25"))
+    ann = Annotations.annotate(ann, "u1", "4", "score", "text")
+    val byRef = ann.collect()
+      .map(r => r.getAs[String]("reference") ->
+        ((Option(r.getAs[java.lang.Double]("value")), r.getAs[String]("string"))))
+      .toMap
+    assert(byRef("1") === ((Some(0.5), null)))
+    assert(byRef("2") === ((Some(3.0), null)))
+    assert(byRef("3") === ((Some(2.25), null)))
+    assert(byRef("4") === ((None, "text")))
+  }
+
   test("anti-join candidates exclude annotated refs, page-limited (views.py:122-131)") {
     var ann = Annotations.empty(spark)
     ann = Annotations.annotate(ann, "u1", "0", "quality", 1.0)

@@ -175,6 +175,16 @@ class GrowthPipelineSpec extends SparkTestBase {
     assert(once.filter(Growth.pendingFilter(gated)).count() === 0)
     val met = gated.copy(dependsOn = Some("test"))
     assert(once.filter(Growth.pendingFilter(met)).count() === 3)
+
+    // dependency-gated docs must be RETAINED by the round, not lost:
+    // the reach on a missing task key is SQL NULL, and an un-coalesced
+    // NULL fails both the pending filter AND its negation — the docs
+    // would vanish from the grow output entirely
+    CountingHolder.count.set(0)
+    val (gatedOut, _) = Growth.grow(docs.localCheckpoint(true), gated,
+      new CountingSource, Resources.emptyCache(spark))
+    assert(gatedOut.count() === 3, "unmet depends_on parks docs, never drops them")
+    assert(CountingHolder.count.get() === 0, "and fetches nothing")
   }
 
   test("apply_resource hook sets reference = resource.status (document.py:171-172, " +
