@@ -191,7 +191,12 @@ object Bpe {
   def vocabIds(counts: DataFrame): DataFrame =
     graft.ops.Sketches.contiguousIds(
         counts.withColumn("__neg", -col("n")),
-        Seq("__neg", "token"), partitions = 0, persist = false)
+        // persist = true: token counts are a corpus-scale aggregation,
+        // and contiguousIds' range-sampling pass shares nothing with
+        // its id passes — persist = false would re-pay the whole
+        // shuffle on the extra walk (the snakeShards discipline;
+        // false is reserved for cheap deterministic scans)
+        Seq("__neg", "token"), partitions = 0, persist = true)
       .select(col("row_ix").as("token_id"), col("token"), col("n"))
 
   /** Tokenizer FERTILITY audit: per group (source, language, domain)

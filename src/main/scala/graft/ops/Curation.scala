@@ -79,18 +79,28 @@ object Curation {
     // together (count(col) skips the nulls of unmatched rows). The
     // candidate corpus is scanned and shingled exactly once; only
     // per-doc count partials ride the shuffle.
+    // explode_OUTER + count(s): a candidate shorter than shingleSize
+    // tokens yields an empty shingle array, and a plain explode would
+    // drop it from the output entirely — it could then never be
+    // flagged, and any inner-join composition would silently lose the
+    // doc from the corpus. The outer null row keeps the doc at
+    // n_shingles 0 (count(col) skips the null) inside the SAME
+    // single-pass plan; frac is explicitly null at 0 shingles and
+    // contaminated explicitly false (no evidence) in both engines.
     val candFlat = candidates.select(col(idCol).as("doc_id"),
-      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+      explode_outer(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
     val benchSet = benchmark
       .select(explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
       .distinct()
       .withColumn("__hit", lit(1))
     candFlat.join(broadcast(benchSet), Seq("s"), "left_outer")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_overlap"))
+      .agg(count(col("s")).as("n_shingles"), count(col("__hit")).as("n_overlap"))
       .withColumn("overlap_frac",
-        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
-      .withColumn("contaminated", col("overlap_frac") >= threshold)
+        when(col("n_shingles") > 0,
+          round(col("n_overlap").cast("double") / col("n_shingles"), 6)))
+      .withColumn("contaminated",
+        coalesce(col("overlap_frac") >= threshold, lit(false)))
   }
 
   /** Canonical text normalization for duplicate detection: lowercase,
@@ -179,17 +189,23 @@ object Curation {
     // and buffers per-key frames — strictly more network than two
     // combined scans). Recompute is CPU; the shuffle is the scarce
     // resource at scale.
+    // explode_outer + count(s) in the per-doc pass: short docs stay in
+    // the output at n_shingles 0 / keep true (no boilerplate
+    // evidence); the hot-set pass filters the null rows out so the
+    // df counts are untouched
     val flat = df.select(col(idCol).as("doc_id"),
-      explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
-    val hot = flat.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      explode_outer(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+    val hot = flat.filter(col("s").isNotNull)
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq).select(col("s"))
       .withColumn("__hot", lit(1))
     flat.join(hot, Seq("s"), "left_outer")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), count(col("__hot")).as("n_boiler"))
+      .agg(count(col("s")).as("n_shingles"), count(col("__hot")).as("n_boiler"))
       .withColumn("boiler_frac",
-        round(col("n_boiler").cast("double") / col("n_shingles"), 6))
-      .withColumn("keep", col("boiler_frac") < threshold)
+        when(col("n_shingles") > 0,
+          round(col("n_boiler").cast("double") / col("n_shingles"), 6)))
+      .withColumn("keep", coalesce(col("boiler_frac") < threshold, lit(true)))
   }
 
   /** Per-domain cap: keep at most `maxPerDomain` documents per domain,
@@ -392,16 +408,21 @@ object Curation {
                          shingleSize: Int = 3, threshold: Double = 0.5,
                          nBits: Int = 1 << 14, nHashes: Int = 3): DataFrame = {
     val bitmap = bloomBuild(benchmark, textCol, shingleSize, nBits, nHashes)
+    // explode_outer + count(s): short docs stay in the output at
+    // n_shingles 0 / contaminated false (the [[decontaminate]]
+    // contract — a plain explode would silently drop them)
     candidates
       .select(col(idCol).as("doc_id"),
-        explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
+        explode_outer(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
+      .agg(count(col("s")).as("n_shingles"),
         count(when(bloomMightContain(bitmap, col("s"), nBits, nHashes), lit(1)))
           .as("n_maybe"))
       .withColumn("maybe_frac",
-        round(col("n_maybe").cast("double") / col("n_shingles"), 6))
-      .withColumn("contaminated", col("maybe_frac") >= threshold)
+        when(col("n_shingles") > 0,
+          round(col("n_maybe").cast("double") / col("n_shingles"), 6)))
+      .withColumn("contaminated",
+        coalesce(col("maybe_frac") >= threshold, lit(false)))
   }
 
   /** Deterministic hash-based stratified sampling: a document is kept

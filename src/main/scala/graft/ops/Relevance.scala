@@ -81,10 +81,17 @@ object Relevance {
         log((coalesce(col("c2"), lit(0L)).cast("double") + lit(k)) /
           (coalesce(col("c1"), lit(0L)).cast("double") + lit(k) * col("v")))
           * lit(1e12), 0).cast("long"))
-    p.groupBy(col("doc_id"))
+    val perDoc = p.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-(sum(col("lp_pico")).cast("double") / lit(1e12)) /
           count(lit(1)), 6).as("lm_score"))
+    // absence is not silence (the dsirLogWeights discipline): a doc
+    // with 0-1 tokens produces no bigram rows and would vanish from
+    // the grouped frame — the contract says it scores null, so the
+    // full id frame left-joins the scores back
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_score"))
   }
 
   /** Top-`topK` TF-IDF terms per document (smoothed idf, sklearn
@@ -158,10 +165,15 @@ object Relevance {
            queryTerms: Seq[String], topK: Int = 20,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val contrib = bm25TermScores(df, idCol, textCol, queryTerms, k1, b)
-    val aggs = queryTerms.map(t =>
-      max(when(col("term") === t, col("score"))).as(s"__s_$t"))
+    // pivot columns are named by term INDEX, not term text: a term
+    // containing '.' or '`' would break col()'s nested-field parsing,
+    // and duplicate query terms would collide into one ambiguous name
+    // (per-occurrence columns keep the standard BM25 duplicate-term
+    // sum)
+    val aggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("score"))).as(s"__s_$i") }
     val pivoted = contrib.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val total = queryTerms.map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+    val total = queryTerms.indices.map(i => coalesce(col(s"__s_$i"), lit(0.0)))
       .reduce(_ + _)
     // global top-k runs as TakeOrderedAndProject (per-partition heaps,
     // driver merge of k·partitions rows) — ranking then touches only

@@ -137,7 +137,12 @@ object Selection {
   def naiveBayesTrain(labeled: DataFrame, labelCol: String, textCol: String,
                       k: Double = 0.5): (DataFrame, DataFrame) = {
     require(k > 0, "add-k smoothing needs k > 0")
-    val tok = labeled
+    // null labels are DROPPED, not trained: when(y, 1).otherwise(0)
+    // would silently route unlabeled rows to the negative class in
+    // both the token counts and the document prior, skewing the
+    // log-odds with data nobody labeled
+    val lab = labeled.filter(col(labelCol).isNotNull)
+    val tok = lab
       .select(col(labelCol).as("y"), explode(tokens(col(textCol))).as("tk"))
     val counts = tok.groupBy(col("tk")).agg(
       sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
@@ -145,7 +150,7 @@ object Selection {
     val totals = counts.agg(
       sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"),
       count(lit(1)).as("v"))
-    val docPrior = labeled.agg(
+    val docPrior = lab.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("d_pos"),
       sum(when(col(labelCol), 0L).otherwise(1L)).as("d_neg"))
     val model = counts.crossJoin(broadcast(totals))

@@ -404,7 +404,13 @@ object Sketches {
                       valueCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
     val qcols = queries.columns
+    // the depth-row explode folds back through a groupBy keyed by a
+    // per-ROW surrogate id, not the query columns alone: grouping by
+    // value would collapse duplicate query rows, so output row count
+    // would silently diverge from input (the docstring's "queries
+    // keeps its other columns" row-preservation contract)
     queries
+      .withColumn("__qid", monotonically_increasing_id())
       .withColumn("__i", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("__bucket",
         pmod(hash60(concat(col("__i").cast("string"), lit("|"),
@@ -412,7 +418,8 @@ object Sketches {
       .join(broadcast(sketch.withColumnRenamed("i", "__i")
           .withColumnRenamed("bucket", "__bucket")),
         Seq("__i", "__bucket"), "left")
-      .groupBy(qcols.map(col): _*)
+      .groupBy((col("__qid") +: qcols.map(col)): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_estimate"))
+      .drop("__qid")
   }
 }

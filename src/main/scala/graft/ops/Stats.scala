@@ -292,9 +292,15 @@ object Stats {
     val cd = counts
       .withColumn("__cum", sum(col("__n")).over(cumW))
       .withColumn("__tot", sum(col("__n")).over(totW))
-      .select(col(groupCol), col(valueCol),
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"),
         round(col("__cum").cast("double") / col("__tot"), 6).as("cume_dist"))
-    df.join(broadcast(cd), Seq(groupCol, valueCol))
+    // null-SAFE join back (the ensembleCumeDist discipline): the
+    // aggregation counts null group/value keys, so a null-unsafe
+    // equi-join would silently drop those rows from the output —
+    // real CUME_DIST keeps them (nulls order first)
+    df.join(broadcast(cd),
+        col(groupCol) <=> col("__g") && col(valueCol) <=> col("__v"))
+      .drop("__g", "__v")
   }
 
   /** The per-source DATASET CARD: the datasheet table a corpus release
@@ -326,7 +332,10 @@ object Stats {
     val perDoc = docs.select(col(sourceCol).as("source"),
       size(toks).cast("long").as("n_toks"),
       length(col(textCol)).cast("long").as("n_chars"),
-      (lit(1000) * size(filter(toks, tk => array_contains(stopArr, tk))) /
+      // 1000L: the multiply must run in LONG arithmetic — a 32-bit
+      // 1000 * size wraps negative past ~2.15M stopword hits (a 10 MB+
+      // doc) and corrupts the card's mean silently under non-ANSI eval
+      (lit(1000L) * size(filter(toks, tk => array_contains(stopArr, tk))) /
         greatest(size(toks), lit(1))).cast("long").as("stop_milli"),
       TextOps.languageId(col(textCol)).as("lang"),
       md5(col(textCol)).as("h"))
@@ -372,7 +381,13 @@ object Stats {
     // — floor(double /) silently loses bins past 2^53)
     def bins(df: DataFrame, cnt: String): DataFrame = {
       val v = col(valueCol).cast("long")
-      df.select(call_function("div", v - pmod(v, lit(binWidth)), lit(binWidth)).as("bin"))
+      // nulls are excluded from BOTH masses (the histogramSketchGrouped
+      // discipline): a null value would bin to a null key that the
+      // null-unsafe domain join can never match, inflating the totals
+      // and bin count while its probability mass silently vanishes —
+      // Σp < 1 and the PSI is wrong
+      df.filter(col(valueCol).isNotNull)
+        .select(call_function("div", v - pmod(v, lit(binWidth)), lit(binWidth)).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
     }
       .localCheckpoint(true)

@@ -74,9 +74,18 @@ object TextOps {
     * documents with no shingles (< `n` tokens) return null.
     *
     * Pure column composition (md5 / slice / array_min built-ins) —
-    * stays inside whole-stage codegen; cost O(shingles × w) per row. */
+    * stays inside whole-stage codegen; cost O(shingles × w) per row.
+    * The hash array binds ONCE through a single-element `transform`
+    * lambda: higher-order functions get no subexpression elimination,
+    * so feeding [[winnowFromHashes]] the raw [[shingleHashes]]
+    * expression would re-run the whole md5 transform at every window
+    * position — the O(shingles²) trap the split pipeline form
+    * ([[shingleHashesFromTokens]] → [[winnowFromHashes]]) exists to
+    * avoid; the lambda binding gives the convenience form the same
+    * O(shingles) md5 cost. */
   def winnowingFingerprints(text: Column, n: Int = 3, w: Int = 4): Column =
-    winnowFromHashes(shingleHashes(text, n), w)
+    element_at(transform(array(shingleHashes(text, n)),
+      hs => winnowFromHashes(hs, w)), 1)
 
   /** [[shingleHashes]] over an ALREADY MATERIALIZED token array —
     * the pipeline form. The composed [[shingles]] re-evaluates its

@@ -331,7 +331,7 @@ private[queries] object TrainingCuration {
       val toks = TextOps.tokens(col("text"))
       val stop = array(TextOps.DefaultProfiles.head._2.map(lit): _*)
       val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
-        (lit(1000) * size(filter(toks, tk => array_contains(stop, tk))) /
+        (lit(1000L) * size(filter(toks, tk => array_contains(stop, tk))) /
           greatest(size(toks), lit(1))).cast("long").as("score_milli"))
       Stats.groupedCumeDist(scored, "source", "score_milli")
         .withColumn("selected", col("cume_dist") >= 0.8)
@@ -349,9 +349,9 @@ private[queries] object TrainingCuration {
       val stop = array(TextOps.DefaultProfiles.head._2.map(lit): _*)
       val scored = t(s, d, "documents").select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
-        (lit(1000) * size(filter(toks, tk => array_contains(stop, tk))) /
+        (lit(1000L) * size(filter(toks, tk => array_contains(stop, tk))) /
           greatest(size(toks), lit(1))).cast("long").as("stop_milli"),
-        (lit(1000) * size(array_distinct(toks)) /
+        (lit(1000L) * size(array_distinct(toks)) /
           greatest(size(toks), lit(1))).cast("long").as("ttr_milli"))
       Selection.ensembleCumeDist(scored, Seq("n_tokens", "stop_milli", "ttr_milli"))
         .orderBy(col("ensemble_score").desc, col("doc_id")).limit(100)
@@ -596,13 +596,21 @@ private[queries] object TrainingCuration {
     "q41_boilerplate" ->
       s"""WITH sh AS (SELECT doc_id, s FROM ${shinglesSql("x")}),
          |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 5),
-         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |sizes AS (
+         |  SELECT d.doc_id, COALESCE(c.n, 0)::BIGINT AS n_shingles
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) c
+         |    USING (doc_id)),
          |ov AS (SELECT doc_id, count(*) AS n_boiler FROM sh JOIN hot USING (s)
          |       GROUP BY doc_id)
-         |SELECT sizes.doc_id, n_shingles::BIGINT AS n_shingles,
+         |SELECT sizes.doc_id, n_shingles,
          |  COALESCE(n_boiler, 0)::BIGINT AS n_boiler,
-         |  round(COALESCE(n_boiler, 0)::DOUBLE / n_shingles, 6) AS boiler_frac,
-         |  round(COALESCE(n_boiler, 0)::DOUBLE / n_shingles, 6) < 0.2 AS keep
+         |  CASE WHEN n_shingles > 0
+         |    THEN round(COALESCE(n_boiler, 0)::DOUBLE / n_shingles, 6) END
+         |    AS boiler_frac,
+         |  COALESCE(CASE WHEN n_shingles > 0
+         |    THEN round(COALESCE(n_boiler, 0)::DOUBLE / n_shingles, 6) END
+         |    < 0.2, true) AS keep
          |FROM sizes LEFT JOIN ov ON sizes.doc_id = ov.doc_id
          |ORDER BY sizes.doc_id""".stripMargin,
     // q40: the first-fit fill recurrence replayed as a per-shard
@@ -664,14 +672,22 @@ private[queries] object TrainingCuration {
          |  SELECT DISTINCT unnest(list_transform(range(len($tokensSql)-2),
          |    i -> $tokensSql[i+1] || ' ' || $tokensSql[i+2] || ' ' || $tokensSql[i+3])) AS s
          |  FROM documents WHERE source = 'src0'),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
+         |sizes AS (
+         |  SELECT d.doc_id, COALESCE(c.n, 0)::BIGINT AS n_shingles
+         |  FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY 1) c
+         |    USING (doc_id)),
          |overlap AS (
          |  SELECT cand.doc_id, COUNT(*) AS n_overlap
          |  FROM cand JOIN bench ON cand.s = bench.s GROUP BY 1)
          |SELECT sizes.doc_id, n_shingles,
          |  COALESCE(n_overlap, 0)::BIGINT AS n_overlap,
-         |  round(COALESCE(n_overlap, 0)::DOUBLE / n_shingles, 6) AS overlap_frac,
-         |  round(COALESCE(n_overlap, 0)::DOUBLE / n_shingles, 6) >= 0.5 AS contaminated
+         |  CASE WHEN n_shingles > 0
+         |    THEN round(COALESCE(n_overlap, 0)::DOUBLE / n_shingles, 6) END
+         |    AS overlap_frac,
+         |  COALESCE(CASE WHEN n_shingles > 0
+         |    THEN round(COALESCE(n_overlap, 0)::DOUBLE / n_shingles, 6) END
+         |    >= 0.5, false) AS contaminated
          |FROM sizes LEFT JOIN overlap ON sizes.doc_id = overlap.doc_id
          |ORDER BY sizes.doc_id""".stripMargin,
     "q33_domain_cap" ->
@@ -817,12 +833,20 @@ private[queries] object TrainingCuration {
          |maybe AS (
          |  SELECT doc_id, s FROM cpos JOIN bpos USING (pos)
          |  GROUP BY doc_id, s HAVING COUNT(DISTINCT i) = 3),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY 1),
+         |sizes AS (
+         |  SELECT d.doc_id, COALESCE(c.n, 0)::BIGINT AS n_shingles
+         |  FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM cand GROUP BY 1) c
+         |    USING (doc_id)),
          |mb AS (SELECT doc_id, COUNT(*) AS n_maybe FROM maybe GROUP BY 1)
-         |SELECT sizes.doc_id, n_shingles::BIGINT AS n_shingles,
+         |SELECT sizes.doc_id, n_shingles,
          |  COALESCE(n_maybe, 0)::BIGINT AS n_maybe,
-         |  round(COALESCE(n_maybe, 0)::DOUBLE / n_shingles, 6) AS maybe_frac,
-         |  round(COALESCE(n_maybe, 0)::DOUBLE / n_shingles, 6) >= 0.5 AS contaminated
+         |  CASE WHEN n_shingles > 0
+         |    THEN round(COALESCE(n_maybe, 0)::DOUBLE / n_shingles, 6) END
+         |    AS maybe_frac,
+         |  COALESCE(CASE WHEN n_shingles > 0
+         |    THEN round(COALESCE(n_maybe, 0)::DOUBLE / n_shingles, 6) END
+         |    >= 0.5, false) AS contaminated
          |FROM sizes LEFT JOIN mb ON sizes.doc_id = mb.doc_id
          |ORDER BY sizes.doc_id""".stripMargin,
 

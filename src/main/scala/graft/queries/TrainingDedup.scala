@@ -715,7 +715,7 @@ private[graft] object TrainingDedup {
     "q124_quality_dedup" -> ((s, d) => {
       val toks = TextOps.tokens(col("text"))
       val docs = t(s, d, "documents").select(col("doc_id"),
-        (lit(1000) * size(array_distinct(toks)) /
+        (lit(1000L) * size(array_distinct(toks)) /
           greatest(size(toks), lit(1))).cast("long").as("quality_milli"))
       val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.8)

@@ -487,10 +487,14 @@ private[queries] object TrainingText {
          |      / (COALESCE(c1, 0)::DOUBLE + 0.5 * v.v)) * 1e12, 0) AS BIGINT) AS lp
          |  FROM db LEFT JOIN bi ON db.b = bi.b
          |  LEFT JOIN uni ON split_part(db.b, ' ', 1) = uni.w
-         |  CROSS JOIN v)
-         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CROSS JOIN v),
+         |g AS (SELECT doc_id, count(*) AS n_bigrams,
          |  round(-(sum(lp)::DOUBLE / 1e12) / count(*), 6) AS lm_score
-         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |  FROM p GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(g.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  g.lm_score
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q92_bpe_vocab" -> bpeApplyOracleSql(8, 2),
     // q93: distinct postings, global-df gate, 1024-id blocks,
     // block-relative delta gaps.

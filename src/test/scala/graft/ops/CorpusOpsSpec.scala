@@ -299,6 +299,15 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.getDouble(3) === BigDecimal(expect)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(got.getLong(2) === nb.toLong)
+    // null values are excluded from BOTH masses: an un-filtered null
+    // would bin to a null key that inflates totals and the bin count
+    // while its mass never matches the domain join (Σp < 1)
+    val aN = Seq(Some(0L), Some(1L), Some(9L), Some(17L), None).toDF("v")
+    val bN = Seq(Some(0L), Some(8L), Some(8L), Some(25L), None, None).toDF("v")
+    val gotN = Stats.psi(aN, bN, "v", binWidth = 8L).head
+    assert(gotN.getLong(0) === 4L && gotN.getLong(1) === 4L &&
+      gotN.getLong(2) === nb.toLong && gotN.getDouble(3) === got.getDouble(3),
+      "nulls contribute nothing to counts, bins, or the PSI")
   }
 
   test("crossSourceNearDupMatrix: cross-source pair lands off-diagonal, within-source on the diagonal") {

@@ -1438,14 +1438,30 @@ class CurationSpec extends SparkTestBase {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val cand = Seq(
       (1L, "alpha beta gamma delta"),   // all shingles in bench
-      (2L, "one two three four five")). // none
+      (2L, "one two three four five"),  // none
+      (3L, "tiny doc")).                // < shingleSize tokens: 0 shingles
       toDF("doc_id", "text")
     val out = Curation.decontaminate(cand, bench, "doc_id", "text")
       .orderBy("doc_id").collect()
+    assert(out.length === 3, "EVERY candidate appears — short docs included")
     assert(out(0).getAs[Double]("overlap_frac") === 1.0)
     assert(out(0).getAs[Boolean]("contaminated"))
     assert(out(1).getAs[Double]("overlap_frac") === 0.0)
     assert(!out(1).getAs[Boolean]("contaminated"))
+    // a doc too short to shingle can never be flagged — but it must
+    // never VANISH either (an inner-join composition would lose it)
+    assert(out(2).getAs[Long]("n_shingles") === 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("overlap_frac")))
+    assert(!out(2).getAs[Boolean]("contaminated"))
+    // same contract for the bloom and boilerplate siblings
+    val bl = Curation.decontaminateBloom(cand, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(bl.length === 3 && bl(2).getAs[Long]("n_shingles") === 0L &&
+      !bl(2).getAs[Boolean]("contaminated"))
+    val bp = Curation.boilerplateMetrics(cand, "doc_id", "text",
+      minDocFreq = 2).orderBy("doc_id").collect()
+    assert(bp.length === 3 && bp(2).getAs[Long]("n_shingles") === 0L &&
+      bp(2).getAs[Boolean]("keep"), "no boilerplate evidence keeps the doc")
   }
 
   test("domainCap keeps best-quality docs per domain with deterministic ties") {
@@ -2914,6 +2930,16 @@ class RelevanceSpec extends SparkTestBase {
         Seq("spark", "join", "window"), topK = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(ranked.toSeq === again.toSeq, "scores independent of partitioning")
+    // pivot columns are index-named: a term containing '.' (legal —
+    // the tokenizer splits on whitespace only) must not break col()'s
+    // nested-field parsing, and duplicate terms must not collide
+    val dotted = Relevance.bm25(
+      Seq((1L, "see example.com now"), (2L, "no match here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", Seq("example.com", "example.com"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(dotted.length === 1 && dotted.head._1 === 1L)
+    assert(dotted.head._2 > 0.0, "duplicate terms sum per occurrence")
   }
 
   test("bigramLmScore: in-domain text scores lower than gibberish; pure function") {
@@ -2929,16 +2955,23 @@ class RelevanceSpec extends SparkTestBase {
       (5L, "   \t  ")                                       // whitespace-only
     ).toDF("doc_id", "text")
     val out = Relevance.bigramLmScore(docs, lm, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(out(1L)._2 < out(2L)._2,
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("lm_score"))))).toMap
+    assert(out(1L)._2.get < out(2L)._2.get,
       s"reference-like text must out-score gibberish, got $out")
-    assert(!out.contains(3L), "a doc with no bigrams has no score rows")
-    assert(!out.contains(4L) && !out.contains(5L),
-      "zero-token docs must drop out, not crash the slice (negative length)")
+    // absence is not silence: bigram-less docs appear with a NULL
+    // score (the docstring contract — an inner-join composition
+    // would otherwise silently lose them from the corpus)
+    assert(out(3L) === ((0L, None)), "a doc with no bigrams scores null")
+    assert(out(4L) === ((0L, None)) && out(5L) === ((0L, None)),
+      "zero-token docs score null too, not crash the slice (negative length)")
     assert(out(1L)._1 === 8L, "9 tokens -> 8 bigrams")
     val again = Relevance.bigramLmScore(docs.repartition(5), lm.repartition(3),
         "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("lm_score"))))).toMap
     assert(out === again, "pico-unit integer sums make the score partition-exact")
   }
 

@@ -63,6 +63,19 @@ class SelectionSpec extends SparkTestBase {
     val (model, prior) = Selection.naiveBayesTrain(train, "y", "text")
     val p = prior.head
     assert(p.getAs[Long]("d_pos") === 3L && p.getAs[Long]("d_neg") === 2L)
+    // null-labeled rows are DROPPED, not trained as negatives: the
+    // prior and token counts must match the fully-labeled run exactly
+    val withNulls = train
+      .select(col("doc_id"), col("text"), col("y").cast("boolean").as("y"))
+      .unionByName(Seq((99L, "mystery unlabeled words"))
+        .toDF("doc_id", "text")
+        .withColumn("y", lit(null).cast("boolean")))
+    val (modelN, priorN) = Selection.naiveBayesTrain(withNulls, "y", "text")
+    val pN = priorN.head
+    assert(pN.getAs[Long]("d_pos") === 3L && pN.getAs[Long]("d_neg") === 2L,
+      "an unlabeled doc must not count as a negative in the prior")
+    assert(modelN.collect().toSet === model.collect().toSet,
+      "unlabeled tokens must not train the negative class")
     val priorPico = p.getAs[Long]("prior_pico")
     assert(priorPico > 0L, "majority-positive prior is positive log-odds")
     val test = Seq(

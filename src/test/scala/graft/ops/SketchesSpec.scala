@@ -182,6 +182,14 @@ class SketchesSpec extends SparkTestBase {
     // across 4 independent rows should be exact for a majority
     assert(est.values.count(_ == 80L) >= 25,
       s"min-of-4-rows should be exact for most tokens, got ${est.values.count(_ == 80L)}")
+    // duplicate query rows are PRESERVED (surrogate-keyed fold-back):
+    // a value-keyed groupBy would collapse them and the output row
+    // count would silently diverge from the input
+    val dup = Seq("tok1", "tok1", "tok2").toDF("v")
+    val dupEst = Sketches.cmPointEstimate(merged, dup, "v", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(dupEst.length === 3, s"row multiplicity preserved: ${dupEst.toSeq}")
+    assert(dupEst.count(_._1 == "tok1") === 2)
   }
 
   test("KMV pairwise Jaccard: exact when the union fits k, near-truth when sampled") {

@@ -160,5 +160,22 @@ class StatsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "cume frame comes back via a broadcast join")
+    // null keys survive the join back (null-SAFE equality): real
+    // CUME_DIST keeps null rows, nulls-first — a null-unsafe join
+    // would silently drop them while still counting them in the totals
+    val withNulls = Seq(("a", Some(1L)), ("a", None), ("a", Some(2L)),
+      (null.asInstanceOf[String], Some(7L))).toDF("g", "v")
+    val gotN = Stats.groupedCumeDist(withNulls, "g", "v").collect()
+      .map(r => (Option(r.getString(0)),
+        Option(r.getAs[java.lang.Long]("v")).map(_.toLong)) ->
+        r.getDouble(2)).toMap
+    assert(gotN.size === 4, "no row lost to null group or value keys")
+    assert(gotN((Some("a"), None)) === round6(1.0 / 3),
+      "null value orders first in its group")
+    assert(gotN((Some("a"), Some(2L))) === 1.0)
+    assert(gotN((None, Some(7L))) === 1.0, "null GROUP is its own group")
   }
+
+  private def round6(d: Double): Double =
+    math.rint(d * 1e6) / 1e6
 }
