@@ -284,6 +284,11 @@ class SeedingProcessor(
             .localCheckpoint(true) // bound lineage across micro-batches
           seededCount += withIdentity.size
           onBatch(current)
+          // checked AFTER the batch flushes, so any non-negative limit
+          // overshoots by up to one batch (limit=0 seeds the first
+          // batch) — deliberate reference parity: collection.py:143-149
+          // counts `count += len(documents)` and breaks only after
+          // `count >= limit`
           if (limit >= 0 && seededCount >= limit) done = true
         }
         batch = Nil

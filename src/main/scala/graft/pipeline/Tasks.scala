@@ -127,9 +127,11 @@ object Tasks {
                            collectionTasks: Seq[(String, DataFrame => DataFrame)],
                            maxDepth: Int = 10): DataFrame = {
     val drained = dispatch(docs, documentRegistry, maxDepth)
+    // same "still pending HERE" predicate as dispatchWithRetry's
+    // pendingHere — the two must stay identical (the UDF never
+    // returns null, so no null-guard clause belongs in either)
     val stillPending = drained.withColumn("__pending", pendingTasksCol)
-      .filter(size(col("__pending")) > 0 &&
-        col("__pending").cast("array<string>").isNotNull)
+      .filter(size(col("__pending")) > 0)
       .filter(exprPendingRegistered(documentRegistry.keySet))
       .limit(1).count()
     require(stillPending == 0,
@@ -175,11 +177,23 @@ object Tasks {
       retries += 1
     }
     if (hasPending(current)) {
-      // retries exhausted: cancel the stragglers WE own, keep the rest
-      val stuckIds = pendingHere(current).select(col("id"))
-      val stuck = current.join(stuckIds, Seq("id"), "left_semi")
+      // retries exhausted: cancel the stragglers WE own, keep the rest.
+      // The split re-applies the pending PREDICATE per row — never an
+      // id round-trip: ids are nullable (only CollectionOps.add
+      // assigns them) and not guaranteed unique, so a null-id doc
+      // would slip through a null-unsafe semi/anti join pair into
+      // `fine` uncanceled, and collection tasks would then run over a
+      // frame still holding pending docs — the exact
+      // DGPendingDocuments condition this path exists to prevent
+      // (duplicate ids conversely drag non-stuck twins into the
+      // cancel).
+      val flagged = current.withColumn("__pending", pendingTasksCol)
+        .withColumn("__stuck", size(col("__pending")) > 0 &&
+          exprPendingRegistered(documentRegistry.keySet))
+        .localCheckpoint(true)
+      val stuck = flagged.filter(col("__stuck"))
         .select(Documents.columns.map(col): _*)
-      val fine = current.join(stuckIds, Seq("id"), "left_anti")
+      val fine = flagged.filter(!col("__stuck"))
         .select(Documents.columns.map(col): _*)
       current = fine.unionByName(cancelPending(stuck, documentRegistry.keySet))
         .localCheckpoint(true)

@@ -33,6 +33,25 @@ class BandIndexStore(spark: SparkSession,
 
   def exists: Boolean = spark.catalog.tableExists(table)
 
+  /** The construction identity recorded on the table: hash count, band
+    * count, and shingle size pin the band-key derivation. A screen
+    * under a DIFFERENT construction fails OPEN — batch band keys cut
+    * from a k'-hash signature match nothing in a k-hash index, every
+    * true near-dup passes as novel, and nothing reports it — so the
+    * mismatch refuses loudly instead (the [[FrameSetIndexStore]] /
+    * [[SrpIndexStore]] contract). A verified legacy table adopts its
+    * tag once via [[Bucketed.setTag]] (the requireTag message carries
+    * the exact call). */
+  def contentTag: String = s"minhash:k$k:b$bands:s$shingleSize"
+
+  private def checkTag(who: String): Unit =
+    Bucketed.requireTag(spark, table, FrameSetIndexStore.TagKey,
+      contentTag, who)
+
+  private def stampTagIfFresh(): Unit =
+    if (exists && Bucketed.getTag(spark, table, FrameSetIndexStore.TagKey).isEmpty)
+      Bucketed.setTag(spark, table, FrameSetIndexStore.TagKey, contentTag)
+
   /** Current index rows; the empty [[graft.ops.Dedup.minhashBandIndex]]
     * frame before the first publish. */
   def load(): DataFrame =
@@ -48,12 +67,15 @@ class BandIndexStore(spark: SparkSession,
     * file per bucket). Repeated appends accumulate files per bucket —
     * co-location still holds (no Exchange), the reader just re-sorts —
     * until [[compact]] restores the one-file layout. */
-  def append(indexRows: DataFrame): Unit =
+  def append(indexRows: DataFrame): Unit = {
+    checkTag(s"append to '$table'")
     // ts alignment (fresh tables expiry-ready, legacy ts-less tables
     // still appendable, stamped-into-legacy refused loudly) is the
     // shared [[Bucketed.appendAligned]] contract
     Bucketed.appendAligned(spark, indexRows, table,
       Seq("band", "bucket"), buckets, sortCols = Seq("band", "bucket"))
+    stampTagIfFresh()
+  }
 
   /** Index a document frame and append its band rows — the "admit the
     * batch" half of the ingestion gate. With `tsCol` set, every index
@@ -89,9 +111,11 @@ class BandIndexStore(spark: SparkSession,
     * [[graft.ops.Dedup.dedupAgainstIndex]]; the index side of its
     * (band, bucket) join consumes the on-disk bucketing, no Exchange. */
   def screen(newBatch: DataFrame, idCol: String, textCol: String,
-             threshold: Double = 0.5): DataFrame =
+             threshold: Double = 0.5): DataFrame = {
+    checkTag(s"screen against '$table'")
     graft.ops.Dedup.dedupAgainstIndex(newBatch, load(), idCol, textCol,
       k, bands, shingleSize, threshold)
+  }
 
   /** Rewrite the append log distinct, restoring the one-file-per-bucket
     * sorted layout. */
@@ -119,6 +143,21 @@ class SplitBandIndexStore(spark: SparkSession,
 
   def exists: Boolean =
     spark.catalog.tableExists(bandsTable) && spark.catalog.tableExists(sigsTable)
+
+  /** Construction identity, recorded on the BANDS table (the probe
+    * side both halves publish through) — see
+    * [[BandIndexStore.contentTag]] for the fail-open hazard a
+    * cross-construction screen would be. */
+  def contentTag: String = s"minhash:k$k:b$bands:s$shingleSize"
+
+  private def checkTag(who: String): Unit =
+    Bucketed.requireTag(spark, bandsTable, FrameSetIndexStore.TagKey,
+      contentTag, who)
+
+  private def stampTagIfFresh(): Unit =
+    if (spark.catalog.tableExists(bandsTable) &&
+        Bucketed.getTag(spark, bandsTable, FrameSetIndexStore.TagKey).isEmpty)
+      Bucketed.setTag(spark, bandsTable, FrameSetIndexStore.TagKey, contentTag)
 
   /** Current band rows; empty before the first publish (day one of the
     * ingestion gate screens clean, same as [[BandIndexStore.load]]). */
@@ -164,6 +203,7 @@ class SplitBandIndexStore(spark: SparkSession,
     * [[compact]]), and [[compact]] additionally verifies the
     * bands⊆sigs invariant. */
   def publishSigs(sigs: DataFrame): Unit = {
+    checkTag(s"publish to '$bandsTable'")
     // sigs carry the (aligned) retention stamp — unstamped rows ts =
     // null, legacy ts-less tables handled by appendAligned; the bands
     // table never carries ts — expiry reaches it through the
@@ -176,6 +216,7 @@ class SplitBandIndexStore(spark: SparkSession,
         .repartition(buckets, col("band"), col("bucket")),
       bandsTable, Seq("band", "bucket"), buckets,
       sortCols = Seq("band", "bucket"), mode = "append")
+    stampTagIfFresh()
   }
 
   /** RETENTION, split layout: drop signatures whose event time fell
@@ -188,6 +229,11 @@ class SplitBandIndexStore(spark: SparkSession,
     val dropped = Bucketed.compactRewrite(spark, sigsTable, Seq("doc_id"),
       buckets, sortCols = Seq("doc_id"), horizonMillis = cutoffMillis)
     if (dropped > 0) {
+      // direct writeKeys OVERWRITE drops table properties — preserve
+      // the construction tag across the rewrite (the compactRewrite
+      // discipline; losing it would turn the next screen into the
+      // untagged-legacy refusal)
+      val tags = Bucketed.graftTags(spark, bandsTable)
       val bandsKept = spark.table(bandsTable)
         .join(spark.table(sigsTable).select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_semi")
@@ -195,6 +241,7 @@ class SplitBandIndexStore(spark: SparkSession,
       Bucketed.writeKeys(bandsKept.repartition(buckets, col("band"), col("bucket")),
         bandsTable, Seq("band", "bucket"), buckets,
         sortCols = Seq("band", "bucket"))
+      tags.foreach { case (k, v) => Bucketed.setTag(spark, bandsTable, k, v) }
     }
     dropped
   }
@@ -203,23 +250,36 @@ class SplitBandIndexStore(spark: SparkSession,
     * to [[BandIndexStore.screen]] / the in-memory operator. Before the
     * first publish every doc screens clean. */
   def screen(newBatch: DataFrame, idCol: String, textCol: String,
-             threshold: Double = 0.5): DataFrame =
+             threshold: Double = 0.5): DataFrame = {
+    checkTag(s"screen against '$bandsTable'")
     graft.ops.Dedup.dedupAgainstIndexSplit(newBatch,
       loadBands(), loadSigs(),
       idCol, textCol, k, bands, shingleSize, threshold)
+  }
 
   /** The full ingestion-gate round in ONE signature pass: screen the
     * batch against history, then admit it (publish its sigs + bands).
     * Returns the verdict frame (already materialized — the publish
-    * checkpoints the shared signature pass). */
+    * checkpoints the shared signature pass). With `tsCol` set, the
+    * admitted signatures carry their documents' event time — without
+    * it, gate-admitted docs are ts-null and PERMANENTLY exempt from
+    * [[expireBefore]] (the retention valve the class doc promises
+    * would silently never apply to gate users). */
   def ingest(newBatch: DataFrame, idCol: String, textCol: String,
-             threshold: Double = 0.5): DataFrame = {
-    val sigs = graft.ops.Dedup
+             threshold: Double = 0.5,
+             tsCol: Option[String] = None): DataFrame = {
+    checkTag(s"screen against '$bandsTable'")
+    val sigs0 = graft.ops.Dedup
       .minhashSignatures(newBatch, idCol, textCol, k, shingleSize)
       .select(col("id").as("doc_id"), col("sig"))
-      .localCheckpoint(true)
+    val sigs = (tsCol match {
+      case Some(t) => sigs0.join(newBatch.select(col(idCol).as("doc_id"),
+        BandIndexStore.epochMillis(newBatch, t).as("ts")), Seq("doc_id"))
+      case None => sigs0
+    }).localCheckpoint(true)
     val verdicts = graft.ops.Dedup.dedupAgainstIndexSplitFromSigs(
-        newBatch.select(col(idCol).as("new_id")), sigs,
+        newBatch.select(col(idCol).as("new_id")),
+        sigs.select(col("doc_id"), col("sig")),
         loadBands(), loadSigs(), k, bands, threshold)
       .localCheckpoint(true) // screened strictly BEFORE its own admit
     publishSigs(sigs)
@@ -234,6 +294,9 @@ class SplitBandIndexStore(spark: SparkSession,
     * here, logged, and dropped. Returns the number of orphan band rows
     * removed (0 on a healthy store). */
   def compact(): Long = if (exists) {
+    // direct writeKeys OVERWRITE drops table properties — preserve the
+    // construction tag (the compactRewrite discipline)
+    val tags = Bucketed.graftTags(spark, bandsTable)
     val sigDocs = spark.table(sigsTable).select(col("doc_id")).distinct()
     val bandsAll = spark.table(bandsTable).distinct().localCheckpoint(true)
     val b = bandsAll.join(sigDocs, Seq("doc_id"), "left_semi")
@@ -245,6 +308,7 @@ class SplitBandIndexStore(spark: SparkSession,
         "re-publish the affected batch to restore their coverage")
     Bucketed.writeKeys(b.repartition(buckets, col("band"), col("bucket")),
       bandsTable, Seq("band", "bucket"), buckets, sortCols = Seq("band", "bucket"))
+    tags.foreach { case (k, v) => Bucketed.setTag(spark, bandsTable, k, v) }
     val s = spark.table(sigsTable).distinct().localCheckpoint(true)
     Bucketed.writeKeys(s.repartition(buckets, col("doc_id")),
       sigsTable, Seq("doc_id"), buckets, sortCols = Seq("doc_id"))

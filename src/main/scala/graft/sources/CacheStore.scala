@@ -70,9 +70,19 @@ class CacheStore(val path: String, spark: SparkSession) extends ResourceCache {
       val raw = spark.read.parquet(path)
       // latest-wins per key without a full shuffle of the payload: max
       // created_at per key is resolved with a semi-join-shaped window.
+      // SUCCESS-first, then newest: the log also persists failed rows
+      // (0/404/597 — append keeps any from_cache=false row), and the
+      // fetch path serves only successes (liveCacheView) while
+      // retrying failures — so a concurrent writer's failure row
+      // landing after another's success must not become "the" row for
+      // the key: a created_at-only window would let it shadow the
+      // success, and the next compact()/purgePrefix() would then
+      // rewrite the log WITHOUT it, destroying the servable response
+      // permanently (the documented concurrent-writer invariant is
+      // "at worst a key is fetched twice", never data loss).
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("uri"), col("data_hash"))
-        .orderBy(col("created_at").desc)
+        .orderBy(Resources.successCol(col("status")).desc, col("created_at").desc)
       raw.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
@@ -134,18 +144,30 @@ class BucketedCacheStore(spark: SparkSession, val table: String = "graft_resourc
     if (!exists) Resources.emptyCache(spark)
     else {
       import org.apache.spark.sql.expressions.Window
+      // success-first then newest — the [[CacheStore.read]] rationale
+      // (a late failure row must not shadow a concurrent success into
+      // destruction at compact); the extra sort key changes nothing
+      // about the window's clustering, so the read stays Exchange-free
       val w = Window.partitionBy(col("uri"), col("data_hash"))
-        .orderBy(col("created_at").desc)
+        .orderBy(Resources.successCol(col("status")).desc, col("created_at").desc)
       spark.table(table).withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
 
-  /** Append newly fetched rows (from_cache=false) from a fetch round. */
+  /** Append newly fetched rows (from_cache=false) from a fetch round.
+    * Repartitioned onto the bucket keys first (repartition and
+    * bucketBy share the Murmur3 assignment) so each round lands ONE
+    * file per touched bucket — without it the fetch round's
+    * maxConcurrency partitions each write a file per bucket they hold
+    * (parts × buckets small files per round, the
+    * [[Bucketed.appendAligned]] lesson). */
   def append(resources: DataFrame): Unit = {
     val fresh = resources.filter(!col("from_cache"))
       .select(Resources.schema.fieldNames.map(col): _*)
     if (!fresh.isEmpty)
-      Bucketed.writeKeys(fresh, table, Seq("uri", "data_hash"), buckets, mode = "append")
+      Bucketed.writeKeys(
+        fresh.repartition(buckets, col("uri"), col("data_hash")),
+        table, Seq("uri", "data_hash"), buckets, mode = "append")
   }
 
   /** Fetch through this store — co-located join, no cache broadcast. */

@@ -137,8 +137,13 @@ class EntityApiFetcher(host: String = "http://localhost:8000") extends Fetcher {
         PyJson.dumps(out, itemSep = ",", kvSep = ":", ensureAscii = false))
     } catch {
       case e: IllegalArgumentException =>
+        // the message may carry the offending URL verbatim (quotes,
+        // backslashes) — serialize through the mapper like the success
+        // paths, never raw interpolation into the JSON body
         FetchResponse(404, """{"content-type":"application/json"}""",
-          s"""{"detail":"${e.getMessage}"}""")
+          PyJson.dumps(PyJson.mapper.createObjectNode()
+            .put("detail", e.getMessage), itemSep = ",", kvSep = ":",
+            ensureAscii = false))
     }
   }
 

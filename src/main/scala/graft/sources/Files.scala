@@ -30,11 +30,16 @@ object FileResources {
     (dir, clipped, extension)
   }
 
-  /** Column form for distributed path derivation over a URL column. */
+  /** Column form for distributed path derivation over a URL column.
+    * Null urls map to null paths — one null row must not NPE the task
+    * (Spark passes String nulls through to the UDF). */
   def shardedPath(url: Column, mediaRoot: String = "downloads"): Column = {
     val f = udf { (u: String) =>
-      val (dir, name, ext) = fileInfo(u, mediaRoot)
-      s"$dir/$name$ext"
+      if (u == null) null
+      else {
+        val (dir, name, ext) = fileInfo(u, mediaRoot)
+        s"$dir/$name$ext"
+      }
     }
     f(url)
   }
@@ -45,6 +50,9 @@ object FileResources {
     * concat_ws's the collected args (SURVEY §2.6). Input: a frame with
     * an `arg` column; output: one row per batch with `args` joined. */
   def concatArgs(requests: DataFrame, size: Int, symbol: String = "|"): DataFrame = {
+    // size <= 0 = batching off: the input passes through UNCHANGED
+    // (all columns, original order) — reference parity, tasks.py:69-89
+    // (`if config.concat_args_size:` falsy sends args_list as-is)
     if (size <= 0) return requests
     // batching is request-count-bounded by contract: collapse the args
     // into ONE sorted array row and slice consecutive batches

@@ -24,10 +24,39 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 class HashIndexStore(spark: SparkSession,
                      val table: String = "graft_hash_index",
                      buckets: Int = 32,
-                     maxDistance: Int = 3) {
+                     maxDistance: Int = 3,
+                     contentTag: Option[String] = None) {
   import org.apache.spark.sql.functions._
 
   def exists: Boolean = spark.catalog.tableExists(table)
+
+  /** Cross-FAMILY screens fail open exactly like cross-construction
+    * ones (a dhash batch probed against an audio-fingerprint index
+    * matches nothing and every dup passes as novel), and the hash
+    * family is the CALLER's knowledge — so the tag is caller-supplied,
+    * the [[FrameSetIndexStore]] contract: Some(tag) refuses mismatched
+    * publishes/screens loudly and stamps fresh tables; None keeps the
+    * untagged legacy behavior. The block layout itself (4 × 16-bit)
+    * is construction-constant, and `maxDistance` is screen-time
+    * strictness, not table identity. */
+  private def checkTag(who: String): Unit =
+    contentTag.foreach(t =>
+      Bucketed.requireTag(spark, table, FrameSetIndexStore.TagKey, t, who))
+
+  private def stampTagIfFresh(): Unit =
+    contentTag.foreach { t =>
+      if (exists && Bucketed.getTag(spark, table, FrameSetIndexStore.TagKey).isEmpty)
+        Bucketed.setTag(spark, table, FrameSetIndexStore.TagKey, t)
+    }
+
+  /** ONE-TIME migration for a store published before tags: see
+    * [[FrameSetIndexStore.adoptTag]]. */
+  def adoptTag(): Unit = {
+    val t = contentTag.getOrElse(throw new IllegalStateException(
+      s"adoptTag on '$table': this handle has no contentTag to adopt"))
+    require(exists, s"adoptTag on '$table': no table published yet")
+    Bucketed.setTag(spark, table, FrameSetIndexStore.TagKey, t)
+  }
 
   /** Current block rows; empty before the first publish (day one
     * screens clean). */
@@ -37,9 +66,12 @@ class HashIndexStore(spark: SparkSession,
   /** Append pre-derived block rows (schema of
     * [[graft.ops.Dedup.hashBlockRows]], optional ts — alignment with
     * the table's schema is [[Bucketed.appendAligned]]'s contract). */
-  def append(blockRows: DataFrame): Unit =
+  def append(blockRows: DataFrame): Unit = {
+    checkTag(s"append to '$table'")
     Bucketed.appendAligned(spark, blockRows, table,
       Seq("blk", "key"), buckets, sortCols = Seq("blk", "key"))
+    stampTagIfFresh()
+  }
 
   /** Index a (id, hash [, ts]) frame — the "admit the batch" half of
     * the gate. With `tsCol` set, rows are stamped with epoch millis
@@ -59,9 +91,11 @@ class HashIndexStore(spark: SparkSession,
   /** Screen a new (id, hash) batch against the published index —
     * verdict frame of [[graft.ops.Dedup.hammingDedupAgainstIndex]];
     * the index side of the (blk, key) join consumes the bucketing. */
-  def screen(newHashes: DataFrame, idCol: String, hashCol: String): DataFrame =
+  def screen(newHashes: DataFrame, idCol: String, hashCol: String): DataFrame = {
+    checkTag(s"screen against '$table'")
     graft.ops.Dedup.hammingDedupAgainstIndex(newHashes, load(),
       idCol, hashCol, maxDistance)
+  }
 
   /** The full gate round: screen the batch against history, then admit
     * it. Verdicts are materialized BEFORE the admit (and the screen

@@ -114,6 +114,32 @@ class TasksSpec extends SparkTestBase {
     }
   }
 
+  test("retry exhaustion cancels NULL-id docs too (the split is per-row, never an id join)") {
+    def mark(name: String)(df: DataFrame): DataFrame =
+      df.withColumn("task_results", call_function("graft_json_merge",
+        col("task_results"), lit(s"""{"$name":{"success":true}}""")))
+    // Documents.fromJsonSeq leaves id null — only CollectionOps.add
+    // assigns ids. A null-unsafe semi/anti id split would route these
+    // docs into `fine` UNcanceled, and collection tasks would then run
+    // over a frame still holding pending docs (DGPendingDocuments).
+    val docs = Documents.fromJsonSeq(spark,
+        (0 until 3).map(i => s"""{"state":"s$i"}"""))
+      .withColumn("tasks",
+        lit("""{"first":{"checks":["pending_at"],"depends_on":[]}}"""))
+    assert(docs.filter(col("id").isNull).count() === 3, "fixture: ids are null")
+    val out = Tasks.dispatchWithRetry(docs,
+      Map("first" -> identity[DataFrame] _), // never completes
+      Seq("collection_level" -> mark("collection_level") _),
+      maxRetries = 1, countdownMillis = 1L, sleep = _ => ())
+    val rows = out.select("task_results", "finished_at").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getString(0).contains("\"first\":{\"success\":false,\"canceled\":true}"),
+        s"null-id doc must be canceled: ${r.getString(0)}")
+      assert(r.get(1) != null, "canceled docs finish")
+    }
+  }
+
   test("retry loop ignores pending tasks owned by OTHER dispatchers: no sleep, no cancel") {
     def mark(name: String)(df: DataFrame): DataFrame =
       df.withColumn("task_results", call_function("graft_json_merge",

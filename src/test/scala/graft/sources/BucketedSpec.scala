@@ -587,6 +587,13 @@ class BucketedSpec extends SparkTestBase {
       legacy, Seq("band", "bucket"), 4, sortCols = Seq("band", "bucket"))
     assert(!spark.table(legacy).columns.contains("ts"))
     val store = new BandIndexStore(spark, table = legacy, buckets = 4)
+    // a legacy table can't prove its construction — the store refuses
+    // (fail-open hazard) until the verified one-time adoption
+    val tagErr = intercept[IllegalStateException] {
+      store.publish(Seq((2L, "nu xi")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(tagErr.getMessage.contains("predates construction tags"))
+    Bucketed.setTag(spark, legacy, FrameSetIndexStore.TagKey, store.contentTag)
     // unstamped publish into the legacy table must append, not throw
     // on schema mismatch (the naive always-add-ts append did)
     store.publish(Seq((2L, "nu xi omicron pi rho sigma tau upsilon phi chi"))
@@ -607,6 +614,70 @@ class BucketedSpec extends SparkTestBase {
       "doc_id", "text", tsCol = Some("ts"))
     assert(store.load().select("doc_id").distinct().count() === 3)
     assert(store.expireBefore(2000L) === 4L, "migrated stamps drive expiry")
+  }
+
+  test("band stores refuse cross-construction screens loudly; HashIndexStore content tags gate hash families") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val store = new BandIndexStore(spark, table = "bspec_ctag_index",
+      buckets = 4, k = 16, bands = 4)
+    store.publish(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    // a k=24 handle on the k=16 table: band keys cut from 24-hash sigs
+    // match NOTHING in a 16-hash index — every dup would pass as novel
+    // (fails OPEN), so the mismatch must refuse instead
+    val other = new BandIndexStore(spark, table = "bspec_ctag_index",
+      buckets = 4, k = 24, bands = 6)
+    val e1 = intercept[IllegalStateException] {
+      other.screen(Seq((2L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("minhash:k16:b4:s3") &&
+      e1.getMessage.contains("minhash:k24:b6:s3"))
+    intercept[IllegalStateException] {
+      other.publish(Seq((2L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    // split store: same contract on the bands table
+    val split = new SplitBandIndexStore(spark,
+      bandsTable = "bspec_ctag_bands", sigsTable = "bspec_ctag_sigs", buckets = 4)
+    split.publish(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    val splitOther = new SplitBandIndexStore(spark,
+      bandsTable = "bspec_ctag_bands", sigsTable = "bspec_ctag_sigs",
+      buckets = 4, k = 24, bands = 6)
+    intercept[IllegalStateException] {
+      splitOther.ingest(Seq((2L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    // hash index: the family is caller knowledge — Some(tag) gates,
+    // a dhash handle on an audio-fp table refuses in both directions
+    val hstore = new graft.sources.HashIndexStore(spark,
+      table = "bspec_ctag_hash", buckets = 4, contentTag = Some("dhash:8x8"))
+    hstore.publish(Seq((1L, 0x0F0FL)).toDF("id", "h"), "id", "h")
+    val haudio = new graft.sources.HashIndexStore(spark,
+      table = "bspec_ctag_hash", buckets = 4, contentTag = Some("audiofp:v1"))
+    intercept[IllegalStateException] {
+      haudio.screen(Seq((2L, 0x0F0FL)).toDF("id", "h"), "id", "h")
+    }
+    intercept[IllegalStateException] {
+      haudio.publish(Seq((2L, 0x0F0FL)).toDF("id", "h"), "id", "h")
+    }
+    // the matching handle keeps working
+    assert(hstore.screen(Seq((2L, 0x0F0FL)).toDF("id", "h"), "id", "h")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap === Map(2L -> true))
+  }
+
+  test("SplitBandIndexStore.ingest stamps event time so gate-admitted docs expire") {
+    val store = new SplitBandIndexStore(spark,
+      bandsTable = "bspec_ingts_bands", sigsTable = "bspec_ingts_sigs", buckets = 4)
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", 1000L),
+      (2L, "nu xi omicron pi rho sigma tau upsilon phi chi", 5000L))
+      .toDF("doc_id", "text", "event_ms")
+    val v = store.ingest(batch, "doc_id", "text", tsCol = Some("event_ms"))
+    assert(v.count() === 2)
+    // without the stamp these rows would be ts-null and PERMANENTLY
+    // exempt from retention — the gate's documented release valve
+    assert(store.expireBefore(2000L) === 1L, "doc 1's signature expires")
+    assert(store.loadSigs().select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
+    assert(store.loadBands().filter(col("doc_id") === 1L).count() === 0,
+      "orphaned band rows follow the expired signature out")
   }
 
   test("SplitBandIndexStore: sigs write before bands; compact() detects and drops orphan band rows") {

@@ -87,4 +87,40 @@ class CacheStoreSpec extends SparkTestBase {
       assert(CountingHolder.count.get() === 2, "post-compact fetch still all hits")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("a later failure row never shadows a cached success; compact keeps the success (both layouts)") {
+    // the documented concurrent-writer model: W1's 200 lands, then
+    // W2's 597 transport row for the SAME key lands later — a
+    // created_at-only latest-wins would serve nothing for the key
+    // (liveCacheView filters failures) and the next compact would
+    // DESTROY the 200 permanently
+    def rows(status: Int, ts: Long) = Seq(
+      ("mock.api/mock/0", graft.core.Hashing.sha1Hex(""), "get", "http://mock.api/mock/0",
+        null: String, status, "{}", if (status == 200) "body" else "err",
+        false, new java.sql.Timestamp(ts)))
+      .toDF(Resources.schema.fieldNames: _*)
+    // plain layout
+    val dir = Files.createTempDirectory("graft-cache").resolve("shadow").toString
+    val store = new CacheStore(dir, spark)
+    store.append(rows(200, 1000L))
+    store.append(rows(597, 2000L))
+    def servedStatus(df: org.apache.spark.sql.DataFrame): Int =
+      df.filter(col("uri") === "mock.api/mock/0").head.getAs[Int]("status")
+    assert(servedStatus(store.read()) === 200, "success wins over a later failure")
+    store.compact()
+    assert(servedStatus(store.read()) === 200, "compact keeps the success")
+    assert(spark.read.parquet(dir).count() === 1)
+    // a newer SUCCESS still supersedes an older one
+    store.append(rows(200, 3000L).withColumn("body", lit("body2")))
+    assert(store.read().filter(col("uri") === "mock.api/mock/0")
+      .head.getAs[String]("body") === "body2")
+    // bucketed layout
+    spark.sql("DROP TABLE IF EXISTS graft_cache_shadow")
+    val bstore = new BucketedCacheStore(spark, "graft_cache_shadow", buckets = 4)
+    bstore.append(rows(200, 1000L))
+    bstore.append(rows(597, 2000L))
+    assert(servedStatus(bstore.read()) === 200)
+    bstore.compact()
+    assert(servedStatus(bstore.read()) === 200)
+  }
 }
