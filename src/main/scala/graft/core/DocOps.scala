@@ -111,8 +111,20 @@ object DocOps {
                   derivativesJson: String, updateJson: String): (String, String, String, Boolean) = {
     val current = parseObj(propertiesJson)
     val update = parseObj(updateJson)
+    // Python != : 1 == 1.0 (and True == 1) are EQUAL, so a numerically
+    // identical update must NOT invalidate the task — Jackson node
+    // equality type-splits them and would re-queue an unchanged doc.
+    // An explicit JSON null loads as Python None, indistinguishable
+    // from a missing key, so both normalize to absent before comparing.
+    def depValue(path: String, node: ObjectNode): Option[JsonNode] =
+      Reach.reach(path, node).filterNot(_.isNull)
     val invalidTasks = propertyDependencies(tasksJson).collect {
-      case (path, taskNames) if Reach.reach(path, current) != Reach.reach(path, update) => taskNames
+      case (path, taskNames) if !((depValue(path, current),
+          depValue(path, update)) match {
+        case (Some(a), Some(b)) => PyJson.pyEquals(a, b)
+        case (None, None) => true
+        case _ => false
+      }) => taskNames
     }.flatten.toSeq.distinct
     val results = parseObj(taskResultsJson)
     val derivs = parseObj(derivativesJson)

