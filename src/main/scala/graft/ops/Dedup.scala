@@ -208,9 +208,24 @@ object Dedup {
   def dedupAgainstIndex(newBatch: DataFrame, index: DataFrame,
                         idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
-    val newRows = minhashBandIndex(newBatch, idCol, textCol, k, bands,
-        shingleSize)
+                        threshold: Double = 0.5): DataFrame =
+    dedupAgainstIndexFromRows(
+      minhashBandIndex(newBatch, idCol, textCol, k, bands, shingleSize),
+      newBatch.select(col(idCol).as("new_id")), index, k, threshold)
+
+  /** [[dedupAgainstIndex]] from PRE-BUILT batch index rows
+    * ([[minhashBandIndex]] shape) — so one signature pass (the most
+    * expensive stage: tokenize + shingle + k salted minhashes) can
+    * feed BOTH the screen and the admit
+    * ([[graft.streaming.Streaming.indexedDedupSink]] computes the
+    * rows once, screens, then saves the same frame). `newIds` carries
+    * EVERY batch id as `new_id` — including docs too short to sign,
+    * which verdict clean (absence is not silence), and it drives the
+    * replay-defense anti-join. */
+  def dedupAgainstIndexFromRows(newIndexRows: DataFrame, newIds: DataFrame,
+                                index: DataFrame, k: Int,
+                                threshold: Double): DataFrame = {
+    val newRows = newIndexRows
       .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
         col("band"), col("bucket"))
     val est = (aggregate(
@@ -226,7 +241,7 @@ object Dedup {
     // batch-bounded candidates with the skinny batch ids broadcast —
     // never against the index side, whose (band, bucket) bucketing
     // the probe join must keep consuming Exchange-free.
-    val batchIds = newBatch.select(col(idCol).as("old_id"))
+    val batchIds = newIds.select(col("new_id").as("old_id"))
     val hits = newRows
       .join(index.select(col("band"), col("bucket"),
         col("doc_id").as("old_id"), col("sig").as("old_sig")),
@@ -240,7 +255,7 @@ object Dedup {
       .groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_dup_matches"), min(col("old_id")).as("dup_of"),
         round(max(col("est_jaccard")), 6).as("est_jaccard"))
-    newBatch.select(col(idCol).as("new_id"))
+    newIds
       .join(hits, Seq("new_id"), "left")
       .select(col("new_id"),
         coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
@@ -981,7 +996,14 @@ object Dedup {
 
   def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
                           maxDistance: Int = 3, maxBucketSize: Int = 0): DataFrame = {
-    val buckets = hashBlockRows(hashes, idCol, hashCol)
+    // null hashes (undecodable media, null text) are EXCLUDED here in
+    // the shared kernel, not left to each caller: unfiltered they all
+    // land in the four (blk, NULL) buckets, read as sim 0 through the
+    // pair kernel, and emit pairwise hamming-0 "duplicates" of each
+    // other — wrong verdicts, and past ~11.6k such rows a bucket
+    // overflows the pair ceiling and fails the job
+    val buckets = hashBlockRows(hashes.filter(col(hashCol).isNotNull),
+        idCol, hashCol)
       .groupBy(col("blk"), col("key"))
       .agg(sort_array(collect_list(struct(col("id"), col("sim")))).as("members"))
     val bounded =

@@ -148,7 +148,13 @@ object ContainerCodec {
     while (start + 1 < payload.length) {
       val end = VideoHash.jpegFrameEnd(payload, start)
       if (end < 0) {
-        var j = start + 2
+        // resync from start+1, not start+2: a SINGLE pad byte before
+        // the next frame puts its SOI at start+1, and skipping two
+        // would silently lose that whole well-formed frame (the
+        // "padding must not discard the rest of the stream" contract);
+        // +1 still guarantees progress, and an SOI cannot begin at
+        // `start` itself or jpegFrameEnd would not have failed there
+        var j = start + 1
         while (j + 1 < payload.length &&
                !(payload(j) == 0xFF.toByte && payload(j + 1) == 0xD8.toByte)) j += 1
         if (j + 1 >= payload.length) return out.toSeq

@@ -23,7 +23,21 @@ object Similarity {
 
   /** Deterministic double-precision cosine similarity. */
   def cosine(a: Column, b: Column): Column =
-    dotUdf(a, b) / (sqrt(dotUdf(a, a)) * sqrt(dotUdf(b, b)))
+    safeCosineRaw(dotUdf(a, b), sqrt(dotUdf(a, a)) * sqrt(dotUdf(b, b)))
+
+  /** NaN-safe cosine: a zero-norm vector (failed embedding call,
+    * padding row) scores 0.0, never 0/0 = NaN — Spark ORDERS NaN
+    * above every real double and evaluates `NaN >= t` as TRUE, so an
+    * unguarded division would rank the zero vector #1 in every top-k
+    * and flag it as a duplicate of everything at every gate (the
+    * int8Cosine / pqSearchADC guard, applied to the float path; the
+    * native graft_cosine_pairs kernel uses Java NaN semantics, which
+    * EXCLUDE such rows — 0.0 with a positive threshold agrees). */
+  private def safeCosineRaw(dot: Column, normProduct: Column): Column =
+    when(normProduct > 0, dot / normProduct).otherwise(lit(0.0))
+
+  private def safeCosine(dot: Column, normProduct: Column): Column =
+    round(safeCosineRaw(dot, normProduct), 6)
 
   /** Brute-force exact top-k cosine neighbors of each probe vector.
     * `probes` and `corpus` expose (id, embedding); the probe side is
@@ -36,7 +50,7 @@ object Similarity {
       sqrt(dotUdf(col(embCol), col(embCol))).as("c_norm"))
     val scored = p.join(c, col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
+        safeCosine(dotUdf(col("p_emb"), col("c_emb")), col("p_norm") * col("c_norm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -105,7 +119,7 @@ object Similarity {
       sqrt(dotUdf(col(embCol), col(embCol))).as("c_norm"))
     val scored = candidates.join(p, Seq("probe_id")).join(c, Seq("neighbor_id"))
       .withColumn("cosine",
-        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
+        safeCosine(dotUdf(col("p_emb"), col("c_emb")), col("p_norm") * col("c_norm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -168,13 +182,26 @@ object Similarity {
       .join(oldBuckets.withColumnRenamed("vec_id", "old_id"), Seq("t", "bucket"))
       .join(broadcast(batchIds), Seq("old_id"), "left_anti")
       .select(col("new_id"), col("old_id")).distinct()
+    // the positional (id, emb) contract on oldVecs is VALIDATED, not
+    // assumed: a frame handed in the wrong column order would cast the
+    // embedding array to a null old_id, match nothing, and verdict
+    // every batch vector clean — a dedup gate failing OPEN silently
+    require(!oldVecs.schema.head.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType],
+      s"embeddingDedupAgainstIndex oldVecs must be (vec_id, emb) in " +
+        s"that order — got ${oldVecs.schema.head.name}: " +
+        s"${oldVecs.schema.head.dataType.simpleString} first")
+    require(oldVecs.schema(1).dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType],
+      s"embeddingDedupAgainstIndex oldVecs second column must be the " +
+        s"embedding array — got ${oldVecs.schema(1).dataType.simpleString}")
     val scored = cands
       .join(oldVecs.select(col(oldVecs.columns.head).cast("long").as("old_id"),
         col(oldVecs.columns(1)).as("__oe")), Seq("old_id"))
       .join(newK, Seq("new_id"))
-      .withColumn("cosine", round(dotUdf(col("__ne"), col("__oe")) /
-        (sqrt(dotUdf(col("__ne"), col("__ne"))) *
-          sqrt(dotUdf(col("__oe"), col("__oe")))), 6))
+      .withColumn("cosine", safeCosine(dotUdf(col("__ne"), col("__oe")),
+        sqrt(dotUdf(col("__ne"), col("__ne"))) *
+          sqrt(dotUdf(col("__oe"), col("__oe")))))
       .filter(col("cosine") >= threshold)
     val hits = scored.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_dup_matches"), min(col("old_id")).as("dup_of"),
@@ -229,8 +256,8 @@ object Similarity {
     // exact truth: one streamed pass of the index against the
     // broadcast batch; feeds only a 1-row count, so no checkpoint
     val truth = o.join(n, col("old_id") =!= col("new_id"))
-      .withColumn("cosine", round(dotUdf(col("__ne"), col("__oe")) /
-        (col("__nn") * col("__on")), 6))
+      .withColumn("cosine", safeCosine(dotUdf(col("__ne"), col("__oe")),
+        col("__nn") * col("__on")))
       .filter(col("cosine") >= threshold)
       .agg(count(lit(1)).as("n_true"))
     // every construction's bucket rows in ONE tagged projection per
@@ -254,8 +281,8 @@ object Similarity {
     val verified = cands
       .join(o.select(col("old_id"), col("__oe"), col("__on")), Seq("old_id"))
       .join(n, Seq("new_id"))
-      .withColumn("cosine", round(dotUdf(col("__ne"), col("__oe")) /
-        (col("__nn") * col("__on")), 6))
+      .withColumn("cosine", safeCosine(dotUdf(col("__ne"), col("__oe")),
+        col("__nn") * col("__on")))
       .groupBy(col("cons"))
       .agg(count(lit(1)).as("n_candidates"),
         count(when(col("cosine") >= threshold, lit(1))).as("n_found"))
@@ -320,7 +347,7 @@ object Similarity {
       .join(keyed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("norm").as("norm_a")), Seq("id_a"))
       .join(keyed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("norm").as("norm_b")), Seq("id_b"))
       .withColumn("cosine",
-        round(dotUdf(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6))
+        safeCosine(dotUdf(col("emb_a"), col("emb_b")), col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -441,7 +468,7 @@ object Similarity {
     val scored = probeClusters.join(corpusAssigned, Seq("cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
+        safeCosine(dotUdf(col("p_emb"), col("c_emb")), col("p_norm") * col("c_norm")))
     val wRank = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // no dedupe needed: a corpus vector lives in exactly ONE inverted
@@ -508,7 +535,7 @@ object Similarity {
     val candidates = probeNearest.join(corpusAssigned, Seq("cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
+        safeCosine(dotUdf(col("p_emb"), col("c_emb")), col("p_norm") * col("c_norm")))
       .withColumn("n_probe",
         explode(array(nProbeConfigs.map(lit(_)): _*)))
       .filter(col("c_rank") < col("n_probe"))
@@ -607,7 +634,7 @@ object Similarity {
     val candidates = probeNearest.join(corpusAssigned, Seq("seeding", "cluster"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cosine",
-        round(dotUdf(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm")), 6))
+        safeCosine(dotUdf(col("p_emb"), col("c_emb")), col("p_norm") * col("c_norm")))
       .withColumn("n_probe", explode(array(nProbeConfigs.map(lit(_)): _*)))
       .filter(col("c_rank") < col("n_probe"))
     val wRank = Window.partitionBy(col("seeding"), col("n_probe"), col("probe_id"))

@@ -202,12 +202,19 @@ object Streaming {
         // the self-dup belt; dedupAgainstIndex's old_id =!= new_id
         // filter is the suspenders for the crash-replay window where a
         // prior attempt's save landed but the stream checkpoint didn't)
-        emit(graft.ops.Dedup.dedupAgainstIndex(batch, loadIndex(spark),
-          idCol, textCol, k, bands, shingleSize, threshold)
-          .localCheckpoint(true))
-        saveIndex(graft.ops.Dedup
+        // ONE signature pass per micro-batch (the pipeline's most
+        // expensive stage — tokenize + shingle + k salted minhashes):
+        // the checkpointed rows feed the screen AND the admit, where
+        // separate dedupAgainstIndex + minhashBandIndex calls paid it
+        // twice (the indexedDedupSinkSplit discipline)
+        val rows = graft.ops.Dedup
           .minhashBandIndex(batch, idCol, textCol, k, bands, shingleSize)
+          .localCheckpoint(true)
+        emit(graft.ops.Dedup.dedupAgainstIndexFromRows(rows,
+          batch.select(col(idCol).as("new_id")), loadIndex(spark),
+          k, threshold)
           .localCheckpoint(true))
+        saveIndex(rows)
       }
 
   /** [[indexedDedupSink]] over the SPLIT index layout
@@ -398,13 +405,19 @@ object Streaming {
             explode(graft.ops.Dedup.lshBandKeys(col("sig"), bands, k / bands)).as("bk"))
           .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
         val batchBands = (if (!retain) keys else {
-          // stamp each band row with its doc's event time (epoch millis)
-          val times = batch.groupBy(col(idCol).cast("long").as("id"))
+          // stamp each band row with its doc's event time (epoch
+          // millis). The grouping id is the RAW idCol — the same
+          // expression the band keys carry; a cast("long") here would
+          // null out every non-numeric id (url-hash strings), the join
+          // would match nothing, every band row would save ts-null and
+          // the horizon (which exempts null ts) would never expire a
+          // row despite retention being configured
+          val times = batch.groupBy(col(idCol).as("id"))
             .agg(max(unix_millis(col(tsCol))).as("ts"))
           keys.join(times, Seq("id"), "left")
         }).localCheckpoint(true)
         val horizon = retentionHorizon(batch, tsCol, retain, highWater,
-          retentionMillis)
+          retentionMillis, storedMaxTs(loadBands(spark)))
         val prior = horizonFiltered(loadBands(spark), retain, horizon)
         // prior partners that are members of the CURRENT batch are
         // excluded (batch-sized anti-join): after a crash-replay the
@@ -491,10 +504,15 @@ object Streaming {
         // batch-sized
         val keys = graft.ops.Dedup.hashBlockRows(hashes, "id", "sim")
         val batchBlocks =
-          (if (retain) keys.join(hashes.select(col("id"), col("ts")).distinct(), Seq("id"))
+          // max(ts) per id, not distinct(): one id landing twice in a
+          // batch with two event times would fan every block row out
+          // per ts — stored rows differing ONLY in ts that compact()'s
+          // distinct rewrite can never collapse (the nearDupSink rule)
+          (if (retain) keys.join(hashes.groupBy(col("id"))
+              .agg(max(col("ts")).as("ts")), Seq("id"))
            else keys).localCheckpoint(true)
         val horizon = retentionHorizon(batch, tsCol, retain, highWater,
-          retentionMillis)
+          retentionMillis, storedMaxTs(loadBlocks(spark)))
         val prior = horizonFiltered(loadBlocks(spark), retain, horizon)
         def partnerSide(df: DataFrame) = df.select(
           col("id").as("partner_id"), col("sim").as("partner_sim"),
@@ -527,13 +545,29 @@ object Streaming {
     * driver-side high-water mark of OBSERVED event time (the same
     * clock a watermark uses — replays age deterministically, wall
     * clock never enters), minus the retention window. Long.MinValue =
-    * retention off or no event time observed yet. */
+    * retention off or no event time observed yet.
+    *
+    * On the FIRST retained batch of a process the mark seeds from the
+    * DURABLE store's max stamp (`storeMaxTs`, lazy): the AtomicLong
+    * alone dies with the driver, and a crash-replay in a fresh
+    * process would otherwise rebuild a LOWER high water from a
+    * late-data batch — widening the horizon and emitting prior-history
+    * pairs the original batch never saw, breaking the deterministic-
+    * replay contract. The store's stamps were written under the old
+    * mark, so their max restores a clock at least as high as any
+    * replayed batch observed. */
   private def retentionHorizon(batch: DataFrame, tsCol: String,
                                retain: Boolean,
                                highWater: java.util.concurrent.atomic.AtomicLong,
-                               retentionMillis: Long): Long =
+                               retentionMillis: Long,
+                               storeMaxTs: => Long): Long =
     if (!retain) Long.MinValue
     else {
+      if (highWater.get() == Long.MinValue) {
+        val seeded = storeMaxTs
+        if (seeded != Long.MinValue)
+          highWater.accumulateAndGet(seeded, math.max(_, _))
+      }
       val batchMax = batch.agg(max(unix_millis(col(tsCol)))).head()
       if (!batchMax.isNullAt(0))
         highWater.accumulateAndGet(batchMax.getLong(0), math.max(_, _))
@@ -541,6 +575,16 @@ object Streaming {
         case Long.MinValue => Long.MinValue
         case hw => hw - retentionMillis
       }
+    }
+
+  /** Max retention stamp of a store frame (Long.MinValue when the
+    * table is legacy ts-less or all-null) — the [[retentionHorizon]]
+    * crash-restart seed. */
+  private def storedMaxTs(df: DataFrame): Long =
+    if (!df.columns.contains("ts")) Long.MinValue
+    else {
+      val r = df.agg(max(col("ts"))).head()
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
     }
 
   /** The prior-state horizon filter shared by every stateful near-dup
@@ -630,7 +674,7 @@ object Streaming {
               (if (retain) Seq(col("ts")) else Nil): _*)
             .localCheckpoint(true)
         val horizon = retentionHorizon(batch, tsCol, retain, highWater,
-          retentionMillis)
+          retentionMillis, storedMaxTs(loadFrames(batch.sparkSession)))
         val prior = horizonFiltered(loadFrames(batch.sparkSession), retain, horizon)
         def partnerSide(df: DataFrame) = df.select(
           col("id").as("partner_id"), col("fhash"), col("n").as("partner_n"))

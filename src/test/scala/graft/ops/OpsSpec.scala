@@ -873,6 +873,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.length === 2)
   }
 
+  test("a zero-norm embedding scores cosine 0.0 — never NaN rank-1 / spurious dup") {
+    // Spark orders NaN ABOVE every real double and NaN >= t is TRUE:
+    // an unguarded 0/0 would rank a zero vector (failed embedding,
+    // padding row) first in every top-k and flag it at every gate
+    val withZero = vecs.unionByName(Seq((99L, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(
+        withZero.filter(col("vec_id") === 0), withZero, k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).head === 1L,
+      "real neighbor still ranks first")
+    assert(top.filter(_.getAs[Long]("neighbor_id") == 99L)
+      .forall(_.getAs[Double]("cosine") === 0.0), "zero vector scores 0.0")
+    // both paths (SRP-bucketed and exact planes<=0) must agree: the
+    // zero vector is nobody's near-duplicate
+    Seq(8, 0).foreach { planes =>
+      val dups = Similarity.nearDuplicates(withZero, threshold = 0.9,
+        planes = planes)
+      assert(!dups.collect().exists(r =>
+          r.getLong(0) == 99L || r.getLong(1) == 99L),
+        s"zero vector flagged at planes=$planes")
+    }
+  }
+
+  test("hammingNearDupPairs excludes null hashes — no pairwise null-bucket 'duplicates'") {
+    val hashes = Seq((1L, java.lang.Long.valueOf(0x0F0FL)),
+      (2L, java.lang.Long.valueOf(0x0F0FL)),
+      (3L, null.asInstanceOf[java.lang.Long]),
+      (4L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "h")
+    val pairs = Dedup.hammingNearDupPairs(hashes, "id", "h", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the real pair survives; the two null-hash docs (undecodable
+    // media) must NOT collide in the null-key buckets as hamming-0
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+  }
+
   test("IVF: assignment picks the nearest centroid; search stays within probed lists") {
     // centroids along the axes; vectors cluster around them
     val centroids = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))

@@ -397,6 +397,77 @@ class StreamingSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS graft_band_ret")
   }
 
+  test("retention clock survives a process restart: the horizon re-seeds from the store, a late replay can't widen it") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val other = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+
+    var bandTable = Streaming.emptyBandTable(spark, withTs = true)
+    var flagged = Map.empty[Long, Long]
+    def makeWriter(input: MemoryStream[(Long, String, java.sql.Timestamp)]) =
+      Streaming.nearDupSink("doc_id", "text",
+          _ => bandTable,
+          bt => bandTable = bandTable.unionByName(bt.localCheckpoint(true)),
+          f => flagged ++= f.collect().map(r => r.getLong(0) -> r.getLong(1)),
+          tsCol = "ts", retentionMillis = 60000L)(input.toDF().toDF("doc_id", "text", "ts"))
+
+    // process 1: doc 1 at t=10, then an unrelated doc at t=100 pushes
+    // the high water to 100 (horizon 40 — doc 1 is already expired)
+    val in1 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val w1 = makeWriter(in1)
+      .option("checkpointLocation", Files.createTempDirectory("graft-hw1").toString)
+      .start()
+    in1.addData((1L, base, ts(10)))
+    w1.processAllAvailable()
+    in1.addData((2L, other, ts(100)))
+    w1.processAllAvailable()
+    w1.stop()
+
+    // process 2 (fresh sink = fresh driver clock): a LATE batch at
+    // t=50 replays. Unseeded, the clock would rebuild at 50, widen the
+    // horizon to -10, and flag doc 1's expired bands — rows the
+    // original run never emitted. The store's max stamp (100) seeds
+    // the clock, so the horizon stays 40 and doc 1 stays expired.
+    val in2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val w2 = makeWriter(in2)
+      .option("checkpointLocation", Files.createTempDirectory("graft-hw2").toString)
+      .start()
+    in2.addData((42L, base.replace("today", "tonight"), ts(50)))
+    w2.processAllAvailable()
+    w2.stop()
+    assert(!flagged.contains(42L),
+      s"restart must not widen the retention horizon: $flagged")
+  }
+
+  test("retention stamps survive NON-NUMERIC doc ids (no silent cast-to-long nulling)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    var bandTable = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id", StringType),
+        StructField("band", IntegerType), StructField("bucket", StringType),
+        StructField("ts", LongType))))
+    val writer = Streaming.nearDupSink("doc_id", "text",
+        _ => bandTable,
+        bt => bandTable = bandTable.unionByName(bt.localCheckpoint(true)),
+        _ => (),
+        tsCol = "ts", retentionMillis = 60000L)(input.toDF().toDF("doc_id", "text", "ts"))
+      .option("checkpointLocation", Files.createTempDirectory("graft-sid").toString)
+      .start()
+    input.addData(("url-hash-abc", "the quick brown fox jumps over the lazy dog today",
+      new java.sql.Timestamp(10000L)))
+    writer.processAllAvailable()
+    writer.stop()
+    // a cast("long") on the stamp join would null every string id's ts
+    // — rows the horizon then exempts forever (unbounded state with
+    // retention configured and no error anywhere)
+    assert(bandTable.count() === 4)
+    assert(bandTable.filter(col("ts").isNull).count() === 0,
+      "string-id band rows must carry their event-time stamp")
+    assert(bandTable.filter(col("ts") === 10000L).count() === 4)
+  }
+
   test("streaming sessionization accepts TIMESTAMP_NTZ event time") {
     // LocalDateTime encodes as TIMESTAMP_NTZ — the type modern pyarrow
     // parquet yields; session_window/withWatermark must not reject it
