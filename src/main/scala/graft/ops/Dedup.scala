@@ -1530,15 +1530,46 @@ object Dedup {
     // should strip it first (boilerplateMetrics) — true of the join
     // form too, which shuffled the same hot rows to one reducer.
     import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy(col("h"), col("doc_id")).orderBy(col("ix"))
+    // ONE h-keyed exchange for the hotness gate (r15): the first-of-
+    // (h, doc) marks used to ride a (h, doc_id)-partitioned
+    // row_number — a SECOND full exchange of the paragraph rows
+    // before the h-partitioned hotness sum. For the ubiquitous
+    // minDocFreq=2 the gate is min(doc_id) ≠ max(doc_id) over the h
+    // partition (the filterHotByDistinctDocs doctrine — O(1) state,
+    // no ordered sort at all); for general df a lag over the h
+    // partition sorted by (doc_id, ix) marks the same first-of-group
+    // rows inside ONE sorted partition. Either way both windows share
+    // one hash(h) exchange.
+    // both gate exchanges PINNED at the session's shuffle width (the
+    // hotByteWindowStarts doctrine, r15): AQE's byte-sized coalescer
+    // sees a few MB of paragraph rows and plans ONE task for the
+    // h-window sort and again for the per-doc rebuild (q65 stage
+    // probe: 296 + 280 ms single-task stages); explicit-count
+    // repartitions are the one shuffle AQE never coalesces, and the
+    // count follows spark.sql.shuffle.partitions — cluster-sized at
+    // 100 TB.
+    val shufN = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parasByH = paras.repartition(shufN, col("h"))
     val wH = Window.partitionBy(col("h"))
-    val flagged = paras
-      .withColumn("__first",
-        when(row_number().over(wDoc) === 1, lit(1L)).otherwise(lit(0L)))
-      .withColumn("__hot",
-        when(sum(col("__first")).over(wH) >= minDocFreq, lit(1))
-          .otherwise(lit(null)))
-    val rebuilt = flagged.groupBy(col("doc_id"))
+    val flagged =
+      if (minDocFreq <= 2) parasByH
+        .withColumn("__hot",
+          when(min(col("doc_id")).over(wH) =!= max(col("doc_id")).over(wH),
+            lit(1)).otherwise(lit(null)))
+      else {
+        val wHDoc = Window.partitionBy(col("h"))
+          .orderBy(col("doc_id"), col("ix"))
+        parasByH
+          .withColumn("__first",
+            when(lag(col("doc_id"), 1).over(wHDoc).isNull ||
+                 lag(col("doc_id"), 1).over(wHDoc) =!= col("doc_id"),
+              lit(1L)).otherwise(lit(0L)))
+          .withColumn("__hot",
+            when(sum(col("__first")).over(wH) >= minDocFreq, lit(1))
+              .otherwise(lit(null)))
+          .drop("__first")
+      }
+    val rebuilt = flagged.repartition(shufN, col("doc_id")).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
         count(when(col("__hot").isNull, lit(1))).as("n_kept"),
         array_join(transform(
@@ -1583,15 +1614,30 @@ object Dedup {
     require(minDocFreq >= 2, "minDocFreq below 2 would mark every window duplicated")
     val L = windowTokens
     val (toks, hotStarts) = hotWindowStarts(df, idCol, textCol, L, minDocFreq)
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // interval union of [pos, pos+L) locally per doc (the
+    // [[duplicateSpansBytes]] shape, r15): ONE hash agg collects each
+    // doc's hot starts — state bounded by doc length — and a local
+    // sorted pass sums min(L, gap) increments. The r14 form paid a
+    // per-doc-sorted WindowExec (lag) plus a separate aggregation:
+    // one more exchange and a full sort for work the executor does
+    // over ints it already holds.
+    val covUdf = udf((ps: Seq[Int]) => {
+      val arr = ps.toArray
+      java.util.Arrays.sort(arr)
+      var covered = 0L
+      var i = 0
+      while (i < arr.length) {
+        covered += (if (i == 0) L.toLong
+                    else math.min(L.toLong, (arr(i) - arr(i - 1)).toLong))
+        i += 1
+      }
+      covered
+    })
     val cov = hotStarts
-      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
-      .withColumn("inc",
-        when(col("prev").isNull, lit(L.toLong))
-          .otherwise(least(lit(L.toLong), col("pos") - col("prev"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_windows"), sum(col("inc")).as("covered_tokens"))
+      .agg(count(lit(1)).as("n_dup_windows"), collect_list(col("pos")).as("ps"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        covUdf(col("ps")).as("covered_tokens"))
     toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
         greatest(size(col("t")) - L + 1, lit(0)).cast("long").as("n_windows"))
       .join(cov, Seq("doc_id"), "left")
@@ -1646,8 +1692,17 @@ object Dedup {
     // corpus-common window — a license block in millions of docs — is
     // the hash's full posting list, and set state would grow with the
     // hottest key.
-    (toks, filterHotByDistinctDocs(wins, minDocFreq)
-      .select(col("doc_id"), col("pos")))
+    //
+    // The gate exchange is PINNED at the session's shuffle width (the
+    // hotByteWindowStarts doctrine, r15): AQE's byte-sized coalescer
+    // sees a few MB of window rows and plans ONE task, serializing
+    // the gate sort. Hot starts hand off repartitioned by doc_id at
+    // the same width so both callers' per-doc aggregations ride the
+    // explicit exchange instead of a second AQE-coalesced one.
+    val shufN = df.sparkSession.sessionState.conf.numShufflePartitions
+    (toks, filterHotByDistinctDocs(wins, minDocFreq, Some(shufN))
+      .select(col("doc_id"), col("pos"))
+      .repartition(shufN, col("doc_id")))
   }
 
   /** Keeps rows whose `h`-key group spans ≥ `minDocFreq` DISTINCT
@@ -2076,31 +2131,50 @@ object Dedup {
     require(minDocFreq >= 2, "minDocFreq below 2 would mark every window duplicated")
     val L = windowTokens
     val (toks, hotStarts) = hotWindowStarts(df, idCol, textCol, L, minDocFreq)
-    val tokRows = toks.select(col("doc_id"),
-      posexplode(col("t")).as(Seq("p", "tok")))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
-    val rebuilt = tokRows
-      .join(hotStarts.select(col("doc_id"), col("pos").as("p"), lit(1).as("hit")),
-        Seq("doc_id", "p"), "left")
-      .withColumn("cover_end",
-        max(when(col("hit") === 1, col("p") + L)).over(byDoc))
-      .withColumn("covered", coalesce(col("cover_end") > col("p"), lit(false)))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("covered"), lit(1))).as("n_removed"),
-        array_join(transform(
-          array_sort(collect_list(when(!col("covered"),
-            struct(col("p"), col("tok"))))),
-          x => x.getField("tok")), " ").as("text_clean"))
+    // splice locally per doc (the [[removeDuplicateSpansBytes]] shape,
+    // r15): each doc's hot starts come back as ONE collected list
+    // (bounded by doc length), and a single local pass over the token
+    // array drops covered positions and re-joins survivors in order.
+    // The r14 form exploded every token into rows, joined the hit
+    // markers, ran a per-doc-sorted running-max WindowExec, and
+    // re-collected — three corpus-token-sized stages for work the
+    // executor does locally over an array it already holds. Only docs
+    // WITH hot starts pass through the splice (inner join); untouched
+    // docs return verbatim from the original text at the final select.
+    val spliceUdf = udf((t: Seq[String], ps: Seq[Int]) => {
+      val arr = ps.toArray
+      java.util.Arrays.sort(arr)
+      val n = t.length
+      val sb = new java.lang.StringBuilder
+      var removed = 0L
+      var coverEnd = -1
+      var j = 0
+      var p = 0
+      while (p < n) {
+        if (j < arr.length && arr(j) == p) { coverEnd = math.max(coverEnd, p + L); j += 1 }
+        if (p < coverEnd) removed += 1L
+        else {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(t(p))
+        }
+        p += 1
+      }
+      (removed, sb.toString)
+    })
+    val starts = hotStarts.groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("ps"))
+    val spliced = toks.join(starts, Seq("doc_id"))
+      .select(col("doc_id"), spliceUdf(col("t"), col("ps")).as("__r"))
     df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .join(toks.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens")), Seq("doc_id"), "left")
+      .join(spliced, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        when(coalesce(col("n_removed"), lit(0L)) === 0L,
+        coalesce(col("__r._1"), lit(0L)).as("n_removed"),
+        when(coalesce(col("__r._1"), lit(0L)) === 0L,
           coalesce(col("__orig"), lit("")))
-          .otherwise(col("text_clean")).as("text_clean"))
+          .otherwise(col("__r._2")).as("text_clean"))
   }
 
   /** Resolve a corpus against its candidate pairs: every doc gets its

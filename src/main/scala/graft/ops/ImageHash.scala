@@ -247,20 +247,78 @@ object ImageHash {
     else g
   }
 
-  /** Encode the fixture pattern as a real 9×8 grayscale PNG. */
+  /** Encode the fixture pattern as a real 9×8 grayscale PNG.
+    *
+    * Hand-encoded (r15): `ImageIO.write` funnels every call through
+    * the synchronized IIORegistry writer lookup plus a heavyweight
+    * encoder — measured 80 µs/image single-threaded and far worse
+    * under 32 concurrent fixture tasks (q130's decode stage read 8 s
+    * of CPU for 5 k images whose raw pixel work is ~0.5 s). The
+    * fixture is 80 bytes of gray samples; [[pngGray8]] writes a
+    * spec-valid PNG around them with pure arithmetic + java.util.zip
+    * checksums — zero locks, deterministic bytes, and any compliant
+    * reader (ImageIO included) decodes the IDENTICAL raster, so every
+    * dHash, oracle replay and golden value is unchanged. */
   def fixturePng(id: Long, perturb: Boolean = false): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(9, 8,
-      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
+    val w = 9; val h = 8
+    val raw = new Array[Byte](h * (w + 1)) // filter byte 0 + w samples per row
+    var o = 0
     var y = 0
-    while (y < 8) {
+    while (y < h) {
+      raw(o) = 0; o += 1
       var x = 0
-      while (x < 9) { raster.setSample(x, y, 0, fixtureGray(id, x, y, perturb)); x += 1 }
+      while (x < w) { raw(o) = fixtureGray(id, x, y, perturb).toByte; o += 1; x += 1 }
       y += 1
     }
-    val buf = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", buf)
-    buf.toByteArray
+    pngGray8(w, h, raw)
+  }
+
+  /** Minimal deterministic PNG container for 8-bit grayscale: IHDR +
+    * one IDAT (zlib with STORED deflate blocks — no compression, no
+    * Deflater allocation) + IEND. `raw` is the filtered scanline
+    * stream (filter byte 0 before each row's samples). Stored blocks
+    * cap at 65535 bytes, so large rasters loop. */
+  private[ops] def pngGray8(w: Int, h: Int, raw: Array[Byte]): Array[Byte] = {
+    require(raw.length == h * (w + 1), "raw must be h filtered scanlines")
+    val out = new java.io.ByteArrayOutputStream(raw.length + 96)
+    def be32(v: Int): Array[Byte] =
+      Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), 0, 8)
+    val ihdr = new java.io.ByteArrayOutputStream(13)
+    ihdr.write(be32(w), 0, 4); ihdr.write(be32(h), 0, 4)
+    ihdr.write(8) // bit depth
+    ihdr.write(0) // color type: grayscale
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate, filter 0, no interlace
+    chunk("IHDR", ihdr.toByteArray)
+    val idat = new java.io.ByteArrayOutputStream(raw.length + raw.length / 65535 * 5 + 16)
+    idat.write(0x78); idat.write(0x01) // zlib header, fastest-compression hint
+    var off = 0
+    var done = false
+    while (!done) {
+      val len = math.min(65535, raw.length - off)
+      val fin = if (off + len >= raw.length) 1 else 0
+      idat.write(fin) // BFINAL | BTYPE=00 (stored)
+      idat.write(len & 0xff); idat.write((len >>> 8) & 0xff)
+      idat.write(~len & 0xff); idat.write((~len >>> 8) & 0xff)
+      idat.write(raw, off, len)
+      off += len
+      done = fin == 1
+    }
+    val ad = new java.util.zip.Adler32
+    ad.update(raw)
+    idat.write(be32(ad.getValue.toInt), 0, 4)
+    chunk("IDAT", idat.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** The fixture as a column UDF (id, perturb) → PNG bytes. */

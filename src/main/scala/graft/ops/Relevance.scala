@@ -211,12 +211,14 @@ object Relevance {
     * Gaps: first entry is relative to the block base
     * (`block << blockBits`), each later entry to its predecessor —
     * `ids = base + prefix-sums(gaps)` reconstructs exactly. `minDf`
-    * drops hapax/rare terms by GLOBAL document frequency (a semi-join
-    * against the term-keyed df table — vocabulary-sized, never a
-    * second corpus scan).
+    * drops hapax/rare terms by GLOBAL document frequency (a
+    * sum-over-term-partition window on the block rows — index-sized,
+    * never a second corpus scan or posting re-shuffle).
     *
-    * Output: (term, block, df_block, gaps: array<long>), one shuffle
-    * on (term, block) after the distinct. Ids must be non-negative. */
+    * Output: (term, block, df_block, gaps: array<long>), ONE
+    * corpus-sized shuffle (the (term, block) aggregation) plus one
+    * index-sized one (the df window). Ids must be non-negative and
+    * UNIQUE (one row per document). */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     blockBits: Int = 20, minDf: Long = 1L): DataFrame = {
     require(blockBits >= 1 && blockBits <= 62, "blockBits in [1, 62]")
@@ -228,21 +230,39 @@ object Relevance {
     val guardedId = when(rawId < 0L, raise_error(concat(
         lit("invertedIndex: negative doc_id "), rawId.cast("string"))))
       .otherwise(rawId)
+    // (doc, term) pairs are distinct BY CONSTRUCTION (r15): term
+    // dedup within one document is a per-row array_distinct — the old
+    // corpus-wide .distinct() shuffled every posting once more to
+    // dedupe pairs that can only collide inside a single row. (Input
+    // ids must be unique — one row per document — the same
+    // precondition the gap encoding already needs.)
     val postings = df
       .select(guardedId.as("doc_id"),
-        explode(tokens(col(textCol))).as("term"))
-      .distinct()
-    val kept =
-      if (minDf <= 1L) postings
-      else postings.join(
-        postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-          .filter(col("df") >= minDf).select(col("term")),
-        Seq("term"), "left_semi")
-    val blocked = kept
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+    // one corpus-sized exchange: the (term, block) aggregation —
+    // stopword postings spread across n_docs/2^blockBits bounded
+    // groups exactly as before. The GLOBAL-df minDf filter then rides
+    // a sum-over-term-partition WINDOW on the aggregated index rows
+    // (vocab × blocks — 2^blockBits-fold smaller than postings)
+    // instead of the old df-aggregate + left_semi join back, which
+    // re-shuffled the full posting rows by term: a stopword's ENTIRE
+    // posting list in one reduce partition, vs its block rows here.
+    val blocked = postings
       .withColumn("block", shiftrightunsigned(col("doc_id"), blockBits))
       .groupBy(col("term"), col("block"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-    blocked.select(col("term"), col("block"),
+    val kept =
+      if (minDf <= 1L) blocked
+      else {
+        import org.apache.spark.sql.expressions.Window
+        blocked
+          .withColumn("__df",
+            sum(size(col("ids")).cast("long"))
+              .over(Window.partitionBy(col("term"))))
+          .filter(col("__df") >= minDf)
+          .drop("__df")
+      }
+    kept.select(col("term"), col("block"),
       size(col("ids")).cast("long").as("df_block"),
       transform(col("ids"), (x, i) =>
         x - when(i === 0, shiftleft(col("block"), blockBits))

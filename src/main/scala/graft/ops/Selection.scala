@@ -68,26 +68,32 @@ object Selection {
     // n·w exactly — and every downstream exchange (bucket counts, the
     // weight join, the per-doc sum) now carries distinct (doc, bkt)
     // pairs instead of every token occurrence, with the first shuffle
-    // map-side combined. No checkpoint: the pre-agg subplan is
-    // identical under both consumers, so ReuseExchange evaluates the
-    // corpus tokenize once — materializing it eagerly instead would
-    // charge composed pipelines (q88) a dedicated job for upstream
-    // frames they already evaluate (measured 0.59 s → 2.2 s).
+    // map-side combined.
+    //
+    // SINGLE-CONSUMPTION shape (r15): Catalyst copies a shared
+    // subtree into every consuming branch and prunes each copy
+    // differently, so ReuseExchange can never dedupe them — the old
+    // rawCounts groupBy+join-back form re-ran the corpus tokenize +
+    // pre-agg TWICE (stage probe: two ~4 s-CPU stages), and
+    // checkpointing instead was measured 0.44 → 2.7-2.9 s on the q88
+    // composition (whose upstream pipeline then materializes as a
+    // dedicated serial job). Here every heavy frame is consumed
+    // exactly once: the bucket total `cr` is a sum-over-bkt-partition
+    // WINDOW riding the pre-agg's own exchange (state = one counter;
+    // the join that follows reuses the window's hash(bkt)
+    // partitioning), and the corpus totals stay the LIGHT
+    // sum(size(tokens)) scans — no explode, no shuffle.
     val rawDocBkt = bucketed(raw)
       .groupBy(col("doc_id"), col("bkt")).agg(count(lit(1)).as("n"))
-    val rawCounts = rawDocBkt.groupBy(col("bkt")).agg(sum(col("n")).as("cr"))
-    val tgtCounts = bucketed(target).groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
-    // corpus totals as ONE broadcast row of two LIGHT scans: token
-    // counts via sum(size(tokens)) — no explode, no shuffle, and no
-    // duplicated pre-agg lineage (summing the count tables re-derived
-    // the whole bucketed subplan when stage reuse didn't kick in —
-    // visible as a second explode+exchange chain in the q82 plan)
+    val tgtCounts = bucketed(target).groupBy(col("bkt"))
+      .agg(count(lit(1)).as("ct"))
+    val wBkt = org.apache.spark.sql.expressions.Window.partitionBy(col("bkt"))
     val totals = raw
       .agg(sum(size(tokens(col(textCol)))).cast("long").as("nr"))
       .crossJoin(target
         .agg(sum(size(tokens(col(textCol)))).cast("long").as("nt")))
     val perToken = rawDocBkt
-      .join(rawCounts, Seq("bkt"))                // every raw bucket exists: inner
+      .withColumn("cr", sum(col("n")).over(wBkt)) // every raw bucket exists
       .join(tgtCounts, Seq("bkt"), "left")        // unseen-in-target: count 0
       .crossJoin(broadcast(totals))
       .withColumn("w_pico", round(

@@ -175,7 +175,10 @@ private[queries] object TrainingCuration {
     // corpus, quality-gate the CLEANED text, weighted-sample 100 docs
     // by kept-paragraph count, assign contiguous training indices.
     "q65_corpus_prep" -> ((s, d) => {
+      // repartition BEFORE the paragraph explode (the q130 doctrine):
+      // the single-row-group testdata parquet scans as ONE task
       val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("ptext",
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
       val cleaned = Dedup.paragraphDedup(docs, "doc_id", "ptext",
@@ -231,7 +234,16 @@ private[queries] object TrainingCuration {
     // every doc under the English-slice target distribution vs the full
     // corpus — the distribution-reshaping selection signal.
     "q82_dsir_weights" -> ((s, d) => {
+      // repartition BEFORE the tokenize explode (the q130 doctrine for
+      // text): the single-row-group testdata parquet scans as ONE task
+      // and the tokenize+bucket+pre-agg chain — q82's largest stage,
+      // measured 730 ms single-task — runs serial without it. One
+      // exchange of 5k skinny rows, shared by the raw AND target
+      // subtrees (target derives from the same frame, so ReuseExchange
+      // pays it once); at real scale the scan splits naturally and the
+      // session width keeps this the normal shuffle fan-out.
       val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       Selection.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
           "doc_id", "text", buckets = 4096, k = 0.5)
         .orderBy(col("doc_id"))

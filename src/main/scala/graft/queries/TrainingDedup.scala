@@ -94,7 +94,10 @@ private[graft] object TrainingDedup {
     // corpora pass the default \n split), then cross-doc repeated
     // paragraphs are dropped from every document.
     "q53_paragraph_dedup" -> ((s, d) => {
+      // repartition BEFORE the paragraph explode (the q130 doctrine):
+      // the single-row-group testdata parquet scans as ONE task
       val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("ptext",
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
       Dedup.paragraphDedup(docs, "doc_id", "ptext",
@@ -111,8 +114,15 @@ private[graft] object TrainingDedup {
     // md5 both miss. Interval-union semantics: overlapping hot
     // windows never double-count a token.
     "q80_dup_spans" -> ((s, d) => {
-      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
-          windowTokens = 5, minDocFreq = 2)
+      // repartition BEFORE the tokenize+window-hash explode (the q130
+      // doctrine): the single-row-group testdata parquet scans as ONE
+      // task and the explode — q80's largest stage, measured 605 ms
+      // single-task — runs serial without it. At real scale the scan
+      // splits naturally and the session width keeps this the normal
+      // fan-out.
+      Dedup.duplicateSpans(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", windowTokens = 5, minDocFreq = 2)
         .orderBy(col("doc_id"))
     }),
 
@@ -120,8 +130,10 @@ private[graft] object TrainingDedup {
     // delete every token covered by a cross-doc-hot 5-token window,
     // reassemble survivors in order (tokenizer-normalized re-join).
     "q81_remove_dup_spans" -> ((s, d) => {
-      Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
-          windowTokens = 5, minDocFreq = 2)
+      // same single-split accommodation as q80 — see the note there
+      Dedup.removeDuplicateSpans(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", windowTokens = 5, minDocFreq = 2)
         .orderBy(col("doc_id"))
     }),
 
@@ -303,6 +315,14 @@ private[graft] object TrainingDedup {
           shiftright(col("dhash"), 16).bitwiseAND(lit(0xFFFFL)).as("b1"),
           shiftright(col("dhash"), 32).bitwiseAND(lit(0xFFFFL)).as("b2"),
           shiftright(col("dhash"), 48).bitwiseAND(lit(0xFFFFL)).as("b3"))
+        // materialization barrier BEFORE the final sort (r15): the
+        // range partitioner's SAMPLE pass re-executes the sort's
+        // child, so an unmaterialized decode projection runs twice —
+        // measured 260 ms + 223 ms decode stages (5.0 s + 3.2 s CPU)
+        // for one decode's work. A hash exchange of the 5-long skinny
+        // rows materializes the decode output once; the sample then
+        // reads shuffle files, not the UDF.
+        .repartition(s.sparkContext.defaultParallelism, col("media_id"))
         .orderBy(col("media_id"))
     }),
 

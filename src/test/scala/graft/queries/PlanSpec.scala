@@ -82,17 +82,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"))
   }
 
-  test("q80 dup spans: partitioned windows only; SINGLE window-hash explode") {
+  test("q80 dup spans: h-keyed hotness window only; SINGLE window-hash explode; " +
+      "local per-doc interval union") {
     val p = plan("q80_dup_spans")
     // every window function must be KEY-partitioned (an unpartitioned
     // window = all rows to ONE task — the 100 TB killer WindowExec
-    // warns about): the lag/coverage windows ride doc_id, the hotness
-    // window rides the window-hash key (the q113/q122
-    // count-over-partition doctrine — it replaced the old
-    // aggregate + join-back, halving the explode count)
-    assert("windowspecdefinition\\((?!doc_id|h#)".r.findAllIn(p).isEmpty,
-      "every window must be partitioned by doc_id or the hash key")
-    assert(p.contains("windowspecdefinition(doc_id"), "the lag window rides doc_id")
+    // warns about). r15: the per-doc lag/coverage windows are GONE —
+    // the interval union runs locally over each doc's collected hot
+    // starts (state bounded by doc length) — so the hotness gate's
+    // h-keyed window is the only one left.
+    assert("windowspecdefinition\\((?!h#)".r.findAllIn(p).isEmpty,
+      "the only window is the h-keyed hotness gate")
     assert(p.contains("windowspecdefinition(h#"), "hotness rides the hash key")
     // the window-hash explode runs EXACTLY once: hotness is computed
     // on the same pass, so there is no hot-set/flag-side recompute
@@ -106,13 +106,17 @@ class PlanSpec extends SparkTestBase {
       "the hotness gate must never materialize a per-key distinct set")
   }
 
-  test("q81 span removal: partitioned windows; no cartesian; token+window explodes") {
+  test("q81 span removal: h-keyed hotness window only; no token-row explode; " +
+      "local per-doc splice") {
     val p = plan("q81_remove_dup_spans")
-    assert("windowspecdefinition\\((?!doc_id|h#)".r.findAllIn(p).isEmpty,
-      "every window must be partitioned by doc_id or the hash key")
-    assert("Generate posexplode".r.findAllIn(p).size === 2,
-      "token explode + ONE window-hash explode (hotness on the same " +
-        "pass) — never a ×L position explode")
+    // r15: the token explode + hit join + running-max window tail is
+    // gone — survivors splice locally per doc from one collected
+    // hot-start list, so the ONLY explode left is the window-hash one
+    // and the ONLY window is the h-keyed hotness gate.
+    assert("windowspecdefinition\\((?!h#)".r.findAllIn(p).isEmpty,
+      "the only window is the h-keyed hotness gate")
+    assert("Generate posexplode".r.findAllIn(p).size === 1,
+      "ONE window-hash explode — token rows never explode into the shuffle")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("collect_set"),
       "the hotness gate must never materialize a per-key distinct set")
@@ -364,7 +368,14 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q82_dsir_weights")
     assert(p.contains("partial_count"), "bucket distributions map-side combine")
     assert(!p.contains("CartesianProduct"), "only the broadcast 1-row totals cross")
-    assert(!p.contains("Window"), "pure aggregate/join shape")
+    // r15: the bucket total `cr` is a sum-over-bkt-partition window
+    // riding the pre-agg's exchange — the old groupBy+join-back form
+    // re-ran the corpus tokenize per consumer (Catalyst prunes each
+    // branch's copy differently, so ReuseExchange never fired)
+    assert("windowspecdefinition\\((?!bkt#)".r.findAllIn(p).isEmpty,
+      "the only window is the bkt-keyed bucket total")
+    assert("Generate explode".r.findAllIn(p).size <= 2,
+      "raw + target tokenize exactly once each — no duplicated explode chains")
   }
 
   test("q83 NB classifier: one aggregation pass per distribution, 1-row prior broadcasts") {
@@ -449,12 +460,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
-  test("q93 inverted index: postings group on (term, block) — no single partition, " +
-      "no window, global-df gate is a semi-join") {
+  test("q93 inverted index: postings group on (term, block) — no single partition; " +
+      "global-df gate is a term-keyed window on index rows") {
     val p = plan("q93_inverted_index")
     assert(!p.contains("SinglePartition"), "posting lists never collapse to one task")
-    assert(!p.contains("Window"))
-    assert(p.contains("LeftSemi"), "minDf gate joins, never collects a vocabulary")
+    // r15: the minDf gate is a sum-over-term-partition window on the
+    // AGGREGATED block rows (2^blockBits-fold smaller than postings) —
+    // the old df-aggregate + left_semi re-shuffled the full posting
+    // rows by term (a stopword's whole posting list to one reducer)
+    assert("windowspecdefinition\\((?!term#)".r.findAllIn(p).isEmpty,
+      "the only window is the term-keyed global-df gate")
+    assert(!p.contains("LeftSemi"), "the df gate rides the index rows, not a posting re-shuffle")
+    // (doc, term) dedup is per-row array_distinct — the corpus-wide
+    // distinct() exchange is gone
+    assert("Generate explode".r.findAllIn(p).size === 1, "one tokenize explode")
   }
 
   test("q94 ann recall audit: native IVF assignment, no cartesian, no brute-force " +
