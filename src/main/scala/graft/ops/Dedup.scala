@@ -110,9 +110,19 @@ object Dedup {
     * shuffles the keyed rows twice). */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
-                        maxBucketSize: Int = 0): DataFrame = {
-    val rowsPerBand = k / bands
-    val buckets = minhashSignatures(df, idCol, textCol, k, shingleSize)
+                        maxBucketSize: Int = 0): DataFrame =
+    lshPairsFromSigs(minhashSignatures(df, idCol, textCol, k, shingleSize),
+      bands, k / bands, maxBucketSize)
+
+  /** The band → bucket-group → local-pair tail of [[lshCandidatePairs]]
+    * over a precomputed (id, sig) frame — split out (r15) so that
+    * multi-config consumers ([[lshAudit]]) derive every band
+    * configuration from ONE signature pass instead of re-running the
+    * per-row minhash over the corpus text per config. */
+  private[graft] def lshPairsFromSigs(sigs: DataFrame, bands: Int,
+                                      rowsPerBand: Int,
+                                      maxBucketSize: Int = 0): DataFrame = {
+    val buckets = sigs
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .groupBy(col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -391,11 +401,11 @@ object Dedup {
     * [[ngramJaccardBlocked]] (shingle-blocked, `maxShingleFreq`-capped
     * — the truth set is itself computed at scale discipline). For each
     * `b` in `bandConfigs` (each must divide `k`), candidates are the
-    * standard band-bucket pairs over ONE shared signature definition —
-    * the native per-row minhash pass recomputes per config rather than
-    * caching a corpus-sized signature frame (callers auditing many
-    * configs on one corpus can persist [[minhashSignatures]] and inline
-    * the band stage themselves).
+    * standard band-bucket pairs derived from ONE checkpointed
+    * signature pass (16 ints per doc — the skinny artifact a
+    * multi-config audit persists anyway; re-running the per-row
+    * minhash per config paid an extra corpus text pass per
+    * configuration, r15).
     *
     * Output: (bands, rows_per_band, n_candidates, n_true, n_hits,
     * prec, rec) — `prec` null when a config yields no candidates (a
@@ -418,8 +428,15 @@ object Dedup {
         shingleSize, maxShingleFreq)
       .select(col("id_a"), col("id_b"), lit(true).as("is_true"))
       .localCheckpoint(true)
+    // ONE signature pass for every band configuration (r15): the
+    // per-row minhash (shingle + k-min) is the audit's per-config
+    // cost; recomputing it per config paid two extra corpus text
+    // passes here. The checkpointed frame is 16 ints per doc — the
+    // skinny artifact a multi-config audit would persist anyway.
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleSize)
+      .localCheckpoint(true)
     val candidates = bandConfigs.map { b =>
-      lshCandidatePairs(df, idCol, textCol, k, b, shingleSize)
+      lshPairsFromSigs(sigs, b, k / b)
         .withColumn("bands", lit(b))
     }.reduce(_ unionByName _)
     val perConfig = candidates
@@ -487,20 +504,34 @@ object Dedup {
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleSize: Int = 3,
                           maxShingleFreq: Int = shingleCapForPairBudget(512)): DataFrame = {
-    // per-doc shingle count is a PER-ROW property — no aggregation, no
-    // shuffle, no cache; one extra native-shingles evaluation per doc.
-    val sizes = df.select(col(idCol).as("id"),
-      size(TextOps.distinctShingles(col(textCol), shingleSize)).cast("long").as("n"))
+    // per-doc shingle counts from the SAME exploded rows (r15): the
+    // old per-row size(distinctShingles) projection was pushed below
+    // any caller repartition and re-ran the kernel SERIALLY on a
+    // single-split scan (636 ms of q91's budget); a map-combined count
+    // over flat keeps the second kernel evaluation parallel and its
+    // exchange carries one row per doc. Docs with zero shingles are
+    // absent — they cannot appear in a pair, so the inner joins below
+    // are unchanged.
+    //
+    // The pair-generating exchanges are PINNED at the session shuffle
+    // width (the hotByteWindowStarts doctrine): AQE's byte-sized
+    // coalescer saw a few MB of shingle/pair rows and ran the
+    // 1.1M-pair explode and the intersection aggregation on ONE task
+    // (1.18 s + 0.51 s single-task stages in the q91 probe).
+    val shufN = df.sparkSession.sessionState.conf.numShufflePartitions
     val flat = df.select(col(idCol).as("id"),
       explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
-    val byShingle = flat.groupBy(col("s"))
+    val sizes = flat.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val byShingle = flat.repartition(shufN, col("s")).groupBy(col("s"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     val capped =
       if (maxShingleFreq > 0) byShingle.filter(size(col("ids")) <= maxShingleFreq)
       else byShingle
     val inter = capped
       .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .repartition(shufN, col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
@@ -532,18 +563,24 @@ object Dedup {
   def containmentPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double, shingleSize: Int = 3,
                               maxShingleFreq: Int = shingleCapForPairBudget(512)): DataFrame = {
-    val sizes = df.select(col(idCol).as("id"),
-      size(TextOps.distinctShingles(col(textCol), shingleSize)).cast("long").as("n"))
+    // same shape as [[ngramJaccardBlocked]] (r15): sizes from the
+    // exploded rows (parallel second kernel eval; zero-shingle docs
+    // cannot pair), pinned pair-generating exchanges (AQE coalesced
+    // them to one task)
+    val shufN = df.sparkSession.sessionState.conf.numShufflePartitions
     val flat = df.select(col(idCol).as("id"),
       explode(TextOps.distinctShingles(col(textCol), shingleSize)).as("s"))
-    val byShingle = flat.groupBy(col("s"))
+    val sizes = flat.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val byShingle = flat.repartition(shufN, col("s")).groupBy(col("s"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     val capped =
       if (maxShingleFreq > 0) byShingle.filter(size(col("ids")) <= maxShingleFreq)
       else byShingle
     val inter = capped
       .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .repartition(shufN, col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), Seq("id_a"))
@@ -623,14 +660,22 @@ object Dedup {
         TextOps.shingleHashesFromTokens(col("__tk"), n).as("__hs"))
       .select(col("id"),
         explode(TextOps.winnowFromHashes(col("__hs"), w)).as("fp"))
+    // pair-generating exchanges PINNED at the session shuffle width
+    // (the ngramJaccardBlocked doctrine, r15): AQE's byte-sized
+    // coalescer ran the fingerprint group + pair explode and the
+    // shared-count aggregation on ONE task each (526 + 165 ms
+    // single-task stages in the q112 probe)
+    val shufN = df.sparkSession.sessionState.conf.numShufflePartitions
     val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("n_fp"))
-    val byFp = fps.groupBy(col("fp"))
+    val byFp = fps.repartition(shufN, col("fp")).groupBy(col("fp"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     val capped =
       if (maxFpFreq > 0) byFp.filter(size(col("ids")) <= maxFpFreq) else byFp
     capped
       .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .repartition(shufN, col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_fp", "n_a"), Seq("id_a"))
@@ -847,8 +892,15 @@ object Dedup {
   def setJaccardPairs(rows: DataFrame, idCol: String, hashCol: String,
                       threshold: Double, maxHashFreq: Int): DataFrame = {
     assertDistinctIfDebug(rows, idCol, hashCol, "setJaccardPairs")
+    // checkpoint the skinny (id, hash) frame (the setJaccardAcross
+    // doctrine, r15): the size table and the hash grouping are
+    // separate consumer branches, and Catalyst's per-branch subtree
+    // copy re-ran the upstream (a real PCM/frame decode for the audio
+    // and video callers) once per consumer. Pair aggregation pinned at
+    // the session width (AQE coalesced it to one task).
+    val shufN = rows.sparkSession.sessionState.conf.numShufflePartitions
     val ided = rows.select(col(idCol).cast("long").as("__sid"),
-      col(hashCol).as("__sh"))
+      col(hashCol).as("__sh")).localCheckpoint(true)
     val sizes = ided.groupBy(col("__sid")).agg(count(lit(1)).as("n"))
     val byHash = ided.groupBy(col("__sh"))
       .agg(sort_array(collect_list(col("__sid"))).as("ids"))
@@ -857,7 +909,9 @@ object Dedup {
       else byHash
     capped
       .select(explode(pairsFromSortedIds(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .repartition(shufN, col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(sizes.select(col("__sid").as("id_a"), col("n").as("na")), Seq("id_a"))
       .join(sizes.select(col("__sid").as("id_b"), col("n").as("nb")), Seq("id_b"))
@@ -898,10 +952,25 @@ object Dedup {
                        threshold: Double, maxHashFreq: Int): DataFrame = {
     assertDistinctIfDebug(left, idCol, hashCol, "setJaccardAcross left")
     assertDistinctIfDebug(right, idCol, hashCol, "setJaccardAcross right")
+    // each side feeds THREE consumers (its size table, the hot-hash
+    // union, the pair join) and Catalyst copies the subtree per
+    // branch, so an expensive upstream — q141 decodes real PCM here —
+    // evaluated three times (stage probe: 3 × ~900 ms per side).
+    // Checkpoint the skinny (id, hash) frames once (r15); at corpus
+    // scale these are the fingerprint artifacts a pipeline persists
+    // anyway.
+    // (measured, r15: an explicit keyed repartition before these
+    // checkpoints — to keep the cached RDD at session width — cost
+    // MORE than the AQE-coalesced cache it replaced: 3.25 → 4.25 s on
+    // q141. The single-partition cache serializes a few ~300 ms
+    // consumer stages; the extra 320k-row exchanges cost ~1 s. Plain
+    // checkpoints win locally; at cluster scale the decode output is
+    // wide enough that AQE leaves it parallel.)
+    val shufN = left.sparkSession.sessionState.conf.numShufflePartitions
     val l = left.select(col(idCol).cast("long").as("left_id"),
-      col(hashCol).as("__h"))
+      col(hashCol).as("__h")).localCheckpoint(true)
     val r = right.select(col(idCol).cast("long").as("right_id"),
-      col(hashCol).as("__h"))
+      col(hashCol).as("__h")).localCheckpoint(true)
     val ln = l.groupBy(col("left_id")).agg(count(lit(1)).as("na"))
     val rn = r.groupBy(col("right_id")).agg(count(lit(1)).as("nb"))
     val (lc, rc) =
@@ -914,6 +983,10 @@ object Dedup {
           r.join(cool, Seq("__h"), "left_semi"))
       }
     lc.join(rc, Seq("__h"))
+      // pair aggregation PINNED at the session shuffle width (the
+      // ngramJaccardBlocked doctrine): AQE coalesced the post-join
+      // count to ONE task (868 + 976 ms single-task stages at sf0.1)
+      .repartition(shufN, col("left_id"), col("right_id"))
       .groupBy(col("left_id"), col("right_id"))
       .agg(count(lit(1)).as("n_shared"))
       .join(ln, Seq("left_id")).join(rn, Seq("right_id"))

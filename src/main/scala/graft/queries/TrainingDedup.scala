@@ -34,15 +34,21 @@ private[graft] object TrainingDedup {
     // is cap-exact at ANY SF — not just while no trigram's
     // doc-frequency exceeds the cap (max observed at sf0.1 is 25).
     "q22_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardBlocked(t(s, d, "documents"), "doc_id", "text",
+      // repartition BEFORE the shingle kernel (the q130 doctrine):
+      // the single-row-group scan runs the explode on ONE task
+      Dedup.ngramJaccardBlocked(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text",
           threshold = 0.8, shingleSize = 3, maxShingleFreq = Dedup.shingleCapForPairBudget(500))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // MinHash+LSH candidate pairs (16 hashes, 4 bands of 4).
     "q23_minhash_lsh" -> ((s, d) => {
-      Dedup.lshCandidatePairs(t(s, d, "documents"), "doc_id", "text",
-          k = 16, bands = 4, shingleSize = 3)
+      // repartition BEFORE the minhash kernel (the q130 doctrine)
+      Dedup.lshCandidatePairs(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", k = 16, bands = 4, shingleSize = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -188,7 +194,12 @@ private[graft] object TrainingDedup {
     // MinHash candidates against exact-Jaccard ≥ 0.8 ground truth —
     // the band config for the 100 TB dedup run, chosen on data.
     "q91_lsh_audit" -> ((s, d) => {
-      Dedup.lshAudit(t(s, d, "documents"), "doc_id", "text",
+      // repartition BEFORE the shingle/minhash kernels (the q130
+      // doctrine): the single-row-group scan otherwise runs both the
+      // truth-set explode and the signature pass on ONE task
+      Dedup.lshAudit(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text",
           k = 16, bandConfigs = Seq(2, 4, 8), shingleSize = 3,
           threshold = 0.8, maxShingleFreq = Dedup.shingleCapForPairBudget(500))
         .orderBy(col("bands"))
@@ -198,8 +209,10 @@ private[graft] object TrainingDedup {
     // pairs Jaccard can't see — either direction's |A∩B|/|A| over the
     // shared-shingle blocked pairs.
     "q103_containment" -> ((s, d) => {
-      Dedup.containmentPairsBlocked(t(s, d, "documents"), "doc_id", "text",
-          threshold = 0.8)
+      // repartition BEFORE the shingle kernel (the q130 doctrine)
+      Dedup.containmentPairsBlocked(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -209,8 +222,13 @@ private[graft] object TrainingDedup {
     // Jaccard, fails this). Cost is bounded twice: pairs by LSH
     // banding, per-pair DP by the maxChars cap.
     "q111_edit_verify" -> ((s, d) => {
-      Dedup.editVerifiedPairs(t(s, d, "documents"), "doc_id", "text",
-          threshold = 0.8)
+      // repartition BEFORE the minhash kernel and the byte-decode
+      // projection (the q130 doctrine): both ran single-task — 1.5 s
+      // for the signature pass, 2 × 0.4 s for the per-join-side text
+      // projections
+      Dedup.editVerifiedPairs(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -218,8 +236,11 @@ private[graft] object TrainingDedup {
     // hashes — a 4×-smaller index than full shingles that still
     // guarantees any ≥ w+n−1-token clone shares a fingerprint.
     "q112_winnowing" -> ((s, d) => {
-      Dedup.winnowingOverlapPairs(t(s, d, "documents"), "doc_id", "text",
-          n = 3, w = 4, minShared = 2L)
+      // repartition BEFORE the winnow kernel (the q130 doctrine): the
+      // fingerprint explode ran 716 ms single-task, twice (sizes branch)
+      Dedup.winnowingOverlapPairs(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", n = 3, w = 4, minShared = 2L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -373,6 +394,8 @@ private[graft] object TrainingDedup {
     // pairs between distinct recordings: zero at both SFs.
     "q133_audio_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
+        // repartition BEFORE the container-build/decode UDFs (q130 doctrine)
+        .repartition(s.sparkContext.defaultParallelism)
       val base = docs.select(col("doc_id").as("media_id"),
         graft.ops.AudioHash.fixtureWavUdf(col("doc_id"), lit(false)).as("bytes"))
       val variants = docs.filter(col("doc_id") % 17 === 0)
@@ -394,6 +417,8 @@ private[graft] object TrainingDedup {
     // -> set Jaccard from arithmetic alone.
     "q134_video_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
+        // repartition BEFORE the container-build/decode UDFs (q130 doctrine)
+        .repartition(s.sparkContext.defaultParallelism)
       // every third video ships FRAGMENTED (DASH/CMAF moof/mdat pairs,
       // 2-5 fragments) — the multi-mdat walk makes the fragment split
       // invisible to the hash set, so the oracle replay is unchanged
@@ -504,6 +529,8 @@ private[graft] object TrainingDedup {
     // zero accidental pairs, zero within-file duplicate windows.
     "q138_audio_windowed_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
+        // repartition BEFORE the container-build/decode UDFs (q130 doctrine)
+        .repartition(s.sparkContext.defaultParallelism)
       val base = docs.select(col("doc_id").as("media_id"),
         graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id"), lit(0)).as("bytes"))
       val trimmed = docs.filter(col("doc_id") % 17 === 0)
@@ -573,7 +600,11 @@ private[graft] object TrainingDedup {
     // doc%8+1 frames → J = (64−k)/64 ≥ 0.875; every doc also has an
     // unrelated recording (pid +7e6) as the noise population.
     "q141_soundtrack_neardup" -> ((s, d) => {
+      // repartition BEFORE the container-build + PCM-decode UDFs (the
+      // q130 doctrine): the single-row-group scan ran each side's
+      // decode on 1-2 tasks
       val docs = t(s, d, "documents").select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
       val videos = docs.select(col("doc_id").as("media_id"),
         graft.ops.VideoHash.fixtureMp4WithAudioUdf(col("doc_id"),
           col("doc_id") + lit(5000000L), lit(false)).as("bytes"))
@@ -661,6 +692,8 @@ private[graft] object TrainingDedup {
     // really decodes four different containers.
     "q143_resampled_audio_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
+        // repartition BEFORE the container-build/decode UDFs (q130 doctrine)
+        .repartition(s.sparkContext.defaultParallelism)
       val base = docs.select(col("doc_id").as("media_id"),
         graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id"), lit(0)).as("bytes"))
       val rate = when(col("doc_id") % 4 === 0, lit(8000))

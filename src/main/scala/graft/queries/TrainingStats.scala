@@ -163,8 +163,16 @@ private[queries] object TrainingStats {
     // representatives — a data-selection signal.
     "q78_pagerank" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
-        k = 16, bands = 4, shingleSize = 3)
+      // repartition BEFORE the minhash kernel (the q130 doctrine: the
+      // single-row-group scan runs the 1.5 s signature pass on ONE
+      // task) and checkpoint the pairs ONCE — the rank loop's every-
+      // 3rd-round lineage checkpoint is its own job, so a lazy edge
+      // frame re-ran the whole LSH pipeline per job (stage probe: two
+      // 1.5 s single-task minhash stages).
+      val pairs = Dedup.lshCandidatePairs(
+          docs.repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", k = 16, bands = 4, shingleSize = 3)
+        .localCheckpoint(true)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       Graph.pageRank(docs.select(col("doc_id")), edges, iterations = 4)
@@ -179,8 +187,12 @@ private[queries] object TrainingStats {
     // scores stay comparable across domains.
     "q79_pagerank_dangling" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
-        k = 16, bands = 4, shingleSize = 3)
+      // same single-split accommodation as q78 — see the note there
+      // (pageRank's redistribution mode already checkpoints the edge
+      // frame, so no query-level checkpoint needed)
+      val pairs = Dedup.lshCandidatePairs(
+          docs.repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", k = 16, bands = 4, shingleSize = 3)
       Graph.pageRank(docs.select(col("doc_id")),
           pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
           iterations = 4, redistributeDangling = true)

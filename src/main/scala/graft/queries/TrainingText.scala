@@ -189,22 +189,34 @@ private[queries] object TrainingText {
       val merges = Bpe.trainBpeFromCounts(wc, merges = 8, minPairCount = 2)
         .orderBy(col("rank")).collect()
         .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+      // token → id as a PLAN-EMBEDDED map (r15): a BPE vocabulary is
+      // the alphabet plus one token per merge rule — bounded by the
+      // merge table the query already collects, never by the corpus —
+      // so the id mapping is a per-row transform over the segmented
+      // array. The r14 form exploded every (doc, ix, token) row into a
+      // join + corpus-wide groupBy + sort_array(collect_list) — three
+      // token-row stages (and the final orderBy's range sample
+      // re-computed the aggregation: two ~790 ms single-task stages at
+      // sf0.1) for what one projection computes in doc order for free.
       val ids = Bpe.vocabIds(Bpe.tokenCounts(wc, merges))
-        .select(col("token_id"), col("token"))
-      val perDoc = docs
+        .select(col("token"), col("token_id")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val idMap = typedLit(ids)
+      docs
+        // repartition BEFORE the segmentation (the q130 doctrine): the
+        // single-row-group testdata parquet scans as ONE task and the
+        // merge cascade ran serial (834 ms) without it
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          posexplode(Bpe.subwordTokens(col("text"), merges))
-            .as(Seq("ix", "token")))
-        .join(ids, Seq("token"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          md5(concat_ws(" ", transform(
-            sort_array(collect_list(struct(col("ix"), col("token_id")))),
-            p => p.getField("token_id").cast("string")))).as("ids_hash"))
-      docs.select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
+          transform(Bpe.subwordTokens(col("text"), merges),
+            tk => element_at(idMap, tk).cast("string")).as("idstr"))
         .select(col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("ids_hash"))
+          size(col("idstr")).cast("long").as("n_tokens"),
+          when(size(col("idstr")) === 0, lit(null).cast("string"))
+            .otherwise(md5(concat_ws(" ", col("idstr")))).as("ids_hash"))
+        // materialization barrier before the final sort (the q130
+        // doctrine): the range sample otherwise re-runs the cascade
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .orderBy(col("doc_id"))
     }),
 

@@ -445,7 +445,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
       "the only cross is the broadcast 1-row truth count")
-    assert(p.contains("graft_minhash"), "signatures come from the native per-row pass")
+    // r15: signatures compute ONCE through the native per-row pass and
+    // land in a checkpointed (id, sig) frame every band config reads —
+    // the final plan shows the checkpoint scans, not the kernel (the
+    // kernel pin lives in q23's plan, which shares lshPairsFromSigs)
+    assert(p.contains("ExistingRDD"),
+      "band configs derive from the ONE checkpointed signature frame")
     assert(p.contains("graft_pairs"), "candidates from in-bucket generation, not a self-join")
   }
 
