@@ -36,7 +36,12 @@ private[queries] object TrainingCuration {
       val contact = concat(col("text"), lit(" contact "), col("source"),
         lit("@example.com call 555-0199"))
       val p = Curation.scrubPii(contact)
-      t(s, d, "documents").select(col("doc_id"),
+      // repartition BEFORE the regex scrub (the q130 doctrine): the
+      // single-split scan ran the scrub serial, TWICE (the final
+      // sort's range sample re-executes the projection)
+      t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
           p.getField("n_emails").as("n_emails"),
           p.getField("n_phones").as("n_phones"),
           md5(p.getField("scrubbed")).as("scrub_hash"))
@@ -266,7 +271,9 @@ private[queries] object TrainingCuration {
     // bucket with the held-out benchmark slice (doc_id % 97 = 0) —
     // the fuzzy counterpart of q32's exact n-gram overlap.
     "q84_cross_decontam" -> ((s, d) => {
+      // repartition BEFORE the minhash kernel (the q130 doctrine)
       val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       Dedup.crossContamination(docs.filter(col("doc_id") % 97 =!= 0),
           docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
           k = 16, bands = 4, shingleSize = 3)

@@ -77,7 +77,9 @@ private[graft] object TrainingDedup {
     // corpus: one survivor (`keep`) per transitive near-dup cluster.
     "q39_dedup_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      // repartition BEFORE the minhash kernel (the q130 doctrine)
+      val pairs = Dedup.lshCandidatePairs(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text",
         k = 16, bands = 4, shingleSize = 3)
       Dedup.resolveClusters(docs.select(col("doc_id")), "doc_id", pairs)
         .orderBy(col("doc_id"))
@@ -88,7 +90,10 @@ private[graft] object TrainingDedup {
     // survivor per cluster; output is the deduplicated corpus itself
     // (what a pipeline actually keeps).
     "q50_deduplicate" -> ((s, d) => {
-      Dedup.deduplicate(t(s, d, "documents"), "doc_id", "text",
+      // repartition BEFORE the minhash/shingle kernels (q130 doctrine)
+      Dedup.deduplicate(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text",
           threshold = 0.8, k = 16, bands = 4, shingleSize = 3)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
@@ -286,7 +291,10 @@ private[graft] object TrainingDedup {
     // represented only by its (band, bucket, sig) index rows —
     // verification is signature-estimated Jaccard, no old text read.
     "q117_incremental_dedup" -> ((s, d) => {
+      // repartition BEFORE the minhash kernels (the q130 doctrine):
+      // both side's signature passes ran single-task (1.15 s + 0.33 s)
       val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       val index = Dedup.minhashBandIndex(
         docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
       Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 5 === 0), index,
@@ -301,7 +309,9 @@ private[graft] object TrainingDedup {
     // the bands x-duplicated signature decode; this is the production
     // artifact shape, sources/SplitBandIndexStore).
     "q129_split_index_dedup" -> ((s, d) => {
+      // repartition BEFORE the minhash kernels (the q130 doctrine)
       val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       // one signature pass feeds both split frames (the store's shape)
       val sigs = Dedup.minhashSignatures(
           docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 16)
@@ -757,8 +767,10 @@ private[graft] object TrainingDedup {
     // unordered source pair with order-free mean Jaccard — the fuzzy
     // counterpart of q121 (light edits and template reuse show here).
     "q123_neardup_matrix" -> ((s, d) => {
-      Dedup.crossSourceNearDupMatrix(t(s, d, "documents"), "doc_id",
-          "source", "text", threshold = 0.8)
+      // repartition BEFORE the minhash/shingle kernels (q130 doctrine)
+      Dedup.crossSourceNearDupMatrix(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "source", "text", threshold = 0.8)
         .orderBy(col("src_a"), col("src_b"))
     }),
 
@@ -770,8 +782,10 @@ private[graft] object TrainingDedup {
       val docs = t(s, d, "documents").select(col("doc_id"),
         (lit(1000L) * size(array_distinct(toks)) /
           greatest(size(toks), lit(1))).cast("long").as("quality_milli"))
-      val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
-          threshold = 0.8)
+      // repartition BEFORE the minhash/shingle kernels (q130 doctrine)
+      val pairs = Dedup.nearDuplicates(
+          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"))
       Dedup.resolveClustersByQuality(docs, "doc_id", "quality_milli", pairs)
         .select(col("doc_id"), col("cluster_id"), col("quality_milli"),

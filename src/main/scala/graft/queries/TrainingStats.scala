@@ -123,7 +123,9 @@ private[queries] object TrainingStats {
     // deterministically from the rank-addressed corpus.
     "q70_contrastive_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      // repartition BEFORE the minhash kernel (the q130 doctrine)
+      val pairs = Dedup.lshCandidatePairs(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text",
         k = 16, bands = 4, shingleSize = 3)
       Contrastive.contrastivePairs(docs, "doc_id", pairs)
         .orderBy(col("anchor"), col("positive"))
@@ -134,7 +136,9 @@ private[queries] object TrainingStats {
     // near-twin can never sit across train and test.
     "q71_leakage_split" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      // repartition BEFORE the minhash kernel (the q130 doctrine)
+      val pairs = Dedup.lshCandidatePairs(
+        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text",
         k = 16, bands = 4, shingleSize = 3)
       Dedup.leakageSafeSplit(docs.select(col("doc_id")), "doc_id", pairs,
           trainFrac = 0.7, valFrac = 0.15)

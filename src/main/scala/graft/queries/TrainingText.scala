@@ -91,6 +91,9 @@ private[queries] object TrainingText {
     // Top-3 TF-IDF terms per document (smoothed idf, ranked on the
     // ROUNDED score so cross-engine ln ulp noise cannot flip order).
     "q51_tfidf" -> ((s, d) => {
+      // (a pre-tokenize repartition was measured WORSE here — 0.79 →
+      // 1.15 s: tfIdf's window chain re-shuffles by doc anyway, so the
+      // extra exchange only added a stage)
       Relevance.tfIdf(t(s, d, "documents"), "doc_id", "text", topK = 3)
         .orderBy(col("doc_id"), col("rank"))
     }),
