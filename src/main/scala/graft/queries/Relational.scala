@@ -203,6 +203,9 @@ object Relational {
 
     // §2.3/§2.4 fact-dim join + agg over part (brand revenue).
     "q17_brand_revenue" -> ((s, d) => {
+      // (a post-scan repartition was measured NO better here: the
+      // serial parquet decode dominates and the shuffle only added
+      // its own cost — the single-row-group layout is the floor)
       val li = t(s, d, "lineitem")
       val part = broadcast(t(s, d, "part"))
       li.join(part, li("l_partkey") === part("p_partkey"))

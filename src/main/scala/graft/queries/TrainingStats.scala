@@ -54,8 +54,13 @@ private[queries] object TrainingStats {
     // Gap-based sessionization: per-user sessions split on >30-min
     // silences; per-session event counts and integer-exact durations.
     "q61_sessionize" -> ((s, d) => {
-      AsOfJoin.sessionize(t(s, d, "events"), "user_id", "ts",
-          gapMillis = 30L * 60L * 1000L)
+      // ONE pinned user-keyed exchange serves the session window AND
+      // the per-session aggregation (hash(user_id) satisfies both;
+      // AQE coalesced the implied exchanges to single tasks)
+      AsOfJoin.sessionize(
+          t(s, d, "events").repartition(s.sparkContext.defaultParallelism,
+            col("user_id")),
+          "user_id", "ts", gapMillis = 30L * 60L * 1000L)
         .groupBy(col("user_id"), col("session_ix"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),

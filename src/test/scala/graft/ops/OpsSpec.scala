@@ -2015,6 +2015,41 @@ class MultimodalSpec extends SparkTestBase {
       ImageHash.dHash64(ImageHash.fixturePng(id)))
   }
 
+  test("hand-encoded fixture PNG decodes to the exact fixture raster (r15 writer)") {
+    // the r15 lock-free PNG writer must be byte-for-byte EQUIVALENT to
+    // the old ImageIO.write path at the only level anything consumes:
+    // the decoded gray samples. Verified through the real ImageIO
+    // reader for a spread of ids, both perturb arms.
+    for (id <- Seq(0L, 1L, 97L, 4242L, 999983L, Long.MaxValue / 3);
+         perturb <- Seq(false, true)) {
+      val png = ImageHash.fixturePng(id, perturb)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"id=$id perturb=$perturb must decode")
+      assert(img.getWidth === 9 && img.getHeight === 8)
+      for (y <- 0 until 8; x <- 0 until 9)
+        assert(img.getRaster.getSample(x, y, 0) ===
+          ImageHash.fixtureGray(id, x, y, perturb),
+          s"pixel ($x,$y) id=$id perturb=$perturb")
+    }
+  }
+
+  test("pngGray8 stored-deflate path survives multi-block rasters (r15 writer)") {
+    // >65535 bytes of filtered scanlines forces the stored-block loop;
+    // a 300x300 gray gradient roundtrips sample-exact through ImageIO
+    val w = 300; val h = 300
+    val raw = new Array[Byte](h * (w + 1))
+    var o = 0
+    for (y <- 0 until h) {
+      raw(o) = 0; o += 1
+      for (x <- 0 until w) { raw(o) = ((x * 7 + y * 13) % 256).toByte; o += 1 }
+    }
+    val png = ImageHash.pngGray8(w, h, raw)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h by 17; x <- 0 until w by 13)
+      assert(img.getRaster.getSample(x, y, 0) === ((x * 7 + y * 13) % 256))
+  }
+
   test("audio envelope fingerprint: real WAV decode reproduces the arithmetic fixture bit-for-bit") {
     (Seq(0L, 1L, 97L, 4242L, 999983L) ++ (1 to 20).map(_ * 251L)).foreach { id =>
       val expected = {
