@@ -333,9 +333,14 @@ object AudioHash {
     // arrays, and a deterministic-UDF predicate would be pushed below
     // the projection — running decode + windowing TWICE per row
     // ([[VideoHash.frameHashFrame]]'s rationale)
+    // per-row array_distinct, not a corpus-wide distinct() (r15, the
+    // invertedIndex doctrine): duplicate window hashes can only arise
+    // WITHIN one file's hash array (media_id is one-row-per-file by
+    // the callers' construction), so set semantics are a per-row
+    // operation and the dedup exchange — AQE-coalesced to one task at
+    // bench scale — disappears from the plan.
     media.select(col(idCol).cast("long").as("media_id"),
-        explode(windowHashesUdfWith(codec)(col(bytesCol))).as("whash"))
-      .distinct()
+        explode(array_distinct(windowHashesUdfWith(codec)(col(bytesCol)))).as("whash"))
 
   /** Near-duplicate recordings from a distinct (media_id, whash)
     * frame — the shared set-Jaccard kernel. Output (id_a, id_b,
@@ -403,9 +408,9 @@ object AudioHash {
   def soundtrackWindowHashFrame(videos: DataFrame, idCol: String = "media_id",
                                 bytesCol: String = "bytes",
                                 codec: MediaCodec = MediaCodec.Default): DataFrame =
+    // per-row array_distinct — see [[windowHashFrame]]'s note (r15)
     videos.select(col(idCol).cast("long").as("media_id"),
-        explode(soundtrackWindowHashesUdfWith(codec)(col(bytesCol))).as("whash"))
-      .distinct()
+        explode(array_distinct(soundtrackWindowHashesUdfWith(codec)(col(bytesCol)))).as("whash"))
 
   /** CROSS-modality audio near-dup: which standalone recordings are
     * (trim-robustly) the soundtrack of which videos — the

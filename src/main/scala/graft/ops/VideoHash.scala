@@ -236,9 +236,12 @@ object VideoHash {
     // arrays, and a deterministic-UDF predicate would be pushed below
     // the projection — running the whole container decode TWICE per
     // row (the q131 project-collapse lesson, filter edition)
+    // per-row array_distinct, not a corpus-wide distinct() (r15, the
+    // invertedIndex doctrine): duplicate frame hashes can only arise
+    // WITHIN one file's frame array (media_id is one-row-per-file by
+    // the callers' construction), so the dedup exchange disappears.
     media.select(col(idCol).cast("long").as("media_id"),
-        explode(frameDHashesUdfWith(codec)(col(bytesCol))).as("fhash"))
-      .distinct()
+        explode(array_distinct(frameDHashesUdfWith(codec)(col(bytesCol)))).as("fhash"))
 
   /** One scene segment of [[sceneWalk]]: contiguous frames whose
     * consecutive dHash distance stays ≤ the cut threshold. `key_hash`
