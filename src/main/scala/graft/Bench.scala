@@ -137,6 +137,12 @@ object Bench {
     // once masqueraded as the suite's fastest result).
     val runs = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
+      // Scope the between-query cleanup (below) to RDDs THIS query
+      // creates: unpersisting everything would also drop lineage-
+      // truncated localCheckpoints a future query might legitimately
+      // hold across reps (today none do, but the blast radius of a
+      // keyset diff is zero).
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
       def rep(): Option[Double] =
         // no reps after a failure: ok can never recover, and a query
         // that runs minutes before throwing would pay that again per rep
@@ -172,8 +178,10 @@ object Bench {
       // query's reps — measured: q142 read 0.27 -> 1.34 s purely from
       // running after q141's checkpoints landed. Timing is unaffected
       // for the query itself (cleanup runs after its last rep).
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!rddsBefore.contains(id)) rdd.unpersist(blocking = false)
+        }
       (name, if (ok) times.min else -1.0, ok)
     }
     val failed = runs.collect { case (name, _, false) => name }
@@ -226,6 +234,19 @@ object Bench {
     // So the VERDICT numbers also go out as a compact line printed
     // absolutely LAST: any tail window that survives at all carries
     // the totals, the weak/failed lists and the calibration factor.
+    // Per-query Spark seconds as their own COMPACT line (r16, VERDICT
+    // item 1): the full line above runs ~10 KB (two 152-entry maps at
+    // full precision) and the driver's artifact keeps only a ~4 KB
+    // tail, so every PERF_r*.json back to r12 lost the per-query
+    // numbers (per_query: {}, geomean null). This line carries ONLY
+    // the 152 name→seconds pairs at 1 ms resolution (~3.8 KB), printed
+    // immediately before the summary so any surviving tail window
+    // carries per-query data. Purely an additional output — the timed
+    // region, reps protocol and the full JSON's keys are unchanged.
+    val sparkTimesJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"spark_times","queries":$sparkTimesJson}""")
     val ratio = if (duckTotal > 0) total / duckTotal else -1.0
     println(f"""{"metric":"summary","spark_total":$total%.4f,""" +
       f""""duckdb_total":$duckTotal%.4f,"ratio":$ratio%.4f,""" +

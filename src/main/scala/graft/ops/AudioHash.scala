@@ -62,8 +62,13 @@ object AudioHash {
     (if (rate > 0) data else None).map { case (off, len) =>
       val n = len / 2
       val out = new Array[Short](n)
-      var i = 0
-      while (i < n) { out(i) = bb.getShort(off + 2 * i); i += 1 }
+      // bulk view copy, not a per-sample getShort loop: the absolute
+      // getShort pays bounds + byte-order dispatch per sample, and the
+      // decode runs once per corpus row (r16, the q141 decode kernel —
+      // JDK buffer views bulk-copy with one range check)
+      java.nio.ByteBuffer.wrap(bytes, off, len)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer().get(out, 0, n)
       (out, rate)
     }
   }
@@ -89,7 +94,10 @@ object AudioHash {
       val s1 = math.max(s0 + 1, ((f + 1).toLong * n / frames).toInt)
       var acc = 0L
       var i = s0
-      while (i < s1 && i < n) { acc += math.abs(samples(i).toLong); i += 1 }
+      // abs in INT (a Short's abs always fits), widen once on the add:
+      // the per-sample Long abs was the hot instruction of the decode
+      // stage (r16)
+      while (i < s1 && i < n) { acc += math.abs(samples(i).toInt); i += 1 }
       out(f) = if (s1 > s0 && s0 < n) acc / (math.min(s1, n) - s0) else 0L
       f += 1
     }
@@ -162,8 +170,8 @@ object AudioHash {
                      maxBucketSize: Int = 0,
                      codec: MediaCodec = MediaCodec.Default): DataFrame =
     nearDupPairs(
-      fingerprintFrame(media, idCol, bytesCol, codec = codec)
-        .localCheckpoint(true),
+      graft.core.Materialize.frame(
+        fingerprintFrame(media, idCol, bytesCol, codec = codec)),
       maxDistance, maxBucketSize)
 
   // ---- Time-shift-robust WINDOWED fingerprints ---------------------
@@ -196,7 +204,7 @@ object AudioHash {
       var acc = 0L
       var i = f * frameSamples
       val end = i + frameSamples
-      while (i < end) { acc += math.abs(samples(i).toLong); i += 1 }
+      while (i < end) { acc += math.abs(samples(i).toInt); i += 1 }
       out(f) = acc / frameSamples
       f += 1
     }
@@ -226,7 +234,7 @@ object AudioHash {
       val s1 = ((f + 1).toLong * rate / 100L).toInt
       var acc = 0L
       var i = s0
-      while (i < s1) { acc += math.abs(samples(i).toLong); i += 1 }
+      while (i < s1) { acc += math.abs(samples(i).toInt); i += 1 }
       out(f) = if (s1 > s0) acc / (s1 - s0) else 0L
       f += 1
     }
@@ -285,20 +293,38 @@ object AudioHash {
                         windowFrames: Int = 65): Option[Seq[Long]] = {
     validateWindowParams(frameSamples, windowFrames)
     if (frameSamples <= 0 && rate < 100) None
-    else Some {
+    else {
       val env =
         if (frameSamples > 0) frameEnvelope(samples, frameSamples)
         else frameEnvelopeAtRate(samples, rate)
-      (0 to env.length - windowFrames).map { p =>
+      val w = windowFrames
+      val nw = env.length - w + 1
+      if (nw <= 0) None
+      else {
+        // ROLLING hash (r16): hop-1 windows share w−2 of their w−1 bit
+        // comparisons, so window p+1 = (window p >>> 1) | newest bit at
+        // position w−2 — O(1) per window instead of O(w), and the
+        // output is a primitive Array wrapped unboxed (the old
+        // per-window Vector boxed every Long). Bit-identical to the
+        // direct form: bit k of window p is env(p+k+1) > env(p+k).
+        val out = new Array[Long](nw)
         var hash = 0L
         var k = 0
-        while (k < windowFrames - 1) {
-          if (env(p + k + 1) > env(p + k)) hash |= 1L << k
+        while (k < w - 1) {
+          if (env(k + 1) > env(k)) hash |= 1L << k
           k += 1
         }
-        hash
+        out(0) = hash
+        var p = 1
+        while (p < nw) {
+          hash >>>= 1
+          if (env(p + w - 1) > env(p + w - 2)) hash |= 1L << (w - 2)
+          out(p) = hash
+          p += 1
+        }
+        Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
       }
-    }.filter(_.nonEmpty)
+    }
   }
 
   /** The CONSTRUCTION TAG a published window-hash store should carry
@@ -468,16 +494,28 @@ object AudioHash {
 
   /** Encode the fixture as a real 16 kHz mono 16-bit PCM WAV. */
   def fixtureWav(id: Long, perturb: Boolean = false): Array[Byte] = {
-    val pcm = new Array[Byte](FixtureFrames * FixtureSamplesPerFrame * 2)
-    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // constant-amplitude frames synthesize as Arrays.fill spans + ONE
+    // bulk short→byte copy (r16): the per-sample relative putShort paid
+    // bounds + order dispatch ~20k times per row on the fixture side of
+    // every audio query
+    val n = FixtureFrames * FixtureSamplesPerFrame
+    val s = new Array[Short](n)
     var f = 0
     while (f < FixtureFrames) {
-      val amp = fixtureAmp(id, f, perturb).toShort
-      var i = 0
-      while (i < FixtureSamplesPerFrame) { bb.putShort(amp); i += 1 }
+      java.util.Arrays.fill(s, f * FixtureSamplesPerFrame,
+        (f + 1) * FixtureSamplesPerFrame, fixtureAmp(id, f, perturb).toShort)
       f += 1
     }
-    Multimodal.wavBytes(pcm)
+    Multimodal.wavBytes(pcmBytes(s))
+  }
+
+  /** Little-endian byte rendering of a PCM short array — one bulk view
+    * copy, shared by the fixture synthesizers. */
+  private def pcmBytes(s: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](s.length * 2)
+    java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(s)
+    pcm
   }
 
   /** The fixture as a column UDF (id, perturb) → WAV bytes. */
@@ -513,17 +551,16 @@ object AudioHash {
     require(rate >= 100, s"rate must be at least 100 Hz (one 10 ms frame), got $rate")
     val nf = WindowFixtureFrames - trimFrames
     val totalSamples = (nf.toLong * rate / 100L).toInt
-    val pcm = new Array[Byte](totalSamples * 2)
-    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val s = new Array[Short](totalSamples)
     var j = 0
     while (j < nf) {
-      val amp = fixtureAmp(id, j + trimFrames, perturb = false).toShort
-      var i = (j.toLong * rate / 100L).toInt
-      val end = ((j + 1).toLong * rate / 100L).toInt
-      while (i < end) { bb.putShort(amp); i += 1 }
+      // Arrays.fill spans + one bulk copy — see [[fixtureWav]] (r16)
+      java.util.Arrays.fill(s, (j.toLong * rate / 100L).toInt,
+        ((j + 1).toLong * rate / 100L).toInt,
+        fixtureAmp(id, j + trimFrames, perturb = false).toShort)
       j += 1
     }
-    Multimodal.wavBytes(pcm, sampleRate = rate)
+    Multimodal.wavBytes(pcmBytes(s), sampleRate = rate)
   }
 
   /** The resampled fixture as a column UDF (id, trimFrames, rate). */

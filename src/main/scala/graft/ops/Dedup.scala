@@ -46,9 +46,21 @@ object Dedup {
     * the aggregation form. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleSize: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
+    // The no-shingles gate is a CHEAP predicate on the input, not
+    // `sig.isNotNull` (r16): Catalyst substitutes an alias filter and
+    // pushes it below the caller's repartition, so isnotnull(minhash)
+    // ran the FULL k-salt digest pass a second time in the scan stage
+    // — serially on a narrow scan (q78 stage probe: 851 ms of the
+    // 1-task scan stage; guide §4.4's duplicated-expensive-expression
+    // pathology). Equivalence is exact: the signature is null iff the
+    // doc has no shingle, i.e. fewer than `shingleSize` tokens
+    // (MinHashExpression's `mins(0) == null` tail), and size(tokens)
+    // on a NULL text is NULL → dropped, as the null signature was.
+    // The pushed-down copy now costs one tokenize, not k md5s per
+    // shingle; the signature itself evaluates ONCE, post-exchange.
+    df.filter(size(call_function("graft_tokens", col(textCol))) >= lit(shingleSize))
+      .select(col(idCol).as("id"),
         call_function("graft_minhash", col(textCol), lit(k), lit(shingleSize)).as("sig"))
-      .filter(col("sig").isNotNull)
 
   /** Hot-shingle cap DERIVED from a per-row pair budget — the
     * scale-safety number with its justification attached, replacing
@@ -420,21 +432,18 @@ object Dedup {
       s"bands=$b must divide k=$k"))
     val spark = df.sparkSession
     // the exact-Jaccard truth frame feeds BOTH the candidate join and
-    // the broadcast n_true aggregate — eager-checkpoint it so the
-    // shingle-blocked corpus pass runs once, not twice (blocks are
-    // ContextCleaner-released when the plan is GC'd, unlike persist
-    // entries which outlive a lazy query builder)
-    val truth = ngramJaccardBlocked(df, idCol, textCol, threshold,
-        shingleSize, maxShingleFreq)
-      .select(col("id_a"), col("id_b"), lit(true).as("is_true"))
-      .localCheckpoint(true)
-    // ONE signature pass for every band configuration (r15): the
+    // the broadcast n_true aggregate — eager-materialize it so the
+    // shingle-blocked corpus pass runs once, not twice; and ONE
+    // signature pass serves every band configuration (r15): the
     // per-row minhash (shingle + k-min) is the audit's per-config
-    // cost; recomputing it per config paid two extra corpus text
-    // passes here. The checkpointed frame is 16 ints per doc — the
-    // skinny artifact a multi-config audit would persist anyway.
-    val sigs = minhashSignatures(df, idCol, textCol, k, shingleSize)
-      .localCheckpoint(true)
+    // cost. The two frames share no lineage, so they materialize
+    // CONCURRENTLY (r16, guide §2.6) instead of the truth job's tail
+    // idling the session before the signature job starts.
+    val (truth, sigs) = graft.core.Materialize.pair(
+      ngramJaccardBlocked(df, idCol, textCol, threshold,
+          shingleSize, maxShingleFreq)
+        .select(col("id_a"), col("id_b"), lit(true).as("is_true")),
+      minhashSignatures(df, idCol, textCol, k, shingleSize))
     val candidates = bandConfigs.map { b =>
       lshPairsFromSigs(sigs, b, k / b)
         .withColumn("bands", lit(b))
@@ -899,10 +908,17 @@ object Dedup {
     // and video callers) once per consumer. Pair aggregation pinned at
     // the session width (AQE coalesced it to one task).
     val shufN = rows.sparkSession.sessionState.conf.numShufflePartitions
-    val ided = rows.select(col(idCol).cast("long").as("__sid"),
-      col(hashCol).as("__sh")).localCheckpoint(true)
+    val ided = graft.core.Materialize.frame(
+      rows.select(col(idCol).cast("long").as("__sid"),
+        col(hashCol).as("__sh")))
     val sizes = ided.groupBy(col("__sid")).agg(count(lit(1)).as("n"))
-    val byHash = ided.groupBy(col("__sh"))
+    // hash grouping PINNED at the session width (r16, the
+    // setJaccardAcross census doctrine): collect_list barely reduces
+    // on the map side (hashes are near-unique), so the exchange is a
+    // few MB and AQE coalesced the CPU-dense merge+sort+pair-explode
+    // onto ONE task at bench scale.
+    val byHash = ided.repartition(shufN, col("__sh"))
+      .groupBy(col("__sh"))
       .agg(sort_array(collect_list(col("__sid"))).as("ids"))
     val capped =
       if (maxHashFreq > 0) byHash.filter(size(col("ids")) <= maxHashFreq)
@@ -967,16 +983,27 @@ object Dedup {
     // checkpoints win locally; at cluster scale the decode output is
     // wide enough that AQE leaves it parallel.)
     val shufN = left.sparkSession.sessionState.conf.numShufflePartitions
-    val l = left.select(col(idCol).cast("long").as("left_id"),
-      col(hashCol).as("__h")).localCheckpoint(true)
-    val r = right.select(col(idCol).cast("long").as("right_id"),
-      col(hashCol).as("__h")).localCheckpoint(true)
+    // the two sides share no lineage — materialize them CONCURRENTLY
+    // (r16, guide §2.6): the decode jobs back-fill each other's tails
+    val (l, r) = graft.core.Materialize.pair(
+      left.select(col(idCol).cast("long").as("left_id"),
+        col(hashCol).as("__h")),
+      right.select(col(idCol).cast("long").as("right_id"),
+        col(hashCol).as("__h")))
     val ln = l.groupBy(col("left_id")).agg(count(lit(1)).as("na"))
     val rn = r.groupBy(col("right_id")).agg(count(lit(1)).as("nb"))
     val (lc, rc) =
       if (maxHashFreq <= 0) (l, r)
       else {
+        // hot-hash census PINNED at the session width (r16, the same
+        // F3 fix as the pair aggregation below): the union of both
+        // sides' hash columns is a few MB at bench scale, so AQE
+        // coalesced the census aggregation to ONE task — 485 ms of
+        // serial CPU on q141's 657k-row union (stage probe). The
+        // explicit keyed repartition is the one exchange AQE never
+        // coalesces; the groupBy reuses its partitioning.
         val cool = l.select(col("__h")).unionByName(r.select(col("__h")))
+          .repartition(shufN, col("__h"))
           .groupBy(col("__h")).agg(count(lit(1)).as("__f"))
           .filter(col("__f") <= maxHashFreq).select(col("__h"))
         (l.join(cool, Seq("__h"), "left_semi"),
@@ -1038,7 +1065,7 @@ object Dedup {
       .join(sized.select(col("fhash")).distinct(), Seq("fhash"), "left_semi")
       .groupBy(col("old_id"), col("fhash"))
       .agg(max(col("old_n")).as("old_n"))
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.frame)
     val cappedNew =
       if (maxHashFreq <= 0) sized
       else {
@@ -1391,10 +1418,10 @@ object Dedup {
     val rem = removedIds.select(
       col(removedIds.columns.head).cast("long").as("id"))
     val touchedClusters = lbl.join(rem, Seq("id"), "left_semi")
-      .select(col("cluster")).distinct().localCheckpoint(true)
+      .select(col("cluster")).distinct().transform(graft.core.Materialize.frame)
     val survivors = lbl.join(touchedClusters, Seq("cluster"), "left_semi")
       .join(rem, Seq("id"), "left_anti")
-      .select(col("id")).localCheckpoint(true)
+      .select(col("id")).transform(graft.core.Materialize.frame)
     val relabeled = connectedComponents(pairsAmong(survivors),
       maxIterations = maxIterations, driverEdgeLimit = driverEdgeLimit,
       algorithm = algorithm)
@@ -1425,7 +1452,7 @@ object Dedup {
     val touchedIds = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     val touchedClusters = currentFor(touchedIds)
-      .select(col("cluster")).distinct().localCheckpoint(true)
+      .select(col("cluster")).distinct().transform(graft.core.Materialize.frame)
     val memberEdges = membersOf(touchedClusters)
       .select(col("id").as("id_a"), col("cluster").as("id_b"))
     val relabeled = connectedComponents(pairs.unionByName(memberEdges),
@@ -1625,7 +1652,11 @@ object Dedup {
     val parasByH = paras.repartition(shufN, col("h"))
     val wH = Window.partitionBy(col("h"))
     val flagged =
-      if (minDocFreq <= 2) parasByH
+      // == 2 exactly (ADVICE r15): min≠max proves TWO distinct docs;
+      // for minDocFreq <= 1 every paragraph is hot (df >= 1 always) —
+      // the general mark-sum gate below gets that right, the min≠max
+      // shortcut silently would not
+      if (minDocFreq == 2) parasByH
         .withColumn("__hot",
           when(min(col("doc_id")).over(wH) =!= max(col("doc_id")).over(wH),
             lit(1)).otherwise(lit(null)))
@@ -2224,7 +2255,11 @@ object Dedup {
       var j = 0
       var p = 0
       while (p < n) {
-        if (j < arr.length && arr(j) == p) { coverEnd = math.max(coverEnd, p + L); j += 1 }
+        // while, not if (ADVICE r15): a duplicated start position must
+        // advance the cursor past EVERY copy — an `if` would desync j
+        // and silently skip all later spans (uniqueness of (doc, pos)
+        // holds upstream today; the kernel no longer depends on it)
+        while (j < arr.length && arr(j) == p) { coverEnd = math.max(coverEnd, p + L); j += 1 }
         if (p < coverEnd) removed += 1L
         else {
           if (sb.length > 0) sb.append(' ')

@@ -28,16 +28,18 @@ object Graph {
     * round, the damped rank mass parked on out-degree-0 nodes is
     * shared uniformly, new score = base + Σ contributions +
     * round(damping·Σ_dangling pico / n). The dangling sum rides as a
-    * BROADCAST 1-row frame (an anti-join aggregate per round — no
-    * driver collect; the q76-style stats-frame crossJoin shape). This
-    * mode materializes the rank frame every round (it is referenced
-    * twice per iteration — see the checkpoint note in the loop).
+    * BROADCAST 1-row frame (a filter-aggregate of the state frame,
+    * which carries each node's out-degree — no driver collect; the
+    * q76-style stats-frame crossJoin shape). This mode materializes
+    * the rank frame every round (it is referenced three times per
+    * iteration — see the loop note).
     *
     * Scale shape: one (src-keyed) degree aggregate; per iteration one
     * join of edges to the rank frame (both keyed on the node id) and
     * one map-side-combined sum by dst; lineage checkpoints every third
-    * round (the connectedComponents lesson — an unrolled 10-join plan
-    * otherwise re-optimizes quadratically). `edges` is DIRECTED
+    * round for LONG loops only (the connectedComponents lesson — an
+    * unrolled 10+-join plan re-optimizes quadratically; short loops
+    * compose into one job). `edges` is DIRECTED
     * (src, dst) — symmetrize near-dup pairs upstream. Output:
     * (id, rank) with rank rounded to 9. */
   def pageRank(nodes: DataFrame, edges: DataFrame,
@@ -61,47 +63,83 @@ object Graph {
     // pipeline in q79) would be recomputed per round. Materialize it
     // once; the single-action default keeps the lazy form (one job,
     // ReusedExchange covers the rounds).
-    val e = if (redistributeDangling) e0.localCheckpoint(true) else e0
+    val e = if (redistributeDangling) graft.core.Materialize.frame(e0) else e0
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var ranks = ids.select(col("id"), lit(initPico).as("pico"))
+    if (!redistributeDangling) {
+      // Default mode: ranks is referenced ONCE per round (the contrib
+      // join — the spine is `ids`), rounds compose lazily, and the
+      // every-3rd-round checkpoint bounds Catalyst's re-optimization
+      // of the unrolled plan. Measured and REJECTED (r16): dropping
+      // the in-loop checkpoint for short loops to fuse all rounds into
+      // one job — q78 2.02 → 2.46 s; the fused plan serializes the
+      // per-round broadcast builds (round i's build waits on round
+      // i−1's result inside one job) where the checkpoint had let the
+      // materialized frame feed them immediately. The cadence stays.
+      var ranks = ids.select(col("id"), lit(initPico).as("pico"))
+      var i = 1
+      while (i <= iterations) {
+        val contrib = e
+          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .join(outdeg, Seq("src"))
+          .select(col("dst").as("id"),
+            round(col("pico") * lit(damping) / col("outdeg"), 0)
+              .cast("long").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("__sum"))
+        ranks = ids.join(contrib, Seq("id"), "left_outer")
+          .select(col("id"),
+            (lit(basePico) + coalesce(col("__sum"), lit(0L))).as("pico"))
+        if (i % 3 == 0 && i < iterations)
+          ranks = graft.core.Materialize.frame(ranks)
+        i += 1
+      }
+      return ranks.select(col("id"),
+        round(col("pico").cast("double") / lit(1e12), 9).as("rank"))
+    }
+    // Redistribution mode: the rank frame is consumed THREE times per
+    // round (contrib join, dangling aggregate, next round's spine) and
+    // Catalyst copies the subtree per consumer, so every round must
+    // materialize. r16 reshape, results bit-identical:
+    //  - `outdeg` rides IN the state frame (null = dangling), so the
+    //    per-round outdeg join and the left_anti dangling probe are
+    //    both gone — the dangling sum is a FILTER of the state frame;
+    //  - the state frame itself is the spine (it carries every node),
+    //    so the `ids` join per round is gone too;
+    //  - materialization is a LAZY localCheckpoint: the round's
+    //    dangling-broadcast job computes and caches the state blocks
+    //    as a side effect, where the old eager checkpoint was its own
+    //    dedicated job per round (half the job count; same caveat —
+    //    blocks are unreplicated, see Materialize's mode note).
+    var state = ids
+      .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
+      .select(col("id"), lit(initPico).as("pico"), col("outdeg"))
+      .localCheckpoint(false)
     var i = 1
     while (i <= iterations) {
       val contrib = e
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
+        .join(state.select(col("id").as("src"), col("pico"), col("outdeg")),
+          Seq("src"))
         .select(col("dst").as("id"),
           round(col("pico") * lit(damping) / col("outdeg"), 0)
             .cast("long").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("__sum"))
-      val joined = ids.join(contrib, Seq("id"), "left_outer")
-      ranks =
-        if (!redistributeDangling)
-          joined.select(col("id"),
-            (lit(basePico) + coalesce(col("__sum"), lit(0L))).as("pico"))
-        else {
-          // damped mass parked on out-degree-0 nodes this round, as a
-          // broadcast 1-row frame; the per-node share uses the same
-          // double-then-round arithmetic as the edge contributions so
-          // the unrolled-CTE oracle reproduces it bit-for-bit
-          val dangling = ranks
-            .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
-            .agg(coalesce(sum(col("pico")), lit(0L)).as("__dang"))
-          joined.crossJoin(broadcast(dangling))
-            .select(col("id"),
-              (lit(basePico) + coalesce(col("__sum"), lit(0L)) +
-                round(col("__dang") * lit(damping) / lit(n.toDouble), 0)
-                  .cast("long")).as("pico"))
-        }
-      // redistribution references the prior ranks frame TWICE per round
-      // (contrib join + dangling aggregate) and Catalyst does not share
-      // the subplan — un-materialized rounds would recompute 2^k-fold
-      // between checkpoints, so that mode materializes every round; the
-      // single-reference default keeps the cheaper every-3rd cadence
-      if ((redistributeDangling || i % 3 == 0) && i < iterations)
-        ranks = ranks.localCheckpoint(true)
+      // damped mass parked on out-degree-0 nodes this round, as a
+      // broadcast 1-row frame; the per-node share uses the same
+      // double-then-round arithmetic as the edge contributions so
+      // the unrolled-CTE oracle reproduces it bit-for-bit
+      val dangling = state.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("pico")), lit(0L)).as("__dang"))
+      state = state.select(col("id"), col("outdeg"))
+        .join(contrib, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(basePico) + coalesce(col("__sum"), lit(0L)) +
+            round(col("__dang") * lit(damping) / lit(n.toDouble), 0)
+              .cast("long")).as("pico"),
+          col("outdeg"))
+      if (i < iterations) state = state.localCheckpoint(false)
       i += 1
     }
-    ranks.select(col("id"),
+    state.select(col("id"),
       round(col("pico").cast("double") / lit(1e12), 9).as("rank"))
   }
 }

@@ -217,7 +217,7 @@ object ImageHash {
                      maxBucketSize: Int = 0,
                      codec: MediaCodec = MediaCodec.Default): DataFrame =
     nearDupPairs(
-      dhashFrame(media, idCol, bytesCol, codec = codec).localCheckpoint(true),
+      graft.core.Materialize.frame(dhashFrame(media, idCol, bytesCol, codec = codec)),
       maxDistance, maxBucketSize)
 
   // ---- Deterministic pixel fixtures (test/oracle harness) ----------

@@ -40,7 +40,7 @@ private[queries] object TrainingCuration {
       // single-split scan ran the scrub serial, TWICE (the final
       // sort's range sample re-executes the projection)
       t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
         .select(col("doc_id"),
           p.getField("n_emails").as("n_emails"),
           p.getField("n_phones").as("n_phones"),
@@ -183,7 +183,7 @@ private[queries] object TrainingCuration {
       // repartition BEFORE the paragraph explode (the q130 doctrine):
       // the single-row-group testdata parquet scans as ONE task
       val docs = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
         .withColumn("ptext",
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
       val cleaned = Dedup.paragraphDedup(docs, "doc_id", "ptext",
@@ -248,7 +248,7 @@ private[queries] object TrainingCuration {
       // pays it once); at real scale the scan splits naturally and the
       // session width keeps this the normal shuffle fan-out.
       val docs = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
       Selection.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
           "doc_id", "text", buckets = 4096, k = 0.5)
         .orderBy(col("doc_id"))
@@ -273,7 +273,7 @@ private[queries] object TrainingCuration {
     "q84_cross_decontam" -> ((s, d) => {
       // repartition BEFORE the minhash kernel (the q130 doctrine)
       val docs = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
       Dedup.crossContamination(docs.filter(col("doc_id") % 97 =!= 0),
           docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
           k = 16, bands = 4, shingleSize = 3)

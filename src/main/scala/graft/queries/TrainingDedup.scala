@@ -37,7 +37,7 @@ private[graft] object TrainingDedup {
       // repartition BEFORE the shingle kernel (the q130 doctrine):
       // the single-row-group scan runs the explode on ONE task
       Dedup.ngramJaccardBlocked(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text",
           threshold = 0.8, shingleSize = 3, maxShingleFreq = Dedup.shingleCapForPairBudget(500))
         .orderBy(col("id_a"), col("id_b"))
@@ -47,7 +47,7 @@ private[graft] object TrainingDedup {
     "q23_minhash_lsh" -> ((s, d) => {
       // repartition BEFORE the minhash kernel (the q130 doctrine)
       Dedup.lshCandidatePairs(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text", k = 16, bands = 4, shingleSize = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -79,7 +79,7 @@ private[graft] object TrainingDedup {
       val docs = t(s, d, "documents")
       // repartition BEFORE the minhash kernel (the q130 doctrine)
       val pairs = Dedup.lshCandidatePairs(
-        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text",
+        docs.widenedScan, "doc_id", "text",
         k = 16, bands = 4, shingleSize = 3)
       Dedup.resolveClusters(docs.select(col("doc_id")), "doc_id", pairs)
         .orderBy(col("doc_id"))
@@ -92,7 +92,7 @@ private[graft] object TrainingDedup {
     "q50_deduplicate" -> ((s, d) => {
       // repartition BEFORE the minhash/shingle kernels (q130 doctrine)
       Dedup.deduplicate(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text",
           threshold = 0.8, k = 16, bands = 4, shingleSize = 3)
         .select(col("doc_id"), col("lang"))
@@ -108,7 +108,7 @@ private[graft] object TrainingDedup {
       // repartition BEFORE the paragraph explode (the q130 doctrine):
       // the single-row-group testdata parquet scans as ONE task
       val docs = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
         .withColumn("ptext",
           regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"))
       Dedup.paragraphDedup(docs, "doc_id", "ptext",
@@ -132,7 +132,7 @@ private[graft] object TrainingDedup {
       // splits naturally and the session width keeps this the normal
       // fan-out.
       Dedup.duplicateSpans(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text", windowTokens = 5, minDocFreq = 2)
         .orderBy(col("doc_id"))
     }),
@@ -143,7 +143,7 @@ private[graft] object TrainingDedup {
     "q81_remove_dup_spans" -> ((s, d) => {
       // same single-split accommodation as q80 — see the note there
       Dedup.removeDuplicateSpans(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text", windowTokens = 5, minDocFreq = 2)
         .orderBy(col("doc_id"))
     }),
@@ -203,7 +203,7 @@ private[graft] object TrainingDedup {
       // doctrine): the single-row-group scan otherwise runs both the
       // truth-set explode and the signature pass on ONE task
       Dedup.lshAudit(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text",
           k = 16, bandConfigs = Seq(2, 4, 8), shingleSize = 3,
           threshold = 0.8, maxShingleFreq = Dedup.shingleCapForPairBudget(500))
@@ -216,7 +216,7 @@ private[graft] object TrainingDedup {
     "q103_containment" -> ((s, d) => {
       // repartition BEFORE the shingle kernel (the q130 doctrine)
       Dedup.containmentPairsBlocked(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text", threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -232,7 +232,7 @@ private[graft] object TrainingDedup {
       // for the signature pass, 2 × 0.4 s for the per-join-side text
       // projections
       Dedup.editVerifiedPairs(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text", threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -244,7 +244,7 @@ private[graft] object TrainingDedup {
       // repartition BEFORE the winnow kernel (the q130 doctrine): the
       // fingerprint explode ran 716 ms single-task, twice (sizes branch)
       Dedup.winnowingOverlapPairs(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text", n = 3, w = 4, minShared = 2L)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -294,7 +294,7 @@ private[graft] object TrainingDedup {
       // repartition BEFORE the minhash kernels (the q130 doctrine):
       // both side's signature passes ran single-task (1.15 s + 0.33 s)
       val docs = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
       val index = Dedup.minhashBandIndex(
         docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
       Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 5 === 0), index,
@@ -311,7 +311,7 @@ private[graft] object TrainingDedup {
     "q129_split_index_dedup" -> ((s, d) => {
       // repartition BEFORE the minhash kernels (the q130 doctrine)
       val docs = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
       // one signature pass feeds both split frames (the store's shape)
       val sigs = Dedup.minhashSignatures(
           docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 16)
@@ -337,7 +337,7 @@ private[graft] object TrainingDedup {
       // (decode parallelism IS the frame's partitioning — the
       // dhashFrame scaladoc's contract, exercised here)
       val media = t(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
         .select(col("doc_id").as("media_id"),
           graft.ops.ImageHash.fixturePngUdf(col("doc_id"), lit(false)).as("bytes"))
       graft.ops.ImageHash.dhashFrame(media)
@@ -405,7 +405,7 @@ private[graft] object TrainingDedup {
     "q133_audio_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
         // repartition BEFORE the container-build/decode UDFs (q130 doctrine)
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
       val base = docs.select(col("doc_id").as("media_id"),
         graft.ops.AudioHash.fixtureWavUdf(col("doc_id"), lit(false)).as("bytes"))
       val variants = docs.filter(col("doc_id") % 17 === 0)
@@ -428,7 +428,7 @@ private[graft] object TrainingDedup {
     "q134_video_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
         // repartition BEFORE the container-build/decode UDFs (q130 doctrine)
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
       // every third video ships FRAGMENTED (DASH/CMAF moof/mdat pairs,
       // 2-5 fragments) — the multi-mdat walk makes the fragment split
       // invisible to the hash set, so the oracle replay is unchanged
@@ -540,7 +540,7 @@ private[graft] object TrainingDedup {
     "q138_audio_windowed_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
         // repartition BEFORE the container-build/decode UDFs (q130 doctrine)
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
       val base = docs.select(col("doc_id").as("media_id"),
         graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id"), lit(0)).as("bytes"))
       val trimmed = docs.filter(col("doc_id") % 17 === 0)
@@ -614,7 +614,7 @@ private[graft] object TrainingDedup {
       // q130 doctrine): the single-row-group scan ran each side's
       // decode on 1-2 tasks
       val docs = t(s, d, "documents").select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
       val videos = docs.select(col("doc_id").as("media_id"),
         graft.ops.VideoHash.fixtureMp4WithAudioUdf(col("doc_id"),
           col("doc_id") + lit(5000000L), lit(false)).as("bytes"))
@@ -703,7 +703,7 @@ private[graft] object TrainingDedup {
     "q143_resampled_audio_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
         // repartition BEFORE the container-build/decode UDFs (q130 doctrine)
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
       val base = docs.select(col("doc_id").as("media_id"),
         graft.ops.AudioHash.fixtureWavTrimmedUdf(col("doc_id"), lit(0)).as("bytes"))
       val rate = when(col("doc_id") % 4 === 0, lit(8000))
@@ -769,7 +769,7 @@ private[graft] object TrainingDedup {
     "q123_neardup_matrix" -> ((s, d) => {
       // repartition BEFORE the minhash/shingle kernels (q130 doctrine)
       Dedup.crossSourceNearDupMatrix(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "source", "text", threshold = 0.8)
         .orderBy(col("src_a"), col("src_b"))
     }),
@@ -784,7 +784,7 @@ private[graft] object TrainingDedup {
           greatest(size(toks), lit(1))).cast("long").as("quality_milli"))
       // repartition BEFORE the minhash/shingle kernels (q130 doctrine)
       val pairs = Dedup.nearDuplicates(
-          t(s, d, "documents").repartition(s.sparkContext.defaultParallelism),
+          t(s, d, "documents").widenedScan,
           "doc_id", "text", threshold = 0.8)
         .select(col("id_a"), col("id_b"))
       Dedup.resolveClustersByQuality(docs, "doc_id", "quality_milli", pairs)

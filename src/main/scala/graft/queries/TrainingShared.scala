@@ -12,6 +12,33 @@ private[queries] object TrainingShared {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Session-width round-robin repartition, gated on the scan actually
+    * being NARROWER than the session (r16; one policy for every
+    * "repartition before the kernel" accommodation in the query files).
+    *
+    * The testdata parquet is one row group per table, so locally every
+    * kernel-dense first stage (shingle/minhash/BPE/regex/decode
+    * explodes) would run serially on 1 of 32 cores without this — the
+    * r15 "q130 doctrine". But an UNCONDITIONAL round-robin repartition
+    * is a full extra shuffle of the text/bytes column: at 100 TB that
+    * is a 100 TB shuffle write+read before any kernel runs, paid even
+    * though a real table scans as thousands of splits already wider
+    * than the session. So the repartition fires only when the scan's
+    * planned partition count is materially below the session width
+    * (≤ half of defaultParallelism); naturally-split inputs pass
+    * through shuffle-free. The partition probe plans the (scan-only)
+    * physical plan once — metadata work, no job. */
+  def widenScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
+  /** [[widenScan]] as a chainable method — the call sites read as the
+    * repartitions they replace. */
+  implicit class WidenOps(private val df: DataFrame) {
+    def widenedScan: DataFrame = widenScan(df)
+  }
+
   /** Planted CJK documents for q47 — the regression fixture for the
     * CJK-aware tokenizer: a whitespace-only tokenizer sees each of these
     * as word_count ≈ 1 and `gopherMetrics.keep` silently discards whole

@@ -130,7 +130,7 @@ private[queries] object TrainingStats {
       val docs = t(s, d, "documents")
       // repartition BEFORE the minhash kernel (the q130 doctrine)
       val pairs = Dedup.lshCandidatePairs(
-        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text",
+        docs.widenedScan, "doc_id", "text",
         k = 16, bands = 4, shingleSize = 3)
       Contrastive.contrastivePairs(docs, "doc_id", pairs)
         .orderBy(col("anchor"), col("positive"))
@@ -143,7 +143,7 @@ private[queries] object TrainingStats {
       val docs = t(s, d, "documents")
       // repartition BEFORE the minhash kernel (the q130 doctrine)
       val pairs = Dedup.lshCandidatePairs(
-        docs.repartition(s.sparkContext.defaultParallelism), "doc_id", "text",
+        docs.widenedScan, "doc_id", "text",
         k = 16, bands = 4, shingleSize = 3)
       Dedup.leakageSafeSplit(docs.select(col("doc_id")), "doc_id", pairs,
           trainFrac = 0.7, valFrac = 0.15)
@@ -179,9 +179,9 @@ private[queries] object TrainingStats {
       // frame re-ran the whole LSH pipeline per job (stage probe: two
       // 1.5 s single-task minhash stages).
       val pairs = Dedup.lshCandidatePairs(
-          docs.repartition(s.sparkContext.defaultParallelism),
+          docs.widenedScan,
           "doc_id", "text", k = 16, bands = 4, shingleSize = 3)
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.frame)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       Graph.pageRank(docs.select(col("doc_id")), edges, iterations = 4)
@@ -200,7 +200,7 @@ private[queries] object TrainingStats {
       // (pageRank's redistribution mode already checkpoints the edge
       // frame, so no query-level checkpoint needed)
       val pairs = Dedup.lshCandidatePairs(
-          docs.repartition(s.sparkContext.defaultParallelism),
+          docs.widenedScan,
           "doc_id", "text", k = 16, bands = 4, shingleSize = 3)
       Graph.pageRank(docs.select(col("doc_id")),
           pairs.select(col("id_a").as("src"), col("id_b").as("dst")),

@@ -209,7 +209,7 @@ private[queries] object TrainingText {
         // repartition BEFORE the segmentation (the q130 doctrine): the
         // single-row-group testdata parquet scans as ONE task and the
         // merge cascade ran serial (834 ms) without it
-        .repartition(s.sparkContext.defaultParallelism)
+        .widenedScan
         .select(col("doc_id"),
           transform(Bpe.subwordTokens(col("text"), merges),
             tk => element_at(idMap, tk).cast("string")).as("idstr"))

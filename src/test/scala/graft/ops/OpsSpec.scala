@@ -2393,6 +2393,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(3) - math.rint(3.0 / 7.0 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("Materialize mode flag: persist mode yields identical results to the default local-checkpoint mode") {
+    // spark.graft.materialize=persist swaps every operator-internal
+    // eager localCheckpoint for a lineage-retaining MEMORY_AND_DISK
+    // persist (the cluster-reliability posture — an executor loss
+    // recomputes instead of killing the job). Results must be
+    // bit-identical; this drives the three operator families that
+    // route through Materialize (set-Jaccard sides, the incremental
+    // label fold, pagerank's redistribution state).
+    val left = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 50L)).toDF("media_id", "whash")
+    val right = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 99L),
+      (2L, 13L)).toDF("media_id", "whash")
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "cluster")
+    val newPairs = Seq((2L, 5L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    import org.apache.spark.sql.Row
+    def runAll(): (Set[Row], Set[Row], Set[Row]) = (
+      Dedup.setJaccardAcross(left, right, "media_id", "whash",
+        threshold = 0.4, maxHashFreq = 0).collect().toSet,
+      Dedup.updateClusters(labels, newPairs).collect().toSet,
+      Graph.pageRank(nodes, edges, iterations = 4,
+        redistributeDangling = true).collect().toSet)
+    val local = runAll()
+    spark.conf.set(graft.core.Materialize.ModeKey, "persist")
+    val persisted =
+      try runAll()
+      finally {
+        spark.conf.unset(graft.core.Materialize.ModeKey)
+        spark.catalog.clearCache() // release the persist-mode entries
+      }
+    assert(persisted === local)
+  }
+
   test("set-Jaccard caller contract: the debug valve catches non-distinct inputs; production path never pays it") {
     // a duplicated (id, hash) row inflates sizes and n_shared instead
     // of failing — the exact bug class spark.graft.debug.assertDistinct
