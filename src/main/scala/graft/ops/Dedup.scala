@@ -1002,12 +1002,19 @@ object Dedup {
         // serial CPU on q141's 657k-row union (stage probe). The
         // explicit keyed repartition is the one exchange AQE never
         // coalesces; the groupBy reuses its partitioning.
-        val cool = l.select(col("__h")).unionByName(r.select(col("__h")))
+        // The cap joins INVERTED (r16): keep-if-cool (left_semi on
+        // every hash with freq ≤ cap — a near-corpus-sized relation,
+        // built and broadcast TWICE) became drop-if-hot (left_anti on
+        // the handful of hashes with freq > cap — the silence windows
+        // and logo frames the cap exists for). Same result set by
+        // complement: every l/r hash appears in the census. AQE picks
+        // the join strategy from the hot set's REAL size at runtime.
+        val hot = l.select(col("__h")).unionByName(r.select(col("__h")))
           .repartition(shufN, col("__h"))
           .groupBy(col("__h")).agg(count(lit(1)).as("__f"))
-          .filter(col("__f") <= maxHashFreq).select(col("__h"))
-        (l.join(cool, Seq("__h"), "left_semi"),
-          r.join(cool, Seq("__h"), "left_semi"))
+          .filter(col("__f") > maxHashFreq).select(col("__h"))
+        (l.join(hot, Seq("__h"), "left_anti"),
+          r.join(hot, Seq("__h"), "left_anti"))
       }
     lc.join(rc, Seq("__h"))
       // pair aggregation PINNED at the session shuffle width (the

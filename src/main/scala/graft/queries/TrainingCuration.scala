@@ -216,7 +216,10 @@ private[queries] object TrainingCuration {
     // through a 16384-bit md5-derived bloom — the candidate side never
     // joins; deterministic false positives are part of the contract.
     "q57_bloom_decontam" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // widen BEFORE the candidate-side shingle/bloom probe (the q130
+      // doctrine, r16): the probe pass ran 804 ms on ONE task of the
+      // single-split scan (stage probe)
+      val docs = t(s, d, "documents").widenedScan
       Curation.decontaminateBloom(
           docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"),

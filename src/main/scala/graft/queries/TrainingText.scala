@@ -137,7 +137,11 @@ private[queries] object TrainingText {
     // trained on the src0-excluded corpus scores every document —
     // the "perplexity filter" with an honest self-trained model.
     "q75_lm_score" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // widen BEFORE the bigram explodes (the q130 doctrine, r16): the
+      // docs-side bigram pass ran 556 ms on ONE task of the
+      // single-split scan (stage probe); the LM side's unigram/bigram
+      // aggregations ride the same exchange
+      val docs = t(s, d, "documents").widenedScan
       Relevance.bigramLmScore(docs, docs.filter(col("source") =!= "src0"),
           "doc_id", "text")
         .orderBy(col("doc_id"))
